@@ -1,0 +1,99 @@
+package graft.functions
+
+/**
+ * Pure-Scala fuzzy string scorers — a re-implementation of the scoring
+ * semantics the reference uses for player/team reconciliation
+ * (rapidfuzz `ratio`/`token_sort_ratio`/`partial_ratio`; call sites at
+ * reference `processors/names/helpers.py:157-202`,
+ * `processors/names/names.py:131-179`,
+ * `processors/reconcile_players.py:444-469` with thresholds 70/85/90).
+ *
+ * These run inside `flatMapGroups` over per-team candidate sets (each
+ * a roster of tens of names), never as a cartesian join — see
+ * [[graft.operators.FuzzyJoin]]. Scores are 0–100 like rapidfuzz.
+ */
+object Fuzzy {
+
+  /** Classic Levenshtein (insert/delete/substitute, all cost 1). */
+  def levenshtein(a: String, b: String): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var curr = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      curr(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        curr(j) = math.min(math.min(curr(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  /** InDel distance (insert/delete cost 1, substitution = 2) — the
+    * distance rapidfuzz `ratio` is defined over. */
+  def indelDistance(a: String, b: String): Int = {
+    // LCS-based: indel = |a| + |b| - 2*LCS
+    val lcsLen = {
+      var prev = new Array[Int](b.length + 1)
+      var curr = new Array[Int](b.length + 1)
+      var i = 1
+      while (i <= a.length) {
+        var j = 1
+        while (j <= b.length) {
+          curr(j) =
+            if (a.charAt(i - 1) == b.charAt(j - 1)) prev(j - 1) + 1
+            else math.max(prev(j), curr(j - 1))
+          j += 1
+        }
+        val t = prev; prev = curr; curr = t
+        java.util.Arrays.fill(curr, 0)
+        i += 1
+      }
+      prev(b.length)
+    }
+    a.length + b.length - 2 * lcsLen
+  }
+
+  /** rapidfuzz `ratio`: (1 - indel/(|a|+|b|)) * 100. */
+  def ratio(a: String, b: String): Double = {
+    val total = a.length + b.length
+    if (total == 0) 100.0
+    else (1.0 - indelDistance(a, b).toDouble / total) * 100.0
+  }
+
+  /** rapidfuzz `token_sort_ratio`: ratio over whitespace tokens sorted
+    * lexicographically and re-joined. */
+  def tokenSortRatio(a: String, b: String): Double = {
+    def norm(s: String) =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).sorted.mkString(" ")
+    ratio(norm(a), norm(b))
+  }
+
+  /** rapidfuzz `partial_ratio`: best ratio of the shorter string
+    * against any same-length substring window of the longer. */
+  def partialRatio(a: String, b: String): Double = {
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    if (s.isEmpty) return if (l.isEmpty) 100.0 else 0.0
+    if (s.length == l.length) return ratio(s, l)
+    var best = 0.0
+    var i = 0
+    while (i <= l.length - s.length) {
+      val r = ratio(s, l.substring(i, i + s.length))
+      if (r > best) best = r
+      i += 1
+    }
+    best
+  }
+
+  /** Simplified WRatio: max of full, token-sort, and partial ratios
+    * (the reference uses it only as a ≥90 gate,
+    * `processors/reconcile_players.py:455`). */
+  def wRatio(a: String, b: String): Double =
+    math.max(ratio(a, b), math.max(tokenSortRatio(a, b), partialRatio(a, b)))
+}

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis columns for large-scale training-data pipelines:
+ * tokenization, quality scoring, language ID, fingerprinting,
+ * shingling. All pure `functions._` compositions (codegen'd,
+ * no UDF serialization) so a 100 TB scan stays in Tungsten.
+ *
+ * Regex patterns are deliberately written in the common subset of
+ * Java regex and RE2 (no lookaround, no backrefs) so the DuckDB
+ * oracle evaluates them identically.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens of the lowercased text. Empty text → empty
+    * array (Spark's split("") yields [""], which we filter). */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count — cheap, no array materialization. */
+  def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+"))
+
+  /** BPE-ish subword count: alphabetic runs, digit runs, and single
+    * non-alnum marks each count as one token. */
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Share of non-alphanumeric, non-space chars. */
+  def punctRatio(c: Column): Column =
+    ScalarFunctions.safeDiv(
+      regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double"),
+      length(c).cast("double"))
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "in", "and", "is", "on", "for")
+
+  /** Share of tokens that are English stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val stops = filter(toks, t => t.isin(stopwords.map(lit): _*))
+    ScalarFunctions.safeDiv(size(stops).cast("double"), size(toks).cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    ScalarFunctions.safeDiv(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double"),
+      size(toks).cast("double"))
+  }
+
+  /**
+   * Composite document-quality score in [0,1]: rewards reasonable
+   * length and stopword density, penalizes punctuation noise. The
+   * exact weights are a policy choice; what matters for the engine is
+   * that it is one codegen'd pass over the text.
+   */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / lit(50.0), lit(1.0))
+    lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio(c)) +
+      lit(0.3) * least(stopwordRatio(c) * lit(4.0), lit(1.0))
+  }
+
+  /** Language marker words per language for the n-gram-heuristic
+    * language ID. Deterministic and tiny — broadcast as literals. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "de"))
+
+  /** Marker-word count for one language. */
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val toks = tokens(c)
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+  }
+
+  /** Heuristic language ID: argmax of marker-word counts, ties broken
+    * by the [[langMarkers]] declaration order, "und" (undetermined)
+    * when nothing matches. */
+  def langId(c: Column): Column = {
+    val scored = langMarkers.map { case (lang, ms) => (lang, langScore(c, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, s), rest) =>
+      when(s === best && s > 0, lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Canonical text for near-dup comparison: lowercase, collapse
+    * whitespace, strip punctuation. */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), "\\s+", " "))
+
+  /** 16-hex document fingerprint over the canonical text (the
+    * content-hash analogue of the reference's salted-id scheme,
+    * `scripts/hash_player_ids.py`). */
+  def fingerprint(c: Column): Column =
+    substring(md5(canonicalText(c)), 1, 16)
+
+  /** Word n-gram shingles of the canonical text, as an array of
+    * space-joined strings. Fewer than n tokens → empty array. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(canonicalText(c))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array())
+  }
+
+  /**
+   * MinHash signature: for seed i, min over shingles of the portable
+   * 60-bit hash of `"i:shingle"`. Seeding by string prefix instead of
+   * `(a*h+b) mod p` avoids 64-bit multiplication overflow and stays
+   * reproducible in the SQL oracle.
+   */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleArr,
+        s => ScalarFunctions.md5Long(concat(lit(i + ":"), s))))
+    }: _*)
+}

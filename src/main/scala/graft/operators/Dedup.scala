@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.functions.{PortableHash, ScalarFunctions, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication suite for training-data pipelines: exact,
+ * n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine. The
+ * reference's own dedup is only exact-key (`drop_duplicates` after
+ * upsert, reference `processors/leaderboards/main.py:182-189`); the
+ * near-dup family is the standard public construction (Broder 1997
+ * MinHash, Charikar 2002 SimHash) built Spark-first:
+ *
+ *  - shingling/hashing are codegen'd column expressions
+ *    ([[TextFunctions.shingles]], [[TextFunctions.minhashSignature]]);
+ *  - candidate generation is an equi-join on a bucket key (band hash /
+ *    LSH bucket / shared shingle), never an all-pairs product, so the
+ *    shuffle stays proportional to data size at 100 TB;
+ *  - hot buckets (stop-shingles) are droppable via `maxShingleDf`, the
+ *    standard skew guard.
+ */
+object Dedup {
+
+  /** Exact dedup: keep the lowest `idCol` row per identical content.
+    * Partition by the content itself, not a hash of it — no collision
+    * risk, same single shuffle. */
+  def exactKeepFirst(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact groups: content fingerprint → group size and representative
+    * id. The aggregate view of [[exactKeepFirst]]. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_dups"))
+
+  /** (id, shingle) pairs, distinct, with optional document-frequency
+    * cap dropping shingles that appear in more than `maxShingleDf`
+    * docs (stop-shingles are pure noise for similarity and are the
+    * skew bomb in the self-join). */
+  def shingled(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+    maxShingleDf match {
+      case None => base
+      case Some(cap) =>
+        val dfCounts = base.groupBy("sh").agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
+        base.join(dfCounts.select("sh"), Seq("sh"), "left_semi")
+    }
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
+   * threshold). One equi-join on shared shingles + two broadcast-able
+   * size joins; cost is Σ df(shingle)², which `maxShingleDf` bounds.
+   */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = shingled(df, idCol, textCol, n, maxShingleDf)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a
+      .join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signatures: (id, array<long> of `numHashes` minima). */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      numHashes: Int): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      TextFunctions.minhashSignature(
+        TextFunctions.shingles(col(textCol), shingleN), numHashes).as("sig"))
+      .filter(size(col("sig")) > 0 && !exists(col("sig"), _.isNull))
+
+  /**
+   * MinHash+LSH candidate pairs: signatures split into `bands` bands
+   * of `numHashes/bands` rows; docs colliding in ANY band are
+   * candidates (id_a < id_b, distinct). Collision probability is the
+   * classic S-curve 1-(1-s^r)^b. Only candidates ever meet in a join.
+   */
+  def minhashLshCandidates(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    val banded = sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
+      .toDF("id", "band", "bucket")
+    val x = banded.as("x")
+    val y = banded.as("y")
+    x.join(y,
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH dedup: LSH candidates verified with exact n-gram
+    * Jaccard ≥ threshold. */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val cands = minhashLshCandidates(df, idCol, textCol, shingleN, numHashes, bands)
+    val sh = shingled(df, idCol, textCol, shingleN)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // second join keys on (id_b, sh): per candidate pair this streams the
+    // intersection instead of materializing the n_a × n_b product
+    val inter = cands
+      .join(sh.toDF("id_a", "sh"), "id_a")
+      .join(sh.toDF("id_b", "sh"), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  private val simhashUdf = udf((toks: Seq[String]) =>
+    if (toks == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(PortableHash.simhash60(toks)))
+
+  /** 60-bit SimHash signature per document over canonical tokens. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      simhashUdf(TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))))
+        .as("simhash"))
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ maxHamming
+   * (maxHamming ≤ 3 with 4 bands, by pigeonhole: two signatures within
+   * Hamming 3 of each other agree exactly on at least one of the four
+   * 15-bit chunks, so a chunk-equality join finds every such pair).
+   */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band chunking guarantees recall only to Hamming 3")
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val chunked = sigs.select(
+      col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7fffL))): _*)))
+      .toDF("id", "simhash", "chunk", "chunk_val")
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    val hammingUdf = udf((x: Long, y: Long) => PortableHash.hamming(x, y))
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", hammingUdf(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /**
+   * Embedding near-dup pairs, brute force: all pairs with cosine ≥
+   * threshold. Quadratic — correct baseline and the verification
+   * oracle for [[embeddingNearDupLsh]]; use the LSH form at scale.
+   */
+  def embeddingNearDupBrute(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Embedding near-dup via sign-LSH bucketing: only vectors sharing a
+    * bucket are compared. Linear shuffle, bucket-local quadratic. */
+  def embeddingNearDupLsh(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numPlanes: Int, threshold: Double): DataFrame = {
+    val bucketed = emb.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.VectorFunctions.signLshBucket(col(vecCol), dim, numPlanes).as("bucket"))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos",
+        round(graft.functions.VectorFunctions.cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Schema-declared readers for the harness tables (TESTDATA.md).
+ *
+ * The reference infers schemas at every `pd.read_csv` and hardens them
+ * ad hoc (`usecols`/`dtype`/`ensure_columns` — see SURVEY §1.3, e.g.
+ * reference `processors/get_war.py:35-36`). Declaring `StructType`s at
+ * the source boundary is the port's robustness upgrade: bad files fail
+ * at scan, not three stages later, and Catalyst prunes columns against
+ * a known schema.
+ *
+ * At 100 TB these would be directory-partitioned tables
+ * (`.../division=…/year=…`); the readers stay the same because parquet
+ * partition discovery adds the partition columns transparently.
+ */
+object Tables {
+
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val partSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val regionSchema: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  private def read(spark: SparkSession, dir: String, name: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path(dir, name))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem", lineitemSchema)
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders", ordersSchema)
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer", customerSchema)
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier", supplierSchema)
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part", partSchema)
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation", nationSchema)
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region", regionSchema)
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
+
+  /**
+   * Events stream table. Stored as TIMESTAMP(NANOS) parquet, which
+   * Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); we read
+   * nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and convert
+   * to a microsecond TimestampType with exact integer division (a
+   * double division would lose precision above 2^53 ns ≈ 1970+104
+   * days).
+   */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(path(dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+}

@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are defined per operator family under [[graft.queries]];
+  * each carries its own DuckDB oracle SQL when SQL-expressible
+  * (rows-only otherwise). See [[graft.queries.QueryDef]] for the
+  * determinism conventions that make the hash-compare exact.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  val allDefs: Seq[QueryDef] =
+    QAgg.defs ++ QWindow.defs ++ QJoin.defs ++ QRelational.defs ++
+      QScalar.defs ++ QText.defs ++ QVector.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A fact-to-dims broadcast-join rollup — the reference's most common
+    * plan shape (J1+A13). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+      .orderBy("n_name")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
+
+  /** Headline queries Bench runs at sf0.1 — representative of each
+    * family, excluding the deliberately-quadratic oracles
+    * (v03 brute near-dup is the LSH verifier's baseline, not a
+    * production path). */
+  val benchQueries: Seq[String] = Seq(
+    "a01_pivot_matrix", "a05_event_kernel", "a08_union_explode_agg",
+    "a10_scenario_weighted", "w03_boundary_session", "w05_remaining_sum",
+    "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
+    "asof01_backward_tolerance", "ses02_session_stats", "x01_stateful_fold_balance",
+    "o01_global_sort_limit", "s01_scan_pushdown", "f05_hash_ids",
+    "t01_text_quality", "t06_ngram_jaccard_pairs", "t07_minhash_lsh_pairs",
+    "t08_simhash_pairs", "v01_ann_brute_topk", "v02_ann_lsh_topk")
 }

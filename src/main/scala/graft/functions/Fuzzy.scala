@@ -76,15 +76,23 @@ object Fuzzy {
   }
 
   /** rapidfuzz `partial_ratio`: best ratio of the shorter string
-    * against any same-length substring window of the longer. */
+    * against every length-|s| window of the longer INCLUDING the
+    * truncated boundary alignments (windows that hang off either end
+    * of the longer string — rapidfuzz scores those against the
+    * clipped substring, which matters for prefix/suffix matches near
+    * the 85 threshold). */
   def partialRatio(a: String, b: String): Double = {
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     if (s.isEmpty) return if (l.isEmpty) 100.0 else 0.0
     if (s.length == l.length) return ratio(s, l)
     var best = 0.0
-    var i = 0
-    while (i <= l.length - s.length) {
-      val r = ratio(s, l.substring(i, i + s.length))
+    // alignment offset i of s against l, from hanging off the left
+    // (window clipped at 0) to hanging off the right (clipped at |l|)
+    var i = -(s.length - 1)
+    while (i <= l.length - 1) {
+      val from = math.max(0, i)
+      val until = math.min(l.length, i + s.length)
+      val r = ratio(s, l.substring(from, until))
       if (r > best) best = r
       i += 1
     }

@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
  * `last(_, ignoreNulls) OVER (PARTITION BY key ORDER BY ts)` — ONE
  * sort-shuffle on the key, no pair explosion, fully codegen'd. That is
  * the plan that survives 100 TB on either side.
+ *
+ * The whole matched right row travels as ONE struct through the
+ * window, so a NULL in one payload column can never mix values from
+ * different right rows (pandas `merge_asof` semantics: the matched row
+ * is attached atomically, nulls included).
+ *
+ * If several right rows share the same `(key, rightTs)`, the one
+ * sorting last by the remaining payload order wins — callers who need
+ * a specific winner should dedup the right side first (see the
+ * `asof01` query for the pattern).
  */
 object AsOfJoin {
 
@@ -23,10 +33,11 @@ object AsOfJoin {
    * @param left      probe side; all its columns are kept
    * @param right     reference side; only `key`, `rightTs`, `payload` used
    * @param key       equi-key column name present on both sides
-   * @param leftTs    event-time column on `left`
-   * @param rightTs   event-time column on `right`
+   * @param leftTs    event-time (TimestampType) column on `left`
+   * @param rightTs   event-time (TimestampType) column on `right`
    * @param payload   right columns to attach (must not collide with left)
-   * @param toleranceSeconds  max allowed `leftTs - rightTs`; None = unbounded
+   * @param toleranceSeconds  max allowed `leftTs - rightTs`; None = unbounded.
+   *                          Compared in exact integer microseconds.
    */
   def backward(
       left: DataFrame,
@@ -39,10 +50,12 @@ object AsOfJoin {
 
     val leftCols = left.columns.toSeq
     val l = left
-      .withColumn("__ts", col(leftTs))
+      .withColumn("__us", unix_micros(col(leftTs)))
       .withColumn("__side", lit(1))
+    // the entire right row rides in one struct => atomic attachment
     val r = right
-      .select((col(key) +: col(rightTs).as("__ts") +: payload.map(col)): _*)
+      .select(col(key), unix_micros(col(rightTs)).as("__us"),
+        struct(col(rightTs).as("__rts") +: payload.map(col): _*).as("__pay"))
       .withColumn("__side", lit(0))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
@@ -50,27 +63,23 @@ object AsOfJoin {
     // right rows sort before left rows at equal ts => "<=" (inclusive) match
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__us"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matchedTs = last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w)
-    val withPayload = payload.foldLeft(
-      unioned.withColumn("__matched_ts", matchedTs)) { (d, p) =>
-      d.withColumn(p, last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("__m", last(when(col("__side") === 0, col("__pay")), ignoreNulls = true).over(w))
 
     val inTol: Column = toleranceSeconds match {
-      case None => col("__matched_ts").isNotNull
+      case None => col("__m").isNotNull
       case Some(tol) =>
-        col("__matched_ts").isNotNull &&
-          col("__ts").cast("long") - col("__matched_ts").cast("long") <= tol
+        col("__m").isNotNull &&
+          col("__us") - unix_micros(col("__m.__rts")) <= tol * 1000000L
     }
 
-    val result = withPayload
+    carried
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        payload.map(p => when(inTol, col(p)).otherwise(lit(null)).as(p)) :+
-        when(inTol, col("__matched_ts")).otherwise(lit(null)).as("matched_ts")): _*)
-    result
+        payload.map(p => when(inTol, col(s"__m.$p")).otherwise(lit(null)).as(p)) :+
+        when(inTol, col("__m.__rts")).otherwise(lit(null)).as("matched_ts")): _*)
   }
 }

@@ -33,10 +33,15 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Exact groups: content fingerprint → group size and representative
-    * id. The aggregate view of [[exactKeepFirst]]. */
+  /** Canonical-near-exact groups: groups documents whose CANONICAL
+    * text (lowercased, punctuation stripped — [[TextFunctions
+    * .canonicalText]]) is identical, keyed by its full 128-bit md5.
+    * Deliberately weaker than byte-exact [[exactKeepFirst]] (that is
+    * what makes it a useful near-dup tier); the full-width digest
+    * keeps birthday collisions negligible at billions of documents
+    * (p ≈ n²/2¹²⁹), unlike a 64-bit truncation. */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+    df.groupBy(md5(TextFunctions.canonicalText(col(textCol))).as("fingerprint"))
       .agg(
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_dups"))
@@ -62,11 +67,13 @@ object Dedup {
   /**
    * Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
    * threshold). One equi-join on shared shingles + two broadcast-able
-   * size joins; cost is Σ df(shingle)², which `maxShingleDf` bounds.
+   * size joins; cost is Σ df(shingle)², which `maxShingleDf` bounds
+   * (defaulted — pass None only on corpora known to lack hot
+   * shingles; an uncapped hot shingle is a quadratic skew bomb).
    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
     val sh = shingled(df, idCol, textCol, n, maxShingleDf)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
@@ -85,15 +92,30 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures: (id, array<long> of `numHashes` minima). */
+  /**
+   * MinHash signatures: (id, array<long> of `numHashes` minima).
+   *
+   * Computed ROW-wise — explode (id, shingle) × seed, hash, then
+   * `groupBy(id, seed).min` — not as one wide array expression. The
+   * array form duplicates the whole shingle subtree numHashes×bands
+   * times inside a single projection, which blows up codegen (1 MiB
+   * task binaries, 100× slowdown observed at 500 docs); the row form
+   * keeps every expression small and turns the cost into a shuffle
+   * that scales linearly with corpus size. Docs with no shingles are
+   * naturally absent (matching the previous empty-signature filter).
+   */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int,
       numHashes: Int): DataFrame =
-    df.select(
-      col(idCol).as("id"),
-      TextFunctions.minhashSignature(
-        TextFunctions.shingles(col(textCol), shingleN), numHashes).as("sig"))
-      .filter(size(col("sig")) > 0 && !exists(col("sig"), _.isNull))
+    shingled(df, idCol, textCol, shingleN)
+      .select(col("id"), col("sh"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .select(col("id"), col("seed"),
+        ScalarFunctions.md5Long(concat(col("seed").cast("string"), lit(":"), col("sh"))).as("h"))
+      .groupBy("id", "seed").agg(min("h").as("mh"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
 
   /**
    * MinHash+LSH candidate pairs: signatures split into `bands` bands

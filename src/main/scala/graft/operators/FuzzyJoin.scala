@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
  *   2. best `token_sort_ratio` ≥ 70
  *   3. best `partial_ratio` ≥ 85
  *   4. no match (null id, score 0)
+ *
+ * Tie-breaking matches rapidfuzz `process.extractOne` (reference
+ * `names/helpers.py:188-193`): the FIRST candidate in iteration order
+ * wins ties; a later candidate must score STRICTLY higher to replace
+ * it. Because a shuffled cogroup iterator has no stable order, the
+ * candidate order is pinned to ascending `cand_id` (deterministic
+ * across runs; the reference's order is its input-file order, which
+ * does not survive a shuffle).
  */
 object FuzzyJoin {
 
@@ -29,8 +37,25 @@ object FuzzyJoin {
       matched_name: String, matched_id: String,
       score: Double, method: String)
 
-  private def norm(s: String): String =
+  private[operators] def norm(s: String): String =
     s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll("\\s+", " ").trim
+
+  /** First candidate with the strictly-best score (rapidfuzz
+    * extractOne semantics); None when below `threshold`. */
+  private def extractOne(
+      target: String, cands: Array[(String, String, String)], // (name, norm, id)
+      scorer: (String, String) => Double, threshold: Double): Option[(String, String, Double)] = {
+    var bestScore = -1.0
+    var bestName: String = null
+    var bestId: String = null
+    var i = 0
+    while (i < cands.length) {
+      val s = scorer(target, cands(i)._2)
+      if (s > bestScore) { bestScore = s; bestName = cands(i)._1; bestId = cands(i)._3 }
+      i += 1
+    }
+    if (bestScore >= threshold) Some((bestName, bestId, bestScore)) else None
+  }
 
   /** Resolve each (group, name) on the left against the right's
     * (group, cand_name, cand_id) candidates. */
@@ -42,24 +67,22 @@ object FuzzyJoin {
       col("cand_id").cast("string")).as[(String, String, String)]
 
     l.groupByKey(_._1).cogroup(r.groupByKey(_._1)) { (g, ls, rs) =>
-      val cands = rs.map { case (_, n, id) => (n, id) }.toArray
-      val byNorm = cands.groupBy { case (n, _) => norm(n) }
+      // pinned candidate order: ascending id (see scaladoc), norms precomputed once
+      val cands = rs.map { case (_, n, id) => (n, norm(n), id) }.toArray.sortBy(_._3)
+      val byNorm = cands.groupBy(_._2)
       ls.map { case (_, name) =>
         val nn = norm(name)
-        byNorm.get(nn).map(_.head) match {
-          case Some((cn, cid)) => Resolved(g, name, cn, cid, 100.0, "exact")
+        byNorm.get(nn).map(_.minBy(_._3)) match {
+          case Some((cn, _, cid)) => Resolved(g, name, cn, cid, 100.0, "exact")
           case None if cands.isEmpty => Resolved(g, name, null, null, 0.0, "none")
           case None =>
-            val tsBest = cands.maxBy { case (n, id) => (Fuzzy.tokenSortRatio(nn, norm(n)), id) }
-            val tsScore = Fuzzy.tokenSortRatio(nn, norm(tsBest._1))
-            if (tsScore >= 70.0)
-              Resolved(g, name, tsBest._1, tsBest._2, tsScore, "token_sort")
-            else {
-              val pBest = cands.maxBy { case (n, id) => (Fuzzy.partialRatio(nn, norm(n)), id) }
-              val pScore = Fuzzy.partialRatio(nn, norm(pBest._1))
-              if (pScore >= 85.0)
-                Resolved(g, name, pBest._1, pBest._2, pScore, "partial")
-              else Resolved(g, name, null, null, 0.0, "none")
+            extractOne(nn, cands, Fuzzy.tokenSortRatio, 70.0) match {
+              case Some((cn, cid, s)) => Resolved(g, name, cn, cid, s, "token_sort")
+              case None =>
+                extractOne(nn, cands, Fuzzy.partialRatio, 85.0) match {
+                  case Some((cn, cid, s)) => Resolved(g, name, cn, cid, s, "partial")
+                  case None => Resolved(g, name, null, null, 0.0, "none")
+                }
             }
         }
       }

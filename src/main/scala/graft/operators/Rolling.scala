@@ -15,18 +15,25 @@ import org.apache.spark.sql.functions._
  */
 object Rolling {
 
+  /**
+   * @param orderCols order within the key — pass enough columns to be
+   *                  a total order (ties would make lag/rolling
+   *                  nondeterministic).
+   */
   def meanNowVsThen(
       df: DataFrame,
       key: Column,
-      order: Column,
+      orderCols: Seq[Column],
       value: Column,
       n: Int): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(order)
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+    val wDesc = Window.partitionBy(key).orderBy(orderCols.map(_.desc): _*)
     val roll = avg(value).over(w.rowsBetween(-(n - 1), Window.currentRow))
     df.withColumn("roll_now", roll)
       .withColumn("roll_then", lag(col("roll_now"), n).over(w))
-      .withColumn("__n_events", count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__rn_desc", row_number().over(Window.partitionBy(key).orderBy(order.desc)))
+      .withColumn("__n_events",
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn_desc", row_number().over(wDesc))
       .filter(col("__rn_desc") === 1 && col("__n_events") >= 2 * n)
       .drop("__rn_desc")
       .withColumnRenamed("__n_events", "n_events")

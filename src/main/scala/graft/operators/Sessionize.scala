@@ -21,11 +21,14 @@ object Sessionize {
    * running sum), fully codegen'd, one shuffle on `key`. Session id is
    * 1-based and unique within a key.
    */
-  def byGap(df: DataFrame, key: Column, ts: Column, gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(ts)
-    val prev = lag(ts, 1).over(w)
+  def byGap(df: DataFrame, key: Column, ts: Column, gapSeconds: Long,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts +: tieBreak: _*)
+    val prev = lag(unix_micros(ts), 1).over(w)
+    // exact integer microseconds — a cast-to-long would truncate to
+    // whole seconds and misclassify sub-second-accurate gaps
     val isNew = when(
-      prev.isNull || ts.cast("long") - prev.cast("long") > gapSeconds, 1L
+      prev.isNull || unix_micros(ts) - prev > gapSeconds * 1000000L, 1L
     ).otherwise(0L)
     df.withColumn(
       "session_id",
@@ -45,13 +48,16 @@ object Sessionize {
     val outSchema = StructType(df.schema.fields :+ StructField("session_id", LongType, nullable = false))
     val tsIdx = df.schema.fieldIndex(tsCol)
 
-    // state = (last event epoch-seconds, current session id)
+    // state = (last event epoch-MICROseconds, current session id) —
+    // micros to match byGap exactly (getTime is millis; the nanos
+    // field carries the full fractional second)
     StatefulFold.foldPartitions[(Long, Long)](
       df, Seq(keyCol), Seq(col(tsCol)), outSchema)(
       init = _ => (Long.MinValue, 0L),
       step = { case ((lastTs, sid), row) =>
-        val t = row.getTimestamp(tsIdx).getTime / 1000L
-        val newSid = if (lastTs == Long.MinValue || t - lastTs > gapSeconds) sid + 1 else sid
+        val t0 = row.getTimestamp(tsIdx)
+        val t = (t0.getTime / 1000L) * 1000000L + t0.getNanos / 1000L
+        val newSid = if (lastTs == Long.MinValue || t - lastTs > gapSeconds * 1000000L) sid + 1 else sid
         ((t, newSid), Iterator(Row.fromSeq(row.toSeq :+ newSid)))
       })
   }

@@ -1,0 +1,371 @@
+package graft.queries
+
+import graft.functions.ScalarFunctions.safeDiv
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Aggregation family A1–A16 (SURVEY §2.4), re-expressed over the
+ * harness star schema. Each query keeps the SHAPE of the reference
+ * aggregate (pivot matrix, two-level agg, conditional-count kernel,
+ * league-rate feedback, …) with reference file:line cited per query;
+ * the domain columns are the harness tables' (the driver's DuckDB
+ * oracle checks results at sf0.01).
+ *
+ * Scale notes: every aggregate here is a single hash-aggregation
+ * (map-side partial agg → one shuffle on the group key). The
+ * global-scalar feedback queries (A2/A3/A9) broadcast a 1-row
+ * aggregate back into the big side — `crossJoin(broadcast(...))` —
+ * instead of a window-over-() which would funnel all rows into one
+ * partition.
+ */
+object QAgg {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A1: RE24-style matrix — groupBy two keys, pivot one into columns
+    // (reference processors/get_er_matrix.py:11-63).
+    QueryDef.of("a01_pivot_matrix",
+      """SELECT l_returnflag,
+        |  round(avg(CASE WHEN l_linestatus='F' THEN l_quantity END), 4) AS F,
+        |  round(avg(CASE WHEN l_linestatus='O' THEN l_quantity END), 4) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(avg("l_quantity"), 4))
+        .orderBy("l_returnflag")
+    },
+
+    // A2: linear-weights shape — per-class mean minus a baseline
+    // class's mean (reference processors/get_linear_weights.py:12-111).
+    QueryDef.of("a02_linear_weights",
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(value) - (SELECT avg(value) FROM events WHERE event_type='view'), 4) AS lw
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val perClass = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), avg("value").as("avg_val"))
+      val base = perClass.filter(col("event_type") === "view")
+        .select(col("avg_val").as("base_val"))
+      perClass.crossJoin(broadcast(base))
+        .select(col("event_type"), col("n"),
+          round(col("avg_val") - col("base_val"), 4).as("lw"))
+        .orderBy("event_type")
+    },
+
+    // A3: global-scale normalization — group sums divided by the
+    // global sum (reference processors/get_linear_weights.py:114-151).
+    QueryDef.of("a03_scale_normalize",
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, sum_cents,
+        |  round(sum_cents / (SELECT CAST(SUM(sum_cents) AS DOUBLE) FROM g), 6) AS share
+        |FROM g ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val grp = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(sum(cents(col("l_extendedprice"))).as("sum_cents"))
+      val tot = grp.agg(sum("sum_cents").cast("double").as("tot_cents"))
+      grp.crossJoin(broadcast(tot))
+        .select(col("l_returnflag"), col("sum_cents"),
+          round(col("sum_cents") / col("tot_cents"), 6).as("share"))
+        .orderBy("l_returnflag")
+    },
+
+    // A4: GUTS-style two-level aggregate — groupBy(entity).sum then a
+    // global mean of the per-entity sums (reference
+    // processors/get_guts.py:29-117, `groupby(contest_id).sum().mean()`).
+    QueryDef.of("a04_two_level_agg",
+      """SELECT count(*) AS n_cust,
+        |  round(avg(cust_cents / 100.0), 4) AS avg_cust_total,
+        |  max(cust_cents) AS max_cust_cents
+        |FROM (SELECT o_custkey,
+        |        CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cust_cents
+        |      FROM orders GROUP BY o_custkey)""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey").agg(sum(cents(col("o_totalprice"))).as("cust_cents"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(avg(col("cust_cents") / lit(100.0)), 4).as("avg_cust_total"),
+          max("cust_cents").as("max_cust_cents"))
+    },
+
+    // A5: the per-entity metric kernel — one groupBy with conditional
+    // event-type counts and derived rates (reference
+    // processors/leaderboards/common.py:23-63; replaces the per-group
+    // Python loop with ONE vectorized agg).
+    QueryDef.of("a05_event_kernel",
+      """SELECT user_id, count(*) AS n_events,
+        |  count(CASE WHEN event_type='click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type='view' THEN 1 END) AS n_view,
+        |  count(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type='signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type='error' THEN 1 END) AS n_error,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  round(CASE WHEN count(CASE WHEN event_type='click' THEN 1 END) <> 0
+        |    THEN count(CASE WHEN event_type='purchase' THEN 1 END)
+        |         / CAST(count(CASE WHEN event_type='click' THEN 1 END) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS conv_rate,
+        |  round((count(CASE WHEN event_type='click' THEN 1 END)
+        |         + count(CASE WHEN event_type='view' THEN 1 END))
+        |        / CAST(count(*) AS DOUBLE), 6) AS engagement
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      def n(t: String) = count(when(col("event_type") === t, 1))
+      Tables.events(s, dir).groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          n("click").as("n_click"), n("view").as("n_view"),
+          n("purchase").as("n_purchase"), n("signup").as("n_signup"),
+          n("error").as("n_error"),
+          sum(cents(col("value"))).as("value_cents"))
+        .withColumn("conv_rate",
+          round(safeDiv(col("n_purchase").cast("double"), col("n_click")), 6))
+        .withColumn("engagement",
+          round((col("n_click") + col("n_view")) / col("n_events").cast("double"), 6))
+        .orderBy("user_id")
+    },
+
+    // A6: situational splits in ONE pass — conditional sums per band
+    // instead of filter-and-reaggregate per split (reference
+    // processors/leaderboards/situational.py:19-150; SURVEY picks
+    // plan (b), `sum(when(cond, …))`).
+    QueryDef.of("a06_situational_splits",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_discount < 0.03 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_low,
+        |  CAST(SUM(CASE WHEN l_discount >= 0.03 AND l_discount < 0.07 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_mid,
+        |  CAST(SUM(CASE WHEN l_discount >= 0.07 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_high,
+        |  count(CASE WHEN l_discount < 0.03 THEN 1 END) AS n_low,
+        |  count(CASE WHEN l_discount >= 0.03 AND l_discount < 0.07 THEN 1 END) AS n_mid,
+        |  count(CASE WHEN l_discount >= 0.07 THEN 1 END) AS n_high
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val lo = col("l_discount") < 0.03
+      val mid = col("l_discount") >= 0.03 && col("l_discount") < 0.07
+      val hi = col("l_discount") >= 0.07
+      val q = col("l_quantity").cast("long")
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+          sum(when(lo, q).otherwise(0L)).as("qty_low"),
+          sum(when(mid, q).otherwise(0L)).as("qty_mid"),
+          sum(when(hi, q).otherwise(0L)).as("qty_high"),
+          count(when(lo, 1)).as("n_low"),
+          count(when(mid, 1)).as("n_mid"),
+          count(when(hi, 1)).as("n_high"))
+        .orderBy("l_returnflag")
+    },
+
+    // A7: flag-profile aggregate — boolean-flag sums + ratios + a
+    // cross-flag sub-count folded into the same agg (reference
+    // processors/leaderboards/batted_ball.py:77-161).
+    QueryDef.of("a07_profile_flags",
+      """SELECT user_id, count(*) AS n,
+        |  count(CASE WHEN event_type='click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN value > 10 THEN 1 END) AS n_hard,
+        |  count(CASE WHEN event_type='click' AND value > 10 THEN 1 END) AS n_hard_click,
+        |  round(count(CASE WHEN event_type='click' THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS click_rate,
+        |  round(count(CASE WHEN value > 10 THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS hard_rate
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("value") > 10, 1)).as("n_hard"),
+          count(when(col("event_type") === "click" && col("value") > 10, 1)).as("n_hard_click"))
+        .withColumn("click_rate", round(col("n_click") / col("n").cast("double"), 6))
+        .withColumn("hard_rate", round(col("n_hard") / col("n").cast("double"), 6))
+        .orderBy("user_id")
+    },
+
+    // A8: explode-to-long then aggregate — union of two role
+    // projections, countDistinct per entity (reference steal
+    // opportunities, processors/leaderboards/baserunning.py:57-192).
+    QueryDef.of("a08_union_explode_agg",
+      """SELECT entity_id, role, count(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM (
+        |  SELECT l_partkey AS entity_id, 'part' AS role, l_orderkey, l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_suppkey AS entity_id, 'supp' AS role, l_orderkey, l_quantity FROM lineitem)
+        |GROUP BY entity_id, role ORDER BY role, entity_id""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val parts = li.select(col("l_partkey").as("entity_id"), lit("part").as("role"),
+        col("l_orderkey"), col("l_quantity"))
+      val supps = li.select(col("l_suppkey").as("entity_id"), lit("supp").as("role"),
+        col("l_orderkey"), col("l_quantity"))
+      parts.unionByName(supps)
+        .groupBy("entity_id", "role")
+        .agg(countDistinct("l_orderkey").as("n_orders"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("role", "entity_id")
+    },
+
+    // A9: league-rate-scaled metric — conditional agg per entity, the
+    // global rate broadcast back in (reference wGDP,
+    // processors/leaderboards/baserunning.py:195-218).
+    QueryDef.of("a09_rate_scaled",
+      """WITH opp AS (SELECT * FROM lineitem WHERE l_quantity >= 30),
+        |lg AS (SELECT count(CASE WHEN l_returnflag='R' THEN 1 END) / CAST(count(*) AS DOUBLE) AS r FROM opp)
+        |SELECT l_suppkey, count(*) AS opps,
+        |  count(CASE WHEN l_returnflag='R' THEN 1 END) AS dps,
+        |  round(((SELECT r FROM lg) * count(*)
+        |         - count(CASE WHEN l_returnflag='R' THEN 1 END)) * 0.5, 6) AS wgdp
+        |FROM opp GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      val opp = Tables.lineitem(s, dir).filter(col("l_quantity") >= 30)
+      val perSupp = opp.groupBy("l_suppkey").agg(
+        count(lit(1)).as("opps"),
+        count(when(col("l_returnflag") === "R", 1)).as("dps"))
+      val lg = opp.agg(
+        (count(when(col("l_returnflag") === "R", 1)).cast("double") / count(lit(1))).as("lg_rate"))
+      perSupp.crossJoin(broadcast(lg))
+        .select(col("l_suppkey"), col("opps"), col("dps"),
+          round((col("lg_rate") * col("opps") - col("dps")) * 0.5, 6).as("wgdp"))
+        .orderBy("l_suppkey")
+    },
+
+    // A10: wEBT shape — union of masked scenario projections, grouped,
+    // weighted by per-scenario league success rates (reference
+    // processors/leaderboards/batting.py:291-356, baserunning.py:221-352).
+    QueryDef.of("a10_scenario_weighted",
+      """WITH p AS (
+        |  SELECT l_suppkey, 's1' AS scenario, count(*) AS opps,
+        |    count(CASE WHEN l_quantity > 25 THEN 1 END) AS succs,
+        |    count(CASE WHEN l_tax > 0.06 THEN 1 END) AS outs
+        |  FROM lineitem WHERE l_linestatus='F' GROUP BY l_suppkey
+        |  UNION ALL
+        |  SELECT l_suppkey, 's2', count(*),
+        |    count(CASE WHEN l_quantity > 40 THEN 1 END),
+        |    count(CASE WHEN l_tax > 0.07 THEN 1 END)
+        |  FROM lineitem WHERE l_linestatus='O' AND l_discount >= 0.05 GROUP BY l_suppkey),
+        |w AS (SELECT *,
+        |    CAST(SUM(succs) OVER (PARTITION BY scenario) AS DOUBLE)
+        |      / CAST(SUM(opps) OVER (PARTITION BY scenario) AS DOUBLE) AS lg_rate
+        |  FROM p)
+        |SELECT l_suppkey, CAST(SUM(opps) AS BIGINT) AS opps,
+        |  round(SUM(round((succs - lg_rate * opps) * 0.3 - outs * 0.6, 4)), 4) AS webt_total
+        |FROM w GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      def scen(name: String, filt: org.apache.spark.sql.Column,
+               succ: org.apache.spark.sql.Column, out: org.apache.spark.sql.Column) =
+        li.filter(filt).groupBy("l_suppkey").agg(
+            count(lit(1)).as("opps"), count(when(succ, 1)).as("succs"),
+            count(when(out, 1)).as("outs"))
+          .withColumn("scenario", lit(name))
+      val packed = scen("s1", col("l_linestatus") === "F",
+          col("l_quantity") > 25, col("l_tax") > 0.06)
+        .unionByName(scen("s2", col("l_linestatus") === "O" && col("l_discount") >= 0.05,
+          col("l_quantity") > 40, col("l_tax") > 0.07))
+      val wr = Window.partitionBy("scenario")
+      packed
+        .withColumn("lg_rate",
+          sum("succs").over(wr).cast("double") / sum("opps").over(wr).cast("double"))
+        .withColumn("webt",
+          round((col("succs") - col("lg_rate") * col("opps")) * 0.3 - col("outs") * 0.6, 4))
+        .groupBy("l_suppkey")
+        .agg(sum("opps").as("opps"), round(sum("webt"), 4).as("webt_total"))
+        .orderBy("l_suppkey")
+    },
+
+    // A11: clutch/WPA-style signed splits — positive/negative part
+    // sums and a ratio-of-aggregates metric (reference
+    // processors/leaderboards/batting.py:174-211, value.py:13-229).
+    QueryDef.of("a11_clutch_splits",
+      """SELECT user_id,
+        |  round(SUM(value), 2) AS wpa_sum,
+        |  round(SUM(CASE WHEN value > 8.0 THEN value END), 2) AS wpa_plus,
+        |  round(SUM(CASE WHEN value <= 8.0 THEN value END), 2) AS wpa_minus,
+        |  round(avg(value), 6) AS li_avg,
+        |  round(SUM(value / (abs(value) + 1.0)), 6) AS wpa_li
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).groupBy("user_id").agg(
+          round(sum("value"), 2).as("wpa_sum"),
+          round(sum(when(col("value") > 8.0, col("value"))), 2).as("wpa_plus"),
+          round(sum(when(col("value") <= 8.0, col("value"))), 2).as("wpa_minus"),
+          round(avg("value"), 6).as("li_avg"),
+          round(sum(col("value") / (abs(col("value")) + 1.0)), 6).as("wpa_li"))
+        .orderBy("user_id")
+    },
+
+    // A12: GMLI shape — lead() at first appearance per (entity, group),
+    // then a per-entity mean (reference processors/leaderboards/
+    // pitching.py:157-168).
+    QueryDef.of("a12_entry_lead_mean",
+      """SELECT user_id, round(avg(next_val), 4) AS gmli, count(*) AS n_entries
+        |FROM (SELECT user_id,
+        |        lead(value) OVER (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id) AS next_val,
+        |        row_number() OVER (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 AND next_val IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+      Tables.events(s, dir)
+        .withColumn("next_val", lead("value", 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("next_val").isNotNull)
+        .groupBy("user_id")
+        .agg(round(avg("next_val"), 4).as("gmli"), count(lit(1)).as("n_entries"))
+        .orderBy("user_id")
+    },
+
+    // A13: roll-up with sum + representative-value aggs (reference
+    // processors/war_calculation/common.py:39-48 — `first` made
+    // deterministic as min).
+    QueryDef.of("a13_rollup",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        |  min(c_name) AS first_cust, count(*) AS n_cust,
+        |  round(CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 4) AS bal_per_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(cents(col("c_acctbal"))).as("bal_cents"),
+          min("c_name").as("first_cust"), count(lit(1)).as("n_cust"))
+        .withColumn("bal_per_cust", round(col("bal_cents") / lit(100.0) / col("n_cust"), 4))
+        .orderBy("n_name")
+    },
+
+    // A14: groupby().transform(sum) — a window aggregate stamped onto
+    // every row (reference processors/war_calculation/calculator.py:
+    // 171-175; avoids the per-conference Python loop).
+    QueryDef.of("a14_window_transform",
+      """SELECT c_custkey, bal_cents,
+        |  CAST(SUM(bal_cents) OVER (PARTITION BY n_name) AS BIGINT) AS conf_total_cents,
+        |  round(bal_cents / CAST(SUM(bal_cents) OVER (PARTITION BY n_name) AS DOUBLE), 6) AS conf_share
+        |FROM (SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents, n_name
+        |      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("n_name")
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"), col("n_name"))
+        .withColumn("conf_total_cents", sum("bal_cents").over(w))
+        .withColumn("conf_share",
+          round(col("bal_cents") / col("conf_total_cents").cast("double"), 6))
+        .drop("n_name")
+        .orderBy("c_custkey")
+    },
+
+    // A15: prob_score — share of positive outcomes per group
+    // (reference processors/get_er_matrix.py:21, `(x > 0).mean()`).
+    QueryDef.of("a15_prob_score",
+      """SELECT l_returnflag,
+        |  round(avg(CASE WHEN l_discount > 0 THEN 1.0 ELSE 0.0 END), 6) AS prob_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(round(avg(when(col("l_discount") > 0, 1.0).otherwise(0.0)), 6).as("prob_disc"))
+        .orderBy("l_returnflag")
+    },
+
+    // A16: exact distinct counting (reference `nunique`,
+    // processors/leaderboards/baserunning.py:123).
+    QueryDef.of("a16_distinct_counts",
+      """SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
+        |  count(DISTINCT c_custkey) AS n_cust, count(*) AS n_rows
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).groupBy("c_nationkey")
+        .agg(countDistinct("c_mktsegment").as("n_segments"),
+          countDistinct("c_custkey").as("n_cust"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("c_nationkey")
+    })
+}

@@ -1,0 +1,297 @@
+package graft.queries
+
+import graft.functions.ScalarFunctions
+import graft.operators.{AsOfJoin, FuzzyJoin, Sessionize, StatefulFold}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/**
+ * Join family J1–J8 (SURVEY §2.3) plus the sequential operators that
+ * ride the same shuffle shapes: as-of join, gap sessionization, and a
+ * stateful-fold analogue with a relational oracle.
+ *
+ * Scale notes: every dimension join is explicitly `broadcast()` (the
+ * dims are KB-to-MB at any scale factor; at 100 TB the fact side
+ * streams through map-side hash joins with zero shuffle). The fuzzy
+ * join is group-blocked (roster-sized candidate sets), never a
+ * cartesian product.
+ */
+object QJoin {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J1: fact × dim broadcast join with coalesce fallback (reference
+    // pbp_parser/main.py:110-164, team-name enrichment).
+    QueryDef.of("j01_broadcast_enrich",
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(s_name, 'UNKNOWN') AS supp_name,
+        |  coalesce(n_name, 'NA') AS nation_name
+        |FROM lineitem
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |LEFT JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"), "left")
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("s_name"), lit("UNKNOWN")).as("supp_name"),
+          coalesce(col("n_name"), lit("NA")).as("nation_name"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // J2: dict-map "join" — a literal map applied as a column, the
+    // Spark form of pandas Series.map(dict) (reference
+    // calculator.py:82, park factors by id).
+    QueryDef.of("j02_dict_map",
+      """SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+        |  WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 END AS prio_rank,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY prio_rank""".stripMargin) { (s, dir) =>
+      val m = typedlit(Map(
+        "1-URGENT" -> 1, "2-HIGH" -> 2, "3-MEDIUM" -> 3,
+        "4-NOT SPECIFIED" -> 4, "5-LOW" -> 5))
+      Tables.orders(s, dir)
+        .withColumn("prio_rank", element_at(m, col("o_orderpriority")))
+        .groupBy("prio_rank").agg(count(lit(1)).as("n"))
+        .orderBy("prio_rank")
+    },
+
+    // J3: fact left-joined to pre-aggregated facts + na.fill defaults
+    // (reference calculator.py:145-168, per-player aggregates into
+    // season stats).
+    QueryDef.of("j03_join_aggregates",
+      """SELECT o_orderkey, coalesce(total_qty, 0) AS total_qty, coalesce(n_lines, 0) AS n_lines
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |         count(*) AS n_lines
+        |  FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val ag = Tables.lineitem(s, dir).groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+      Tables.orders(s, dir)
+        .join(ag, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("total_qty"), lit(0L)).as("total_qty"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+        .orderBy("o_orderkey")
+    },
+
+    // J4: semi-filter on valid entities then enrich (reference
+    // leaderboards/main.py:196-212 + common.py:184-203).
+    QueryDef.of("j04_semi_enrich",
+      """SELECT c_mktsegment, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE EXISTS (SELECT 1 FROM customer v
+        |              WHERE v.c_custkey = o_custkey AND v.c_acctbal > 0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val valid = cust.filter(col("c_acctbal") > 0).select("c_custkey")
+      Tables.orders(s, dir)
+        .join(broadcast(valid), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(cust.select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+
+    // J5: id-mapping broadcast join (reference get_war.py:41-50,
+    // cube_player_id → player_id per year).
+    QueryDef.of("j05_id_mapping",
+      """SELECT dst_id, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_custs
+        |FROM orders LEFT JOIN (
+        |  SELECT c_custkey AS src_id, c_nationkey AS dst_id FROM customer)
+        |ON o_custkey = src_id
+        |GROUP BY dst_id ORDER BY dst_id""".stripMargin) { (s, dir) =>
+      val mapping = Tables.customer(s, dir)
+        .select(col("c_custkey").as("src_id"), col("c_nationkey").as("dst_id"))
+      Tables.orders(s, dir)
+        .join(broadcast(mapping), col("o_custkey") === col("src_id"), "left")
+        .groupBy("dst_id")
+        .agg(count(lit(1)).as("n_orders"), countDistinct("o_custkey").as("n_custs"))
+        .orderBy("dst_id")
+    },
+
+    // J6: normalized-key join — both sides keyed on normName
+    // (reference sos_utils.py:5-35, lower/strip/&→and team matching).
+    QueryDef.of("j06_normalized_key_join",
+      """WITH l AS (SELECT c_custkey AS l_id,
+        |    upper(regexp_replace(c_name, '#', '  ', 'g')) || '!!!' AS messy_name FROM customer),
+        |r AS (SELECT c_custkey AS r_id,
+        |    lower(regexp_replace(c_name, '#', ' ', 'g')) AS clean_name FROM customer),
+        |norm_l AS (SELECT l_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(messy_name), '&', ' and ', 'g'), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS k FROM l),
+        |norm_r AS (SELECT r_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(clean_name), '&', ' and ', 'g'), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS k FROM r)
+        |SELECT l_id, r_id FROM norm_l JOIN norm_r USING (k)
+        |ORDER BY l_id, r_id""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val l = cust.select(col("c_custkey").as("l_id"),
+        concat(upper(regexp_replace(col("c_name"), "#", "  ")), lit("!!!")).as("messy_name"))
+      val r = cust.select(col("c_custkey").as("r_id"),
+        lower(regexp_replace(col("c_name"), "#", " ")).as("clean_name"))
+      l.join(r, ScalarFunctions.normName(col("messy_name")) ===
+          ScalarFunctions.normName(col("clean_name")))
+        .select("l_id", "r_id")
+        .orderBy("l_id", "r_id")
+    },
+
+    // J7: group-blocked fuzzy similarity join (reference
+    // names/helpers.py:157-202 cascade; not SQL-expressible — indel
+    // distance; covered by ScalaTest fixtures).
+    QueryDef.rowsOnly("j07_fuzzy_resolve") { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val left = cust.select(
+        col("c_nationkey").cast("string").as("group"),
+        // mangled probe: '#'→' ', one character deleted at a
+        // key-dependent position (a distinct realistic typo per row)
+        expr("""concat(
+          substring(replace(c_name, '#', ' '), 1, CAST(c_custkey % 8 AS INT) + 1),
+          substring(replace(c_name, '#', ' '), CAST(c_custkey % 8 AS INT) + 3))""").as("name"))
+      val right = cust.select(
+        col("c_nationkey").cast("string").as("group"),
+        regexp_replace(col("c_name"), "#", " ").as("cand_name"),
+        col("c_custkey").cast("string").as("cand_id"))
+      FuzzyJoin.resolve(s, left, right)
+        .orderBy("group", "name")
+    },
+
+    // J8: lead as the declarative form of the next-row self-join
+    // (reference batting.py:260-288, runner destinations).
+    QueryDef.of("j08_lead_selfjoin",
+      """SELECT event_id,
+        |  CAST(round(next_value*100) AS BIGINT) AS next_cents,
+        |  CAST(next_value > value AS INTEGER) AS advanced
+        |FROM (SELECT *, lead(value) OVER (
+        |        PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS next_value
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      Tables.events(s, dir)
+        .withColumn("next_value", lead("value", 1).over(w))
+        .select(col("event_id"),
+          cents(col("next_value")).as("next_cents"),
+          (col("next_value") > col("value")).cast("int").as("advanced"))
+        .orderBy("event_id")
+    },
+
+    // As-of backward join with tolerance — one sort-shuffle, checked
+    // against DuckDB's native ASOF JOIN.
+    QueryDef.of("asof01_backward_tolerance",
+      """WITH p AS (
+        |  SELECT user_id, ts AS pts, event_id AS pe, CAST(round(value*100) AS BIGINT) AS pc
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1)
+        |SELECT e.event_id,
+        |  CASE WHEN p.pts IS NOT NULL AND epoch_us(e.ts) - epoch_us(p.pts) <= 3600000000
+        |       THEN p.pe END AS purchase_event_id,
+        |  CASE WHEN p.pts IS NOT NULL AND epoch_us(e.ts) - epoch_us(p.pts) <= 3600000000
+        |       THEN p.pc END AS purchase_cents,
+        |  CASE WHEN p.pts IS NOT NULL AND epoch_us(e.ts) - epoch_us(p.pts) <= 3600000000
+        |       THEN epoch_us(p.pts) END AS matched_us
+        |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val evts = Tables.events(s, dir)
+      val purch = evts.filter(col("event_type") === "purchase")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("user_id", "ts_ns").orderBy("event_id")))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("purchase_event_id"),
+          cents(col("value")).as("purchase_cents"))
+      AsOfJoin.backward(
+          evts.select("event_id", "user_id", "ts"), purch,
+          key = "user_id", leftTs = "ts", rightTs = "pts",
+          payload = Seq("purchase_event_id", "purchase_cents"),
+          toleranceSeconds = Some(3600))
+        .select(col("event_id"), col("purchase_event_id"), col("purchase_cents"),
+          unix_micros(col("matched_ts")).as("matched_us"))
+        .orderBy("event_id")
+    },
+
+    // Gap sessionization, declarative form (SURVEY W3 generalized;
+    // the stateful twin is equivalence-tested in ScalaTest).
+    QueryDef.of("ses01_gap_session",
+      """SELECT event_id, CAST(session_id AS BIGINT) AS session_id
+        |FROM (SELECT event_id,
+        |        SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |                 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM (SELECT *, lag(epoch_us(ts)) OVER (
+        |              PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_us
+        |            FROM events))
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Sessionize.byGap(Tables.events(s, dir), col("user_id"), col("ts"), 1800)
+        .select("event_id", "session_id").orderBy("event_id")
+    },
+
+    // Session-level aggregates off the session ids (the classic
+    // sessionize → stats pipeline).
+    QueryDef.of("ses02_session_stats",
+      """WITH sid AS (
+        |  SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS c, epoch_ns(ts) AS tn,
+        |    SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (SELECT *, lag(epoch_us(ts)) OVER (
+        |          PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_us
+        |        FROM events))
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |  (max(tn) - min(tn)) // 1000000000 AS duration_s,
+        |  CAST(SUM(c) AS BIGINT) AS sum_cents
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      Sessionize.byGap(Tables.events(s, dir), col("user_id"), col("ts"), 1800)
+        .withColumn("c", cents(col("value")))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("(max(ts_ns) - min(ts_ns)) DIV 1000000000").as("duration_s"),
+          sum("c").as("sum_cents"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // X-family fold machinery with a relational oracle: a running
+    // balance that RESETS on signup events, computed by the streaming
+    // per-partition fold ([[StatefulFold.foldPartitions]] — the same
+    // execution shape as the base-runner machine X1) and checked
+    // against a segmented window-sum in SQL.
+    QueryDef.of("x01_stateful_fold_balance",
+      """WITH b AS (SELECT event_id, user_id, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS c, epoch_ns(ts) AS tn FROM events),
+        |s AS (SELECT *, CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tn, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg FROM b)
+        |SELECT event_id,
+        |  CASE WHEN event_type='signup' THEN 0
+        |       ELSE CAST(SUM(CASE WHEN event_type<>'signup' THEN c ELSE 0 END)
+        |         OVER (PARTITION BY user_id, seg ORDER BY tn, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  END AS balance_cents
+        |FROM s ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val in = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ns"), col("event_type"),
+          cents(col("value")).as("c"))
+      val outSchema = org.apache.spark.sql.types.StructType(
+        in.schema.fields :+ StructField("balance_cents", LongType, nullable = false))
+      val typeIdx = in.schema.fieldIndex("event_type")
+      val cIdx = in.schema.fieldIndex("c")
+      StatefulFold.foldPartitions[Long](
+          in, Seq("user_id"), Seq(col("ts_ns"), col("event_id")), outSchema)(
+          init = _ => 0L,
+          step = { (bal, row) =>
+            val nb =
+              if (row.getString(typeIdx) == "signup") 0L
+              else bal + row.getLong(cIdx)
+            (nb, Iterator(Row.fromSeq(row.toSeq :+ nb)))
+          })
+        .select("event_id", "balance_cents")
+        .orderBy("event_id")
+    })
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.io.Sinks
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Sorts/limits (O1–O5), set operations (E1–E4) and source/sink
+ * operators (S1, S6–S8) — SURVEY §2.1/2.6/2.7.
+ *
+ * The sink queries (s07/s08) exercise REAL writes: they round-trip
+ * through `/tmp` files and the oracle checks the re-read result, so a
+ * broken writer (schema drift, partition-overwrite clobbering
+ * untouched partitions) fails the hash compare.
+ */
+object QRelational {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // O1+O5: deterministic global sort + limit (reference
+    // pbp_parser/main.py:42 output ordering).
+    QueryDef.of("o01_global_sort_limit",
+      """SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents"))
+    },
+
+    // O2: sort within group — per-entity ordered event sequence
+    // (reference pitching.py:160, sort before stateful processing).
+    QueryDef.of("o02_sort_within_group",
+      """SELECT user_id, string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY epoch_ns(ts), event_id) AS event_seq
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts_ns"), col("event_id")))),
+            x => x.getField("event_id").cast("string")),
+          ",").as("event_seq"))
+        .orderBy("user_id")
+    },
+
+    // O3: ordered dedup keep-latest (reference reconcile_players.py:
+    // 476-478, drop_duplicates keep="first" after sort).
+    QueryDef.of("o03_dedup_keep_latest",
+      """SELECT event_id, user_id, event_type, CAST(round(value*100) AS BIGINT) AS cents
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Sinks.dedupKeepLatest(Tables.events(s, dir), Seq("user_id"),
+          struct(col("ts_ns"), col("event_id")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("cents"))
+        .orderBy("user_id")
+    },
+
+    // O4: top-1 per group (reference names/helpers.py:188-193,
+    // extractOne-style best row).
+    QueryDef.of("o04_top1_per_group",
+      """SELECT c_nationkey, c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+        |FROM customer
+        |QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) = 1
+        |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("c_nationkey"), col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
+        .orderBy("c_nationkey")
+    },
+
+    // E1: union-all of homogeneous projections then aggregate
+    // (reference pd.concat, leaderboards/main.py:186).
+    QueryDef.of("e01_union_all",
+      """SELECT bucket, count(*) AS n, CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM (SELECT 'open' AS bucket, o_totalprice FROM orders WHERE o_orderstatus='O'
+        |      UNION ALL
+        |      SELECT 'done' AS bucket, o_totalprice FROM orders WHERE o_orderstatus='F')
+        |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderstatus") === "O")
+        .select(lit("open").as("bucket"), col("o_totalprice"))
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select(lit("done").as("bucket"), col("o_totalprice"))
+      a.unionByName(b).groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("cents"))
+        .orderBy("bucket")
+    },
+
+    // E2: intersect (reference set-membership pre-checks,
+    // leaderboards/common.py:199).
+    QueryDef.of("e02_intersect",
+      """SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |INTERSECT SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).filter(col("c_acctbal") < 0).select("c_custkey")
+        .intersect(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    },
+
+    // E3: except/anti (reference done-set anti-joins,
+    // collect_game.py:199).
+    QueryDef.of("e03_except",
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select("c_custkey")
+        .except(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    },
+
+    // E4: distinct (reference drop_duplicates, pbp_parser/main.py:113).
+    QueryDef.of("e04_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // S1: schema-enforced scan with filter+projection — Catalyst
+    // pushes both into the parquet scan (verified via explain in the
+    // plan spec; reference usecols/dtype hardening,
+    // pbp_parser/main.py:276-304).
+    QueryDef.of("s01_scan_pushdown",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_quantity > 10 AND l_returnflag <> 'N'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 10 && col("l_returnflag") =!= "N")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // S6: incremental-source checkpoint as an anti-join (reference
+    // collect_game.py:67-84 done-ids set).
+    QueryDef.of("s06_incremental_antijoin",
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      Sinks.appendNewOnly(o, o.filter(col("o_orderkey") % 3 === 0), Seq("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
+    // S7 + S1-full: CSV sink + schema-enforced CSV scan round-trip
+    // (reference to_csv/read_csv stage boundaries,
+    // pbp_parser/main.py:353-355).
+    QueryDef.of("s07_csv_roundtrip",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val out = "/tmp/graft_s07_csv"
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_returnflag", StringType), StructField("l_quantity", DoubleType)))
+      s.read.schema(schema).option("header", "true").csv(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // S8: upsert-by-partition sink — dynamic partition overwrite
+    // refreshes ONLY the 'click' partition, then the re-read totals
+    // must show exactly that partition changed (reference
+    // leaderboards/main.py:165-214 read-modify-write collapse).
+    QueryDef.of("s08_upsert_by_partition",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(round((CASE WHEN event_type='click' THEN value*2 ELSE value END)*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val base = "/tmp/graft_s08_parquet"
+      val evts = Tables.events(s, dir).select("event_id", "event_type", "value")
+      evts.write.mode("overwrite").partitionBy("event_type").parquet(base)
+      val patch = evts.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+      Sinks.upsertByPartition(patch, base, Seq("event_type"))
+      s.read.parquet(base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents"))
+        .orderBy("event_type")
+    })
+}

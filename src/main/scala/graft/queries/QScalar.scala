@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.functions.ScalarFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/**
+ * Scalar-function families (SURVEY §2.8): string basics, regex,
+ * numeric guards, dates, hashing, JSON, conditional chains, and the
+ * domain functions (innings-pitched notation, name normalizer,
+ * Last-First flip). All pure `functions._` compositions — codegen'd,
+ * no UDFs — checked cell-by-cell against DuckDB.
+ *
+ * Regexes stay inside the Java∩RE2 common subset (no lookaround / no
+ * backrefs) so both engines evaluate them identically.
+ */
+object QScalar {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // §2.8 string basic (reference names/helpers.py:6-19,
+    // reconcile_players.py:26-56).
+    QueryDef.of("f01_string_basic",
+      """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS pre,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  split_part(c_name, '#', 1) || '-' || split_part(c_name, '#', 2) AS joined,
+        |  split_part(c_name, '#', 2) AS num_part
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("pre"),
+          length(col("c_name")).cast("long").as("name_len"),
+          concat_ws("-", element_at(split(col("c_name"), "#"), 1),
+            element_at(split(col("c_name"), "#"), 2)).as("joined"),
+          element_at(split(col("c_name"), "#"), 2).as("num_part"))
+        .orderBy("c_custkey")
+    },
+
+    // §2.8 string regex (reference pbp_parser/regexes.py usage —
+    // extract/count/replace/match).
+    QueryDef.of("f02_string_regex",
+      """SELECT doc_id, regexp_extract(text, '^(\S+)', 1) AS first_word,
+        |  CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT) AS n_the,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len,
+        |  CAST(regexp_matches(text, 'data') AS INTEGER) AS has_data
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          regexp_extract(col("text"), "^(\\S+)", 1).as("first_word"),
+          regexp_count(col("text"), lit("\\bthe\\b")).cast("long").as("n_the"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("novowel_len"),
+          col("text").rlike("data").cast("int").as("has_data"))
+        .orderBy("doc_id")
+    },
+
+    // §2.8 numeric: safeDiv / clip / abs / sign (reference
+    // war_calculation/common.py:5-7, sos_utils.py:86-91).
+    QueryDef.of("f03_numeric_guards",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN l_discount <> 0 THEN l_quantity / l_discount ELSE 0.0 END, 4) AS qty_per_disc,
+        |  least(greatest(l_quantity, CAST(5.0 AS DOUBLE)), CAST(40.0 AS DOUBLE)) AS qty_clip,
+        |  abs(l_quantity - 25.0) AS qty_dev,
+        |  CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(safeDiv(col("l_quantity"), col("l_discount")), 4).as("qty_per_disc"),
+          clip(col("l_quantity"), lit(5.0), lit(40.0)).as("qty_clip"),
+          abs(col("l_quantity") - 25.0).as("qty_dev"),
+          signum(col("l_discount") - 0.05).cast("long").as("disc_sign"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // §2.8 date (reference rolling.py:12, upload_to_db.py:43-45).
+    QueryDef.of("f04_date_parts",
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  isodow(o_orderdate) AS iso_dow,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          datediff(col("o_orderdate").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey")
+    },
+
+    // §2.8 hash: md5, salted sha-256 id, portable 60-bit hash
+    // (reference scripts/hash_player_ids.py:8-41).
+    QueryDef.of("f05_hash_ids",
+      """SELECT c_custkey, md5(c_name) AS md5_hex,
+        |  substr(sha256('pepper:' || c_name), 1, 16) AS salted16,
+        |  ('0x' || substr(md5(c_name), 1, 15))::BIGINT AS h60
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select(
+          col("c_custkey"),
+          md5(col("c_name")).as("md5_hex"),
+          saltedId(col("c_name"), "pepper").as("salted16"),
+          md5Long(col("c_name")).as("h60"))
+        .orderBy("c_custkey")
+    },
+
+    // §2.8 json (reference collect_game.py:92-133 flattening).
+    QueryDef.of("f06_json_extract",
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k,
+        |  CAST(props->>'k' AS BIGINT) % 7 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .withColumn("k_mod", col("k") % 7)
+        .orderBy("event_id")
+    },
+
+    // §2.8 conditional chains (reference columns.py:282-307,
+    // np.select-style priority cascade).
+    QueryDef.of("f07_conditional_chain",
+      """SELECT CASE WHEN l_discount < 0.02 THEN 'low' WHEN l_discount < 0.05 THEN 'mid'
+        |  WHEN l_quantity > 30 THEN 'highqty' ELSE 'rest' END AS band,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("band",
+          when(col("l_discount") < 0.02, "low")
+            .when(col("l_discount") < 0.05, "mid")
+            .when(col("l_quantity") > 30, "highqty")
+            .otherwise("rest"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .orderBy("band")
+    },
+
+    // §2.8 domain: innings-pitched notation round trip (reference
+    // war_calculation/common.py:10-36 — "6.2" = 6⅔ innings).
+    QueryDef.of("f08_ip_notation",
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |    floor(l_quantity) + (l_linenumber % 3) / CAST(10.0 AS DOUBLE) AS ip
+        |  FROM lineitem),
+        |f AS (SELECT *, floor(ip) + round((ip - floor(ip)) * 10) / CAST(3.0 AS DOUBLE) AS ipf FROM b)
+        |SELECT l_orderkey, l_linenumber, ip, round(ipf, 4) AS ip_float,
+        |  CAST(abs((floor(ipf) + round((ipf - floor(ipf)) * 3) / CAST(10.0 AS DOUBLE)) - ip) < 1e-9 AS INTEGER) AS rt_ok
+        |FROM f ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("ip",
+          floor(col("l_quantity")) + (col("l_linenumber") % 3) / lit(10.0))
+        .withColumn("ipf", ipToFloat(col("ip")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("ip"),
+          round(col("ipf"), 4).as("ip_float"),
+          (abs(floatToIp(col("ipf")) - col("ip")) < 1e-9).cast("int").as("rt_ok"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // §2.8 domain: name normalizer + Last-First flip (reference
+    // sos_utils.py:5-20, reconcile_players.py:26-56).
+    QueryDef.of("f09_name_normalize",
+      """SELECT c_custkey,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(upper(c_name) || ' & Sons!'), '&', ' and ', 'g'), '[^a-z0-9 ]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS normed,
+        |  CASE WHEN contains(lf, ',')
+        |       THEN trim(split_part(lf, ',', 2)) || ' ' || trim(split_part(lf, ',', 1))
+        |       ELSE lf END AS flipped
+        |FROM (SELECT c_custkey, c_name,
+        |        split_part(c_name, '#', 1) || ', ' || split_part(c_name, '#', 2) AS lf
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .withColumn("lf", concat_ws(", ",
+          element_at(split(col("c_name"), "#"), 1),
+          element_at(split(col("c_name"), "#"), 2)))
+        .select(col("c_custkey"),
+          normName(concat(upper(col("c_name")), lit(" & Sons!"))).as("normed"),
+          flipLastFirst(col("lf")).as("flipped"))
+        .orderBy("c_custkey")
+    })
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis and document-dedup queries over `documents` — the
+ * LLM-training-data operator set (quality scoring, language ID, token
+ * counting, fingerprinting, exact/n-gram/MinHash-LSH/SimHash dedup).
+ *
+ * Every dedup oracle REPLICATES the full algorithm in DuckDB SQL
+ * (including the md5-based portable hashes), so the hash-compare
+ * checks the algorithm, not just plumbing. SimHash's banded
+ * chunk-join is oracle-checked against the brute-force all-pairs SQL:
+ * by the pigeonhole argument they must agree exactly for Hamming ≤ 3.
+ *
+ * Scale notes: candidate generation is always a bucketed equi-join
+ * (shared shingle with a DF cap / LSH band bucket / 15-bit SimHash
+ * chunk) — never an all-pairs product.
+ */
+object QText {
+
+  /** DuckDB mirror of [[TextFunctions.canonicalText]]. */
+  private val CANON =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))"""
+
+  /** DuckDB mirror of [[TextFunctions.tokens]] over canonical text. */
+  private val CTOKS = s"regexp_extract_all($CANON, '\\S+')"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Text quality metrics — token count, punctuation/stopword
+    // ratios, mean token length, composite score.
+    QueryDef.of("t01_text_quality",
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'),
+        |      x -> list_contains(['the','a','an','of','to','in','and','is','on','for'], x))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS DOUBLE) AS ntok_lc,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchar,
+        |    CAST(coalesce(list_sum(list_transform(regexp_extract_all(lower(trim(text)), '\S+'),
+        |      x -> length(x))), 0) AS DOUBLE) AS toklen
+        |  FROM documents),
+        |r AS (SELECT doc_id, ntok, nstop, ntok_lc, toklen, nchar,
+        |    CASE WHEN nchar <> 0 THEN npunct / nchar ELSE 0.0 END AS punct_raw,
+        |    CASE WHEN ntok_lc <> 0 THEN nstop / ntok_lc ELSE 0.0 END AS stop_raw,
+        |    CASE WHEN ntok_lc <> 0 THEN toklen / ntok_lc ELSE 0.0 END AS mlen_raw
+        |  FROM m)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  round(punct_raw, 6) AS punct_ratio,
+        |  round(stop_raw, 6) AS stopword_ratio,
+        |  round(mlen_raw, 6) AS mean_token_len,
+        |  round(0.4 * least(ntok / 50.0, 1.0) + 0.3 * (1.0 - punct_raw)
+        |        + 0.3 * least(stop_raw * 4.0, 1.0), 6) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+          round(TextFunctions.punctRatio(t), 6).as("punct_ratio"),
+          round(TextFunctions.stopwordRatio(t), 6).as("stopword_ratio"),
+          round(TextFunctions.meanTokenLen(t), 6).as("mean_token_len"),
+          round(TextFunctions.qualityScore(t), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Heuristic language ID — marker-word argmax, declaration-order
+    // ties, 'und' when nothing matches.
+    QueryDef.of("t02_lang_id",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(['the','a','and','of','is'], x))) AS c_en,
+        |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS c_fr,
+        |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS c_de,
+        |    len(list_filter(toks, x -> list_contains(['el','la','los','que','de'], x))) AS c_es
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |    WHEN c_en = greatest(c_en, c_fr, c_de, c_es) AND c_en > 0 THEN 'en'
+        |    WHEN c_fr = greatest(c_en, c_fr, c_de, c_es) AND c_fr > 0 THEN 'fr'
+        |    WHEN c_de = greatest(c_en, c_fr, c_de, c_es) AND c_de > 0 THEN 'de'
+        |    WHEN c_es = greatest(c_en, c_fr, c_de, c_es) AND c_es > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace + BPE-ish subword counts.
+    QueryDef.of("t03_token_counts",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextFunctions.tokenCount(t).cast("long").as("n_ws"),
+          TextFunctions.bpeishTokenCount(t).cast("long").as("n_bpeish"))
+        .orderBy("doc_id")
+    },
+
+    // Canonical fingerprint groups (Dedup.exactGroups — full 128-bit
+    // md5 of canonical text).
+    QueryDef.of("t04_fingerprint_groups",
+      s"""SELECT md5($CANON) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("fingerprint")
+    },
+
+    // Byte-exact dedup keep-first (Dedup.exactKeepFirst).
+    QueryDef.of("t05_exact_keepfirst",
+      """SELECT doc_id, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.exactKeepFirst(Tables.documents(s, dir), Seq("text"), "doc_id")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // Exact bigram-Jaccard near-dup pairs with the DF skew cap
+    // (Dedup.ngramJaccardPairs; 25 planted pairs at sf0.01).
+    QueryDef.of("t06_ngram_jaccard_pairs",
+      s"""WITH toks AS (SELECT doc_id, $CTOKS AS t FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS sh
+         |  FROM toks),
+         |filt AS (SELECT id, sh FROM sh0
+         |  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
+         |sz AS (SELECT id, count(*) AS n_sh FROM filt GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+         |FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+         |WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 2, threshold = 0.5, maxShingleDf = Some(1000))
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash+LSH candidates verified by exact Jaccard
+    // (Dedup.minhashLshPairs) — the oracle replicates signatures,
+    // banding, bucket join AND verification in SQL.
+    QueryDef.of("t07_minhash_lsh_pairs",
+      s"""WITH toks AS (SELECT doc_id, $CTOKS AS t FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS sh
+         |  FROM toks),
+         |mh AS (SELECT id, s.seed,
+         |    min(('0x' || substr(md5(s.seed || ':' || sh0.sh), 1, 15))::BIGINT) AS mh
+         |  FROM sh0, (SELECT unnest(range(0, 12)) AS seed) s GROUP BY id, s.seed),
+         |sig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
+         |band AS (SELECT id, b.b,
+         |    md5(array_to_string(sig[b.b*3+1 : b.b*3+3], ',')) AS bucket
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM band x JOIN band y ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id),
+         |sz AS (SELECT id, count(*) AS n_sh FROM sh0 GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c JOIN sh0 a ON a.id = c.id_a
+         |  JOIN sh0 b2 ON b2.id = c.id_b AND b2.sh = a.sh
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT id_a, id_b,
+         |  round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+         |FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+         |WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 2, numHashes = 12, bands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup pairs, Hamming ≤ 3 via 4-band chunk join
+    // (Dedup.simhashNearDupPairs); oracle = brute-force all-pairs SQL,
+    // exactly equal by pigeonhole.
+    QueryDef.of("t08_simhash_pairs",
+      s"""WITH tok AS (SELECT doc_id, unnest($CTOKS) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+         |bits AS (SELECT doc_id, j.j,
+         |    SUM(CASE WHEN ((h >> j.j) & 1) = 1 THEN 1 ELSE -1 END) AS net
+         |  FROM h, (SELECT unnest(range(0, 60)) AS j) j GROUP BY doc_id, j.j),
+         |sig0 AS (SELECT doc_id AS id,
+         |    CAST(SUM(CASE WHEN net > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sim
+         |  FROM bits GROUP BY doc_id),
+         |sig AS (SELECT d.doc_id AS id, coalesce(s.sim, 0) AS sim
+         |  FROM documents d LEFT JOIN sig0 s ON s.id = d.doc_id)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.id < b.id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    })
+}

@@ -101,15 +101,22 @@ object Tables {
   /**
    * Events stream table. Stored as TIMESTAMP(NANOS) parquet, which
    * Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); we read
-   * nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and convert
-   * to a microsecond TimestampType with exact integer division (a
-   * double division would lose precision above 2^53 ns ≈ 1970+104
-   * days).
+   * nanos as long (`spark.sql.legacy.parquet.nanosAsLong` — set in the
+   * session builder, see [[graft.GraftSession]]/Verify/Bench; defensively
+   * re-set here only when absent so ad-hoc sessions still work) and keep
+   * BOTH forms:
+   *
+   *  - `ts_ns`: the raw epoch-nanos long — exact, the column queries
+   *    order and hash on (the DuckDB oracle reads it as `epoch_ns(ts)`);
+   *  - `ts`: microsecond TimestampType via exact integer division (a
+   *    double division would lose precision above 2^53 ns).
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(path(dir, "events"))
+      .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 }

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: reads the Verify
+output dir (parquet per query + oracle_sql.json), runs each oracle in
+DuckDB over the same testdata tables, and compares rows/schema/values.
+
+Usage: python3 tools/localverify.py [sfdir] [outdir] [query...]
+"""
+import json, sys
+
+import duckdb
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+ONLY = set(sys.argv[3:])
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS FROM '{SFDIR}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    if ONLY and name not in ONLY:
+        continue
+    try:
+        got = con.sql(f"FROM '{OUT}/{name}/*.parquet'").df()
+    except Exception as e:
+        print(f"FAIL {name}: spark output missing: {e}")
+        fail += 1
+        continue
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0][:200]}")
+        fail += 1
+        continue
+    problems = []
+    if sorted(got.columns) != sorted(exp.columns):
+        problems.append(f"schema cols: spark={sorted(got.columns)} duck={sorted(exp.columns)}")
+    elif len(got) != len(exp):
+        problems.append(f"rows: spark={len(got)} duck={len(exp)}")
+    else:
+        g, e2 = norm(got), norm(exp)
+        for c in g.columns:
+            a, b = g[c], e2[c]
+            if str(a.dtype) != str(b.dtype):
+                problems.append(f"dtype[{c}]: spark={a.dtype} duck={b.dtype}")
+            neq = ~((a == b) | (a.isna() & b.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                problems.append(f"values[{c}]: {int(neq.sum())} diffs, first at row {i}: spark={a[i]!r} duck={b[i]!r}")
+    if problems:
+        fail += 1
+        print(f"FAIL {name}")
+        for p in problems[:4]:
+            print(f"  - {p}")
+    else:
+        ok += 1
+        print(f"ok   {name} ({len(got)} rows)")
+
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)

@@ -1,0 +1,180 @@
+package graft.pbp
+
+import graft.operators.StatefulFold
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * The play-by-play parser stage as one lazy DataFrame chain —
+ * reference `processors/pbp_parser/main.py:33-54` intra-stage plan
+ * (SURVEY §3.1): metadata → flags/sub-parse → outs (X3, W2) → runs
+ * (W4/W5 windows replacing the O(n²) Python loops, columns.py:206-232)
+ * → base state (X1 fold).
+ *
+ * Everything row-local is a column expression or a UDF over the pure
+ * [[Parsing]] functions; the only non-codegen island is the X1 fold,
+ * exactly as SURVEY §4 plans. Ordering key inside a game is
+ * `play_id`; the state machine runs via [[StatefulFold.foldPartitions]]
+ * (repartition by contest_id + streaming fold — no per-game
+ * materialization).
+ *
+ * Input schema: contest_id (long), inning (int), away_text, home_text
+ * (strings, one null per row).
+ */
+object PbpPipeline {
+
+  private val splitUdf = udf((d: String) => Parsing.splitPlayersText(d))
+  private val outsUdf = udf((a: String, b: String, c: String, d: String) =>
+    Parsing.outsOnPlay(a, b, c, d))
+  private val subUdf = udf((d: String) => Parsing.parseSubstitution(d))
+  private val eventUdf = udf((t: String, p1: String, sub: Boolean) =>
+    Parsing.classifyEventType(t, p1, sub))
+  private val bbUdf = udf((t: String, et: String) => Parsing.classifyBattedBall(t, et))
+
+  /** metadata (reference columns.py:121-128): half from home_text,
+    * description concat, empty rows dropped, play_id assigned in input
+    * order per game. */
+  def metadata(raw: DataFrame): DataFrame = {
+    val w = Window.partitionBy("contest_id").orderBy("seq")
+    raw
+      .withColumn("half",
+        when(col("home_text").isNull || col("home_text") === "", "Top").otherwise("Bottom"))
+      .withColumn("play_description",
+        trim(concat(coalesce(col("away_text"), lit("")), coalesce(col("home_text"), lit("")))))
+      .filter(col("play_description") =!= "")
+      .withColumn("play_id", row_number().over(w))
+  }
+
+  /** flags (reference columns.py:235-329): sub-play split, boundary
+    * flags, substitution parse, IBB/SH/SF flags. */
+  def flags(df: DataFrame): DataFrame = {
+    val wGame = Window.partitionBy("contest_id").orderBy("play_id")
+    val wGameDesc = Window.partitionBy("contest_id").orderBy(col("play_id").desc)
+    val wInn = Window.partitionBy("contest_id", "inning", "half").orderBy("play_id")
+    val wInnDesc = Window.partitionBy("contest_id", "inning", "half").orderBy(col("play_id").desc)
+
+    val p1 = col("p1_text")
+    df
+      .withColumn("__p", splitUdf(col("play_description")))
+      .withColumn("p1_text", col("__p._1"))
+      .withColumn("p2_text", col("__p._2"))
+      .withColumn("p3_text", col("__p._3"))
+      .withColumn("p4_text", col("__p._4"))
+      .drop("__p")
+      .withColumn("new_game_fl", row_number().over(wGame) === 1)
+      .withColumn("game_end_fl", row_number().over(wGameDesc) === 1)
+      .withColumn("new_inn_fl", row_number().over(wInn) === 1)
+      .withColumn("inn_end_fl", row_number().over(wInnDesc) === 1)
+      .withColumn("__sub", subUdf(col("play_description")))
+      .withColumn("sub_fl", col("__sub._1").cast("int"))
+      .withColumn("sub_in", col("__sub._2"))
+      .withColumn("sub_out", col("__sub._3"))
+      .withColumn("sub_pos", col("__sub._4"))
+      .drop("__sub")
+      .withColumn("int_bb_fl", col("play_description").contains("intentionally ").cast("int"))
+      .withColumn("sh_fl",
+        (p1.contains("SAC") && !p1.rlike("(?:flied|popped)")).cast("int"))
+      .withColumn("sf_fl",
+        ((p1.contains("SAC") && p1.rlike("(?:flied|popped)")) ||
+          (!p1.contains("SAC") && p1.rlike("(?:flied|popped)") && p1.contains("RBI"))).cast("int"))
+      .withColumn("top_inning_fl", (col("half") === "Top").cast("int"))
+      .withColumn("pitcher_sub_fl", (col("sub_pos") === "p").cast("int"))
+  }
+
+  /** outs (X3 + W2): per-play outs then running outs_before per
+    * inning-half (exclusive cumsum — reference columns.py:131-141). */
+  def outs(df: DataFrame): DataFrame = {
+    val wInn = Window.partitionBy("contest_id", "inning", "half").orderBy("play_id")
+    df
+      .withColumn("__o", outsUdf(col("p1_text"), col("p2_text"), col("p3_text"), col("p4_text")))
+      .withColumn("outs_on_play", col("__o._1"))
+      .withColumn("outs_reason", col("__o._2"))
+      .drop("__o")
+      .withColumn("outs_before",
+        coalesce(sum("outs_on_play").over(wInn.rowsBetween(Window.unboundedPreceding, -1)), lit(0))
+          .cast("int"))
+      .withColumn("outs_after", (col("outs_before") + col("outs_on_play")).cast("int"))
+  }
+
+  /** runs (reference columns.py:179-232): text-derived runs_on_play,
+    * then the W4 segment total and the W5 remaining-sum replacing the
+    * reference's O(n²) loop — numerically identical, O(n). */
+  def runs(df: DataFrame): DataFrame = {
+    val d = col("play_description")
+    def cnt(p: String) = regexp_count(d, lit(p))
+    val explicitRuns =
+      cnt("(?i)homered") + cnt("(?i)homers") + cnt("(?i)scored") + cnt("(?i)scores") +
+        cnt("(?i)advanced to home") + cnt("(?i)advances to home") +
+        cnt("(?i)steals home") + cnt("(?i)stole home") - cnt("(?i)scored, scored")
+    val rbiCountFilled = when(regexp_extract(d, "(?i)(\\d+)\\s*RBI", 1) === "", 1.0)
+      .otherwise(regexp_extract(d, "(?i)(\\d+)\\s*RBI", 1).cast("double"))
+    val hasRbi = d.rlike("(?i)\\bRBI\\b")
+
+    val wInn = Window.partitionBy("contest_id", "inning", "half").orderBy("play_id")
+    df
+      .withColumn("runs_on_play",
+        (when(explicitRuns > 0, explicitRuns).otherwise(0) +
+          when((explicitRuns === 0) && hasRbi, rbiCountFilled).otherwise(0.0)).cast("int"))
+      .withColumn("runs_this_inn",
+        sum("runs_on_play").over(
+          wInn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("int"))
+      .withColumn("runs_roi",
+        sum("runs_on_play").over(
+          wInn.rowsBetween(Window.currentRow, Window.unboundedFollowing)).cast("int"))
+  }
+
+  private val stateOutFields = Seq(
+    "batter_name", "player_of_interest",
+    "r1_name", "r2_name", "r3_name", "bases_before",
+    "r1_after", "r2_after", "r3_after", "bases_after")
+
+  /** base state (X1): the fold over plays per game, via the streaming
+    * partition fold — one shuffle on contest_id. */
+  def baseState(df: DataFrame): DataFrame = {
+    val inCols = df.columns
+    val outSchema = StructType(df.schema.fields ++
+      stateOutFields.map(f => StructField(f, StringType, nullable = true)))
+    val idx = Map(
+      "new_game_fl" -> df.schema.fieldIndex("new_game_fl"),
+      "new_inn_fl" -> df.schema.fieldIndex("new_inn_fl"),
+      "sub_fl" -> df.schema.fieldIndex("sub_fl"),
+      "sub_in" -> df.schema.fieldIndex("sub_in"),
+      "sub_out" -> df.schema.fieldIndex("sub_out"),
+      "p1_text" -> df.schema.fieldIndex("p1_text"),
+      "p2_text" -> df.schema.fieldIndex("p2_text"),
+      "p3_text" -> df.schema.fieldIndex("p3_text"),
+      "p4_text" -> df.schema.fieldIndex("p4_text"))
+
+    StatefulFold.foldPartitions[BaseState.State](
+      df, Seq("contest_id"), Seq(col("play_id")), outSchema)(
+      init = _ => BaseState.emptyState,
+      step = { (st, row) =>
+        def s(f: String) = Option(row.getString(idx(f))).getOrElse("")
+        val play = BaseState.Play(
+          newGame = row.getBoolean(idx("new_game_fl")),
+          newInn = row.getBoolean(idx("new_inn_fl")),
+          subFl = row.getInt(idx("sub_fl")) == 1,
+          subIn = s("sub_in"), subOut = s("sub_out"),
+          p1 = s("p1_text"), p2 = s("p2_text"), p3 = s("p3_text"), p4 = s("p4_text"))
+        val (st2, o) = BaseState.step(st, play)
+        (st2, Iterator(Row.fromSeq(row.toSeq ++ Seq(
+          o.batterName, o.playerOfInterest,
+          o.r1Before, o.r2Before, o.r3Before, o.basesBefore,
+          o.r1After, o.r2After, o.r3After, o.basesAfter))))
+      })
+  }
+
+  /** classify (X4): event type + batted-ball type columns. */
+  def classify(df: DataFrame): DataFrame =
+    df
+      .withColumn("event_type",
+        eventUdf(col("play_description"), col("p1_text"), col("sub_fl") === 1))
+      .withColumn("batted_ball_type", bbUdf(col("play_description"), col("event_type")))
+
+  /** Full parser stage over raw (contest_id, seq, away_text,
+    * home_text, inning) rows. */
+  def parse(raw: DataFrame): DataFrame =
+    classify(baseState(runs(outs(flags(metadata(raw))))))
+}

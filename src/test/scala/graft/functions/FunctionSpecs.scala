@@ -1,0 +1,157 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Fuzzy-scorer fixtures pinned to rapidfuzz's documented semantics
+ * (indel `ratio`, `token_sort_ratio`, windowed `partial_ratio` —
+ * reference call sites `processors/names/helpers.py:157-202` with
+ * thresholds 70/85). Expected values are hand-computed from the
+ * definitions: ratio = (1 - indel/(|a|+|b|)) · 100,
+ * indel = |a|+|b| - 2·LCS. Property sweeps use a seeded RNG (the
+ * offline build has no scalatest-scalacheck bridge).
+ */
+class FuzzySpec extends AnyFunSuite {
+
+  test("levenshtein basics") {
+    assert(Fuzzy.levenshtein("kitten", "sitting") === 3)
+    assert(Fuzzy.levenshtein("", "abc") === 3)
+    assert(Fuzzy.levenshtein("abc", "abc") === 0)
+  }
+
+  test("indel distance is LCS-based (substitution costs 2)") {
+    assert(Fuzzy.indelDistance("abcd", "abed") === 2) // LCS=3
+    assert(Fuzzy.indelDistance("ab", "ba") === 2) // LCS=1
+    assert(Fuzzy.indelDistance("abc", "abc") === 0)
+  }
+
+  test("ratio matches hand-computed rapidfuzz values") {
+    // "smith" vs "smyth": LCS=4, indel=2, total=10 → 80.0
+    assert(Fuzzy.ratio("smith", "smyth") === 80.0)
+    assert(Fuzzy.ratio("", "") === 100.0)
+  }
+
+  test("token_sort_ratio is order-invariant: reversed token order scores 100") {
+    assert(Fuzzy.tokenSortRatio("jack kelly", "kelly jack") === 100.0)
+    assert(Fuzzy.tokenSortRatio("John Smith", "smith john") === 100.0)
+  }
+
+  test("token_sort_ratio near-miss crosses the 70 gate correctly") {
+    // sorted: "jon smith" vs "john smith": LCS=9, total=19, indel=1 → 94.74
+    val s = Fuzzy.tokenSortRatio("smith jon", "john smith")
+    assert(math.abs(s - (1.0 - 1.0 / 19) * 100) < 1e-9)
+    assert(s >= 70.0)
+  }
+
+  test("partial_ratio finds an interior window") {
+    assert(Fuzzy.partialRatio("smith", "john smith jr") === 100.0)
+    assert(Fuzzy.partialRatio("abc", "abc") === 100.0)
+  }
+
+  test("partial_ratio scores truncated boundary alignments (ADVICE r1 fix)") {
+    // s="abcd", l="cdexxx". Full-length windows max out at 50
+    // ("cdex": LCS=2, indel=4, total=8). The clipped left-boundary
+    // window "cd" scores ratio("abcd","cd") = (1 - 2/6)·100 = 66.67 —
+    // reachable only with boundary alignments.
+    val s = Fuzzy.partialRatio("abcd", "cdexxx")
+    assert(math.abs(s - (1.0 - 2.0 / 6) * 100) < 1e-9)
+  }
+
+  test("wRatio is max of the three scorers") {
+    assert(Fuzzy.wRatio("john smith", "smith john") === 100.0)
+  }
+
+  test("property sweep: ratio symmetric, bounded, 100 on equality") {
+    val rnd = new Random(42)
+    def str() = rnd.alphanumeric.take(rnd.nextInt(12)).mkString.toLowerCase
+    (1 to 300).foreach { _ =>
+      val a = str(); val b = str()
+      val r = Fuzzy.ratio(a, b)
+      assert(r >= 0.0 && r <= 100.0)
+      assert(math.abs(r - Fuzzy.ratio(b, a)) < 1e-9)
+      assert(Fuzzy.ratio(a, a) === 100.0)
+      val lev = Fuzzy.levenshtein(a, b)
+      val ind = Fuzzy.indelDistance(a, b)
+      assert(ind >= lev && ind <= 2 * lev)
+    }
+  }
+}
+
+class ScalarFunctionsSpec extends AnyFunSuite {
+  import graft.SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("ipToFloat: 6.2 innings = 6 and two thirds") {
+    val out = Seq(6.2, 6.1, 6.0, 0.2).toDF("ip")
+      .select(round(ScalarFunctions.ipToFloat(col("ip")), 4).as("f"))
+      .as[Double].collect()
+    assert(out === Array(6.6667, 6.3333, 6.0, 0.6667))
+  }
+
+  test("property sweep: floatToIp(ipToFloat(ip)) round-trips whole.0/.1/.2 notation") {
+    val ips = for (whole <- 0 to 20; thirds <- 0 to 2) yield whole + thirds / 10.0
+    val rts = ips.toDF("ip")
+      .select(col("ip"),
+        ScalarFunctions.floatToIp(ScalarFunctions.ipToFloat(col("ip"))).as("rt"))
+      .as[(Double, Double)].collect()
+    rts.foreach { case (ip, rt) => assert(math.abs(rt - ip) < 1e-9, s"ip=$ip") }
+  }
+
+  test("safeDiv guards zero and null denominators") {
+    val out = Seq((1.0, 2.0), (1.0, 0.0)).toDF("n", "d")
+      .select(ScalarFunctions.safeDiv(col("n"), col("d")).as("q")).as[Double].collect()
+    assert(out === Array(0.5, 0.0))
+  }
+
+  test("normName strips punctuation, folds &, collapses whitespace") {
+    val out = Seq("  Texas A&M   (HOU) ").toDF("x")
+      .select(ScalarFunctions.normName(col("x"))).as[String].collect().head
+    assert(out === "texas a and m hou")
+  }
+
+  test("flipLastFirst") {
+    val out = Seq("Kelly, Jack", "Plain Name").toDF("x")
+      .select(ScalarFunctions.flipLastFirst(col("x"))).as[String].collect()
+    assert(out === Array("Jack Kelly", "Plain Name"))
+  }
+
+  test("md5Long matches an independently computed value") {
+    val got = Seq("hello").toDF("x")
+      .select(ScalarFunctions.md5Long(col("x"))).as[Long].collect().head
+    assert(got === PortableHash.md5Long("hello"))
+    assert(got === java.lang.Long.parseLong(
+      PortableHash.md5Hex("hello").substring(0, 15), 16))
+  }
+}
+
+class TopKAggSpec extends AnyFunSuite {
+  import graft.plans.TopKAgg
+
+  test("TopKAgg equals sort-take on random inputs, including score ties") {
+    val agg = new TopKAgg(5)
+    val rnd = new Random(7)
+    (1 to 200).foreach { _ =>
+      val xs = Seq.fill(rnd.nextInt(20))((rnd.nextInt(10) / 10.0, rnd.nextInt(50).toLong))
+      var buf = agg.zero
+      xs.foreach(x => buf = agg.reduce(buf, x))
+      val got = agg.finish(buf).map(s => (s.score, s.id))
+      val want = xs.sortBy { case (s, id) => (-s, id) }.take(5)
+      assert(got === want, s"xs=$xs")
+    }
+  }
+
+  test("merge is order-insensitive") {
+    val agg = new TopKAgg(3)
+    val xs = Seq((0.5, 1L), (0.9, 2L), (0.9, 3L), (0.1, 4L), (0.7, 5L))
+    val (l, r) = xs.splitAt(2)
+    def fold(s: Seq[(Double, Long)]) = s.foldLeft(agg.zero)(agg.reduce)
+    val m1 = agg.finish(agg.merge(fold(l), fold(r))).map(_.id)
+    val m2 = agg.finish(agg.merge(fold(r), fold(l))).map(_.id)
+    val all = agg.finish(fold(xs)).map(_.id)
+    assert(m1 === all); assert(m2 === all)
+    assert(all === Seq(2L, 3L, 5L))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.pbp
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end parser-stage test on a synthetic two-game fixture —
+  * exercises metadata → flags → outs → runs (window forms of the
+  * reference's O(n²) loops) → base state → classify through Spark. */
+class PbpPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // (contest_id, seq, inning, away_text, home_text)
+  private val game1 = Seq(
+    (1L, 1, 1, "Adams singled to left", null),
+    (1L, 2, 1, "Brown walked", null),
+    (1L, 3, 1, "Cole homered, 3 RBI; Adams scored; Brown scored", null),
+    (1L, 4, 1, "Dunn struck out swinging", null),
+    (1L, 5, 1, "", ""), // dropped by metadata
+    (1L, 6, 1, null, "Evans grounded into double play"),
+    (1L, 7, 2, "Foley flied out to cf", null))
+  private val game2 = Seq(
+    (2L, 1, 1, null, "Giles reached on an error by ss"),
+    (2L, 2, 1, null, "Giles stole second"),
+    (2L, 3, 1, null, "Hart singled, RBI; Giles scored"))
+
+  private lazy val parsed = PbpPipeline.parse(
+    (game1 ++ game2).toDF("contest_id", "seq", "inning", "away_text", "home_text"))
+    .orderBy("contest_id", "play_id")
+
+  private lazy val rows: Array[Row] = parsed.collect()
+  private def g1 = rows.filter(_.getAs[Long]("contest_id") == 1L)
+  private def g2 = rows.filter(_.getAs[Long]("contest_id") == 2L)
+
+  test("metadata drops empty rows and assigns contiguous play_id per game") {
+    assert(g1.map(_.getAs[Int]("play_id")).toSeq === (1 to 6))
+    assert(g2.map(_.getAs[Int]("play_id")).toSeq === (1 to 3))
+    assert(g1.map(_.getAs[String]("half")).toSeq ===
+      Seq("Top", "Top", "Top", "Top", "Bottom", "Top"))
+  }
+
+  test("boundary flags") {
+    assert(g1.head.getAs[Boolean]("new_game_fl"))
+    assert(g1.last.getAs[Boolean]("game_end_fl"))
+    assert(g1.count(_.getAs[Boolean]("new_inn_fl")) === 3) // 1-Top, 1-Bottom, 2-Top
+  }
+
+  test("outs: per-play and running exclusive cumsum per inning-half") {
+    val outs = g1.map(r => (r.getAs[Int]("outs_on_play"), r.getAs[Int]("outs_before")))
+    // plays: single, walk, HR, K, DP(own half), flyout(new inning)
+    assert(outs === Array((0, 0), (0, 0), (0, 0), (1, 0), (2, 0), (1, 0)))
+    assert(g1(3).getAs[Int]("outs_after") === 1)
+  }
+
+  test("runs_on_play: explicit scored counts and RBI fallback") {
+    // HR line: homered + 2×scored = 3 explicit (RBI ignored since explicit>0)
+    assert(g1(2).getAs[Int]("runs_on_play") === 3)
+    // g2 single: "RBI" + "Giles scored" → explicit 1
+    assert(g2(2).getAs[Int]("runs_on_play") === 1)
+    assert(g1(0).getAs[Int]("runs_on_play") === 0)
+  }
+
+  test("runs_this_inn / runs_roi window forms match the reference's loop semantics") {
+    // 1-Top inning: total 3 runs, all on play 3
+    val top1 = g1.take(4)
+    assert(top1.map(_.getAs[Int]("runs_this_inn")).toSeq === Seq(3, 3, 3, 3))
+    assert(top1.map(_.getAs[Int]("runs_roi")).toSeq === Seq(3, 3, 3, 0))
+  }
+
+  test("base state: forces, HR clear, runner events") {
+    assert(g1(0).getAs[String]("r1_after") === "Adams")
+    assert(g1(1).getAs[String]("bases_after") === "YYN")
+    assert(g1(2).getAs[String]("bases_before") === "YYN")
+    assert(g1(2).getAs[String]("bases_after") === "NNN") // HR clears
+    // game 2: error→1st, steal→2nd, single scores Giles
+    assert(g2(0).getAs[String]("r1_after") === "Giles")
+    assert(g2(1).getAs[String]("r2_after") === "Giles")
+    assert(g2(1).getAs[String]("batter_name") === "")
+    assert(g2(2).getAs[String]("bases_after") === "YNN") // Hart on 1st
+  }
+
+  test("event classification end-to-end") {
+    assert(g1.map(_.getAs[String]("event_type")).toSeq ===
+      Seq("1B", "BB", "HR", "SO", "OUT", "OUT"))
+    assert(g2.map(_.getAs[String]("event_type")).toSeq === Seq("E", "SB", "1B"))
+    assert(g1(4).getAs[String]("batted_ball_type") === "GB") // grounded into DP
+    assert(g1(5).getAs[String]("batted_ball_type") === "FB")
+  }
+}

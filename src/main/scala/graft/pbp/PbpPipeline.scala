@@ -125,6 +125,40 @@ object PbpPipeline {
           wInn.rowsBetween(Window.currentRow, Window.unboundedFollowing)).cast("int"))
   }
 
+  /** scores (reference columns.py:144-170): cumulative per-game
+    * scores split by half, exclusive of the current play. */
+  def scores(df: DataFrame): DataFrame = {
+    val wGame = Window.partitionBy("contest_id").orderBy("play_id")
+    val prevFrame = wGame.rowsBetween(Window.unboundedPreceding, -1)
+    val homeRuns = when(col("half") === "Bottom", col("runs_on_play")).otherwise(0)
+    val awayRuns = when(col("half") === "Top", col("runs_on_play")).otherwise(0)
+    df
+      .withColumn("home_score_before", coalesce(sum(homeRuns).over(prevFrame), lit(0)).cast("int"))
+      .withColumn("away_score_before", coalesce(sum(awayRuns).over(prevFrame), lit(0)).cast("int"))
+      .withColumn("home_score_after", (col("home_score_before") + homeRuns).cast("int"))
+      .withColumn("away_score_after", (col("away_score_before") + awayRuns).cast("int"))
+  }
+
+  /** bat order (reference helpers.py:119-139): PA index per
+    * (game, side) → ((pa-1) % 9) + 1 on batter rows, then ffill+bfill
+    * over non-PA rows (W7+W8 shapes). */
+  def batOrder(df: DataFrame): DataFrame = {
+    val side = when(col("half") === "Top", "A").otherwise("H")
+    val w = Window.partitionBy(col("contest_id"), side).orderBy("play_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val isBat = col("batter_name").isNotNull && trim(col("batter_name")) =!= ""
+    df
+      .withColumn("__pa_idx", sum(isBat.cast("int")).over(cum))
+      .withColumn("__bo", when(isBat, (col("__pa_idx") - 1) % 9 + 1))
+      .withColumn("bat_order",
+        coalesce(
+          last(col("__bo"), ignoreNulls = true).over(fwd),
+          first(col("__bo"), ignoreNulls = true).over(bwd)).cast("int"))
+      .drop("__pa_idx", "__bo")
+  }
+
   private val stateOutFields = Seq(
     "batter_name", "player_of_interest",
     "r1_name", "r2_name", "r3_name", "bases_before",
@@ -176,5 +210,5 @@ object PbpPipeline {
   /** Full parser stage over raw (contest_id, seq, away_text,
     * home_text, inning) rows. */
   def parse(raw: DataFrame): DataFrame =
-    classify(baseState(runs(outs(flags(metadata(raw))))))
+    batOrder(scores(classify(baseState(runs(outs(flags(metadata(raw))))))))
 }

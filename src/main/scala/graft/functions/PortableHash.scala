@@ -13,17 +13,40 @@ import java.security.MessageDigest
  */
 object PortableHash {
 
+  // MessageDigest is not thread-safe and getInstance() allocates; a
+  // thread-local instance keeps the per-token hash path (simhash over
+  // millions of tokens) allocation-free.
+  private val md5Digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def md5Hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
-  /** First 15 hex chars of md5, parsed base-16 → non-negative 60-bit long. */
-  def md5Long(s: String): Long =
-    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+  /** First 15 hex chars of md5, parsed base-16 → non-negative 60-bit
+    * long (= top 60 bits of the digest). */
+  def md5Long(s: String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    // first 15 hex chars = first 7.5 bytes, big-endian
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
 
   /**
    * 60-bit SimHash over a token multiset: per token take the portable

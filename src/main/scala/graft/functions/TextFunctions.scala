@@ -100,15 +100,29 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     substring(md5(canonicalText(c)), 1, 16)
 
-  /** Word n-gram shingles of the canonical text, as an array of
-    * space-joined strings. Fewer than n tokens → empty array. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(canonicalText(c))
+  /**
+   * Word n-gram shingles from an already-materialized token-ARRAY
+   * column. `toks` MUST be a plain column reference (attribute), not
+   * an expression: it is captured inside the `transform` lambda, and
+   * Catalyst re-evaluates captured subtrees once PER ELEMENT — an
+   * inlined tokenizer chain here costs O(#tokens) full-text regex
+   * passes per document (measured 26× slowdown on the dedup bench).
+   * Callers materialize tokens behind a projection boundary first
+   * (see [[graft.operators.Dedup.shingled]]).
+   */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array())
-  }
+
+  /** Word n-gram shingles of the canonical text, as an array of
+    * space-joined strings. Fewer than n tokens → empty array.
+    * WARNING: inlines the tokenizer into the lambda (see
+    * [[shinglesFromTokens]]) — fine for single-row/test use, use the
+    * two-step form in scans. */
+  def shingles(c: Column, n: Int): Column =
+    shinglesFromTokens(tokens(canonicalText(c)), n)
 
   /**
    * MinHash signature: for seed i, min over shingles of the portable

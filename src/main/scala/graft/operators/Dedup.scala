@@ -53,8 +53,15 @@ object Dedup {
   def shingled(
       df: DataFrame, idCol: String, textCol: String, n: Int,
       maxShingleDf: Option[Int] = None): DataFrame = {
+    // two selects on purpose: the token array must be an ATTRIBUTE
+    // when captured by the shingle lambda, or the tokenizer re-runs
+    // per array element (see TextFunctions.shinglesFromTokens).
+    // CollapseProject keeps the boundary because __toks is non-cheap
+    // and referenced more than once.
     val base = df
-      .select(col(idCol).as("id"), explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
+      .select(col("id"), explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("sh"))
       .distinct()
     maxShingleDf match {
       case None => base
@@ -74,7 +81,12 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double,
       maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
+    // persisted: referenced by the size aggregate AND both sides of
+    // the pair join — without it the tokenize+explode+distinct
+    // pipeline re-runs up to 3× (exchange reuse is not guaranteed
+    // under AQE). ~16 bytes/shingle; spills to disk if large.
     val sh = shingled(df, idCol, textCol, n, maxShingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -107,7 +119,12 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int,
       numHashes: Int): DataFrame =
-    shingled(df, idCol, textCol, shingleN)
+    minhashSignaturesFromShingles(shingled(df, idCol, textCol, shingleN), numHashes)
+
+  /** Signature computation from an existing (id, sh) frame — lets
+    * callers share one shingle scan across stages. */
+  def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame =
+    sh
       .select(col("id"), col("sh"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
       .select(col("id"), col("seed"),
@@ -125,10 +142,15 @@ object Dedup {
    */
   def minhashLshCandidates(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int,
-      numHashes: Int, bands: Int): DataFrame = {
+      numHashes: Int, bands: Int): DataFrame =
+    minhashLshCandidatesFromShingles(shingled(df, idCol, textCol, shingleN), numHashes, bands)
+
+  /** Candidate generation from an existing (id, sh) frame. */
+  def minhashLshCandidatesFromShingles(
+      sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    val sigs = minhashSignaturesFromShingles(sh, numHashes)
     val banded = sigs.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -148,8 +170,11 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val cands = minhashLshCandidates(df, idCol, textCol, shingleN, numHashes, bands)
+    // one shingle scan feeds signatures, sizes and the intersection
+    // join — persist it (see ngramJaccardPairs note)
     val sh = shingled(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashLshCandidatesFromShingles(sh, numHashes, bands)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     // second join keys on (id_b, sh): per candidate pair this streams the
     // intersection instead of materializing the n_a × n_b product

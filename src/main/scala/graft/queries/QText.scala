@@ -122,12 +122,14 @@ object QText {
         .orderBy("doc_id")
     },
 
-    // Exact bigram-Jaccard near-dup pairs with the DF skew cap
-    // (Dedup.ngramJaccardPairs; 25 planted pairs at sf0.01).
+    // Exact trigram-Jaccard near-dup pairs with the DF skew cap
+    // (trigrams: the tiny synthetic vocabulary makes bigram DFs huge —
+    // Σdf² join cost 26× higher; Dedup.ngramJaccardPairs finds the
+    // same 25 planted pairs at sf0.01 either way).
     QueryDef.of("t06_ngram_jaccard_pairs",
       s"""WITH toks AS (SELECT doc_id, $CTOKS AS t FROM documents),
          |sh0 AS (SELECT DISTINCT doc_id AS id,
-         |    unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS sh
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
          |  FROM toks),
          |filt AS (SELECT id, sh FROM sh0
          |  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
@@ -140,7 +142,7 @@ object QText {
          |WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 2, threshold = 0.5, maxShingleDf = Some(1000))
+          n = 3, threshold = 0.5, maxShingleDf = Some(1000))
         .orderBy("id_a", "id_b")
     },
 
@@ -150,7 +152,7 @@ object QText {
     QueryDef.of("t07_minhash_lsh_pairs",
       s"""WITH toks AS (SELECT doc_id, $CTOKS AS t FROM documents),
          |sh0 AS (SELECT DISTINCT doc_id AS id,
-         |    unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS sh
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
          |  FROM toks),
          |mh AS (SELECT id, s.seed,
          |    min(('0x' || substr(md5(s.seed || ':' || sh0.sh), 1, 15))::BIGINT) AS mh
@@ -172,7 +174,7 @@ object QText {
          |WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 2, numHashes = 12, bands = 4, threshold = 0.5)
+          shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
 

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stream event record (the harness `events` table's shape). */
+final case class StreamEvent(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** One closed session emitted by the stateful sessionizer. */
+final case class SessionSummary(
+    user_id: Long, session_start_us: Long, session_end_us: Long,
+    n_events: Long, value_cents: Long)
+
+private final case class SessionState(
+    startUs: Long, lastUs: Long, n: Long, cents: Long)
+
+/**
+ * Structured Streaming operators (SURVEY §2.10): the reference is
+ * batch-only (daily re-computation with done-set checkpoints), so
+ * these are the forward-looking streaming forms of its patterns —
+ * the gap sessionization (W3 family) as an event-time
+ * `flatMapGroupsWithState` machine, and watermarked windowed
+ * aggregates.
+ *
+ * Scale notes: state is one small record per active (user, session);
+ * event-time timeout + watermark bound the state store (late data
+ * past the watermark is dropped, closed sessions are evicted).
+ * The same code runs `readStream` or batch (`Trigger.AvailableNow`
+ * re-runs are the reference's daily-pull analogue, S6).
+ */
+object StreamOps {
+
+  /**
+   * Gap-based streaming sessionization: a session closes when no
+   * event arrives for `gapSeconds` past the watermark. Emits one
+   * [[SessionSummary]] per closed session (append mode).
+   *
+   * Batch-equivalence: on a bounded input this yields exactly the
+   * sessions of [[graft.operators.Sessionize.byGap]] aggregated per
+   * (user, session) — asserted in StreamingSpec.
+   */
+  def sessionizeByGap(
+      events: Dataset[StreamEvent],
+      gapSeconds: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+
+    def us(t: java.sql.Timestamp): Long = (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val gapUs = gapSeconds * 1000000L
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[StreamEvent], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the gap: close every tracked session
+            val closed = state.getOption.getOrElse(Nil).map(s =>
+              SessionSummary(userId, s.startUs, s.lastUs, s.n, s.cents))
+            state.remove()
+            closed.iterator
+          } else {
+            // fold the micro-batch's events (in event-time order) into
+            // the open session, closing on gaps inside the batch
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var open = state.getOption.getOrElse(Nil).headOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              val cents = math.round(e.value * 100)
+              open match {
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  open = Some(SessionState(s.startUs, t, s.n + 1, s.cents + cents))
+                case Some(s) =>
+                  closed += SessionSummary(userId, s.startUs, s.lastUs, s.n, s.cents)
+                  open = Some(SessionState(t, t, 1, cents))
+                case None =>
+                  open = Some(SessionState(t, t, 1, cents))
+              }
+            }
+            open match {
+              case Some(s) =>
+                state.update(List(s))
+                // wake up when the watermark passes last-event + gap
+                state.setTimeoutTimestamp((s.lastUs / 1000L) + gapSeconds * 1000L)
+              case None => ()
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Watermarked tumbling-window counts per event type — the
+    * streaming form of the W4 segment aggregate. */
+  def windowedTypeCounts(
+      events: DataFrame, windowDuration: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+}

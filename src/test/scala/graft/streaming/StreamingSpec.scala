@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.operators.Sessionize
+import graft.sources.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming operators driven through MemoryStream micro-batches,
+  * checked against their batch twins on the harness events table. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def toEvents(n: Int): Seq[StreamEvent] =
+    Tables.events(spark, SparkTestSession.sfDir)
+      .orderBy("ts_ns", "event_id").limit(n)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamEvent].collect().toSeq
+
+  test("streaming sessionizeByGap equals batch byGap session aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val events = toEvents(400)
+
+    val query = StreamOps.sessionizeByGap(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches + a final far-future event per user to push
+      // the watermark past every gap so all sessions close
+      val (b1, b2) = events.splitAt(200)
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val maxTs = events.map(_.ts.getTime).max
+      val flush = events.map(_.user_id).distinct.zipWithIndex.map { case (u, i) =>
+        StreamEvent(1000000L + i, new java.sql.Timestamp(maxTs + 86400L * 1000), u, "flush", 0.0)
+      }
+      input.addData(flush); query.processAllAvailable()
+      input.addData(flush.map(e => e.copy(event_id = e.event_id + 1000,
+        ts = new java.sql.Timestamp(maxTs + 2 * 86400L * 1000))))
+      query.processAllAvailable()
+
+      val got = spark.table("sessions_out")
+        .select("user_id", "session_start_us", "n_events", "value_cents")
+        .as[(Long, Long, Long, Long)].collect().toSet
+
+      // batch oracle over the same 400 events
+      val batch = Sessionize.byGap(
+          events.toDF(), col("user_id"), col("ts"), 1800, tieBreak = Seq(col("event_id")))
+        .groupBy("user_id", "session_id")
+        .agg(min(unix_micros(col("ts"))).as("start_us"),
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select("user_id", "start_us", "n", "cents")
+        .as[(Long, Long, Long, Long)].collect().toSet
+
+      assert(batch.subsetOf(got))
+      // the only extras allowed are the flush markers themselves
+      assert((got -- batch).forall(_._3 === 1))
+    } finally query.stop()
+  }
+
+  test("windowedTypeCounts matches a batch tumbling-window aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val events = toEvents(300)
+
+    val query = StreamOps.windowedTypeCounts(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(events)
+      query.processAllAvailable()
+      val got = spark.table("win_out")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val want = events.toDF()
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("c"))
+        .select(unix_micros(col("window.start")), col("event_type"), col("n"), col("c"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got === want)
+    } finally query.stop()
+  }
+}

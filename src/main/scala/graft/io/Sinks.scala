@@ -39,4 +39,49 @@ object Sinks {
     * form of the done-set. */
   def appendNewOnly(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /**
+   * S9: JDBC upsert — the reference's SQLite loader semantics
+   * (reference `scripts/upload_to_db.py:71-181`): DELETE the refreshed
+   * slice (e.g. one year), dedup the incoming batch on its keys, then
+   * append. The delete runs as one driver-side statement; the append
+   * streams from executors via `df.write.jdbc`.
+   *
+   * @param deleteWhere SQL predicate selecting the rows being replaced
+   *                    (the reference deletes per year); None skips
+   *                    (first load / table absent)
+   * @param columnTypes optional `createTableColumnTypes` DDL (embedded
+   *                    engines like Derby reject Spark's default TEXT
+   *                    mapping for strings)
+   */
+  def jdbcUpsert(
+      df: DataFrame, url: String, table: String,
+      dedupKeys: Seq[String], orderCol: Column,
+      deleteWhere: Option[String] = None,
+      columnTypes: Option[String] = None): Unit = {
+    val props = new java.util.Properties()
+
+    deleteWhere.foreach { where =>
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val tableExists = {
+          val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+          var found = false
+          while (rs.next() && !found)
+            found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+          found
+        }
+        if (tableExists) {
+          val st = conn.createStatement()
+          try st.executeUpdate(s"DELETE FROM $table WHERE $where")
+          finally st.close()
+        }
+      } finally conn.close()
+    }
+
+    val deduped = dedupKeepLatest(df, dedupKeys, orderCol)
+    val writer = deduped.write.mode("append")
+    columnTypes.fold(writer)(ct => writer.option("createTableColumnTypes", ct))
+      .jdbc(url, table, props)
+  }
 }

@@ -1,0 +1,145 @@
+package graft.multimodal
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media row: opaque binary payload + typed metadata. At 100 TB
+  * the payloads live in parquet binary columns (or object-store paths
+  * for >row-group-size blobs) partitioned so a partition holds
+  * ~targetPartitionBytes of payload, not a fixed row count. */
+final case class MediaRow(
+    media_id: Long, kind: String, content: Array[Byte],
+    width: Int, height: Int, n_frames: Int, format: String)
+
+final case class DecodedFrame(
+    media_id: Long, frame_idx: Int, width: Int, height: Int, pixels: Array[Byte])
+
+final case class MediaFeatures(
+    media_id: Long, kind: String, n_frames: Int,
+    mean_px: Double, std_px: Double, embedding: Array[Float])
+
+/**
+ * Multimodal (image/video-as-binary) processing plumbing. The
+ * DECODE step is a clearly-marked STUB ([[FakeCodec]]) — the
+ * image/audio codec libraries are not in this environment — but
+ * everything Spark-side is real: schemas, byte-balanced partitioning,
+ * per-partition batch processing, frame explosion, feature
+ * extraction. Swapping [[FakeCodec]] for a JPEG/PNG decoder changes
+ * no plan shape.
+ *
+ * Execution shape: typed `mapPartitions` — the JVM analogue of
+ * PySpark's `mapInPandas` (one batch of rows in, an iterator of
+ * results out, no per-row UDF serialization boundary).
+ */
+object Multimodal {
+
+  /**
+   * STUB CODEC — deterministic fake in place of a real image codec.
+   * Real boundary: `decode(bytes): frames of pixel arrays`. The fake
+   * "format" is: payload bytes are the pixel stream (row-major,
+   * 1 byte/px) for `n_frames` frames of `width`×`height`, generated
+   * from an md5 keystream so tests are reproducible.
+   */
+  object FakeCodec {
+    def encode(seed: String, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+      val n = width * height * nFrames
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val block = PortableHash.md5Hex(s"$seed:${i / 16}")
+        out(i) = ((Character.digit(block.charAt(2 * (i % 16)), 16) << 4) |
+          Character.digit(block.charAt(2 * (i % 16) + 1), 16)).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** The decode stub: splits the payload into per-frame pixel
+      * arrays. A real codec would parse/decompress here. */
+    def decode(content: Array[Byte], width: Int, height: Int, nFrames: Int): Seq[Array[Byte]] = {
+      val frameLen = width * height
+      (0 until nFrames).map(f =>
+        java.util.Arrays.copyOfRange(content, f * frameLen, math.min((f + 1) * frameLen, content.length)))
+    }
+  }
+
+  /** Byte-balanced repartitioning: media payloads are wildly variable;
+    * a row-count partitioner puts 100 4K videos in one task and 100
+    * icons in another. Range-partition on a payload-size rank so each
+    * partition carries a comparable byte budget. */
+  def balanceByBytes(df: DataFrame, targetPartitionBytes: Long): DataFrame = {
+    val totalBytes = df.select(sum(length(col("content")).cast("long"))).first().getLong(0)
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetPartitionBytes).toInt)
+    df.repartitionByRange(parts, col("content_size"), col("media_id"))
+  }
+
+  /** Frame sampling + decode: every `everyN`-th frame, exploded to
+    * (media_id, frame_idx, pixels) rows. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[DecodedFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val frames = FakeCodec.decode(m.content, m.width, m.height, m.n_frames)
+        frames.zipWithIndex
+          .filter { case (_, idx) => idx % everyN == 0 }
+          .map { case (px, idx) => DecodedFrame(m.media_id, idx, m.width, m.height, px) }
+      }
+    }
+  }
+
+  /** Nearest-neighbour resize on a decoded frame (real array math —
+    * works the same on stub or real pixels). */
+  def resizeFrame(f: DecodedFrame, newW: Int, newH: Int): DecodedFrame = {
+    val out = new Array[Byte](newW * newH)
+    var y = 0
+    while (y < newH) {
+      val sy = y * f.height / newH
+      var x = 0
+      while (x < newW) {
+        out(y * newW + x) = f.pixels(sy * f.width + (x * f.width / newW))
+        x += 1
+      }
+      y += 1
+    }
+    DecodedFrame(f.media_id, f.frame_idx, newW, newH, out)
+  }
+
+  def resized(frames: Dataset[DecodedFrame], newW: Int, newH: Int): Dataset[DecodedFrame] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map(resizeFrame(_, newW, newH)))
+  }
+
+  /** Per-media feature extraction: decode all frames in one batch
+    * pass, emit summary stats + a 16-dim byte-histogram embedding. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val frames = FakeCodec.decode(m.content, m.width, m.height, m.n_frames)
+        var n = 0L; var s = 0.0; var s2 = 0.0
+        val hist = new Array[Long](16)
+        frames.foreach(_.foreach { b =>
+          val v = b & 0xff
+          n += 1; s += v; s2 += v.toDouble * v
+          hist(v >> 4) += 1
+        })
+        val mean = if (n > 0) s / n else 0.0
+        val std = if (n > 0) math.sqrt(math.max(0, s2 / n - mean * mean)) else 0.0
+        val emb = hist.map(h => if (n > 0) (h.toDouble / n).toFloat else 0f)
+        MediaFeatures(m.media_id, m.kind, m.n_frames, mean, std, emb)
+      }
+    }
+  }
+
+  /** Deterministic synthetic media table (the stub's data source —
+    * real pipelines land binary from object storage). */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { i =>
+      val (w, h, f) = if (i % 3 == 0) (16, 12, 4) else (8, 8, 1)
+      val kind = if (i % 3 == 0) "video" else "image"
+      MediaRow(i, kind, FakeCodec.encode(s"media:$i", w, h, f), w, h, f, "fake/v1")
+    }
+  }
+}

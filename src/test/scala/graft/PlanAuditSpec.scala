@@ -1,0 +1,68 @@
+package graft
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan audit: asserts the plans the engine is DESIGNED to
+ * produce — predicate/projection pushdown into the parquet scan,
+ * broadcast joins for dims, a single exchange for stacked windows, no
+ * full-width window shuffle in the top-k ranking. A regression that
+ * silently flips a broadcast join to sort-merge or un-pushes a filter
+ * fails here long before it burns a cluster at 100 TB.
+ */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("s01: filter and projection reach the parquet scan") {
+    val p = plan("s01_scan_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity,10.0)"), p)
+    // pruned read schema: only the 2 needed columns are read
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"), p)
+  }
+
+  test("j01: dimension joins are broadcast, not sort-merge") {
+    val p = plan("j01_broadcast_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("w04: stacked same-partitioning windows share one exchange on user_id") {
+    val p = plan("w04_segment_total")
+    // exactly one hashpartitioning exchange on user_id for the two
+    // stacked gap windows (the final orderBy adds a rangepartitioning)
+    val hashExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(hashExchanges >= 1 && hashExchanges <= 2, s"user_id exchanges=$hashExchanges\n$p")
+  }
+
+  test("v01: ANN ranking is a bounded aggregation, not a row_number window") {
+    val p = plan("v01_ann_brute_topk")
+    assert(!p.contains("RunningWindowFunction"), p)
+    assert(!p.toLowerCase.contains("window"), p) // no window operator at all
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("a05: kernel is one partial+final hash aggregation (map-side combine)") {
+    val p = plan("a05_event_kernel")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, p) // partial + final
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("asof01: one sort-shuffle on the key, no pair-explosion join") {
+    val p = plan("asof01_backward_tolerance")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("entry: flagship plan broadcasts both dims and prunes columns") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 2, p)
+    assert(p.contains("ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double>"), p)
+  }
+}

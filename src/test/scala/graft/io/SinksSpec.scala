@@ -1,0 +1,36 @@
+package graft.io
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S9 JDBC sink round-trip against embedded Derby (the harness's only
+  * JDBC engine) — reference `scripts/upload_to_db.py:71-181` semantics:
+  * delete the refreshed slice, dedup incoming, append. */
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val url = s"jdbc:derby:/tmp/graft_derby_${System.nanoTime()};create=true"
+  private val types = "player VARCHAR(64), season INT, score DOUBLE, loaded_at INT"
+
+  test("jdbcUpsert: initial load, per-year refresh, dedup-keep-latest") {
+    val y2023 = Seq(("a", 2023, 1.0, 1), ("b", 2023, 2.0, 1)).toDF("player", "season", "score", "loaded_at")
+    Sinks.jdbcUpsert(y2023, url, "leaderboard", Seq("player", "season"), col("loaded_at"),
+      deleteWhere = None, columnTypes = Some(types))
+
+    // refresh 2023 with a duplicate key (latest loaded_at wins) + 2024 rows
+    val batch = Seq(
+      ("a", 2023, 5.0, 2), ("a", 2023, 9.0, 3), ("c", 2024, 3.0, 2))
+      .toDF("player", "season", "score", "loaded_at")
+    Sinks.jdbcUpsert(batch, url, "leaderboard", Seq("player", "season"), col("loaded_at"),
+      // quoted: Spark's JDBC writer creates case-sensitive quoted columns
+      deleteWhere = Some("\"season\" = 2023"), columnTypes = Some(types))
+
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", "leaderboard")
+      .load().select("player", "season", "score")
+      .as[(String, Int, Double)].collect().toSet
+    // 2023 'b' deleted (whole year refreshed), 'a' deduped to loaded_at=3
+    assert(got === Set(("a", 2023, 9.0), ("c", 2024, 3.0)))
+  }
+}

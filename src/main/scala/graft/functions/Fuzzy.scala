@@ -104,4 +104,16 @@ object Fuzzy {
     * `processors/reconcile_players.py:455`). */
   def wRatio(a: String, b: String): Double =
     math.max(ratio(a, b), math.max(tokenSortRatio(a, b), partialRatio(a, b)))
+
+  /** rapidfuzz `utils.default_process`: lowercase, replace
+    * non-alphanumerics with spaces, trim. The token_* scorers apply
+    * it by default in rapidfuzz — required for parity wherever the
+    * reference calls them without an explicit processor
+    * (`map_ncaa_to_cube.py:169-171`). */
+  def defaultProcess(s: String): String =
+    s.toLowerCase.map(c => if (Character.isLetterOrDigit(c)) c else ' ').trim
+
+  /** token_sort_ratio with rapidfuzz's default processing applied. */
+  def tokenSortRatioProcessed(a: String, b: String): Double =
+    tokenSortRatio(defaultProcess(a), defaultProcess(b))
 }

@@ -25,6 +25,26 @@ object QVector {
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
       |""".stripMargin
 
+  /** DuckDB replication of [[graft.functions.VectorFunctions
+    * .signLshBucket]] with 4 md5-derived hyperplanes over 64 dims:
+    * same keystream (`md5('plane:p:j')` top-60-bits / 2^60 − 0.5),
+    * same sequential projection order, same sign-bit packing. The
+    * four plane projections are inlined (DuckDB 1.0 cannot correlate
+    * an outer column into a lambda inside a scalar subquery). */
+  private def proj(p: Int): String =
+    s"""list_sum(list_transform(range(0, 64), j ->
+       |      v[j+1] * (('0x' || substr(md5('plane:$p:' || j), 1, 15))::BIGINT
+       |        / 1152921504606846976.0 - 0.5)))""".stripMargin
+
+  private val BUCKET =
+    s""", b AS (SELECT vec_id, v, nrm, CAST(
+       |    (CASE WHEN ${proj(0)} >= 0 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN ${proj(1)} >= 0 THEN 2 ELSE 0 END) +
+       |    (CASE WHEN ${proj(2)} >= 0 THEN 4 ELSE 0 END) +
+       |    (CASE WHEN ${proj(3)} >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+       |FROM n)
+       |""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact top-k ANN baseline: broadcast 10 query vectors against the
@@ -50,9 +70,22 @@ object QVector {
         .orderBy("query_id", "rank")
     },
 
-    // LSH-bucketed ANN (recall < 1 → rows-only; recall vs brute is
-    // asserted in SimilaritySearchSpec).
-    QueryDef.rowsOnly("v02_ann_lsh_topk") { (s, dir) =>
+    // LSH-bucketed multi-probe ANN — oracle replicates the md5
+    // hyperplane bucketing, Hamming-1 probes, and bounded ranking.
+    QueryDef.of("v02_ann_lsh_topk", N + BUCKET +
+      """, q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+        |    unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT)]) AS bucket
+        |  FROM b WHERE vec_id < 10),
+        |sc AS (SELECT DISTINCT q.query_id, c.vec_id AS id,
+        |    round(CASE WHEN q.qn * c.nrm <> 0
+        |          THEN list_dot_product(q.qv, c.v) / (q.qn * c.nrm) ELSE 0.0 END, 6) AS cos
+        |  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q.query_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
+        |  id, cos
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
@@ -77,8 +110,15 @@ object QVector {
     },
 
     // Sign-LSH bucketed near-dup (linear shuffle, bucket-local
-    // compare; subset-of-brute tested in DedupSpec).
-    QueryDef.rowsOnly("v04_embed_neardup_lsh") { (s, dir) =>
+    // compare) — oracle replicates the bucketing in SQL.
+    QueryDef.of("v04_embed_neardup_lsh", N + BUCKET +
+      """SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        |  round(CASE WHEN a.nrm * b2.nrm <> 0
+        |        THEN list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) ELSE 0.0 END, 6) AS cos
+        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |WHERE round(CASE WHEN a.nrm * b2.nrm <> 0
+        |      THEN list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) ELSE 0.0 END, 6) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Dedup.embeddingNearDupLsh(emb(s, dir), "vec_id", "embedding",
           dim = 64, numPlanes = 4, threshold = 0.2)
         .orderBy("id_a", "id_b")

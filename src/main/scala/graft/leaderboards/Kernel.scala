@@ -107,6 +107,20 @@ object Kernel {
     derived.drop(grouped.columns.filter(_.startsWith("__")): _*)
   }
 
+  /** Handedness splits (reference `leaderboards/splits.py:26-177`):
+    * the kernel under vs-R / vs-L / vs-S conditions on `handCol`,
+    * again in ONE pass — wide `<stat>_vs_<hand>` columns. */
+  def handednessSplits(
+      pbp: DataFrame, keys: Seq[String], handCol: String, weights: Weights): DataFrame = {
+    val splits = Seq("R", "L", "S").map(h => s"vs_$h" -> (col(handCol) === h))
+    val aggs = splits.flatMap { case (name, cond) => kernelAggs(cond, s"_$name", weights) }
+    val grouped = pbp.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val derived = splits.foldLeft(grouped) { case (d, (name, _)) =>
+      derive(d, s"_$name", name, weights)
+    }
+    derived.drop(grouped.columns.filter(_.startsWith("__")): _*)
+  }
+
   /** A7: batted-ball type profile — conditional sums + ratios in the
     * same agg (batted_ball.py:77-161 shape). */
   def battedBallProfile(pbp: DataFrame, keys: Seq[String]): DataFrame = {

@@ -66,6 +66,19 @@ class KernelSpec extends AnyFunSuite {
     assert(b2.isNullAt(b2.fieldIndex("woba_risp")))
   }
 
+  test("handednessSplits: one-pass vs-R/L/S wide table") {
+    val pbpH = pbp.withColumn("pitcher_hand",
+      when(col("event_type").isin("1B", "HR"), "R")
+        .when(col("event_type") === "BB", "L"))
+    val s = Kernel.handednessSplits(pbpH, Seq("batter_id"), "pitcher_hand", weights)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val b1 = s("B1")
+    assert(b1.getAs[Long]("pa_vs_R") === 2) // 1B + HR
+    assert(b1.getAs[Long]("pa_vs_L") === 1) // BB
+    assert(b1.getAs[Long]("pa_vs_S") === 0)
+    eps(b1.getAs[Double]("woba_vs_L"), 0.7)
+  }
+
   test("battedBallProfile ratios") {
     val bb = Seq(
       ("B1", "GB"), ("B1", "GB"), ("B1", "FB"), ("B1", "LD"),

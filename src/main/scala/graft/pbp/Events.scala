@@ -61,4 +61,53 @@ object Positions {
     val s = x.trim.toLowerCase
     posMap.getOrElse(s, s)
   }
+
+  /** Bats/throws normalizer (reference
+    * `processors/reconcile_players.py:66-80`): NFKC, uppercase,
+    * `\`/`|`→`/`, single letter doubles, first two handedness letters
+    * otherwise. */
+  def normalizeBT(bt: String): String = {
+    if (bt == null) return ""
+    var s = java.text.Normalizer.normalize(bt, java.text.Normalizer.Form.NFKC)
+      .toUpperCase.trim
+    if (s.isEmpty) return ""
+    s = s.replace("\\", "/").replace("|", "/").replaceAll("\\s+", "")
+    val pair = "^([LRSH])/?([LRSH])$".r
+    s match {
+      case pair(a, b) => s"$a/$b"
+      case _ =>
+        val letters = s.filter("LRSH".contains(_))
+        if (letters.length >= 2) s"${letters(0)}/${letters(1)}"
+        else if (letters.length == 1) s"${letters(0)}/${letters(0)}"
+        else ""
+    }
+  }
+
+  /** Full-word position standardizer (reconcile_players.py:83-131):
+    * NFKC, split on `/`, `,`, `;`, " OR ", map to canonical codes,
+    * dedup keep-first, join at most three. */
+  private val stdPosMap: Map[String, String] = Map(
+    "CATCHER" -> "C", "C" -> "C", "FIRST BASE" -> "1B", "1B" -> "1B",
+    "SECOND BASE" -> "2B", "2B" -> "2B", "THIRD BASE" -> "3B", "3B" -> "3B",
+    "SHORTSTOP" -> "SS", "SS" -> "SS", "LEFT FIELD" -> "LF", "LF" -> "LF",
+    "CENTER FIELD" -> "CF", "CF" -> "CF", "RIGHT FIELD" -> "RF", "RF" -> "RF",
+    "OUTFIELD" -> "OF", "OF" -> "OF", "INFIELD" -> "INF", "IF" -> "INF",
+    "INF" -> "INF", "PITCHER" -> "P", "RHP" -> "P", "LHP" -> "P", "P" -> "P",
+    "DESIGNATED HITTER" -> "DH", "DH" -> "DH",
+    "UTILITY" -> "UT", "UTIL" -> "UT", "UT" -> "UT")
+
+  def standardizePos(pos: String): String = {
+    if (pos == null) return ""
+    var s = java.text.Normalizer.normalize(pos, java.text.Normalizer.Form.NFKC)
+      .toUpperCase.trim
+    if (s.isEmpty) return ""
+    s = s.replaceAll("[.\\s]+", " ").trim
+    val parts = s.split("/|,|;| OR ").map(_.trim).filter(_.nonEmpty)
+    val mapped = parts.map(p =>
+      stdPosMap.getOrElse(p, stdPosMap.getOrElse(p.replace(" ", ""), p)))
+      .distinct.filter(_.nonEmpty)
+    if (mapped.isEmpty) ""
+    else if (mapped.length == 1) mapped.head
+    else mapped.take(3).mkString("/")
+  }
 }

@@ -207,6 +207,51 @@ object PbpPipeline {
         eventUdf(col("play_description"), col("p1_text"), col("sub_fl") === 1))
       .withColumn("batted_ball_type", bbUdf(col("play_description"), col("event_type")))
 
+  /**
+   * X2 integration — the standardize_names stage's pitcher assignment
+   * (reference `names/names.py:40-97,210-293`): per game, fold plays
+   * through the pitcher-queue machine against the ordered pitching
+   * lineups. Lineups are game-keyed dimension data: grouped per game
+   * and joined through one cogroup on contest_id (both sides shuffle
+   * once on the game key; queue state never leaves one group).
+   *
+   * @param parsed   parse() output with a `pitch_team_id` column
+   *                 (away/home team by half — derive upstream)
+   * @param pitchingLineups (contest_id, team_id, player_name,
+   *                 player_id, pitch_order)
+   */
+  def withPitchers(parsed: DataFrame, pitchingLineups: DataFrame): DataFrame = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+
+    val plays = parsed
+      .select(col("contest_id").cast("long"), col("play_id").cast("int"),
+        col("pitch_team_id").cast("string"),
+        (col("pitcher_sub_fl") === 1).as("is_sub"), col("sub_in"))
+      .as[(Long, Int, String, Boolean, String)]
+    val lineups = pitchingLineups
+      .select(col("contest_id").cast("long"), col("team_id").cast("string"),
+        col("player_name").cast("string"), col("player_id").cast("string"),
+        col("pitch_order").cast("int"))
+      .as[(Long, String, String, String, Int)]
+
+    val assigned = plays.groupByKey(_._1).cogroup(lineups.groupByKey(_._1)) {
+      (contestId, ps, ls) =>
+        val queues = ls.toSeq.groupBy(_._2).map { case (team, rows) =>
+          team -> rows.sortBy(_._5).map(r => (r._3, r._4))
+        }
+        val ordered = ps.toSeq.sortBy(_._2)
+        val out = PitcherQueue.runGame(
+          ordered.map(p => PitcherQueue.PlayRow(Option(p._3), p._4, Option(p._5).getOrElse(""))),
+          queues)
+        ordered.zip(out).iterator.map { case (p, a) =>
+          (contestId, p._2, a.pitcherName, a.pitcherId.orNull)
+        }
+    }.toDF("contest_id", "play_id", "pitcher_name", "pitcher_id")
+
+    parsed.join(assigned, Seq("contest_id", "play_id"), "left")
+  }
+
   /** Full parser stage over raw (contest_id, seq, away_text,
     * home_text, inning) rows. */
   def parse(raw: DataFrame): DataFrame =

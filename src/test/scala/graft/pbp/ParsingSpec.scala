@@ -165,6 +165,27 @@ class ParsingSpec extends AnyFunSuite {
     assert(Parsing.runnerDest("Jones caught stealing") === "OUT")
   }
 
+  // ---- domain normalizers (reconcile_players.py:66-131)
+  test("normalizeBT handedness forms") {
+    assert(Positions.normalizeBT("R/R") === "R/R")
+    assert(Positions.normalizeBT("r\\l") === "R/L")
+    assert(Positions.normalizeBT(" S | R ") === "S/R")
+    assert(Positions.normalizeBT("L") === "L/L")
+    // reference quirk preserved: the S in "BATS" is itself a
+    // handedness letter, so the first two found are S then R
+    assert(Positions.normalizeBT("Bats: R Throws: L") === "S/R")
+    assert(Positions.normalizeBT("??") === "")
+  }
+
+  test("standardizePos maps words, dedups, caps at three") {
+    assert(Positions.standardizePos("Catcher") === "C")
+    assert(Positions.standardizePos("ss/2b") === "SS/2B")
+    assert(Positions.standardizePos("RHP") === "P")
+    assert(Positions.standardizePos("LEFT FIELD, CF; RF / DH") === "LF/CF/RF")
+    assert(Positions.standardizePos("of/OF") === "OF")
+    assert(Positions.standardizePos("") === "")
+  }
+
   // ---- substitution parsing (columns.py:256-308)
   test("substitution parse cascade and position canonicalization") {
     assert(Parsing.parseSubstitution("Jones to p for Smith") === ((true, "Jones", "Smith", "p")))

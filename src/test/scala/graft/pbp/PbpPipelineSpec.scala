@@ -80,6 +80,29 @@ class PbpPipelineSpec extends AnyFunSuite {
     assert(g2(2).getAs[String]("bases_after") === "YNN") // Hart on 1st
   }
 
+  test("withPitchers folds the queue machine per game against lineups") {
+    import org.apache.spark.sql.functions._
+    // pitch team = the team NOT batting: Top → home pitches
+    val withTeam = parsed.withColumn("pitch_team_id",
+      when(col("half") === "Top", concat(lit("H"), col("contest_id")))
+        .otherwise(concat(lit("A"), col("contest_id"))))
+    val lineups = Seq(
+      (1L, "H1", "Starter H1", "ph1", 0), (1L, "H1", "Reliever H1", "ph2", 1),
+      (1L, "A1", "Starter A1", "pa1", 0),
+      (2L, "A2", "Starter A2", "pa9", 0))
+      .toDF("contest_id", "team_id", "player_name", "player_id", "pitch_order")
+    val out = PbpPipeline.withPitchers(withTeam, lineups)
+      .orderBy("contest_id", "play_id").collect()
+    val g1p = out.filter(_.getAs[Long]("contest_id") == 1L)
+    // Top-half plays faced H1's starter; the Bottom-half play faced A1's
+    assert(g1p(0).getAs[String]("pitcher_name") === "Starter H1")
+    assert(g1p(0).getAs[String]("pitcher_id") === "ph1")
+    assert(g1p(4).getAs[String]("pitcher_name") === "Starter A1")
+    // game 2 uses its own queue
+    val g2p = out.filter(_.getAs[Long]("contest_id") == 2L)
+    assert(g2p.head.getAs[String]("pitcher_name") === "Starter A2") // game 2 is Bottom-half → away team pitches
+  }
+
   test("event classification end-to-end") {
     assert(g1.map(_.getAs[String]("event_type")).toSeq ===
       Seq("1B", "BB", "HR", "SO", "OUT", "OUT"))

@@ -26,7 +26,11 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators may persist intermediates (dedup shingle frames);
+      // drop them so later queries aren't measured under GC pressure
+      spark.catalog.clearCache()
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -122,17 +122,22 @@ object Dedup {
     minhashSignaturesFromShingles(shingled(df, idCol, textCol, shingleN), numHashes)
 
   /** Signature computation from an existing (id, sh) frame — lets
-    * callers share one shingle scan across stages. */
-  def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame =
-    sh
-      .select(col("id"), col("sh"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .select(col("id"), col("seed"),
-        ScalarFunctions.md5Long(concat(col("seed").cast("string"), lit(":"), col("sh"))).as("h"))
-      .groupBy("id", "seed").agg(min("h").as("mh"))
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
+    * callers share one shingle scan across stages.
+    *
+    * The `numHashes` minima are separate aggregate columns of ONE
+    * `groupBy(id)` — each row computes its hashes in place and the
+    * map-side partial aggregation reduces them before the shuffle, so
+    * the exchange carries |docs| rows of numHashes longs. (The
+    * explode-by-seed formulation shuffles |shingles|×numHashes rows —
+    * a 20M-row exchange at 5k docs.) */
+  def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map { i =>
+      min(ScalarFunctions.md5Long(concat(lit(s"$i:"), col("sh")))).as(s"__h$i")
+    }
+    sh.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+  }
 
   /**
    * MinHash+LSH candidate pairs: signatures split into `bands` bands

@@ -58,11 +58,15 @@ object Dedup {
     // per array element (see TextFunctions.shinglesFromTokens).
     // CollapseProject keeps the boundary because __toks is non-cheap
     // and referenced more than once.
+    // array_distinct BEFORE the explode: (id, sh) duplicates can only
+    // come from repeats inside one document's shingle array, so the
+    // per-row dedup is equivalent to a global distinct() — minus the
+    // full (id, sh) exchange distinct() would cost.
     val base = df
       .select(col(idCol).as("id"),
         TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
-      .select(col("id"), explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("sh"))
-      .distinct()
+      .select(col("id"),
+        explode(array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), n))).as("sh"))
     maxShingleDf match {
       case None => base
       case Some(cap) =>

@@ -39,6 +39,34 @@ class RunAllSpec extends AnyFunSuite {
     assert(m.columns.contains("woba") && m.columns.contains("rea"))
   }
 
+  test("RunAll with WE/LI tables runs the full WPA/leverage enrichment") {
+    val raw = Seq(
+      (1L, 1, 9, "Adams walked", null),
+      (1L, 2, 9, "Brown grounded out to ss; Adams out at second", null),
+      (1L, 3, 9, null, "Cole homered"))
+      .toDF("contest_id", "seq", "inning", "away_text", "home_text")
+    // minimal lookup tables covering the states this game visits
+    val states = for {
+      half <- Seq("Top", "Bottom"); runners <- Seq("NNN", "YNN")
+      outs <- 0 to 2; diff <- -1 to 1
+    } yield (9, half, runners, outs, diff)
+    val we = states.map { case (i, h, r, o, d) => (i, h, r, o, d, 0.5) }
+      .toDF("inning", "half", "runners", "outs", "score_diff", "win_expectancy")
+    val li = states.map { case (i, h, r, o, d) => (i, h, r, o, d, 1.0) }
+      .toDF("inning", "half", "runners", "outs", "score_diff", "leverage_index")
+
+    val outDir = s"/tmp/graft_runall_weli_${System.nanoTime()}"
+    RunAll.run(spark, raw, outDir, weTable = Some(we), liTable = Some(li))
+    val m = spark.read.parquet(s"$outDir/pbp_with_metrics")
+    assert(m.columns.contains("wpa") && m.columns.contains("li")
+      && m.columns.contains("times_through_order"))
+    // every play's before-state is covered by the WE table → li populated
+    assert(m.filter(col("li").isNull).count() === 0)
+    // walk-off HR: game-end row gets home_win_exp_after = 1.0
+    val last = m.orderBy(col("play_id").desc).limit(1).collect().head
+    assert(last.getAs[Double]("home_win_exp_after") === 1.0)
+  }
+
   test("SchemaFinalize: defaults, nullable ints, non-finite scrub, ordered select") {
     val df = Seq(
       ("a", Some(1L), Some(1.5)),

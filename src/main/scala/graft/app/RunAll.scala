@@ -1,34 +1,103 @@
 package graft.app
 
 import graft.GraftSession
-import graft.leaderboards.Kernel
-import graft.metrics.{ExpectedRuns, LinearWeights, PbpMetrics}
+import graft.io.Sinks
+import graft.leaderboards.{Kernel, Leaderboards}
+import graft.metrics.{ExpectedRuns, Guts, GutsConstants, LinearWeights, PbpMetrics}
+import graft.war.{GetWar, SchemaFinalize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * The analytics DAG driver (reference `processors/run_all.py:52-154`,
- * SURVEY §3.1): raw pbp → parsed → expected runs → linear weights →
- * pbp_with_metrics → leaderboards, with PARQUET stage boundaries
- * (the reference's CSV-file dataflow edges, kept for restartability
- * and external checkability — each stage is re-runnable from its
- * predecessor's output).
+ * SURVEY §3.1): raw pbp → parsed → pitcher assignment → expected runs
+ * → linear weights → pbp_with_metrics → guts → WAR ×4 → leaderboards
+ * ×~20, with PARQUET stage boundaries (the reference's CSV-file
+ * dataflow edges, kept for restartability) and upsert-by-(year,
+ * division) on every leaderboard (reference
+ * `leaderboards/main.py:165-214` collapsed to dynamic partition
+ * overwrite).
  *
- * Inputs beyond the raw pbp are optional: win-expectancy/leverage
- * tables gate the WPA/LI stage (absent → the RE/wOBA enrichment still
- * runs), mirroring the reference's per-stage skip-on-missing
- * tolerance (`leaderboards/main.py:224-227`).
+ * Inputs beyond the raw pbp are optional, mirroring the reference's
+ * per-stage skip-on-missing tolerance (`leaderboards/main.py:224-227`):
+ * WE/LI tables gate the WPA/value stages, team + lineup dims gate real
+ * pitcher assignment, season stats + rankings gate guts and WAR.
  */
 object RunAll {
 
   final case class StageResult(name: String, path: String, rows: Long)
 
+  /** Optional dimension inputs (reference get_war.py:104-121
+    * DivisionData + pbp_parser team/lineup args). */
+  final case class Inputs(
+      weTable: Option[DataFrame] = None,
+      liTable: Option[DataFrame] = None,
+      teams: Option[DataFrame] = None,
+      pitchingLineups: Option[DataFrame] = None,
+      battingLineups: Option[DataFrame] = None,
+      playerInfo: Option[DataFrame] = None,
+      battingStats: Option[DataFrame] = None,
+      pitchingStats: Option[DataFrame] = None,
+      parkFactors: Option[DataFrame] = None,
+      rankings: Option[DataFrame] = None,
+      mappings: Option[DataFrame] = None,
+      division: String = "ncaa_1",
+      year: Int = 2024)
+
+  /** League-constant fallback when season stats are absent (the
+    * reference hard-fails; the engine degrades to published NCAA-ish
+    * run values so the pbp-only path still produces leaderboards). */
+  def defaultGuts(year: Int, division: String): GutsConstants = GutsConstants(
+    year, division,
+    wbb = 0.7, whbp = 0.73, w1b = 0.9, w2b = 1.25, w3b = 1.6, whr = 2.0,
+    wobaScale = 1.2, woba = 0.35,
+    runsSb = 0.2, runsCs = -0.475, csRate = 0.3,
+    runsPa = 0.12, runsOut = 0.2, runsWin = 13.0, cfip = 3.1)
+
+  /** Team enrichment (reference pbp_parser/main.py:110-140
+    * add_team_names): batting side = away on Top, home on Bottom; the
+    * pitching side is the mirror. Without a teams dim the ids fall
+    * back to synthetic per-(game, side) keys so downstream group-bys
+    * stay total. */
+  def addTeams(parsed: DataFrame, teams: Option[DataFrame]): DataFrame = teams match {
+    case Some(t) =>
+      val dim = t.select(col("contest_id"),
+        col("away_team_id").cast("string").as("__away_id"),
+        col("home_team_id").cast("string").as("__home_id"),
+        col("away_team_name").as("__away_nm"), col("home_team_name").as("__home_nm"))
+      parsed.join(broadcast(dim), Seq("contest_id"), "left")
+        .withColumn("bat_team_id",
+          when(col("half") === "Top", col("__away_id")).otherwise(col("__home_id")))
+        .withColumn("bat_team_name",
+          when(col("half") === "Top", col("__away_nm")).otherwise(col("__home_nm")))
+        .withColumn("pitch_team_id",
+          when(col("half") === "Top", col("__home_id")).otherwise(col("__away_id")))
+        .withColumn("pitch_team_name",
+          when(col("half") === "Top", col("__home_nm")).otherwise(col("__away_nm")))
+        .drop("__away_id", "__home_id", "__away_nm", "__home_nm")
+    case None =>
+      val side = when(col("half") === "Top", "away").otherwise("home")
+      val other = when(col("half") === "Top", "home").otherwise("away")
+      parsed
+        .withColumn("bat_team_id", concat(col("contest_id").cast("string"), lit("_"), side))
+        .withColumn("bat_team_name", col("bat_team_id"))
+        .withColumn("pitch_team_id", concat(col("contest_id").cast("string"), lit("_"), other))
+        .withColumn("pitch_team_name", col("pitch_team_id"))
+  }
+
+  private def emptyLineups(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("player_id", StringType),
+        StructField("position", StringType),
+        StructField("contest_id", LongType))))
+  }
+
   def run(
       spark: SparkSession,
       rawPbp: DataFrame,
       outDir: String,
-      weTable: Option[DataFrame] = None,
-      liTable: Option[DataFrame] = None): Seq[StageResult] = {
+      inputs: Inputs = Inputs()): Seq[StageResult] = {
 
     val results = scala.collection.mutable.ArrayBuffer.empty[StageResult]
     def write(df: DataFrame, name: String): DataFrame = {
@@ -38,16 +107,42 @@ object RunAll {
       results += StageResult(name, path, back.count())
       back
     }
+    def upsert(df: DataFrame, name: String): Unit = {
+      val path = s"$outDir/$name"
+      val stamped = df
+        .withColumn("year", lit(inputs.year))
+        .withColumn("division", lit(inputs.division))
+      Sinks.upsertByPartition(stamped, path, Seq("year", "division"))
+      results += StageResult(name, path, spark.read.parquet(path).count())
+    }
 
-    // 1. parse (pbp_parser stage)
-    val parsed = write(graft.pbp.PbpPipeline.parse(rawPbp), "parsed_pbp")
+    // 1. parse (pbp_parser stage) + team enrichment
+    val parsed0 = addTeams(graft.pbp.PbpPipeline.parse(rawPbp), inputs.teams)
+
+    // 1b. pitcher assignment (standardize_names X2 stage) when pitching
+    // lineups exist; otherwise empty pitcher columns (round-2 stub,
+    // now only on the degraded path)
+    val parsed1 = inputs.pitchingLineups match {
+      case Some(lineups) =>
+        graft.pbp.PbpPipeline.withPitchers(parsed0, lineups)
+          .withColumn("pitcher_id", coalesce(col("pitcher_id"), col("pitcher_name")))
+      case None =>
+        parsed0.withColumn("pitcher_name", lit(""))
+          .withColumn("pitcher_id", lit(null).cast("string"))
+    }
+    // name-keyed ids where reconciliation hasn't run: the parser's
+    // names ARE the keys (reference pre-cube-mapping behavior)
+    val parsed = write(parsed1
+      .withColumn("batter_id", col("batter_name"))
+      .withColumn("r1_id", when(col("r1_name") =!= "", col("r1_name")))
+      .withColumn("r2_id", when(col("r2_name") =!= "", col("r2_name")))
+      .withColumn("r3_id", when(col("r3_name") =!= "", col("r3_name"))),
+      "parsed_pbp")
 
     // 2. expected runs (get_er_matrix stage)
     val er = write(ExpectedRuns.matrix(parsed), "expected_runs")
 
-    // 3. linear weights (get_linear_weights stage). Without season
-    // batting stats the wOBA scale is unavailable; above-outs weights
-    // stand in as normalized weights (scale 1), as documented.
+    // 3. linear weights (get_linear_weights stage)
     val lw = write(LinearWeights.aboveAverage(parsed, er), "linear_weights")
     val lwNormalized = lw.select(col("events"),
       col("linear_weights_above_outs").as("normalized_weight"))
@@ -55,31 +150,74 @@ object RunAll {
     // 4. metric enrichment (add_pbp_metrics stage)
     val withBase = PbpMetrics.addRunExpectancy(
       PbpMetrics.addWoba(parsed, lwNormalized), er)
-    val enriched = (weTable, liTable) match {
+    val haveWpa = inputs.weTable.isDefined && inputs.liTable.isDefined
+    val enriched0 = (inputs.weTable, inputs.liTable) match {
       case (Some(we), Some(li)) =>
-        PbpMetrics.addFlags(
-          PbpMetrics.addWinExpectancy(withBase, we, li)
-            .withColumn("pitcher_name", lit("")))
+        PbpMetrics.addFlags(PbpMetrics.addWinExpectancy(withBase, we, li))
       case _ =>
         withBase
           .withColumn("li", lit(null).cast("double"))
           .withColumn("high_leverage_fl", lit(false))
           .withColumn("low_leverage_fl", lit(false))
     }
-    val metrics = write(enriched, "pbp_with_metrics")
+    val enriched1 = inputs.playerInfo match {
+      case Some(info) => Kernel.addHandedness(enriched0, info)
+      case None => enriched0
+        .withColumn("batter_hand", lit(null).cast("string"))
+        .withColumn("pitcher_hand", lit(null).cast("string"))
+    }
+    val metrics = write(enriched1, "pbp_with_metrics")
 
-    // 5. leaderboards (leaderboards stage) — one cached scan feeds
-    // the aggregate fan-out (reference main.py:55-85)
+    // 5. guts (get_guts stage) — needs season stats for wOBA/FIP
+    val guts = (inputs.battingStats, inputs.pitchingStats) match {
+      case (Some(bat), Some(pit)) =>
+        val g = Guts.compute(metrics, lwNormalized, bat, pit, inputs.year, inputs.division)
+        import spark.implicits._
+        write(Seq(g).toDF(), "guts_constants")
+        g
+      case _ => defaultGuts(inputs.year, inputs.division)
+    }
+
+    // 6. WAR stage (get_war) — all four tables, schema-finalized
+    val warInputs = for {
+      bat <- inputs.battingStats; pit <- inputs.pitchingStats
+      pf <- inputs.parkFactors; rk <- inputs.rankings; mp <- inputs.mappings
+    } yield (bat, pit, pf, rk, mp)
+    warInputs.foreach { case (bat, pit, pf, rk, mp) =>
+      val lineups = inputs.battingLineups.getOrElse(emptyLineups(spark))
+      val war = GetWar.run(bat, pit, metrics, guts, pf, lineups,
+        rk, mp, inputs.division, inputs.year)
+      write(SchemaFinalize.finalizeSchema(war.batting, SchemaFinalize.battingWar),
+        "batting_war")
+      write(SchemaFinalize.finalizeSchema(war.pitching, SchemaFinalize.pitchingWar),
+        "pitching_war")
+      write(war.battingTeam, "batting_team_war")
+      write(war.pitchingTeam, "pitching_team_war")
+    }
+
+    // 7. leaderboards (leaderboards stage): the ~20-table fan-out off
+    // ONE cached scan, upserted by (year, division)
     val weights = lwNormalized.collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
-    val forKernel = metrics.withColumn("batter_id", col("batter_name")).cache()
-    write(Kernel.battingMetrics(forKernel, Seq("batter_id"), weights), "leaderboard_batting")
-    write(Kernel.situational(forKernel, Seq("batter_id"), weights), "leaderboard_situational")
-    write(Kernel.battedBallProfile(forKernel, Seq("batter_id")), "leaderboard_batted_ball")
-    forKernel.unpersist()
+    val forBoards = metrics.cache()
+    val boards = Leaderboards.runAnalysis(forBoards, weights, guts)
+    val wpaGated = Set("value_batter", "value_batting_team", "value_pitcher",
+      "value_pitching_team")
+    boards.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      // empty tables are skipped, as the reference does (main.py:159)
+      if ((!wpaGated.contains(name) || haveWpa) && !df.isEmpty)
+        upsert(df, s"leaderboards/$name")
+    }
+    forBoards.unpersist()
 
     results.toSeq
   }
+
+  /** Back-compat entry (round-2 call shape). */
+  def run(
+      spark: SparkSession, rawPbp: DataFrame, outDir: String,
+      weTable: Option[DataFrame], liTable: Option[DataFrame]): Seq[StageResult] =
+    run(spark, rawPbp, outDir, Inputs(weTable = weTable, liTable = liTable))
 
   /** CLI: runAll <rawPbpParquet> <outDir> — raw schema
     * (contest_id, seq, inning, away_text, home_text). */

@@ -107,12 +107,12 @@ object Kernel {
     derived.drop(grouped.columns.filter(_.startsWith("__")): _*)
   }
 
-  /** Handedness splits (reference `leaderboards/splits.py:26-177`):
-    * the kernel under vs-R / vs-L / vs-S conditions on `handCol`,
-    * again in ONE pass — wide `<stat>_vs_<hand>` columns. */
-  def handednessSplits(
-      pbp: DataFrame, keys: Seq[String], handCol: String, weights: Weights): DataFrame = {
-    val splits = Seq("R", "L", "S").map(h => s"vs_$h" -> (col(handCol) === h))
+  /** The generic one-pass multi-condition kernel: every named split
+    * becomes `sum(when(cond, …))` columns in a SINGLE aggregation
+    * (splits.py / situational.py collapse onto this). */
+  def condSplits(
+      pbp: DataFrame, keys: Seq[String], splits: Seq[(String, Column)],
+      weights: Weights): DataFrame = {
     val aggs = splits.flatMap { case (name, cond) => kernelAggs(cond, s"_$name", weights) }
     val grouped = pbp.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val derived = splits.foldLeft(grouped) { case (d, (name, _)) =>
@@ -120,6 +120,13 @@ object Kernel {
     }
     derived.drop(grouped.columns.filter(_.startsWith("__")): _*)
   }
+
+  /** Handedness splits (reference `leaderboards/splits.py:26-177`):
+    * the kernel under vs-R / vs-L / vs-S conditions on `handCol`,
+    * again in ONE pass — wide `<stat>_vs_<hand>` columns. */
+  def handednessSplits(
+      pbp: DataFrame, keys: Seq[String], handCol: String, weights: Weights): DataFrame =
+    condSplits(pbp, keys, Seq("R", "L", "S").map(h => s"vs_$h" -> (col(handCol) === h)), weights)
 
   /** A7: batted-ball type profile — conditional sums + ratios in the
     * same agg (batted_ball.py:77-161 shape). */

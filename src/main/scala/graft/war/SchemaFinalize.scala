@@ -63,4 +63,20 @@ object SchemaFinalize {
     floatCol("baserunning"), floatCol("positional_adjustment"),
     floatCol("replacement_level_runs"), floatCol("league_adjustment"),
     floatCol("war"), floatCol("sos_adj_war"))
+
+  /** The pitching-WAR output schema core (models.py:333-420 analogue of
+    * [[battingWar]]). */
+  val pitchingWar: Seq[FieldSpec] = Seq(
+    strCol("player_name"), intColNullable("cube_player_id"), strCol("player_id"),
+    strCol("throws"), strCol("team_name"), strCol("team_id"), strCol("conference"),
+    strCol("division"), intCol("year"),
+    intCol("app"), intCol("gs"), intCol("w"), intCol("l"), intCol("sv"),
+    floatCol("ip_float"), intCol("h"), intCol("r"), intCol("er"),
+    intCol("bb"), intCol("so"), intCol("hbp"), intCol("bf"), intCol("hr_a"),
+    intCol("fo"), intCol("go"), intCol("fb"),
+    floatCol("era"), floatCol("ra9"), floatCol("conf_ra9"),
+    floatCol("park_adj_ra9"), floatCol("raap9"), floatCol("drpw"),
+    floatCol("replacement_level"), floatCol("gmli"),
+    floatCol("prea"), floatCol("pwpa"), floatCol("pwpa_li"), floatCol("clutch"),
+    floatCol("war"), floatCol("sos_adj_war"))
 }

@@ -30,10 +30,14 @@ object WarPipeline {
 
   def gamesPerSeason(division: String): Int = if (division == "ncaa_3") 40 else 50
 
-  private def adjMapCol: Column =
-    adjustments.foldLeft(lit(0.0)) { case (acc, (pos, v)) =>
-      when(col("__pos_canon") === pos, v).otherwise(acc)
+  /** Position → run-value as a column map (batting.py:150-152's
+    * `.map(adjustments)`); unknown positions → 0. */
+  def posAdjValue(pos: Column): Column =
+    adjustments.foldLeft(lit(0.0)) { case (acc, (p, v)) =>
+      when(pos === p, v).otherwise(acc)
     }
+
+  private def adjMapCol: Column = posAdjValue(col("__pos_canon"))
 
   /** Per-player positional adjustment from lineup appearances
     * (batting.py:132-160): per (player, first-listed position),

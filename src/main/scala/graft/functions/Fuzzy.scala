@@ -99,11 +99,82 @@ object Fuzzy {
     best
   }
 
-  /** Simplified WRatio: max of full, token-sort, and partial ratios
-    * (the reference uses it only as a ≥90 gate,
-    * `processors/reconcile_players.py:455`). */
-  def wRatio(a: String, b: String): Double =
-    math.max(ratio(a, b), math.max(tokenSortRatio(a, b), partialRatio(a, b)))
+  /** rapidfuzz `token_set_ratio` (public MIT fuzz.py algorithm): split
+    * both into token SETS; any-token-containment scores 100; otherwise
+    * the best of (diff-vs-diff with the common prefix credited) and
+    * (sect vs sect+diff) ratios. */
+  def tokenSetRatio(a: String, b: String): Double = {
+    val ta = a.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val tb = b.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    if (ta.isEmpty && tb.isEmpty) return 100.0
+    if (ta.isEmpty || tb.isEmpty) return 0.0
+    val inter = ta.intersect(tb)
+    val diffAb = (ta -- tb).toSeq.sorted.mkString(" ")
+    val diffBa = (tb -- ta).toSeq.sorted.mkString(" ")
+    if (inter.nonEmpty && (diffAb.isEmpty || diffBa.isEmpty)) return 100.0
+    val sectLen = inter.toSeq.sorted.mkString(" ").length
+    val sep = if (sectLen > 0) 1 else 0
+    val sectAbLen = sectLen + sep + diffAb.length
+    val sectBaLen = sectLen + sep + diffBa.length
+    // sect_ab vs sect_ba: the shared sect prefix is free, so the indel
+    // distance is exactly the diff-vs-diff distance
+    val diffDist = indelDistance(diffAb, diffBa)
+    val result = 1.0 - diffDist.toDouble / (sectAbLen + sectBaLen)
+    // sect vs sect_ab / sect vs sect_ba: one separator + the whole diff
+    val sectAb = 1.0 - (sep + diffAb.length).toDouble / (sectLen + sectAbLen)
+    val sectBa = 1.0 - (sep + diffBa.length).toDouble / (sectLen + sectBaLen)
+    math.max(result, math.max(sectAb, sectBa)) * 100.0
+  }
+
+  /** rapidfuzz `partial_token_sort_ratio`: partial over the
+    * token-sorted forms. */
+  def partialTokenSortRatio(a: String, b: String): Double = {
+    def norm(s: String) =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).sorted.mkString(" ")
+    partialRatio(norm(a), norm(b))
+  }
+
+  /** rapidfuzz `partial_token_set_ratio`: any shared token aligns
+    * perfectly under partial → 100; else partial over the diffs. */
+  def partialTokenSetRatio(a: String, b: String): Double = {
+    val ta = a.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val tb = b.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    if (ta.isEmpty && tb.isEmpty) return 100.0
+    if (ta.intersect(tb).nonEmpty) return 100.0
+    partialRatio((ta -- tb).toSeq.sorted.mkString(" "), (tb -- ta).toSeq.sorted.mkString(" "))
+  }
+
+  private def tokenRatio(a: String, b: String): Double =
+    math.max(tokenSortRatio(a, b), tokenSetRatio(a, b))
+
+  private def partialTokenRatio(a: String, b: String): Double =
+    math.max(partialTokenSortRatio(a, b), partialTokenSetRatio(a, b))
+
+  /**
+   * rapidfuzz `WRatio` (public MIT fuzz.py algorithm — the round-2
+   * simplified max over-scored pairs in [85.5, 94.4] against the ≥90
+   * gate at `processors/reconcile_players.py:455`):
+   *
+   *  - similar lengths (ratio < 1.5): max(ratio, token_ratio · 0.95)
+   *  - moderate mismatch (< 8): also partial_ratio · 0.9 and
+   *    partial_token_ratio · 0.95 · 0.9
+   *  - extreme mismatch (≥ 8): partial scale drops to 0.6
+   */
+  def wRatio(a: String, b: String): Double = {
+    val len1 = a.length
+    val len2 = b.length
+    if (len1 == 0 || len2 == 0) return 0.0
+    val lenRatio = math.max(len1, len2).toDouble / math.min(len1, len2)
+    val base = ratio(a, b)
+    val UNBASE = 0.95
+    if (lenRatio < 1.5) math.max(base, tokenRatio(a, b) * UNBASE)
+    else {
+      val partialScale = if (lenRatio < 8) 0.9 else 0.6
+      math.max(base, math.max(
+        partialRatio(a, b) * partialScale,
+        partialTokenRatio(a, b) * UNBASE * partialScale))
+    }
+  }
 
   /** rapidfuzz `utils.default_process`: lowercase, replace
     * non-alphanumerics with spaces, trim. The token_* scorers apply

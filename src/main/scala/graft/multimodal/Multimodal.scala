@@ -64,6 +64,79 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL CODEC — JVM-native image decode via `javax.imageio` (PNG,
+   * JPEG, BMP, GIF — whatever the running JVM registers). Pixels
+   * normalize to 1-byte grayscale luma so the downstream resize/
+   * feature path is codec-agnostic. Replaces the stub for
+   * rows whose format starts with `image/`; [[FakeCodec]] stays for deterministic
+   * keystream tests and as the video stand-in.
+   */
+  object ImageIoCodec {
+    /** (width, height, row-major grayscale bytes) from an encoded
+      * image payload. */
+    def decodeImage(content: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte](w * h)
+      val raster = img.getRaster
+      if (raster.getNumBands == 1) {
+        // grayscale: raw samples (getRGB would push them through the
+        // gray→sRGB gamma curve and corrupt the values)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = raster.getSample(x, y, 0).toByte
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            out(y * w + x) = luma.toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+      (w, h, out)
+    }
+
+    /** Encode grayscale pixels as PNG (test-side producer). */
+    def encodePng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, width, height, pixels)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Format-dispatched decode: `image/…` rows go through the REAL
+    * `javax.imageio` codec (dims come from the payload, not the
+    * metadata); everything else through the stub keystream format.
+    * Both paths produce identical frame shapes, so no plan or
+    * partitioning changes when a format flips from stub to real. */
+  def decodeFrames(m: MediaRow): Seq[DecodedFrame] =
+    if (m.format.startsWith("image/")) {
+      val (w, h, px) = ImageIoCodec.decodeImage(m.content)
+      Seq(DecodedFrame(m.media_id, 0, w, h, px))
+    } else {
+      FakeCodec.decode(m.content, m.width, m.height, m.n_frames)
+        .zipWithIndex
+        .map { case (px, idx) => DecodedFrame(m.media_id, idx, m.width, m.height, px) }
+    }
+
   /** Byte-balanced repartitioning: media payloads are wildly variable;
     * a row-count partitioner puts 100 4K videos in one task and 100
     * icons in another. Range-partition on a payload-size rank so each
@@ -79,12 +152,7 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.flatMap { m =>
-        val frames = FakeCodec.decode(m.content, m.width, m.height, m.n_frames)
-        frames.zipWithIndex
-          .filter { case (_, idx) => idx % everyN == 0 }
-          .map { case (px, idx) => DecodedFrame(m.media_id, idx, m.width, m.height, px) }
-      }
+      rows.flatMap(m => decodeFrames(m).filter(_.frame_idx % everyN == 0))
     }
   }
 
@@ -116,7 +184,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        val frames = FakeCodec.decode(m.content, m.width, m.height, m.n_frames)
+        val frames = decodeFrames(m).map(_.pixels)
         var n = 0L; var s = 0.0; var s2 = 0.0
         val hist = new Array[Long](16)
         frames.foreach(_.foreach { b =>

@@ -98,6 +98,19 @@ object PbpPipeline {
       .withColumn("outs_after", (col("outs_before") + col("outs_on_play")).cast("int"))
   }
 
+  /** The W4 segment total + W5 remaining-sum shared by both runs
+    * branches (reference main.py:87-88). */
+  private def innRunWindows(df: DataFrame): DataFrame = {
+    val wInn = Window.partitionBy("contest_id", "inning", "half").orderBy("play_id")
+    df
+      .withColumn("runs_this_inn",
+        sum("runs_on_play").over(
+          wInn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("int"))
+      .withColumn("runs_roi",
+        sum("runs_on_play").over(
+          wInn.rowsBetween(Window.currentRow, Window.unboundedFollowing)).cast("int"))
+  }
+
   /** runs (reference columns.py:179-232): text-derived runs_on_play,
     * then the W4 segment total and the W5 remaining-sum replacing the
     * reference's O(n²) loop — numerically identical, O(n). */
@@ -112,17 +125,42 @@ object PbpPipeline {
       .otherwise(regexp_extract(d, "(?i)(\\d+)\\s*RBI", 1).cast("double"))
     val hasRbi = d.rlike("(?i)\\bRBI\\b")
 
-    val wInn = Window.partitionBy("contest_id", "inning", "half").orderBy("play_id")
-    df
+    innRunWindows(df
       .withColumn("runs_on_play",
         (when(explicitRuns > 0, explicitRuns).otherwise(0) +
-          when((explicitRuns === 0) && hasRbi, rbiCountFilled).otherwise(0.0)).cast("int"))
-      .withColumn("runs_this_inn",
-        sum("runs_on_play").over(
-          wInn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("int"))
-      .withColumn("runs_roi",
-        sum("runs_on_play").over(
-          wInn.rowsBetween(Window.currentRow, Window.unboundedFollowing)).cast("int"))
+          when((explicitRuns === 0) && hasRbi, rbiCountFilled).otherwise(0.0)).cast("int")))
+  }
+
+  /**
+   * The scraped-scores runs branch (reference
+   * `pbp_parser/main.py:57-71`, used when `year >= CURRENT_YEAR`):
+   * raw `away_score`/`home_score` columns carry the authoritative
+   * cumulative score AFTER each play; before-scores are the per-game
+   * lag and runs_on_play the batting side's clipped delta — the
+   * text-derived regex path is bypassed entirely, which is what makes
+   * current-season feeds immune to description drift.
+   *
+   * Produces the same columns as [[runs]] + [[scores]], so callers
+   * pick exactly one branch.
+   */
+  def runsFromScores(df: DataFrame): DataFrame = {
+    val wGame = Window.partitionBy("contest_id").orderBy("play_id")
+    val withScores = df
+      .withColumn("away_score_after",
+        coalesce(col("away_score").cast("int"), lit(0)))
+      .withColumn("home_score_after",
+        coalesce(col("home_score").cast("int"), lit(0)))
+      .withColumn("away_score_before",
+        coalesce(lag("away_score_after", 1).over(wGame), lit(0)))
+      .withColumn("home_score_before",
+        coalesce(lag("home_score_after", 1).over(wGame), lit(0)))
+      .withColumn("runs_on_play",
+        greatest(
+          when(col("half") === "Top",
+            col("away_score_after") - col("away_score_before"))
+            .otherwise(col("home_score_after") - col("home_score_before")),
+          lit(0)).cast("int"))
+    innRunWindows(withScores)
   }
 
   /** scores (reference columns.py:144-170): cumulative per-game
@@ -252,8 +290,27 @@ object PbpPipeline {
     parsed.join(assigned, Seq("contest_id", "play_id"), "left")
   }
 
+  /** The season from which raw feeds carry scraped `away_score`/
+    * `home_score` columns (reference `scrapers/constants.py:1`). */
+  val CurrentYear = 2026
+
   /** Full parser stage over raw (contest_id, seq, away_text,
-    * home_text, inning) rows. */
+    * home_text, inning) rows — text-derived runs branch. */
   def parse(raw: DataFrame): DataFrame =
     batOrder(scores(classify(baseState(runs(outs(flags(metadata(raw))))))))
+
+  /**
+   * Year-gated parse (reference `pbp_parser/main.py:41-89`
+   * parse_pbp): seasons ≥ `currentYear` whose raw rows carry scraped
+   * scores take the [[runsFromScores]] branch (authoritative
+   * cumulative scores); older seasons derive runs from play text.
+   */
+  def parse(raw: DataFrame, year: Int, currentYear: Int): DataFrame = {
+    val pre = outs(flags(metadata(raw)))
+    val hasScores = Seq("away_score", "home_score").forall(raw.columns.contains)
+    val withRuns =
+      if (year >= currentYear && hasScores) runsFromScores(pre)
+      else scores(runs(pre))
+    batOrder(classify(baseState(withRuns)))
+  }
 }

@@ -124,20 +124,31 @@ object PlayerMap {
   /**
    * Spark wrapper: resolve every lineup row against the cube roster
    * index. `cube` (player_name, player_id, number nullable, team_id,
-   * year) is dimension-sized: collected, indexed per (team, year) and
-   * broadcast; `lineups` (player_name, number nullable, team_id,
-   * year) streams map-side.
+   * year) is usually dimension-sized: probed with `limit(max+1)`, and
+   * when it fits, collected, indexed per (team, year) and broadcast so
+   * `lineups` streams map-side with ZERO shuffle. Beyond the
+   * threshold it falls back to [[resolveLineupsCogrouped]] — no
+   * unconditional `collect()` of an input table (the round-2 driver-OOM
+   * scale risk).
+   *
+   * Candidate order is pinned to ascending player_id in BOTH paths so
+   * fuzzy tie-breaks are deterministic regardless of physical layout.
    */
-  def resolveLineups(spark: SparkSession, lineups: DataFrame, cube: DataFrame): DataFrame = {
-    val rows = cube
+  def resolveLineups(spark: SparkSession, lineups: DataFrame, cube: DataFrame,
+      maxBroadcastRows: Long = 2000000L): DataFrame = {
+    val cubeSlim = cube
       .select(col("team_id").cast("string"), col("year").cast("int"),
         col("player_name").cast("string"), col("player_id").cast("string"),
         col("number").cast("int"))
-      .collect()
+    val fits = cubeSlim.limit((maxBroadcastRows + 1).toInt).count() <= maxBroadcastRows
+    if (!fits) return resolveLineupsCogrouped(spark, lineups, cube)
+
+    val rows = cubeSlim.collect()
     val grouped = rows.groupBy(r => (r.getString(0), r.getInt(1)))
       .map { case (k, rs) =>
-        k -> CubeIndex.build(rs.toSeq.map(r =>
-          (r.getString(2), r.getString(3), if (r.isNullAt(4)) None else Some(r.getInt(4)))))
+        k -> CubeIndex.build(rs.toSeq.sortBy(r => Option(r.getString(3)).getOrElse(""))
+          .map(r =>
+            (r.getString(2), r.getString(3), if (r.isNullAt(4)) None else Some(r.getInt(4)))))
       }
     val bc = spark.sparkContext.broadcast(grouped)
 
@@ -148,5 +159,44 @@ object PlayerMap {
     lineups.withColumn("player_id",
       resolveUdf(col("team_id").cast("string"), col("year").cast("int"),
         col("player_name"), col("number").cast("int")))
+  }
+
+  /**
+   * Scale path (the [[graft.operators.FuzzyJoin]] cogroup shape): the
+   * DISTINCT probes (team, year, name, number) cogroup with the cube on
+   * the (team, year) block key — each group is roster-sized, the
+   * per-group index never leaves its task — then the resolutions join
+   * back onto the full lineups (null-safe on number). Two shuffles of
+   * dimension-sized data, zero driver materialization.
+   */
+  def resolveLineupsCogrouped(
+      spark: SparkSession, lineups: DataFrame, cube: DataFrame): DataFrame = {
+    import spark.implicits._
+    val probes = lineups
+      .select(col("team_id").cast("string"), col("year").cast("int"),
+        col("player_name").cast("string"), col("number").cast("int"))
+      .distinct()
+      .as[(String, Int, String, Option[Int])]
+    val cands = cube
+      .select(col("team_id").cast("string"), col("year").cast("int"),
+        col("player_name").cast("string"), col("player_id").cast("string"),
+        col("number").cast("int"))
+      .as[(String, Int, String, String, Option[Int])]
+
+    val resolved = probes.groupByKey(p => (p._1, p._2))
+      .cogroup(cands.groupByKey(c => (c._1, c._2))) { case ((team, year), ps, cs) =>
+        val idx = CubeIndex.build(
+          cs.toSeq.sortBy(c => Option(c._4).getOrElse("")).map(c => (c._3, c._4, c._5)))
+        ps.map(p => (team, year, p._3, p._4, resolve(p._3, p._4, idx).orNull))
+      }
+      .toDF("__rt", "__ry", "__rn", "__rnum", "player_id")
+
+    lineups.drop("player_id")
+      .join(resolved,
+        col("team_id").cast("string") === col("__rt") &&
+          col("year").cast("int") === col("__ry") &&
+          (col("player_name").cast("string") <=> col("__rn")) &&
+          (col("number").cast("int") <=> col("__rnum")), "left")
+      .drop("__rt", "__ry", "__rn", "__rnum")
   }
 }

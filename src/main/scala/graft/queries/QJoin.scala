@@ -142,22 +142,29 @@ object QJoin {
     },
 
     // J7: group-blocked fuzzy similarity join (reference
-    // names/helpers.py:157-202 cascade; not SQL-expressible — indel
-    // distance; covered by ScalaTest fixtures).
-    QueryDef.rowsOnly("j07_fuzzy_resolve") { (s, dir) =>
+    // names/helpers.py:157-202 cascade). The indel-distance cascade is
+    // not SQL-expressible, so the oracle is a pinned expected-output
+    // fixture (resources/graft/j07_oracle.sql, VALUES literal generated
+    // once from the ScalaTest-verified cascade) — it hash-gates every
+    // future change to the fuzzy kernels against the frozen semantics.
+    QueryDef.of("j07_fuzzy_resolve", QueryDef.resourceSql("/graft/j07_oracle.sql")) { (s, dir) =>
       val cust = Tables.customer(s, dir)
       val left = cust.select(
         col("c_nationkey").cast("string").as("group"),
         // mangled probe: '#'→' ', one character deleted at a
-        // key-dependent position (a distinct realistic typo per row)
-        expr("""concat(
-          substring(replace(c_name, '#', ' '), 1, CAST(c_custkey % 8 AS INT) + 1),
-          substring(replace(c_name, '#', ' '), CAST(c_custkey % 8 AS INT) + 3))""").as("name"))
+        // key-dependent position (a distinct realistic typo per row);
+        // every 8th row left intact so the exact tier fires too
+        expr("""CASE WHEN c_custkey % 8 = 0 THEN replace(c_name, '#', ' ')
+          ELSE concat(
+            substring(replace(c_name, '#', ' '), 1, CAST(c_custkey % 8 AS INT) + 1),
+            substring(replace(c_name, '#', ' '), CAST(c_custkey % 8 AS INT) + 3))
+          END""").as("name"))
       val right = cust.select(
         col("c_nationkey").cast("string").as("group"),
         regexp_replace(col("c_name"), "#", " ").as("cand_name"),
         col("c_custkey").cast("string").as("cand_id"))
       FuzzyJoin.resolve(s, left, right)
+        .withColumn("score", round(col("score"), 4))
         .orderBy("group", "name")
     },
 

@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.metrics.{ExpectedRuns, LinearWeights, PbpMetrics}
+import graft.pbp.PbpPipeline
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The pbp domain path as a benchable query (VERDICT r2 #9): synthetic
+ * raw play text derived deterministically from `events`, pushed
+ * through the FULL parser chain — regex classification, outs/runs
+ * windows, the X1 base-state fold (the engine's one non-codegen
+ * island) — then the expected-runs matrix and metric enrichment.
+ * Rows-only (the parser semantics are golden-tested in ScalaTest; no
+ * SQL oracle can express the fold), but registered so the driver
+ * smoke-checks it and Bench tracks its number per round.
+ */
+object QPbp {
+
+  /** events → raw pbp rows (contest_id, seq, inning, away_text,
+    * home_text): ~1 game per user, play text keyed by event_type. */
+  def rawPbpFromEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val batter = concat(lit("P"), (col("user_id") % 50).cast("string"),
+      lit(" Smith"), (col("user_id") % 20).cast("string"))
+    val runner = concat(lit("P"), ((col("user_id") + 7) % 50).cast("string"),
+      lit(" Smith"), ((col("user_id") + 7) % 20).cast("string"))
+    val text =
+      when(col("event_type") === "click", concat(batter, lit(" singled to left")))
+        .when(col("event_type") === "purchase",
+          concat(batter, lit(" doubled to right, RBI; "), runner, lit(" scored")))
+        .when(col("event_type") === "signup", concat(batter, lit(" walked")))
+        .when(col("event_type") === "error", concat(batter, lit(" struck out swinging")))
+        .otherwise(concat(batter, lit(" flied out to cf")))
+    ev.select(
+      col("user_id").as("contest_id"),
+      col("event_id").as("seq"),
+      ((col("event_id") % 9) + 1).cast("int").as("inning"),
+      when(col("event_id") % 2 === 0, text).as("away_text"),
+      when(col("event_id") % 2 =!= 0, text).as("home_text"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.rowsOnly("pbp01_parse_enrich") { (s, dir) =>
+      // the parse chain feeds three consumers (ER matrix, linear
+      // weights, the enrichment joins) — cache it or the whole
+      // UDF+window+fold chain runs once per consumer
+      val parsed = PbpPipeline.parse(rawPbpFromEvents(s, dir)).cache()
+      val er = ExpectedRuns.matrix(parsed)
+      val lw = LinearWeights.aboveAverage(parsed, er)
+        .select(col("events"), col("linear_weights_above_outs").as("normalized_weight"))
+      PbpMetrics.addRunExpectancy(PbpMetrics.addWoba(parsed, lw), er)
+        .select("contest_id", "play_id", "event_type", "batted_ball_type",
+          "batter_name", "bases_before", "bases_after", "outs_before",
+          "runs_on_play", "woba", "rea")
+        .orderBy("contest_id", "play_id")
+    })
+}

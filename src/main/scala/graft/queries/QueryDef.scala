@@ -29,4 +29,12 @@ object QueryDef {
   /** Non-SQL-expressible operator: driver records rows-only check. */
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** Load oracle SQL from a classpath resource (pinned-fixture oracles
+    * too large to inline as source literals). */
+  def resourceSql(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing oracle resource $path")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
 }

@@ -137,8 +137,10 @@ object WarPipeline {
       .agg(sum("wins").cast("double"), sum("games").cast("double")).first()
     val targetTotal = s.getDouble(0) - 0.294 * s.getDouble(1)
 
-    def scale(df: DataFrame, target: Double): DataFrame = {
-      val tot = df.agg(sum("war").cast("double")).first().getDouble(0)
+    def scale(df0: DataFrame, target: Double): DataFrame = {
+      val df = df0.cache() // scalar action + returned plan share one scan
+      val totRow = df.agg(sum("war").cast("double")).first()
+      val tot = if (totRow.isNullAt(0)) 0.0 else totRow.getDouble(0)
       val k = if (tot == 0) 1.0 else target / math.max(tot, 1e-12)
       df.withColumn("war", col("war") * k)
         .withColumn("sos_adj_war", col("sos_adj_war") * k)
@@ -173,15 +175,18 @@ object WarPipeline {
       .withColumn("woba", woba(col("bb"), col("hbp"), col("1b"), col("2b"), col("3b"),
         col("hr"), col("ab"), col("ibb"), col("sf"), guts))
       .withColumn("wraa", wraa(col("woba"), guts.woba, guts.wobaScale, col("pa")))
+      .cache()
 
-    val lgRpaRow = base.agg(sum("r").cast("double"), sum("pa").cast("double")).first()
-    val lgRpa = if (lgRpaRow.getDouble(1) > 0) lgRpaRow.getDouble(0) / lgRpaRow.getDouble(1) else 0.0
+    // ONE fused driver aggregate for all league scalars (round-2 ran
+    // three separate actions over the uncached frame)
+    val lg = base.agg(sum("r").cast("double"), sum("pa").cast("double"),
+      countDistinct("team_name")).first()
+    val totalPa = if (lg.isNullAt(1)) 0.0 else lg.getDouble(1)
+    val lgRpa = if (totalPa > 0) lg.getDouble(0) / totalPa else 0.0
+    val teamCount = math.max(lg.getLong(2), 1L).toInt
     val wConf = Window.partitionBy("conference")
     val confRpa = coalesce(
       sum("r").over(wConf).cast("double") / sum("pa").over(wConf), lit(lgRpa))
-
-    val teamCount = math.max(base.select("team_name").distinct().count(), 1L).toInt
-    val totalPa = base.agg(sum("pa").cast("double")).first().getDouble(0)
 
     val withRuns = base
       .withColumn("batting", battingRuns(col("wraa"), col("pa"), col("pf"), lgRpa, confRpa))
@@ -241,8 +246,10 @@ object WarPipeline {
       .withColumn("war",
         when(valid, leverageAdjustment(col("war"), coalesce(col("gmli"), lit(0.0)),
           col("app"), col("gs"))).otherwise(col("war")))
+      .cache()
 
     // 57/43 split: rescale so pitching total hits batting_total·0.43/0.57
+    // (one action over the cached frame; the returned plan reuses it)
     val t = scored.agg(sum("war").cast("double"),
       sum(when(valid, col("ip_float"))).cast("double")).first()
     val targetWar = batWarTotal * 0.43 / 0.57

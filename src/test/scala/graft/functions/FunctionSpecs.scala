@@ -59,8 +59,54 @@ class FuzzySpec extends AnyFunSuite {
     assert(math.abs(s - (1.0 - 2.0 / 6) * 100) < 1e-9)
   }
 
-  test("wRatio is max of the three scorers") {
-    assert(Fuzzy.wRatio("john smith", "smith john") === 100.0)
+  test("wRatio: similar lengths take token_ratio scaled by 0.95") {
+    // rapidfuzz WRatio on a pure token permutation is 95.0, NOT 100 —
+    // the round-2 simplified max over-scored this to 100
+    assert(Fuzzy.wRatio("john smith", "smith john") === 95.0)
+  }
+
+  test("wRatio: moderate length mismatch scales partial_ratio by 0.9") {
+    // a embedded verbatim in b: partial=100, len_ratio=3.25 ∈ [1.5, 8)
+    // → 0.9·100; partial_token_set=100 → 0.95·0.9·100 = 85.5; ratio =
+    // (1 - 9/17)·100 = 47.06 → WRatio = 90
+    assert(Fuzzy.wRatio("abcd", "abcd xyz abcd") === 90.0)
+  }
+
+  test("wRatio: token_set credit for shared tokens (hand-executed rapidfuzz)") {
+    // "john smith" vs "john doe": sect="john", diffs "smith"/"doe".
+    // token_set = max(1-8/18, 1-6/14, 1-4/12)·100 = 66.67;
+    // token_sort = (1-10/18)·100 = 44.44; ratio = (1-8/18)·100 = 55.56
+    // → WRatio = 66.67·0.95 = 63.33
+    val expected = (1.0 - 4.0 / 12) * 100 * 0.95
+    assert(math.abs(Fuzzy.wRatio("john smith", "john doe") - expected) < 1e-9)
+    assert(math.abs(Fuzzy.tokenSetRatio("john smith", "john doe") -
+      (1.0 - 4.0 / 12) * 100) < 1e-9)
+  }
+
+  test("wRatio divergence from the round-2 simplified max around the 90 gate") {
+    // best partial window scores in the low 90s; the simplified max
+    // would pass the ≥90 reconcile gate, real WRatio scales partial by
+    // 0.9 and correctly rejects
+    val a = "abcdefghij"
+    val b = "abcdefghix 1234567890123"
+    val simplified = math.max(Fuzzy.ratio(a, b),
+      math.max(Fuzzy.tokenSortRatio(a, b), Fuzzy.partialRatio(a, b)))
+    assert(simplified >= 90.0)
+    assert(Fuzzy.wRatio(a, b) < 90.0)
+  }
+
+  test("tokenSetRatio: subset tokens score 100; empty handling") {
+    assert(Fuzzy.tokenSetRatio("john", "john smith jr") === 100.0)
+    assert(Fuzzy.tokenSetRatio("", "") === 100.0)
+    assert(Fuzzy.tokenSetRatio("a", "") === 0.0)
+    assert(Fuzzy.partialTokenSetRatio("john x", "y john") === 100.0)
+  }
+
+  test("wRatio: extreme length mismatch drops partial scale to 0.6") {
+    // |b|/|a| = 40/4 = 10 ≥ 8 → partial 100·0.6 = 60, partial_token
+    // 100·0.95·0.6 = 57 → 60
+    val b = "abcd" + ("x" * 36)
+    assert(Fuzzy.wRatio("abcd", b) === 60.0)
   }
 
   test("property sweep: ratio symmetric, bounded, 100 on equality") {

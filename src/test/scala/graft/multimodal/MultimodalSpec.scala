@@ -54,4 +54,45 @@ class MultimodalSpec extends AnyFunSuite {
       .rdd.getNumPartitions
     assert(parts === 4)
   }
+
+  test("REAL codec: PNG payloads decode through the same mapPartitions path") {
+    // encode real PNGs (javax.imageio) whose pixels we control, mark
+    // them format=image/png, and run the SAME sampleFrames/
+    // extractFeatures plans the stub uses
+    val pngMedia = spark.createDataset((0 until 6).map { i =>
+      val w = 10 + i; val h = 7 + i
+      val px = Array.tabulate(w * h)(j => ((i * 31 + j * 7) % 256).toByte)
+      // width/height metadata DELIBERATELY wrong (0): the real codec
+      // reads dims from the payload, proving the decode is genuine
+      MediaRow(100L + i, "image", Multimodal.ImageIoCodec.encodePng(w, h, px), 0, 0, 1, "image/png")
+    })
+
+    val frames = Multimodal.sampleFrames(pngMedia, everyN = 1).collect()
+    assert(frames.length === 6)
+    frames.foreach { f =>
+      val i = (f.media_id - 100).toInt
+      assert(f.width === 10 + i && f.height === 7 + i)
+      // gray PNG round-trips luma exactly: (v*299+v*587+v*114)/1000 = v
+      val expected = Array.tabulate(f.width * f.height)(j => ((i * 31 + j * 7) % 256).toByte)
+      assert(f.pixels.toSeq === expected.toSeq)
+    }
+
+    // features flow through the same batch pass; resize works on real pixels
+    val feats = Multimodal.extractFeatures(pngMedia).collect()
+    assert(feats.length === 6 && feats.forall(_.embedding.length === 16))
+    val small = Multimodal.resized(Multimodal.sampleFrames(pngMedia, 1), 4, 4).collect()
+    assert(small.forall(f => f.pixels.length === 16))
+  }
+
+  test("mixed stub + real formats in one dataset decode per-row") {
+    val px = Array.tabulate(64)(j => (j * 3).toByte)
+    val mixed = spark.createDataset(Seq(
+      MediaRow(1L, "image", Multimodal.ImageIoCodec.encodePng(8, 8, px), 0, 0, 1, "image/png"),
+      MediaRow(2L, "image", Multimodal.FakeCodec.encode("m2", 8, 8, 1), 8, 8, 1, "fake/v1")))
+    val frames = Multimodal.sampleFrames(mixed, 1).collect().sortBy(_.media_id)
+    assert(frames.length === 2)
+    assert(frames(0).pixels.toSeq === px.toSeq)
+    assert(frames(1).pixels.toSeq ===
+      Multimodal.FakeCodec.decode(Multimodal.FakeCodec.encode("m2", 8, 8, 1), 8, 8, 1).head.toSeq)
+  }
 }

@@ -110,4 +110,31 @@ class PbpPipelineSpec extends AnyFunSuite {
     assert(g1(4).getAs[String]("batted_ball_type") === "GB") // grounded into DP
     assert(g1(5).getAs[String]("batted_ball_type") === "FB")
   }
+
+  test("scraped-scores runs branch: year gate picks score deltas over text") {
+    // text says 1 run (homer) + 0 runs; the scraped scores say the
+    // second play actually plated TWO (text drift — main.py:57-71's
+    // reason for the branch)
+    val raw = Seq(
+      (9L, 1, 1, "Ace homered", null, 1, 0),
+      (9L, 2, 1, "Bell singled", null, 3, 0),
+      (9L, 3, 1, null, "Cruz flied out", 3, 0))
+      .toDF("contest_id", "seq", "inning", "away_text", "home_text",
+        "away_score", "home_score")
+
+    val scoreBranch = PbpPipeline.parse(raw, year = 2026, currentYear = 2026)
+      .orderBy("play_id").collect()
+    assert(scoreBranch.map(_.getAs[Int]("runs_on_play")).toSeq === Seq(1, 2, 0))
+    assert(scoreBranch(1).getAs[Int]("away_score_before") === 1)
+    assert(scoreBranch(1).getAs[Int]("away_score_after") === 3)
+    assert(scoreBranch(2).getAs[Int]("home_score_after") === 0)
+    // rest-of-inning window shared with the text branch
+    assert(scoreBranch(0).getAs[Int]("runs_this_inn") === 3)
+    assert(scoreBranch(1).getAs[Int]("runs_roi") === 2)
+
+    // same rows, pre-current year → text branch ignores score columns
+    val textBranch = PbpPipeline.parse(raw, year = 2024, currentYear = 2026)
+      .orderBy("play_id").collect()
+    assert(textBranch.map(_.getAs[Int]("runs_on_play")).toSeq === Seq(1, 0, 0))
+  }
 }

@@ -93,4 +93,29 @@ class PlayerMapSpec extends AnyFunSuite {
     assert(out("Jane Smith") === Some("pid_other")) // per-team index isolation
     assert(out("Nobody Here At All") === None)
   }
+
+  test("cogrouped scale path ≡ broadcast path (no driver collect beyond threshold)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val cube = (1 to 40).map(i =>
+      (s"t${i % 4}", 2024, s"Player$i Last$i", s"pid_$i",
+        if (i % 3 == 0) Some(i) else None))
+      .toDF("team_id", "year", "player_name", "player_id", "number")
+    val lineups = (1 to 60).map { i =>
+      val n = i % 40 + 1
+      (s"t${n % 4}", 2024,
+        if (i % 5 == 0) s"# $n - Player$n Last$n" else s"Player$n Last$n",
+        if (i % 7 == 0) Some(n) else None)
+    }.toDF("team_id", "year", "player_name", "number")
+
+    val broadcastOut = PlayerMap.resolveLineups(spark, lineups, cube)
+      .select("team_id", "player_name", "number", "player_id")
+      .collect().map(_.toSeq).toSet
+    // force the scale path with a tiny threshold
+    val cogroupOut = PlayerMap.resolveLineups(spark, lineups, cube, maxBroadcastRows = 5)
+      .select("team_id", "player_name", "number", "player_id")
+      .collect().map(_.toSeq).toSet
+    assert(broadcastOut === cogroupOut)
+    assert(broadcastOut.nonEmpty)
+  }
 }

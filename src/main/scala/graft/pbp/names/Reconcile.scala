@@ -126,6 +126,123 @@ object Reconcile {
     }.toDF("team", "player_id", "img_url")
   }
 
+  // -------------------------------------------------------------------------
+  // Multi-year cube assignment (reconcile_players.py:295-513)
+  // -------------------------------------------------------------------------
+
+  final case class CubeMatch(
+      player_id: String, img_url: String, b_t: String, high_school: String,
+      year: Int, match_type: String)
+
+  /**
+   * The multi-year headshot→cube-player cascade
+   * (reconcile_players.py:420-470): per headshot row, (1) DIRECT match
+   * on (team, year, normalized name); (2) FUZZY `WRatio ≥ 90`
+   * extractOne among the same team-year's players; (3) FUZZY_FALLBACK
+   * among the team's players across ALL years. Blocked per team via
+   * cogroup — each group holds one program's multi-year roster
+   * (hundreds of rows), so the cascade runs in memory; the shuffle is
+   * one exchange per side on team_id regardless of total volume.
+   *
+   * Candidate order is pinned to ascending (year, player_id)
+   * (the reference's order is its concat-of-CSV-files order, which
+   * does not survive a shuffle); extractOne keeps the FIRST
+   * strictly-best candidate, matching rapidfuzz.
+   *
+   * @param stats     (team_id, year, name_norm, player_id) deduped
+   * @param headshots (team_id, year, name_norm, img_url, b_t,
+   *                  high_school)
+   */
+  def matchHeadshotsMultiYear(
+      spark: SparkSession, stats: DataFrame, headshots: DataFrame): DataFrame = {
+    import spark.implicits._
+    val st = stats.select(col("team_id").cast("long"), col("year").cast("int"),
+      col("name_norm").cast("string"), col("player_id").cast("string"))
+      .as[(Long, Int, String, String)]
+    val hs = headshots.select(col("team_id").cast("long"), col("year").cast("int"),
+      col("name_norm").cast("string"),
+      coalesce(col("img_url").cast("string"), lit("")),
+      coalesce(col("b_t").cast("string"), lit("")),
+      coalesce(col("high_school").cast("string"), lit("")))
+      .as[(Long, Int, String, String, String, String)]
+
+    st.groupByKey(_._1).cogroup(hs.groupByKey(_._1)) { (_, ss, hh) =>
+      // (year, player_id)-ordered candidates; norms precomputed
+      val all = ss.toArray.sortBy(r => (r._2, r._4)) // (team, year, norm, pid)
+      val byYearName = all.groupBy(r => (r._2, r._3))
+      val byYear = all.groupBy(_._2)
+
+      def extractOne(target: String, cands: Array[(Long, Int, String, String)])
+          : Option[(Long, Int, String, String)] = {
+        var best = -1.0
+        var bestRow: (Long, Int, String, String) = null
+        var i = 0
+        while (i < cands.length) {
+          val sc = Fuzzy.wRatio(target, cands(i)._3)
+          if (sc > best) { best = sc; bestRow = cands(i) }
+          i += 1
+        }
+        if (best >= 90.0) Some(bestRow) else None
+      }
+
+      hh.flatMap { h =>
+        val (_, year, nameNorm, imgUrl, bt, highSchool) = h
+        def mk(pid: String, tpe: String) =
+          CubeMatch(pid, imgUrl, bt, highSchool, year, tpe)
+        byYearName.get((year, nameNorm)).map(_.head) match {
+          case Some(r) => Some(mk(r._4, "direct"))
+          case None =>
+            byYear.get(year).flatMap(extractOne(nameNorm, _)) match {
+              case Some(r) => Some(mk(r._4, "fuzzy"))
+              case None =>
+                extractOne(nameNorm, all).map(r => mk(r._4, "fuzzy_fallback"))
+            }
+        }
+      }
+    }.toDF()
+  }
+
+  /** Keep the LATEST year's match per player
+    * (reconcile_players.py:476-478's sort-desc + drop_duplicates),
+    * tie-broken deterministically. */
+  def latestMatchPerPlayer(matches: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("player_id")
+      .orderBy(col("year").desc, col("match_type"), col("img_url"))
+    matches.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * Apply matches onto cube_player_info
+   * (reconcile_players.py:484-505): img_url OVERRIDES (falling back to
+   * the existing value), bats/throws/high_school fill ONLY when blank;
+   * incoming b_t re-normalized and split.
+   */
+  def updateCubeInfo(cubeInfo: DataFrame, matches: DataFrame): DataFrame = {
+    val normBt = udf((x: String) => Positions.normalizeBT(x))
+    val cleanHs = udf((x: String) => cleanHighSchool(x))
+    val m = latestMatchPerPlayer(matches).select(
+      col("player_id"),
+      col("img_url").as("__img_in"),
+      normBt(col("b_t")).as("__bt_in"),
+      cleanHs(col("high_school")).as("__hs_in"))
+    def blank(c: String) = trim(coalesce(col(c), lit(""))) === ""
+    cubeInfo.join(broadcast(m), Seq("player_id"), "left")
+      .withColumn("img_url",
+        coalesce(when(col("__img_in") =!= "", col("__img_in")), col("img_url")))
+      .withColumn("bats",
+        when(blank("bats"), coalesce(element_at(split(col("__bt_in"), "/"), 1), lit("")))
+          .otherwise(col("bats")))
+      .withColumn("throws",
+        when(blank("throws"), coalesce(get(split(col("__bt_in"), "/"), lit(1)), lit("")))
+          .otherwise(col("throws")))
+      .withColumn("high_school",
+        when(blank("high_school"), coalesce(col("__hs_in"), lit("")))
+          .otherwise(col("high_school")))
+      .drop("__img_in", "__bt_in", "__hs_in")
+  }
+
   /** Fill-if-empty enrichment + normalizers (reconcile_players
     * .py:279-293): roster fields fall back to headshot-sourced values
     * only when blank; bats/throws and positions standardized. */

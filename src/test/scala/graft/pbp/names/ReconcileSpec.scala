@@ -71,4 +71,65 @@ class ReconcileSpec extends AnyFunSuite {
     assert(enriched("p1").getAs[String]("pos") === "SS")
     assert(enriched("p9").getAs[String]("pos") === "P") // rhp → P
   }
+
+  test("multi-year cascade: direct > fuzzy (same year) > fuzzy_fallback (any year)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // team 1 roster across two seasons
+    val stats = Seq(
+      (1L, 2023, "jane smith", "p_js"),
+      (1L, 2024, "jane smith", "p_js"),
+      (1L, 2024, "bob jones", "p_bj"),
+      (1L, 2023, "carl older", "p_co"),
+      (2L, 2024, "jane smith", "p_other"))
+      .toDF("team_id", "year", "name_norm", "player_id")
+    val headshots = Seq(
+      // exact (team 1, 2024)
+      (1L, 2024, "jane smith", "js.png", "r/r", "Central HS"),
+      // typo → fuzzy within 2024 (WRatio ≥ 90 vs "bob jones")
+      (1L, 2024, "bob joness", "bj.png", "l/l", ""),
+      // only exists in 2023 → fuzzy_fallback across years
+      (1L, 2024, "carl older", "co.png", "", ""),
+      // no candidate anywhere near → dropped
+      (1L, 2024, "zzz qqq xx", "no.png", "", ""))
+      .toDF("team_id", "year", "name_norm", "img_url", "b_t", "high_school")
+
+    val m = Reconcile.matchHeadshotsMultiYear(spark, stats, headshots)
+      .collect().map(r => r.getAs[String]("player_id") ->
+        (r.getAs[String]("img_url"), r.getAs[String]("match_type"))).toMap
+    assert(m("p_js") === (("js.png", "direct")))
+    assert(m("p_bj") === (("bj.png", "fuzzy")))
+    assert(m("p_co") === (("co.png", "fuzzy_fallback")))
+    assert(!m.contains("p_other")) // team blocking holds
+    assert(m.size === 3)
+  }
+
+  test("latest-year dedup and fill-only-blank cube_info update") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val matches = Seq(
+      ("p1", "old.png", "r/r", "Old HS", 2022, "direct"),
+      ("p1", "new.png", "l/l", "New HS", 2024, "direct"),
+      ("p2", "p2.png", "s|l", "Previous School: X Somewhere HS", 2023, "fuzzy"))
+      .toDF("player_id", "img_url", "b_t", "high_school", "year", "match_type")
+    val cubeInfo = Seq(
+      ("p1", "", "R", "", ""),
+      ("p2", "keep.png", "", "", "Existing HS"),
+      ("p3", "p3.png", "L", "L", "HS3"))
+      .toDF("player_id", "img_url", "bats", "throws", "high_school")
+
+    val out = Reconcile.updateCubeInfo(cubeInfo, matches)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // p1: latest year wins; img overrides; bats kept (non-blank), throws filled
+    assert(out("p1").getAs[String]("img_url") === "new.png")
+    assert(out("p1").getAs[String]("bats") === "R")
+    assert(out("p1").getAs[String]("throws") === "L")
+    assert(out("p1").getAs[String]("high_school") === "New HS")
+    // p2: img overrides existing; high_school kept (non-blank)
+    assert(out("p2").getAs[String]("img_url") === "p2.png")
+    assert(out("p2").getAs[String]("bats") === "S")
+    assert(out("p2").getAs[String]("high_school") === "Existing HS")
+    // p3: untouched
+    assert(out("p3").getAs[String]("img_url") === "p3.png")
+  }
 }

@@ -330,6 +330,62 @@ object QDomain {
         .orderBy("player_id")
     },
 
+    // BSR4: the TEAM baserunning roll-up — team steal stats (single
+    // conditional projection), team wGDP, team wSB (reference
+    // leaderboards/baserunning.py:471-602). The team wEBT float
+    // roll-up is excluded from the hash (cross-row double summation
+    // is not bit-stable across engines; covered by BaserunningSpec).
+    QueryDef.of("bsr04_team_baserunning",
+      s"""WITH $pbpCte,
+        |team_steal AS (
+        |  SELECT bat_team_id AS team_id, count(DISTINCT contest_id) AS games,
+        |    CAST(SUM(CASE WHEN r1_id IS NOT NULL AND event_type NOT IN ('SB','CS') THEN 1 ELSE 0 END) AS BIGINT) AS opp_2b,
+        |    CAST(SUM(CASE WHEN r2_id IS NOT NULL AND event_type NOT IN ('SB','CS') THEN 1 ELSE 0 END) AS BIGINT) AS opp_3b,
+        |    CAST(SUM(CASE WHEN r1_id IS NOT NULL AND event_type IN ('SB','CS') THEN 1 ELSE 0 END) AS BIGINT) AS att_2b,
+        |    CAST(SUM(CASE WHEN r2_id IS NOT NULL AND event_type IN ('SB','CS') THEN 1 ELSE 0 END) AS BIGINT) AS att_3b,
+        |    CAST(SUM(CASE WHEN r1_id IS NOT NULL AND event_type = 'SB' THEN 1 ELSE 0 END) AS BIGINT) AS sb_2b,
+        |    CAST(SUM(CASE WHEN r2_id IS NOT NULL AND event_type = 'SB' THEN 1 ELSE 0 END) AS BIGINT) AS sb_3b,
+        |    CAST(SUM(CASE WHEN r1_id IS NOT NULL AND event_type = 'CS' THEN 1 ELSE 0 END) AS BIGINT) AS cs_2b,
+        |    CAST(SUM(CASE WHEN r2_id IS NOT NULL AND event_type = 'CS' THEN 1 ELSE 0 END) AS BIGINT) AS cs_3b
+        |  FROM pbp GROUP BY bat_team_id),
+        |team_rates AS (
+        |  SELECT *, sb_2b + sb_3b AS sb, cs_2b + cs_3b AS cs, att_2b + att_3b AS sb_att
+        |  FROM team_steal),
+        |tgdp_per AS (
+        |  SELECT bat_team_id AS team_id, count(*) AS gdp_opps,
+        |    count(CASE WHEN lower(play_description) LIKE '%double play%' THEN 1 END) AS gdp
+        |  FROM pbp
+        |  WHERE r1_id IS NOT NULL AND outs_before < 2 AND bat_team_id IS NOT NULL
+        |  GROUP BY bat_team_id),
+        |tgdp_lg AS (
+        |  SELECT CASE WHEN SUM(gdp_opps) > 0 THEN CAST(SUM(gdp) AS DOUBLE) / SUM(gdp_opps)
+        |              ELSE 0.0 END AS r FROM tgdp_per),
+        |tjoined AS (
+        |  SELECT t.*, COALESCE(g.gdp_opps, 0) AS gdp_opps, COALESCE(g.gdp, 0) AS gdp,
+        |    COALESCE((g.gdp_opps * (SELECT r FROM tgdp_lg) - g.gdp) * 0.5, 0.0) AS wgdp
+        |  FROM team_rates t LEFT JOIN tgdp_per g ON t.team_id = g.team_id),
+        |tlg AS (
+        |  SELECT CAST(SUM(sb) AS DOUBLE) AS lg_sb, CAST(SUM(cs) AS DOUBLE) AS lg_cs,
+        |    CAST(SUM(sb_att) AS DOUBLE) AS lg_opps FROM tjoined)
+        |SELECT team_id, games, opp_2b, att_2b, sb_2b, cs_2b, opp_3b, att_3b,
+        |  sb_3b, cs_3b, sb, cs, sb_att, gdp_opps, gdp,
+        |  round(CASE WHEN sb_att > 0 THEN CAST(sb AS DOUBLE) / sb_att ELSE 0.0 END, 6) AS sb_pct,
+        |  round(j.sb * 0.2 + j.cs * (-0.475)
+        |    - (CASE WHEN l.lg_opps > 0 THEN (l.lg_sb * 0.2 + l.lg_cs * (-0.475)) / l.lg_opps
+        |            ELSE 0.0 END) * greatest(j.sb_att, 0), 6) AS wsb,
+        |  round(wgdp, 6) AS wgdp
+        |FROM tjoined j CROSS JOIN tlg l ORDER BY team_id""".stripMargin) { (s, dir) =>
+      graft.war.Baserunning.teamBaserunning(pbpFromEvents(s, dir),
+          runsSb = 0.2, runsCs = -0.475, runsOut = 0.2)
+        .select(col("team_id"), col("games"), col("opp_2b"), col("att_2b"),
+          col("sb_2b"), col("cs_2b"), col("opp_3b"), col("att_3b"),
+          col("sb_3b"), col("cs_3b"), col("sb"), col("cs"), col("sb_att"),
+          col("gdp_opps"), col("gdp"),
+          round(col("sb_pct"), 6).as("sb_pct"),
+          round(col("wsb"), 6).as("wsb"), round(col("wgdp"), 6).as("wgdp"))
+        .orderBy("team_id")
+    },
+
     // VAL1: value_batter — Σwpa with ± splits in ONE agg, rew, pLI,
     // clutch (reference leaderboards/value.py:13-54).
     QueryDef.of("val01_value_batter",

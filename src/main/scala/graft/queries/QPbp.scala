@@ -47,9 +47,12 @@ object QPbp {
       // weights, the enrichment joins) — cache it or the whole
       // UDF+window+fold chain runs once per consumer
       val parsed = PbpPipeline.parse(rawPbpFromEvents(s, dir)).cache()
-      val er = ExpectedRuns.matrix(parsed)
+      // er/lw are KB-sized but their PLANS re-aggregate the whole scan;
+      // each is referenced from 2+ broadcast subplans — cache both
+      val er = ExpectedRuns.matrix(parsed).cache()
       val lw = LinearWeights.aboveAverage(parsed, er)
         .select(col("events"), col("linear_weights_above_outs").as("normalized_weight"))
+        .cache()
       PbpMetrics.addRunExpectancy(PbpMetrics.addWoba(parsed, lw), er)
         .select("contest_id", "play_id", "event_type", "batted_ball_type",
           "batter_name", "bases_before", "bases_after", "outs_before",

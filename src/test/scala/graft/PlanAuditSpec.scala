@@ -65,4 +65,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length === 2, p)
     assert(p.contains("ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double>"), p)
   }
+
+  test("bsr01: steal kernel is union → ONE hash aggregation, league rates broadcast") {
+    val p = plan("bsr01_steal_stats")
+    assert(p.contains("Union"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bsr02: wEBT runner-dests are one window pass; league rates via broadcast join") {
+    val p = plan("bsr02_webt")
+    // the only nest-loop allowed is the 1-row league-rate broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // dest lead()s run in a single window over (contest_id, play_id)
+    val winExchanges = "hashpartitioning\\(contest_id".r.findAllIn(p).length
+    assert(winExchanges <= 2, s"contest_id exchanges=$winExchanges\n$p")
+  }
+
+  test("bsr03: composite joins stay hash/broadcast — no cartesian pair blowup") {
+    val p = plan("bsr03_baserunning")
+    assert(!p.contains("CartesianProduct"), p)
+    // nested-loop joins are allowed ONLY as 1-row league-scalar cross
+    // broadcasts (build-right Cross); any data-sized nested loop fails
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    val crossScalar = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length
+    assert(bnl === crossScalar, s"non-scalar nested-loop joins\n$p")
+  }
+
+  test("val01: value table is ONE aggregation with inline ± splits") {
+    val p = plan("val01_value_batter")
+    assert(!p.contains("Union"), p) // NOT three separate groupbys unioned
+    // min(string) reps force SortAggregate; still partial+final pairs
+    val aggs = "(HashAggregate|SortAggregate)".r.findAllIn(p).length
+    assert(aggs >= 2, p)
+  }
+
+  test("pbp01: fold repartitions once by game; no cartesian anywhere") {
+    val p = plan("pbp01_parse_enrich")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
 }

@@ -130,14 +130,23 @@ object RunAll {
         parsed0.withColumn("pitcher_name", lit(""))
           .withColumn("pitcher_id", lit(null).cast("string"))
     }
-    // name-keyed ids where reconciliation hasn't run: the parser's
-    // names ARE the keys (reference pre-cube-mapping behavior)
-    val parsed = write(parsed1
-      .withColumn("batter_id", col("batter_name"))
-      .withColumn("r1_id", when(col("r1_name") =!= "", col("r1_name")))
-      .withColumn("r2_id", when(col("r2_name") =!= "", col("r2_name")))
-      .withColumn("r3_id", when(col("r3_name") =!= "", col("r3_name"))),
-      "parsed_pbp")
+    // 1c. batter/runner standardization (standardize_names stage):
+    // with game-keyed batting lineups, the full cascade resolves every
+    // name column to canonical lineup names + real player ids;
+    // otherwise the parser's names ARE the keys (reference
+    // pre-cube-mapping behavior)
+    val lineupCols = Seq("contest_id", "team_id", "player_name", "player_id")
+    val parsed2 = inputs.battingLineups match {
+      case Some(bl) if lineupCols.forall(bl.columns.contains) =>
+        graft.pbp.names.StandardizeNames(spark, parsed1, bl)
+      case _ =>
+        parsed1
+          .withColumn("batter_id", col("batter_name"))
+          .withColumn("r1_id", when(col("r1_name") =!= "", col("r1_name")))
+          .withColumn("r2_id", when(col("r2_name") =!= "", col("r2_name")))
+          .withColumn("r3_id", when(col("r3_name") =!= "", col("r3_name")))
+    }
+    val parsed = write(parsed2, "parsed_pbp")
 
     // 2. expected runs (get_er_matrix stage)
     val er = write(ExpectedRuns.matrix(parsed), "expected_runs")

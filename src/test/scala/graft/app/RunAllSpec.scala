@@ -186,6 +186,34 @@ class RunAllSpec extends AnyFunSuite {
     assert(vpt.count() >= 2)
   }
 
+  test("batting lineups route names through the standardize cascade to real ids") {
+    val teams = Seq((1L, "T1", "T2", "Aardvarks", "Badgers"),
+      (2L, "T3", "T2", "Cougars", "Badgers"))
+      .toDF("contest_id", "away_team_id", "home_team_id", "away_team_name", "home_team_name")
+    // lineups carry canonical names + ids; "Cole" arrives via variation
+    val battingLineups = Seq(
+      (1L, "T1", "Adams, Jeff", "b_adams"), (1L, "T1", "Brown, Ted", "b_brown"),
+      (1L, "T1", "Cole, Sam", "b_cole"), (1L, "T1", "Dunn, Al", "b_dunn"),
+      (1L, "T2", "Evans, Bo", "b_evans"), (1L, "T1", "Foley, Jim", "b_foley"),
+      (2L, "T3", "Giles, Ed", "b_giles"), (2L, "T3", "Hart, Lou", "b_hart"))
+      .toDF("contest_id", "team_id", "player_name", "player_id")
+
+    val outDir = s"/tmp/graft_runall_std_${System.nanoTime()}"
+    RunAll.run(spark, rawGame, outDir, RunAll.Inputs(
+      teams = Some(teams), battingLineups = Some(battingLineups)))
+    val parsed = spark.read.parquet(s"$outDir/parsed_pbp")
+    val ids = parsed.filter(col("batter_id").isNotNull)
+      .select("batter_name", "batter_id").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // play text "Adams" (last name only) resolves to the lineup player
+    assert(ids.get("Adams, Jeff").contains("b_adams"))
+    assert(ids.get("Cole, Sam").contains("b_cole"))
+    // runner ids resolved through the same cascade
+    val r1 = parsed.filter(col("r1_id").isNotNull).select("r1_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(r1.contains("b_adams"))
+  }
+
   test("SchemaFinalize: defaults, nullable ints, non-finite scrub, ordered select") {
     val df = Seq(
       ("a", Some(1L), Some(1.5)),

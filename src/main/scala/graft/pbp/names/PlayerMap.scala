@@ -161,6 +161,23 @@ object PlayerMap {
         col("player_name"), col("number").cast("int")))
   }
 
+  /** Fill-only-missing driver semantics (reference
+    * `map_ncaa_to_cube.py:180-234` enrich_lineups): rows that already
+    * carry a valid player_id keep it; only blank/"nan"/"None" ids go
+    * through the resolution cascade. */
+  def enrichLineups(spark: SparkSession, lineups: DataFrame, cube: DataFrame,
+      maxBroadcastRows: Long = 2000000L): DataFrame = {
+    val hasExisting = lineups.columns.contains("player_id")
+    val withExisting =
+      if (hasExisting) lineups.withColumnRenamed("player_id", "__pid_existing")
+      else lineups.withColumn("__pid_existing", lit(null).cast("string"))
+    val valid = trim(coalesce(col("__pid_existing"), lit(""))) =!= "" &&
+      !col("__pid_existing").isin("nan", "None")
+    resolveLineups(spark, withExisting, cube, maxBroadcastRows)
+      .withColumn("player_id", when(valid, col("__pid_existing")).otherwise(col("player_id")))
+      .drop("__pid_existing")
+  }
+
   /**
    * Scale path (the [[graft.operators.FuzzyJoin]] cogroup shape): the
    * DISTINCT probes (team, year, name, number) cogroup with the cube on

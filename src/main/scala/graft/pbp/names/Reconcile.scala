@@ -243,6 +243,45 @@ object Reconcile {
       .drop("__img_in", "__bt_in", "__hs_in")
   }
 
+  /**
+   * cube_player_info upsert from season stats
+   * (reconcile_players.py:515-512 add_missing_players_to_cube_info):
+   * stub rows (player_id + player_name, everything else null) for ids
+   * present in stats but absent from the info table; blank
+   * player_name filled from the stats name (smallest non-empty name
+   * wins — the reference's sort + keep-first); dedup keep-first on
+   * player_id. One anti-join + one union, no driver materialization.
+   */
+  def addMissingPlayers(cubeInfo: DataFrame, stats: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("player_id")
+      .orderBy(when(trim(coalesce(col("player_name"), lit(""))) === "", 1).otherwise(0),
+        col("player_name"))
+    val players = stats
+      .select(trim(col("player_id").cast("string")).as("player_id"),
+        coalesce(col("player_name").cast("string"), lit("")).as("player_name"))
+      .filter(col("player_id").isNotNull && col("player_id") =!= "")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val nameMap = players.withColumnRenamed("player_name", "__name_in")
+    val filled = cubeInfo
+      .join(broadcast(nameMap), Seq("player_id"), "left")
+      .withColumn("player_name",
+        when(trim(coalesce(col("player_name"), lit(""))) === "",
+          coalesce(col("__name_in"), col("player_name")))
+          .otherwise(col("player_name")))
+      .drop("__name_in")
+
+    val stubs = players.join(cubeInfo.select("player_id"), Seq("player_id"), "left_anti")
+    val stubsAligned = filled.columns.foldLeft(stubs) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(filled.schema(c).dataType))
+    }.select(filled.columns.map(col): _*)
+
+    filled.unionByName(stubsAligned)
+      .dropDuplicates("player_id")
+  }
+
   /** Fill-if-empty enrichment + normalizers (reconcile_players
     * .py:279-293): roster fields fall back to headshot-sourced values
     * only when blank; bats/throws and positions standardized. */

@@ -94,6 +94,22 @@ class PlayerMapSpec extends AnyFunSuite {
     assert(out("Nobody Here At All") === None)
   }
 
+  test("enrichLineups fills ONLY missing/placeholder ids, keeps valid ones") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val cube = Seq(("t1", 2024, "Jane Smith", "pid_js", Option.empty[Int]))
+      .toDF("team_id", "year", "player_name", "player_id", "number")
+    val lineups = Seq(
+      ("t1", 2024, "Jane Smith", Option.empty[Int], "already_set"),
+      ("t1", 2024, "Jane Smith", Option.empty[Int], ""),
+      ("t1", 2024, "Jane Smith", Option.empty[Int], "nan"),
+      ("t1", 2024, "Jane Smith", Option.empty[Int], null))
+      .toDF("team_id", "year", "player_name", "number", "player_id")
+    val out = PlayerMap.enrichLineups(spark, lineups, cube)
+      .select("player_id").as[String].collect().sorted
+    assert(out.toSeq === Seq("already_set", "pid_js", "pid_js", "pid_js"))
+  }
+
   test("cogrouped scale path ≡ broadcast path (no driver collect beyond threshold)") {
     val spark = SparkTestSession.spark
     import spark.implicits._

@@ -104,6 +104,27 @@ class ReconcileSpec extends AnyFunSuite {
     assert(m.size === 3)
   }
 
+  test("addMissingPlayers: stub rows for new ids, blank names filled, dedup") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val cubeInfo = Seq(
+      ("p1", "Jane Smith", "img1.png"),
+      ("p2", "", "img2.png"))
+      .toDF("player_id", "player_name", "img_url")
+    val stats = Seq(
+      ("p1", "Jane Smith"), ("p2", "Bob Brown"), ("p2", ""),
+      ("p3", "Carl New"), ("p3", "Carl New"), ("p4", ""))
+      .toDF("player_id", "player_name")
+    val out = Reconcile.addMissingPlayers(cubeInfo, stats)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size === 4)
+    assert(out("p2").getString(1) === "Bob Brown") // blank filled (non-empty wins)
+    assert(out("p2").getString(2) === "img2.png") // other cols kept
+    assert(out("p3").getString(1) === "Carl New") // stub added
+    assert(out("p3").isNullAt(2)) // stub's other cols null
+    assert(out("p4").getString(1) === "") // id-only stub
+  }
+
   test("latest-year dedup and fill-only-blank cube_info update") {
     val spark = SparkTestSession.spark
     import spark.implicits._

@@ -53,12 +53,26 @@ object StatefulFold {
       .sortWithinPartitions(keyCols.map(col) ++ orderCols: _*)
 
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val keyIdxArr = keyIdx.toArray
     sorted.mapPartitions { rows =>
-      var currentKey: Seq[Any] = null
+      // per-row key compare without a Seq allocation (hot path: the
+      // fold runs per play; boxing the key tuple per row showed up in
+      // the sf0.1 profile)
+      var currentKey: Array[Any] = null
       var state: S = null.asInstanceOf[S]
       rows.flatMap { row =>
-        val k = keyIdx.map(row.get)
-        if (currentKey == null || k != currentKey) {
+        var changed = currentKey == null
+        if (!changed) {
+          var i = 0
+          while (i < keyIdxArr.length && !changed) {
+            if (row.get(keyIdxArr(i)) != currentKey(i)) changed = true
+            i += 1
+          }
+        }
+        if (changed) {
+          val k = new Array[Any](keyIdxArr.length)
+          var i = 0
+          while (i < keyIdxArr.length) { k(i) = row.get(keyIdxArr(i)); i += 1 }
           currentKey = k
           state = init(row)
         }

@@ -219,6 +219,7 @@ object PbpPipeline {
       "p3_text" -> df.schema.fieldIndex("p3_text"),
       "p4_text" -> df.schema.fieldIndex("p4_text"))
 
+    val inWidth = df.schema.length
     StatefulFold.foldPartitions[BaseState.State](
       df, Seq("contest_id"), Seq(col("play_id")), outSchema)(
       init = _ => BaseState.emptyState,
@@ -231,10 +232,17 @@ object PbpPipeline {
           subIn = s("sub_in"), subOut = s("sub_out"),
           p1 = s("p1_text"), p2 = s("p2_text"), p3 = s("p3_text"), p4 = s("p4_text"))
         val (st2, o) = BaseState.step(st, play)
-        (st2, Iterator(Row.fromSeq(row.toSeq ++ Seq(
-          o.batterName, o.playerOfInterest,
-          o.r1Before, o.r2Before, o.r3Before, o.basesBefore,
-          o.r1After, o.r2After, o.r3After, o.basesAfter))))
+        // single pre-sized array copy, no Seq concat per row
+        val arr = new Array[Any](inWidth + 10)
+        var i = 0
+        while (i < inWidth) { arr(i) = row.get(i); i += 1 }
+        arr(inWidth) = o.batterName; arr(inWidth + 1) = o.playerOfInterest
+        arr(inWidth + 2) = o.r1Before; arr(inWidth + 3) = o.r2Before
+        arr(inWidth + 4) = o.r3Before; arr(inWidth + 5) = o.basesBefore
+        arr(inWidth + 6) = o.r1After; arr(inWidth + 7) = o.r2After
+        arr(inWidth + 8) = o.r3After; arr(inWidth + 9) = o.basesAfter
+        (st2, Iterator(Row.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))))
       })
   }
 

@@ -25,8 +25,11 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a failed query must NOT masquerade as a fast one: report -1
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // operators may persist intermediates (dedup shingle frames);
       // drop them so later queries aren't measured under GC pressure
       spark.catalog.clearCache()

@@ -45,8 +45,14 @@ object QPbp {
     QueryDef.rowsOnly("pbp01_parse_enrich") { (s, dir) =>
       // the parse chain feeds three consumers (ER matrix, linear
       // weights, the enrichment joins) — cache it or the whole
-      // UDF+window+fold chain runs once per consumer
-      val parsed = PbpPipeline.parse(rawPbpFromEvents(s, dir)).cache()
+      // UDF+window+fold chain runs once per consumer. Cache only the
+      // columns those consumers read: the full parse row carries ~35
+      // text columns and triples the materialization cost.
+      val parsed = PbpPipeline.parse(rawPbpFromEvents(s, dir))
+        .select("contest_id", "play_id", "event_type", "batted_ball_type",
+          "batter_name", "bases_before", "bases_after", "outs_before",
+          "outs_after", "inn_end_fl", "runs_on_play", "runs_roi")
+        .cache()
       // er/lw are KB-sized but their PLANS re-aggregate the whole scan;
       // each is referenced from 2+ broadcast subplans — cache both
       val er = ExpectedRuns.matrix(parsed).cache()

@@ -95,21 +95,26 @@ object StandardizeNames {
    * player_name, player_id).
    */
   def apply(spark: SparkSession, parsed: DataFrame, battingLineups: DataFrame,
-      threshold: Double = 70.0): DataFrame = {
+      threshold: Double = 70.0, maxBroadcastRows: Long = 2000000L): DataFrame = {
     import spark.implicits._
 
-    // team-wide fallback lookup: roster-scale dim, broadcast.
-    // (At extreme dim sizes, route through a cogroup on team_id — the
-    // PlayerMap.resolveLineupsCogrouped shape; lineups are rosters, so
-    // broadcast is the expected path.)
-    val rosterRows = battingLineups
+    // team-wide fallback lookup: roster-scale dim, broadcast — but
+    // NEVER an unconditional collect of an input table: probe with
+    // limit(max+1) first, and beyond the threshold degrade to
+    // game-lookup-only matching (the cross-game fallback tier is an
+    // enrichment, not a correctness requirement) instead of OOMing
+    // the driver.
+    val rosterDim = battingLineups
       .select(col("team_id").cast("string"), col("player_name").cast("string"),
         col("player_id").cast("string"))
       .distinct()
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), Option.empty[String]))
-      .sortBy(r => (r._1, r._3, r._2)) // deterministic insertion order
-      .toSeq
+    val fits = rosterDim.limit((maxBroadcastRows + 1).toInt).count() <= maxBroadcastRows
+    val rosterRows =
+      if (!fits) Seq.empty
+      else rosterDim.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), Option.empty[String]))
+        .sortBy(r => (r._1, r._3, r._2)) // deterministic insertion order
+        .toSeq
     val fullLookup = NameVariants.buildNameLookup(rosterRows)
     val fullOrdered = NameVariants.orderedKeys(rosterRows)
     val bcLookup = spark.sparkContext.broadcast((fullLookup, fullOrdered))

@@ -122,5 +122,23 @@ object QVector {
       Dedup.embeddingNearDupLsh(emb(s, dir), "vec_id", "embedding",
           dim = 64, numPlanes = 4, threshold = 0.2)
         .orderBy("id_a", "id_b")
+    },
+
+    // IVF-bucketed ANN — the inverted-file scale path next to the LSH
+    // one. Rows-only: centroid ASSIGNMENT argmax is sensitive to
+    // float-vs-double dot-product precision across engines (a near-tie
+    // flips a cell discretely, unlike the rounded pairwise cosines the
+    // other vector oracles compare), so correctness evidence lives in
+    // OperatorSpecs: exact-score vs brute, recall@10 bound, and
+    // run-to-run determinism of the seeded Lloyd training.
+    QueryDef.rowsOnly("v05_ann_ivf_topk") { (s, dir) =>
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.ivfTopK(queries, cands,
+          numClusters = 8, iters = 2, k = 5, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     })
 }

@@ -94,6 +94,44 @@ class OperatorSpecs extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK: deterministic training, exact scores, useful recall vs brute") {
+    val queries = embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cands = embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+    val bruteTop = SimilaritySearch.bruteForceTopK(queries, cands, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bruteAll = SimilaritySearch.bruteForceTopK(queries, cands, k = 500)
+      .select("query_id", "id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (q, id, cos) => (q, id) -> cos }.toMap
+
+    val ivf = SimilaritySearch.ivfTopK(queries, cands,
+      numClusters = 8, iters = 2, k = 10, nprobe = 3)
+      .select("query_id", "rank", "id", "cos").as[(Long, Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    // scores are EXACT cosines (IVF only restricts the candidate set)
+    ivf.foreach { case (q, _, id, cos) =>
+      assert(math.abs(bruteAll((q, id)) - cos) < 1e-9)
+    }
+    // contiguous ranks per query
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1L to rows.length).toSeq)
+    }
+    // recall@10 with 3/8 cells probed should be substantial
+    val recalls = ivf.groupBy(_._1).map { case (q, rows) =>
+      val got = rows.map(_._3).toSet
+      got.intersect(bruteTop(q)).size.toDouble / bruteTop(q).size
+    }
+    assert(recalls.sum / recalls.size >= 0.5, s"mean recall ${recalls.sum / recalls.size}")
+
+    // deterministic: same seed data → identical output across runs
+    val again = SimilaritySearch.ivfTopK(queries, cands,
+      numClusters = 8, iters = 2, k = 10, nprobe = 3)
+      .select("query_id", "rank", "id", "cos").as[(Long, Long, Long, Double)].collect()
+    assert(ivf.sortBy(r => (r._1, r._2)).toSeq === again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("ngramJaccardPairs equals a hand-computed toy corpus") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),

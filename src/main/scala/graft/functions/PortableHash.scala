@@ -73,4 +73,31 @@ object PortableHash {
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** [[simhash60]] over a catalyst ArrayData of UTF8Strings — the
+    * entry point [[SimHash60Expr]]'s generated code calls directly
+    * (no Seq materialization, no UDF serialization boundary). */
+  def simhash60FromArrayData(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val w = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Long(arr.getUTF8String(i).toString)
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) w(j) += 1 else w(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (w(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
 }

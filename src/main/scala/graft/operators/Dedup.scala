@@ -202,15 +202,15 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  private val simhashUdf = udf((toks: Seq[String]) =>
-    if (toks == null) null.asInstanceOf[java.lang.Long]
-    else java.lang.Long.valueOf(PortableHash.simhash60(toks)))
-
-  /** 60-bit SimHash signature per document over canonical tokens. */
+  /** 60-bit SimHash signature per document over canonical tokens —
+    * a native codegen'd expression ([[graft.plans.SimHash60Expr]]),
+    * not a UDF: the projection stays inside WholeStageCodegen with no
+    * Row→Seq conversion per document. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).as("id"),
-      simhashUdf(TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))))
+      graft.plans.SimHash60Expr.simhash60(
+        TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))))
         .as("simhash"))
 
   /**
@@ -230,14 +230,15 @@ object Dedup {
       .toDF("id", "simhash", "chunk", "chunk_val")
     val a = chunked.as("a")
     val b = chunked.as("b")
-    val hammingUdf = udf((x: Long, y: Long) => PortableHash.hamming(x, y))
     a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
       .distinct()
-      .withColumn("hamming", hammingUdf(col("sig_a"), col("sig_b")))
+      // built-in bit_count(xor) — codegen'd, no UDF
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

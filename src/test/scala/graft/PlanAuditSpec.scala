@@ -102,6 +102,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(aggs >= 2, p)
   }
 
+  test("t08: simhash is a native codegen expression — no Scala UDF in the plan") {
+    val p = plan("t08_simhash_pairs")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.toLowerCase.contains("simhash60"), p) // the native expression prints its prettyName
+  }
+
   test("pbp01: fold repartitions once by game; no cartesian anywhere") {
     val p = plan("pbp01_parse_enrich")
     assert(!p.contains("CartesianProduct"), p)

@@ -162,6 +162,21 @@ class OperatorSpecs extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("SimHash60Expr (codegen) equals the pure-Scala simhash60") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, ""), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val viaExpr = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    docs.collect().foreach { r =>
+      val toks = graft.functions.TextFunctions
+      // recompute through the pure function on the same canonical tokens
+      val canonical = r.getString(1).toLowerCase.replaceAll("[^\\p{L}\\p{N}\\s]", " ")
+        .replaceAll("\\s+", " ").trim
+      val tokens = if (canonical.isEmpty) Seq.empty[String] else canonical.split(" ").toSeq
+      assert(viaExpr(r.getLong(0)) === graft.functions.PortableHash.simhash60(tokens))
+    }
+  }
+
   test("simhash chunk-join equals brute-force Hamming pairs (pigeonhole)") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir).limit(120)
     val viaChunks = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)

@@ -94,6 +94,25 @@ object StreamOps {
       }
   }
 
+  /**
+   * Streaming exact dedup — the training-pipeline dedup family's
+   * streaming form: keep the first arrival per content fingerprint,
+   * with state bounded by the event-time watermark
+   * (`dropDuplicatesWithinWatermark`: a duplicate arriving within the
+   * delay of its original is dropped; state for fingerprints older
+   * than the watermark is evicted, so the operator runs forever on
+   * unbounded input — the batch `exactKeepFirst` semantics under a
+   * bounded-state contract).
+   *
+   * @param df       streaming frame with an event-time `ts` column
+   * @param keyCols  fingerprint columns (e.g. a content hash)
+   */
+  def dedupStream(
+      df: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked tumbling-window counts per event type — the
     * streaming form of the W4 segment aggregate. */
   def windowedTypeCounts(

@@ -63,6 +63,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dedupStream keeps first arrival per fingerprint with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val base = new java.sql.Timestamp(1700000000L * 1000)
+    def ev(id: Long, offsetSec: Long, content: String) =
+      StreamEvent(id, new java.sql.Timestamp(base.getTime + offsetSec * 1000), 1L, content, 0.0)
+
+    val query = StreamOps.dedupStream(
+        input.toDS().toDF(), Seq("event_type"), watermarkDelay = "60 seconds")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two distinct docs + one duplicate of the first
+      input.addData(Seq(ev(1, 0, "docA"), ev(2, 5, "docB"), ev(3, 10, "docA")))
+      query.processAllAvailable()
+      // batch 2: late duplicate of docB inside the watermark -> dropped
+      input.addData(Seq(ev(4, 20, "docB")))
+      query.processAllAvailable()
+      // advance event time far past the watermark, then re-send docA:
+      // its state was evicted, so it is treated as new (bounded state)
+      input.addData(Seq(ev(5, 10000, "flush")))
+      query.processAllAvailable()
+      input.addData(Seq(ev(6, 10010, "docA")))
+      query.processAllAvailable()
+
+      val got = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().toSet
+      assert(Set(1L, 2L).subsetOf(got))
+      assert(!got.contains(3L) && !got.contains(4L)) // in-watermark dups dropped
+      assert(got.contains(6L)) // re-admitted after state eviction
+    } finally query.stop()
+  }
+
   test("windowedTypeCounts matches a batch tumbling-window aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamEvent]

@@ -348,7 +348,11 @@ object Baserunning {
    * `runsSb`/`runsCs`/`runsOut` come from the GUTS constants.
    */
   def playerBaserunning(
-      df: DataFrame, runsSb: Double, runsCs: Double, runsOut: Double): DataFrame = {
+      df0: DataFrame, runsSb: Double, runsCs: Double, runsOut: Double): DataFrame = {
+    // four consumers (steal, names, wGDP, wEBT) share one scan —
+    // persist the projected input or the upstream pipeline runs 4×
+    // (same pattern as the dedup operators' shingle persist)
+    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val steal = playerStealStats(df)
     val names = runnerNameMap(df)
     val wg = wgdp(df, "batter_id", "player_id")
@@ -391,7 +395,8 @@ object Baserunning {
    * runner→team first-appearance map, then team wSB + composite.
    */
   def teamBaserunning(
-      df: DataFrame, runsSb: Double, runsCs: Double, runsOut: Double): DataFrame = {
+      df0: DataFrame, runsSb: Double, runsCs: Double, runsOut: Double): DataFrame = {
+    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val steal = teamStealStats(df)
     val names = df.groupBy(col("bat_team_id").as("team_id"))
       .agg(min("bat_team_name").as("team_name"))

@@ -45,12 +45,14 @@ object ProfilePbp {
     val parsed = time("parse+cache materialize") {
       val p = parse(raw).cache(); p.count(); p
     }
-    val er = time("ER matrix") {
-      val e = graft.metrics.ExpectedRuns.matrix(parsed); e.count(); e
+    val er = time("ER matrix (cached)") {
+      val e = graft.metrics.ExpectedRuns.matrix(parsed).cache(); e.count(); e
     }
-    val lw = time("linear weights") {
+    time("re24 alone")(graft.metrics.LinearWeights.re24(parsed, er).count())
+    val lw = time("linear weights (cached)") {
       val l = graft.metrics.LinearWeights.aboveAverage(parsed, er)
         .select(col("events"), col("linear_weights_above_outs").as("normalized_weight"))
+        .cache()
       l.count(); l
     }
     time("addWoba")(graft.metrics.PbpMetrics.addWoba(parsed, lw).count())

@@ -132,6 +132,119 @@ class BaserunningSpec extends AnyFunSuite {
       0.225 + (3 * 0.2 - 1) * 0.5 + 0.0)
   }
 
+  test("property: playerStealStats equals a naive Scala loop on random games") {
+    val rnd = new scala.util.Random(7)
+    val events = Seq("SB", "CS", "1B", "2B", "OUT")
+    case class P(contest: Long, play: Int, r1: Option[String], r2: Option[String], et: String)
+    val plays = (0 until 400).map { i =>
+      P(rnd.nextInt(20).toLong, i,
+        if (rnd.nextBoolean()) Some(s"p${rnd.nextInt(15)}") else None,
+        if (rnd.nextInt(3) == 0) Some(s"p${rnd.nextInt(15)}") else None,
+        events(rnd.nextInt(events.length)))
+    }
+    val df = plays.map(p => (p.contest, p.play, "b", "t", "tn",
+        p.r1.orNull, p.r1.map("N" + _).orNull, p.r2.orNull, p.r2.map("N" + _).orNull,
+        null: String, p.et, "desc", 0))
+      .toDF("contest_id", "play_id", "batter_id", "bat_team_id", "bat_team_name",
+        "r1_id", "r1_name", "r2_id", "r2_name", "r3_id", "event_type",
+        "play_description", "outs_before")
+
+    // naive per-play accumulation
+    case class Acc(var games: Set[Long] = Set.empty,
+      var opp2: Long = 0, var att2: Long = 0, var sb2: Long = 0, var cs2: Long = 0,
+      var opp3: Long = 0, var att3: Long = 0, var sb3: Long = 0, var cs3: Long = 0)
+    val acc = scala.collection.mutable.Map.empty[String, Acc]
+    plays.foreach { p =>
+      val isAtt = p.et == "SB" || p.et == "CS"
+      p.r1.foreach { r =>
+        val a = acc.getOrElseUpdate(r, Acc()); a.games += p.contest
+        if (isAtt) { a.att2 += 1; if (p.et == "SB") a.sb2 += 1 else a.cs2 += 1 }
+        else a.opp2 += 1
+      }
+      p.r2.foreach { r =>
+        val a = acc.getOrElseUpdate(r, Acc()); a.games += p.contest
+        if (isAtt) { a.att3 += 1; if (p.et == "SB") a.sb3 += 1 else a.cs3 += 1 }
+        else a.opp3 += 1
+      }
+    }
+
+    val got = Baserunning.playerStealStats(df).collect()
+      .map(r => r.getString(r.fieldIndex("player_id")) -> r).toMap
+    assert(got.keySet === acc.keySet)
+    acc.foreach { case (pid, a) =>
+      val r = got(pid)
+      assert(r.getLong(r.fieldIndex("games")) === a.games.size, pid)
+      assert(r.getLong(r.fieldIndex("opp_2b")) === a.opp2, pid)
+      assert(r.getLong(r.fieldIndex("att_2b")) === a.att2, pid)
+      assert(r.getLong(r.fieldIndex("sb_2b")) === a.sb2, pid)
+      assert(r.getLong(r.fieldIndex("cs_2b")) === a.cs2, pid)
+      assert(r.getLong(r.fieldIndex("opp_3b")) === a.opp3, pid)
+      assert(r.getLong(r.fieldIndex("att_3b")) === a.att3, pid)
+      assert(r.getLong(r.fieldIndex("sb_3b")) === a.sb3, pid)
+      assert(r.getLong(r.fieldIndex("cs_3b")) === a.cs3, pid)
+    }
+  }
+
+  test("property: webtWar destinations equal a naive next-play lookup") {
+    val rnd = new scala.util.Random(11)
+    case class P(contest: Long, play: Int, r1: Option[String], r2: Option[String],
+      r3: Option[String], et: String)
+    val plays = (0 until 300).map { i =>
+      def rp() = if (rnd.nextBoolean()) Some(s"p${rnd.nextInt(10)}") else None
+      P(rnd.nextInt(12).toLong, i, rp(), rp(), rp(),
+        Seq("1B", "2B", "OUT")(rnd.nextInt(3)))
+    }
+    val df = plays.map(p => (p.contest, p.play, "b", "t", "tn",
+        p.r1.orNull, p.r2.orNull, p.r3.orNull, p.et, "d", 0))
+      .toDF("contest_id", "play_id", "batter_id", "bat_team_id", "bat_team_name",
+        "r1_id", "r2_id", "r3_id", "event_type", "play_description", "outs_before")
+
+    // naive: per contest ordered by play, dest from the NEXT play's bases
+    val byContest = plays.groupBy(_.contest).view.mapValues(_.sortBy(_.play))
+    case class W(var opp13: Long = 0, var taken13: Long = 0, var out13: Long = 0,
+      var opp2h: Long = 0, var taken2h: Long = 0, var out2h: Long = 0,
+      var opp1h: Long = 0, var taken1h: Long = 0, var out1h: Long = 0)
+    val acc = scala.collection.mutable.Map.empty[String, W]
+    byContest.foreach { case (_, ps) =>
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val next = if (i + 1 < ps.length) Some(ps(i + 1)) else None
+        def dest(r: String): Int =
+          next match {
+            case Some(n) =>
+              if (n.r1.contains(r)) 1 else if (n.r2.contains(r)) 2
+              else if (n.r3.contains(r)) 3 else 0
+            case None => 0
+          }
+        p.r1.foreach { r =>
+          if (p.et == "1B") {
+            val a = acc.getOrElseUpdate(r, W()); a.opp13 += 1
+            if (dest(r) == 3) a.taken13 += 1
+            if (dest(r) == 0) a.out13 += 1
+          }
+          if (p.et == "2B") {
+            val a = acc.getOrElseUpdate(r, W()); a.opp1h += 1
+            if (dest(r) != 0) a.taken1h += 1 else a.out1h += 1
+          }
+        }
+        p.r2.foreach { r =>
+          if (p.et == "1B") {
+            val a = acc.getOrElseUpdate(r, W()); a.opp2h += 1
+            if (dest(r) != 0) a.taken2h += 1 else a.out2h += 1
+          }
+        }
+      }
+    }
+
+    val got = Baserunning.webtWar(df, runsOut = 0.2).collect()
+      .map(r => r.getString(r.fieldIndex("player_id")) -> r).toMap
+    assert(got.keySet === acc.keySet)
+    acc.foreach { case (pid, w) =>
+      val r = got(pid)
+      assert(r.getLong(r.fieldIndex("ebt_opps")) === w.opp13 + w.opp2h + w.opp1h, pid)
+      assert(r.getLong(r.fieldIndex("ebt")) === w.taken13 + w.taken2h + w.taken1h, pid)
+    }
+  }
+
   test("wsbFromBatting matches the season-stats opportunity formula") {
     // batting.py:102-114: opps = 1b+bb+hbp-ibb (clipped), run_cs = -(2*runs_out+0.075)
     val bat = Seq(

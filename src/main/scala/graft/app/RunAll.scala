@@ -151,10 +151,21 @@ object RunAll {
     // 2. expected runs (get_er_matrix stage)
     val er = write(ExpectedRuns.matrix(parsed), "expected_runs")
 
-    // 3. linear weights (get_linear_weights stage)
-    val lw = write(LinearWeights.aboveAverage(parsed, er), "linear_weights")
-    val lwNormalized = lw.select(col("events"),
-      col("linear_weights_above_outs").as("normalized_weight"))
+    // 3. linear weights (get_linear_weights stage). With season batting
+    // stats the weights normalize to the true wOBA scale (league OBP /
+    // run-value denominator, reference get_linear_weights.py:114-151)
+    // and carry the woba_scale row guts reads; without them the
+    // above-outs weights stand in (scale 1), as documented.
+    val lw0 = LinearWeights.aboveAverage(parsed, er)
+    val lwNormalized = inputs.battingStats match {
+      case Some(bat) =>
+        write(LinearWeights.normalized(lw0, bat), "linear_weights")
+          .select("events", "normalized_weight")
+      case None =>
+        write(lw0, "linear_weights")
+          .select(col("events"),
+            col("linear_weights_above_outs").as("normalized_weight"))
+    }
 
     // 4. metric enrichment (add_pbp_metrics stage)
     val withBase = PbpMetrics.addRunExpectancy(

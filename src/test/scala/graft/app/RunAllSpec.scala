@@ -147,6 +147,12 @@ class RunAllSpec extends AnyFunSuite {
     assert(m.filter(col("contest_id") === 1 && col("half") === "Top" &&
       col("bat_team_id") === "T1").count() > 0)
 
+    // linear weights carry the real wOBA scale when batting stats exist
+    val lwOut = spark.read.parquet(s"$outDir/linear_weights")
+    assert(lwOut.filter(col("events") === "woba_scale").count() === 1)
+    val g = spark.read.parquet(s"$outDir/guts_constants").collect().head
+    assert(g.getAs[Double]("wobaScale") !== 1.0)
+
     // guts + the four WAR tables
     assert(byName("guts_constants") === 1)
     assert(byName("batting_war") === 5)

@@ -74,8 +74,14 @@ object Kernel {
       .withColumn(s"rea$sfx", when(pa === 0, lit(0.0)).otherwise(coalesce(c("rea"), lit(0.0))))
   }
 
+  /** Pre-enrichment frames may lack `rea` — the reference treats it
+    * as 0 then (common.py:47 `if "rea" in group.columns else 0`). */
+  private def withRea(pbp: DataFrame): DataFrame =
+    if (pbp.columns.contains("rea")) pbp else pbp.withColumn("rea", lit(0.0))
+
   /** A5: the batting-metric kernel for one grouping — one hash agg. */
-  def battingMetrics(pbp: DataFrame, keys: Seq[String], weights: Weights): DataFrame = {
+  def battingMetrics(pbp0: DataFrame, keys: Seq[String], weights: Weights): DataFrame = {
+    val pbp = withRea(pbp0)
     val aggs = kernelAggs(lit(true), "", weights)
     val grouped = pbp.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     derive(grouped, "", "", weights)
@@ -111,8 +117,9 @@ object Kernel {
     * becomes `sum(when(cond, …))` columns in a SINGLE aggregation
     * (splits.py / situational.py collapse onto this). */
   def condSplits(
-      pbp: DataFrame, keys: Seq[String], splits: Seq[(String, Column)],
+      pbp0: DataFrame, keys: Seq[String], splits: Seq[(String, Column)],
       weights: Weights): DataFrame = {
+    val pbp = withRea(pbp0)
     val aggs = splits.flatMap { case (name, cond) => kernelAggs(cond, s"_$name", weights) }
     val grouped = pbp.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val derived = splits.foldLeft(grouped) { case (d, (name, _)) =>

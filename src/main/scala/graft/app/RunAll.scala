@@ -113,7 +113,12 @@ object RunAll {
         .withColumn("year", lit(inputs.year))
         .withColumn("division", lit(inputs.division))
       Sinks.upsertByPartition(stamped, path, Seq("year", "division"))
-      results += StageResult(name, path, spark.read.parquet(path).count())
+      // report THIS batch's rows (partition-pruned read), consistent
+      // with write()'s semantics — not the whole history
+      results += StageResult(name, path,
+        spark.read.parquet(path)
+          .filter(col("year") === inputs.year && col("division") === inputs.division)
+          .count())
     }
 
     // 1. parse (pbp_parser stage) + team enrichment
@@ -198,13 +203,23 @@ object RunAll {
       case _ => defaultGuts(inputs.year, inputs.division)
     }
 
-    // 6. WAR stage (get_war) — all four tables, schema-finalized
+    // 6. WAR stage (get_war) — all four tables, schema-finalized.
+    // Requires the WPA/LI enrichment (clutch and GMLI are WAR inputs,
+    // get_war.py reads pbp_with_metrics): without WE/LI tables the
+    // stage skips, like every other missing-input stage here.
     val warInputs = for {
       bat <- inputs.battingStats; pit <- inputs.pitchingStats
       pf <- inputs.parkFactors; rk <- inputs.rankings; mp <- inputs.mappings
+      if haveWpa
     } yield (bat, pit, pf, rk, mp)
     warInputs.foreach { case (bat, pit, pf, rk, mp) =>
-      val lineups = inputs.battingLineups.getOrElse(emptyLineups(spark))
+      // positional adjustments need lineup positions; a lineups input
+      // without them (the standardize-names shape) falls back to the
+      // per-player single-position fallback path
+      val lineups = inputs.battingLineups
+        .filter(bl => Seq("player_id", "position", "contest_id")
+          .forall(bl.columns.contains))
+        .getOrElse(emptyLineups(spark))
       val war = GetWar.run(bat, pit, metrics, guts, pf, lineups,
         rk, mp, inputs.division, inputs.year)
       write(SchemaFinalize.finalizeSchema(war.batting, SchemaFinalize.battingWar),

@@ -104,14 +104,8 @@ object Kernel {
   /** A6: all five situations in ONE pass — wide output columns
     * `<stat>_<situation>` (situational.py's filter-per-situation ×
     * pivot, collapsed to a single aggregation). */
-  def situational(pbp: DataFrame, keys: Seq[String], weights: Weights): DataFrame = {
-    val aggs = situations.flatMap { case (name, cond) => kernelAggs(cond, s"_$name", weights) }
-    val grouped = pbp.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val derived = situations.foldLeft(grouped) { case (d, (name, _)) =>
-      derive(d, s"_$name", name, weights)
-    }
-    derived.drop(grouped.columns.filter(_.startsWith("__")): _*)
-  }
+  def situational(pbp: DataFrame, keys: Seq[String], weights: Weights): DataFrame =
+    condSplits(pbp, keys, situations, weights)
 
   /** The generic one-pass multi-condition kernel: every named split
     * becomes `sum(when(cond, …))` columns in a SINGLE aggregation

@@ -91,7 +91,11 @@ object Leaderboards {
 
   /** The batted-ball table for one grouping (batted_ball.py:77-170) —
     * one hash aggregation; pull_air/oppo_gb fold into the same agg
-    * instead of the reference's two extra groupbys. */
+    * instead of the reference's two extra groupbys. Reference quirk
+    * preserved: `batted_balls` counts EVERY plate appearance of the
+    * batter (the reference's `play_description: "count"` over the
+    * unfiltered frame), and spray regexes may fire on non-batted
+    * descriptions — only the gb/fb/ld/pu shares are contact-only. */
   def battedBallStats(df: DataFrame, keys: Seq[String]): DataFrame = {
     def pct(n: Column, d: Column) = when(d > 0, n / d * 100)
     val flagged = addBattedBallFlags(df)
@@ -154,8 +158,15 @@ object Leaderboards {
    * caches `pbp`; every table here is lazily-planned so the driver can
    * write them in sequence against the cached scan.
    */
-  def runAnalysis(pbp: DataFrame, weights: Weights, guts: GutsConstants): Map[String, DataFrame] = {
+  def runAnalysis(pbp0: DataFrame, weights: Weights, guts: GutsConstants): Map[String, DataFrame] = {
     val sit = Kernel.situations
+    // pandas groupby drops null group keys; Spark groupBy keeps them —
+    // filter each table's primary key or unresolved ids publish a
+    // junk null-keyed leaderboard row
+    def keyed(key: String) = pbp0.filter(col(key).isNotNull)
+    val pbp = pbp0
+    val batPbp = keyed("batter_id")
+    val pitPbp = keyed("pitcher_id")
     // WPA-dependent tables only plan when the enrichment ran (no wpa
     // column → the reference's skip-on-missing, main.py:224-227)
     val valueTables: Map[String, DataFrame] =
@@ -166,27 +177,27 @@ object Leaderboards {
         "value_pitcher" -> Value.pitchingPlayer(pbp, guts.runsWin),
         "value_pitching_team" -> Value.pitchingTeam(pbp, guts.runsWin))
     valueTables ++ Map(
-      "situational_batter" -> rename(Kernel.condSplits(pbp, batKeys, sit, weights), batRename),
-      "situational_pitcher" -> rename(Kernel.condSplits(pbp, pitKeys, sit, weights), pitRename),
+      "situational_batter" -> rename(Kernel.condSplits(batPbp, batKeys, sit, weights), batRename),
+      "situational_pitcher" -> rename(Kernel.condSplits(pitPbp, pitKeys, sit, weights), pitRename),
       "situational_batting_team" ->
         rename(Kernel.condSplits(pbp, batTeamRename.keys.toSeq, sit, weights), batTeamRename),
       "situational_pitching_team" ->
         rename(Kernel.condSplits(pbp, pitTeamRename.keys.toSeq, sit, weights), pitTeamRename),
       "splits_batter" ->
-        rename(Kernel.condSplits(pbp, batKeys, battingSplitConds, weights), batRename),
+        rename(Kernel.condSplits(batPbp, batKeys, battingSplitConds, weights), batRename),
       "splits_pitcher" ->
-        rename(Kernel.condSplits(pbp, pitKeys, pitchingSplitConds, weights), pitRename),
+        rename(Kernel.condSplits(pitPbp, pitKeys, pitchingSplitConds, weights), pitRename),
       "splits_batting_team" ->
         rename(Kernel.condSplits(pbp, batTeamRename.keys.toSeq, battingSplitConds, weights),
           batTeamRename),
       "splits_pitching_team" ->
         rename(Kernel.condSplits(pbp, pitTeamRename.keys.toSeq, pitchingSplitConds, weights),
           pitTeamRename),
-      "batted_ball_batter" -> rename(battedBallStats(pbp, batKeys), batRename),
+      "batted_ball_batter" -> rename(battedBallStats(batPbp, batKeys), batRename),
       "batted_ball_batting_team" ->
         rename(battedBallStats(pbp, batTeamRename.keys.toSeq), batTeamRename),
       "batted_ball_pitcher" ->
-        rename(battedBallStats(pbp.filter(col("pitcher_id").isNotNull), pitKeys), pitRename),
+        rename(battedBallStats(pitPbp, pitKeys), pitRename),
       "batted_ball_pitching_team" ->
         rename(battedBallStats(pbp, pitTeamRename.keys.toSeq), pitTeamRename),
       "rolling_batter" -> rollingWoba(pbp, "batter_id"),

@@ -178,9 +178,12 @@ object WarPipeline {
       .cache()
 
     // ONE fused driver aggregate for all league scalars (round-2 ran
-    // three separate actions over the uncached frame)
+    // three separate actions over the uncached frame). countDistinct
+    // skips nulls; a null team bucket must still count (the previous
+    // distinct().count() — and pandas unique() — include it).
     val lg = base.agg(sum("r").cast("double"), sum("pa").cast("double"),
-      countDistinct("team_name")).first()
+      countDistinct("team_name") +
+        max(when(col("team_name").isNull, 1L).otherwise(0L))).first()
     val totalPa = if (lg.isNullAt(1)) 0.0 else lg.getDouble(1)
     val lgRpa = if (totalPa > 0) lg.getDouble(0) / totalPa else 0.0
     val teamCount = math.max(lg.getLong(2), 1L).toInt

@@ -192,6 +192,29 @@ class RunAllSpec extends AnyFunSuite {
     assert(vpt.count() >= 2)
   }
 
+  test("WAR inputs without WE/LI skip the WAR stage instead of crashing") {
+    val battingStats = Seq(
+      ("Adams", "T1", "Aardvarks", "North", "ss", 10, 40, 15, 3, 1, 2, 5, 0, 1, 8, 1, 0, 6, 1, 12))
+      .toDF("player_id", "team_id", "team_name", "conference", "pos", "gp", "ab",
+        "h", "2b", "3b", "hr", "bb", "ibb", "hbp", "k", "sf", "sh", "sb", "cs", "r")
+    val pitchingStats = Seq(
+      ("p_knox", "T1", "Aardvarks", "North", 8, 6, 45.2, 20, 25, 3.94, 30, 12, 5, 40, 2, 180))
+      .toDF("player_id", "team_id", "team_name", "conference", "app", "gs", "ip",
+        "er", "r", "era", "h", "bb", "hbp", "so", "hr_a", "bf")
+    val outDir = s"/tmp/graft_runall_nowpa_${System.nanoTime()}"
+    // clutch/GMLI (WAR inputs) need the WPA enrichment — absent WE/LI,
+    // the stage must skip like every other missing-input stage
+    val stages = RunAll.run(spark, rawGame, outDir, RunAll.Inputs(
+      battingStats = Some(battingStats), pitchingStats = Some(pitchingStats),
+      parkFactors = Some(Seq(("T1", 100.0)).toDF("team_id", "pf")),
+      rankings = Some(Seq(("Aardvarks", 0.6, "7-3")).toDF("massey_team", "sos_val", "record")),
+      mappings = Some(Seq(("Aardvarks", "Aardvarks")).toDF("ncaa_team_name", "massey_team_name"))))
+    val names = stages.map(_.name).toSet
+    assert(!names.contains("batting_war"))
+    assert(names.contains("guts_constants")) // guts still runs off season stats
+    assert(names.contains("leaderboards/situational_batter"))
+  }
+
   test("batting lineups route names through the standardize cascade to real ids") {
     val teams = Seq((1L, "T1", "T2", "Aardvarks", "Badgers"),
       (2L, "T3", "T2", "Cougars", "Badgers"))

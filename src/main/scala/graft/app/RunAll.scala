@@ -228,6 +228,11 @@ object RunAll {
         "pitching_war")
       write(war.battingTeam, "batting_team_war")
       write(war.pitchingTeam, "pitching_team_war")
+      // free the WAR/linear-weight stage caches: a driver looping
+      // divisions × years would otherwise accumulate pinned copies
+      // (every stage output is parquet-backed; nothing cached yet is
+      // needed downstream)
+      spark.catalog.clearCache()
     }
 
     // 7. leaderboards (leaderboards stage): the ~20-table fan-out off
@@ -244,6 +249,8 @@ object RunAll {
         upsert(df, s"leaderboards/$name")
     }
     forBoards.unpersist()
+    // operator-level persists (baserunning composites) die with the run
+    spark.catalog.clearCache()
 
     results.toSeq
   }

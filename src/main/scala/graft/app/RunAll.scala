@@ -222,12 +222,15 @@ object RunAll {
         .getOrElse(emptyLineups(spark))
       val war = GetWar.run(bat, pit, metrics, guts, pf, lineups,
         rk, mp, inputs.division, inputs.year)
-      write(SchemaFinalize.finalizeSchema(war.batting, SchemaFinalize.battingWar),
+      // per-(year, division) partitions, like the reference's
+      // war/{prefix}_*_{year}.csv file-per-slice layout — repeated
+      // division-year runs accumulate instead of clobbering
+      upsert(SchemaFinalize.finalizeSchema(war.batting, SchemaFinalize.battingWar),
         "batting_war")
-      write(SchemaFinalize.finalizeSchema(war.pitching, SchemaFinalize.pitchingWar),
+      upsert(SchemaFinalize.finalizeSchema(war.pitching, SchemaFinalize.pitchingWar),
         "pitching_war")
-      write(war.battingTeam, "batting_team_war")
-      write(war.pitchingTeam, "pitching_team_war")
+      upsert(war.battingTeam, "batting_team_war")
+      upsert(war.pitchingTeam, "pitching_team_war")
       // free the WAR/linear-weight stage caches: a driver looping
       // divisions × years would otherwise accumulate pinned copies
       // (every stage output is parquet-backed; nothing cached yet is
@@ -260,6 +263,17 @@ object RunAll {
       spark: SparkSession, rawPbp: DataFrame, outDir: String,
       weTable: Option[DataFrame], liTable: Option[DataFrame]): Seq[StageResult] =
     run(spark, rawPbp, outDir, Inputs(weTable = weTable, liTable = liTable))
+
+  /** The reference's outer loop (`run_all.py:61-154`, years ×
+    * divisions): each slice runs the full DAG into the SAME output
+    * root; leaderboards and WAR tables accumulate by their
+    * (year, division) partitions, parse/metrics stage files reflect
+    * the latest slice (the reference's per-division-year CSVs). */
+  def runMany(
+      spark: SparkSession,
+      slices: Seq[(DataFrame, Inputs)],
+      outDir: String): Seq[StageResult] =
+    slices.flatMap { case (raw, inputs) => run(spark, raw, outDir, inputs) }
 
   /** CLI: runAll <rawPbpParquet> <outDir> — raw schema
     * (contest_id, seq, inning, away_text, home_text). */

@@ -243,6 +243,24 @@ class RunAllSpec extends AnyFunSuite {
     assert(r1.contains("b_adams"))
   }
 
+  test("runMany accumulates (year, division) slices; leaderboards keep history") {
+    val outDir = s"/tmp/graft_runall_many_${System.nanoTime()}"
+    RunAll.runMany(spark, Seq(
+      (rawGame, RunAll.Inputs(division = "ncaa_1", year = 2023)),
+      (rawGame, RunAll.Inputs(division = "ncaa_1", year = 2024)),
+      (rawGame, RunAll.Inputs(division = "ncaa_2", year = 2024))), outDir)
+    val sit = spark.read.parquet(s"$outDir/leaderboards/situational_batter")
+    val slices = sit.select("year", "division").distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(slices === Set((2023, "ncaa_1"), (2024, "ncaa_1"), (2024, "ncaa_2")))
+    // re-running one slice overwrites ONLY that partition
+    val before = sit.filter(col("year") === 2023).count()
+    RunAll.run(spark, rawGame, outDir, RunAll.Inputs(division = "ncaa_1", year = 2023))
+    val after = spark.read.parquet(s"$outDir/leaderboards/situational_batter")
+    assert(after.filter(col("year") === 2023).count() === before)
+    assert(after.select("year", "division").distinct().count() === 3)
+  }
+
   test("SchemaFinalize: defaults, nullable ints, non-finite scrub, ordered select") {
     val df = Seq(
       ("a", Some(1L), Some(1.5)),

@@ -231,11 +231,6 @@ object RunAll {
         "pitching_war")
       upsert(war.battingTeam, "batting_team_war")
       upsert(war.pitchingTeam, "pitching_team_war")
-      // free the WAR/linear-weight stage caches: a driver looping
-      // divisions × years would otherwise accumulate pinned copies
-      // (every stage output is parquet-backed; nothing cached yet is
-      // needed downstream)
-      spark.catalog.clearCache()
     }
 
     // 7. leaderboards (leaderboards stage): the ~20-table fan-out off
@@ -252,8 +247,6 @@ object RunAll {
         upsert(df, s"leaderboards/$name")
     }
     forBoards.unpersist()
-    // operator-level persists (baserunning composites) die with the run
-    spark.catalog.clearCache()
 
     results.toSeq
   }
@@ -273,7 +266,18 @@ object RunAll {
       spark: SparkSession,
       slices: Seq[(DataFrame, Inputs)],
       outDir: String): Seq[StageResult] =
-    slices.flatMap { case (raw, inputs) => run(spark, raw, outDir, inputs) }
+    slices.flatMap { case (raw, inputs) =>
+      val r = run(spark, raw, outDir, inputs)
+      // slice boundary: release the run's internal stage caches
+      // (WAR cores, linear weights, baserunning composites) so a long
+      // years × divisions loop doesn't accumulate pinned storage —
+      // the loop owns the session, mirroring the reference's
+      // process-per-stage lifecycle. Single-run callers who cache
+      // their own inputs are untouched (run() itself never clears
+      // the session cache).
+      spark.catalog.clearCache()
+      r
+    }
 
   /** CLI: runAll <rawPbpParquet> <outDir> — raw schema
     * (contest_id, seq, inning, away_text, home_text). */

@@ -167,6 +167,8 @@ object Leaderboards {
     val pbp = pbp0
     val batPbp = keyed("batter_id")
     val pitPbp = keyed("pitcher_id")
+    val batTeamPbp = keyed("bat_team_id")
+    val pitTeamPbp = keyed("pitch_team_id")
     // WPA-dependent tables only plan when the enrichment ran (no wpa
     // column → the reference's skip-on-missing, main.py:224-227)
     val valueTables: Map[String, DataFrame] =
@@ -180,26 +182,26 @@ object Leaderboards {
       "situational_batter" -> rename(Kernel.condSplits(batPbp, batKeys, sit, weights), batRename),
       "situational_pitcher" -> rename(Kernel.condSplits(pitPbp, pitKeys, sit, weights), pitRename),
       "situational_batting_team" ->
-        rename(Kernel.condSplits(pbp, batTeamRename.keys.toSeq, sit, weights), batTeamRename),
+        rename(Kernel.condSplits(batTeamPbp, batTeamRename.keys.toSeq, sit, weights), batTeamRename),
       "situational_pitching_team" ->
-        rename(Kernel.condSplits(pbp, pitTeamRename.keys.toSeq, sit, weights), pitTeamRename),
+        rename(Kernel.condSplits(pitTeamPbp, pitTeamRename.keys.toSeq, sit, weights), pitTeamRename),
       "splits_batter" ->
         rename(Kernel.condSplits(batPbp, batKeys, battingSplitConds, weights), batRename),
       "splits_pitcher" ->
         rename(Kernel.condSplits(pitPbp, pitKeys, pitchingSplitConds, weights), pitRename),
       "splits_batting_team" ->
-        rename(Kernel.condSplits(pbp, batTeamRename.keys.toSeq, battingSplitConds, weights),
+        rename(Kernel.condSplits(batTeamPbp, batTeamRename.keys.toSeq, battingSplitConds, weights),
           batTeamRename),
       "splits_pitching_team" ->
-        rename(Kernel.condSplits(pbp, pitTeamRename.keys.toSeq, pitchingSplitConds, weights),
+        rename(Kernel.condSplits(pitTeamPbp, pitTeamRename.keys.toSeq, pitchingSplitConds, weights),
           pitTeamRename),
       "batted_ball_batter" -> rename(battedBallStats(batPbp, batKeys), batRename),
       "batted_ball_batting_team" ->
-        rename(battedBallStats(pbp, batTeamRename.keys.toSeq), batTeamRename),
+        rename(battedBallStats(batTeamPbp, batTeamRename.keys.toSeq), batTeamRename),
       "batted_ball_pitcher" ->
         rename(battedBallStats(pitPbp, pitKeys), pitRename),
       "batted_ball_pitching_team" ->
-        rename(battedBallStats(pbp, pitTeamRename.keys.toSeq), pitTeamRename),
+        rename(battedBallStats(pitTeamPbp, pitTeamRename.keys.toSeq), pitTeamRename),
       "rolling_batter" -> rollingWoba(pbp, "batter_id"),
       "rolling_pitcher" -> rollingWoba(pbp, "pitcher_id"),
       "baserunning" -> Baserunning.playerBaserunning(pbp, guts.runsSb, guts.runsCs, guts.runsOut),

@@ -183,7 +183,7 @@ object WarPipeline {
     // distinct().count() — and pandas unique() — include it).
     val lg = base.agg(sum("r").cast("double"), sum("pa").cast("double"),
       countDistinct("team_name") +
-        max(when(col("team_name").isNull, 1L).otherwise(0L))).first()
+        coalesce(max(when(col("team_name").isNull, 1L).otherwise(0L)), lit(0L))).first()
     val totalPa = if (lg.isNullAt(1)) 0.0 else lg.getDouble(1)
     val lgRpa = if (totalPa > 0) lg.getDouble(0) / totalPa else 0.0
     val teamCount = math.max(lg.getLong(2), 1L).toInt

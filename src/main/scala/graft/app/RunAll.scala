@@ -97,7 +97,10 @@ object RunAll {
       spark: SparkSession,
       rawPbp: DataFrame,
       outDir: String,
-      inputs: Inputs = Inputs()): Seq[StageResult] = {
+      inputs: Inputs = Inputs()): Seq[StageResult] = graft.util.Caches.scoped {
+    // every frame the stages below persist (WAR cores, linear weights,
+    // baserunning composites, forBoards) is tracked and released when
+    // this run returns — caller-owned caches stay untouched (ADVICE r3)
 
     val results = scala.collection.mutable.ArrayBuffer.empty[StageResult]
     def write(df: DataFrame, name: String): DataFrame = {
@@ -237,7 +240,7 @@ object RunAll {
     // ONE cached scan, upserted by (year, division)
     val weights = lwNormalized.collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
-    val forBoards = metrics.cache()
+    val forBoards = graft.util.Caches.track(metrics.cache())
     val boards = Leaderboards.runAnalysis(forBoards, weights, guts)
     val wpaGated = Set("value_batter", "value_batting_team", "value_pitcher",
       "value_pitching_team")
@@ -246,8 +249,6 @@ object RunAll {
       if ((!wpaGated.contains(name) || haveWpa) && !df.isEmpty)
         upsert(df, s"leaderboards/$name")
     }
-    forBoards.unpersist()
-
     results.toSeq
   }
 
@@ -267,16 +268,10 @@ object RunAll {
       slices: Seq[(DataFrame, Inputs)],
       outDir: String): Seq[StageResult] =
     slices.flatMap { case (raw, inputs) =>
-      val r = run(spark, raw, outDir, inputs)
-      // slice boundary: release the run's internal stage caches
-      // (WAR cores, linear weights, baserunning composites) so a long
-      // years × divisions loop doesn't accumulate pinned storage —
-      // the loop owns the session, mirroring the reference's
-      // process-per-stage lifecycle. Single-run callers who cache
-      // their own inputs are untouched (run() itself never clears
-      // the session cache).
-      spark.catalog.clearCache()
-      r
+      // each run() releases its own tracked caches on return (scoped),
+      // so the years × divisions loop never accumulates pinned storage
+      // and caller-owned input caches survive across slices
+      run(spark, raw, outDir, inputs)
     }
 
   /** CLI: runAll <rawPbpParquet> <outDir> — raw schema

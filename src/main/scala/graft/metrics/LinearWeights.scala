@@ -69,6 +69,7 @@ object LinearWeights {
         round(sum("re24") / count(lit(1)), 3).as("linear_weights_above_average"))
       .filter(col("events") =!= "other")
       .cache()
+    graft.util.Caches.track(perClass)
     val outVal = perClass.filter(col("events") === "out")
       .select(col("linear_weights_above_average").as("__out_val"))
     perClass.crossJoin(broadcast(outVal))

@@ -40,6 +40,51 @@ object PbpMetrics {
       .drop("__wcls", "__w")
   }
 
+  /** [[addWoba]] with the weights as a driver-side literal map
+    * (events class → normalized weight). The weights table is O(1)
+    * rows at any data scale, so a `typedlit` map lookup replaces the
+    * broadcast join entirely — one fewer exchange and the projection
+    * stays inside a single codegen stage. */
+  def addWobaLit(pbp: DataFrame, weights: Map[String, Double]): DataFrame = {
+    val wobaEvents = Map(
+      EventType.Walk -> "walk", EventType.IntentionalWalk -> "walk",
+      EventType.HitByPitch -> "hit_by_pitch", EventType.Single -> "single",
+      EventType.Double -> "double", EventType.Triple -> "triple",
+      EventType.HomeRun -> "home_run")
+    val classMap = wobaEvents.foldLeft(lit(null).cast("string")) { case (acc, (et, cls)) =>
+      when(col("event_type") === et, cls).otherwise(acc)
+    }
+    pbp.withColumn("woba",
+      coalesce(element_at(typedlit(weights), classMap), lit(0.0)))
+  }
+
+  /** [[addRunExpectancy]] with the ER matrix as a literal map keyed
+    * `"<bases>|<outs>"` — same O(1)-dimension reasoning as
+    * [[addWobaLit]]; unknown states stay null like the left join. */
+  def addRunExpectancyLit(pbp: DataFrame, er: Map[String, Double]): DataFrame = {
+    val erLit = typedlit(er)
+    def look(bases: String, outs: String) =
+      element_at(erLit, concat(col(bases), lit("|"), col(outs).cast("string")))
+    pbp
+      .withColumns(Map(
+        "re_before" -> look("bases_before", "outs_before"),
+        "re_after" ->
+          when(col("inn_end_fl") === true || col("outs_after") >= 3, 0.0)
+            .otherwise(look("bases_after", "outs_after"))))
+      .withColumn("re_delta", col("re_after") - col("re_before"))
+      .withColumn("rea", col("re_delta") + col("runs_on_play"))
+  }
+
+  /** Flatten a wide ER matrix (one row per base state, erv_0..erv_2)
+    * into the `"<bases>|<outs>"` map [[addRunExpectancyLit]] takes. */
+  def erMatrixToMap(erWide: DataFrame): Map[String, Double] =
+    erWide.collect().flatMap { r =>
+      val bases = r.getString(r.fieldIndex("bases"))
+      Seq(0, 1, 2).map { o =>
+        s"$bases|$o" -> r.getDouble(r.fieldIndex(s"erv_$o"))
+      }
+    }.toMap
+
   /** Run expectancy before/after + delta + REA
     * (add_pbp_metrics.py:59-95). After-state: 0.0 at end of inning or
     * 3rd out; unknown states null (reference pd.NA). */

@@ -82,14 +82,22 @@ object Multimodal {
       val h = img.getHeight
       val out = new Array[Byte](w * h)
       val raster = img.getRaster
-      if (raster.getNumBands == 1) {
-        // grayscale: raw samples (getRGB would push them through the
-        // gray→sRGB gamma curve and corrupt the values)
+      // raw-sample fast path ONLY for true grayscale: palette-indexed
+      // images (GIF, PNG8) also have a 1-band raster but the samples
+      // are palette indices, not luma — those must go through getRGB.
+      val grayscale = raster.getNumBands == 1 &&
+        !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+      if (grayscale) {
+        // raw samples (getRGB would push them through the gray→sRGB
+        // gamma curve and corrupt the values); >8-bit samples (16-bit
+        // gray PNG) scale down instead of truncating through toByte
+        val bits = raster.getSampleModel.getSampleSize(0)
+        val shift = math.max(0, bits - 8)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            out(y * w + x) = raster.getSample(x, y, 0).toByte
+            out(y * w + x) = (raster.getSample(x, y, 0) >> shift).toByte
             x += 1
           }
           y += 1

@@ -43,13 +43,20 @@ object StatefulFold {
       df: DataFrame,
       keyCols: Seq[String],
       orderCols: Seq[Column],
-      outSchema: StructType)(
+      outSchema: StructType,
+      alreadyPartitioned: Boolean = false)(
       init: Row => S,
       step: (S, Row) => (S, Iterator[Row])): DataFrame = {
 
     val keyIdx = keyCols.map(df.schema.fieldIndex)
-    val sorted = df
-      .repartition(keyCols.map(col): _*)
+    // `alreadyPartitioned = true` skips the shuffle: the CALLER asserts
+    // every row of a key group is already in one partition (e.g. the
+    // pbp chain, where an upstream window exchange hash-partitioned on
+    // the same key and nothing reshuffled since). The local sort still
+    // runs — only the exchange of the full-width rows is saved.
+    val clustered =
+      if (alreadyPartitioned) df else df.repartition(keyCols.map(col): _*)
+    val sorted = clustered
       .sortWithinPartitions(keyCols.map(col) ++ orderCols: _*)
 
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)

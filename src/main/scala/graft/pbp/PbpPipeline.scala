@@ -38,11 +38,15 @@ object PbpPipeline {
     * order per game. */
   def metadata(raw: DataFrame): DataFrame = {
     val w = Window.partitionBy("contest_id").orderBy("seq")
+    // batched withColumns throughout the parse chain: each withColumn
+    // call re-analyzes the whole (growing) plan, and at ~40 chained
+    // calls the analysis overhead was ~2s per pbp01 run at sf0.1
     raw
-      .withColumn("half",
-        when(col("home_text").isNull || col("home_text") === "", "Top").otherwise("Bottom"))
-      .withColumn("play_description",
-        trim(concat(coalesce(col("away_text"), lit("")), coalesce(col("home_text"), lit("")))))
+      .withColumns(Map(
+        "half" ->
+          when(col("home_text").isNull || col("home_text") === "", "Top").otherwise("Bottom"),
+        "play_description" ->
+          trim(concat(coalesce(col("away_text"), lit("")), coalesce(col("home_text"), lit(""))))))
       .filter(col("play_description") =!= "")
       .withColumn("play_id", row_number().over(w))
   }
@@ -57,30 +61,32 @@ object PbpPipeline {
 
     val p1 = col("p1_text")
     df
-      .withColumn("__p", splitUdf(col("play_description")))
-      .withColumn("p1_text", col("__p._1"))
-      .withColumn("p2_text", col("__p._2"))
-      .withColumn("p3_text", col("__p._3"))
-      .withColumn("p4_text", col("__p._4"))
-      .drop("__p")
-      .withColumn("new_game_fl", row_number().over(wGame) === 1)
-      .withColumn("game_end_fl", row_number().over(wGameDesc) === 1)
-      .withColumn("new_inn_fl", row_number().over(wInn) === 1)
-      .withColumn("inn_end_fl", row_number().over(wInnDesc) === 1)
-      .withColumn("__sub", subUdf(col("play_description")))
-      .withColumn("sub_fl", col("__sub._1").cast("int"))
-      .withColumn("sub_in", col("__sub._2"))
-      .withColumn("sub_out", col("__sub._3"))
-      .withColumn("sub_pos", col("__sub._4"))
-      .drop("__sub")
-      .withColumn("int_bb_fl", col("play_description").contains("intentionally ").cast("int"))
-      .withColumn("sh_fl",
-        (p1.contains("SAC") && !p1.rlike("(?:flied|popped)")).cast("int"))
-      .withColumn("sf_fl",
-        ((p1.contains("SAC") && p1.rlike("(?:flied|popped)")) ||
-          (!p1.contains("SAC") && p1.rlike("(?:flied|popped)") && p1.contains("RBI"))).cast("int"))
-      .withColumn("top_inning_fl", (col("half") === "Top").cast("int"))
-      .withColumn("pitcher_sub_fl", (col("sub_pos") === "p").cast("int"))
+      .withColumns(Map(
+        "__p" -> splitUdf(col("play_description")),
+        "__sub" -> subUdf(col("play_description")),
+        "new_game_fl" -> (row_number().over(wGame) === 1),
+        "game_end_fl" -> (row_number().over(wGameDesc) === 1),
+        "new_inn_fl" -> (row_number().over(wInn) === 1),
+        "inn_end_fl" -> (row_number().over(wInnDesc) === 1),
+        "int_bb_fl" -> col("play_description").contains("intentionally ").cast("int"),
+        "top_inning_fl" -> (col("half") === "Top").cast("int")))
+      .withColumns(Map(
+        "p1_text" -> col("__p._1"),
+        "p2_text" -> col("__p._2"),
+        "p3_text" -> col("__p._3"),
+        "p4_text" -> col("__p._4"),
+        "sub_fl" -> col("__sub._1").cast("int"),
+        "sub_in" -> col("__sub._2"),
+        "sub_out" -> col("__sub._3"),
+        "sub_pos" -> col("__sub._4")))
+      .drop("__p", "__sub")
+      .withColumns(Map(
+        "sh_fl" ->
+          (p1.contains("SAC") && !p1.rlike("(?:flied|popped)")).cast("int"),
+        "sf_fl" ->
+          ((p1.contains("SAC") && p1.rlike("(?:flied|popped)")) ||
+            (!p1.contains("SAC") && p1.rlike("(?:flied|popped)") && p1.contains("RBI"))).cast("int"),
+        "pitcher_sub_fl" -> (col("sub_pos") === "p").cast("int")))
   }
 
   /** outs (X3 + W2): per-play outs then running outs_before per
@@ -89,12 +95,13 @@ object PbpPipeline {
     val wInn = Window.partitionBy("contest_id", "inning", "half").orderBy("play_id")
     df
       .withColumn("__o", outsUdf(col("p1_text"), col("p2_text"), col("p3_text"), col("p4_text")))
-      .withColumn("outs_on_play", col("__o._1"))
-      .withColumn("outs_reason", col("__o._2"))
+      .withColumns(Map(
+        "outs_on_play" -> col("__o._1"),
+        "outs_reason" -> col("__o._2"),
+        "outs_before" ->
+          coalesce(sum(col("__o._1")).over(wInn.rowsBetween(Window.unboundedPreceding, -1)), lit(0))
+            .cast("int")))
       .drop("__o")
-      .withColumn("outs_before",
-        coalesce(sum("outs_on_play").over(wInn.rowsBetween(Window.unboundedPreceding, -1)), lit(0))
-          .cast("int"))
       .withColumn("outs_after", (col("outs_before") + col("outs_on_play")).cast("int"))
   }
 
@@ -102,13 +109,13 @@ object PbpPipeline {
     * branches (reference main.py:87-88). */
   private def innRunWindows(df: DataFrame): DataFrame = {
     val wInn = Window.partitionBy("contest_id", "inning", "half").orderBy("play_id")
-    df
-      .withColumn("runs_this_inn",
+    df.withColumns(Map(
+      "runs_this_inn" ->
         sum("runs_on_play").over(
-          wInn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("int"))
-      .withColumn("runs_roi",
+          wInn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("int"),
+      "runs_roi" ->
         sum("runs_on_play").over(
-          wInn.rowsBetween(Window.currentRow, Window.unboundedFollowing)).cast("int"))
+          wInn.rowsBetween(Window.currentRow, Window.unboundedFollowing)).cast("int")))
   }
 
   /** runs (reference columns.py:179-232): text-derived runs_on_play,
@@ -146,14 +153,12 @@ object PbpPipeline {
   def runsFromScores(df: DataFrame): DataFrame = {
     val wGame = Window.partitionBy("contest_id").orderBy("play_id")
     val withScores = df
-      .withColumn("away_score_after",
-        coalesce(col("away_score").cast("int"), lit(0)))
-      .withColumn("home_score_after",
-        coalesce(col("home_score").cast("int"), lit(0)))
-      .withColumn("away_score_before",
-        coalesce(lag("away_score_after", 1).over(wGame), lit(0)))
-      .withColumn("home_score_before",
-        coalesce(lag("home_score_after", 1).over(wGame), lit(0)))
+      .withColumns(Map(
+        "away_score_after" -> coalesce(col("away_score").cast("int"), lit(0)),
+        "home_score_after" -> coalesce(col("home_score").cast("int"), lit(0))))
+      .withColumns(Map(
+        "away_score_before" -> coalesce(lag("away_score_after", 1).over(wGame), lit(0)),
+        "home_score_before" -> coalesce(lag("home_score_after", 1).over(wGame), lit(0))))
       .withColumn("runs_on_play",
         greatest(
           when(col("half") === "Top",
@@ -171,10 +176,12 @@ object PbpPipeline {
     val homeRuns = when(col("half") === "Bottom", col("runs_on_play")).otherwise(0)
     val awayRuns = when(col("half") === "Top", col("runs_on_play")).otherwise(0)
     df
-      .withColumn("home_score_before", coalesce(sum(homeRuns).over(prevFrame), lit(0)).cast("int"))
-      .withColumn("away_score_before", coalesce(sum(awayRuns).over(prevFrame), lit(0)).cast("int"))
-      .withColumn("home_score_after", (col("home_score_before") + homeRuns).cast("int"))
-      .withColumn("away_score_after", (col("away_score_before") + awayRuns).cast("int"))
+      .withColumns(Map(
+        "home_score_before" -> coalesce(sum(homeRuns).over(prevFrame), lit(0)).cast("int"),
+        "away_score_before" -> coalesce(sum(awayRuns).over(prevFrame), lit(0)).cast("int")))
+      .withColumns(Map(
+        "home_score_after" -> (col("home_score_before") + homeRuns).cast("int"),
+        "away_score_after" -> (col("away_score_before") + awayRuns).cast("int")))
   }
 
   /** bat order (reference helpers.py:119-139): PA index per
@@ -188,13 +195,12 @@ object PbpPipeline {
     val bwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val isBat = col("batter_name").isNotNull && trim(col("batter_name")) =!= ""
     df
-      .withColumn("__pa_idx", sum(isBat.cast("int")).over(cum))
-      .withColumn("__bo", when(isBat, (col("__pa_idx") - 1) % 9 + 1))
+      .withColumn("__bo", when(isBat, (sum(isBat.cast("int")).over(cum) - 1) % 9 + 1))
       .withColumn("bat_order",
         coalesce(
           last(col("__bo"), ignoreNulls = true).over(fwd),
           first(col("__bo"), ignoreNulls = true).over(bwd)).cast("int"))
-      .drop("__pa_idx", "__bo")
+      .drop("__bo")
   }
 
   private val stateOutFields = Seq(
@@ -203,8 +209,14 @@ object PbpPipeline {
     "r1_after", "r2_after", "r3_after", "bases_after")
 
   /** base state (X1): the fold over plays per game, via the streaming
-    * partition fold — one shuffle on contest_id. */
-  def baseState(df: DataFrame): DataFrame = {
+    * partition fold. In the [[parse]] chain the metadata window has
+    * already hash-partitioned rows by contest_id (and later windows
+    * key on supersets, which reuse that exchange), so the fold passes
+    * `alreadyPartitioned = true` and skips re-shuffling the full-width
+    * rows — callers outside the chain get the safe default. */
+  def baseState(df: DataFrame): DataFrame = baseState(df, alreadyPartitioned = false)
+
+  def baseState(df: DataFrame, alreadyPartitioned: Boolean): DataFrame = {
     val inCols = df.columns
     val outSchema = StructType(df.schema.fields ++
       stateOutFields.map(f => StructField(f, StringType, nullable = true)))
@@ -221,7 +233,7 @@ object PbpPipeline {
 
     val inWidth = df.schema.length
     StatefulFold.foldPartitions[BaseState.State](
-      df, Seq("contest_id"), Seq(col("play_id")), outSchema)(
+      df, Seq("contest_id"), Seq(col("play_id")), outSchema, alreadyPartitioned)(
       init = _ => BaseState.emptyState,
       step = { (st, row) =>
         def s(f: String) = Option(row.getString(idx(f))).getOrElse("")
@@ -305,7 +317,7 @@ object PbpPipeline {
   /** Full parser stage over raw (contest_id, seq, away_text,
     * home_text, inning) rows — text-derived runs branch. */
   def parse(raw: DataFrame): DataFrame =
-    batOrder(scores(classify(baseState(runs(outs(flags(metadata(raw))))))))
+    batOrder(scores(classify(baseState(runs(outs(flags(metadata(raw)))), alreadyPartitioned = true))))
 
   /**
    * Year-gated parse (reference `pbp_parser/main.py:41-89`
@@ -319,6 +331,6 @@ object PbpPipeline {
     val withRuns =
       if (year >= currentYear && hasScores) runsFromScores(pre)
       else scores(runs(pre))
-    batOrder(classify(baseState(withRuns)))
+    batOrder(classify(baseState(withRuns, alreadyPartitioned = true)))
   }
 }

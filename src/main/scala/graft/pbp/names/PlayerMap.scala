@@ -140,7 +140,7 @@ object PlayerMap {
       .select(col("team_id").cast("string"), col("year").cast("int"),
         col("player_name").cast("string"), col("player_id").cast("string"),
         col("number").cast("int"))
-    val fits = cubeSlim.limit((maxBroadcastRows + 1).toInt).count() <= maxBroadcastRows
+    val fits = cubeSlim.limit(math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt).count() <= maxBroadcastRows
     if (!fits) return resolveLineupsCogrouped(spark, lineups, cube)
 
     val rows = cubeSlim.collect()

@@ -108,7 +108,7 @@ object StandardizeNames {
       .select(col("team_id").cast("string"), col("player_name").cast("string"),
         col("player_id").cast("string"))
       .distinct()
-    val fits = rosterDim.limit((maxBroadcastRows + 1).toInt).count() <= maxBroadcastRows
+    val fits = rosterDim.limit(math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt).count() <= maxBroadcastRows
     val rosterRows =
       if (!fits) Seq.empty
       else rosterDim.collect()

@@ -53,13 +53,20 @@ object QPbp {
           "batter_name", "bases_before", "bases_after", "outs_before",
           "outs_after", "inn_end_fl", "runs_on_play", "runs_roi")
         .cache()
-      // er/lw are KB-sized but their PLANS re-aggregate the whole scan;
-      // each is referenced from 2+ broadcast subplans — cache both
+      // er/lw are O(1)-row dimension outputs (24 cells / 5 weight
+      // rows at ANY data scale): collect them once, in dependency
+      // order, and enrich through literal maps. Left as lazy DF joins,
+      // the final count's concurrent broadcast-exchange threads raced
+      // to compute the uncached `parsed` (duplicate full parse runs)
+      // and the plan carried 3 extra exchanges + ~6 extra AQE jobs.
       val er = ExpectedRuns.matrix(parsed).cache()
-      val lw = LinearWeights.aboveAverage(parsed, er)
-        .select(col("events"), col("linear_weights_above_outs").as("normalized_weight"))
-        .cache()
-      PbpMetrics.addRunExpectancy(PbpMetrics.addWoba(parsed, lw), er)
+      val erMap = PbpMetrics.erMatrixToMap(er)
+      val lwMap = LinearWeights.aboveAverage(parsed, er)
+        .select(col("events"), col("linear_weights_above_outs"))
+        .collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      er.unpersist()
+      PbpMetrics.addRunExpectancyLit(PbpMetrics.addWobaLit(parsed, lwMap), erMap)
         .select("contest_id", "play_id", "event_type", "batted_ball_type",
           "batter_name", "bases_before", "bases_after", "outs_before",
           "runs_on_play", "woba", "rea")

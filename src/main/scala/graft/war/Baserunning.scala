@@ -352,7 +352,13 @@ object Baserunning {
     // four consumers (steal, names, wGDP, wEBT) share one scan —
     // persist the projected input or the upstream pipeline runs 4×
     // (same pattern as the dedup operators' shingle persist)
-    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = graft.util.Caches.track(
+      df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // materialize once, serially: the four consumers below are
+    // INDEPENDENT stages, and on first touch the scheduler runs them
+    // concurrently — each racing to compute the same uncached
+    // partitions (duplicate full upstream runs, cf. the pbp01 fix)
+    df.count()
     val steal = playerStealStats(df)
     val names = runnerNameMap(df)
     val wg = wgdp(df, "batter_id", "player_id")
@@ -396,7 +402,9 @@ object Baserunning {
    */
   def teamBaserunning(
       df0: DataFrame, runsSb: Double, runsCs: Double, runsOut: Double): DataFrame = {
-    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = graft.util.Caches.track(
+      df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    df.count() // see playerBaserunning: defuse the concurrent-first-touch race
     val steal = teamStealStats(df)
     val names = df.groupBy(col("bat_team_id").as("team_id"))
       .agg(min("bat_team_name").as("team_name"))

@@ -138,7 +138,7 @@ object WarPipeline {
     val targetTotal = s.getDouble(0) - 0.294 * s.getDouble(1)
 
     def scale(df0: DataFrame, target: Double): DataFrame = {
-      val df = df0.cache() // scalar action + returned plan share one scan
+      val df = graft.util.Caches.track(df0.cache()) // scalar action + returned plan share one scan
       val totRow = df.agg(sum("war").cast("double")).first()
       val tot = if (totRow.isNullAt(0)) 0.0 else totRow.getDouble(0)
       val k = if (tot == 0) 1.0 else target / math.max(tot, 1e-12)
@@ -176,6 +176,7 @@ object WarPipeline {
         col("hr"), col("ab"), col("ibb"), col("sf"), guts))
       .withColumn("wraa", wraa(col("woba"), guts.woba, guts.wobaScale, col("pa")))
       .cache()
+    graft.util.Caches.track(base)
 
     // ONE fused driver aggregate for all league scalars (round-2 ran
     // three separate actions over the uncached frame). countDistinct
@@ -250,6 +251,7 @@ object WarPipeline {
         when(valid, leverageAdjustment(col("war"), coalesce(col("gmli"), lit(0.0)),
           col("app"), col("gs"))).otherwise(col("war")))
       .cache()
+    graft.util.Caches.track(scored)
 
     // 57/43 split: rescale so pitching total hits batting_total·0.43/0.57
     // (one action over the cached frame; the returned plan reuses it)

@@ -1,6 +1,7 @@
 package graft.metrics
 
 import graft.SparkTestSession
+import graft.pbp.EventType
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -161,5 +162,29 @@ class MetricsSpec extends AnyFunSuite {
     eps(d(out(2), "wpa"), 0.48)
     assert(out.forall(_.getAs[Int]("times_through_order") === 1))
     assert(out(2).getAs[Boolean]("high_leverage_fl") === false)
+  }
+
+  test("literal-map woba/RE enrichment ≡ broadcast-join enrichment") {
+    val pbp = Seq(
+      (1, "NNN", 0, "YNN", 0, false, 0, EventType.Walk),
+      (2, "YNN", 0, "YNN", 2, true, 0, EventType.GenericOut),
+      (3, "NNN", 0, "NNN", 0, false, 1, EventType.HomeRun),
+      (4, "ZZZ", 0, "NNN", 1, false, 0, EventType.Single)) // unknown before-state → null re
+      .toDF("play_id", "bases_before", "outs_before", "bases_after",
+        "outs_after", "inn_end_fl", "runs_on_play", "event_type")
+    val lwn = Seq(("walk", 0.7), ("home_run", 2.0), ("single", 0.9))
+      .toDF("events", "normalized_weight")
+
+    val viaJoin = PbpMetrics.addRunExpectancy(PbpMetrics.addWoba(pbp, lwn), erWide)
+      .select("play_id", "woba", "re_before", "re_after", "re_delta", "rea")
+      .orderBy("play_id").collect()
+
+    val lwMap = lwn.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val erMap = PbpMetrics.erMatrixToMap(erWide)
+    val viaLit = PbpMetrics.addRunExpectancyLit(PbpMetrics.addWobaLit(pbp, lwMap), erMap)
+      .select("play_id", "woba", "re_before", "re_after", "re_delta", "rea")
+      .orderBy("play_id").collect()
+
+    assert(viaJoin.toSeq === viaLit.toSeq)
   }
 }

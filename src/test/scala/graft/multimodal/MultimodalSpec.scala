@@ -84,6 +84,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(small.forall(f => f.pixels.length === 16))
   }
 
+  test("palette-indexed (GIF) and 16-bit gray payloads decode to real luma") {
+    // a 4×4 GIF whose palette maps index 0 → white, index 1 → red:
+    // the raw 1-band raster samples are palette INDICES (0/1); correct
+    // decode must go through the palette, not read indices as luma
+    val cmap = Array(0xffffff, 0xff0000) // white, red
+    val icm = new java.awt.image.IndexColorModel(8, 2, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.getRaster.setSample(x, y, 0, if (y < 2) 0 else 1)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val (w, h, px) = Multimodal.ImageIoCodec.decodeImage(bos.toByteArray)
+    assert(w === 4 && h === 4)
+    // ground truth: the re-read image's own getRGB lumas (the GIF
+    // writer may reorder tiny low-bit images, so don't assume the
+    // written layout — only that decode goes through the palette)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val expected = for (y <- 0 until 4; x <- 0 until 4) yield {
+      val rgb = back.getRGB(x, y)
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+    }
+    assert(px.map(_ & 0xff).toSeq === expected)
+    // and it is genuine luma, not raw palette indices (0/1)
+    assert(px.map(_ & 0xff).toSet === Set(255, (255 * 299) / 1000))
+
+    // 16-bit gray PNG: samples scale 16→8 bits instead of truncating
+    val img16 = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    img16.getRaster.setSample(0, 0, 0, 0xffff) // white
+    img16.getRaster.setSample(1, 0, 0, 0x8000) // mid-gray
+    val bos16 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img16, "png", bos16)
+    val (w16, _, px16) = Multimodal.ImageIoCodec.decodeImage(bos16.toByteArray)
+    assert(w16 === 2)
+    assert((px16(0) & 0xff) === 255) // toByte truncation would give 255→but 0xffff.toByte = -1 ok; 0x8000.toByte = 0
+    assert((px16(1) & 0xff) === 0x80)
+  }
+
   test("mixed stub + real formats in one dataset decode per-row") {
     val px = Array.tabulate(64)(j => (j * 3).toByte)
     val mixed = spark.createDataset(Seq(

@@ -91,6 +91,11 @@ object Dedup {
     // under AQE). ~16 bytes/shingle; spills to disk if large.
     val sh = shingled(df, idCol, textCol, n, maxShingleDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize once before fan-out: the consumers are independent
+    // stages the scheduler runs concurrently, and on first touch each
+    // would race to compute the same uncached partitions (duplicate
+    // tokenize+explode+distinct runs)
+    sh.count()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -183,6 +188,7 @@ object Dedup {
     // join — persist it (see ngramJaccardPairs note)
     val sh = shingled(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // see ngramJaccardPairs: defuse the concurrent-first-touch race
     val cands = minhashLshCandidatesFromShingles(sh, numHashes, bands)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     // second join keys on (id_b, sh): per candidate pair this streams the

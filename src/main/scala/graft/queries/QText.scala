@@ -141,8 +141,15 @@ object QText {
          |FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
          |WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.5, maxShingleDf = Some(1000))
+      // repartition the scan before shingling: tokenization+explode is
+      // CPU-bound and inflates rows ~10x, so spreading the (few-file)
+      // scan across cores BEFORE the heavy projection is the same
+      // pre-explode repartition a 100 TB corpus needs to bound task
+      // memory — and locally it stops the whole tokenize stage running
+      // as a single task on a single-file table
+      Dedup.ngramJaccardPairs(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = Some(1000))
         .orderBy("id_a", "id_b")
     },
 
@@ -173,8 +180,10 @@ object QText {
          |FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
          |WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      // pre-shingle repartition: same rationale as t06
+      Dedup.minhashLshPairs(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
 

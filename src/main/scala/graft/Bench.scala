@@ -14,10 +14,6 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // don't coalesce CPU-bound shuffles below core count just because
-      // the bytes are small (sf0.1 shingle/parse stages are KB-sized but
-      // seconds of CPU); inert at production partition sizes
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

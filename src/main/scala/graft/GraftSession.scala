@@ -35,10 +35,6 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // keep small-bytes/CPU-heavy shuffles at core-count parallelism
-      // (AQE's 1 MiB floor coalesces a KB-sized but seconds-of-CPU
-      // stage to one task); inert at production partition sizes
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

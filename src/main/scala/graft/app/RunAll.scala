@@ -41,6 +41,7 @@ object RunAll {
       parkFactors: Option[DataFrame] = None,
       rankings: Option[DataFrame] = None,
       mappings: Option[DataFrame] = None,
+      teamHistory: Option[DataFrame] = None,
       division: String = "ncaa_1",
       year: Int = 2024)
 
@@ -244,7 +245,16 @@ object RunAll {
     val boards = Leaderboards.runAnalysis(forBoards, weights, guts)
     val wpaGated = Set("value_batter", "value_batting_team", "value_pitcher",
       "value_pitching_team")
-    boards.toSeq.sortBy(_._1).foreach { case (name, df) =>
+    boards.toSeq.sortBy(_._1).foreach { case (name, df0) =>
+      // publish hygiene (main.py:160-197): below-floor rows out,
+      // team-history inner filter, publish-key dedup — per batch,
+      // which the (year, division) upsert makes equivalent to the
+      // reference's combined-frame pass
+      val df1 = Leaderboards.dropEmptyRows(name, df0)
+      val df2 = inputs.teamHistory
+        .map(th => Leaderboards.filterByTeamHistory(df1, th, inputs.division))
+        .getOrElse(df1)
+      val df = Leaderboards.dedupByPublishKeys(name, df2)
       // empty tables are skipped, as the reference does (main.py:159)
       if ((!wpaGated.contains(name) || haveWpa) && !df.isEmpty)
         upsert(df, s"leaderboards/$name")

@@ -207,4 +207,79 @@ object Leaderboards {
       "baserunning" -> Baserunning.playerBaserunning(pbp, guts.runsSb, guts.runsCs, guts.runsOut),
       "baserunning_team" -> Baserunning.teamBaserunning(pbp, guts.runsSb, guts.runsCs, guts.runsOut))
   }
+
+  // -------------------------------------------------------------------------
+  // publish-time row hygiene (reference main.py:28-52,186-197)
+  // -------------------------------------------------------------------------
+
+  /** Per-table minimum-data thresholds (reference `MIN_DATA_COLUMNS`,
+    * main.py:28-43): rows under the floor are dropped at publish. */
+  val minDataColumns: Map[String, (String, Int)] = {
+    val bb = Seq("batted_ball_batter", "batted_ball_batting_team",
+      "batted_ball_pitcher", "batted_ball_pitching_team").map(_ -> ("batted_balls", 1))
+    val pa = Seq("splits_batter", "splits_pitcher", "splits_batting_team",
+      "splits_pitching_team", "situational_batter", "situational_pitcher",
+      "situational_batting_team", "situational_pitching_team").map(_ -> ("pa_overall", 1))
+    val g = Seq("baserunning", "baserunning_team").map(_ -> ("games", 1))
+    (bb ++ pa ++ g).toMap
+  }
+
+  /** Per-table publish keys (reference `output_files`, main.py:104-154):
+    * the columns the reference dedups the combined frame on. With
+    * upsert-by-(year, division) the keys' year/division components are
+    * batch constants, so per-batch dedup is equivalent. */
+  val publishKeys: Map[String, Seq[String]] = {
+    val player = Seq("player_id", "player_name", "team_id", "team_name", "year", "division")
+    val team = Seq("team_id", "team_name", "year", "division")
+    val rolling = Seq("player_id", "year", "division")
+    Map(
+      "situational_batter" -> player, "situational_pitcher" -> player,
+      "situational_batting_team" -> team, "situational_pitching_team" -> team,
+      "splits_batter" -> player, "splits_pitcher" -> player,
+      "splits_batting_team" -> team, "splits_pitching_team" -> team,
+      "batted_ball_batter" -> player, "batted_ball_batting_team" -> team,
+      "batted_ball_pitcher" -> player, "batted_ball_pitching_team" -> team,
+      "baserunning" -> player, "baserunning_team" -> team,
+      "rolling_batter" -> rolling, "rolling_pitcher" -> rolling,
+      "value_batter" -> player, "value_batting_team" -> team,
+      "value_pitcher" -> player, "value_pitching_team" -> team)
+  }
+
+  /** `drop_empty_rows` (main.py:46-52): below-floor rows out; tables
+    * without a configured floor (or missing the column) pass through. */
+  def dropEmptyRows(name: String, df: DataFrame): DataFrame =
+    minDataColumns.get(name) match {
+      case Some((c, floor)) if df.columns.contains(c) =>
+        df.filter(coalesce(col(c).cast("double"), lit(0.0)) >= floor)
+      case _ => df
+    }
+
+  /** `filter_by_team_history` (common.py:filter_by_team_history): keep
+    * rows whose team appears in the division's team history. Mirrors
+    * the reference's guards — tables without a `team_id` pass through,
+    * and if NO table team appears in the history at all (disjoint id
+    * spaces, e.g. synthetic data) the filter backs off entirely. */
+  def filterByTeamHistory(df: DataFrame, teamHistory: DataFrame, division: String): DataFrame = {
+    if (!df.columns.contains("team_id")) return df
+    val hist = teamHistory.select(col("team_id").cast("string").as("__th_id")).distinct()
+    val anyOverlap = df
+      .join(broadcast(hist), df("team_id").cast("string") === col("__th_id"), "left_semi")
+      .limit(1).count() > 0
+    if (!anyOverlap) return df
+    val valid = teamHistory
+      .filter(col("division").cast("string") === division)
+      .select(col("team_id").cast("string").as("__vt"))
+      .distinct()
+    df.join(broadcast(valid), df("team_id").cast("string") === col("__vt"), "left_semi")
+  }
+
+  /** Publish-key dedup (main.py:191-194): `drop_duplicates` on the
+    * intersection of the table's keys with its actual columns. */
+  def dedupByPublishKeys(name: String, df: DataFrame): DataFrame =
+    publishKeys.get(name) match {
+      case Some(keys) =>
+        val present = keys.filter(df.columns.contains)
+        if (present.isEmpty) df else df.dropDuplicates(present)
+      case None => df
+    }
 }

@@ -125,6 +125,9 @@ class RunAllSpec extends AnyFunSuite {
     val mappings = Seq(
       ("Aardvarks", "Aardvarks"), ("Badgers", "Badgers"), ("Cougars", "Cougars"))
       .toDF("ncaa_team_name", "massey_team_name")
+    // T3 (Cougars) deliberately absent → leaderboard rows filtered
+    val teamHistory = Seq(("T1", "ncaa_1"), ("T2", "ncaa_1"))
+      .toDF("team_id", "division")
 
     val outDir = s"/tmp/graft_runall_full_${System.nanoTime()}"
     val stages = RunAll.run(spark, rawGame, outDir, RunAll.Inputs(
@@ -132,7 +135,8 @@ class RunAllSpec extends AnyFunSuite {
       pitchingLineups = Some(pitchingLineups), playerInfo = Some(playerInfo),
       battingStats = Some(battingStats), pitchingStats = Some(pitchingStats),
       parkFactors = Some(parkFactors), rankings = Some(rankings),
-      mappings = Some(mappings), division = "ncaa_1", year = 2024))
+      mappings = Some(mappings), teamHistory = Some(teamHistory),
+      division = "ncaa_1", year = 2024))
     val byName = stages.map(s => s.name -> s.rows).toMap
 
     // pitcher assignment is real (not the round-2 lit("") stub)
@@ -190,6 +194,11 @@ class RunAllSpec extends AnyFunSuite {
     // 1 — the pitching value table must exist with both pitchers' teams
     val vpt = spark.read.parquet(s"$outDir/leaderboards/value_pitching_team")
     assert(vpt.count() >= 2)
+    // team-history publish filter: T3 is not in the history → no T3
+    // rows in team-keyed leaderboards (WAR tables stay unfiltered)
+    val sbt3 = spark.read.parquet(s"$outDir/leaderboards/splits_batting_team")
+    assert(sbt3.filter(col("team_id") === "T3").count() === 0)
+    assert(sbt3.filter(col("team_id") === "T1").count() > 0)
   }
 
   test("WAR inputs without WE/LI skip the WAR stage instead of crashing") {

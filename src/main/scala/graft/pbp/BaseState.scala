@@ -62,13 +62,20 @@ object BaseState {
     val basesBefore = basesStr(r1, r2, r3)
 
     val p1i = n(play.p1)
+    // evaluate each regex gate ONCE per row: extractBatterName would
+    // re-run both blankIfSubOrMeta and isRunnerOnlyEvent internally,
+    // and the early-return below needs blankIfSubOrMeta again — the
+    // fold is the engine's non-codegen island, so per-row regex count
+    // is its constant factor
     val isRunnerEvent = Parsing.isRunnerOnlyEvent(p1i)
+    val blankMeta = Parsing.blankIfSubOrMeta(p1i, play.subFl)
 
     val (batterName, poi) =
       if (isRunnerEvent) ("", Parsing.extractRunnerNameFromP1(p1i))
-      else { val b = Parsing.extractBatterName(p1i, play.subFl); (b, b) }
+      else if (blankMeta) ("", "")
+      else { val b = Parsing.batterNameUnchecked(p1i); (b, b) }
 
-    if (Parsing.blankIfSubOrMeta(p1i, play.subFl) && !isRunnerEvent) {
+    if (blankMeta && !isRunnerEvent) {
       val out = Out(batterName, poi, r1b, r2b, r3b, basesBefore,
         r1, r2, r3, basesStr(r1, r2, r3))
       return (State(r1, r2, r3), out)

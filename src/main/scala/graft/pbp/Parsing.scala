@@ -14,13 +14,19 @@ object Parsing {
 
   @inline private def s(x: String): String = if (x == null) "" else x.trim
 
+  // hot-path patterns precompiled once: String.split(regex) and
+  // String.replaceAll compile their pattern on EVERY call, and these
+  // run per play row
+  private val SplitRx = java.util.regex.Pattern.compile("(?:;|3a|:)")
+  private val WsRx = java.util.regex.Pattern.compile("\\s+")
+
   /** X5: split a description into up to four sub-plays on `;`, `3a`,
     * or `:` (reference helpers.py:33-39). */
   def splitPlayersText(desc: String): (String, String, String, String) = {
     if (desc == null || desc.isEmpty) return ("", "", "", "")
-    val parts = desc.split("(?:;|3a|:)", -1).map(_.trim)
-    val padded = (parts.toSeq ++ Seq("", "", "", "")).take(4)
-    (padded(0), padded(1), padded(2), padded(3))
+    val parts = SplitRx.split(desc, -1)
+    def p(i: Int) = if (i < parts.length) parts(i).trim else ""
+    (p(0), p(1), p(2), p(3))
   }
 
   /** FC single-out inference (reference helpers.py:42-57). */
@@ -94,6 +100,12 @@ object Parsing {
     if (isRunnerOnlyEvent(t)) return ""
     captureName(RxBatterName, t)
   }
+
+  /** [[extractBatterName]] when the caller has ALREADY established the
+    * row is neither blank/meta nor runner-only — lets the base-state
+    * fold evaluate those regex gates once per row instead of thrice. */
+  private[pbp] def batterNameUnchecked(p1: String): String =
+    captureName(RxBatterName, s(p1))
 
   def extractRunnerName(px: String): String = {
     val t = s(px); if (t.isEmpty) "" else captureName(RxRunnerName, t)
@@ -222,7 +234,7 @@ object Parsing {
     * columns.py:256-308). Cascade: "X to POS for Y" → "X in for
     * [POS] Y" → "X pinch hit|ran for Y" (ph/pr). */
   def parseSubstitution(desc: String): (Boolean, String, String, String) = {
-    val txt = s(desc).replaceAll("\\s+", " ")
+    val txt = WsRx.matcher(s(desc)).replaceAll(" ")
     val mToFor = RxToFor.matcher(txt)
     if (mToFor.find()) {
       return (true, s(mToFor.group("in")), s(mToFor.group("out")),

@@ -111,6 +111,41 @@ class PbpPipelineSpec extends AnyFunSuite {
     assert(g1(5).getAs[String]("batted_ball_type") === "FB")
   }
 
+  test("parse's shuffle-skipping fold ≡ the explicit-repartition fold on many games") {
+    // 24 games × ~30 plays across many partitions: the parse chain
+    // relies on the metadata window's hash(contest_id) exchange to
+    // satisfy the fold's clustering (alreadyPartitioned = true); this
+    // must equal the safe path that reshuffles explicitly
+    val raw = (1 to 24).flatMap { g =>
+      (1 to 30).map { i =>
+        val txt = (i % 5) match {
+          case 0 => s"P$g A$i singled to left"
+          case 1 => s"P$g B$i walked"
+          case 2 => s"P$g C$i homered, 2 RBI; P$g B${i - 1} scored"
+          case 3 => s"P$g D$i struck out swinging"
+          case _ => s"P$g E$i flied out to cf"
+        }
+        (g.toLong, i, (i % 9) + 1, if (i % 2 == 0) txt else null,
+          if (i % 2 == 1) txt else null)
+      }
+    }.toDF("contest_id", "seq", "inning", "away_text", "home_text")
+      .repartition(7) // scatter games across partitions first
+
+    val viaSkip = PbpPipeline.parse(raw)
+    val pre = PbpPipeline.runs(PbpPipeline.outs(PbpPipeline.flags(PbpPipeline.metadata(raw))))
+    val viaShuffle = PbpPipeline.batOrder(PbpPipeline.scores(PbpPipeline.classify(
+      PbpPipeline.baseState(pre, alreadyPartitioned = false))))
+
+    val cols = Seq("contest_id", "play_id", "batter_name", "bases_before",
+      "bases_after", "outs_before", "runs_on_play", "event_type", "bat_order")
+    val a = viaSkip.select(cols.head, cols.tail: _*)
+      .orderBy("contest_id", "play_id").collect().toSeq
+    val b = viaShuffle.select(cols.head, cols.tail: _*)
+      .orderBy("contest_id", "play_id").collect().toSeq
+    assert(a === b)
+    assert(a.length === 24 * 30)
+  }
+
   test("scraped-scores runs branch: year gate picks score deltas over text") {
     // text says 1 run (homer) + 0 runs; the scraped scores say the
     // second play actually plated TWO (text drift — main.py:57-71's

@@ -246,18 +246,18 @@ object RunAll {
     val wpaGated = Set("value_batter", "value_batting_team", "value_pitcher",
       "value_pitching_team")
     boards.toSeq.sortBy(_._1).foreach { case (name, df0) =>
-      // publish hygiene (main.py:160-197): below-floor rows out,
-      // team-history inner filter, publish-key dedup — per batch,
-      // which the (year, division) upsert makes equivalent to the
-      // reference's combined-frame pass
-      val df1 = Leaderboards.dropEmptyRows(name, df0)
-      val df2 = inputs.teamHistory
-        .map(th => Leaderboards.filterByTeamHistory(df1, th, inputs.division))
-        .getOrElse(df1)
-      val df = Leaderboards.dedupByPublishKeys(name, df2)
-      // empty tables are skipped, as the reference does (main.py:159)
-      if ((!wpaGated.contains(name) || haveWpa) && !df.isEmpty)
-        upsert(df, s"leaderboards/$name")
+      // gate FIRST: the publish pass runs eager probe jobs, and a
+      // WPA-gated table must cost zero work when the enrichment is off
+      if (!wpaGated.contains(name) || haveWpa) {
+        // publish hygiene in the reference's order (main.py:160-212):
+        // team-history filter → floors → key dedup → name enrichment,
+        // per batch — equivalent to the reference's combined-frame
+        // pass under the (year, division) upsert
+        val df = Leaderboards.publish(name, df0, inputs.teamHistory,
+          inputs.division, inputs.year)
+        // empty tables are skipped, as the reference does (main.py:159)
+        if (!df.isEmpty) upsert(df, s"leaderboards/$name")
+      }
     }
     results.toSeq
   }

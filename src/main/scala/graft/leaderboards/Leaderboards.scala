@@ -254,6 +254,29 @@ object Leaderboards {
       case _ => df
     }
 
+  /** Does any table team appear in the history at all? The
+    * reference's backoff guard for disjoint id spaces — probed once
+    * per table and shared by the filter AND the name enrichment.
+    * NOTE the probe scope deviates from the reference deliberately:
+    * pandas probes the combined (all-history + batch) frame, which
+    * here would mean reading every published table back per batch;
+    * the per-slice probe is the scale-sane equivalent and only
+    * diverges if the team-id space changes across slices. */
+  private def historyOverlap(df: DataFrame, teamHistory: DataFrame): Boolean = {
+    val hist = teamHistory.select(col("team_id").cast("string").as("__th_id")).distinct()
+    df.join(broadcast(hist), df("team_id").cast("string") === col("__th_id"), "left_semi")
+      .limit(1).count() > 0
+  }
+
+  private def historyInnerFilter(df: DataFrame, teamHistory: DataFrame,
+      division: String): DataFrame = {
+    val valid = teamHistory
+      .filter(col("division").cast("string") === division)
+      .select(col("team_id").cast("string").as("__vt"))
+      .distinct()
+    df.join(broadcast(valid), df("team_id").cast("string") === col("__vt"), "left_semi")
+  }
+
   /** `filter_by_team_history` (common.py:filter_by_team_history): keep
     * rows whose team appears in the division's team history. Mirrors
     * the reference's guards — tables without a `team_id` pass through,
@@ -261,16 +284,55 @@ object Leaderboards {
     * spaces, e.g. synthetic data) the filter backs off entirely. */
   def filterByTeamHistory(df: DataFrame, teamHistory: DataFrame, division: String): DataFrame = {
     if (!df.columns.contains("team_id")) return df
-    val hist = teamHistory.select(col("team_id").cast("string").as("__th_id")).distinct()
-    val anyOverlap = df
-      .join(broadcast(hist), df("team_id").cast("string") === col("__th_id"), "left_semi")
-      .limit(1).count() > 0
-    if (!anyOverlap) return df
-    val valid = teamHistory
-      .filter(col("division").cast("string") === division)
-      .select(col("team_id").cast("string").as("__vt"))
-      .distinct()
-    df.join(broadcast(valid), df("team_id").cast("string") === col("__vt"), "left_semi")
+    if (!historyOverlap(df, teamHistory)) return df
+    historyInnerFilter(df, teamHistory, division)
+  }
+
+  /** Post-dedup canonical-name enrichment (main.py:196-212): replace
+    * `team_name` (and pull `conference`) from the team history on
+    * (team_id, division, year). division/year are batch constants
+    * under the (year, division) upsert, so the three-key merge
+    * becomes a slice filter + broadcast join on team_id. Skipped when
+    * the history lacks the merge keys or carries neither pull column
+    * (the reference would crash its whole slice on a missing year
+    * column; degrading to no-op is the deliberate deviation). */
+  def enrichFromTeamHistory(df: DataFrame, teamHistory: DataFrame,
+      division: String, year: Int): DataFrame = {
+    if (!df.columns.contains("team_id")) return df
+    val thCols = teamHistory.columns.toSet
+    val pull = Seq("conference", "team_name").filter(thCols.contains)
+    if (pull.isEmpty || !thCols.contains("division") || !thCols.contains("year")) return df
+    val info = teamHistory
+      .filter(col("division").cast("string") === division &&
+        col("year").cast("int") === year)
+      .select((col("team_id").cast("string").as("__ti")) +: pull.map(col): _*)
+      .dropDuplicates("__ti")
+    df.drop(pull: _*)
+      .join(broadcast(info), df("team_id").cast("string") === col("__ti"), "left")
+      .drop("__ti")
+  }
+
+  /**
+   * The full publish pass for one table, in the reference's order
+   * (main.py:160-212): team-history inner filter → minimum-data
+   * floors → publish-key dedup → canonical team-name/conference
+   * enrichment. One overlap probe gates both history steps (after the
+   * inner filter every surviving team is in the history by
+   * construction, so the reference's second probe is implied).
+   */
+  def publish(name: String, df0: DataFrame, teamHistory: Option[DataFrame],
+      division: String, year: Int): DataFrame = {
+    val applicable = teamHistory.filter(_ => df0.columns.contains("team_id"))
+    val overlap = applicable.exists(th => historyOverlap(df0, th))
+    val filtered = applicable match {
+      case Some(th) if overlap => historyInnerFilter(df0, th, division)
+      case _ => df0
+    }
+    val deduped = dedupByPublishKeys(name, dropEmptyRows(name, filtered))
+    applicable match {
+      case Some(th) if overlap => enrichFromTeamHistory(deduped, th, division, year)
+      case _ => deduped
+    }
   }
 
   /** Publish-key dedup (main.py:191-194): `drop_duplicates` on the

@@ -125,9 +125,12 @@ class RunAllSpec extends AnyFunSuite {
     val mappings = Seq(
       ("Aardvarks", "Aardvarks"), ("Badgers", "Badgers"), ("Cougars", "Cougars"))
       .toDF("ncaa_team_name", "massey_team_name")
-    // T3 (Cougars) deliberately absent → leaderboard rows filtered
-    val teamHistory = Seq(("T1", "ncaa_1"), ("T2", "ncaa_1"))
-      .toDF("team_id", "division")
+    // T3 (Cougars) deliberately absent → leaderboard rows filtered;
+    // year + canonical names present → the publish enrichment runs
+    val teamHistory = Seq(
+      ("T1", "ncaa_1", 2024, "Aardvarks Canonical", "North"),
+      ("T2", "ncaa_1", 2024, "Badgers Canonical", "South"))
+      .toDF("team_id", "division", "year", "team_name", "conference")
 
     val outDir = s"/tmp/graft_runall_full_${System.nanoTime()}"
     val stages = RunAll.run(spark, rawGame, outDir, RunAll.Inputs(
@@ -199,6 +202,11 @@ class RunAllSpec extends AnyFunSuite {
     val sbt3 = spark.read.parquet(s"$outDir/leaderboards/splits_batting_team")
     assert(sbt3.filter(col("team_id") === "T3").count() === 0)
     assert(sbt3.filter(col("team_id") === "T1").count() > 0)
+    // canonical names + conference pulled from the history at publish
+    assert(sbt3.filter(col("team_id") === "T1")
+      .select("team_name").distinct().collect().map(_.getString(0)).toSeq ===
+      Seq("Aardvarks Canonical"))
+    assert(sbt3.columns.contains("conference"))
   }
 
   test("WAR inputs without WE/LI skip the WAR stage instead of crashing") {

@@ -35,6 +35,38 @@ class LeaderboardsSpec extends AnyFunSuite {
     assert(Leaderboards.filterByTeamHistory(rolling, hist, "ncaa_1").count() === 1)
   }
 
+  test("publish: filter runs BEFORE floors (reference order), enrichment after dedup") {
+    // T1 is in history but below the floor; Z9 is above the floor but
+    // not in history. Reference order (filter → floor) publishes
+    // NOTHING: the filter drops Z9 while overlap holds, then the floor
+    // drops T1. Floor-first would wrongly back off and publish Z9.
+    val df = Seq(("T1", 0L), ("Z9", 5L)).toDF("team_id", "batted_balls")
+    val hist = Seq(("T1", "ncaa_1", 2024, "Aardvarks", "North"))
+      .toDF("team_id", "division", "year", "team_name", "conference")
+    val out = Leaderboards.publish("batted_ball_batting_team", df, Some(hist), "ncaa_1", 2024)
+    assert(out.count() === 0)
+
+    // enrichment: canonical team_name replaces the aggregated one and
+    // conference arrives from the history slice
+    val df2 = Seq(("T1", "aardvarks-raw", 3L)).toDF("team_id", "team_name", "batted_balls")
+    val out2 = Leaderboards.publish("batted_ball_batting_team", df2, Some(hist), "ncaa_1", 2024)
+      .collect().head
+    assert(out2.getAs[String]("team_name") === "Aardvarks")
+    assert(out2.getAs[String]("conference") === "North")
+    // wrong year slice → enrich joins nothing, name nulls out but row kept
+    val out3 = Leaderboards.publish("batted_ball_batting_team", df2, Some(hist), "ncaa_1", 2023)
+    assert(out3.count() === 1)
+    assert(out3.collect().head.getAs[String]("conference") === null)
+  }
+
+  test("enrichFromTeamHistory: degrades to no-op without merge keys") {
+    val df = Seq(("T1", "raw")).toDF("team_id", "team_name")
+    // history without a year column → reference would crash; we skip
+    val hist = Seq(("T1", "ncaa_1", "Aardvarks")).toDF("team_id", "division", "team_name")
+    val out = Leaderboards.enrichFromTeamHistory(df, hist, "ncaa_1", 2024).collect().head
+    assert(out.getAs[String]("team_name") === "raw")
+  }
+
   test("dedupByPublishKeys: dedups on present key columns only") {
     val df = Seq(
       ("P1", "T1", 0.5), ("P1", "T1", 0.6), ("P1", "T2", 0.7))

@@ -264,6 +264,94 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /**
+   * Connected components over near-dup pairs — the cluster-formation
+   * step every dedup pipeline ends with (pick one canonical doc per
+   * component). Alternating LARGE-STAR / SMALL-STAR rounds (Kiveris
+   * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+   * each round is two relational passes (per-node min + re-point), no
+   * neighbor-list materialization anywhere, so a hot node with 10⁸
+   * dup edges never assembles its adjacency in one task — the
+   * algorithm's whole point at 100 TB. Converges in O(log²) rounds;
+   * every round persists its (shrinking) edge set and truncates
+   * lineage.
+   *
+   * Input: undirected edges (`id_a`, `id_b`). Output: (`id`,
+   * `component`) for every node that appears in an edge, where
+   * `component` is the smallest id in the node's component.
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges
+      .select(col("id_a").cast("long").as("id"))
+      .union(edges.select(col("id_b").cast("long").as("id")))
+      .distinct()
+
+    var e = edges
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def signature(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free under ANSI mode
+      val r = df.select(xxhash64(col("a"), col("b")).as("h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: every strictly-larger neighbor re-points to the
+      // node's minimum (of itself and all neighbors)
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a")
+        .agg(min(col("b")).as("__mn"))
+        .select(col("a").as("__u"), least(col("a"), col("__mn")).as("__m"))
+      val ls = sym.join(mins, sym("a") === col("__u"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("__m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // SMALL-STAR: smaller-or-equal neighbors (and the node) re-point
+      // to the minimum of the smaller neighborhood
+      val dir = ls.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      val mins2 = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = dir.join(mins2, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mins2.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+        .localCheckpoint(true) // truncate the per-round lineage
+      val prev = e
+      val prevSig = sig
+      e = ss.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sig = signature(e)
+      prev.unpersist(blocking = false)
+      converged = sig == prevSig
+      iter += 1
+    }
+
+    // a silent wrong answer is worse than failing: the paper bounds
+    // convergence at O(log^2 n) rounds, so 30 covers any real graph
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // the converged edge set is a star forest: every edge (root=a, v=b)
+    // with a = component min. Roots map to themselves; nodes whose
+    // component collapsed keep their star edge.
+    val comp = e.select(col("b").as("id"), col("a").as("component"))
+      .union(e.select(col("a").as("id"), col("a").as("component")))
+      .groupBy("id").agg(min(col("component")).as("component"))
+    val out = nodes.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Embedding near-dup via sign-LSH bucketing: only vectors sharing a
     * bucket are compared. Linear shuffle, bucket-local quadratic. */
   def embeddingNearDupLsh(

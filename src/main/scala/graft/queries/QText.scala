@@ -209,5 +209,65 @@ object QText {
       Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
+    },
+
+    // Near-dup CLUSTER formation: connected components over the t06
+    // pair graph (large-star/small-star in Spark; the oracle walks the
+    // same graph with a recursive CTE and takes the min reachable id).
+    QueryDef.of("t09_dup_clusters",
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $CTOKS AS t FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM toks),
+         |filt AS (SELECT id, sh FROM sh0
+         |  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
+         |sz AS (SELECT id, count(*) AS n_sh FROM filt GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+         |  WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |cc AS (
+         |  SELECT a AS id, a AS comp FROM edges
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON e.a = cc.id
+         |)
+         |SELECT id, min(comp) AS component FROM cc GROUP BY id
+         |ORDER BY id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = Some(1000))
+      Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .orderBy("id")
+    },
+
+    // Deterministic per-stratum downsample: ≤ 3 docs per
+    // (lang, source), chosen by md5-of-id order — reproducible across
+    // runs, engines and cluster sizes (no RNG, no seed).
+    QueryDef.of("t10_stratified_sample",
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY lang, source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3
+        |ORDER BY lang, source, doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.deterministicPerStratum(
+          Tables.documents(s, dir), Seq("lang", "source"), k = 3, idCol = "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("lang", "source", "doc_id")
+    },
+
+    // Deterministic hash-gate sample at rate 0.25: a pure filter (no
+    // shuffle; survives any repartitioning) keeping rows whose first
+    // 8 md5 hex digits fall under rate·2³².
+    QueryDef.of("t11_hash_rate_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 1073741824
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.deterministicByRate(
+          Tables.documents(s, dir), rate = 0.25, idCol = "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
 }

@@ -201,4 +201,57 @@ class OperatorSpecs extends AnyFunSuite {
     assert(byKeep(4L) === 1L)
     assert(groups.forall(_._1.length === 32)) // full 128-bit hex
   }
+
+  test("connectedComponents ≡ brute union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      // sparse random graph: isolated pairs, chains, a dense clique
+      val edges = (1 to 70).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        (50 until 55).flatMap(i => (i + 1 until 55).map(j => (i.toLong, j.toLong))) ++
+        Seq((100L, 101L)) // far-off pair
+      val noSelf = edges.filter { case (a, b) => a != b }
+
+      // brute union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      noSelf.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = noSelf.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min id per root group
+      val expected = nodes.groupBy(find).flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }
+
+      val got = Dedup.connectedComponents(
+          noSelf.toDF("id_a", "id_b").repartition(5))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("deterministic sampling: stable across repartitioning, bounded per stratum") {
+    val docs = (1L to 200L).map(i => (i, s"l${i % 3}", s"s${i % 2}")).toDF("doc_id", "lang", "source")
+    val s1 = graft.operators.Sampling.deterministicPerStratum(docs, Seq("lang", "source"), 4, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val s2 = graft.operators.Sampling.deterministicPerStratum(
+        docs.repartition(13), Seq("lang", "source"), 4, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 === s2) // partitioning-independent
+    assert(s1.length === 6 * 4) // 3 langs × 2 sources × k
+    val r1 = graft.operators.Sampling.deterministicByRate(docs, 0.3, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val r2 = graft.operators.Sampling.deterministicByRate(docs.repartition(7), 0.3, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(r1 === r2)
+    assert(r1.nonEmpty && r1.length < 200) // gate actually selects a strict subset
+    // rate 1.0 keeps everything, rate 0.0 nothing
+    assert(graft.operators.Sampling.deterministicByRate(docs, 1.0, "doc_id").count() === 200)
+    assert(graft.operators.Sampling.deterministicByRate(docs, 0.0, "doc_id").count() === 0)
+  }
 }

@@ -41,7 +41,29 @@ object QPbp {
       when(col("event_id") % 2 =!= 0, text).as("home_text"))
   }
 
+  /** The parse summary pbp02 pins: full parser chain → per-(event,
+    * batted-ball) counts/runs/outs/games. Integer-only output, so the
+    * pinned oracle is hash-exact. */
+  def parseSummary(s: SparkSession, dir: String): DataFrame =
+    PbpPipeline.parse(rawPbpFromEvents(s, dir))
+      .groupBy(col("event_type"),
+        coalesce(col("batted_ball_type"), lit("none")).as("bb_type"))
+      .agg(count(lit(1)).as("n"),
+        sum("runs_on_play").cast("long").as("runs"),
+        sum("outs_on_play").cast("long").as("outs"),
+        countDistinct("contest_id").as("games"))
+      .orderBy("event_type", "bb_type")
+
   val defs: Seq[QueryDef] = Seq(
+    // The X1-X6 parser chain behind a PINNED oracle (j07 pattern):
+    // the summary was generated once from the golden-tested parser at
+    // sf0.01 and frozen as a VALUES literal — every future change to
+    // the regex bank / state machines / window forms must reproduce it
+    // bit-for-bit. Regenerate resources/graft/pbp02_oracle.sql when
+    // the parser semantics INTENTIONALLY change.
+    QueryDef.of("pbp02_parse_summary",
+      QueryDef.resourceSql("/graft/pbp02_oracle.sql"))(parseSummary),
+
     QueryDef.rowsOnly("pbp01_parse_enrich") { (s, dir) =>
       // the parse chain feeds three consumers (ER matrix, linear
       // weights, the enrichment joins) — cache it or the whole

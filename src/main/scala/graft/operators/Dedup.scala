@@ -280,7 +280,8 @@ object Dedup {
    * `component`) for every node that appears in an edge, where
    * `component` is the smallest id in the node's component.
    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+      maxDriverEdges: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     val nodes = edges
       .select(col("id_a").cast("long").as("id"))
@@ -293,6 +294,33 @@ object Dedup {
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // limit-probed hybrid (the PlayerMap broadcast/cogroup pattern):
+    // a dup-pair graph is usually FAR smaller than the corpus — when
+    // it fits comfortably on the driver, a union-find is exact and
+    // avoids ~4 jobs per star round; the distributed rounds below are
+    // the path for graphs that don't fit.
+    val small = e.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).count() <= maxDriverEdges
+    if (small) {
+      import spark.implicits._
+      val es = e.as[(Long, Long)].collect()
+      e.unpersist(blocking = false)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical = min id per root group (find() roots are already
+      // minima because unions always point larger roots at smaller)
+      val comp = parent.keys.map(x => x -> find(x)).toMap
+      val compDf = comp.toSeq.toDF("id", "component")
+      return nodes.join(broadcast(compDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    }
 
     def signature(df: DataFrame): (Long, Long) = {
       // bit_xor: order-independent and overflow-free under ANSI mode

@@ -228,10 +228,16 @@ class OperatorSpecs extends AnyFunSuite {
         val m = members.min; members.map(_ -> m)
       }
 
-      val got = Dedup.connectedComponents(
-          noSelf.toDF("id_a", "id_b").repartition(5))
+      // BOTH paths must agree with brute force: the driver union-find
+      // (default threshold) and the distributed star rounds (forced
+      // via maxDriverEdges = 0)
+      val inDf = noSelf.toDF("id_a", "id_b").repartition(5)
+      val viaDriver = Dedup.connectedComponents(inDf)
         .as[(Long, Long)].collect().toMap
-      assert(got === expected, s"trial $trial")
+      val viaStars = Dedup.connectedComponents(inDf, maxDriverEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(viaDriver === expected, s"trial $trial driver")
+      assert(viaStars === expected, s"trial $trial distributed")
     }
   }
 

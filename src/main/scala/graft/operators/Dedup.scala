@@ -283,13 +283,19 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
       maxDriverEdges: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
-    val nodes = edges
-      .select(col("id_a").cast("long").as("id"))
-      .union(edges.select(col("id_b").cast("long").as("id")))
+    // persist the raw projection FIRST: `edges` may be an expensive
+    // plan (t09's pair join), and both the node set and the edge set
+    // derive from it — without this the upstream pipeline re-runs
+    // once per union branch when the output is finally consumed
+    val raw = graft.util.Caches.track(edges
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    raw.count()
+    val nodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id")))
       .distinct()
 
-    var e = edges
-      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+    var e = raw
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
@@ -306,9 +312,15 @@ object Dedup {
       val es = e.as[(Long, Long)].collect()
       e.unpersist(blocking = false)
       val parent = scala.collection.mutable.Map[Long, Long]()
+      // ITERATIVE find with path compression: union-by-min builds
+      // chains on adversarial edge orders, and a path-shaped 500k-edge
+      // component would blow the stack with a recursive find
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
@@ -318,8 +330,9 @@ object Dedup {
       // minima because unions always point larger roots at smaller)
       val comp = parent.keys.map(x => x -> find(x)).toMap
       val compDf = comp.toSeq.toDF("id", "component")
-      return nodes.join(broadcast(compDf), Seq("id"), "left")
+      val out = nodes.join(broadcast(compDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      return out
     }
 
     def signature(df: DataFrame): (Long, Long) = {

@@ -74,6 +74,26 @@ object PortableHash {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Mersenne prime 2³¹−1: modulus of the MinHash permutation family. */
+  val MinhashP = 2147483647L
+
+  /**
+   * Deterministic per-seed (a, b) of the universal hash family
+   * hᵢ(x) = (aᵢ·x + bᵢ) mod p applied to the 31-bit base hash
+   * (md5Long & (2³¹−1)). One md5 per shingle plus numHashes cheap
+   * multiply-adds replaces numHashes md5 calls — the dominant MinHash
+   * cost at corpus scale. Constants derive from md5 of the seed index
+   * so any engine regenerates them bit-for-bit:
+   * a = md5_60("a:i") mod (p−1) + 1, b = md5_60("b:i") mod p.
+   * 31-bit operands keep a·x+b < 2⁶² — no 64-bit overflow in Spark
+   * and no overflow ERROR in the DuckDB oracle (which, unlike the
+   * JVM, refuses to wrap BIGINT arithmetic).
+   */
+  def minhashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      (md5Long(s"a:$i") % (MinhashP - 1) + 1, md5Long(s"b:$i") % MinhashP)
+    }
+
   /** [[simhash60]] over a catalyst ArrayData of UTF8Strings — the
     * entry point [[SimHash60Expr]]'s generated code calls directly
     * (no Seq materialization, no UDF serialization boundary). */

@@ -125,14 +125,21 @@ object TextFunctions {
     shinglesFromTokens(tokens(canonicalText(c)), n)
 
   /**
-   * MinHash signature: for seed i, min over shingles of the portable
-   * 60-bit hash of `"i:shingle"`. Seeding by string prefix instead of
-   * `(a*h+b) mod p` avoids 64-bit multiplication overflow and stays
-   * reproducible in the SQL oracle.
+   * MinHash signature: for seed i, min over shingles of the universal
+   * hash (aᵢ·h+bᵢ) mod 2³¹−1 of the shingle's 31-bit base hash —
+   * one md5 per shingle, shared by every seed
+   * ([[PortableHash.minhashParams]]; same family as
+   * [[graft.operators.Dedup.minhashSignaturesFromShingles]]).
+   * 31-bit operands keep the multiply overflow-free in both Spark
+   * and the DuckDB oracle.
    */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleArr,
-        s => ScalarFunctions.md5Long(concat(lit(i + ":"), s))))
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
+    import PortableHash.{MinhashP, minhashParams}
+    val params = minhashParams(numHashes)
+    val bases = transform(shingleArr,
+      s => ScalarFunctions.md5Long(s).bitwiseAND(lit(MinhashP)))
+    array(params.map { case (a, b) =>
+      array_min(transform(bases, h => (h * a + b) % MinhashP))
     }: _*)
+  }
 }

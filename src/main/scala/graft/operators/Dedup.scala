@@ -138,12 +138,23 @@ object Dedup {
     * map-side partial aggregation reduces them before the shuffle, so
     * the exchange carries |docs| rows of numHashes longs. (The
     * explode-by-seed formulation shuffles |shingles|×numHashes rows —
-    * a 20M-row exchange at 5k docs.) */
+    * a 20M-row exchange at 5k docs.)
+    *
+    * Each row md5-hashes its shingle ONCE; the per-seed values are the
+    * universal family (aᵢ·h+bᵢ) mod 2³¹−1 over that base hash
+    * ([[PortableHash.minhashParams]]) — numHashes multiply-adds
+    * instead of numHashes md5 calls, ~10× less CPU in the signature
+    * stage and the same bit-for-bit reproducibility in the SQL
+    * oracle. */
   def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map { i =>
-      min(ScalarFunctions.md5Long(concat(lit(s"$i:"), col("sh")))).as(s"__h$i")
+    import graft.functions.PortableHash.{MinhashP, minhashParams}
+    val params = minhashParams(numHashes)
+    val withBase = sh.withColumn("__h31",
+      ScalarFunctions.md5Long(col("sh")).bitwiseAND(lit(MinhashP)))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min((col("__h31") * a + b) % MinhashP).as(s"__h$i")
     }
-    sh.groupBy("id")
+    withBase.groupBy("id")
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
   }

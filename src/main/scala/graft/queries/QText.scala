@@ -161,9 +161,14 @@ object QText {
          |sh0 AS (SELECT DISTINCT doc_id AS id,
          |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
          |  FROM toks),
+         |seeds AS (SELECT seed,
+         |    ('0x' || substr(md5('a:' || seed), 1, 15))::BIGINT % 2147483646 + 1 AS a,
+         |    ('0x' || substr(md5('b:' || seed), 1, 15))::BIGINT % 2147483647 AS b
+         |  FROM (SELECT unnest(range(0, 12)) AS seed)),
          |mh AS (SELECT id, s.seed,
-         |    min(('0x' || substr(md5(s.seed || ':' || sh0.sh), 1, 15))::BIGINT) AS mh
-         |  FROM sh0, (SELECT unnest(range(0, 12)) AS seed) s GROUP BY id, s.seed),
+         |    min((s.a * (('0x' || substr(md5(sh0.sh), 1, 15))::BIGINT & 2147483647) + s.b)
+         |        % 2147483647) AS mh
+         |  FROM sh0, seeds s GROUP BY id, s.seed),
          |sig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
          |band AS (SELECT id, b.b,
          |    md5(array_to_string(sig[b.b*3+1 : b.b*3+3], ',')) AS bucket

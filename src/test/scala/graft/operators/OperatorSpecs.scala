@@ -162,6 +162,23 @@ class OperatorSpecs extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("array-form minhashSignature equals the row-form aggregate signatures") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat today and yesterday it sat again"),
+      (2L, "a completely different sentence with other words entirely"),
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val viaArray = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.minhashSignature(
+          graft.functions.TextFunctions.shingles(col("text"), 2), 12).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaRows = Dedup.minhashSignatures(docs, "doc_id", "text", shingleN = 2, numHashes = 12)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaArray === viaRows)
+    // every signature value is inside the family's modulus
+    viaRows.values.flatten.foreach(v => assert(v >= 0L && v < 2147483647L))
+  }
+
   test("SimHash60Expr (codegen) equals the pure-Scala simhash60") {
     val docs = Seq((1L, "the quick brown fox"), (2L, ""), (3L, "a b c d e f"))
       .toDF("doc_id", "text")

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination: flag training documents that share word
+ * n-grams with an evaluation corpus (the GPT-3 appendix-C / Llama-2
+ * style overlap check — public method, e.g. Brown et al. 2020 §C).
+ *
+ * Scale shape: the benchmark side is eval sets — thousands of
+ * documents, millions of distinct n-grams at most — so its distinct
+ * n-gram set is BROADCAST; the 100 TB training side is touched by one
+ * map-side join plus a single groupBy(id) shuffle that carries two
+ * longs per document. Nothing on the big side is ever collected or
+ * re-shuffled by n-gram.
+ */
+object Decontaminate {
+
+  /**
+   * Per-document overlap profile against the benchmark corpus:
+   * (id, n_grams, n_hit, overlap_frac) over DISTINCT word n-grams of
+   * the canonical text ([[Dedup.shingled]] semantics). Documents with
+   * fewer than n tokens have zero shingles and are naturally absent —
+   * they cannot be contaminated.
+   *
+   * `overlap_frac` is the fraction of the document's distinct n-grams
+   * that appear anywhere in the benchmark; callers threshold it (or
+   * `n_hit` ≥ 1 for the strict GPT-3 rule).
+   */
+  def ngramOverlap(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    // distinct over ALL benchmark docs (shingled is per-doc distinct);
+    // the id column of the benchmark side is irrelevant to the set
+    val benchGrams = Dedup.shingled(
+        bench.select(monotonically_increasing_id().as("__bid"), col(benchTextCol).as("__bt")),
+        "__bid", "__bt", n)
+      .select("sh").distinct()
+    val docGrams = Dedup.shingled(docs, idCol, textCol, n)
+    // one pass: broadcast-mark each gram, count rows vs non-null marks
+    // in the same aggregate (count(col) skips nulls)
+    docGrams
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("sh"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_hit"))
+      .withColumn("overlap_frac",
+        round(col("n_hit").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Convenience filter: training docs with NO n-gram overlap with the
+    * benchmark (strict decontamination — any shared n-gram drops the
+    * document). Anti-join keeps docs whose grams never match, plus
+    * docs too short to have grams. */
+  def removeContaminated(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val benchGrams = Dedup.shingled(
+        bench.select(monotonically_increasing_id().as("__bid"), col(benchTextCol).as("__bt")),
+        "__bid", "__bt", n)
+      .select("sh").distinct()
+    val contaminatedIds = Dedup.shingled(docs, idCol, textCol, n)
+      .join(broadcast(benchGrams), Seq("sh"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    docs.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+}

@@ -274,5 +274,28 @@ object QText {
           Tables.documents(s, dir), rate = 0.25, idCol = "doc_id")
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination (Decontaminate.ngramOverlap): every
+    // 20th document plays the eval set; the rest are training docs
+    // profiled for distinct-trigram overlap against it. The oracle
+    // replicates shingling, the benchmark gram set, and the
+    // hit/total/fraction aggregate.
+    QueryDef.of("t12_decontaminate",
+      s"""WITH toks AS (SELECT doc_id, $CTOKS AS t FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM toks),
+         |bench AS (SELECT DISTINCT sh FROM sh0 WHERE id % 20 = 0)
+         |SELECT s.id AS doc_id, count(*) AS n_grams, count(b.sh) AS n_hit,
+         |  round(count(b.sh) / CAST(count(*) AS DOUBLE), 6) AS overlap_frac
+         |FROM sh0 s LEFT JOIN bench b ON s.sh = b.sh
+         |WHERE s.id % 20 <> 0
+         |GROUP BY s.id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.Decontaminate.ngramOverlap(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "text", n = 3)
+        .orderBy("doc_id")
     })
 }

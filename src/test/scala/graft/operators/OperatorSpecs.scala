@@ -162,6 +162,24 @@ class OperatorSpecs extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("ngramOverlap profiles benchmark contamination; removeContaminated drops hits") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares benchmark trigrams
+      (2L, "completely unrelated training sentence here today"),
+      (3L, "hi")) // < 3 tokens: no trigrams at all
+      .toDF("doc_id", "text")
+    val prof = Decontaminate.ngramOverlap(train, "doc_id", "text", bench, "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc1: 7 trigrams, 3 shared ("the quick brown","quick brown fox","brown fox jumps")
+    assert(prof(1L) === ((1L, 7L, 3L, 0.428571)))
+    assert(prof(2L)._3 === 0L)
+    assert(!prof.contains(3L)) // shingle-free docs are absent (cannot be contaminated)
+    val kept = Decontaminate.removeContaminated(train, "doc_id", "text", bench, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L)) // doc3 survives the anti-join despite having no grams
+  }
+
   test("array-form minhashSignature equals the row-form aggregate signatures") {
     val docs = Seq(
       (1L, "the cat sat on the mat today and yesterday it sat again"),

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * PII detection and redaction over text columns — the pre-training
+ * scrub pass (C4/Dolma-style, public method). Everything is built-in
+ * `regexp_replace`/`split` column expressions: codegen'd, map-only,
+ * no shuffle — the shape that survives a 100 TB corpus untouched.
+ *
+ * Patterns stay inside the Java ∩ RE2 regex subset so the DuckDB
+ * oracle runs the identical strings: character classes, bounded
+ * repetition, non-capturing groups, ASCII `\b` — no lookaround, no
+ * backreferences.
+ */
+object Pii {
+
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re = """\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+  /** US-style 3-3-4 with '-' or '.' separators; `\b`-anchored so it
+    * never eats SSN (3-2-4) or IPv4 substrings. */
+  val PhoneRe = """\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"""
+  val SsnRe = """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"""
+
+  /** Occurrence count via split: n matches cut the string into n+1
+    * parts. `limit = -1` keeps trailing empty parts, so a match at the
+    * end of the string still counts (mirrors DuckDB's
+    * `string_split_regex`). */
+  def countMatches(c: Column, pattern: String): Column =
+    size(split(c, pattern, -1)) - 1
+
+  def emailCount(c: Column): Column = countMatches(c, EmailRe)
+  def ipv4Count(c: Column): Column = countMatches(c, Ipv4Re)
+  def phoneCount(c: Column): Column = countMatches(c, PhoneRe)
+  def ssnCount(c: Column): Column = countMatches(c, SsnRe)
+
+  /**
+   * Redact all four families, most-specific first: email before the
+   * numeric families (a dotted numeric domain must be consumed as
+   * part of the email, not left for the IP pass), SSN before phone
+   * (disjoint shapes today, but the order makes the precedence
+   * explicit), phone before IPv4.
+   */
+  def redact(c: Column): Column = {
+    val e = regexp_replace(c, EmailRe, "[EMAIL]")
+    val s = regexp_replace(e, SsnRe, "[SSN]")
+    val p = regexp_replace(s, PhoneRe, "[PHONE]")
+    regexp_replace(p, Ipv4Re, "[IP]")
+  }
+
+  /** Adds per-family counts, a `has_pii` flag, and the redacted text.
+    * One projection — no shuffle, no action. */
+  def detect(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumns(Map(
+      "n_email" -> emailCount(t),
+      "n_ipv4" -> ipv4Count(t),
+      "n_phone" -> phoneCount(t),
+      "n_ssn" -> ssnCount(t)))
+      .withColumn("has_pii",
+        col("n_email") + col("n_ipv4") + col("n_phone") + col("n_ssn") > 0)
+      .withColumn("redacted", redact(t))
+  }
+}

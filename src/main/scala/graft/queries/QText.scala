@@ -29,6 +29,13 @@ object QText {
   /** DuckDB mirror of [[TextFunctions.tokens]] over canonical text. */
   private val CTOKS = s"regexp_extract_all($CANON, '\\S+')"
 
+  // the Pii patterns verbatim — Java ∩ RE2, safe inside a DuckDB
+  // single-quoted literal (no quotes, no dollar signs)
+  private val PiiEmail = graft.functions.Pii.EmailRe
+  private val PiiIp = graft.functions.Pii.Ipv4Re
+  private val PiiPhone = graft.functions.Pii.PhoneRe
+  private val PiiSsn = graft.functions.Pii.SsnRe
+
   val defs: Seq[QueryDef] = Seq(
 
     // Text quality metrics — token count, punctuation/stopword
@@ -296,6 +303,49 @@ object QText {
       graft.operators.Decontaminate.ngramOverlap(
           docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
           docs.filter(col("doc_id") % 20 === 0), "text", n = 3)
+        .orderBy("doc_id")
+    },
+
+    // PII detection + redaction (functions/Pii): counts and redacted
+    // text per family. The synthetic corpus has no organic PII, so the
+    // query derives a deterministic PII-bearing column from doc_id
+    // (identically in both engines) — the patterns get real matches
+    // and the oracle checks the full count+redact pipeline.
+    QueryDef.of("t13_pii_redact",
+      s"""WITH d AS (SELECT doc_id, CASE
+         |    WHEN doc_id % 5 = 0 THEN text || ' a@b.io c@d.org 192.168.1.1'
+         |    WHEN doc_id % 3 = 0 THEN text
+         |    ELSE text || ' reach user' || doc_id || '@mail.example.com from 10.0.'
+         |      || (doc_id % 256) || '.' || (doc_id % 100)
+         |      || ' ssn 123-45-6789 call 555-867-5309' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(string_split_regex(t, '$PiiEmail')) - 1 AS n_email,
+         |  len(string_split_regex(t, '$PiiIp')) - 1 AS n_ipv4,
+         |  len(string_split_regex(t, '$PiiPhone')) - 1 AS n_phone,
+         |  len(string_split_regex(t, '$PiiSsn')) - 1 AS n_ssn,
+         |  (len(string_split_regex(t, '$PiiEmail')) + len(string_split_regex(t, '$PiiIp'))
+         |   + len(string_split_regex(t, '$PiiPhone')) + len(string_split_regex(t, '$PiiSsn'))
+         |   - 4) > 0 AS has_pii,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$PiiEmail', '[EMAIL]', 'g'), '$PiiSsn', '[SSN]', 'g'),
+         |    '$PiiPhone', '[PHONE]', 'g'), '$PiiIp', '[IP]', 'g') AS redacted
+         |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val injected = Tables.documents(s, dir).withColumn("__t",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" a@b.io c@d.org 192.168.1.1")))
+          .when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"),
+            lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string"),
+            lit(" ssn 123-45-6789 call 555-867-5309"))))
+      graft.functions.Pii.detect(injected, "__t")
+        .select(col("doc_id"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          col("n_phone").cast("long").as("n_phone"),
+          col("n_ssn").cast("long").as("n_ssn"),
+          col("has_pii"), col("redacted"))
         .orderBy("doc_id")
     })
 }

@@ -180,6 +180,22 @@ class OperatorSpecs extends AnyFunSuite {
     assert(kept === Set(2L, 3L)) // doc3 survives the anti-join despite having no grams
   }
 
+  test("Pii.detect counts and redacts emails, IPs, phones, SSNs") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@sub.example.co.uk and carol@d.org now"),
+      (2L, "server 10.0.3.44 and 192.168.1.1 up"),
+      (3L, "ssn 123-45-6789 phone 555-867-5309 alt 555.867.5309"),
+      (4L, "nothing sensitive here")).toDF("doc_id", "text")
+    val r = graft.functions.Pii.detect(docs, "text")
+      .select("doc_id", "n_email", "n_ipv4", "n_phone", "n_ssn", "has_pii", "redacted")
+      .as[(Long, Int, Int, Int, Int, Boolean, String)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2 === 2 && r(1L)._7 === "mail [EMAIL] and [EMAIL] now")
+    assert(r(2L)._3 === 2 && r(2L)._7 === "server [IP] and [IP] up")
+    assert(r(3L)._4 === 2 && r(3L)._5 === 1 &&
+      r(3L)._7 === "ssn [SSN] phone [PHONE] alt [PHONE]")
+    assert(r(4L)._6 === false && r(4L)._7 === "nothing sensitive here")
+  }
+
   test("array-form minhashSignature equals the row-form aggregate signatures") {
     val docs = Seq(
       (1L, "the cat sat on the mat today and yesterday it sat again"),

@@ -125,6 +125,43 @@ object TextFunctions {
     shinglesFromTokens(tokens(canonicalText(c)), n)
 
   /**
+   * Largest multiplicity of any single element = max run length in
+   * the sorted array — one `aggregate` fold over `array_sort`,
+   * O(L log L) per row, map-only (the Gopher-style repetition signals
+   * need no explode/groupBy shuffle; a 100 TB corpus passes through
+   * as one projection). Empty array → 0.
+   */
+  def maxMultiplicity(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (s, x) => {
+        val run = when(x === s.getField("prev"), s.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+
+  /** Max over distinct elements of multiplicity × element length —
+    * "characters covered by the most repeated n-gram" (the Gopher
+    * top-n-gram character-fraction numerator), tie-free because the
+    * max is over the product, not an argmax. Same sorted-run fold as
+    * [[maxMultiplicity]]. */
+  def maxRunCharCoverage(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (s, x) => {
+        val run = when(x === s.getField("prev"), s.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run * length(x)).as("best"))
+      },
+      s => s.getField("best"))
+
+  /** Type-token ratio: distinct / total tokens (0 for empty). */
+  def typeTokenRatio(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+
+  /**
    * MinHash signature: for seed i, min over shingles of the universal
    * hash (aᵢ·h+bᵢ) mod 2³¹−1 of the shingle's 31-bit base hash —
    * one md5 per shingle, shared by every seed

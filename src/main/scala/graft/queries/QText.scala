@@ -347,5 +347,53 @@ object QText {
           col("n_ssn").cast("long").as("n_ssn"),
           col("has_pii"), col("redacted"))
         .orderBy("doc_id")
+    },
+
+    // Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1,
+    // public), token-level: type-token ratio, most-frequent-token
+    // fraction, top-bigram character coverage, and the composite
+    // `repetitive` gate. Spark computes them as ONE map-only
+    // projection (sorted-run folds — no explode, no shuffle); the
+    // oracle replicates via unnest + group-by, which must agree.
+    QueryDef.of("t14_repetition_signals",
+      s"""WITH d AS (SELECT doc_id, $CTOKS AS t, length($CANON) AS nc FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS x FROM d),
+         |tc AS (SELECT doc_id, x, count(*) AS c FROM tok GROUP BY doc_id, x),
+         |ts AS (SELECT doc_id, max(c) AS topc, count(*) AS nd FROM tc GROUP BY doc_id),
+         |big AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS g
+         |  FROM d),
+         |bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+         |bs AS (SELECT doc_id, max(c * length(g)) AS topbc FROM bc GROUP BY doc_id)
+         |SELECT *, (top_token_frac > 0.2 OR top_bigram_char_frac > 0.2) AS repetitive
+         |FROM (SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  round(CASE WHEN len(t) = 0 THEN 0.0
+         |    ELSE coalesce(ts.nd, 0) / CAST(len(t) AS DOUBLE) END, 6) AS ttr,
+         |  round(CASE WHEN len(t) = 0 THEN 0.0
+         |    ELSE coalesce(ts.topc, 0) / CAST(len(t) AS DOUBLE) END, 6) AS top_token_frac,
+         |  round(CASE WHEN nc = 0 THEN 0.0
+         |    ELSE coalesce(bs.topbc, 0) / CAST(nc AS DOUBLE) END, 6) AS top_bigram_char_frac
+         |FROM d LEFT JOIN ts ON d.doc_id = ts.doc_id LEFT JOIN bs ON d.doc_id = bs.doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val canon = TextFunctions.canonicalText(col("text"))
+      val base = Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokens(canon).as("__toks"),
+        length(canon).as("__nc"))
+      val t = col("__toks")
+      base.select(
+          col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          round(TextFunctions.typeTokenRatio(t), 6).as("ttr"),
+          round(when(size(t) === 0, 0.0).otherwise(
+            TextFunctions.maxMultiplicity(t).cast("double") / size(t)), 6)
+            .as("top_token_frac"),
+          round(when(col("__nc") === 0, 0.0).otherwise(
+            TextFunctions.maxRunCharCoverage(TextFunctions.shinglesFromTokens(t, 2))
+              .cast("double") / col("__nc")), 6)
+            .as("top_bigram_char_frac"))
+        .withColumn("repetitive",
+          col("top_token_frac") > 0.2 || col("top_bigram_char_frac") > 0.2)
+        .orderBy("doc_id")
     })
 }

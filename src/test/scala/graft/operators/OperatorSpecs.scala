@@ -196,6 +196,23 @@ class OperatorSpecs extends AnyFunSuite {
     assert(r(4L)._6 === false && r(4L)._7 === "nothing sensitive here")
   }
 
+  test("repetition signals: maxMultiplicity / maxRunCharCoverage / typeTokenRatio") {
+    import graft.functions.TextFunctions._
+    val df = Seq(
+      (1L, "spam spam spam ham"),           // top token 'spam' ×3
+      (2L, "all words here are distinct"),
+      (3L, "")).toDF("id", "text")
+      .select(col("id"), tokens(canonicalText(col("text"))).as("toks"))
+    val got = df.select(col("id"),
+        maxMultiplicity(col("toks")).as("m"),
+        maxRunCharCoverage(shinglesFromTokens(col("toks"), 2)).as("cc"),
+        round(typeTokenRatio(col("toks")), 6).as("ttr"))
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3, 18, 0.5)))  // "spam spam" ×2 · 9 chars = 18
+    assert(got(2L) === ((2L, 1, 12, 1.0)))  // all bigrams unique; longest is "are distinct" (12 chars)
+    assert(got(3L) === ((3L, 0, 0, 0.0)))
+  }
+
   test("array-form minhashSignature equals the row-form aggregate signatures") {
     val docs = Seq(
       (1L, "the cat sat on the mat today and yesterday it sat again"),

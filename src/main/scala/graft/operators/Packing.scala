@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.ScalarFunctions
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Greedy sequence packing: assign documents to fixed token-budget
+ * "packs" (training batches), the standard pre-training step that
+ * concatenates short documents up to the context length.
+ *
+ * Global first-fit is inherently sequential, so the distributed form
+ * shards first: documents are hash-sharded by the portable md5 of
+ * their id (engine-independent, so the SQL oracle reproduces the
+ * sharding), then each shard packs GREEDILY in id order — a document
+ * opens a new pack when adding it would exceed `budget`; a document
+ * larger than the budget gets a pack of its own (never split). Each
+ * shard is an independent streaming fold ([[StatefulFold
+ * .foldPartitions]]): one shuffle by shard, O(1) state, no group
+ * materialization — 1000 executors pack 1000+ shards concurrently,
+ * and adding shards trades a little packing efficiency for linear
+ * scale-out.
+ */
+object Packing {
+
+  /**
+   * Per-document pack assignment: (id, n_tokens, shard, pack_seq)
+   * where `pack_seq` is 1-based within the shard — (shard, pack_seq)
+   * is the global pack key.
+   */
+  def greedyPack(
+      df: DataFrame, idCol: String, nTokensCol: String,
+      budget: Long, numShards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numShards > 0, "numShards must be positive")
+    val base = df.select(
+      col(idCol),
+      col(nTokensCol).cast("long").as("n_tokens"),
+      pmod(ScalarFunctions.md5Long(col(idCol).cast("string")), lit(numShards.toLong))
+        .as("shard"))
+    val outSchema = StructType(
+      base.schema.fields :+ StructField("pack_seq", LongType, nullable = false))
+    // state = (tokens accumulated in the open pack, current pack seq);
+    // pack 0 is the "nothing open yet" sentinel
+    StatefulFold.foldPartitions[(Long, Long)](
+      base, Seq("shard"), Seq(col(idCol)), outSchema)(
+      init = _ => (0L, 0L),
+      step = { case ((acc, pack), row) =>
+        val nt = row.getLong(1)
+        val (acc2, pack2) =
+          if (pack == 0L || acc + nt > budget) (nt, pack + 1) else (acc + nt, pack)
+        ((acc2, pack2), Iterator(Row.fromSeq(row.toSeq :+ pack2)))
+      })
+  }
+
+  /** Pack-level roll-up of [[greedyPack]]: docs per pack, token fill,
+    * fill fraction against the budget (> 1 only for single oversize
+    * documents). */
+  def packStats(assignments: DataFrame, budget: Long): DataFrame =
+    assignments.groupBy("shard", "pack_seq")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("pack_tokens"))
+      .withColumn("fill_frac", round(col("pack_tokens").cast("double") / budget, 6))
+}

@@ -395,5 +395,36 @@ object QText {
         .withColumn("repetitive",
           col("top_token_frac") > 0.2 || col("top_bigram_char_frac") > 0.2)
         .orderBy("doc_id")
+    },
+
+    // Greedy sequence packing (Packing.greedyPack): md5-sharded,
+    // budget-200 first-fit in id order. The oracle replicates the
+    // sequential fold with a recursive CTE walking each shard in
+    // row-number order — assignment-exact, not just count-checked.
+    QueryDef.of("t15_sequence_packing",
+      s"""WITH RECURSIVE base AS (SELECT doc_id,
+         |    CAST(len($CTOKS) AS BIGINT) AS n_tokens,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+         |  FROM documents),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM base),
+         |walk AS (
+         |  SELECT shard, rn, doc_id, n_tokens, n_tokens AS acc,
+         |    CAST(1 AS BIGINT) AS pack_seq
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         |    CASE WHEN w.acc + d.n_tokens > 200 THEN d.n_tokens
+         |         ELSE w.acc + d.n_tokens END,
+         |    CASE WHEN w.acc + d.n_tokens > 200 THEN w.pack_seq + 1
+         |         ELSE w.pack_seq END
+         |  FROM d JOIN walk w ON d.shard = w.shard AND d.rn = w.rn + 1)
+         |SELECT doc_id, n_tokens, shard, pack_seq FROM walk
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val canon = TextFunctions.canonicalText(col("text"))
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), size(TextFunctions.tokens(canon)).as("__ntok"))
+      graft.operators.Packing.greedyPack(docs, "doc_id", "__ntok",
+          budget = 200L, numShards = 8)
+        .orderBy("doc_id")
     })
 }

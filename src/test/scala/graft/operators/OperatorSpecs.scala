@@ -213,6 +213,32 @@ class OperatorSpecs extends AnyFunSuite {
     assert(got(3L) === ((3L, 0, 0, 0.0)))
   }
 
+  test("greedyPack respects the budget, isolates oversize docs, survives repartitioning") {
+    val docs = (1L to 200L).map(i => (i, if (i % 37 == 0) 900L else (i % 120) + 1))
+      .toDF("doc_id", "ntok")
+    val packed = Packing.greedyPack(docs, "doc_id", "ntok", budget = 256L, numShards = 4)
+    val stats = Packing.packStats(packed, budget = 256L)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    stats.foreach { case (_, _, nDocs, packTokens, _) =>
+      // a pack over budget can only be a single oversize document
+      assert(packTokens <= 256L || nDocs === 1L)
+    }
+    // oversize docs (900 tokens) are always alone in their pack
+    val oversizePacks = packed.filter(col("n_tokens") === 900L)
+      .select("shard", "pack_seq").as[(Long, Long)].collect().toSet
+    stats.filter(s => oversizePacks.contains((s._1, s._2))).foreach(s => assert(s._3 === 1L))
+    // same assignment regardless of input partitioning
+    val repacked = Packing.greedyPack(docs.repartition(13), "doc_id", "ntok",
+      budget = 256L, numShards = 4)
+    assert(packed.orderBy("doc_id").collect().toSeq ===
+      repacked.orderBy("doc_id").collect().toSeq)
+    // every doc of every shard is assigned, pack seqs are contiguous from 1
+    val perShard = packed.groupBy("shard").agg(
+        countDistinct("pack_seq").as("np"), max("pack_seq").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    perShard.foreach { case (_, np, mx) => assert(np === mx) }
+  }
+
   test("array-form minhashSignature equals the row-form aggregate signatures") {
     val docs = Seq(
       (1L, "the cat sat on the mat today and yesterday it sat again"),

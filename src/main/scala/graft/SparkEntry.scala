@@ -52,6 +52,7 @@ object SparkEntry {
     "asof01_backward_tolerance", "ses02_session_stats", "x01_stateful_fold_balance",
     "o01_global_sort_limit", "s01_scan_pushdown", "f05_hash_ids",
     "t01_text_quality", "t06_ngram_jaccard_pairs", "t07_minhash_lsh_pairs",
-    "t08_simhash_pairs", "t09_dup_clusters", "v01_ann_brute_topk", "v02_ann_lsh_topk",
+    "t08_simhash_pairs", "t09_dup_clusters", "t12_decontaminate",
+    "t15_sequence_packing", "v01_ann_brute_topk", "v02_ann_lsh_topk",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich")
 }

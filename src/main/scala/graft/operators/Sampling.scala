@@ -44,4 +44,32 @@ object Sampling {
     val bucket = conv(substring(hashKey(col(idCol)), 1, 8), 16, 10).cast("long")
     df.filter(bucket < (rate * (1L << 32)).toLong)
   }
+
+  /** Cumulative 32-bit thresholds for [[assignSplit]] — exposed so the
+    * SQL oracle can inline the identical integer literals. */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    splits.inits.toSeq.reverse.tail // running prefixes, shortest first
+      .zip(splits)
+      .map { case (prefix, (name, _)) =>
+        name -> (prefix.map(_._2).sum * (1L << 32)).toLong
+      }
+  }
+
+  /**
+   * Deterministic train/val/test assignment: the 32-bit md5 bucket of
+   * the id lands in cumulative-fraction ranges. Pure projection —
+   * no shuffle, no RNG — so the SAME document lands in the SAME split
+   * on every run, cluster size, and engine (the property that keeps
+   * eval sets leak-free across pipeline reruns).
+   */
+  def assignSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
+    val thresholds = splitThresholds(splits)
+    val bucket = conv(substring(hashKey(col(idCol)), 1, 8), 16, 10).cast("long")
+    val assigned = thresholds.init.foldRight(lit(thresholds.last._1)) {
+      case ((name, upper), rest) => when(bucket < upper, name).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
 }

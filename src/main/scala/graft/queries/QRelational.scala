@@ -159,6 +159,32 @@ object QRelational {
     // S7 + S1-full: CSV sink + schema-enforced CSV scan round-trip
     // (reference to_csv/read_csv stage boundaries,
     // pbp_parser/main.py:353-355).
+    // JSONL sink + schema-enforced scan round-trip — the standard
+    // training-data interchange format. The aggregate (including a
+    // distinct md5 of the text body) runs on the re-read files, the
+    // oracle on the ORIGINAL parquet: any loss/mangling in the JSON
+    // escape/parse cycle breaks the hash compare.
+    QueryDef.of("s11_jsonl_roundtrip",
+      """SELECT source, count(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+        |  count(DISTINCT md5(text)) AS n_uniq
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val out = "/tmp/graft_s11_jsonl"
+      Tables.documents(s, dir).write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("chars"),
+          sum(length(col("text"))).as("text_chars"),
+          countDistinct(md5(col("text"))).as("n_uniq"))
+        .orderBy("source")
+    },
+
     QueryDef.of("s07_csv_roundtrip",
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty

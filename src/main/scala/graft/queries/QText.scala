@@ -426,5 +426,25 @@ object QText {
       graft.operators.Packing.greedyPack(docs, "doc_id", "__ntok",
           budget = 200L, numShards = 8)
         .orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test split (Sampling.assignSplit):
+    // 90/5/5 by the 32-bit md5 bucket of doc_id — shuffle-free, and
+    // the oracle inlines the SAME integer thresholds the operator
+    // computes (Sampling.splitThresholds), so boundary docs are
+    // hash-checked too.
+    QueryDef.of("t16_hash_split", {
+      val th = graft.operators.Sampling.splitThresholds(
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      s"""SELECT doc_id, CASE WHEN u < ${th(0)._2} THEN 'train'
+         |  WHEN u < ${th(1)._2} THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+      graft.operators.Sampling.assignSplit(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
     })
 }

@@ -239,6 +239,25 @@ class OperatorSpecs extends AnyFunSuite {
     perShard.foreach { case (_, np, mx) => assert(np === mx) }
   }
 
+  test("assignSplit is exhaustive, deterministic, and roughly proportional") {
+    val ids = (1L to 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = Sampling.assignSplit(ids, "id", splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 2000L)
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > 1500L && counts("train") < 1700L)
+    // same assignment under a different partitioning
+    val again = Sampling.assignSplit(ids.repartition(7), "id", splits)
+      .orderBy("id").select("split").as[String].collect()
+    val first = Sampling.assignSplit(ids, "id", splits)
+      .orderBy("id").select("split").as[String].collect()
+    assert(again.toSeq === first.toSeq)
+    assertThrows[IllegalArgumentException] {
+      Sampling.splitThresholds(Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("array-form minhashSignature equals the row-form aggregate signatures") {
     val docs = Seq(
       (1L, "the cat sat on the mat today and yesterday it sat again"),

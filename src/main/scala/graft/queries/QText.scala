@@ -446,5 +446,53 @@ object QText {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select("doc_id", "split")
         .orderBy("doc_id")
+    },
+
+    // The composed cleaning pipeline (CleanCorpus.clean): exact-dedup
+    // keep-first → quality ≥ 0.7 → strict trigram decontamination
+    // against the doc_id%20 eval slice → PII redaction. The oracle
+    // chains the PROVEN per-stage SQL replicas (t04/t05 fingerprint
+    // dedup, t01 quality, t12 gram overlap, t13 redaction) in the
+    // same order.
+    QueryDef.of("t17_clean_corpus",
+      s"""WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+         |keep AS (SELECT doc_id, text FROM raw
+         |  QUALIFY row_number() OVER (PARTITION BY md5($CANON) ORDER BY doc_id) = 1),
+         |m AS (SELECT doc_id, text,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS ntok,
+         |    CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
+         |      x -> list_contains(['the','a','an','of','to','in','and','is','on','for'], x))) AS DOUBLE) AS nstop,
+         |    CAST(len(regexp_extract_all(lower(trim(text)), '\\S+')) AS DOUBLE) AS ntok_lc,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM keep),
+         |q AS (SELECT doc_id, text,
+         |    round(0.4 * least(ntok / 50.0, 1.0)
+         |      + 0.3 * (1.0 - CASE WHEN nchar <> 0 THEN npunct / nchar ELSE 0.0 END)
+         |      + 0.3 * least(CASE WHEN ntok_lc <> 0 THEN nstop / ntok_lc ELSE 0.0 END * 4.0, 1.0), 6)
+         |      AS quality
+         |  FROM m),
+         |qf AS (SELECT * FROM q WHERE quality >= 0.7),
+         |toksq AS (SELECT doc_id, $CTOKS AS tk FROM qf),
+         |shq AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS sh
+         |  FROM toksq),
+         |btoks AS (SELECT doc_id, $CTOKS AS tk FROM documents WHERE doc_id % 20 = 0),
+         |bsh AS (SELECT DISTINCT
+         |    unnest(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS sh
+         |  FROM btoks),
+         |bad AS (SELECT DISTINCT id FROM shq JOIN bsh USING (sh))
+         |SELECT doc_id, quality,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$PiiEmail', '[EMAIL]', 'g'), '$PiiSsn', '[SSN]', 'g'),
+         |    '$PiiPhone', '[PHONE]', 'g'), '$PiiIp', '[IP]', 'g') AS clean_text
+         |FROM qf WHERE doc_id NOT IN (SELECT id FROM bad)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.CleanCorpus.clean(
+          docs.filter(col("doc_id") % 20 =!= 0).select("doc_id", "text"), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "text",
+          minQuality = 0.7, shingleN = 3)
+        .orderBy("doc_id")
     })
 }

@@ -258,6 +258,22 @@ class OperatorSpecs extends AnyFunSuite {
     }
   }
 
+  test("CleanCorpus.clean composes dedup, quality, decontamination, and redaction") {
+    val good = "the cat is on the mat and the dog is in the house for a nap today it is good"
+    val bench = Seq((0L, "shared benchmark trigram here exactly")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, good + " write to me@x.org"),
+      (2L, good + " write to me@x.org"),          // exact dup of 1 → dropped
+      (3L, "x@!! ##"),                            // low quality → dropped
+      (4L, good + " shared benchmark trigram here exactly")) // contaminated → dropped
+      .toDF("doc_id", "text")
+    val out = CleanCorpus.clean(docs, "doc_id", "text", bench, "text",
+        minQuality = 0.5, shingleN = 3)
+      .as[(Long, Double, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L)._3.endsWith("write to [EMAIL]"))
+  }
+
   test("array-form minhashSignature equals the row-form aggregate signatures") {
     val docs = Seq(
       (1L, "the cat sat on the mat today and yesterday it sat again"),

@@ -162,6 +162,26 @@ object TextFunctions {
       .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
 
   /**
+   * Fixed-size token chunks with overlap — context-window preparation:
+   * chunk i covers tokens [i·stride, i·stride + chunkSize). The last
+   * chunk may be short; a document shorter than one chunk yields one
+   * chunk; an empty document yields none. Returns an array of
+   * space-rejoined chunk strings (explode downstream). `toks` must be
+   * an attribute (see [[shinglesFromTokens]] — captured columns
+   * re-evaluate per element).
+   */
+  def chunkTokens(toks: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    // number of chunks: 1 + ceil(max(0, n - chunkSize) / stride)
+    val n = size(toks)
+    val nChunks = lit(1) + ceil(greatest(n - chunkSize, lit(0)).cast("double") / stride).cast("int")
+    when(n === 0, array())
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize)))))
+  }
+
+  /**
    * MinHash signature: for seed i, min over shingles of the universal
    * hash (aᵢ·h+bᵢ) mod 2³¹−1 of the shingle's 31-bit base hash —
    * one md5 per shingle, shared by every seed

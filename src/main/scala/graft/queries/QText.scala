@@ -494,5 +494,30 @@ object QText {
           docs.filter(col("doc_id") % 20 === 0), "text",
           minQuality = 0.7, shingleN = 3)
         .orderBy("doc_id")
+    },
+
+    // Context-window chunking (TextFunctions.chunkTokens): 64-token
+    // chunks at stride 48 (16-token overlap), exploded with index —
+    // map-only (one projection + posexplode, no shuffle). The oracle
+    // zips DuckDB's parallel unnests for the same (idx, text) pairs.
+    QueryDef.of("t18_token_chunks",
+      s"""WITH d AS (SELECT doc_id, $CTOKS AS t FROM documents),
+         |c AS (SELECT doc_id, len(t) AS n, CASE WHEN len(t) = 0 THEN []
+         |    ELSE list_transform(
+         |      range(0, 1 + CAST(ceil(greatest(len(t) - 64, 0) / CAST(48 AS DOUBLE)) AS BIGINT)),
+         |      i -> array_to_string(t[i*48+1 : i*48+64], ' ')) END AS chunks
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(unnest(range(0, len(chunks))) AS BIGINT) AS chunk_idx,
+         |  unnest(chunks) AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokens(TextFunctions.canonicalText(col("text"))).as("__toks"))
+      base.select(col("doc_id"),
+          posexplode(TextFunctions.chunkTokens(col("__toks"), chunkSize = 64, stride = 48)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
     })
 }

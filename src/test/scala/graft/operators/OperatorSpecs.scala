@@ -274,6 +274,20 @@ class OperatorSpecs extends AnyFunSuite {
     assert(out(1L)._3.endsWith("write to [EMAIL]"))
   }
 
+  test("chunkTokens covers every token with the expected overlap") {
+    import graft.functions.TextFunctions.chunkTokens
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks, chunk 4 stride 3
+      (2L, "a b"),                                    // shorter than one chunk
+      (3L, "")).toDF("id", "text")
+      .select(col("id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val got = df.select(col("id"), chunkTokens(col("toks"), 4, 3).as("c"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(got(2L) === Seq("a b"))
+    assert(got(3L) === Seq())
+  }
+
   test("array-form minhashSignature equals the row-form aggregate signatures") {
     val docs = Seq(
       (1L, "the cat sat on the mat today and yesterday it sat again"),

@@ -113,4 +113,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
   }
+
+  test("t12: the benchmark gram set is broadcast — the training side never re-shuffles by gram") {
+    val p = plan("t12_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t15: packing is exactly one hash exchange on the shard key") {
+    val p = plan("t15_sequence_packing")
+    val shardExchanges = "hashpartitioning\\(shard".r.findAllIn(p).length
+    assert(shardExchanges === 1, s"shard exchanges=$shardExchanges\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t14/t18: repetition signals and chunking are map-only — no exchange except the output sort") {
+    for (name <- Seq("t14_repetition_signals", "t18_token_chunks")) {
+      val p = plan(name)
+      // the only exchange is the final presentation orderBy (range)
+      assert(!p.contains("hashpartitioning"), s"$name:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$name:\n$p")
+    }
+  }
 }

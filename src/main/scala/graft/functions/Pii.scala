@@ -19,8 +19,10 @@ object Pii {
   val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   val Ipv4Re = """\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"""
   /** US-style 3-3-4 with '-' or '.' separators; `\b`-anchored so it
-    * never eats SSN (3-2-4) or IPv4 substrings. */
-  val PhoneRe = """\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"""
+    * never eats SSN (3-2-4) or IPv4 substrings. Separators must match
+    * (555-867-5309 or 555.867.5309, not 555-867.5309) — spelled as an
+    * alternation because the shared RE2 subset has no backreferences. */
+  val PhoneRe = """\b[0-9]{3}(?:-[0-9]{3}-|\.[0-9]{3}\.)[0-9]{4}\b"""
   val SsnRe = """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"""
 
   /** Occurrence count via split: n matches cut the string into n+1
@@ -50,16 +52,27 @@ object Pii {
   }
 
   /** Adds per-family counts, a `has_pii` flag, and the redacted text.
-    * One projection — no shuffle, no action. */
+    * One projection — no shuffle, no action.
+    *
+    * Counts are taken on the PROGRESSIVELY-REDACTED text, in
+    * [[redact]]'s precedence order: email on the original, SSN after
+    * emails are consumed, phone after SSNs, IPv4 after phones. This
+    * makes the counts a partition of the text that always agrees with
+    * the redacted output — an overlapping match (e.g. a dotted-numeric
+    * email domain that also parses as an IPv4) is counted exactly once,
+    * as the family that redacts it. */
   def detect(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "[EMAIL]")
+    val afterSsn = regexp_replace(afterEmail, SsnRe, "[SSN]")
+    val afterPhone = regexp_replace(afterSsn, PhoneRe, "[PHONE]")
     df.withColumns(Map(
-      "n_email" -> emailCount(t),
-      "n_ipv4" -> ipv4Count(t),
-      "n_phone" -> phoneCount(t),
-      "n_ssn" -> ssnCount(t)))
+      "n_email" -> countMatches(t, EmailRe),
+      "n_ssn" -> countMatches(afterEmail, SsnRe),
+      "n_phone" -> countMatches(afterSsn, PhoneRe),
+      "n_ipv4" -> countMatches(afterPhone, Ipv4Re)))
       .withColumn("has_pii",
         col("n_email") + col("n_ipv4") + col("n_phone") + col("n_ssn") > 0)
-      .withColumn("redacted", redact(t))
+      .withColumn("redacted", regexp_replace(afterPhone, Ipv4Re, "[IP]"))
   }
 }

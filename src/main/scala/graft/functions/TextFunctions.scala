@@ -183,12 +183,20 @@ object TextFunctions {
 
   /**
    * MinHash signature: for seed i, min over shingles of the universal
-   * hash (aᵢ·h+bᵢ) mod 2³¹−1 of the shingle's 31-bit base hash —
-   * one md5 per shingle, shared by every seed
+   * hash (aᵢ·h+bᵢ) mod 2³¹−1 of the shingle's 31-bit base hash
    * ([[PortableHash.minhashParams]]; same family as
    * [[graft.operators.Dedup.minhashSignaturesFromShingles]]).
    * 31-bit operands keep the multiply overflow-free in both Spark
    * and the DuckDB oracle.
+   *
+   * NOT the production-scale path: the `bases` transform is textually
+   * duplicated into each of the numHashes array entries, and
+   * higher-order-function lambdas are neither codegen'd nor
+   * CSE'd — md5 still evaluates per shingle PER SEED here. The
+   * hash-each-shingle-once win only holds for the row form
+   * ([[graft.operators.Dedup.minhashSignaturesFromShingles]], where
+   * the base hash is a materialized attribute); use this array form
+   * for single-row/test convenience only.
    */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
     import PortableHash.{MinhashP, minhashParams}

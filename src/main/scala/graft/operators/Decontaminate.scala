@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /**
+   * The benchmark's distinct word n-gram set: one `sh` column,
+   * globally distinct over ALL benchmark docs ([[Dedup.shingled]]
+   * canonicalization). Callers needing both the overlap profile and
+   * the filter compute this ONCE (persist it — it is eval-set-sized)
+   * and pass it to both, instead of paying the benchmark shingle scan
+   * twice.
+   */
+  def benchGrams(bench: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    Dedup.shingled(
+        bench.select(monotonically_increasing_id().as("__bid"), col(benchTextCol).as("__bt")),
+        "__bid", "__bt", n)
+      .select("sh").distinct()
+
+  /**
    * Per-document overlap profile against the benchmark corpus:
    * (id, n_grams, n_hit, overlap_frac) over DISTINCT word n-grams of
    * the canonical text ([[Dedup.shingled]] semantics). Documents with
@@ -30,18 +44,18 @@ object Decontaminate {
    */
   def ngramOverlap(
       docs: DataFrame, idCol: String, textCol: String,
-      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
-    // distinct over ALL benchmark docs (shingled is per-doc distinct);
-    // the id column of the benchmark side is irrelevant to the set
-    val benchGrams = Dedup.shingled(
-        bench.select(monotonically_increasing_id().as("__bid"), col(benchTextCol).as("__bt")),
-        "__bid", "__bt", n)
-      .select("sh").distinct()
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    ngramOverlapAgainst(docs, idCol, textCol, benchGrams(bench, benchTextCol, n), n)
+
+  /** [[ngramOverlap]] against a precomputed [[benchGrams]] frame. */
+  def ngramOverlapAgainst(
+      docs: DataFrame, idCol: String, textCol: String,
+      grams: DataFrame, n: Int): DataFrame = {
     val docGrams = Dedup.shingled(docs, idCol, textCol, n)
     // one pass: broadcast-mark each gram, count rows vs non-null marks
     // in the same aggregate (count(col) skips nulls)
     docGrams
-      .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("sh"), "left")
+      .join(broadcast(grams.withColumn("__hit", lit(1))), Seq("sh"), "left")
       .groupBy(col("id").as(idCol))
       .agg(
         count(lit(1)).as("n_grams"),
@@ -56,13 +70,15 @@ object Decontaminate {
     * docs too short to have grams. */
   def removeContaminated(
       docs: DataFrame, idCol: String, textCol: String,
-      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
-    val benchGrams = Dedup.shingled(
-        bench.select(monotonically_increasing_id().as("__bid"), col(benchTextCol).as("__bt")),
-        "__bid", "__bt", n)
-      .select("sh").distinct()
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    removeContaminatedAgainst(docs, idCol, textCol, benchGrams(bench, benchTextCol, n), n)
+
+  /** [[removeContaminated]] against a precomputed [[benchGrams]] frame. */
+  def removeContaminatedAgainst(
+      docs: DataFrame, idCol: String, textCol: String,
+      grams: DataFrame, n: Int): DataFrame = {
     val contaminatedIds = Dedup.shingled(docs, idCol, textCol, n)
-      .join(broadcast(benchGrams), Seq("sh"), "left_semi")
+      .join(broadcast(grams), Seq("sh"), "left_semi")
       .select(col("id").as(idCol)).distinct()
     docs.join(contaminatedIds, Seq(idCol), "left_anti")
   }

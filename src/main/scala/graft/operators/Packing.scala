@@ -34,9 +34,16 @@ object Packing {
       budget: Long, numShards: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(numShards > 0, "numShards must be positive")
+    require(idCol != nTokensCol,
+      s"idCol and nTokensCol must differ (both '$idCol'): the fold reads " +
+        "them by position and a shared column would silently misalign")
+    // fail fast on null token counts: a null would otherwise surface as
+    // an opaque NPE deep inside the mapPartitions fold
     val base = df.select(
       col(idCol),
-      col(nTokensCol).cast("long").as("n_tokens"),
+      coalesce(col(nTokensCol).cast("long"),
+        raise_error(concat(lit(s"greedyPack: null $nTokensCol for id "),
+          col(idCol).cast("string")))).as("n_tokens"),
       pmod(ScalarFunctions.md5Long(col(idCol).cast("string")), lit(numShards.toLong))
         .as("shard"))
     val outSchema = StructType(

@@ -19,6 +19,12 @@ object QRelational {
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
+  /** Per-(input-dir, process) scratch path for sink round-trips:
+    * concurrent harness runs (bench + verify, or two sf dirs) must not
+    * clobber each other's files mid-read. */
+  private def scratch(dir: String, tag: String): String =
+    s"/tmp/graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_p${ProcessHandle.current().pid()}"
+
   val defs: Seq[QueryDef] = Seq(
 
     // O1+O5: deterministic global sort + limit (reference
@@ -170,7 +176,7 @@ object QRelational {
         |  CAST(SUM(length(text)) AS BIGINT) AS text_chars,
         |  count(DISTINCT md5(text)) AS n_uniq
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-      val out = "/tmp/graft_s11_jsonl"
+      val out = scratch(dir, "s11_jsonl")
       Tables.documents(s, dir).write.mode("overwrite").json(out)
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
@@ -189,7 +195,7 @@ object QRelational {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      val out = "/tmp/graft_s07_csv"
+      val out = scratch(dir, "s07_csv")
       Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
         .write.mode("overwrite").option("header", "true").csv(out)
@@ -210,7 +216,7 @@ object QRelational {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(round((CASE WHEN event_type='click' THEN value*2 ELSE value END)*100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-      val base = "/tmp/graft_s08_parquet"
+      val base = scratch(dir, "s08_parquet")
       val evts = Tables.events(s, dir).select("event_id", "event_type", "value")
       evts.write.mode("overwrite").partitionBy("event_type").parquet(base)
       val patch = evts.filter(col("event_type") === "click")

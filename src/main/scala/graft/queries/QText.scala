@@ -310,7 +310,10 @@ object QText {
     // text per family. The synthetic corpus has no organic PII, so the
     // query derives a deterministic PII-bearing column from doc_id
     // (identically in both engines) — the patterns get real matches
-    // and the oracle checks the full count+redact pipeline.
+    // and the oracle checks the full count+redact pipeline. Counts
+    // follow redact()'s precedence (each family counted on the text
+    // with the higher-precedence families already consumed), so counts
+    // and redacted output always agree on overlapping matches.
     QueryDef.of("t13_pii_redact",
       s"""WITH d AS (SELECT doc_id, CASE
          |    WHEN doc_id % 5 = 0 THEN text || ' a@b.io c@d.org 192.168.1.1'
@@ -318,19 +321,21 @@ object QText {
          |    ELSE text || ' reach user' || doc_id || '@mail.example.com from 10.0.'
          |      || (doc_id % 256) || '.' || (doc_id % 100)
          |      || ' ssn 123-45-6789 call 555-867-5309' END AS t
-         |  FROM documents)
+         |  FROM documents),
+         |r AS (SELECT doc_id, t,
+         |    regexp_replace(t, '$PiiEmail', '[EMAIL]', 'g') AS t_e FROM d),
+         |r2 AS (SELECT *, regexp_replace(t_e, '$PiiSsn', '[SSN]', 'g') AS t_s FROM r),
+         |r3 AS (SELECT *, regexp_replace(t_s, '$PiiPhone', '[PHONE]', 'g') AS t_p FROM r2)
          |SELECT doc_id,
          |  len(string_split_regex(t, '$PiiEmail')) - 1 AS n_email,
-         |  len(string_split_regex(t, '$PiiIp')) - 1 AS n_ipv4,
-         |  len(string_split_regex(t, '$PiiPhone')) - 1 AS n_phone,
-         |  len(string_split_regex(t, '$PiiSsn')) - 1 AS n_ssn,
-         |  (len(string_split_regex(t, '$PiiEmail')) + len(string_split_regex(t, '$PiiIp'))
-         |   + len(string_split_regex(t, '$PiiPhone')) + len(string_split_regex(t, '$PiiSsn'))
+         |  len(string_split_regex(t_p, '$PiiIp')) - 1 AS n_ipv4,
+         |  len(string_split_regex(t_s, '$PiiPhone')) - 1 AS n_phone,
+         |  len(string_split_regex(t_e, '$PiiSsn')) - 1 AS n_ssn,
+         |  (len(string_split_regex(t, '$PiiEmail')) + len(string_split_regex(t_p, '$PiiIp'))
+         |   + len(string_split_regex(t_s, '$PiiPhone')) + len(string_split_regex(t_e, '$PiiSsn'))
          |   - 4) > 0 AS has_pii,
-         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-         |    '$PiiEmail', '[EMAIL]', 'g'), '$PiiSsn', '[SSN]', 'g'),
-         |    '$PiiPhone', '[PHONE]', 'g'), '$PiiIp', '[IP]', 'g') AS redacted
-         |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+         |  regexp_replace(t_p, '$PiiIp', '[IP]', 'g') AS redacted
+         |FROM r3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val injected = Tables.documents(s, dir).withColumn("__t",
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" a@b.io c@d.org 192.168.1.1")))
           .when(col("doc_id") % 3 === 0, col("text"))

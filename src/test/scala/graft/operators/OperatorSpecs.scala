@@ -185,7 +185,9 @@ class OperatorSpecs extends AnyFunSuite {
       (1L, "mail bob.smith+x@sub.example.co.uk and carol@d.org now"),
       (2L, "server 10.0.3.44 and 192.168.1.1 up"),
       (3L, "ssn 123-45-6789 phone 555-867-5309 alt 555.867.5309"),
-      (4L, "nothing sensitive here")).toDF("doc_id", "text")
+      (4L, "nothing sensitive here"),
+      (5L, "write a@123-45-6789.io or x@10.0.0.1.net today"),
+      (6L, "mixed separators 555-867.5309 are not a phone")).toDF("doc_id", "text")
     val r = graft.functions.Pii.detect(docs, "text")
       .select("doc_id", "n_email", "n_ipv4", "n_phone", "n_ssn", "has_pii", "redacted")
       .as[(Long, Int, Int, Int, Int, Boolean, String)].collect().map(x => x._1 -> x).toMap
@@ -194,6 +196,12 @@ class OperatorSpecs extends AnyFunSuite {
     assert(r(3L)._4 === 2 && r(3L)._5 === 1 &&
       r(3L)._7 === "ssn [SSN] phone [PHONE] alt [PHONE]")
     assert(r(4L)._6 === false && r(4L)._7 === "nothing sensitive here")
+    // overlapping matches: the dotted-numeric domains are consumed as
+    // emails, so the SSN/IP families see nothing — counts and redacted
+    // text agree (counts partition the text in redact precedence)
+    assert(r(5L)._2 === 2 && r(5L)._3 === 0 && r(5L)._5 === 0 &&
+      r(5L)._7 === "write [EMAIL] or [EMAIL] today")
+    assert(r(6L)._4 === 0 && r(6L)._6 === false)
   }
 
   test("repetition signals: maxMultiplicity / maxRunCharCoverage / typeTokenRatio") {

@@ -53,6 +53,7 @@ object SparkEntry {
     "o01_global_sort_limit", "s01_scan_pushdown", "f05_hash_ids",
     "t01_text_quality", "t06_ngram_jaccard_pairs", "t07_minhash_lsh_pairs",
     "t08_simhash_pairs", "t09_dup_clusters", "t12_decontaminate",
-    "t15_sequence_packing", "v01_ann_brute_topk", "v02_ann_lsh_topk",
+    "t15_sequence_packing", "t19_line_dedup", "t20_bm25_topk",
+    "v01_ann_brute_topk", "v02_ann_lsh_topk",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich")
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import graft.plans.TopKAgg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Full-text relevance search over the corpus: Okapi BM25 scoring
+ * (Robertson & Zaragoza 2009, public method) of a small query set
+ * against the documents table — the retrieval primitive behind
+ * corpus exploration and hard-negative mining.
+ *
+ * Scale shape (100 TB corpus, broadcast-sized query set):
+ *  - the query-term set is BROADCAST; the corpus-side explode is
+ *    filtered map-side by that set before any shuffle, so the only
+ *    corpus-wide exchange carries (doc, term, tf) rows for QUERY
+ *    terms only — |matching docs| × |query terms| at most;
+ *  - document frequency per term aggregates over that filtered frame
+ *    (≤ |query terms| keys) and joins back as a broadcast;
+ *  - corpus size N and average document length are ONE 1-row
+ *    aggregate, attached as a broadcast 1-row cross join;
+ *  - ranking is the bounded [[TopKAgg]] — never a row_number window
+ *    (which would shuffle every scored row onto |queries| reducers).
+ */
+object TextSearch {
+
+  /**
+   * Top-k documents per query by BM25. `queries` is (query_id long,
+   * qtext string), broadcast-sized. Repeated query terms count once
+   * (set semantics — standard for short keyword queries). Scores are
+   * summed in integer micro-units (each term's contribution rounded
+   * to 1e-6 first) so the total is exact and independent of the
+   * floating-point summation order — reproducible across engines,
+   * partitionings and cluster sizes.
+   *
+   * Returns (query_id, rank, id, score), rank 1-based, ties broken by
+   * lower doc id.
+   */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = queries
+      .select(col("query_id"), explode(TextFunctions.tokens(
+        TextFunctions.canonicalText(col("qtext")))).as("term"))
+      .distinct()
+    val terms = qTerms.select("term").distinct()
+
+    // (id, dl, term, tf) for query terms only: the broadcast semi-join
+    // prunes before the groupBy, so the shuffle is bounded by matches
+    val docTerms = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("term"))
+      .join(broadcast(terms), Seq("term"), "left_semi")
+      .groupBy("id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    // avgdl as exact-integer-sum / count: a floating avg() accumulates
+    // in engine- and order-dependent ways; the long sum is exact, so
+    // both engines derive the identical double
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(TextFunctions.tokenCount(TextFunctions.canonicalText(col(textCol)))
+        .cast("long")).cast("double") / count(lit(1))).as("avgdl"))
+
+    val dfPerTerm = docTerms.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+
+    val contrib = docTerms
+      .join(broadcast(dfPerTerm), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qTerms), Seq("term"))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__c_micro",
+        round(col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))) * 1e6)
+          .cast("long"))
+
+    val scored = contrib
+      .groupBy("query_id", "id")
+      .agg((sum(col("__c_micro")).cast("double") / 1e6).as("score"))
+
+    val topk = TopKAgg.topK(k)
+    scored.groupBy("query_id").agg(topk(col("score"), col("id")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("top.id").as("id"),
+        round(col("top.score"), 6).as("score"))
+  }
+}

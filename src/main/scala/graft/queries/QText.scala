@@ -524,5 +524,107 @@ object QText {
         .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
           col("col").as("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Line-level exact dedup (LineDedup.dropCommonLines, CCNet-style
+    // boilerplate scrub). The corpus has no newlines, so the query
+    // derives a multi-line text identically in both engines: content
+    // split on ' table ', two boilerplate lines appended to EVERY doc
+    // (df = corpus size → dropped at cap 3), and a unique promo line
+    // on even ids (df = 1 → kept). The oracle replicates the line
+    // split, per-line document frequency, cap, and ordered reassembly.
+    QueryDef.of("t19_line_dedup",
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(text, ' table ', chr(10), 'g')
+        |      || chr(10) || 'subscribe to our newsletter' || chr(10) || 'all rights reserved'
+        |      || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'promo code ' || doc_id ELSE '' END AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM d),
+        |lines AS (SELECT doc_id, unnest(range(1, len(l)+1)) AS pos, unnest(l) AS line FROM ls),
+        |dfreq AS (SELECT md5(trim(line)) AS k, count(DISTINCT doc_id) AS c
+        |  FROM lines GROUP BY 1),
+        |keep AS (SELECT doc_id, pos, line FROM lines
+        |  WHERE md5(trim(line)) IN (SELECT k FROM dfreq WHERE c <= 3)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+        |  coalesce(a.n_kept, 0) AS n_kept
+        |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val injected = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          regexp_replace(col("text"), " table ", "\n"),
+          lit("\nsubscribe to our newsletter\nall rights reserved"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("\npromo code "), col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("t"))
+      graft.operators.LineDedup.dropCommonLines(injected, "doc_id", "t", maxLineDf = 3)
+        .orderBy("doc_id")
+    },
+
+    // BM25 top-k retrieval (TextSearch.bm25TopK). Scores are summed
+    // in integer micro-units so the total is order-independent; the
+    // oracle replicates tokenization, tf/df, the exact BM25
+    // arithmetic (same literals, same association), and the
+    // (score DESC, id ASC) ranking.
+    QueryDef.of("t20_bm25_topk",
+      s"""WITH q(query_id, qtext) AS (VALUES
+         |    (1, 'table join group'), (2, 'vector stream batch window'), (3, 'customer fast')),
+         |qt AS (SELECT DISTINCT query_id, unnest(regexp_extract_all(qtext, '${"\\S+"}')) AS term FROM q),
+         |terms AS (SELECT DISTINCT term FROM qt),
+         |d AS (SELECT doc_id AS id, $CTOKS AS t FROM documents),
+         |dt AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM d),
+         |ft AS (SELECT id, dl, dt.term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM dt JOIN terms USING (term) GROUP BY 1, 2, 3),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(len(t)) AS DOUBLE) / count(*) AS avgdl FROM d),
+         |dfr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM ft GROUP BY term),
+         |contrib AS (SELECT qt.query_id, ft.id,
+         |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |      * 1000000.0) AS BIGINT) AS c_micro
+         |  FROM ft JOIN dfr USING (term) CROSS JOIN st JOIN qt USING (term)),
+         |scored AS (SELECT query_id, id, CAST(SUM(c_micro) AS DOUBLE) / 1000000.0 AS score
+         |  FROM contrib GROUP BY query_id, id),
+         |ranked AS (SELECT query_id, id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank
+         |  FROM scored)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val queries = Seq(
+        (1L, "table join group"),
+        (2L, "vector stream batch window"),
+        (3L, "customer fast")).toDF("query_id", "qtext")
+      graft.operators.TextSearch.bm25TopK(
+          Tables.documents(s, dir), "doc_id", "text", queries, k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // Source-mixture sampling (Mixture.sampleToMix): target weights
+    // derived from the source index (w = idx % 4 + 1), scaled so the
+    // binding source keeps everything; acceptance is the portable
+    // 32-bit md5 gate. The oracle inlines the identical rate and
+    // threshold arithmetic.
+    QueryDef.of("t21_mixture_sample",
+      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST((CAST(substr(source, 4, 10) AS INT) % 4) + 1 AS DOUBLE) AS w
+        |  FROM documents GROUP BY source),
+        |m AS (SELECT min(n / w) AS cmin FROM c),
+        |r AS (SELECT source, CAST(floor(cmin * w / n * 4294967296) AS BIGINT) AS thr
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < r.thr
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val weights = docs.select(col("source").as("stratum")).distinct()
+        .withColumn("weight",
+          ((substring(col("stratum"), 4, 10).cast("int") % 4) + 1).cast("double"))
+      graft.operators.Mixture.sampleToMix(docs, "source", "doc_id", weights)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     })
 }

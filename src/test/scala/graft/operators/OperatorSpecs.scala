@@ -411,4 +411,79 @@ class OperatorSpecs extends AnyFunSuite {
     assert(graft.operators.Sampling.deterministicByRate(docs, 1.0, "doc_id").count() === 200)
     assert(graft.operators.Sampling.deterministicByRate(docs, 0.0, "doc_id").count() === 0)
   }
+
+  test("LineDedup.dropCommonLines drops corpus-frequent lines, keeps order, never loses docs") {
+    val docs = Seq(
+      (1L, "unique opening one\ncopyright acme corp\nreal content a"),
+      (2L, "real content b\ncopyright acme corp\nunique closing two"),
+      (3L, "copyright acme corp\nreal content c"),
+      (4L, "copyright acme corp"), // only boilerplate: survives with empty text
+      (5L, "spaced variant\n  copyright acme corp  \nmore content")) // trims before hashing
+      .toDF("doc_id", "text")
+    val r = LineDedup.dropCommonLines(docs, "doc_id", "text", maxLineDf = 2)
+      .as[(Long, String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, "unique opening one\nreal content a", 3L, 2L)))
+    assert(r(2L) === ((2L, "real content b\nunique closing two", 3L, 2L)))
+    assert(r(3L) === ((3L, "real content c", 2L, 1L)))
+    assert(r(4L) === ((4L, "", 1L, 0L))) // doc survives total boilerplate
+    assert(r(5L) === ((5L, "spaced variant\nmore content", 3L, 2L)))
+    // a line repeated WITHIN one doc counts once toward df, and both
+    // copies share the verdict
+    val rep = Seq((1L, "dup line\ndup line\nown"), (2L, "other")).toDF("doc_id", "text")
+    val kept = LineDedup.dropCommonLines(rep, "doc_id", "text", maxLineDf = 1)
+      .as[(Long, String, Long, Long)].collect().map(x => x._1 -> x._2).toMap
+    assert(kept(1L) === "dup line\ndup line\nown")
+  }
+
+  test("TextSearch.bm25TopK ranks term-matched docs, bounded at k, deterministic ties") {
+    val docs = Seq(
+      (1L, "spark shuffle join join join"), // tf(join)=3
+      (2L, "spark join once here"),
+      (3L, "nothing relevant at all"),
+      (4L, "join appears here and join again"), // tf(join)=2
+      (5L, "spark spark spark only")).toDF("doc_id", "text")
+    val queries = Seq((10L, "join"), (20L, "spark nothing")).toDF("query_id", "qtext")
+    val r = TextSearch.bm25TopK(docs, "doc_id", "text", queries, k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._3, x._4)).toSeq).toMap
+    // query 'join': doc1 (tf 3, len 5) beats doc4 (tf 2, len 6); doc2 out at k=2
+    assert(r(10L).map(_._1) === Seq(1L, 4L))
+    assert(r(10L).forall(_._2 > 0.0))
+    // query 'spark nothing': the rare term 'nothing' (df 1) carries
+    // the highest idf, so its sole doc outranks the spark-heavy doc5
+    assert(r(20L).map(_._1) === Seq(3L, 5L))
+    // deterministic under repartitioning (integer micro-unit sums)
+    val r2 = TextSearch.bm25TopK(docs.repartition(7), "doc_id", "text", queries, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(r2 === r.toSeq.flatMap { case (q, xs) =>
+      xs.zipWithIndex.map { case ((id, s), i) => (q, (i + 1).toLong, id, s) } }.toSet)
+  }
+
+  test("Mixture.sampleToMix realizes target proportions; binding source keeps everything") {
+    val docs = (1L to 4000L).map(i => (i, s"src${(i % 4).toInt}")).toDF("doc_id", "source")
+    val weights = Seq(("src0", 4.0), ("src1", 2.0), ("src2", 1.0), ("src3", 1.0))
+      .toDF("stratum", "weight")
+    val rates = Mixture.mixRates(docs, "source", weights)
+      .as[(String, Double, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // 1000 docs each; cmin = min(1000/4, 1000/2, 1000/1) = 250
+    assert(rates("src0")._4 === 1.0) // binding source: rate exactly 1
+    assert(rates("src1")._4 === 0.5)
+    assert(rates("src2")._4 === 0.25)
+    val kept = Mixture.sampleToMix(docs, "source", "doc_id", weights)
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") === 1000L) // rate-1.0 source is untouched
+    // hash gate: expected 500/250/250 with O(√n) deviation
+    assert(math.abs(bySrc("src1") - 500L) < 80)
+    assert(math.abs(bySrc("src2") - 250L) < 60)
+    assert(math.abs(bySrc("src3") - 250L) < 60)
+    // deterministic across partitionings
+    val k1 = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val k2 = Mixture.sampleToMix(docs.repartition(11), "source", "doc_id", weights)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k1 === k2)
+    // a stratum absent from the weights is dropped entirely
+    val w2 = Seq(("src0", 1.0)).toDF("stratum", "weight")
+    assert(Mixture.sampleToMix(docs, "source", "doc_id", w2)
+      .select("source").distinct().as[String].collect().toSeq === Seq("src0"))
+  }
 }

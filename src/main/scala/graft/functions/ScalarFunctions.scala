@@ -73,4 +73,52 @@ object ScalarFunctions {
     * LSH (SURVEY-plus dedup operators). */
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The roster-position whitelist of the reference's cube-position
+    * cleaner (`scripts/clean_cube_positions.py:20`). */
+  val ValidPositions: Seq[String] = Seq(
+    "P", "C", "1B", "2B", "3B", "SS", "OF", "IF", "UT", "DH", "LF", "CF", "RF")
+
+  /**
+   * Multi-position string cleaner (reference
+   * `scripts/clean_cube_positions.py:23-35`): strip "(N)" count
+   * suffixes, split on dashes/dots/whitespace, uppercase, keep only
+   * whitelisted positions, dedupe preserving first occurrence, join
+   * with ", ". Empty/None/"nan"/no-valid-token → null. Quirk
+   * preserved: a comma glued to a token ("1B," in "1B, C" split on
+   * whitespace) fails the whitelist and drops, exactly as in the
+   * reference's `re.split(r"[-.\s]+")`.
+   */
+  def cleanPositions(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    val toks = transform(
+      split(regexp_replace(s, "\\(\\d+\\)", ""), "[-.\\s]+"),
+      t => upper(trim(t)))
+    val deduped = array_distinct(filter(toks, t => t.isin(ValidPositions: _*)))
+    when(c.isNull || s === "" || s === "nan" || size(deduped) === 0,
+      lit(null).cast("string"))
+      .otherwise(array_join(deduped, ", "))
+  }
+
+  /**
+   * Division-format normalizer (reference
+   * `scripts/update_division_format.py:10-33`): numeric 1/2/3 (ints
+   * or "3.0"-style floats, truncated toward zero) become
+   * "ncaa_1"/"ncaa_2"/"ncaa_3"; strings already prefixed "ncaa_" and
+   * anything non-numeric pass through; null stays null. Numeric
+   * detection is a regex gate (the engine-portable subset of Python's
+   * `float()` — no exponents/signs, which never occur in division
+   * columns) so the cast can never throw under ANSI mode.
+   */
+  def normalizeDivision(c: Column): Column = {
+    val s = c.cast("string")
+    val numeric = s.rlike("^[0-9]+(\\.[0-9]+)?$")
+    // cast only under the regex gate: n is null (not an ANSI error) on
+    // non-numeric input even if conjunct order ever changes
+    val n = when(numeric, floor(s.cast("double")).cast("int"))
+    when(c.isNull, lit(null).cast("string"))
+      .when(s.startsWith("ncaa_"), s)
+      .when(n.isin(1, 2, 3), concat(lit("ncaa_"), n.cast("string")))
+      .otherwise(s)
+  }
 }

@@ -179,5 +179,63 @@ object QScalar {
           normName(concat(upper(col("c_name")), lit(" & Sons!"))).as("normed"),
           flipLastFirst(col("lf")).as("flipped"))
         .orderBy("c_custkey")
+    },
+
+    // §2.8 domain: cube-position cleaner + division-format normalizer
+    // (reference scripts/clean_cube_positions.py:23-35,
+    // scripts/update_division_format.py:10-33). The corpus has no
+    // roster strings, so both engines derive the same raw inputs from
+    // c_custkey (the t13 injection pattern): count suffixes, mixed
+    // separators, invalid tokens, comma-glued tokens, "nan", floats.
+    QueryDef.of("f10_position_division_clean",
+      """WITH d AS (SELECT c_custkey,
+        |    CASE c_custkey % 6
+        |      WHEN 0 THEN 'SS-2B(12) ss'
+        |      WHEN 1 THEN 'of . lf rf(3)'
+        |      WHEN 2 THEN '1B, C'
+        |      WHEN 3 THEN 'nan'
+        |      WHEN 4 THEN 'util dh-P'
+        |      ELSE '' END AS raw_pos,
+        |    CASE c_custkey % 5
+        |      WHEN 0 THEN '1' WHEN 1 THEN '3.0' WHEN 2 THEN 'ncaa_2'
+        |      WHEN 3 THEN 'x7' ELSE '2' END AS raw_div
+        |  FROM customer),
+        |cleaned AS (SELECT c_custkey, raw_div,
+        |    list_filter(
+        |      list_transform(
+        |        string_split_regex(regexp_replace(trim(raw_pos), '\(\d+\)', '', 'g'),
+        |          '[-.\s]+'),
+        |        t -> upper(trim(t))),
+        |      t -> list_contains(['P','C','1B','2B','3B','SS','OF','IF','UT','DH','LF','CF','RF'], t)) AS toks
+        |  FROM d),
+        |deduped AS (SELECT c_custkey, raw_div,
+        |    list_filter(toks, (t, i) -> list_position(toks, t) = i) AS u
+        |  FROM cleaned)
+        |SELECT c_custkey,
+        |  CASE WHEN len(u) = 0 THEN NULL ELSE array_to_string(u, ', ') END AS positions,
+        |  CASE WHEN raw_div IS NULL THEN NULL
+        |       WHEN starts_with(raw_div, 'ncaa_') THEN raw_div
+        |       WHEN regexp_matches(raw_div, '^[0-9]+(\.[0-9]+)?$')
+        |            AND CAST(floor(CAST(raw_div AS DOUBLE)) AS INT) IN (1, 2, 3)
+        |       THEN 'ncaa_' || CAST(CAST(floor(CAST(raw_div AS DOUBLE)) AS INT) AS VARCHAR)
+        |       ELSE raw_div END AS division
+        |FROM deduped ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val raw = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        when(col("c_custkey") % 6 === 0, "SS-2B(12) ss")
+          .when(col("c_custkey") % 6 === 1, "of . lf rf(3)")
+          .when(col("c_custkey") % 6 === 2, "1B, C")
+          .when(col("c_custkey") % 6 === 3, "nan")
+          .when(col("c_custkey") % 6 === 4, "util dh-P")
+          .otherwise("").as("raw_pos"),
+        when(col("c_custkey") % 5 === 0, "1")
+          .when(col("c_custkey") % 5 === 1, "3.0")
+          .when(col("c_custkey") % 5 === 2, "ncaa_2")
+          .when(col("c_custkey") % 5 === 3, "x7")
+          .otherwise("2").as("raw_div"))
+      raw.select(col("c_custkey"),
+          cleanPositions(col("raw_pos")).as("positions"),
+          normalizeDivision(col("raw_div")).as("division"))
+        .orderBy("c_custkey")
     })
 }

@@ -171,6 +171,46 @@ class ScalarFunctionsSpec extends AnyFunSuite {
     assert(got === java.lang.Long.parseLong(
       PortableHash.md5Hex("hello").substring(0, 15), 16))
   }
+
+  test("cleanPositions: whitelist, count suffixes, ordered dedup, reference quirks") {
+    import graft.functions.ScalarFunctions.cleanPositions
+    val rows = Seq(
+      "SS-2B(12) ss", "of . lf rf(3)", "1B, C", "nan", "", "util dh-P",
+      "IF/OF", "3B", "xyz qq").zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("i", "raw")
+    val got = rows.select(col("i"), cleanPositions(col("raw")).as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(0L) === Some("SS, 2B"))
+    assert(got(1L) === Some("OF, LF, RF"))
+    assert(got(2L) === Some("C")) // '1B,' keeps its comma and fails the whitelist (reference quirk)
+    assert(got(3L) === None) // 'nan'
+    assert(got(4L) === None) // empty
+    assert(got(5L) === Some("DH, P")) // 'UTIL' is not 'UT'
+    assert(got(6L) === None) // '/' is not a separator in the reference
+    assert(got(7L) === Some("3B"))
+    assert(got(8L) === None)
+    // null in, null out
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("i", "raw")
+      .select(cleanPositions(col("raw"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("normalizeDivision: numeric to ncaa_N, passthrough otherwise") {
+    import graft.functions.ScalarFunctions.normalizeDivision
+    val rows = Seq("1", "2", "3", "3.0", "1.7", "ncaa_2", "4", "x7", "")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("i", "raw")
+    val got = rows.select(col("i"), normalizeDivision(col("raw")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) === "ncaa_1" && got(1L) === "ncaa_2" && got(2L) === "ncaa_3")
+    assert(got(3L) === "ncaa_3") // float form truncates, as int(float(x)) does
+    assert(got(4L) === "ncaa_1") // 1.7 -> 1 (truncation toward zero, reference semantics)
+    assert(got(5L) === "ncaa_2") // already prefixed: untouched
+    assert(got(6L) === "4") // numeric but out of range: passthrough
+    assert(got(7L) === "x7" && got(8L) === "")
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("i", "raw")
+      .select(normalizeDivision(col("raw"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
 
 class TopKAggSpec extends AnyFunSuite {

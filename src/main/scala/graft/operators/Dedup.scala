@@ -301,7 +301,7 @@ object Dedup {
     val raw = graft.util.Caches.track(edges
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    raw.count()
+    val rawCount = raw.count()
     val nodes = raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id")))
       .distinct()
@@ -317,7 +317,11 @@ object Dedup {
     // it fits comfortably on the driver, a union-find is exact and
     // avoids ~4 jobs per star round; the distributed rounds below are
     // the path for graphs that don't fit.
-    val small = e.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).count() <= maxDriverEdges
+    // `e` is a filtered+deduped subset of `raw`, so the already-paid
+    // materialization count answers the common small case; the limit
+    // probe only runs when raw alone can't prove smallness
+    val small = rawCount <= maxDriverEdges ||
+      e.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).count() <= maxDriverEdges
     if (small) {
       import spark.implicits._
       val es = e.as[(Long, Long)].collect()

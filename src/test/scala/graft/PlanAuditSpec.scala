@@ -136,4 +136,34 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("ScalaUDF"), s"$name:\n$p")
     }
   }
+
+  test("t19: line dedup is linear shuffles only — no window, no sort-merge pair join") {
+    val p = plan("t19_line_dedup")
+    assert(!p.toLowerCase.contains("window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("t20: BM25 prunes the corpus side map-side and ranks via bounded aggregation") {
+    val p = plan("t20_bm25_topk")
+    // query-term set, df table, stats and query join are all broadcast;
+    // ranking is TopKAgg — never a row_number window
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("t21: mixture sampling touches the corpus with one broadcast join + filter") {
+    val p = plan("t21_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.toLowerCase.contains("window"), p)
+  }
+
+  test("f10: position/division cleaning is a pure map-only projection") {
+    val p = plan("f10_position_division_clean")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
 }

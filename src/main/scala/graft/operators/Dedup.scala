@@ -408,6 +408,31 @@ object Dedup {
     out
   }
 
+  /**
+   * Semantic corpus dedup (the SemDeDup keep-rule, Abbas et al. 2023,
+   * public method): rows whose embeddings are near-duplicates keep
+   * ONE representative — the minimum id of each near-dup cluster —
+   * and every other cluster member is dropped; rows with no near-dup
+   * pass through untouched. Clusters come from connected components
+   * over the [[embeddingNearDupLsh]] pair graph, so transitive chains
+   * (a≈b≈c with cos(a,c) below threshold) still collapse to one
+   * representative.
+   *
+   * Scale shape: the pair graph is bucket-local ([[embeddingNearDupLsh]]),
+   * the component labeling is dup-graph-sized (driver union-find or
+   * star rounds — [[connectedComponents]]), and the corpus is touched
+   * by ONE anti-join against the (small) drop-list.
+   */
+  def dropEmbeddingNearDups(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numPlanes: Int, threshold: Double): DataFrame = {
+    val pairs = embeddingNearDupLsh(emb, idCol, vecCol, dim, numPlanes, threshold)
+    val comp = connectedComponents(pairs.select("id_a", "id_b"))
+    val dropIds = comp.filter(col("id") =!= col("component"))
+      .select(col("id").cast("long").as(idCol))
+    emb.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup via sign-LSH bucketing: only vectors sharing a
     * bucket are compared. Linear shuffle, bucket-local quadratic. */
   def embeddingNearDupLsh(

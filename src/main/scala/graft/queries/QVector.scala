@@ -140,5 +140,33 @@ object QVector {
           numClusters = 8, iters = 2, k = 5, nprobe = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // Semantic corpus dedup (Dedup.dropEmbeddingNearDups): each
+    // near-dup cluster of the v04 pair graph keeps only its min-id
+    // representative. The oracle replays the bucketing + pair join,
+    // walks the component graph with the t09 recursive CTE, and
+    // anti-joins the non-canonical members.
+    QueryDef.of("v06_embed_semantic_dedup",
+      "WITH RECURSIVE " + N.stripPrefix("WITH ") + BUCKET +
+      """, pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |  WHERE round(CASE WHEN a.nrm * b2.nrm <> 0
+        |        THEN list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) ELSE 0.0 END, 6) >= 0.2),
+        |edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |cc AS (
+        |  SELECT x AS id, x AS comp FROM edges
+        |  UNION
+        |  SELECT e2.y AS id, cc.comp FROM cc JOIN edges e2 ON e2.x = cc.id
+        |),
+        |lab AS (SELECT id, min(comp) AS component FROM cc GROUP BY id)
+        |SELECT emb.vec_id FROM embeddings emb LEFT JOIN lab ON emb.vec_id = lab.id
+        |WHERE lab.id IS NULL OR lab.component = emb.vec_id
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Dedup.dropEmbeddingNearDups(emb(s, dir), "vec_id", "embedding",
+          dim = 64, numPlanes = 4, threshold = 0.2)
+        .select("vec_id")
+        .orderBy("vec_id")
     })
 }

@@ -412,6 +412,22 @@ class OperatorSpecs extends AnyFunSuite {
     assert(graft.operators.Sampling.deterministicByRate(docs, 0.0, "doc_id").count() === 0)
   }
 
+  test("dropEmbeddingNearDups keeps one representative per cluster, transitively") {
+    // three exact-duplicate groups plus orthogonal singletons: every
+    // group collapses to its min id regardless of partitioning
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(j => if (j == seed % 64) 1.0f else 0.0f)
+    val rows = Seq(
+      (1L, vec(0)), (5L, vec(0)), (9L, vec(0)), // cluster -> keep 1
+      (2L, vec(1)), (7L, vec(1)), // cluster -> keep 2
+      (3L, vec(2)), (4L, vec(3)), (8L, vec(4))) // singletons
+    val df = rows.toDF("vec_id", "embedding").repartition(5)
+    val kept = Dedup.dropEmbeddingNearDups(df, "vec_id", "embedding",
+        dim = 64, numPlanes = 4, threshold = 0.99)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 2L, 3L, 4L, 8L))
+  }
+
   test("LineDedup.dropCommonLines drops corpus-frequent lines, keeps order, never loses docs") {
     val docs = Seq(
       (1L, "unique opening one\ncopyright acme corp\nreal content a"),

@@ -32,15 +32,21 @@ object Bench {
     // without it the first text-dedup query absorbs ~15 s of janino +
     // HotSpot warmup that has nothing to do with the engine (measured:
     // t09 cold 18-28 s vs 3.5-4 s warm on identical data).
-    val warmDir = {
-      val p = java.nio.file.Paths.get(sfDir)
-      val sibling = Option(p.getParent).map(_.resolve("sf0.001")).filter(java.nio.file.Files.isDirectory(_))
-      sibling.map(_.toString).getOrElse(sfDir)
-    }
-    names.foreach { name =>
-      try SparkEntry.queries(name)(spark, warmDir).count()
-      catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+    // no sf0.001 sibling → SKIP the tier (warming at full scale would
+    // double the bench wall-clock, which is worse than a cold start)
+    val warmDir = Option(java.nio.file.Paths.get(sfDir).getParent)
+      .map(_.resolve("sf0.001"))
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.toString)
+    warmDir match {
+      case None => System.err.println(s"[bench] no sf0.001 sibling of $sfDir; skipping query warmup")
+      case Some(wd) => names.foreach { name =>
+        // NonFatal only: an OOM during warmup must kill the JVM, not
+        // leave it poisoned to produce garbage timings
+        try SparkEntry.queries(name)(spark, wd).count()
+        catch { case scala.util.control.NonFatal(_) => () }
+        spark.catalog.clearCache()
+      }
     }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

@@ -32,11 +32,6 @@ object Pii {
   def countMatches(c: Column, pattern: String): Column =
     size(split(c, pattern, -1)) - 1
 
-  def emailCount(c: Column): Column = countMatches(c, EmailRe)
-  def ipv4Count(c: Column): Column = countMatches(c, Ipv4Re)
-  def phoneCount(c: Column): Column = countMatches(c, PhoneRe)
-  def ssnCount(c: Column): Column = countMatches(c, SsnRe)
-
   /**
    * Redact all four families, most-specific first: email before the
    * numeric families (a dotted numeric domain must be consumed as

@@ -74,6 +74,14 @@ object ScalarFunctions {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Portable 32-bit md5 bucket in [0, 2³²): the uniform deterministic
+    * gate shared by every rate/split sampler
+    * ([[graft.operators.Sampling]], [[graft.operators.Mixture]]) —
+    * ONE definition so the surviving-row sets can never diverge
+    * between sampling and mixing. */
+  def md5Bucket32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** The roster-position whitelist of the reference's cube-position
     * cleaner (`scripts/clean_cube_positions.py:20`). */
   val ValidPositions: Seq[String] = Seq(
@@ -113,12 +121,15 @@ object ScalarFunctions {
   def normalizeDivision(c: Column): Column = {
     val s = c.cast("string")
     val numeric = s.rlike("^[0-9]+(\\.[0-9]+)?$")
-    // cast only under the regex gate: n is null (not an ANSI error) on
-    // non-numeric input even if conjunct order ever changes
-    val n = when(numeric, floor(s.cast("double")).cast("int"))
+    // string->double only under the regex gate, and the range check
+    // stays in DOUBLE (an int/long cast of an oversized numeric like
+    // "4294967296" would throw under ANSI; the double compare passes
+    // it through instead) — the narrow cast only runs on matched 1/2/3
+    val n = when(numeric, floor(s.cast("double")))
     when(c.isNull, lit(null).cast("string"))
       .when(s.startsWith("ncaa_"), s)
-      .when(n.isin(1, 2, 3), concat(lit("ncaa_"), n.cast("string")))
+      .when(n === 1.0 || n === 2.0 || n === 3.0,
+        concat(lit("ncaa_"), n.cast("int").cast("string")))
       .otherwise(s)
   }
 }

@@ -37,11 +37,26 @@ object Mixture {
    * (stratum, n, weight, rate, threshold) — `threshold` is the
    * integer gate `floor(rate · 2³²)`, exposed so oracles can inline
    * identical literals.
+   *
+   * `weights` is validated eagerly (one action on the dimension-sized
+   * frame, never the corpus): a duplicate stratum would DUPLICATE
+   * every corpus row of that stratum through the join, and a
+   * non-positive weight would silently empty the output via a
+   * negative global minimum — both are config bugs worth failing
+   * loudly on.
    */
   def mixRates(df: DataFrame, strataCol: String, weights: DataFrame): DataFrame = {
+    val wd = weights.select(col("stratum"), col("weight").cast("double"))
+    val Array(nW, nDistinct, minW) = wd
+      .agg(count(lit(1)), count_distinct(col("stratum")), min(col("weight")))
+      .first().toSeq.toArray
+    require(nW == nDistinct,
+      s"duplicate strata in weights ($nW rows, $nDistinct distinct) — " +
+        "each corpus row of a duplicated stratum would be emitted once per copy")
+    require(nW.asInstanceOf[Long] == 0L || minW.asInstanceOf[Double] > 0.0,
+      s"weights must be positive (min = $minW)")
     val counts = df.groupBy(col(strataCol).as("stratum"))
       .agg(count(lit(1)).cast("double").as("n"))
-    val wd = weights.select(col("stratum"), col("weight").cast("double"))
     val joined = counts.join(wd, Seq("stratum"))
     val cmin = joined.agg(min(col("n") / col("weight")).as("cmin"))
     joined.crossJoin(broadcast(cmin))
@@ -50,23 +65,20 @@ object Mixture {
       .select("stratum", "n", "weight", "rate", "threshold")
   }
 
-  /** md5-of-id 32-bit bucket — [[Sampling]]'s portable uniform gate. */
-  private def bucket(idCol: Column): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long")
-
   /**
    * Keep a deterministic subset of `df` whose per-`strataCol` counts
    * realize the `weights` proportions (stratum, weight). Strata
    * absent from `weights` are dropped entirely (weight 0). Preserves
-   * the input schema.
+   * the input schema (internal columns ride under the repo's `__`
+   * prefix, so a corpus `threshold` column is untouched).
    */
   def sampleToMix(
       df: DataFrame, strataCol: String, idCol: String,
       weights: DataFrame): DataFrame = {
     val rates = mixRates(df, strataCol, weights)
-      .select(col("stratum").as(strataCol), col("threshold"))
+      .select(col("stratum").as(strataCol), col("threshold").as("__thr"))
     df.join(broadcast(rates), Seq(strataCol))
-      .filter(bucket(col(idCol)) < col("threshold"))
+      .filter(graft.functions.ScalarFunctions.md5Bucket32(col(idCol)) < col("__thr"))
       .select(df.columns.map(col): _*)
   }
 }

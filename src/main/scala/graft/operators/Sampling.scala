@@ -41,7 +41,7 @@ object Sampling {
    */
   def deterministicByRate(df: DataFrame, rate: Double, idCol: String): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    val bucket = conv(substring(hashKey(col(idCol)), 1, 8), 16, 10).cast("long")
+    val bucket = graft.functions.ScalarFunctions.md5Bucket32(col(idCol))
     df.filter(bucket < (rate * (1L << 32)).toLong)
   }
 
@@ -66,7 +66,7 @@ object Sampling {
    */
   def assignSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
     val thresholds = splitThresholds(splits)
-    val bucket = conv(substring(hashKey(col(idCol)), 1, 8), 16, 10).cast("long")
+    val bucket = graft.functions.ScalarFunctions.md5Bucket32(col(idCol))
     val assigned = thresholds.init.foldRight(lit(thresholds.last._1)) {
       case ((name, upper), rest) => when(bucket < upper, name).otherwise(rest)
     }

@@ -19,11 +19,13 @@ object QRelational {
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
-  /** Per-(input-dir, process) scratch path for sink round-trips:
-    * concurrent harness runs (bench + verify, or two sf dirs) must not
-    * clobber each other's files mid-read. */
+  /** Per-input-dir scratch path for sink round-trips: concurrent
+    * harness runs read DIFFERENT sf dirs (bench at sf0.1, verify at
+    * sf0.01), so keying by dir stops them clobbering each other
+    * mid-read, while staying self-overwriting across repeated runs
+    * (a pid suffix would leak a corpus-sized directory per run). */
   private def scratch(dir: String, tag: String): String =
-    s"/tmp/graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_p${ProcessHandle.current().pid()}"
+    s"/tmp/graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   val defs: Seq[QueryDef] = Seq(
 

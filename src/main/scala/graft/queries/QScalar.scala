@@ -216,7 +216,7 @@ object QScalar {
         |  CASE WHEN raw_div IS NULL THEN NULL
         |       WHEN starts_with(raw_div, 'ncaa_') THEN raw_div
         |       WHEN regexp_matches(raw_div, '^[0-9]+(\.[0-9]+)?$')
-        |            AND CAST(floor(CAST(raw_div AS DOUBLE)) AS INT) IN (1, 2, 3)
+        |            AND floor(CAST(raw_div AS DOUBLE)) IN (1.0, 2.0, 3.0)
         |       THEN 'ncaa_' || CAST(CAST(floor(CAST(raw_div AS DOUBLE)) AS INT) AS VARCHAR)
         |       ELSE raw_div END AS division
         |FROM deduped ORDER BY c_custkey""".stripMargin) { (s, dir) =>

@@ -29,6 +29,12 @@ object QText {
   /** DuckDB mirror of [[TextFunctions.tokens]] over canonical text. */
   private val CTOKS = s"regexp_extract_all($CANON, '\\S+')"
 
+  /** [[CTOKS]] over an arbitrary column (the engine always tokenizes
+    * through canonicalText — oracles must too, or a punctuated query
+    * literal silently diverges). */
+  private def ctoksOf(colName: String): String =
+    CTOKS.replace("lower(text)", s"lower($colName)")
+
   // the Pii patterns verbatim — Java ∩ RE2, safe inside a DuckDB
   // single-quoted literal (no quotes, no dollar signs)
   private val PiiEmail = graft.functions.Pii.EmailRe
@@ -571,7 +577,7 @@ object QText {
     QueryDef.of("t20_bm25_topk",
       s"""WITH q(query_id, qtext) AS (VALUES
          |    (1, 'table join group'), (2, 'vector stream batch window'), (3, 'customer fast')),
-         |qt AS (SELECT DISTINCT query_id, unnest(regexp_extract_all(qtext, '${"\\S+"}')) AS term FROM q),
+         |qt AS (SELECT DISTINCT query_id, unnest(${ctoksOf("qtext")}) AS term FROM q),
          |terms AS (SELECT DISTINCT term FROM qt),
          |d AS (SELECT doc_id AS id, $CTOKS AS t FROM documents),
          |dt AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM d),

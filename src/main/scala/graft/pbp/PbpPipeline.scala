@@ -25,13 +25,19 @@ import org.apache.spark.sql.types._
  */
 object PbpPipeline {
 
-  private val splitUdf = udf((d: String) => Parsing.splitPlayersText(d))
+  // one UDF per distinct input tuple, returning struct results: each
+  // UDF invocation pays a UTF8String->String conversion per argument,
+  // so functions reading the SAME text fuse into one call
+  // (splitPlayersText + parseSubstitution both scan play_description;
+  // classifyBattedBall consumes classifyEventType's output)
+  private val splitSubUdf = udf((d: String) =>
+    (Parsing.splitPlayersText(d), Parsing.parseSubstitution(d)))
   private val outsUdf = udf((a: String, b: String, c: String, d: String) =>
     Parsing.outsOnPlay(a, b, c, d))
-  private val subUdf = udf((d: String) => Parsing.parseSubstitution(d))
-  private val eventUdf = udf((t: String, p1: String, sub: Boolean) =>
-    Parsing.classifyEventType(t, p1, sub))
-  private val bbUdf = udf((t: String, et: String) => Parsing.classifyBattedBall(t, et))
+  private val eventBbUdf = udf((t: String, p1: String, sub: Boolean) => {
+    val et = Parsing.classifyEventType(t, p1, sub)
+    (et, Parsing.classifyBattedBall(t, et))
+  })
 
   /** metadata (reference columns.py:121-128): half from home_text,
     * description concat, empty rows dropped, play_id assigned in input
@@ -62,8 +68,7 @@ object PbpPipeline {
     val p1 = col("p1_text")
     df
       .withColumns(Map(
-        "__p" -> splitUdf(col("play_description")),
-        "__sub" -> subUdf(col("play_description")),
+        "__ps" -> splitSubUdf(col("play_description")),
         "new_game_fl" -> (row_number().over(wGame) === 1),
         "game_end_fl" -> (row_number().over(wGameDesc) === 1),
         "new_inn_fl" -> (row_number().over(wInn) === 1),
@@ -71,15 +76,15 @@ object PbpPipeline {
         "int_bb_fl" -> col("play_description").contains("intentionally ").cast("int"),
         "top_inning_fl" -> (col("half") === "Top").cast("int")))
       .withColumns(Map(
-        "p1_text" -> col("__p._1"),
-        "p2_text" -> col("__p._2"),
-        "p3_text" -> col("__p._3"),
-        "p4_text" -> col("__p._4"),
-        "sub_fl" -> col("__sub._1").cast("int"),
-        "sub_in" -> col("__sub._2"),
-        "sub_out" -> col("__sub._3"),
-        "sub_pos" -> col("__sub._4")))
-      .drop("__p", "__sub")
+        "p1_text" -> col("__ps._1._1"),
+        "p2_text" -> col("__ps._1._2"),
+        "p3_text" -> col("__ps._1._3"),
+        "p4_text" -> col("__ps._1._4"),
+        "sub_fl" -> col("__ps._2._1").cast("int"),
+        "sub_in" -> col("__ps._2._2"),
+        "sub_out" -> col("__ps._2._3"),
+        "sub_pos" -> col("__ps._2._4")))
+      .drop("__ps")
       .withColumns(Map(
         "sh_fl" ->
           (p1.contains("SAC") && !p1.rlike("(?:flied|popped)")).cast("int"),
@@ -261,9 +266,12 @@ object PbpPipeline {
   /** classify (X4): event type + batted-ball type columns. */
   def classify(df: DataFrame): DataFrame =
     df
-      .withColumn("event_type",
-        eventUdf(col("play_description"), col("p1_text"), col("sub_fl") === 1))
-      .withColumn("batted_ball_type", bbUdf(col("play_description"), col("event_type")))
+      .withColumn("__ebb",
+        eventBbUdf(col("play_description"), col("p1_text"), col("sub_fl") === 1))
+      .withColumns(Map(
+        "event_type" -> col("__ebb._1"),
+        "batted_ball_type" -> col("__ebb._2")))
+      .drop("__ebb")
 
   /**
    * X2 integration — the standardize_names stage's pitcher assignment

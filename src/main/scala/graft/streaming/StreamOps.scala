@@ -113,6 +113,26 @@ object StreamOps {
     df.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /**
+   * Map-only corpus scrub for unbounded document streams: quality
+   * score, token count, language guess, PII counts and the redacted
+   * text — the stateless subset of [[graft.operators.CleanCorpus]]
+   * (dedup/decontamination are aggregations and live behind
+   * watermarked state instead: [[dedupStream]]). The SAME projection
+   * attaches to a batch frame or a `readStream` source unchanged — no
+   * shuffle, no state, so a 100 TB backfill and the live stream run
+   * identical code and produce identical columns.
+   */
+  def scrubStream(df: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.{Pii, TextFunctions}
+    val t = col(textCol)
+    Pii.detect(df, textCol)
+      .withColumns(Map(
+        "quality" -> round(TextFunctions.qualityScore(t), 6),
+        "n_tokens" -> TextFunctions.tokenCount(TextFunctions.canonicalText(t)).cast("long"),
+        "lang_guess" -> TextFunctions.langId(t)))
+  }
+
   /** Watermarked tumbling-window counts per event type — the
     * streaming form of the W4 segment aggregate. */
   def windowedTypeCounts(

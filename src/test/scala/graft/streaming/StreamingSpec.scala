@@ -117,4 +117,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === want)
     } finally query.stop()
   }
+
+  test("scrubStream on a MemoryStream equals the batch projection row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog run a lot today"),
+      (2L, "reach me at a@b.io or 10.0.0.1 ssn 123-45-6789"),
+      (3L, "le chat et le chien et les oiseaux des bois"),
+      (4L, "!!! ??? ..."),
+      (5L, ""))
+    val cols = Seq("doc_id", "quality", "n_tokens", "lang_guess",
+      "n_email", "n_ipv4", "n_ssn", "has_pii", "redacted")
+
+    val input = MemoryStream[(Long, String)]
+    val query = StreamOps.scrubStream(input.toDF().toDF("doc_id", "text"), "text")
+      .select(cols.map(col): _*)
+      .writeStream.format("memory").queryName("scrub_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(3)); query.processAllAvailable()
+      input.addData(docs.drop(3)); query.processAllAvailable()
+      val got = spark.table("scrub_out").orderBy("doc_id").collect().toSeq
+      val want = StreamOps.scrubStream(docs.toDF("doc_id", "text"), "text")
+        .select(cols.map(col): _*).orderBy("doc_id").collect().toSeq
+      assert(got === want)
+      assert(got.size === 5) // map-only: every row passes through exactly once
+    } finally query.stop()
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions
 import graft.plans.TopKAgg
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -90,5 +91,44 @@ object TextSearch {
         (col("pos") + 1).cast("long").as("rank"),
         col("top.id").as("id"),
         round(col("top.score"), 6).as("score"))
+  }
+
+  /**
+   * Top-k tf-idf keywords per document (smooth idf, the sklearn
+   * formulation — public: ln((1+N)/(1+df)) + 1, scored tf·idf).
+   * Returns (id, rank, term, tfidf), rank 1-based, ties broken
+   * lexicographically by term.
+   *
+   * Scale shape: two linear shuffles — (id, term) term frequencies,
+   * then document frequency keyed by term — and a term-keyed join of
+   * the two (the vocabulary is unbounded, so the df side is NOT
+   * broadcast; AQE may still choose to on small corpora). The final
+   * ranking IS a row_number window, deliberately: its partitions are
+   * per-document term lists, bounded by document length — unlike
+   * ANN/BM25 candidates the group size cannot grow with corpus size,
+   * so the window shuffle is linear and skew-free. Scores are the
+   * single product tf·idf rounded to integer micro-units (no
+   * summation → no float-order sensitivity anywhere).
+   */
+  def tfidfKeywords(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
+      .select(col("id"), explode(col("__toks")).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("__m",
+        round((log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0)
+          * col("tf") * 1e6).cast("long"))
+    val w = Window.partitionBy("id").orderBy(col("__m").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"),
+        (col("__m").cast("double") / 1e6).as("tfidf"))
   }
 }

@@ -610,6 +610,29 @@ object QText {
         .orderBy("query_id", "rank")
     },
 
+    // Top-k tf-idf keywords per document (TextSearch.tfidfKeywords,
+    // sklearn smooth idf). Single-product micro-unit scores — no
+    // summation, so the oracle replicates the arithmetic exactly.
+    QueryDef.of("t22_tfidf_keywords",
+      s"""WITH d AS (SELECT doc_id AS id, $CTOKS AS t FROM documents),
+         |terms AS (SELECT id, unnest(t) AS term FROM d),
+         |tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |sc AS (SELECT id, tf.term,
+         |    CAST(round((ln((1.0 + n_docs) / (1.0 + df)) + 1.0) * tf * 1000000.0) AS BIGINT) AS m
+         |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+         |r AS (SELECT id, term, m,
+         |    row_number() OVER (PARTITION BY id ORDER BY m DESC, term) AS rank FROM sc)
+         |SELECT id, CAST(rank AS BIGINT) AS rank, term,
+         |  CAST(m AS DOUBLE) / 1000000.0 AS tfidf
+         |FROM r WHERE rank <= 5
+         |ORDER BY id, rank""".stripMargin) { (s, dir) =>
+      graft.operators.TextSearch.tfidfKeywords(
+          Tables.documents(s, dir), "doc_id", "text", k = 5)
+        .orderBy("id", "rank")
+    },
+
     // Source-mixture sampling (Mixture.sampleToMix): target weights
     // derived from the source index (w = idx % 4 + 1), scaled so the
     // binding source keeps everything; acceptance is the portable

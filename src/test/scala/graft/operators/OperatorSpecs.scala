@@ -475,6 +475,25 @@ class OperatorSpecs extends AnyFunSuite {
       xs.zipWithIndex.map { case ((id, s), i) => (q, (i + 1).toLong, id, s) } }.toSet)
   }
 
+  test("tfidfKeywords surfaces distinctive terms over ubiquitous ones") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha shared shared"),
+      (2L, "beta beta shared shared shared"),
+      (3L, "gamma shared")).toDF("doc_id", "text")
+    val r = TextSearch.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .as[(Long, Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // 'shared' has df=3 (idf floor), each doc's unique term ranks first
+    assert(r(1L) === Seq("alpha", "shared"))
+    assert(r(2L) === Seq("beta", "shared"))
+    assert(r(3L) === Seq("gamma", "shared"))
+    // idf sanity: rare term in doc3 (tf 1) still outranks shared (tf 1)
+    val scores = TextSearch.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .filter(col("id") === 3L).as[(Long, Long, String, Double)].collect()
+      .map(x => x._3 -> x._4).toMap
+    assert(scores("gamma") > scores("shared"))
+  }
+
   test("Mixture.sampleToMix realizes target proportions; binding source keeps everything") {
     val docs = (1L to 4000L).map(i => (i, s"src${(i % 4).toInt}")).toDF("doc_id", "source")
     val weights = Seq(("src0", 4.0), ("src1", 2.0), ("src2", 1.0), ("src3", 1.0))

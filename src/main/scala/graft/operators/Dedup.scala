@@ -426,6 +426,12 @@ object Dedup {
   def dropEmbeddingNearDups(
       emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       numPlanes: Int, threshold: Double): DataFrame = {
+    // fail fast on non-integral ids: connectedComponents labels ride
+    // as longs, and a string id would either throw mid-job under ANSI
+    // or (ANSI off) cast to null and silently dedup NOTHING
+    val idType = emb.schema(idCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(idType.typeName),
+      s"dropEmbeddingNearDups needs an integral id column, got $idCol: ${idType.typeName}")
     val pairs = embeddingNearDupLsh(emb, idCol, vecCol, dim, numPlanes, threshold)
     val comp = connectedComponents(pairs.select("id_a", "id_b"))
     val dropIds = comp.filter(col("id") =!= col("component"))

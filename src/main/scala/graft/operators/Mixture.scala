@@ -38,26 +38,34 @@ object Mixture {
    * integer gate `floor(rate · 2³²)`, exposed so oracles can inline
    * identical literals.
    *
-   * `weights` is validated eagerly (one action on the dimension-sized
-   * frame, never the corpus): a duplicate stratum would DUPLICATE
-   * every corpus row of that stratum through the join, and a
-   * non-positive weight would silently empty the output via a
-   * negative global minimum — both are config bugs worth failing
-   * loudly on.
+   * `weights` must be dimension-sized: it is COLLECTED once at
+   * construction (paying a possibly-corpus-derived lineage exactly
+   * once) and re-enters the plan as a broadcast local relation. The
+   * collected set is validated driver-side: a duplicate stratum would
+   * DUPLICATE every corpus row of that stratum through the join, and
+   * a null/non-positive weight would silently empty the output via a
+   * poisoned global minimum — config bugs worth failing loudly on.
    */
   def mixRates(df: DataFrame, strataCol: String, weights: DataFrame): DataFrame = {
-    val wd = weights.select(col("stratum"), col("weight").cast("double"))
-    val Array(nW, nDistinct, minW) = wd
-      .agg(count(lit(1)), count_distinct(col("stratum")), min(col("weight")))
-      .first().toSeq.toArray
-    require(nW == nDistinct,
-      s"duplicate strata in weights ($nW rows, $nDistinct distinct) — " +
-        "each corpus row of a duplicated stratum would be emitted once per copy")
-    require(nW.asInstanceOf[Long] == 0L || minW.asInstanceOf[Double] > 0.0,
-      s"weights must be positive (min = $minW)")
+    // collect the weights ONCE: they are dimension-sized by contract,
+    // and their lineage may be corpus-derived (t21 builds them from a
+    // corpus distinct) — validating lazily would re-execute that
+    // lineage once for the check and once for the join
+    val w = weights.select(col("stratum").cast("string"), col("weight").cast("double"))
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
+    require(w.forall(_._1 != null), "null stratum in weights")
+    val dups = w.groupBy(_._1).collect { case (s, rows) if rows.length > 1 => s }
+    require(dups.isEmpty,
+      s"duplicate strata in weights (${dups.mkString(", ")}) — each corpus " +
+        "row of a duplicated stratum would be emitted once per copy")
+    require(w.forall(_._2 > 0.0), // NaN compares false: nulls rejected too
+      s"weights must be positive, got ${w.filterNot(_._2 > 0.0).mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wd = w.toSeq.toDF("stratum", "weight")
     val counts = df.groupBy(col(strataCol).as("stratum"))
       .agg(count(lit(1)).cast("double").as("n"))
-    val joined = counts.join(wd, Seq("stratum"))
+    val joined = counts.join(broadcast(wd), Seq("stratum"))
     val cmin = joined.agg(min(col("n") / col("weight")).as("cmin"))
     joined.crossJoin(broadcast(cmin))
       .withColumn("rate", col("cmin") * col("weight") / col("n"))

@@ -19,13 +19,23 @@ object QRelational {
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
-  /** Per-input-dir scratch path for sink round-trips: concurrent
-    * harness runs read DIFFERENT sf dirs (bench at sf0.1, verify at
-    * sf0.01), so keying by dir stops them clobbering each other
-    * mid-read, while staying self-overwriting across repeated runs
-    * (a pid suffix would leak a corpus-sized directory per run). */
+  /** Scratch path for sink round-trips: a process-unique temp dir per
+    * (tag, input dir) — two concurrent harness processes can never
+    * clobber each other's files mid-read — deleted on JVM exit so
+    * repeated runs don't accumulate corpus-sized directories in /tmp
+    * (within one process the same path is reused and self-overwrites). */
+  private val scratchDirs = scala.collection.concurrent.TrieMap[String, String]()
   private def scratch(dir: String, tag: String): String =
-    s"/tmp/graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    scratchDirs.getOrElseUpdate(s"$tag|$dir", {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_$tag").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+        }
+        del(p)
+      }))
+      p.getAbsolutePath
+    })
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -22,18 +22,20 @@ import org.apache.spark.sql.functions._
  */
 object QText {
 
-  /** DuckDB mirror of [[TextFunctions.canonicalText]]. */
-  private val CANON =
-    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))"""
+  /** DuckDB mirror of [[TextFunctions.canonicalText]] over any column
+    * (parameterized at the source, not string-replaced after the
+    * fact, so an edit to the expression can never silently detach the
+    * derived forms). */
+  private def canonOf(colName: String): String =
+    s"""trim(regexp_replace(regexp_replace(lower($colName), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))"""
+
+  private val CANON = canonOf("text")
 
   /** DuckDB mirror of [[TextFunctions.tokens]] over canonical text. */
-  private val CTOKS = s"regexp_extract_all($CANON, '\\S+')"
-
-  /** [[CTOKS]] over an arbitrary column (the engine always tokenizes
-    * through canonicalText — oracles must too, or a punctuated query
-    * literal silently diverges). */
   private def ctoksOf(colName: String): String =
-    CTOKS.replace("lower(text)", s"lower($colName)")
+    s"regexp_extract_all(${canonOf(colName)}, '\\S+')"
+
+  private val CTOKS = ctoksOf("text")
 
   // the Pii patterns verbatim — Java ∩ RE2, safe inside a DuckDB
   // single-quoted literal (no quotes, no dollar signs)

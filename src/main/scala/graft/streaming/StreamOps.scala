@@ -129,7 +129,10 @@ object StreamOps {
     Pii.detect(df, textCol)
       .withColumns(Map(
         "quality" -> round(TextFunctions.qualityScore(t), 6),
-        "n_tokens" -> TextFunctions.tokenCount(TextFunctions.canonicalText(t)).cast("long"),
+        // raw-text token count — the SAME n_tokens definition as the
+        // batch quality surface (t01/qualityScore), not the canonical
+        // form ("foo,bar" is 1 token on both surfaces)
+        "n_tokens" -> TextFunctions.tokenCount(t).cast("long"),
         "lang_guess" -> TextFunctions.langId(t)))
   }
 

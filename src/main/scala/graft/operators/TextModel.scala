@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus n-gram language-model scoring — the CCNet-style perplexity
+ * quality signal (Wenzek et al. 2020 §3.2, public method: documents
+ * whose text is improbable under a language model are low-quality or
+ * wrong-language). Here the model is a bigram LM with add-k smoothing
+ * TRAINED ON THE CORPUS ITSELF (self-perplexity: boilerplate and
+ * in-distribution text score low, anomalous text scores high), so the
+ * whole computation is engine-portable — no external model file.
+ *
+ * Scale shape: bigram and unigram counts are two linear
+ * hash-aggregate shuffles over the exploded token stream; scoring
+ * joins each document's bigrams against the count tables keyed by the
+ * bigram/unigram (linear, vocabulary-bounded build sides are NOT
+ * assumed broadcastable) and reduces per document. Per-bigram log
+ * probabilities are rounded to integer micro-nats BEFORE the per-doc
+ * sum, so the total is exact long arithmetic — independent of float
+ * summation order, partitioning, and engine.
+ */
+object TextModel {
+
+  /**
+   * Per-document mean negative log-probability (natural log,
+   * micro-nat precision) under the corpus bigram model:
+   *
+   *   P(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k·V)
+   *
+   * with V = |unigram vocabulary|. Documents with fewer than 2 tokens
+   * have no bigrams and are absent from the output (they carry no
+   * evidence either way — callers decide their fate).
+   *
+   * Returns (id, n_bigrams, avg_neg_logp) — `avg_neg_logp` rises with
+   * how surprising the document is to the corpus; e^avg_neg_logp is
+   * the conventional per-token perplexity.
+   */
+  def bigramSelfPerplexity(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0.0, "smoothing k must be positive")
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
+    // (id, w1, w2) per bigram OCCURRENCE (positions matter: a repeated
+    // bigram is evidence each time it appears)
+    val bigrams = toks
+      .select(col("id"), posexplode(TextFunctions.shinglesFromTokens(col("__toks"), 2))
+        .as(Seq("pos", "bg")))
+      .select(col("id"), col("bg"),
+        substring_index(col("bg"), " ", 1).as("w1"))
+    val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val uniCounts = toks
+      .select(col("id"), explode(col("__toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val vocab = uniCounts.agg(count(lit(1)).cast("double").as("v"))
+
+    val scored = bigrams
+      .join(bgCounts, Seq("bg"))
+      .join(uniCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      // -ln P in integer micro-nats, rounded per bigram: the per-doc
+      // sum below is then exact long arithmetic
+      .withColumn("__nlp_micro",
+        round(-log((col("c_bg") + k) / (col("c_w1") + lit(k) * col("v"))) * 1e6)
+          .cast("long"))
+    scored.groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round((sum(col("__nlp_micro")).cast("double") / count(lit(1))) / 1e6, 6)
+          .as("avg_neg_logp"))
+  }
+}

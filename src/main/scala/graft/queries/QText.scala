@@ -635,6 +635,32 @@ object QText {
         .orderBy("id", "rank")
     },
 
+    // Corpus bigram-LM self-perplexity (TextModel.bigramSelfPerplexity,
+    // CCNet-style quality signal). Per-bigram -ln P rounded to integer
+    // micro-nats before the per-doc sum -> exact long arithmetic; the
+    // oracle replicates counts, smoothing, and association order.
+    QueryDef.of("t23_lm_perplexity",
+      s"""WITH d AS (SELECT doc_id, $CTOKS AS t FROM documents),
+         |bgr AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS bg
+         |  FROM d),
+         |bgc AS (SELECT bg, count(*) AS c_bg FROM bgr GROUP BY bg),
+         |unic AS (SELECT w1, count(*) AS c_w1
+         |  FROM (SELECT unnest(t) AS w1 FROM d) GROUP BY w1),
+         |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM unic),
+         |sc AS (SELECT doc_id,
+         |    CAST(round(-ln((c_bg + 0.5) / (c_w1 + 0.5 * v)) * 1000000.0) AS BIGINT) AS m
+         |  FROM bgr JOIN bgc USING (bg)
+         |  JOIN unic ON split_part(bgr.bg, ' ', 1) = unic.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextModel.bigramSelfPerplexity(
+          Tables.documents(s, dir), "doc_id", "text", k = 0.5)
+        .orderBy("doc_id")
+    },
+
     // Source-mixture sampling (Mixture.sampleToMix): target weights
     // derived from the source index (w = idx % 4 + 1), scaled so the
     // binding source keeps everything; acceptance is the portable

@@ -475,6 +475,26 @@ class OperatorSpecs extends AnyFunSuite {
       xs.zipWithIndex.map { case ((id, s), i) => (q, (i + 1).toLong, id, s) } }.toSet)
   }
 
+  test("bigramSelfPerplexity: anomalous text scores higher; short docs absent") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "zx qv wp zx lm qr"), // tokens/bigrams seen nowhere else
+      (5L, "one")) // single token: no bigram evidence
+      .toDF("doc_id", "text")
+    val r = TextModel.bigramSelfPerplexity(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(!r.contains(5L))
+    assert(r(1L)._2 === 5L) // 6 tokens -> 5 bigram occurrences
+    assert(r(1L)._3 === r(2L)._3) // identical docs score identically
+    assert(r(4L)._3 > r(1L)._3) // out-of-distribution text is more surprising
+    // determinism across partitionings (micro-nat integer sums)
+    val r2 = TextModel.bigramSelfPerplexity(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r2 === r)
+  }
+
   test("tfidfKeywords surfaces distinctive terms over ubiquitous ones") {
     val docs = Seq(
       (1L, "alpha alpha alpha shared shared"),

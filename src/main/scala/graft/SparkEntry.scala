@@ -54,7 +54,7 @@ object SparkEntry {
     "t01_text_quality", "t06_ngram_jaccard_pairs", "t07_minhash_lsh_pairs",
     "t08_simhash_pairs", "t09_dup_clusters", "t12_decontaminate",
     "t15_sequence_packing", "t19_line_dedup", "t20_bm25_topk",
-    "t22_tfidf_keywords", "t23_lm_perplexity",
+    "t22_tfidf_keywords", "t23_lm_perplexity", "t24_dup_spans",
     "v01_ann_brute_topk", "v02_ann_lsh_topk",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich")
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact duplicated-substring detection — the token-level analogue of
+ * the suffix-array dedup of Lee et al. 2021 ("Deduplicating Training
+ * Data Makes Language Models Better", public method): any n-token
+ * span whose text occurs more than once in the corpus (in the same or
+ * another document) is flagged, and overlapping flagged spans merge
+ * into maximal duplicated regions per document. Callers cut or drop
+ * the regions.
+ *
+ * The suffix-array construction of the paper is replaced by the
+ * shuffle-friendly equivalent: every POSITION contributes its n-gram
+ * (a duplicated span of length L ≥ n is exactly a run of L−n+1
+ * duplicated n-grams, so maximal regions are recovered losslessly by
+ * merging the per-position hits).
+ *
+ * Scale shape: one positional explode (|tokens| rows, the shingle
+ * cost), one 16-byte-key hash aggregate for global n-gram counts, a
+ * semi-join back, and a per-document gaps-and-islands window whose
+ * partitions are bounded by document length — never by corpus size.
+ */
+object SubstringDedup {
+
+  /**
+   * Maximal duplicated token spans: (id, span_start, span_end,
+   * n_positions) with token positions 0-based and `span_end`
+   * EXCLUSIVE (span_end − span_start ≥ n for every emitted row).
+   * Documents with no duplicated n-gram are absent.
+   *
+   * A span is "duplicated" when its every n-token window occurs ≥ 2
+   * times corpus-wide (occurrences in the SAME document count — a
+   * document repeating its own paragraph is exactly the redundancy
+   * the operator exists to find).
+   */
+  def duplicatedSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "n-gram order must be >= 2")
+    // (id, pos, h): md5 of the n-gram at each 0-based token position
+    val grams = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
+      .select(col("id"),
+        posexplode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), md5(col("g")).as("h"))
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val hits = grams.join(dupHashes, Seq("h"), "left_semi")
+    // gaps-and-islands on positions: two hit positions p1 < p2 belong
+    // to one region iff their spans [p, p+n) overlap or touch, i.e.
+    // p2 − p1 ≤ n−1 — a new island starts where the gap exceeds that.
+    // Both window passes share one (id, pos) sort-shuffle, and the
+    // partitions are per-document position lists (bounded by document
+    // length, not corpus size).
+    val w = Window.partitionBy("id").orderBy("pos")
+    hits
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n - 1, 0).otherwise(1))
+      .withColumn("__grp", sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id").as(idCol), col("__grp"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n).cast("long").as("span_end"),
+        count(lit(1)).as("n_positions"))
+      .drop("__grp")
+  }
+}

@@ -661,6 +661,43 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // Exact duplicated-substring spans (SubstringDedup.duplicatedSpans,
+    // Lee et al. 2021 token-level analogue). Every 7th doc gets the
+    // same appended sentence so cross-document duplicated regions are
+    // guaranteed; natural tiny-vocab collisions surface too. The
+    // oracle replicates positional 5-gram hashing, the global count
+    // filter, and the overlap-merge gaps-and-islands pass.
+    QueryDef.of("t24_dup_spans",
+      s"""WITH raw AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |    THEN text || ' the quick brown fox jumps over the lazy dog again'
+         |    ELSE text END AS text FROM documents),
+         |d AS (SELECT doc_id, $CTOKS AS t FROM raw),
+         |g AS (SELECT doc_id,
+         |    unnest(range(0, greatest(len(t) - 4, 0))) AS pos,
+         |    unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+         |      i -> md5(array_to_string(t[i:i+4], ' ')))) AS h
+         |  FROM d),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+         |isl AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+         |         THEN 0 ELSE 1 END AS nw
+         |  FROM hits),
+         |grp AS (SELECT doc_id, pos,
+         |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM isl)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 5 AS BIGINT) AS span_end, count(*) AS n_positions
+         |FROM grp GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      val injected = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" the quick brown fox jumps over the lazy dog again")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.SubstringDedup.duplicatedSpans(injected, "doc_id", "text", n = 5)
+        .orderBy("doc_id", "span_start")
+    },
+
     // Source-mixture sampling (Mixture.sampleToMix): target weights
     // derived from the source index (w = idx % 4 + 1), scaled so the
     // binding source keeps everything; acceptance is the portable

@@ -475,6 +475,32 @@ class OperatorSpecs extends AnyFunSuite {
       xs.zipWithIndex.map { case ((id, s), i) => (q, (i + 1).toLong, id, s) } }.toSet)
   }
 
+  test("duplicatedSpans finds cross-doc repeats, merges overlaps, honors exclusive end") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"unique opening words here $shared trailing bit"),
+      (2L, s"$shared totally different ending content"),
+      (3L, "no duplicated content lives in this one at all"),
+      (4L, s"self repeat $shared middle filler words $shared done"))
+      .toDF("doc_id", "text")
+    val r = SubstringDedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sorted.toSeq).toMap
+    // doc1: shared starts at token 4, 6 tokens -> 2 five-gram hits,
+    // merged span [4, 10)
+    assert(r(1L) === Seq((4L, 10L)))
+    assert(r(2L) === Seq((0L, 6L)))
+    assert(!r.contains(3L))
+    // doc4 repeats the shared run twice; spans are separated by the
+    // filler gap, so two distinct islands survive
+    assert(r(4L).size === 2)
+    // determinism under repartitioning
+    val r2 = SubstringDedup.duplicatedSpans(docs.repartition(5), "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r2 === SubstringDedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet)
+  }
+
   test("bigramSelfPerplexity: anomalous text scores higher; short docs absent") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),

@@ -33,10 +33,13 @@ object SubstringDedup {
    * EXCLUSIVE (span_end − span_start ≥ n for every emitted row).
    * Documents with no duplicated n-gram are absent.
    *
-   * A span is "duplicated" when its every n-token window occurs ≥ 2
-   * times corpus-wide (occurrences in the SAME document count — a
-   * document repeating its own paragraph is exactly the redundancy
-   * the operator exists to find).
+   * Each emitted span is the UNION of a maximal chain of mutually
+   * overlapping duplicated windows — every token in it is covered by
+   * at least one n-gram that occurs ≥ 2 times corpus-wide, though an
+   * interior window of the merged region may itself be unique.
+   * Occurrences in the SAME document count: a document repeating its
+   * own paragraph is exactly the redundancy the operator exists to
+   * find.
    */
   def duplicatedSpans(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
@@ -52,8 +55,9 @@ object SubstringDedup {
       .filter(col("c") >= 2).select("h")
     val hits = grams.join(dupHashes, Seq("h"), "left_semi")
     // gaps-and-islands on positions: two hit positions p1 < p2 belong
-    // to one region iff their spans [p, p+n) overlap or touch, i.e.
-    // p2 − p1 ≤ n−1 — a new island starts where the gap exceeds that.
+    // to one region iff their spans [p, p+n) OVERLAP (share ≥ 1
+    // token), i.e. p2 − p1 ≤ n−1 — exactly-touching spans (gap = n)
+    // stay separate rows. The t24 oracle encodes the same constant.
     // Both window passes share one (id, pos) sort-shuffle, and the
     // partitions are per-document position lists (bounded by document
     // length, not corpus size).

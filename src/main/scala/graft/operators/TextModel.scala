@@ -44,16 +44,15 @@ object TextModel {
     require(k > 0.0, "smoothing k must be positive")
     val toks = docs.select(col(idCol).as("id"),
       TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
-    // (id, w1, w2) per bigram OCCURRENCE (positions matter: a repeated
-    // bigram is evidence each time it appears)
+    // one row per bigram OCCURRENCE (explode preserves multiplicity —
+    // a repeated bigram is evidence each time it appears)
     val bigrams = toks
-      .select(col("id"), posexplode(TextFunctions.shinglesFromTokens(col("__toks"), 2))
-        .as(Seq("pos", "bg")))
+      .select(col("id"), explode(TextFunctions.shinglesFromTokens(col("__toks"), 2)).as("bg"))
       .select(col("id"), col("bg"),
         substring_index(col("bg"), " ", 1).as("w1"))
     val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
     val uniCounts = toks
-      .select(col("id"), explode(col("__toks")).as("w1"))
+      .select(explode(col("__toks")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c_w1"))
     val vocab = uniCounts.agg(count(lit(1)).cast("double").as("v"))
 

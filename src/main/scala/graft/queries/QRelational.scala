@@ -203,6 +203,28 @@ object QRelational {
         .orderBy("source")
     },
 
+    // Columnar ORC sink + scan round-trip (the third interchange
+    // format next to CSV/JSONL; Spark's ORC writer is built in). Same
+    // contract as s11: the aggregate runs on the RE-READ files, the
+    // oracle on the original parquet — format loss (value widths, id
+    // fidelity, row drops) breaks the hash compare.
+    QueryDef.of("s12_orc_roundtrip",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val out = scratch(dir, "s12_orc")
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+
     QueryDef.of("s07_csv_roundtrip",
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty

@@ -166,4 +166,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p)
     assert(!p.contains("ScalaUDF"), p)
   }
+
+  test("t22/t23/t24: the text-analysis family stays UDF-free with no pair blowup") {
+    // note: the 1-row stats crossJoin(broadcast(...)) in t22/t23
+    // compiles to a BroadcastNestedLoopJoin with a single build row —
+    // that is the documented scalar-attach shape, not a pair blowup,
+    // so only unbounded products are asserted against here
+    for (name <- Seq("t22_tfidf_keywords", "t23_lm_perplexity", "t24_dup_spans")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
 }

@@ -70,4 +70,34 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("pack_tokens"))
       .withColumn("fill_frac", round(col("pack_tokens").cast("double") / budget, 6))
+
+  /**
+   * Materialized training sequences: assign documents to packs
+   * ([[greedyPack]] over a token count derived from the text), then
+   * concatenate each pack's texts in document-id order with `sep`
+   * between them — the final "write the pretokenization input"
+   * step. Returns (shard, pack_seq, n_docs, pack_tokens, packed_text).
+   *
+   * One additional groupBy((shard, pack_seq)) shuffle on top of the
+   * pack fold; pack text size is bounded by the token budget (plus
+   * one oversize doc at most), so no group can blow up a reducer.
+   */
+  def packedText(
+      docs: DataFrame, idCol: String, textCol: String,
+      budget: Long, numShards: Int,
+      sep: String = "\n<|endofdoc|>\n"): DataFrame = {
+    val withCounts = docs.select(
+      col(idCol), col(textCol),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"))
+    val assigned = greedyPack(withCounts, idCol, "__nt", budget, numShards)
+      .join(withCounts.select(col(idCol), col(textCol)), Seq(idCol))
+    assigned
+      .groupBy("shard", "pack_seq")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            s => s.getField(textCol))).as("packed_text"))
+  }
 }

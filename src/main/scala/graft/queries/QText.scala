@@ -441,6 +441,39 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // Materialized packed training sequences (Packing.packedText):
+    // greedyPack assignment over raw-text token counts, then each
+    // pack's texts concatenated in doc-id order with the EOS
+    // separator. The oracle replays the pack walk recursively and
+    // string_aggs with the identical separator.
+    QueryDef.of("t25_packed_text",
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text,
+         |    CAST(len(regexp_extract_all(text, '${"\\S+"}')) AS BIGINT) AS n_tokens,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+         |  FROM documents),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM base),
+         |walk AS (
+         |  SELECT shard, rn, doc_id, text, n_tokens, n_tokens AS acc,
+         |    CAST(1 AS BIGINT) AS pack_seq
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.rn, d.doc_id, d.text, d.n_tokens,
+         |    CASE WHEN w.acc + d.n_tokens > 300 THEN d.n_tokens
+         |         ELSE w.acc + d.n_tokens END,
+         |    CASE WHEN w.acc + d.n_tokens > 300 THEN w.pack_seq + 1
+         |         ELSE w.pack_seq END
+         |  FROM d JOIN walk w ON d.shard = w.shard AND d.rn = w.rn + 1)
+         |SELECT shard, pack_seq, count(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+         |  string_agg(text, chr(10) || '<|endofdoc|>' || chr(10) ORDER BY doc_id) AS packed_text
+         |FROM walk GROUP BY shard, pack_seq
+         |ORDER BY shard, pack_seq""".stripMargin) { (s, dir) =>
+      graft.operators.Packing.packedText(
+          Tables.documents(s, dir), "doc_id", "text",
+          budget = 300L, numShards = 8)
+        .orderBy("shard", "pack_seq")
+    },
+
     // Deterministic train/val/test split (Sampling.assignSplit):
     // 90/5/5 by the 32-bit md5 bucket of doc_id — shuffle-free, and
     // the oracle inlines the SAME integer thresholds the operator

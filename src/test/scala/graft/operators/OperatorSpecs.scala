@@ -475,6 +475,23 @@ class OperatorSpecs extends AnyFunSuite {
       xs.zipWithIndex.map { case ((id, s), i) => (q, (i + 1).toLong, id, s) } }.toSet)
   }
 
+  test("packedText concatenates pack members in id order with the separator") {
+    val docs = (1L to 40L).map(i => (i, (s"doc$i " * ((i % 5).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    val packs = Packing.packedText(docs, "doc_id", "text", budget = 8L, numShards = 2, sep = "|")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // every document appears exactly once across all packs
+    val members = packs.flatMap(_._5.split('|').toSeq.map(_.split(" ").head))
+    assert(members.length === 40 && members.distinct.length === 40)
+    packs.foreach { case (_, _, nDocs, _, text) =>
+      val parts = text.split('|')
+      assert(parts.length.toLong === nDocs)
+      // id order within the pack (ids recoverable from the body)
+      val ids = parts.map(_.split(" ").head.stripPrefix("doc").toLong).toSeq
+      assert(ids === ids.sorted)
+    }
+  }
+
   test("duplicatedSpans finds cross-doc repeats, merges overlaps, honors exclusive end") {
     val shared = "alpha beta gamma delta epsilon zeta"
     val docs = Seq(

@@ -439,6 +439,38 @@ object Dedup {
     emb.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Generic cluster keep-rule: given ANY near-dup pair graph over
+   * `docs` (n-gram Jaccard, MinHash, SimHash, embedding — every pair
+   * generator in this file emits the (id_a, id_b) shape), keep the
+   * member with the HIGHEST `scoreCol` of each connected component
+   * (ties → lowest id) and every unpaired document. With a length
+   * score this is RefinedWeb's keep-longest policy; with a quality
+   * score, keep-best. [[dropEmbeddingNearDups]] is the min-id special
+   * case for embeddings.
+   *
+   * The ranking window partitions by CLUSTER — bounded by dup-cluster
+   * size, never corpus size — after one left join against the
+   * (dup-graph-sized) component labels.
+   */
+  def keepBestPerCluster(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(idType.typeName),
+      s"keepBestPerCluster needs an integral id column, got $idCol: ${idType.typeName}")
+    val comp = connectedComponents(pairs.select("id_a", "id_b"))
+      .withColumnRenamed("id", idCol)
+    val labeled = docs.join(comp, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol).cast("long")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__comp").orderBy(col(scoreCol).desc, col(idCol))
+    labeled
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(docs.columns.map(col): _*)
+  }
+
   /** Embedding near-dup via sign-LSH bucketing: only vectors sharing a
     * bucket are compared. Linear shuffle, bucket-local quadratic. */
   def embeddingNearDupLsh(

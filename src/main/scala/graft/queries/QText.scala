@@ -441,6 +441,45 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // Cluster keep-rule (Dedup.keepBestPerCluster): over the t09
+    // near-dup components, keep the LONGEST member (n_chars, ties ->
+    // min id) plus every unpaired doc — RefinedWeb's keep-longest
+    // policy. Oracle = the t09 graph walk + a QUALIFY argmax.
+    QueryDef.of("t26_dedup_keep_longest",
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $CTOKS AS t FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM toks),
+         |filt AS (SELECT id, sh FROM sh0
+         |  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
+         |sz AS (SELECT id, count(*) AS n_sh FROM filt GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+         |  WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |cc AS (
+         |  SELECT a AS id, a AS comp FROM edges
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON e.a = cc.id
+         |),
+         |lab AS (SELECT id, min(comp) AS component FROM cc GROUP BY id)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |LEFT JOIN lab ON d.doc_id = lab.id
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY coalesce(lab.component, d.doc_id)
+         |  ORDER BY d.n_chars DESC, d.doc_id) = 1
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(
+        docs.repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = Some(1000))
+      Dedup.keepBestPerCluster(docs.select("doc_id", "n_chars"), "doc_id", "n_chars", pairs)
+        .orderBy("doc_id")
+    },
+
     // Materialized packed training sequences (Packing.packedText):
     // greedyPack assignment over raw-text token counts, then each
     // pack's texts concatenated in doc-id order with the EOS

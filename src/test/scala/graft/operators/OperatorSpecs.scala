@@ -475,6 +475,18 @@ class OperatorSpecs extends AnyFunSuite {
       xs.zipWithIndex.map { case ((id, s), i) => (q, (i + 1).toLong, id, s) } }.toSet)
   }
 
+  test("keepBestPerCluster keeps the argmax-score member, singletons untouched") {
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 30.0), // cluster {1,2,3}: 2 wins (score tie w/ 3, lower id)
+      (4L, 5.0), (5L, 99.0), // cluster {4,5}: 5 wins
+      (6L, 1.0)) // unpaired: survives
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", "score", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 5L, 6L))
+  }
+
   test("packedText concatenates pack members in id order with the separator") {
     val docs = (1L to 40L).map(i => (i, (s"doc$i " * ((i % 5).toInt + 1)).trim))
       .toDF("doc_id", "text")

@@ -449,9 +449,9 @@ object Dedup {
    * score, keep-best. [[dropEmbeddingNearDups]] is the min-id special
    * case for embeddings.
    *
-   * The ranking window partitions by CLUSTER — bounded by dup-cluster
-   * size, never corpus size — after one left join against the
-   * (dup-graph-sized) component labels.
+   * The ranking window runs over CLUSTER MEMBERS ONLY (dup-graph
+   * sized); the corpus is touched by one score-attach join and one
+   * anti-join against the loser ids — no corpus-wide sort-shuffle.
    */
   def keepBestPerCluster(
       docs: DataFrame, idCol: String, scoreCol: String,
@@ -459,16 +459,26 @@ object Dedup {
     val idType = docs.schema(idCol).dataType
     require(Seq("long", "integer", "short", "byte").contains(idType.typeName),
       s"keepBestPerCluster needs an integral id column, got $idCol: ${idType.typeName}")
+    // everything below the corpus anti-join is DUP-GRAPH-SIZED: the
+    // ranking window runs over cluster members only (an unpaired doc
+    // never enters it), so the corpus is touched exactly twice — the
+    // inner join attaching scores to members, and the final anti-join
+    // removing the losers. Internal columns are uniquely prefixed so
+    // caller columns (including a 'component' from a prior labeling)
+    // can never collide.
     val comp = connectedComponents(pairs.select("id_a", "id_b"))
-      .withColumnRenamed("id", idCol)
-    val labeled = docs.join(comp, Seq(idCol), "left")
-      .withColumn("__comp", coalesce(col("component"), col(idCol).cast("long")))
+      .select(col("id").as("__kbc_id"), col("component").as("__kbc_comp"))
+    val members = docs
+      .select(col(idCol).cast("long").as("__kbc_id"), col(scoreCol).as("__kbc_score"))
+      .join(comp, Seq("__kbc_id"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__comp").orderBy(col(scoreCol).desc, col(idCol))
-    labeled
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(docs.columns.map(col): _*)
+      .partitionBy("__kbc_comp").orderBy(col("__kbc_score").desc, col("__kbc_id"))
+    val losers = members
+      .withColumn("__kbc_rn", row_number().over(w))
+      .filter(col("__kbc_rn") > 1)
+      // cast back so the anti-join key keeps the caller's id type
+      .select(col("__kbc_id").cast(idType).as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Embedding near-dup via sign-LSH bucketing: only vectors sharing a

@@ -25,13 +25,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Packing {
 
   /**
-   * Per-document pack assignment: (id, n_tokens, shard, pack_seq)
-   * where `pack_seq` is 1-based within the shard — (shard, pack_seq)
-   * is the global pack key.
+   * Per-document pack assignment: (id, n_tokens, shard, carry...,
+   * pack_seq) where `pack_seq` is 1-based within the shard —
+   * (shard, pack_seq) is the global pack key. `carryCols` ride
+   * through the fold untouched (the fold copies whole rows), so
+   * downstream consumers that need e.g. the text avoid a
+   * corpus-to-corpus re-attach join.
    */
   def greedyPack(
       df: DataFrame, idCol: String, nTokensCol: String,
-      budget: Long, numShards: Int): DataFrame = {
+      budget: Long, numShards: Int, carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(numShards > 0, "numShards must be positive")
     require(idCol != nTokensCol,
@@ -39,13 +42,13 @@ object Packing {
         "them by position and a shared column would silently misalign")
     // fail fast on null token counts: a null would otherwise surface as
     // an opaque NPE deep inside the mapPartitions fold
-    val base = df.select(
-      col(idCol),
+    val base = df.select(col(idCol) +:
       coalesce(col(nTokensCol).cast("long"),
         raise_error(concat(lit(s"greedyPack: null $nTokensCol for id "),
-          col(idCol).cast("string")))).as("n_tokens"),
+          col(idCol).cast("string")))).as("n_tokens") +:
       pmod(ScalarFunctions.md5Long(col(idCol).cast("string")), lit(numShards.toLong))
-        .as("shard"))
+        .as("shard") +:
+      carryCols.map(col): _*)
     val outSchema = StructType(
       base.schema.fields :+ StructField("pack_seq", LongType, nullable = false))
     // state = (tokens accumulated in the open pack, current pack seq);
@@ -78,9 +81,11 @@ object Packing {
    * between them — the final "write the pretokenization input"
    * step. Returns (shard, pack_seq, n_docs, pack_tokens, packed_text).
    *
-   * One additional groupBy((shard, pack_seq)) shuffle on top of the
-   * pack fold; pack text size is bounded by the token budget (plus
-   * one oversize doc at most), so no group can blow up a reducer.
+   * The text CARRIES THROUGH the pack fold (no corpus-to-corpus
+   * re-attach join), so the only shuffles are the fold's shard
+   * exchange and one groupBy((shard, pack_seq)); pack text size is
+   * bounded by the token budget (plus one oversize doc at most), so
+   * no group can blow up a reducer.
    */
   def packedText(
       docs: DataFrame, idCol: String, textCol: String,
@@ -89,9 +94,7 @@ object Packing {
     val withCounts = docs.select(
       col(idCol), col(textCol),
       graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"))
-    val assigned = greedyPack(withCounts, idCol, "__nt", budget, numShards)
-      .join(withCounts.select(col(idCol), col(textCol)), Seq(idCol))
-    assigned
+    greedyPack(withCounts, idCol, "__nt", budget, numShards, carryCols = Seq(textCol))
       .groupBy("shard", "pack_seq")
       .agg(
         count(lit(1)).as("n_docs"),

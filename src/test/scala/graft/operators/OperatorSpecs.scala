@@ -488,13 +488,19 @@ class OperatorSpecs extends AnyFunSuite {
   }
 
   test("packedText concatenates pack members in id order with the separator") {
-    val docs = (1L to 40L).map(i => (i, (s"doc$i " * ((i % 5).toInt + 1)).trim))
+    // doc 41 is OVERSIZE (12 tokens > budget 8): it must land alone in
+    // its own pack with its full text intact, never split or dropped
+    val docs = ((1L to 40L).map(i => (i, (s"doc$i " * ((i % 5).toInt + 1)).trim)) :+
+      (41L, ("doc41 " * 12).trim))
       .toDF("doc_id", "text")
     val packs = Packing.packedText(docs, "doc_id", "text", budget = 8L, numShards = 2, sep = "|")
       .as[(Long, Long, Long, Long, String)].collect()
     // every document appears exactly once across all packs
     val members = packs.flatMap(_._5.split('|').toSeq.map(_.split(" ").head))
-    assert(members.length === 40 && members.distinct.length === 40)
+    assert(members.length === 41 && members.distinct.length === 41)
+    val oversize = packs.filter(_._5.contains("doc41"))
+    assert(oversize.length === 1 && oversize.head._3 === 1L) // alone in its pack
+    assert(oversize.head._5 === ("doc41 " * 12).trim) // text intact through the fold
     packs.foreach { case (_, _, nDocs, _, text) =>
       val parts = text.split('|')
       assert(parts.length.toLong === nDocs)

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.metrics.{ExpectedRuns, LinearWeights, PbpMetrics}
 import graft.pbp.PbpPipeline
+import graft.pbp.names.StandardizeNames
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -54,6 +55,100 @@ object QPbp {
         countDistinct("contest_id").as("games"))
       .orderBy("event_type", "bb_type")
 
+  /** Raw pbp where every 13th event becomes a pitcher-substitution
+    * line ("X to p for Y", reference columns.py:259-270) so the X2
+    * queue machine initializes, advances, and exhausts mid-game. The
+    * incoming-reliever namespace overlaps the lineup queues' so
+    * sub-in fallback names collide with queue entries the way real
+    * feeds do. */
+  def rawPbpWithSubs(s: SparkSession, dir: String): DataFrame = {
+    val base = rawPbpFromEvents(s, dir)
+    val relief = concat(lit("Rel"), (col("seq") % 4).cast("string"),
+      lit(" Jones"), (col("seq") % 6).cast("string"))
+    val subText = concat(relief, lit(" to p for Ace"),
+      (col("contest_id") % 7).cast("string"), lit(" Starter"))
+    base.withColumns(Map(
+      "away_text" -> when(col("seq") % 13 === 0 && col("away_text").isNotNull, subText)
+        .otherwise(col("away_text")),
+      "home_text" -> when(col("seq") % 13 === 0 && col("home_text").isNotNull, subText)
+        .otherwise(col("home_text"))))
+  }
+
+  /** Ordered pitching lineups, 3 deep per (game, team): index 0
+    * init, per-sub advance, and >3 subs exhaust the queue → sub-in
+    * fallback (names.py:84-89). Dimension-sized: 2 teams × 3 rows per
+    * game. */
+  def pitchingLineups(s: SparkSession, dir: String): DataFrame = {
+    val games = Tables.events(s, dir).select(col("user_id").as("contest_id")).distinct()
+    val teams = games.crossJoin(
+      s.createDataFrame(Seq(Tuple1("H"), Tuple1("A"))).toDF("side"))
+    val slots = s.createDataFrame(Seq((0, "Ace", " Starter"), (1, "Mid", " Reliever"),
+      (2, "Low", " Closer"))).toDF("pitch_order", "prefix", "suffix")
+    teams.crossJoin(slots).select(
+      col("contest_id"),
+      concat(col("side"), col("contest_id")).as("team_id"),
+      concat(col("prefix"),
+        (col("contest_id") % when(col("pitch_order") === 0, 7)
+          .when(col("pitch_order") === 1, 5).otherwise(3)).cast("string"),
+        col("suffix")).as("player_name"),
+      concat(lit("pid-"), col("side"), col("contest_id"), lit("-"),
+        col("pitch_order")).as("player_id"),
+      col("pitch_order"))
+  }
+
+  /** Batting lineups carrying the games' batter/runner names in three
+    * deliberately-noisy canonical forms — exact, "Last, First", and
+    * UPPERCASE — so the standardize cascade's lowercase, normalize,
+    * and variation tiers all fire (names.py:100-179). */
+  def battingLineups(s: SparkSession, dir: String): DataFrame = {
+    val games = Tables.events(s, dir).select(col("user_id").as("contest_id")).distinct()
+    val teams = games.crossJoin(
+      s.createDataFrame(Seq(Tuple1("H"), Tuple1("A"))).toDF("side"))
+    val bFirst = concat(lit("P"), (col("contest_id") % 50).cast("string"))
+    val bLast = concat(lit("Smith"), (col("contest_id") % 20).cast("string"))
+    val rFirst = concat(lit("P"), ((col("contest_id") + 7) % 50).cast("string"))
+    val rLast = concat(lit("Smith"), ((col("contest_id") + 7) % 20).cast("string"))
+    val batter = when(col("contest_id") % 3 === 0, concat(bLast, lit(", "), bFirst))
+      .when(col("contest_id") % 3 === 1, upper(concat(bFirst, lit(" "), bLast)))
+      .otherwise(concat(bFirst, lit(" "), bLast))
+    val runner = when(col("contest_id") % 2 === 0, concat(rLast, lit(", "), rFirst))
+      .otherwise(concat(rFirst, lit(" "), rLast))
+    teams.select(col("contest_id"), concat(col("side"), col("contest_id")).as("team_id"),
+        batter.as("player_name"),
+        concat(lit("bat-"), col("contest_id")).as("player_id"))
+      .union(teams.select(col("contest_id"),
+        concat(col("side"), col("contest_id")).as("team_id"),
+        runner.as("player_name"),
+        concat(lit("run-"), col("contest_id")).as("player_id")))
+  }
+
+  /** The X2 + standardize_names chain the pbp03 oracle pins: parse →
+    * per-half pitch/bat team ids → pitcher-queue fold against ordered
+    * lineups → five-column name standardization → integer-only
+    * per-pitcher summary. Deterministic end-to-end, so the pinned
+    * VALUES oracle is hash-exact; a regression anywhere in
+    * PitcherQueue / StandardizeNames / the sub-line regex bank breaks
+    * it. */
+  def pitcherStandardizeSummary(s: SparkSession, dir: String): DataFrame = {
+    val parsed = PbpPipeline.parse(rawPbpWithSubs(s, dir))
+      .withColumns(Map(
+        // pitch team = the side NOT batting: Top half → home pitches
+        "pitch_team_id" -> when(col("half") === "Top",
+          concat(lit("H"), col("contest_id"))).otherwise(concat(lit("A"), col("contest_id"))),
+        "bat_team_id" -> when(col("half") === "Top",
+          concat(lit("A"), col("contest_id"))).otherwise(concat(lit("H"), col("contest_id")))))
+    val std = StandardizeNames(s, PbpPipeline.withPitchers(parsed, pitchingLineups(s, dir)),
+      battingLineups(s, dir))
+    std.groupBy(col("pitcher_name"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct("contest_id").as("games"),
+        sum(when(col("pitcher_id").isNotNull, 1L).otherwise(0L)).as("with_pid"),
+        sum(when(col("batter_id").isNotNull, 1L).otherwise(0L)).as("batters_matched"),
+        sum(when(col("r1_id").isNotNull, 1L).otherwise(0L)).as("runners_matched"),
+        countDistinct("batter_name").as("batter_names"))
+      .orderBy("pitcher_name")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // The X1-X6 parser chain behind a PINNED oracle (j07 pattern):
     // the summary was generated once from the golden-tested parser at
@@ -63,6 +158,15 @@ object QPbp {
     // the parser semantics INTENTIONALLY change.
     QueryDef.of("pbp02_parse_summary",
       QueryDef.resourceSql("/graft/pbp02_oracle.sql"))(parseSummary),
+
+    // X2 (pitcher queue) + the standardize_names cascade behind a
+    // PINNED oracle (same pattern as pbp02): the per-pitcher summary
+    // was generated once from the golden-tested machines at sf0.01
+    // and frozen as a VALUES literal. Regenerate
+    // resources/graft/pbp03_oracle.sql (tools/GenPbp03Oracle) on
+    // INTENTIONAL semantics changes.
+    QueryDef.of("pbp03_pitcher_standardize",
+      QueryDef.resourceSql("/graft/pbp03_oracle.sql"))(pitcherStandardizeSummary),
 
     QueryDef.rowsOnly("pbp01_parse_enrich") { (s, dir) =>
       // the parse chain feeds three consumers (ER matrix, linear

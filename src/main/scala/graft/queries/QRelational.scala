@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.io.Sinks
+import graft.io.{Publish, Sinks}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -260,5 +260,101 @@ object QRelational {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents"))
         .orderBy("event_type")
+    },
+
+    // S9: the config-driven JDBC publish driver end-to-end (reference
+    // upload_to_db.py + db_table_config.json): a CSV data root with
+    // year-suffixed war files, a keyless leaderboard file, an excluded
+    // _tmp dir, an unmatched file, and a later-sorted duplicate file
+    // goes through TWO publish passes against embedded Derby — a full
+    // load, then a year=2001 refresh whose revised slice must replace
+    // only that year. The oracle knows nothing of the machinery: it
+    // states the surviving table content straight from parquet, so a
+    // bug in glob matching, file-year skipping, keep-first dedup, or
+    // the delete-slice refresh all surface as a hash mismatch.
+    QueryDef.of("s09_publish_roundtrip",
+      """WITH b AS (
+        |  SELECT o_custkey % 100 AS player_id, CAST(year(o_orderdate) AS INT) AS year,
+        |    SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS value_cents, COUNT(*) AS plays
+        |  FROM orders WHERE year(o_orderdate) IN (2000, 2001) GROUP BY 1, 2),
+        |c AS (
+        |  SELECT c_custkey % 50 AS player_id,
+        |    SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS value_cents, COUNT(*) AS plays
+        |  FROM customer GROUP BY 1)
+        |SELECT 'batting' AS tbl, year, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN year = 2001 THEN value_cents * 2 ELSE value_cents END) AS BIGINT) AS cents,
+        |  CAST(SUM(plays) AS BIGINT) AS plays
+        |FROM b GROUP BY year
+        |UNION ALL
+        |SELECT 'value_batter', -1, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(value_cents) AS BIGINT), CAST(SUM(plays) AS BIGINT) FROM c
+        |ORDER BY tbl, year""".stripMargin) { (s, dir) =>
+      val root = scratch(dir, "s09_root")
+      val root2 = scratch(dir, "s09_root2")
+      val url = s"jdbc:derby:${scratch(dir, "s09_derby")}/db;create=true"
+
+      def writeCsv(rel: String, root: String, header: String, rows: Seq[String]): Unit = {
+        val p = java.nio.file.Paths.get(root, rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, (header +: rows).mkString("\n").getBytes("UTF-8"))
+      }
+
+      // dimension-scale fixture (100 rows/year): collect is bounded by
+      // the player-id modulus, not by the orders table
+      val byYear = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).isin(2000, 2001))
+        .groupBy((col("o_custkey") % 100).as("player_id"),
+          year(col("o_orderdate")).as("year"))
+        .agg(sum(cents(col("o_totalprice"))).as("value_cents"),
+          count(lit(1)).as("plays"))
+        .orderBy("year", "player_id")
+        .collect()
+      val hdr = "player_id,year,division,value_cents,plays"
+      def warRows(yr: Int, scale: Long, keep: Long => Boolean = _ => true) = byYear
+        .filter(r => r.getInt(1) == yr && keep(r.getLong(0)))
+        .map(r => s"${r.getLong(0)},$yr,d1,${r.getLong(2) * scale},${r.getLong(3)}")
+        .toSeq
+      writeCsv("war/d1_batting_war_2000.csv", root, hdr, warRows(2000, 1))
+      writeCsv("war/d1_batting_war_2001.csv", root, hdr, warRows(2001, 1))
+      // sorts AFTER d1_* → keep-first must drop every row of it
+      writeCsv("war/x9_batting_war_2000.csv", root, hdr,
+        warRows(2000, 1, _ < 20).map(_.replaceAll(",(\\d+),(\\d+)$", ",999,$2")))
+      val custRows = Tables.customer(s, dir)
+        .groupBy((col("c_custkey") % 50).as("player_id"))
+        .agg(sum(cents(col("c_acctbal"))).as("value_cents"), count(lit(1)).as("plays"))
+        .orderBy("player_id").collect()
+        .map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}").toSeq
+      writeCsv("leaderboards/value_batter.csv", root, "player_id,value_cents,plays", custRows)
+      writeCsv("_tmp/skip_me.csv", root, "a,b", Seq("1,2"))
+      writeCsv("notes.csv", root, "a,b", Seq("3,4"))
+
+      val config = Seq(
+        Publish.Mapping("leaderboards/value_batter.csv", "value_batter"),
+        Publish.Mapping("war/*_batting_war_*.csv", "batting"))
+      Publish.publish(s, root, config, url)
+
+      // year refresh: revised 2001 slice (doubled value); the 2000-named
+      // file LIES about its content year — the filename filter must
+      // skip it or its poison rows would join the 2001 slice
+      writeCsv("war/d1_batting_war_2001.csv", root2, hdr, warRows(2001, 2))
+      writeCsv("war/d1_batting_war_2000.csv", root2, hdr,
+        warRows(2000, 1).map(_.replace(",2000,d1,", ",2001,d1,")).map(_.replaceAll(",(\\d+),(\\d+)$", ",123,$2")))
+      Publish.publish(s, root2, config, url, year = Some(2001))
+
+      def jdbcTable(t: String) = s.read.format("jdbc")
+        .option("url", url).option("dbtable", t).load()
+      jdbcTable("batting")
+        .groupBy(col("year").cast("int").as("year"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value_cents").cast("long")).as("cents"),
+          sum(col("plays").cast("long")).as("plays"))
+        .select(lit("batting").as("tbl"), col("year"), col("n_rows"), col("cents"), col("plays"))
+        .union(jdbcTable("value_batter")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("value_cents").cast("long")).as("cents"),
+            sum(col("plays").cast("long")).as("plays"))
+          .select(lit("value_batter").as("tbl"), lit(-1).as("year"),
+            col("n_rows"), col("cents"), col("plays")))
+        .orderBy("tbl", "year")
     })
 }

@@ -45,6 +45,27 @@ object QVector {
        |FROM n)
        |""".stripMargin
 
+  /** One IVF assignment pass in DuckDB: quantized (4-decimal) cosine
+    * argmax against the `cents` CTE, ties to the lower cluster index —
+    * the exact [[SimilaritySearch]] assignExpr semantics. */
+  private def ivfAssign(cents: String, out: String): String =
+    s""", s_$out AS (SELECT n.vec_id, n.v, c.cluster,
+       |    round(CASE WHEN n.nrm * sqrt(list_dot_product(c.v, c.v)) = 0 THEN -1.0
+       |          ELSE list_dot_product(n.v, c.v) / (n.nrm * sqrt(list_dot_product(c.v, c.v))) END, 4) AS qcos
+       |  FROM n CROSS JOIN $cents c),
+       |$out AS (SELECT vec_id, v, cluster FROM s_$out
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY qcos DESC, cluster) = 1)""".stripMargin
+
+  /** One Lloyd re-centering pass: per-dimension mean truncated to
+    * REAL (the engine stores centroids as float), empty cells keep
+    * the previous centroid. */
+  private def ivfRecenter(assign: String, prev: String, out: String): String =
+    s""", m_$out AS (SELECT cluster, j, CAST(avg(v[j+1]) AS REAL) AS m
+       |  FROM $assign, range(64) t(j) GROUP BY cluster, j),
+       |$out AS (SELECT p.cluster, COALESCE(mm.mv, p.v) AS v
+       |  FROM $prev p LEFT JOIN (SELECT cluster, list(CAST(m AS DOUBLE) ORDER BY j) AS mv
+       |                          FROM m_$out GROUP BY cluster) mm USING (cluster))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact top-k ANN baseline: broadcast 10 query vectors against the
@@ -125,13 +146,34 @@ object QVector {
     },
 
     // IVF-bucketed ANN — the inverted-file scale path next to the LSH
-    // one. Rows-only: centroid ASSIGNMENT argmax is sensitive to
-    // float-vs-double dot-product precision across engines (a near-tie
-    // flips a cell discretely, unlike the rounded pairwise cosines the
-    // other vector oracles compare), so correctness evidence lives in
-    // OperatorSpecs: exact-score vs brute, recall@10 bound, and
-    // run-to-run determinism of the seeded Lloyd training.
-    QueryDef.rowsOnly("v05_ann_ivf_topk") { (s, dir) =>
+    // one. Full oracle since r7: assignment/probe argmax compares
+    // 4-decimal-quantized cosines (micro-unit pattern, cf. t20/t23),
+    // so ulp-level centroid drift between engines can't flip a cell,
+    // and the oracle replays the seeded init + two Lloyd passes
+    // (REAL-truncated means, empty cells keep their centroid) in SQL.
+    QueryDef.of("v05_ann_ivf_topk", N +
+      """, c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8))""".stripMargin +
+      ivfAssign("c0", "a1") + ivfRecenter("a1", "c0", "c1") +
+      ivfAssign("c1", "a2") + ivfRecenter("a2", "c1", "c2") +
+      ivfAssign("c2", "af") +
+      """, qs AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, c.cluster,
+        |    round(CASE WHEN n.nrm * sqrt(list_dot_product(c.v, c.v)) = 0 THEN -1.0
+        |          ELSE list_dot_product(n.v, c.v) / (n.nrm * sqrt(list_dot_product(c.v, c.v))) END, 4) AS qcos
+        |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 10),
+        |qp AS (SELECT query_id, qv, qn, cluster FROM qs
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cluster) <= 3),
+        |sc AS (SELECT qp.query_id, a.vec_id AS id,
+        |    round(CASE WHEN qp.qn * n2.nrm <> 0
+        |          THEN list_dot_product(qp.qv, n2.v) / (qp.qn * n2.nrm) ELSE 0.0 END, 6) AS cos
+        |  FROM qp JOIN af a USING (cluster) JOIN n n2 ON n2.vec_id = a.vec_id
+        |  WHERE a.vec_id <> qp.query_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
+        |  id, cos
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))

@@ -18,6 +18,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Metrics.enableLogging(spark) // capped drops → stderr
     // untimed warmup: JIT + codegen + parquet footer caches, so the
     // first timed query measures the engine, not JVM startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

@@ -43,6 +43,7 @@ object GraftSession {
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Metrics.enableLogging(spark)
     spark
   }
 

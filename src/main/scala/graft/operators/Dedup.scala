@@ -70,7 +70,16 @@ object Dedup {
     maxShingleDf match {
       case None => base
       case Some(cap) =>
-        val dfCounts = base.groupBy("sh").agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
+        // the cap changes which near-dups exist, so its drops are
+        // OBSERVED (no-silent-caps): stop_shingles_dropped distinct
+        // shingles over the cap, doc_shingle_rows_dropped (id, sh)
+        // rows they carried. Printed by util.Metrics.enableLogging;
+        // zero extra jobs (computed inline with the count aggregate).
+        val dfCounts = base.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .observe(graft.util.Metrics.observationName("shingle_df_cap"),
+            sum(when(col("__df") > cap, 1L).otherwise(0L)).as("stop_shingles_dropped"),
+            sum(when(col("__df") > cap, col("__df")).otherwise(0L)).as("doc_shingle_rows_dropped"))
+          .filter(col("__df") <= cap)
         base.join(dfCounts.select("sh"), Seq("sh"), "left_semi")
     }
   }

@@ -109,6 +109,9 @@ object StandardizeNames {
         col("player_id").cast("string"))
       .distinct()
     val fits = rosterDim.limit(math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt).count() <= maxBroadcastRows
+    if (!fits) System.err.println(
+      s"[graft-metric] standardize_names_fallback_disabled roster > $maxBroadcastRows rows; " +
+        "cross-game fallback tier skipped (game-lookup matching only)")
     val rosterRows =
       if (!fits) Seq.empty
       else rosterDim.collect()

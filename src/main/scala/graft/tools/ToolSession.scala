@@ -25,6 +25,7 @@ object ToolSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Metrics.enableLogging(spark)
     spark
   }
 }

@@ -150,6 +150,24 @@ class OperatorSpecs extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("shingle DF cap OBSERVES its drops (no-silent-caps)") {
+    // bigram "x x" appears in 3 docs (> cap 2) and must be dropped —
+    // and counted; "a b"/"b c" (df 1) and "p q" (df 2) survive
+    val docs = Seq(
+      (1L, "x x a b c"),
+      (2L, "x x p q"),
+      (3L, "x x p q"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingled(docs, "doc_id", "text", n = 2, maxShingleDf = Some(2))
+    val kept = sh.collect().map(_.getAs[String]("sh"))
+    assert(!kept.contains("x x"))
+    val metric = sh.queryExecution.observedMetrics.collectFirst {
+      case (name, row) if name.startsWith("graft_shingle_df_cap") => row
+    }.getOrElse(fail("no shingle_df_cap observation on the capped plan"))
+    assert(metric.getAs[Long]("stop_shingles_dropped") === 1L)
+    assert(metric.getAs[Long]("doc_shingle_rows_dropped") === 3L)
+  }
+
   test("minhashLshPairs finds exact dups and high-jaccard pairs on the toy corpus") {
     val docs = Seq(
       (1L, "the cat sat on the mat today and yesterday it sat again"),

@@ -55,7 +55,10 @@ object SparkEntry {
     "t01_text_quality", "t06_ngram_jaccard_pairs", "t07_minhash_lsh_pairs",
     "t08_simhash_pairs", "t09_dup_clusters", "t12_decontaminate",
     "t15_sequence_packing", "t19_line_dedup", "t20_bm25_topk",
-    "t22_tfidf_keywords", "t23_lm_perplexity", "t24_dup_spans",
-    "v01_ann_brute_topk", "v02_ann_lsh_topk",
-    "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich")
+    "t21_mixture_sample", "t22_tfidf_keywords", "t23_lm_perplexity",
+    "t24_dup_spans", "t25_packed_text", "t26_dedup_keep_longest",
+    "v01_ann_brute_topk", "v02_ann_lsh_topk", "v03_embed_neardup_brute",
+    "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
+    "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",
+    "pbp03_pitcher_standardize")
 }

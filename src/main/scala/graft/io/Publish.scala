@@ -203,6 +203,31 @@ object Publish {
     }
   }
 
+  /** Data-layout migration: rename every `d{1,2,3}_*` file under
+    * `dataRoot` to `ncaa_{N}_*` (reference
+    * `scripts/rename_division_prefixes.py`). Returns the sorted
+    * (old, new) relative-path list; `dryRun` reports without touching
+    * the filesystem. Driver-side by design — this is a metadata
+    * operation over the landing layout, not a data pass. */
+  def renameDivisionPrefixes(dataRoot: String, dryRun: Boolean = false): Seq[(String, String)] = {
+    val root = java.nio.file.Paths.get(dataRoot)
+    val rx = "^d([123])_(.+)$".r
+    val moves = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case rx(div, rest) =>
+            Some(root.relativize(p).toString ->
+              root.relativize(p.resolveSibling(s"ncaa_${div}_$rest")).toString)
+          case _ => None
+        }
+      }.toSeq.sorted
+    if (!dryRun) moves.foreach { case (from, to) =>
+      java.nio.file.Files.move(root.resolve(from), root.resolve(to)): Unit
+    }
+    moves
+  }
+
   /** The reference's key registry (upload_to_db.py:17-28). */
   val defaultDedupKeys: Map[String, Seq[String]] = Map(
     "pbp" -> Seq("contest_id", "play_id"),

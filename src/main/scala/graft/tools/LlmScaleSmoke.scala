@@ -1,0 +1,136 @@
+package graft.tools
+
+import graft.operators.{Dedup, TextSearch}
+import graft.sources.Tables
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM-pipeline scale smoke — `runMain graft.tools.LlmScaleSmoke
+ * [sfDir] [scales]` (default scales `1,3,10`): runs the two heaviest
+ * text-pipeline DAGs — minhash-LSH pairs → connected components →
+ * argmax keep-rule, and BM25 top-k — over the documents corpus
+ * replicated `scale`× (each copy's tokens carry a copy prefix, so
+ * copies occupy DISJOINT shingle spaces: the dup structure and the
+ * per-bucket sizes stay constant while volume grows, which is exactly
+ * the regime where a scale-correct plan must shuffle linearly).
+ *
+ * Asserts, from task-level metrics:
+ *  - total shuffle-write bytes grow sub-linearly-with-slack: bytes at
+ *    the top scale ≤ scale × 1.5 × bytes at 1× (+8 MiB floor) — a
+ *    quadratic stage (all-pairs join, unbucketed skew) blows through
+ *    this immediately;
+ *  - no heavy stage (>4 MiB write, ≥8 tasks) has one task carrying
+ *    >8× the stage mean — the skew bound.
+ *
+ * Output counts are also checked to scale exactly linearly (the
+ * disjoint-copy construction guarantees it), so a bucketing bug that
+ * silently cross-pairs copies fails loudly.
+ */
+object LlmScaleSmoke {
+
+  /** (stage → tasks, write bytes, max task write) tally. */
+  final class ShuffleTally extends SparkListener {
+    val perStage = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        val w = m.shuffleWriteMetrics.bytesWritten
+        perStage.merge(te.stageId, (1L, w, w), (a, b) =>
+          (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3)))
+      }
+    }
+    def snapshotAndReset(): Map[Int, (Long, Long, Long)] = {
+      val out = scala.jdk.CollectionConverters.MapHasAsScala(perStage).asScala.toMap
+      perStage.clear()
+      out
+    }
+  }
+
+  /** `c` disjoint copies: ids offset, every token prefixed by the copy
+    * tag (copy 0 untouched) — same per-copy shingle/posting structure,
+    * c× the volume. */
+  def scaledCorpus(docs: DataFrame, c: Int): DataFrame =
+    (0 until c).map { k =>
+      if (k == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "), t => concat(lit(s"c$k"), t)), " "))
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = args.lift(1).getOrElse("1,3,10").split(',').map(_.trim.toInt).toSeq
+    val spark = ToolSession.local("graft-llm-scale-smoke")
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text", "n_chars")
+    val queries = base.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+
+    final case class Run(scale: Int, pairs: Long, comps: Long, kept: Long,
+        bm25: Long, wallSec: Double, writeBytes: Long,
+        stages: Map[Int, (Long, Long, Long)])
+
+    val runs = scales.map { c =>
+      val docs = scaledCorpus(base, c)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      tally.snapshotAndReset() // drop corpus-prep stages from the tally
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPairs = pairs.count()
+      val comps = Dedup.connectedComponents(pairs.select("id_a", "id_b")).count()
+      val kept = Dedup.keepBestPerCluster(docs.select("doc_id", "n_chars"),
+        "doc_id", "n_chars", pairs).count()
+      val bm25 = TextSearch.bm25TopK(docs, "doc_id", "text", queries, k = 10).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      pairs.unpersist()
+      docs.unpersist()
+      Thread.sleep(1000) // bound listener-bus delivery lag
+      val stages = tally.snapshotAndReset()
+      val bytes = stages.values.map(_._2).sum
+      println(f"LLM_SMOKE scale=$c%-3d pairs=$nPairs comps=$comps kept=$kept " +
+        f"bm25=$bm25 wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
+      Run(c, nPairs, comps, kept, bm25, wall, bytes, stages)
+    }
+
+    val r1 = runs.head
+    var failed = false
+    def check(cond: Boolean, msg: String): Unit = {
+      println(s"LLM_SMOKE_CHECK ${if (cond) "ok  " else "FAIL"} $msg")
+      if (!cond) failed = true
+    }
+    runs.tail.foreach { r =>
+      val ratio = r.scale.toDouble / r1.scale
+      check(r.pairs == r1.pairs * r.scale / r1.scale &&
+        r.comps == r1.comps * r.scale / r1.scale &&
+        r.kept == r1.kept * r.scale / r1.scale &&
+        r.bm25 == r1.bm25 * r.scale / r1.scale,
+        s"outputs scale exactly linearly at ${r.scale}x " +
+          s"(pairs ${r1.pairs}->${r.pairs}, comps ${r1.comps}->${r.comps}, " +
+          s"kept ${r1.kept}->${r.kept}, bm25 ${r1.bm25}->${r.bm25})")
+      val bound = (r1.writeBytes * ratio * 1.5).toLong + (8L << 20)
+      check(r.writeBytes <= bound,
+        f"shuffle write at ${r.scale}x: ${r.writeBytes / 1048576.0}%.1f MiB ≤ " +
+          f"linear bound ${bound / 1048576.0}%.1f MiB")
+    }
+    runs.foreach { r =>
+      r.stages.foreach { case (sid, (n, total, mx)) =>
+        if (total > (4L << 20) && n >= 8)
+          check(mx <= 8 * (total / n),
+            f"scale=${r.scale} stage=$sid skew: max task ${mx / 1048576.0}%.1f MiB " +
+              f"≤ 8× mean ${(total / n) / 1048576.0}%.1f MiB over $n tasks")
+      }
+    }
+    println(s"LLM_SMOKE_RESULT ${if (failed) "FAIL" else "PASS"}")
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

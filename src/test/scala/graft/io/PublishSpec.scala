@@ -49,6 +49,24 @@ class PublishSpec extends AnyFunSuite {
       Seq("a_batting_war_2024.csv", "no_year.csv", "z_batting_war_2024.csv"))
   }
 
+  test("renameDivisionPrefixes: d{N}_* -> ncaa_{N}_*, dry-run untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pubspec_ren")
+    write(root, "war/d1_batting_war_2024.csv", "a", "1")
+    write(root, "war/d2_pitching.csv", "a", "1")
+    write(root, "war/d4_other.csv", "a", "1") // d4: not a division prefix
+    write(root, "notes.csv", "a", "1")
+    val dry = Publish.renameDivisionPrefixes(root.toString, dryRun = true)
+    assert(dry === Seq(
+      "war/d1_batting_war_2024.csv" -> "war/ncaa_1_batting_war_2024.csv",
+      "war/d2_pitching.csv" -> "war/ncaa_2_pitching.csv"))
+    assert(java.nio.file.Files.exists(root.resolve("war/d1_batting_war_2024.csv")))
+    val real = Publish.renameDivisionPrefixes(root.toString)
+    assert(real === dry)
+    assert(java.nio.file.Files.exists(root.resolve("war/ncaa_1_batting_war_2024.csv")))
+    assert(!java.nio.file.Files.exists(root.resolve("war/d1_batting_war_2024.csv")))
+    assert(java.nio.file.Files.exists(root.resolve("war/d4_other.csv")))
+  }
+
   test("publish: keep-first dedup across file order, year refresh replaces one slice") {
     val root = java.nio.file.Files.createTempDirectory("graft_pubspec2")
     val url = s"jdbc:derby:${root.resolve("db")};create=true"

@@ -15,12 +15,12 @@ import org.apache.spark.sql.functions._
  */
 object VectorFunctions {
 
-  /** Dot product, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Dot product, accumulated in double, left-to-right — a native
+    * codegen kernel ([[graft.plans.DotProductExpr]]); bit-identical
+    * to the previous zip_with+aggregate form but without the
+    * 64-element intermediate array per invocation that dominated the
+    * brute-force pair profile. */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProductExpr.dot(a, b)
 
   /** Euclidean norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

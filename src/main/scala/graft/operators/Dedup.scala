@@ -276,10 +276,18 @@ object Dedup {
    */
   def embeddingNearDupBrute(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // norms precomputed ROW-wise, not per pair: the O(n²) join should
+    // pay one fused dot per pair, not three (the oracle's n-CTE does
+    // exactly this, so cosines stay bit-identical)
+    val n = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.VectorFunctions.l2Norm(col(vecCol)).as("nrm"))
+    val a = n.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = n.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cos", round(
+        when(col("n_a") * col("n_b") === 0, 0.0)
+          .otherwise(graft.functions.VectorFunctions.dot(col("v_a"), col("v_b")) /
+            (col("n_a") * col("n_b"))), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -497,12 +505,15 @@ object Dedup {
       numPlanes: Int, threshold: Double): DataFrame = {
     val bucketed = emb.select(
       col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.VectorFunctions.l2Norm(col(vecCol)).as("nrm"),
       graft.functions.VectorFunctions.signLshBucket(col(vecCol), dim, numPlanes).as("bucket"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos",
-        round(graft.functions.VectorFunctions.cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("cos", round(
+        when(col("a.nrm") * col("b.nrm") === 0, 0.0)
+          .otherwise(graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }

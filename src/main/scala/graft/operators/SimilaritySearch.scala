@@ -35,6 +35,13 @@ object SimilaritySearch {
         col("top.id").as("id"),
         col("top.score").as("cos"))
 
+  /** Row-wise norm precompute + per-pair fused dot: the pair join
+    * pays ONE kernel call, not three (the oracles' n-CTE shape, so
+    * cosines stay bit-identical to the naive form). */
+  private def pairCos(qv: Column, qn: Column, cv: Column, cn: Column): Column =
+    round(when(qn * cn === 0, 0.0)
+      .otherwise(VectorFunctions.dot(qv, cv) / (qn * cn)), 6)
+
   /** Exact top-k by cosine for each query vector. `queries` must be
     * broadcast-sized (it is hinted); ties broken by candidate id for
     * determinism. */
@@ -43,9 +50,11 @@ object SimilaritySearch {
       candidates: DataFrame, // (id, vec)
       k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val scored = candidates
-      .join(broadcast(queries), if (excludeSelf) col("query_id") =!= col("id") else lit(true))
-      .withColumn("cos", round(VectorFunctions.cosine(col("query_vec"), col("vec")), 6))
+    val cn = candidates.withColumn("__cn", VectorFunctions.l2Norm(col("vec")))
+    val qn = queries.withColumn("__qn", VectorFunctions.l2Norm(col("query_vec")))
+    val scored = cn
+      .join(broadcast(qn), if (excludeSelf) col("query_id") =!= col("id") else lit(true))
+      .withColumn("cos", pairCos(col("query_vec"), col("__qn"), col("vec"), col("__cn")))
     val topk = TopKAgg.topK(k)
     unpack(scored.groupBy("query_id").agg(topk(col("cos"), col("id")).as("tops")))
   }
@@ -140,12 +149,14 @@ object SimilaritySearch {
     val centroids = trainIvfCentroids(candidates, numClusters, iters)
 
     val cb = candidates.withColumn("cluster", assignExpr(centroids, col("vec")))
+      .withColumn("__cn", VectorFunctions.l2Norm(col("vec")))
     val qprobed = queries
       .withColumn("cluster", explode(probeExpr(centroids, col("query_vec"), nprobe)))
+      .withColumn("__qn", VectorFunctions.l2Norm(col("query_vec")))
     val scored = cb
       .join(broadcast(qprobed), Seq("cluster"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cos", round(VectorFunctions.cosine(col("query_vec"), col("vec")), 6))
+      .withColumn("cos", pairCos(col("query_vec"), col("__qn"), col("vec"), col("__cn")))
     val topk = TopKAgg.topK(k)
     unpack(scored.groupBy("query_id").agg(topk(col("cos"), col("id")).as("tops")))
   }
@@ -174,12 +185,14 @@ object SimilaritySearch {
     val qprobed = qb
       .withColumn("bucket", explode(probeBuckets))
       .drop("qbucket")
+      .withColumn("__qn", VectorFunctions.l2Norm(col("query_vec")))
     val cb = candidates.withColumn(
-      "bucket", VectorFunctions.signLshBucket(col("vec"), dim, numPlanes))
+        "bucket", VectorFunctions.signLshBucket(col("vec"), dim, numPlanes))
+      .withColumn("__cn", VectorFunctions.l2Norm(col("vec")))
     val scored = cb
       .join(broadcast(qprobed), Seq("bucket"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cos", round(VectorFunctions.cosine(col("query_vec"), col("vec")), 6))
+      .withColumn("cos", pairCos(col("query_vec"), col("__qn"), col("vec"), col("__cn")))
     val topk = TopKAgg.topK(k)
     // distinct (query,id) first: multi-probe can score a pair twice
     val dedup = scored.select("query_id", "id", "cos").distinct()

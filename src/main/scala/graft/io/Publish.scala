@@ -22,10 +22,11 @@ import scala.jdk.CollectionConverters._
  *    comes from the sorted-path file index, resolved via
  *    `input_file_name`, not from driver-side concat order;
  *  - the reference's post-append `DELETE ... MIN(rowid)` dedup is a
- *    SQLite-specific trick; the portable equivalent — dedup the
- *    incoming batch BEFORE the append, after the keyed delete-slice —
- *    yields the same table state because every configured key set
- *    contains the slice column or the load is a full replace;
+ *    SQLite-specific trick; the portable equivalent is batch dedup
+ *    BEFORE the append plus — for keyed tables whose keys do NOT
+ *    contain the slice column (pbp, lineups, schedules) — an
+ *    anti-join of the incoming slice against the surviving table keys
+ *    (MIN(rowid) keeps the first-loaded row, so existing rows win);
  *  - within one file, conflicting duplicate payloads have no defined
  *    winner (a parallel scan has no stable intra-file row order); the
  *    reference's uploads only ever conflict across files (year
@@ -50,26 +51,46 @@ object Publish {
       .toSeq
   }
 
-  /** Python `fnmatch.fnmatch` subset the config uses: `*` crosses
-    * path separators (fnmatch has no globstar), `?` one char, `[seq]`
-    * classes pass through. */
+  /** Python `fnmatch.fnmatch` translation: `*` crosses path
+    * separators (fnmatch has no globstar), `?` one char, `[seq]` /
+    * `[!seq]` classes (the `!` negation becomes `^`; class contents
+    * pass through verbatim as in fnmatch); an unterminated `[` is a
+    * literal bracket, matching CPython's fnmatch.translate. */
   private[io] def globToRegex(glob: String): java.util.regex.Pattern = {
     val sb = new StringBuilder("^")
-    glob.foreach {
-      case '*' => sb.append(".*")
-      case '?' => sb.append('.')
-      case c @ ('[' | ']') => sb.append(c)
-      case c if "\\.^$+{}()|".contains(c) => sb.append('\\').append(c)
-      case c => sb.append(c)
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          // find the closing ']': a ']' in first position (after
+          // optional '!') is part of the class, per fnmatch
+          var j = i + 1
+          if (j < glob.length && glob.charAt(j) == '!') j += 1
+          if (j < glob.length && glob.charAt(j) == ']') j += 1
+          while (j < glob.length && glob.charAt(j) != ']') j += 1
+          if (j >= glob.length) sb.append("\\[") // unterminated: literal
+          else {
+            val body0 = glob.substring(i + 1, j)
+            val body = (if (body0.startsWith("!")) "^" + body0.tail else body0)
+              .replace("\\", "\\\\")
+            sb.append('[').append(body).append(']')
+            i = j
+          }
+        case c if "\\.^$+{}()|".contains(c) => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
     }
     java.util.regex.Pattern.compile(sb.append('$').toString)
   }
 
   /** First config entry whose pattern matches the relative path. */
-  def matchTable(relPath: String, config: Seq[Mapping]): Option[String] =
-    config.collectFirst {
-      case m if globToRegex(m.pattern).matcher(relPath).matches() => m.table
-    }
+  def matchTable(relPath: String, config: Seq[Mapping]): Option[String] = {
+    val compiled = config.map(m => globToRegex(m.pattern) -> m.table)
+    compiled.collectFirst { case (p, t) if p.matcher(relPath).matches() => t }
+  }
 
   /** Trailing `_YYYY` file-stem year (upload_to_db.py:15,44-46). */
   def extractYear(fileName: String): Option[Int] = {
@@ -90,16 +111,21 @@ object Publish {
       config: Seq[Mapping],
       excludedDirs: Set[String] = Set("_tmp", "headshots")): Map[String, Seq[String]] = {
     val root = java.nio.file.Paths.get(dataRoot)
-    val all = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".csv") && java.nio.file.Files.isRegularFile(p))
-      .map(p => root.relativize(p).toString)
-      .filterNot(rel => rel.split('/').exists(excludedDirs.contains))
-      .toSeq.sorted
+    val walk = java.nio.file.Files.walk(root)
+    val all =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".csv") && java.nio.file.Files.isRegularFile(p))
+        .map(p => root.relativize(p).toString)
+        .filterNot(rel => rel.split('/').exists(excludedDirs.contains))
+        .toSeq.sorted
+      finally walk.close() // Files.walk holds open directory handles
+    val compiled = config.map(m => globToRegex(m.pattern) -> m.table)
     all.flatMap { rel =>
       val fileYear = extractYear(rel.split('/').last)
       val skip = year.isDefined && fileYear.isDefined && fileYear != year
       if (skip) None
-      else matchTable(rel, config).map(t => t -> s"$dataRoot/$rel")
+      else compiled.collectFirst { case (p, t) if p.matcher(rel).matches() => t }
+        .map(t => t -> s"$dataRoot/$rel")
     }.groupBy(_._1).map { case (t, pairs) => t -> pairs.map(_._2) }
   }
 
@@ -176,12 +202,30 @@ object Publish {
               } finally conn.close()
             }
             if (tableExists) {
-              val slice = deduped.filter(col("year") === y)
-              // keys ⊇ {year} for every year-sliced table, so the
-              // batch dedup above already guarantees slice uniqueness
-              // quoted: Spark's JDBC writer creates columns via
-              // quoteIdentifier, and `year` is SQL-92-reserved anyway
-              Sinks.jdbcUpsert(slice, url, table, keys.getOrElse(Seq("year")),
+              val slice0 = deduped.filter(col("year") === y)
+              // reference semantics for keyed tables whose keys do NOT
+              // contain the slice column (pbp, lineups, schedules): the
+              // post-append MIN(rowid) dedup keeps the FIRST-loaded row,
+              // i.e. existing rows win over the incoming batch — the
+              // portable form is an anti-join against the surviving
+              // (post-delete) keys. Skipped when keys ⊇ {year}: the
+              // deleted slice is exactly the key range being rewritten.
+              val slice = keys match {
+                case Some(k) if !k.contains("year") =>
+                  val existing = spark.read.format("jdbc")
+                    .option("url", url).option("dbtable", table).load()
+                    .filter(col("year") =!= y)
+                    .select(k.map(col): _*)
+                  slice0.join(existing, k, "left_anti")
+                case _ => slice0
+              }
+              // empty dedupKeys when no registry entry applies: the
+              // batch must NOT be deduped on an arbitrary column
+              // (partitioning the one-year slice by "year" would keep
+              // a single row). Quoted "year": Spark's JDBC writer
+              // creates columns via quoteIdentifier, and `year` is
+              // SQL-92-reserved anyway.
+              Sinks.jdbcUpsert(slice, url, table, keys.getOrElse(Seq.empty),
                 col("year"), deleteWhere = Some(s""""year" = $y"""),
                 columnTypes = varcharTypes(slice))
             } else {
@@ -212,16 +256,19 @@ object Publish {
   def renameDivisionPrefixes(dataRoot: String, dryRun: Boolean = false): Seq[(String, String)] = {
     val root = java.nio.file.Paths.get(dataRoot)
     val rx = "^d([123])_(.+)$".r
-    val moves = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .flatMap { p =>
-        p.getFileName.toString match {
-          case rx(div, rest) =>
-            Some(root.relativize(p).toString ->
-              root.relativize(p.resolveSibling(s"ncaa_${div}_$rest")).toString)
-          case _ => None
-        }
-      }.toSeq.sorted
+    val walk = java.nio.file.Files.walk(root)
+    val moves =
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .flatMap { p =>
+          p.getFileName.toString match {
+            case rx(div, rest) =>
+              Some(root.relativize(p).toString ->
+                root.relativize(p.resolveSibling(s"ncaa_${div}_$rest")).toString)
+            case _ => None
+          }
+        }.toSeq.sorted
+      finally walk.close()
     if (!dryRun) moves.foreach { case (from, to) =>
       java.nio.file.Files.move(root.resolve(from), root.resolve(to)): Unit
     }

@@ -47,6 +47,11 @@ object Sinks {
    * append. The delete runs as one driver-side statement; the append
    * streams from executors via `df.write.jdbc`.
    *
+   * @param dedupKeys   keys for the incoming-batch dedup; EMPTY skips
+   *                    the dedup entirely (a caller with no key
+   *                    registry must not dedup on an arbitrary column
+   *                    — partitioning a one-year slice by "year" would
+   *                    collapse it to a single row)
    * @param deleteWhere SQL predicate selecting the rows being replaced
    *                    (the reference deletes per year); None skips
    *                    (first load / table absent)
@@ -79,7 +84,7 @@ object Sinks {
       } finally conn.close()
     }
 
-    val deduped = dedupKeepLatest(df, dedupKeys, orderCol)
+    val deduped = if (dedupKeys.isEmpty) df else dedupKeepLatest(df, dedupKeys, orderCol)
     val writer = deduped.write.mode("append")
     columnTypes.fold(writer)(ct => writer.option("createTableColumnTypes", ct))
       .jdbc(url, table, props)

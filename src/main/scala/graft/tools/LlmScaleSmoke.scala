@@ -39,7 +39,9 @@ object LlmScaleSmoke {
     val perStage = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) {
+      // successful attempts only: a retried/speculative attempt would
+      // double-count its shuffle bytes into the linearity assertion
+      if (m != null && te.taskInfo != null && te.taskInfo.successful) {
         val w = m.shuffleWriteMetrics.bytesWritten
         perStage.merge(te.stageId, (1L, w, w), (a, b) =>
           (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3)))

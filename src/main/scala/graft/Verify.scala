@@ -20,6 +20,9 @@ object Verify {
     graft.util.Metrics.enableLogging(spark) // capped drops → stderr
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is HARNESS-ONLY (one parquet file per query for
+      // the DuckDB compare) — never copy this into an operator; a
+      // single-partition write serializes the whole result
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

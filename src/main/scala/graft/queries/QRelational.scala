@@ -262,6 +262,41 @@ object QRelational {
         .orderBy("event_type")
     },
 
+    // S13 (beyond-reference, core 100 TB technique): bucketed
+    // CO-LOCATED join. Both fact sides are written `bucketBy` on the
+    // join key (+ sortBy, so even the sort is pre-paid); the merge
+    // join then needs NO exchange on either side — at 100 TB this is
+    // the difference between a daily fact-fact join shuffling the
+    // whole table and reading pre-bucketed files in place. The
+    // PlanAuditSpec asserts the zero-join-exchange plan; the oracle
+    // checks the join result itself. Bucket count is sized for the
+    // harness (a cluster would use hundreds).
+    QueryDef.of("s13_bucketed_join",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS order_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val wh = scratch(dir, "s13_buckets")
+      Tables.lineitem(s, dir).select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .write.mode("overwrite").option("path", s"$wh/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable("s13_li")
+      Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").option("path", s"$wh/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable("s13_ord")
+      // merge hint: without it the (small-at-test-scale) orders side
+      // broadcasts and the co-location property goes unexercised
+      s.table("s13_li").hint("merge")
+        .join(s.table("s13_ord"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          sum(cents(col("o_totalprice"))).as("order_cents"))
+        .orderBy("l_returnflag")
+    },
+
     // S9: the config-driven JDBC publish driver end-to-end (reference
     // upload_to_db.py + db_table_config.json): a CSV data root with
     // year-suffixed war files, a keyless leaderboard file, an excluded

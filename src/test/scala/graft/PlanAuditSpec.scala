@@ -47,6 +47,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("s13: bucketed fact-fact join runs with ZERO exchange on the join keys") {
+    val p = plan("s13_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // co-location: neither side shuffles on its join key — the only
+    // exchanges in the plan are the aggregation/order ones downstream
+    assert(!p.contains("hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("hashpartitioning(o_orderkey"), p)
+  }
+
   test("a05: kernel is one partial+final hash aggregation (map-side combine)") {
     val p = plan("a05_event_kernel")
     val aggs = "HashAggregate".r.findAllIn(p).length

@@ -297,6 +297,29 @@ object QRelational {
         .orderBy("l_returnflag")
     },
 
+    // S14: the explicit salting tool behind an oracle. l_returnflag
+    // has 3 values over 60k rows — the textbook hot-key shape — and
+    // the salted join must produce EXACTLY the plain join's result
+    // (the salt spreads reducers, never changes semantics; the
+    // reducer-spreading itself is pinned in PlanAuditSpec where the
+    // broadcast path is disabled). The dim side replicates 8×, the
+    // documented cost of the construction.
+    QueryDef.of("s14_salted_join",
+      """WITH dim AS (SELECT l_returnflag, COUNT(*) AS rf_n FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS BIGINT) * rf_n) AS BIGINT) AS weighted
+        |FROM lineitem l JOIN dim USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val dim = li.groupBy("l_returnflag").agg(count(lit(1)).as("rf_n"))
+      graft.operators.SkewJoin.saltedJoin(li, dim, "l_returnflag",
+          saltFactor = 8, saltCols = Seq("l_orderkey", "l_linenumber"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long") * col("rf_n")).as("weighted"))
+        .orderBy("l_returnflag")
+    },
+
     // S9: the config-driven JDBC publish driver end-to-end (reference
     // upload_to_db.py + db_table_config.json): a CSV data root with
     // year-suffixed war files, a keyless leaderboard file, an excluded

@@ -56,6 +56,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(o_orderkey"), p)
   }
 
+  test("s14: with broadcast off, the salt column enters the shuffle key (hot key spreads)") {
+    // the salting tool's whole point only shows on the shuffled path —
+    // at test scale the dim would broadcast and the salt would be inert
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("s14_salted_join")
+      assert(p.contains("__salt"), p)
+      val saltedExchange = "hashpartitioning\\(l_returnflag[^)]*__salt".r.findFirstIn(p)
+      assert(saltedExchange.isDefined, s"no (key, salt) exchange found\n$p")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("a05: kernel is one partial+final hash aggregation (map-side combine)") {
     val p = plan("a05_event_kernel")
     val aggs = "HashAggregate".r.findAllIn(p).length

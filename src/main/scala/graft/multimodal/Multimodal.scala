@@ -78,6 +78,11 @@ object Multimodal {
     def decodeImage(content: Array[Byte]): (Int, Int, Array[Byte]) = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       require(img != null, "payload is not a decodable image")
+      toGray(img)
+    }
+
+    /** The shared luma normalization of both decode paths. */
+    private def toGray(img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
       val w = img.getWidth
       val h = img.getHeight
       val out = new Array[Byte](w * h)
@@ -128,17 +133,67 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** All frames of a (possibly animated) image container — the REAL
+      * multi-frame decode path: GIF animations carry N frames, PNG/JPEG
+      * yield one. Each frame normalizes through the same grayscale
+      * luma path as [[decodeImage]]. */
+    def decodeAllFrames(content: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "payload is not a decodable image")
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val n = reader.getNumImages(true)
+          (0 until n).map(i => toGray(reader.read(i)))
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    /** Animated-GIF encoder (test/fixture-side producer): grayscale
+      * frames into one real GIF container via the JDK's sequence
+      * writer. GIF's 256-color palette is lossless for 8-bit gray, so
+      * encode→decode round-trips the pixel bytes exactly. */
+    def encodeGif(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        // interlace OFF: the JDK GIF writer's interlaced output
+        // round-trips scrambled (rows reordered, last row zeroed) at
+        // small heights — observed empirically at h=4
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        frames.foreach { px =>
+          val img = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          img.getRaster.setDataElements(0, 0, width, height, px)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
   }
 
   /** Format-dispatched decode: `image/…` rows go through the REAL
-    * `javax.imageio` codec (dims come from the payload, not the
-    * metadata); everything else through the stub keystream format.
-    * Both paths produce identical frame shapes, so no plan or
-    * partitioning changes when a format flips from stub to real. */
+    * `javax.imageio` codec — including MULTI-FRAME containers (an
+    * animated GIF yields one DecodedFrame per frame), so the "video"
+    * shape (N frames from one payload) runs a real container parse,
+    * not only the stub. Dims come from the payload, not the metadata;
+    * non-image formats take the stub keystream path. Both paths
+    * produce identical frame shapes, so no plan or partitioning
+    * changes when a format flips from stub to real. */
   def decodeFrames(m: MediaRow): Seq[DecodedFrame] =
     if (m.format.startsWith("image/")) {
-      val (w, h, px) = ImageIoCodec.decodeImage(m.content)
-      Seq(DecodedFrame(m.media_id, 0, w, h, px))
+      ImageIoCodec.decodeAllFrames(m.content).zipWithIndex.map {
+        case ((w, h, px), idx) => DecodedFrame(m.media_id, idx, w, h, px)
+      }
     } else {
       FakeCodec.decode(m.content, m.width, m.height, m.n_frames)
         .zipWithIndex

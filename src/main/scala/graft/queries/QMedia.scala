@@ -33,6 +33,21 @@ object QMedia {
     }
   }
 
+  /** 12 animated GIFs (2–4 keystream frames each), a REAL multi-frame
+    * container for the video-shaped decode path; metadata dims zeroed
+    * as in [[imageMedia]]. */
+  def gifMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(12).as[Long].map { i =>
+      val w = (5 + i % 3).toInt
+      val h = (4 + i % 2).toInt
+      val nf = (2 + i % 3).toInt
+      val frames = (0 until nf).map(f => Multimodal.FakeCodec.encode(s"gif:$i:$f", w, h, 1))
+      MediaRow(i, "video", Multimodal.ImageIoCodec.encodeGif(w, h, frames),
+        0, 0, nf, "image/gif")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Integer micro-unit summary of the decoded features: pixel mean
     // and std quantized to 1e-6 (s, s2, n are integer-exact in double,
@@ -69,5 +84,36 @@ object QMedia {
         .agg(sum((col("pos") + 1) * round(col("e") * col("n_px"))).cast("long")
           .as("hist_checksum"))
         .orderBy("media_id")
+    },
+
+    // REAL multi-frame container decode (animated GIF through the
+    // JDK's sequence reader) gated per FRAME: sampleFrames must yield
+    // every container frame with the exact keystream pixels — a frame
+    // ordering, palette, or sequence-parse bug lands as a mismatch.
+    // Integer-only stats (pixel sum + histogram checksum), so the
+    // oracle is keystream-derived with no float concerns at all.
+    QueryDef.of("m02_gif_frame_stats",
+      """WITH m AS (SELECT i AS media_id, CAST(5 + i % 3 AS INT) AS w,
+        |    CAST(4 + i % 2 AS INT) AS h, CAST(2 + i % 3 AS INT) AS nf
+        |  FROM range(12) t(i)),
+        |fr AS (SELECT media_id, w, h, f FROM m, range(4) t(f) WHERE f < nf),
+        |px AS (SELECT media_id, f, w, h, j,
+        |    ('0x' || substr(md5('gif:' || media_id || ':' || f || ':' || CAST(j // 16 AS BIGINT)),
+        |                    CAST(2*(j % 16)+1 AS INT), 2))::INT AS v
+        |  FROM fr, range(40) t(j) WHERE j < w * h)
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w * h AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum,
+        |  CAST(SUM((v // 16) + 1) AS BIGINT) AS hist_checksum
+        |FROM px GROUP BY media_id, f, w * h
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Multimodal.sampleFrames(gifMedia(s), everyN = 1)
+        .map { f =>
+          var pxSum = 0L; var hist = 0L
+          f.pixels.foreach { b => val v = b & 0xff; pxSum += v; hist += (v >> 4) + 1 }
+          (f.media_id, f.frame_idx, f.width.toLong * f.height, pxSum, hist)
+        }
+        .toDF("media_id", "frame_idx", "n_px", "px_sum", "hist_checksum")
+        .orderBy("media_id", "frame_idx")
     })
 }

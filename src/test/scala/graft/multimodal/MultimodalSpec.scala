@@ -124,6 +124,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert((px16(1) & 0xff) === 0x80)
   }
 
+  test("REAL multi-frame container: animated GIF round-trips every frame exactly") {
+    val (w, h) = (9, 7)
+    val frames = (0 until 4).map(f =>
+      Multimodal.FakeCodec.encode(s"gifframe:$f", w, h, 1))
+    val gif = Multimodal.ImageIoCodec.encodeGif(w, h, frames)
+    // direct codec round-trip: every frame, bit-exact
+    val decoded = Multimodal.ImageIoCodec.decodeAllFrames(gif)
+    assert(decoded.length === 4)
+    decoded.zip(frames).foreach { case ((dw, dh, px), expect) =>
+      assert((dw, dh) === ((w, h)))
+      assert(px.toSeq === expect.toSeq)
+    }
+    // through the production mapPartitions path: one DecodedFrame per
+    // container frame, indexed in order
+    val ds = spark.createDataset(Seq(
+      MediaRow(77L, "video", gif, 0, 0, 4, "image/gif")))
+    val out = Multimodal.sampleFrames(ds, everyN = 1).collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq === Seq(0, 1, 2, 3))
+    assert(out.forall(f => f.width == w && f.height == h))
+    assert(out(2).pixels.toSeq === frames(2).toSeq)
+  }
+
   test("mixed stub + real formats in one dataset decode per-row") {
     val px = Array.tabulate(64)(j => (j * 3).toByte)
     val mixed = spark.createDataset(Seq(

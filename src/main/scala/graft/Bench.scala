@@ -22,9 +22,9 @@ object Bench {
     // untimed warmup: JIT + codegen + parquet footer caches, so the
     // first timed query measures the engine, not JVM startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Headline subset: representative, scale-relevant queries (every
-    // remaining query still runs in Verify; benching all ~55 would
-    // measure JVM warmup more than the engine).
+    // Headline subset (40 of the ~110 registered queries): every
+    // remaining query still runs in Verify; benching all of them would
+    // measure JVM warmup more than the engine.
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // Second warmup tier: one untimed pass of every headline query at
     // the SMALLEST scale factor. The generated code for a query is
@@ -49,18 +49,34 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
+    // Median of N passes per query (default 3). A single pass in a
+    // 40-query single-JVM harness is untrustworthy: generated-class /
+    // code-cache / heap accumulation inflated individual queries 2-6x
+    // run-to-run (r7: pbp01 27.2 s in-harness vs 5.3-7.5 s in an
+    // isolated JVM) with a DIFFERENT victim set each run. The median
+    // rides out a one-off GC/JIT stall; per-pass times go to stderr so
+    // the spread stays inspectable.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // a failed query must NOT masquerade as a fast one: report -1
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        // a failed query must NOT masquerade as a fast one: report -1
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // operators may persist intermediates (dedup shingle frames);
+        // drop them so later passes/queries aren't measured under GC
+        // pressure — each pass pays its own materialization
+        spark.catalog.clearCache()
+        dt
       }
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // operators may persist intermediates (dedup shingle frames);
-      // drop them so later queries aren't measured under GC pressure
-      spark.catalog.clearCache()
-      name -> dt
+      val median =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(times.length / 2)
+      System.err.println(f"[bench] $name passes=${times.map(t => f"$t%.3f").mkString(",")} median=$median%.3f")
+      name -> median
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

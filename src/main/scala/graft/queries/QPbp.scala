@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
  * through the FULL parser chain — regex classification, outs/runs
  * windows, the X1 base-state fold (the engine's one non-codegen
  * island) — then the expected-runs matrix and metric enrichment.
- * Rows-only (the parser semantics are golden-tested in ScalaTest; no
- * SQL oracle can express the fold), but registered so the driver
- * smoke-checks it and Bench tracks its number per round.
+ * No SQL oracle can express the fold, so every query here is gated by
+ * a PINNED VALUES oracle (generated once from the golden-tested
+ * machines, frozen as a resource): pbp01 pins the enriched
+ * woba/rea output in integer micro-units, pbp02 the parser summary,
+ * pbp03 the pitcher-queue + standardize_names chain.
  */
 object QPbp {
 
@@ -176,34 +178,58 @@ object QPbp {
     QueryDef.of("pbp03_pitcher_standardize",
       QueryDef.resourceSql("/graft/pbp03_oracle.sql"))(pitcherStandardizeSummary),
 
-    QueryDef.rowsOnly("pbp01_parse_enrich") { (s, dir) =>
-      // the parse chain feeds three consumers (ER matrix, linear
-      // weights, the enrichment joins) — cache it or the whole
-      // UDF+window+fold chain runs once per consumer. Cache only the
-      // columns those consumers read: the full parse row carries ~35
-      // text columns and triples the materialization cost.
-      val parsed = PbpPipeline.parse(rawPbpFromEvents(s, dir))
-        .select("contest_id", "play_id", "event_type", "batted_ball_type",
-          "batter_name", "bases_before", "bases_after", "outs_before",
-          "outs_after", "inn_end_fl", "runs_on_play", "runs_roi")
-        .cache()
-      // er/lw are O(1)-row dimension outputs (24 cells / 5 weight
-      // rows at ANY data scale): collect them once, in dependency
-      // order, and enrich through literal maps. Left as lazy DF joins,
-      // the final count's concurrent broadcast-exchange threads raced
-      // to compute the uncached `parsed` (duplicate full parse runs)
-      // and the plan carried 3 extra exchanges + ~6 extra AQE jobs.
-      val er = ExpectedRuns.matrix(parsed).cache()
-      val erMap = PbpMetrics.erMatrixToMap(er)
-      val lwMap = LinearWeights.aboveAverage(parsed, er)
-        .select(col("events"), col("linear_weights_above_outs"))
-        .collect()
-        .map(r => r.getString(0) -> r.getDouble(1)).toMap
-      er.unpersist()
-      PbpMetrics.addRunExpectancyLit(PbpMetrics.addWobaLit(parsed, lwMap), erMap)
-        .select("contest_id", "play_id", "event_type", "batted_ball_type",
-          "batter_name", "bases_before", "bases_after", "outs_before",
-          "runs_on_play", "woba", "rea")
-        .orderBy("contest_id", "play_id")
-    })
+    // The FULL enrichment chain (parse → ER matrix → linear weights →
+    // woba/rea literal-map enrichment) behind a PINNED oracle — the
+    // pbp02/pbp03 pattern applied to the *enriched* output, closing
+    // the last rows-only gap. Per-(event, bb, outs) summary with
+    // woba/rea in integer micro-units (the v05/t20 trick: round each
+    // ROW to a long before the sum so the aggregate is addition-
+    // order-free and hash-exact). Regenerate
+    // resources/graft/pbp01_oracle.sql (tools/GenPbp01Oracle) on
+    // INTENTIONAL semantics changes.
+    QueryDef.of("pbp01_parse_enrich",
+      QueryDef.resourceSql("/graft/pbp01_oracle.sql"))(parseEnrichSummary))
+
+  /** The woba/rea enrichment chain pbp01 pins. The parse chain feeds
+    * three consumers (ER matrix, linear weights, the enrichment) —
+    * cache it or the whole UDF+window+fold chain runs once per
+    * consumer; cache only the columns those consumers read (the full
+    * parse row carries ~35 text columns and triples the
+    * materialization cost). er/lw are O(1)-row dimension outputs (24
+    * cells / 5 weight rows at ANY data scale): collect them once, in
+    * dependency order, and enrich through literal maps — left as lazy
+    * DF joins, the final action's concurrent broadcast-exchange
+    * threads raced to compute the uncached `parsed` (duplicate full
+    * parse runs) and the plan carried 3 extra exchanges. */
+  def parseEnrichSummary(s: SparkSession, dir: String): DataFrame = {
+    val parsed = PbpPipeline.parse(rawPbpFromEvents(s, dir))
+      .select("contest_id", "play_id", "event_type", "batted_ball_type",
+        "batter_name", "bases_before", "bases_after", "outs_before",
+        "outs_after", "inn_end_fl", "runs_on_play", "runs_roi")
+      .cache()
+    val er = ExpectedRuns.matrix(parsed).cache()
+    val erMap = PbpMetrics.erMatrixToMap(er)
+    val lwMap = LinearWeights.aboveAverage(parsed, er)
+      .select(col("events"), col("linear_weights_above_outs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    er.unpersist()
+    PbpMetrics.addRunExpectancyLit(PbpMetrics.addWobaLit(parsed, lwMap), erMap)
+      .groupBy(
+        col("event_type"),
+        coalesce(col("batted_ball_type"), lit("none")).as("bb_type"),
+        coalesce(col("outs_before"), lit(-1)).cast("long").as("outs_before"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct("batter_name").as("batters"),
+        sum("runs_on_play").cast("long").as("runs"),
+        // rea is null for unknown base/out states (reference pd.NA
+        // left-join semantics) — count the nulls separately so the
+        // micro-unit sum stays null-free and exact
+        sum(round(col("woba") * 1e6).cast("long")).as("woba_micro"),
+        sum(when(col("rea").isNotNull, 1L).otherwise(0L)).as("n_rea"),
+        sum(when(col("rea").isNotNull, round(col("rea") * 1e6).cast("long"))
+          .otherwise(0L)).as("rea_micro"))
+      .orderBy("event_type", "bb_type", "outs_before")
+  }
 }

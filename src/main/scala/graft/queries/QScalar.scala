@@ -237,5 +237,66 @@ object QScalar {
           cleanPositions(col("raw_pos")).as("positions"),
           normalizeDivision(col("raw_div")).as("division"))
         .orderBy("c_custkey")
-    })
+    },
+
+    // §2.8 name-similarity scorers (reference names/helpers.py:56-111
+    // rapidfuzz semantics, thresholds at names/names.py:132) behind a
+    // PINNED oracle over a deterministic name-pair corpus — the last
+    // ScalaTest-only scalar family made driver-visible. Regenerate
+    // resources/graft/f11_oracle.sql (tools/GenF11Oracle) on
+    // INTENTIONAL semantics changes; correctness vs hand-executed
+    // rapidfuzz values stays pinned in FuzzySpec.
+    QueryDef.of("f11_fuzzy_scores",
+      QueryDef.resourceSql("/graft/f11_oracle.sql"))(fuzzyScoreSummary))
+
+  /** The f11 corpus + summary: per customer a synthetic "First Last"
+    * name and one of five deterministic perturbations (identity /
+    * token flip / embedding / trailing typo / noise), scored by the
+    * three scorers the reference's reconcile cascade uses. Scores
+    * leave as integer centi-units (round(score*100)) per ROW before
+    * the sum — addition-order-free, hash-exact (the v05/t20 trick).
+    * Scala UDFs are justified here: the scorers are inherently
+    * procedural (the production path runs them inside FuzzyJoin's
+    * cogroup, never as a join predicate), and the corpus is one row
+    * per customer — dimension-sized. */
+  def fuzzyScoreSummary(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Fuzzy
+    val ts = udf((x: String, y: String) => math.round(Fuzzy.tokenSortRatio(x, y) * 100))
+    val pr = udf((x: String, y: String) => math.round(Fuzzy.partialRatio(x, y) * 100))
+    val wr = udf((x: String, y: String) => math.round(Fuzzy.wRatio(x, y) * 100))
+    val a = concat(lit("P"), (col("c_custkey") % 50).cast("string"),
+      lit(" Smith"), (col("c_custkey") % 20).cast("string"))
+    val pairs = Tables.customer(s, dir)
+      .select(col("c_custkey"), a.as("a"),
+        when(col("c_custkey") % 5 === 0, "same")
+          .when(col("c_custkey") % 5 === 1, "flip")
+          .when(col("c_custkey") % 5 === 2, "embed")
+          .when(col("c_custkey") % 5 === 3, "typo")
+          .otherwise("noise").as("kind"))
+      .withColumn("b",
+        when(col("kind") === "same", col("a"))
+          .when(col("kind") === "flip", concat(
+            element_at(split(col("a"), " "), 2), lit(" "),
+            element_at(split(col("a"), " "), 1)))
+          .when(col("kind") === "embed", concat(lit("Mr "), col("a"), lit(" Jr")))
+          .when(col("kind") === "typo", expr("substring(a, 1, length(a)-1)"))
+          .otherwise(concat(lit("Zz"), reverse(col("a")))))
+    pairs
+      .select(col("kind"),
+        ts(col("a"), col("b")).as("ts_c"),
+        pr(col("a"), col("b")).as("pr_c"),
+        wr(col("a"), col("b")).as("wr_c"))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("ts_c").as("ts_sum"), min("ts_c").as("ts_min"), max("ts_c").as("ts_max"),
+        sum("pr_c").as("pr_sum"), min("pr_c").as("pr_min"), max("pr_c").as("pr_max"),
+        sum("wr_c").as("wr_sum"), min("wr_c").as("wr_min"), max("wr_c").as("wr_max"),
+        // the reference cascade's accept gates (names.py:132): how
+        // many pairs of each kind cross 70 / 85 / 90 on wRatio
+        sum(when(col("wr_c") >= 7000, 1L).otherwise(0L)).as("n_ge70"),
+        sum(when(col("wr_c") >= 8500, 1L).otherwise(0L)).as("n_ge85"),
+        sum(when(col("wr_c") >= 9000, 1L).otherwise(0L)).as("n_ge90"))
+      .orderBy("kind")
+  }
 }

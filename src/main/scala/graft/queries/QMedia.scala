@@ -115,5 +115,36 @@ object QMedia {
         }
         .toDF("media_id", "frame_idx", "n_px", "px_sum", "hist_checksum")
         .orderBy("media_id", "frame_idx")
+    },
+
+    // The sampling STRIDE oracle-gated too (VERDICT r7 item 8):
+    // sampleFrames(everyN=2) must keep exactly the even container
+    // frames with unchanged pixels — the m02 keystream oracle
+    // restricted to f % 2 = 0. An off-by-one in the stride (keeping
+    // odd frames, or 1-based indexing) flips every kept row.
+    QueryDef.of("m03_gif_frame_sample",
+      """WITH m AS (SELECT i AS media_id, CAST(5 + i % 3 AS INT) AS w,
+        |    CAST(4 + i % 2 AS INT) AS h, CAST(2 + i % 3 AS INT) AS nf
+        |  FROM range(12) t(i)),
+        |fr AS (SELECT media_id, w, h, f FROM m, range(4) t(f)
+        |  WHERE f < nf AND f % 2 = 0),
+        |px AS (SELECT media_id, f, w, h, j,
+        |    ('0x' || substr(md5('gif:' || media_id || ':' || f || ':' || CAST(j // 16 AS BIGINT)),
+        |                    CAST(2*(j % 16)+1 AS INT), 2))::INT AS v
+        |  FROM fr, range(40) t(j) WHERE j < w * h)
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w * h AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum,
+        |  CAST(SUM((v // 16) + 1) AS BIGINT) AS hist_checksum
+        |FROM px GROUP BY media_id, f, w * h
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Multimodal.sampleFrames(gifMedia(s), everyN = 2)
+        .map { f =>
+          var pxSum = 0L; var hist = 0L
+          f.pixels.foreach { b => val v = b & 0xff; pxSum += v; hist += (v >> 4) + 1 }
+          (f.media_id, f.frame_idx, f.width.toLong * f.height, pxSum, hist)
+        }
+        .toDF("media_id", "frame_idx", "n_px", "px_sum", "hist_checksum")
+        .orderBy("media_id", "frame_idx")
     })
 }

@@ -247,7 +247,57 @@ object QScalar {
     // INTENTIONAL semantics changes; correctness vs hand-executed
     // rapidfuzz values stays pinned in FuzzySpec.
     QueryDef.of("f11_fuzzy_scores",
-      QueryDef.resourceSql("/graft/f11_oracle.sql"))(fuzzyScoreSummary))
+      QueryDef.resourceSql("/graft/f11_oracle.sql"))(fuzzyScoreSummary),
+
+    // §2.8 domain: position canonicalizer (reference
+    // constants.py:41-79), full-word position standardizer
+    // (reconcile_players.py:83-131) and bats/throws normalizer
+    // (reconcile_players.py:66-80) over an injected corpus — the
+    // f10 pattern. Unlike the pinned fixtures, this oracle is
+    // hand-written SEMANTICS (expected canonical output per injected
+    // input), not generated from the implementation. canonPos is a
+    // pure literal-map lookup → typedlit element_at, fully codegen;
+    // the NFKC-bearing standardizer/normalizer stay Scala UDFs
+    // (DuckDB v1.0.0 has no NFKC) over the ASCII corpus.
+    QueryDef.of("f12_position_handedness",
+      """SELECT c_custkey,
+        |  CASE c_custkey % 6
+        |    WHEN 0 THEN 'p' WHEN 1 THEN 'ss' WHEN 2 THEN 'cf'
+        |    WHEN 3 THEN '3b' WHEN 4 THEN 'zz' ELSE 'dh' END AS canon,
+        |  CASE c_custkey % 5
+        |    WHEN 0 THEN 'P' WHEN 1 THEN 'SS/2B' WHEN 2 THEN 'UT'
+        |    WHEN 3 THEN 'C/1B' ELSE 'C/1B/2B' END AS std,
+        |  CASE c_custkey % 4
+        |    WHEN 0 THEN 'L/L' WHEN 1 THEN 'R/L' WHEN 2 THEN 'S/R'
+        |    ELSE '' END AS bt
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import graft.pbp.Positions
+      val stdU = udf((x: String) => Positions.standardizePos(x))
+      val btU = udf((x: String) => Positions.normalizeBT(x))
+      val raw = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        when(col("c_custkey") % 6 === 0, "Pitcher")
+          .when(col("c_custkey") % 6 === 1, "  SS  ")
+          .when(col("c_custkey") % 6 === 2, "Center Field")
+          .when(col("c_custkey") % 6 === 3, "third baseman")
+          .when(col("c_custkey") % 6 === 4, "zz")
+          .otherwise("Designated Hitter").as("raw_pos"),
+        when(col("c_custkey") % 5 === 0, "rhp")
+          .when(col("c_custkey") % 5 === 1, "SS / 2b")
+          .when(col("c_custkey") % 5 === 2, "Util")
+          .when(col("c_custkey") % 5 === 3, "catcher, first base")
+          .otherwise("C/1B/2B/3B").as("raw_std"),
+        when(col("c_custkey") % 4 === 0, "l")
+          .when(col("c_custkey") % 4 === 1, "R/L")
+          .when(col("c_custkey") % 4 === 2, "s|r")
+          .otherwise("xx").as("raw_bt"))
+      raw.select(col("c_custkey"),
+          coalesce(element_at(typedlit(Positions.posMap), lower(trim(col("raw_pos")))),
+            lower(trim(col("raw_pos")))).as("canon"),
+          stdU(col("raw_std")).as("std"),
+          btU(col("raw_bt")).as("bt"))
+        .orderBy("c_custkey")
+    })
 
   /** The f11 corpus + summary: per customer a synthetic "First Last"
     * name and one of five deterministic perturbations (identity /

@@ -11,6 +11,10 @@ object VerifyOne {
     val spark = ToolSession.local("graft-verify-one")
     SparkEntry.queries(name)(spark, sfDir).coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/$name")
+    // drop operator-persisted intermediates (pbp parsed caches etc.) so
+    // a VerifyOne run leaves zero lingering RDDs — same hygiene as the
+    // per-query clearCache in Verify/Bench; asserted by CacheHygieneSpec
+    spark.catalog.clearCache()
     // keep oracle_sql.json in sync so localverify sees new oracles
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -20,13 +20,15 @@ final case class MediaFeatures(
     mean_px: Double, std_px: Double, embedding: Array[Float])
 
 /**
- * Multimodal (image/video-as-binary) processing plumbing. The
- * DECODE step is a clearly-marked STUB ([[FakeCodec]]) — the
- * image/audio codec libraries are not in this environment — but
- * everything Spark-side is real: schemas, byte-balanced partitioning,
- * per-partition batch processing, frame explosion, feature
- * extraction. Swapping [[FakeCodec]] for a JPEG/PNG decoder changes
- * no plan shape.
+ * Multimodal (image/video-as-binary) processing plumbing. REAL codec
+ * coverage: still images + animated GIF via `javax.imageio`
+ * ([[ImageIoCodec]]), and MJPEG-style video via real MP4/AVI container
+ * demux ([[VideoContainers]]). [[FakeCodec]] remains only for
+ * deterministic keystream tests and as the stand-in for inter-frame
+ * codecs (H.264 etc.) that have no JVM decoder in this environment.
+ * Everything Spark-side is real throughout: schemas, byte-balanced
+ * partitioning, per-partition batch processing, frame explosion,
+ * feature extraction — swapping a codec changes no plan shape.
  *
  * Execution shape: typed `mapPartitions` — the JVM analogue of
  * PySpark's `mapInPandas` (one batch of rows in, an iterator of
@@ -181,18 +183,31 @@ object Multimodal {
     }
   }
 
-  /** Format-dispatched decode: `image/…` rows go through the REAL
-    * `javax.imageio` codec — including MULTI-FRAME containers (an
-    * animated GIF yields one DecodedFrame per frame), so the "video"
-    * shape (N frames from one payload) runs a real container parse,
-    * not only the stub. Dims come from the payload, not the metadata;
-    * non-image formats take the stub keystream path. Both paths
-    * produce identical frame shapes, so no plan or partitioning
-    * changes when a format flips from stub to real. */
+  /** Format-dispatched decode — the REAL paths:
+    *  - `image/…`: `javax.imageio`, including MULTI-FRAME containers
+    *    (an animated GIF yields one DecodedFrame per frame);
+    *  - `video/mp4`: real ISO-BMFF demux ([[VideoContainers.Mp4Demux]]
+    *    — moov/trak/stbl sample-table walk), each sample decoded via
+    *    ImageIO (JPEG samples = MJPEG-in-MP4; PNG rides the same path);
+    *  - `video/avi`: real RIFF demux ([[VideoContainers.AviDemux]] —
+    *    movi-list chunk walk), samples decoded the same way.
+    * Dims come from the payload, not the metadata. Other formats take
+    * the stub keystream path (inter-frame codecs like H.264 stay out
+    * of scope — no JVM decoder). All paths produce identical frame
+    * shapes, so no plan or partitioning changes when a format flips
+    * from stub to real. */
   def decodeFrames(m: MediaRow): Seq[DecodedFrame] =
     if (m.format.startsWith("image/")) {
       ImageIoCodec.decodeAllFrames(m.content).zipWithIndex.map {
         case ((w, h, px), idx) => DecodedFrame(m.media_id, idx, w, h, px)
+      }
+    } else if (m.format == "video/mp4" || m.format == "video/avi") {
+      val samples =
+        if (m.format == "video/mp4") VideoContainers.Mp4Demux.samples(m.content)
+        else VideoContainers.AviDemux.samples(m.content)
+      samples.zipWithIndex.map { case (sample, idx) =>
+        val (w, h, px) = ImageIoCodec.decodeImage(sample)
+        DecodedFrame(m.media_id, idx, w, h, px)
       }
     } else {
       FakeCodec.decode(m.content, m.width, m.height, m.n_frames)

@@ -48,6 +48,64 @@ object QMedia {
     }
   }
 
+  /** 10 MP4 containers (2–4 keystream PNG samples each) through the
+    * REAL ISO-BMFF mux: the demux side must walk moov/trak/stbl and
+    * reconstruct the samples from stsc/stsz/stco to get the pixels
+    * back. PNG samples are lossless, so the keystream oracle is
+    * bit-exact. Metadata dims zeroed as in [[imageMedia]]. */
+  def mp4Media(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(10).as[Long].map { i =>
+      val w = (5 + i % 3).toInt
+      val h = (4 + i % 2).toInt
+      val nf = (2 + i % 3).toInt
+      val samples = (0 until nf).map { f =>
+        Multimodal.ImageIoCodec.encodePng(w, h,
+          Multimodal.FakeCodec.encode(s"mp4:$i:$f", w, h, 1))
+      }
+      MediaRow(i, "video",
+        graft.multimodal.VideoContainers.Mp4Mux.write(samples, w, h, compressor = "png "),
+        0, 0, nf, "video/mp4")
+    }
+  }
+
+  /** 10 AVI containers through the REAL RIFF mux — same keystream
+    * frames with an `avi:` seed, demuxed by the movi-list chunk walk
+    * (odd-size PNG chunks exercise the WORD-alignment pad). */
+  def aviMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(10).as[Long].map { i =>
+      val w = (5 + i % 3).toInt
+      val h = (4 + i % 2).toInt
+      val nf = (2 + i % 3).toInt
+      val samples = (0 until nf).map { f =>
+        Multimodal.ImageIoCodec.encodePng(w, h,
+          Multimodal.FakeCodec.encode(s"avi:$i:$f", w, h, 1))
+      }
+      MediaRow(i, "video",
+        graft.multimodal.VideoContainers.AviMux.write(samples, w, h, fourccCodec = "PNG "),
+        0, 0, nf, "video/avi")
+    }
+  }
+
+  /** The m02-shaped per-frame integer stats oracle, parameterized by
+    * keystream seed prefix (the only thing that differs between the
+    * GIF, MP4, and AVI fixtures). */
+  private def frameStatsOracle(seedPrefix: String): String =
+    s"""WITH m AS (SELECT i AS media_id, CAST(5 + i % 3 AS INT) AS w,
+       |    CAST(4 + i % 2 AS INT) AS h, CAST(2 + i % 3 AS INT) AS nf
+       |  FROM range(10) t(i)),
+       |fr AS (SELECT media_id, w, h, f FROM m, range(4) t(f) WHERE f < nf),
+       |px AS (SELECT media_id, f, w, h, j,
+       |    ('0x' || substr(md5('$seedPrefix:' || media_id || ':' || f || ':' || CAST(j // 16 AS BIGINT)),
+       |                    CAST(2*(j % 16)+1 AS INT), 2))::INT AS v
+       |  FROM fr, range(40) t(j) WHERE j < w * h)
+       |SELECT media_id, CAST(f AS INT) AS frame_idx,
+       |  CAST(w * h AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum,
+       |  CAST(SUM((v // 16) + 1) AS BIGINT) AS hist_checksum
+       |FROM px GROUP BY media_id, f, w * h
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // Integer micro-unit summary of the decoded features: pixel mean
     // and std quantized to 1e-6 (s, s2, n are integer-exact in double,
@@ -139,6 +197,37 @@ object QMedia {
         |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
       import s.implicits._
       Multimodal.sampleFrames(gifMedia(s), everyN = 2)
+        .map { f =>
+          var pxSum = 0L; var hist = 0L
+          f.pixels.foreach { b => val v = b & 0xff; pxSum += v; hist += (v >> 4) + 1 }
+          (f.media_id, f.frame_idx, f.width.toLong * f.height, pxSum, hist)
+        }
+        .toDF("media_id", "frame_idx", "n_px", "px_sum", "hist_checksum")
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // REAL MP4 container demux gated per frame: the ISO-BMFF sample
+    // reconstruction (stsc runs × stsz sizes × stco offsets) must
+    // yield every PNG sample with exact keystream pixels — an
+    // off-by-one anywhere in the chunk walk corrupts or drops frames.
+    QueryDef.of("m04_mp4_demux_frames", frameStatsOracle("mp4")) { (s, dir) =>
+      import s.implicits._
+      Multimodal.sampleFrames(mp4Media(s), everyN = 1)
+        .map { f =>
+          var pxSum = 0L; var hist = 0L
+          f.pixels.foreach { b => val v = b & 0xff; pxSum += v; hist += (v >> 4) + 1 }
+          (f.media_id, f.frame_idx, f.width.toLong * f.height, pxSum, hist)
+        }
+        .toDF("media_id", "frame_idx", "n_px", "px_sum", "hist_checksum")
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // REAL AVI container demux gated per frame: the RIFF movi-list
+    // walk (including WORD-alignment padding after odd-size chunks)
+    // against the same keystream expectation.
+    QueryDef.of("m05_avi_demux_frames", frameStatsOracle("avi")) { (s, dir) =>
+      import s.implicits._
+      Multimodal.sampleFrames(aviMedia(s), everyN = 1)
         .map { f =>
           var pxSum = 0L; var hist = 0L
           f.pixels.foreach { b => val v = b & 0xff; pxSum += v; hist += (v >> 4) + 1 }

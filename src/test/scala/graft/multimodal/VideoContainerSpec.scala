@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real MP4 (ISO BMFF) and AVI (RIFF) container demux: mux→demux
+  * round-trips, chunk-table walking, 64-bit offsets, MJPEG samples,
+  * malformed-input rejection, and the full Spark decode path. */
+class VideoContainerSpec extends AnyFunSuite {
+  import VideoContainers._
+
+  private def grayFrames(seed: String, w: Int, h: Int, n: Int): Seq[Array[Byte]] =
+    (0 until n).map(f => Multimodal.FakeCodec.encode(s"$seed:$f", w, h, 1))
+
+  private def pngSamples(seed: String, w: Int, h: Int, n: Int): Seq[Array[Byte]] =
+    grayFrames(seed, w, h, n).map(Multimodal.ImageIoCodec.encodePng(w, h, _))
+
+  // ---- MP4 ---------------------------------------------------------
+
+  test("mp4 mux→demux returns every sample byte-exact, in order") {
+    // 5 samples → 3 chunks at 2-per-chunk: exercises the stsc run
+    // table including the short last chunk
+    val samples = pngSamples("mp4rt", 7, 5, 5)
+    val mp4 = Mp4Mux.write(samples, 7, 5, compressor = "png ")
+    val back = Mp4Demux.samples(mp4)
+    assert(back.length === 5)
+    samples.zip(back).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
+  test("mp4 co64 (64-bit chunk offsets) demux path") {
+    val samples = pngSamples("mp4co64", 6, 4, 4)
+    val mp4 = Mp4Mux.write(samples, 6, 4, compressor = "png ", useCo64 = true)
+    val back = Mp4Demux.samples(mp4)
+    assert(back.map(_.toSeq) === samples.map(_.toSeq))
+  }
+
+  test("mp4 with JPEG samples is a decodable MJPEG: frames decode with right dims") {
+    val w = 16; val h = 12
+    val jpegs = grayFrames("mjpg", w, h, 3).map { px =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, px)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mp4 = Mp4Mux.write(jpegs, w, h)
+    val m = MediaRow(1L, "video", mp4, 0, 0, 3, "video/mp4")
+    val frames = Multimodal.decodeFrames(m)
+    assert(frames.length === 3)
+    assert(frames.forall(f => f.width == w && f.height == h))
+    // JPEG is lossy but close: mean abs error vs source under 8/255
+    val src = grayFrames("mjpg", w, h, 3)
+    frames.zip(src).foreach { case (f, s) =>
+      val mae = f.pixels.zip(s).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.sum
+        .toDouble / s.length
+      assert(mae < 8.0, s"frame ${f.frame_idx} mean abs error $mae")
+    }
+  }
+
+  test("mp4 rejects payloads without moov / with truncated boxes") {
+    assertThrows[IllegalArgumentException](Mp4Demux.samples("nonsense-bytes!!".getBytes))
+    val good = Mp4Mux.write(pngSamples("trunc", 5, 4, 2), 5, 4, compressor = "png ")
+    // cut inside moov: the box walk must detect the overrun
+    assertThrows[IllegalArgumentException](
+      Mp4Demux.samples(java.util.Arrays.copyOfRange(good, 0, good.length - 10)))
+  }
+
+  // ---- AVI ---------------------------------------------------------
+
+  test("avi mux→demux returns every frame chunk byte-exact, incl. odd-size padding") {
+    val samples = pngSamples("avirt", 7, 5, 4)
+    val avi = AviMux.write(samples, 7, 5, fourccCodec = "PNG ")
+    val back = AviDemux.samples(avi)
+    assert(back.map(_.toSeq) === samples.map(_.toSeq))
+    // odd-size chunks force the WORD-alignment pad byte on every
+    // boundary — a naive parser desyncs after the first frame
+    val odd = Seq(Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6, 7, 8, 9))
+    assert(odd.exists(_.length % 2 == 1))
+    val oddBack = AviDemux.samples(AviMux.write(odd, 2, 2))
+    assert(oddBack.map(_.toSeq) === odd.map(_.toSeq))
+  }
+
+  test("avi rejects bad signatures") {
+    assertThrows[IllegalArgumentException](AviDemux.samples("RIFFxxxxWAVE".getBytes))
+    assertThrows[IllegalArgumentException](AviDemux.samples(Array.fill[Byte](6)(1)))
+  }
+
+  // ---- full Spark path ---------------------------------------------
+
+  test("video/mp4 and video/avi rows decode through the production sampleFrames path") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val w = 6; val h = 4
+    val media = spark.createDataset(Seq(
+      MediaRow(10L, "video",
+        Mp4Mux.write(pngSamples("sp:mp4", w, h, 4), w, h, compressor = "png "),
+        0, 0, 4, "video/mp4"),
+      MediaRow(11L, "video",
+        AviMux.write(pngSamples("sp:avi", w, h, 3), w, h, fourccCodec = "PNG "),
+        0, 0, 3, "video/avi")))
+    val frames = Multimodal.sampleFrames(media, everyN = 1).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(frames(10L).length === 4 && frames(11L).length === 3)
+    // pixels must be the exact keystream (PNG lossless end-to-end)
+    frames(10L).zip(grayFrames("sp:mp4", w, h, 4)).foreach { case (f, px) =>
+      assert(f.pixels.toSeq === px.toSeq) }
+    frames(11L).zip(grayFrames("sp:avi", w, h, 3)).foreach { case (f, px) =>
+      assert(f.pixels.toSeq === px.toSeq) }
+    // and the stride applies to container frames uniformly
+    val strided = Multimodal.sampleFrames(media, everyN = 2).collect()
+    assert(strided.count(_.media_id == 10L) === 2)
+    assert(strided.count(_.media_id == 11L) === 2)
+  }
+}

@@ -264,6 +264,38 @@ object QJoin {
         .orderBy("user_id", "session_id")
     },
 
+    // Streaming windowed aggregate, batch-mode oracle: the SAME
+    // StreamOps.windowedTypeCounts code that attaches to a readStream
+    // source (watermark is a no-op on batch) — 1-hour tumbling windows
+    // align to epoch 0, so the oracle is integer floor-division on
+    // epoch micros. Driver-visible evidence for §2.10 beyond the
+    // ScalaTest MemoryStream equivalences.
+    QueryDef.of("ses03_windowed_type_counts",
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamOps.windowedTypeCounts(Tables.events(s, dir), "1 hour")
+        .orderBy("window_start_us", "event_type")
+    },
+
+    // Streaming content-fingerprint dedup, batch-mode oracle: the
+    // SAME StreamOps.dedupStream (dropDuplicatesWithinWatermark)
+    // projected to its key — batch keep-`first` is partition-order
+    // dependent, but the KEPT KEY SET is deterministic and equals
+    // DISTINCT fingerprints (keep-first itself is pinned in
+    // StreamingSpec on an ordered MemoryStream).
+    QueryDef.of("ses04_stream_dedup_keys",
+      """SELECT DISTINCT md5(event_type || '|' || coalesce(props, '')) AS fp
+        |FROM events ORDER BY fp""".stripMargin) { (s, dir) =>
+      val evts = Tables.events(s, dir).withColumn("fp",
+        md5(concat(col("event_type"), lit("|"), coalesce(col("props"), lit("")))))
+      graft.streaming.StreamOps.dedupStream(evts, Seq("fp"))
+        .select("fp").orderBy("fp")
+    },
+
     // X-family fold machinery with a relational oracle: a running
     // balance that RESETS on signup events, computed by the streaming
     // per-partition fold ([[StatefulFold.foldPartitions]] — the same

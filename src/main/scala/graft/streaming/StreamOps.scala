@@ -104,14 +104,22 @@ object StreamOps {
    * unbounded input — the batch `exactKeepFirst` semantics under a
    * bounded-state contract).
    *
-   * @param df       streaming frame with an event-time `ts` column
+   * On a BATCH frame the watermarked operator is rejected by Spark
+   * (`dropDuplicatesWithinWatermark is not supported with batch`),
+   * and the bounded-input semantics are plain key dedup — so the same
+   * call dispatches on `df.isStreaming` and a backfill can run the
+   * identical pipeline code over the historical corpus.
+   *
+   * @param df       frame with an event-time `ts` column
    * @param keyCols  fingerprint columns (e.g. a content hash)
    */
   def dedupStream(
       df: DataFrame, keyCols: Seq[String],
       watermarkDelay: String = "10 minutes"): DataFrame =
-    df.withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark(keyCols)
+    if (df.isStreaming)
+      df.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
 
   /**
    * Map-only corpus scrub for unbounded document streams: quality

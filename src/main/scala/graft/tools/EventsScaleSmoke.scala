@@ -1,0 +1,162 @@
+package graft.tools
+
+import graft.operators.{AsOfJoin, Sessionize, StatefulFold}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Events-family scale smoke — `runMain graft.tools.EventsScaleSmoke
+ * [sfDir] [scales]` (default `1,3,10`): runs the sequential/relational
+ * event operators — gap sessionization, session stats, the as-of
+ * backward join (purchase attribution), the watermark-form tumbling
+ * window aggregate, and the stateful per-user balance fold — over the
+ * events table replicated `scale`× into DISJOINT user-id spaces
+ * (copy `k` offsets `user_id` and `event_id`; timestamps untouched).
+ *
+ * Every one of these operators partitions by `user_id` (the window,
+ * the as-of union, the fold) or by `(window, event_type)` (the
+ * tumbling agg), so user-disjoint copies make the invariants EXACT —
+ * no tolerance bands:
+ *  - sessions, session-stat rows, as-of matches, and fold-balance
+ *    checksums are exactly `c`× copy 0 (any deviation means state or
+ *    window frames leaked across partition boundaries);
+ *  - the tumbling aggregate's ROW COUNT is constant (same windows ×
+ *    types) while its total `n` is exactly linear — growth in rows
+ *    would mean copies shifted event time;
+ *  - shuffle-write bytes between the two largest scales grow within
+ *    1.5× of linear, and no heavy stage has a task >8× the stage
+ *    mean (sessionize/fold are the natural skew suspects: one hot
+ *    user must not serialize a partition).
+ */
+object EventsScaleSmoke {
+
+  /** Copy `k`: user and event ids offset into a disjoint block. */
+  def scaledEvents(events: DataFrame, c: Int): DataFrame =
+    (0 until c).map { k =>
+      if (k == 0) events
+      else events
+        .withColumn("user_id", col("user_id") + lit(k * 10000000L))
+        .withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = args.lift(1).getOrElse("1,3,10").split(',').map(_.trim.toInt).toSeq
+    val spark = ToolSession.local("graft-events-scale-smoke")
+    val tally = new LlmScaleSmoke.ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
+    val base = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "ts_ns", "event_type", "value")
+
+    final case class Run(scale: Int, n: Long, sessions: Long, statRows: Long,
+        asofMatches: Long, winRows: Long, winN: Long, foldSum: Long,
+        wallSec: Double, writeBytes: Long, stages: Map[Int, (Long, Long, Long)])
+
+    val runs = scales.map { c =>
+      val evts = scaledEvents(base, c)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = evts.count()
+      tally.snapshotAndReset() // drop corpus-prep stages from the tally
+      val t0 = System.nanoTime()
+
+      val sess = Sessionize.byGap(evts, col("user_id"), col("ts"), 1800,
+        tieBreak = Seq(col("event_id")))
+      val sessions = sess.select("user_id", "session_id").distinct().count()
+      val statRows = sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events")).count()
+
+      val purch = evts.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          (round(col("value") * 100)).cast("long").as("purchase_cents"))
+      val asofMatches = AsOfJoin.backward(
+          evts.select("event_id", "user_id", "ts"), purch,
+          key = "user_id", leftTs = "ts", rightTs = "pts",
+          payload = Seq("purchase_cents"), toleranceSeconds = Some(3600))
+        .filter(col("purchase_cents").isNotNull).count()
+
+      val win = graft.streaming.StreamOps.windowedTypeCounts(evts, "1 hour")
+        .agg(count(lit(1)).cast("long"), sum("n").cast("long")).first()
+      val (winRows, winN) = (win.getLong(0), win.getLong(1))
+
+      // per-user balance fold (the x01 machine); checksum = Σ|balance|
+      val in = evts.select(col("event_id"), col("user_id"), col("ts_ns"),
+        col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      val outSchema = StructType(in.schema.fields :+
+        StructField("balance_cents", LongType, nullable = false))
+      val typeIdx = in.schema.fieldIndex("event_type")
+      val cIdx = in.schema.fieldIndex("c")
+      val foldSum = StatefulFold.foldPartitions[Long](
+          in, Seq("user_id"), Seq(col("ts_ns"), col("event_id")), outSchema)(
+          init = _ => 0L,
+          step = { (bal, row) =>
+            val nb =
+              if (row.getString(typeIdx) == "signup") 0L
+              else bal + row.getLong(cIdx)
+            (nb, Iterator(Row.fromSeq(row.toSeq :+ nb)))
+          })
+        .agg(sum(abs(col("balance_cents"))).cast("long")).first().getLong(0)
+
+      val wall = (System.nanoTime() - t0) / 1e9
+      evts.unpersist()
+      Thread.sleep(1000) // bound listener-bus delivery lag
+      val stages = tally.snapshotAndReset()
+      val bytes = stages.values.map(_._2).sum
+      println(f"EVT_SMOKE scale=$c%-3d n=$n sessions=$sessions stats=$statRows " +
+        f"asof=$asofMatches win_rows=$winRows win_n=$winN fold_sum=$foldSum " +
+        f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
+      Run(c, n, sessions, statRows, asofMatches, winRows, winN, foldSum,
+        wall, bytes, stages)
+    }
+
+    val r1 = runs.head
+    var failed = false
+    def check(cond: Boolean, msg: String): Unit = {
+      println(s"EVT_SMOKE_CHECK ${if (cond) "ok  " else "FAIL"} $msg")
+      if (!cond) failed = true
+    }
+    runs.tail.foreach { r =>
+      val c = r.scale.toLong / r1.scale
+      check(r.n == r1.n * c, s"event volume exactly ${c}x (${r1.n}->${r.n})")
+      check(r.sessions == r1.sessions * c,
+        s"sessions exactly linear at ${r.scale}x (${r1.sessions}->${r.sessions})")
+      check(r.statRows == r1.statRows * c,
+        s"session-stat rows exactly linear at ${r.scale}x (${r1.statRows}->${r.statRows})")
+      check(r.asofMatches == r1.asofMatches * c,
+        s"as-of matches exactly linear at ${r.scale}x (${r1.asofMatches}->${r.asofMatches})")
+      check(r.winRows == r1.winRows,
+        s"window rows constant at ${r.scale}x (${r1.winRows}->${r.winRows})")
+      check(r.winN == r1.winN * c,
+        s"window total n exactly linear at ${r.scale}x (${r1.winN}->${r.winN})")
+      check(r.foldSum == r1.foldSum * c,
+        s"fold balance checksum exactly linear at ${r.scale}x (${r1.foldSum}->${r.foldSum})")
+    }
+    if (runs.length >= 2) {
+      val (lo, hi) = (runs(runs.length - 2), runs.last)
+      val ratio = hi.scale.toDouble / lo.scale
+      val bound = (lo.writeBytes * ratio * 1.5).toLong + (8L << 20)
+      check(hi.writeBytes <= bound,
+        f"shuffle write ${lo.scale}x->${hi.scale}x: ${hi.writeBytes / 1048576.0}%.1f MiB ≤ " +
+          f"linear bound ${bound / 1048576.0}%.1f MiB")
+      runs.tail.zip(runs).foreach { case (r, prev) =>
+        println(f"EVT_SMOKE_INFO bytes ${prev.scale}x->${r.scale}x grew " +
+          f"${r.writeBytes.toDouble / math.max(1, prev.writeBytes)}%.2fx for a " +
+          f"${r.scale.toDouble / prev.scale}%.2fx scale-up")
+      }
+    }
+    runs.foreach { r =>
+      r.stages.foreach { case (sid, (nTasks, total, mx)) =>
+        if (total > (4L << 20) && nTasks >= 8)
+          check(mx <= 8 * (total / nTasks),
+            f"scale=${r.scale} stage=$sid skew: max task ${mx / 1048576.0}%.1f MiB " +
+              f"≤ 8× mean ${(total / nTasks) / 1048576.0}%.1f MiB over $nTasks tasks")
+      }
+    }
+    println(s"EVT_SMOKE_RESULT ${if (failed) "FAIL" else "PASS"}")
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

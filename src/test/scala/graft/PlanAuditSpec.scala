@@ -201,4 +201,32 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }
   }
+
+  test("v02/v05: bucketed ANN joins broadcast the query side — corpus never re-shuffles") {
+    // the corpus side is the 100 TB side; the probed-query side is
+    // KB-sized at any scale and must be the broadcast build side
+    for (name <- Seq("v02_ann_lsh_topk", "v05_ann_ivf_topk")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("ses03: the streaming windowed aggregate's batch form is one partial+final hash agg") {
+    val p = plan("ses03_windowed_type_counts")
+    // map-side combine: partial_ aggregate functions before the exchange
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // one hash exchange for the agg keys (plus the presentation range sort)
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashExchanges === 1, s"hash exchanges=$hashExchanges\n$p")
+  }
+
+  test("ses04: the stream-dedup batch form is key-partitioned dedup — no window, no join") {
+    val p = plan("ses04_stream_dedup_keys")
+    assert(!p.toLowerCase.contains("window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("hashpartitioning(fp"), p)
+  }
 }

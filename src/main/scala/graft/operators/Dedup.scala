@@ -46,6 +46,52 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_dups"))
 
+  /**
+   * Incremental ingestion dedup with a Bloom prefilter — the 100 TB
+   * form of the S6 checkpoint anti-join: keep the `batch` rows whose
+   * key is NOT present in `history`. Result is EXACTLY the plain
+   * anti-join (Bloom filters have no false negatives, so a Bloom miss
+   * is definitely new and skips the join; hits — true dups plus the
+   * `fpp` false positives — are verified by an exact anti-join whose
+   * left side is now only the hit fraction, instead of the whole
+   * incoming batch shuffling against the whole corpus).
+   *
+   * The filter is built executor-side (`stat.bloomFilter` is a
+   * treeAggregate) over `xxhash64(keys)` and broadcast once. A 64-bit
+   * hash collision cannot break exactness: a miss still proves the
+   * row's hash (hence its key) is absent, and every hit is re-checked
+   * on the REAL key columns.
+   *
+   * Regime guard: bloom bits grow with history cardinality (~1.2 GB
+   * per 10⁹ keys at 1% fpp), so when the configured filter would
+   * exceed `maxBloomBytes` the operator falls back to the plain
+   * anti-join — at that size the broadcast, not the shuffle, is the
+   * bottleneck. Beyond-reference: the reference's done-set checkpoint
+   * (the scrapers' done-file pattern) is driver-memory bound.
+   */
+  def incrementalDedupBloom(
+      batch: DataFrame, history: DataFrame, keyCols: Seq[String],
+      expectedItems: Long, fpp: Double = 0.01,
+      maxBloomBytes: Long = 256L << 20): DataFrame = {
+    val histKeys = history.select(keyCols.map(col): _*).distinct()
+    val numBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    if (numBits / 8 > maxBloomBytes)
+      batch.join(histKeys, keyCols, "left_anti")
+    else {
+      val fp = xxhash64(keyCols.map(col): _*)
+      val bf = history.select(fp.as("__fp")).stat
+        .bloomFilter("__fp", expectedItems, fpp)
+      val bcast = batch.sparkSession.sparkContext.broadcast(bf)
+      val might = udf((h: Long) => bcast.value.mightContainLong(h))
+      val tagged = batch.withColumn("__bloom_hit", might(fp))
+      tagged.filter(!col("__bloom_hit")).drop("__bloom_hit")
+        .unionByName(
+          tagged.filter(col("__bloom_hit")).drop("__bloom_hit")
+            .join(histKeys, keyCols, "left_anti"))
+    }
+  }
+
   /** (id, shingle) pairs, distinct, with optional document-frequency
     * cap dropping shingles that appear in more than `maxShingleDf`
     * docs (stop-shingles are pure noise for similarity and are the

@@ -606,6 +606,31 @@ object QText {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Incremental ingestion dedup (Dedup.incrementalDedupBloom): the
+    // batch (doc_id%10 >= 4) against the historical corpus
+    // (doc_id%10 < 6) on a content fingerprint. The Bloom prefilter
+    // routes definitely-new rows around the anti-join; hits are
+    // verified exactly, so the result equals a plain anti-join — the
+    // oracle — regardless of fpp.
+    QueryDef.of("t27_incremental_dedup",
+      """WITH hist AS (SELECT DISTINCT md5(coalesce(text, '')) AS fp
+        |  FROM documents WHERE doc_id % 10 < 6),
+        |b AS (SELECT doc_id, lang, n_chars, md5(coalesce(text, '')) AS fp
+        |  FROM documents WHERE doc_id % 10 >= 4)
+        |SELECT doc_id, lang, n_chars FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = b.fp)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val history = docs.filter(col("doc_id") % 10 < 6)
+        .select(md5(coalesce(col("text"), lit(""))).as("fp"))
+      val batch = docs.filter(col("doc_id") % 10 >= 4)
+        .withColumn("fp", md5(coalesce(col("text"), lit(""))))
+      Dedup.incrementalDedupBloom(batch, history, Seq("fp"),
+          expectedItems = 10000, fpp = 0.01)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // Line-level exact dedup (LineDedup.dropCommonLines, CCNet-style
     // boilerplate scrub). The corpus has no newlines, so the query
     // derives a multi-line text identically in both engines: content

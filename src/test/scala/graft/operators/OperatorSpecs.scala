@@ -620,4 +620,35 @@ class OperatorSpecs extends AnyFunSuite {
     assert(Mixture.sampleToMix(docs, "source", "doc_id", w2)
       .select("source").distinct().as[String].collect().toSeq === Seq("src0"))
   }
+
+  test("incrementalDedupBloom equals the plain anti-join; the prefilter genuinely prunes") {
+    import spark.implicits._
+    // history: keys 0..599; batch: keys 400..999 (200 dups, 400 new)
+    val history = (0 until 600).map(i => s"key$i").toDF("k")
+    val batch = (400 until 1000).map(i => (i.toLong, s"key$i")).toDF("id", "k")
+    val expected = batch.join(history, Seq("k"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+
+    val viaBloom = Dedup.incrementalDedupBloom(batch, history, Seq("k"),
+        expectedItems = 1000, fpp = 0.01)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaBloom === expected)
+    assert(viaBloom.length === 400)
+
+    // the prefilter must route most new rows AROUND the join: at 1%
+    // fpp, ≥ 300 of the 400 new keys miss the bloom (overwhelming
+    // margin — expected FPs ≈ 4)
+    val bf = history.select(xxhash64(col("k")).as("__fp")).stat
+      .bloomFilter("__fp", 1000, 0.01)
+    val misses = batch.join(history, Seq("k"), "left_anti")
+      .select(xxhash64(col("k")).as("h")).as[Long].collect()
+      .count(h => !bf.mightContainLong(h))
+    assert(misses >= 300, s"bloom pruned only $misses of 400 new keys")
+
+    // oversized-filter fallback still returns the exact result
+    val viaFallback = Dedup.incrementalDedupBloom(batch, history, Seq("k"),
+        expectedItems = 1000L << 32, fpp = 0.01, maxBloomBytes = 1L << 20)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaFallback === expected)
+  }
 }

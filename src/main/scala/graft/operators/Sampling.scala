@@ -72,4 +72,60 @@ object Sampling {
     }
     df.withColumn("split", assigned)
   }
+
+  /**
+   * Budget-constrained corpus selection: keep the best-scoring rows,
+   * in (`scoreCol` desc, `idCol` asc) order, while the running sum of
+   * `tokCol` stays ≤ `budget` — "fill the training budget with the
+   * highest-quality documents first".
+   *
+   * The naive form is a GLOBAL ordered cumulative sum — a
+   * single-reducer sort that dies at 100 TB. This is the scale-correct
+   * two-phase form, exactly equivalent:
+   *
+   *  1. aggregate token sums per DISTINCT SCORE (one hash shuffle on
+   *     a bounded-cardinality key: `scoreCol` must be quantized — the
+   *     engine's quality scores are rounded to ≤6 dp, so the bucket
+   *     table is ≤ ~10⁶ rows however large the corpus);
+   *  2. a prefix sum over that small bucket table (its single-
+   *     partition window is bucket-sized, not corpus-sized) classifies
+   *     every score as fully-kept, fully-dropped, or THE boundary;
+   *  3. only rows AT the boundary score are ranked row-by-row (window
+   *     partitioned by the one boundary score; cost = tie count at
+   *     the cutoff, not corpus size).
+   *
+   * Everything else is a broadcast-joined filter. Deterministic for a
+   * deterministic (score, id) order.
+   */
+  def selectToBudget(
+      df: DataFrame, scoreCol: String, idCol: String, tokCol: String,
+      budget: Long): DataFrame = {
+    val buckets = df.groupBy(col(scoreCol).as("__score"))
+      .agg(sum(col(tokCol).cast("long")).as("__btoks"))
+    // bucket-sized single-partition window (bounded by score
+    // cardinality, NOT corpus size — see scaladoc)
+    val wb = Window.orderBy(col("__score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classified = buckets
+      .withColumn("__cum_before", coalesce(sum(col("__btoks")).over(wb), lit(0L)))
+    val fullKeep = classified.filter(col("__cum_before") + col("__btoks") <= budget)
+      .select(col("__score"))
+    val boundary = classified
+      .filter(col("__cum_before") < budget &&
+        col("__cum_before") + col("__btoks") > budget)
+      .select(col("__score"), col("__cum_before"))
+    // rows in fully-kept buckets pass with no per-row ranking at all
+    val kept = df.join(broadcast(fullKeep), col(scoreCol) === col("__score"), "left_semi")
+    // only the boundary bucket's rows are ranked (ties at the cutoff)
+    val wr = Window.partitionBy(col(scoreCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = df
+      .join(broadcast(boundary), col(scoreCol) === col("__score"))
+      .withColumn("__cum",
+        col("__cum_before") + sum(col(tokCol).cast("long")).over(wr))
+      .filter(col("__cum") <= budget)
+      .drop("__score", "__cum_before", "__cum")
+    kept.unionByName(boundaryKept)
+  }
 }

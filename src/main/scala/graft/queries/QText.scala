@@ -263,6 +263,43 @@ object QText {
         .orderBy("id")
     },
 
+    // Budget-constrained selection (Sampling.selectToBudget): fill a
+    // 20k-token budget with the highest-quality docs first. The oracle
+    // is the naive global ordered cumulative sum; the engine runs the
+    // exactly-equivalent two-phase form (score-bucket prefix sums +
+    // boundary-bucket-only ranking) that scales past a single reducer.
+    QueryDef.of("t28_budget_select",
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'),
+        |      x -> list_contains(['the','a','an','of','to','in','and','is','on','for'], x))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS DOUBLE) AS ntok_lc,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchar
+        |  FROM documents),
+        |q AS (SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |    round(0.4 * least(ntok / 50.0, 1.0)
+        |      + 0.3 * (1.0 - CASE WHEN nchar <> 0 THEN npunct / nchar ELSE 0.0 END)
+        |      + 0.3 * least(CASE WHEN ntok_lc <> 0 THEN nstop / ntok_lc ELSE 0.0 END * 4.0, 1.0),
+        |      6) AS quality
+        |  FROM m),
+        |s AS (SELECT doc_id, n_tokens, quality,
+        |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM q)
+        |SELECT doc_id, n_tokens, quality FROM s WHERE cum <= 20000
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+        round(TextFunctions.qualityScore(t), 6).as("quality"))
+      graft.operators.Sampling.selectToBudget(
+          scored, "quality", "doc_id", "n_tokens", budget = 20000L)
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    },
+
     // Deterministic per-stratum downsample: ≤ 3 docs per
     // (lang, source), chosen by md5-of-id order — reproducible across
     // runs, engines and cluster sizes (no RNG, no seed).

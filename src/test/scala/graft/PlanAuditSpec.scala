@@ -223,6 +223,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashExchanges === 1, s"hash exchanges=$hashExchanges\n$p")
   }
 
+  test("t28: budget selection joins the corpus to BROADCAST bucket tables — no corpus-wide sort-merge") {
+    val p = plan("t28_budget_select")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ses04: the stream-dedup batch form is key-partitioned dedup — no window, no join") {
     val p = plan("ses04_stream_dedup_keys")
     assert(!p.toLowerCase.contains("window"), p)

@@ -621,6 +621,29 @@ class OperatorSpecs extends AnyFunSuite {
       .select("source").distinct().as[String].collect().toSeq === Seq("src0"))
   }
 
+  test("selectToBudget equals the naive global cumulative sum, ties and edges included") {
+    import spark.implicits._
+    // scores collide on purpose (i % 7): boundary buckets carry ties
+    val docs = (0 until 500).map { i =>
+      (i.toLong, (i % 7).toDouble / 10.0, 10L + i % 23)
+    }.toDF("id", "score", "toks").repartition(7)
+    def naive(budget: Long): Seq[Long] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      docs.withColumn("cum", sum("toks").over(w)).filter(col("cum") <= budget)
+        .select("id").as[Long].collect().sorted.toSeq
+    }
+    for (budget <- Seq(0L, 5L, 1000L, 3127L, 100000L)) {
+      val got = Sampling.selectToBudget(docs, "score", "id", "toks", budget)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got === naive(budget), s"budget=$budget")
+    }
+    // budget past the total keeps everything
+    assert(Sampling.selectToBudget(docs, "score", "id", "toks", Long.MaxValue / 2)
+      .count() === 500)
+  }
+
   test("incrementalDedupBloom equals the plain anti-join; the prefilter genuinely prunes") {
     import spark.implicits._
     // history: keys 0..599; batch: keys 400..999 (200 dups, 400 new)

@@ -22,7 +22,7 @@ object Bench {
     // untimed warmup: JIT + codegen + parquet footer caches, so the
     // first timed query measures the engine, not JVM startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Headline subset (40 of the ~110 registered queries): every
+    // Headline subset (42 of the ~119 registered queries): every
     // remaining query still runs in Verify; benching all of them would
     // measure JVM warmup more than the engine.
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)

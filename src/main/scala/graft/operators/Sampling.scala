@@ -106,8 +106,14 @@ object Sampling {
     // cardinality, NOT corpus size — see scaladoc)
     val wb = Window.orderBy(col("__score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // persisted: bucket-sized, but DERIVED from a full corpus
+    // aggregation — both downstream filters (fully-kept set, boundary
+    // row) consume it, and uncached each would re-run the corpus scan.
+    // Catalog-managed cache, so the harness clearCache() contract
+    // (CacheHygieneSpec) frees it per query.
     val classified = buckets
       .withColumn("__cum_before", coalesce(sum(col("__btoks")).over(wb), lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fullKeep = classified.filter(col("__cum_before") + col("__btoks") <= budget)
       .select(col("__score"))
     val boundary = classified

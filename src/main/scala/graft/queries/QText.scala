@@ -290,10 +290,15 @@ object QText {
         |SELECT doc_id, n_tokens, quality FROM s WHERE cum <= 20000
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val t = col("text")
+      // cached: 3 narrow columns, but each pass over it re-runs the
+      // regex-heavy scoring — the operator consumes it three times
+      // (bucket agg + kept scan + boundary scan). Catalog-managed, so
+      // the harness clearCache() frees it per query.
       val scored = Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
-        round(TextFunctions.qualityScore(t), 6).as("quality"))
+          col("doc_id"),
+          TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+          round(TextFunctions.qualityScore(t), 6).as("quality"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.Sampling.selectToBudget(
           scored, "quality", "doc_id", "n_tokens", budget = 20000L)
         .select("doc_id", "n_tokens", "quality")

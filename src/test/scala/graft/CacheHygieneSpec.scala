@@ -33,4 +33,11 @@ class CacheHygieneSpec extends AnyFunSuite {
       SparkEntry.queries("pbp01_parse_enrich")(s, SparkTestSession.sfDir).count()
     } === 0)
   }
+
+  test("no lingering RDDs after t28 + clearCache (scored projection + bucket table)") {
+    val s = SparkTestSession.spark
+    assert(lingeringAfter {
+      SparkEntry.queries("t28_budget_select")(s, SparkTestSession.sfDir).count()
+    } === 0)
+  }
 }

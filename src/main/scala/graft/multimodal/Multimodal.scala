@@ -19,6 +19,11 @@ final case class MediaFeatures(
     media_id: Long, kind: String, n_frames: Int,
     mean_px: Double, std_px: Double, embedding: Array[Float])
 
+/** Channel-0 integer summary of one PCM audio payload. */
+final case class AudioStats(
+    media_id: Long, n_samples: Long, sample_rate: Int, channels: Int,
+    bits_per_sample: Int, sum_abs: Long, peak_abs: Long)
+
 /**
  * Multimodal (image/video-as-binary) processing plumbing. REAL codec
  * coverage: still images + animated GIF via `javax.imageio`
@@ -223,6 +228,29 @@ object Multimodal {
     val totalBytes = df.select(sum(length(col("content")).cast("long"))).first().getLong(0)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetPartitionBytes).toInt)
     df.repartitionByRange(parts, col("content_size"), col("media_id"))
+  }
+
+  /** Per-payload PCM audio summary: REAL RIFF/WAVE parse
+    * ([[VideoContainers.WavDemux]] — PCM needs no codec), channel-0
+    * integer stats in one streaming pass. Same typed `mapPartitions`
+    * shape as the frame paths, so audio rows ride the identical
+    * partitioning/batching plumbing. */
+  def wavStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.format == "audio/wav").map { m =>
+        val w = VideoContainers.WavDemux.read(m.content)
+        var k = 0; var sumAbs = 0L; var peak = 0L
+        val n = w.nSamples
+        while (k < n) {
+          val a = math.abs(w.sample(k).toLong)
+          sumAbs += a; if (a > peak) peak = a
+          k += 1
+        }
+        AudioStats(m.media_id, n.toLong, w.sampleRate, w.channels,
+          w.bitsPerSample, sumAbs, peak)
+      }
+    }
   }
 
   /** Frame sampling + decode: every `everyN`-th frame, exploded to

@@ -389,4 +389,89 @@ object VideoContainers {
       out.toByteArray
     }
   }
+
+  /** One parsed PCM WAV: format fields from 'fmt ', raw bytes from
+    * 'data' (little-endian samples, interleaved channels). */
+  final case class WavPcm(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, data: Array[Byte]) {
+    def nSamples: Int = data.length / ((bitsPerSample / 8) * channels)
+    /** Sample `k` of channel `ch` as a signed Int (8-bit WAV is
+      * unsigned-biased per the spec; 16-bit is signed LE). */
+    def sample(k: Int, ch: Int = 0): Int = {
+      val bytesPer = bitsPerSample / 8
+      val off = (k * channels + ch) * bytesPer
+      if (bitsPerSample == 8) (data(off) & 0xff) - 128
+      else {
+        val u = (data(off) & 0xff) | ((data(off + 1) & 0xff) << 8)
+        if (u >= 0x8000) u - 0x10000 else u
+      }
+    }
+  }
+
+  /**
+   * RIFF/WAVE demuxer — the audio member of the RIFF family: validates
+   * the RIFF/'WAVE' signature, parses the 'fmt ' chunk (PCM only,
+   * audioFormat=1), and extracts the 'data' chunk, walking unknown
+   * chunks ('LIST', 'fact', …) with the same WORD-alignment rule as
+   * the AVI walk. No external codec: PCM *is* the samples.
+   */
+  object WavDemux {
+    def read(bytes: Array[Byte]): WavPcm = {
+      require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "WAVE",
+        "not a WAV: bad RIFF signature")
+      val riffEnd = math.min(bytes.length.toLong, 8 + le32(bytes, 4)).toInt
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var data: Option[Array[Byte]] = None
+      while (off + 8 <= riffEnd) {
+        val id = fourcc(bytes, off)
+        val size = le32(bytes, off + 4).toInt
+        require(off + 8 + size <= riffEnd, s"chunk '$id' overruns RIFF")
+        id match {
+          case "fmt " =>
+            require(size >= 16, "fmt chunk too short")
+            val audioFormat = (le32(bytes, off + 8) & 0xffff).toInt
+            require(audioFormat == 1, s"not PCM (audioFormat=$audioFormat)")
+            val channels = ((le32(bytes, off + 8) >> 16) & 0xffff).toInt
+            val sampleRate = le32(bytes, off + 12).toInt
+            val bits = ((le32(bytes, off + 20) >> 16) & 0xffff).toInt
+            require(bits == 8 || bits == 16, s"unsupported bits/sample: $bits")
+            fmt = Some((sampleRate, channels, bits))
+          case "data" =>
+            data = Some(java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size))
+          case _ => () // fact/LIST/cue — skipped, alignment still applies
+        }
+        off += 8 + size + (size & 1) // pad to WORD boundary
+      }
+      val (rate, ch, bits) = fmt.getOrElse(sys.error("not a WAV: no fmt chunk"))
+      WavPcm(rate, ch, bits, data.getOrElse(sys.error("not a WAV: no data chunk")))
+    }
+  }
+
+  /** Fixture-side WAV muxer: canonical RIFF('WAVE') with 'fmt ' +
+    * 'data', per the public WAVE spec. An odd data length (8-bit WAVs
+    * with an odd sample count) gets the mandatory pad byte. */
+  object WavMux {
+    def write(data: Array[Byte], sampleRate: Int, channels: Int,
+              bitsPerSample: Int): Array[Byte] = {
+      require(bitsPerSample == 8 || bitsPerSample == 16, "8/16-bit PCM only")
+      val blockAlign = channels * bitsPerSample / 8
+      val out = new ByteArrayOutputStream(data.length + 44)
+      def le(v: Long): Unit = {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      }
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("RIFF".getBytes)
+      le(4L + 24 + 8 + data.length + (data.length & 1))
+      out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); le(16)
+      le16(1); le16(channels); le(sampleRate.toLong)
+      le(sampleRate.toLong * blockAlign); le16(blockAlign); le16(bitsPerSample)
+      out.write("data".getBytes); le(data.length.toLong)
+      out.write(data)
+      if ((data.length & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+  }
 }

@@ -88,6 +88,22 @@ object QMedia {
     }
   }
 
+  /** 10 PCM WAVs through the REAL RIFF/WAVE mux: 16-bit mono
+    * little-endian keystream samples — the demux side must parse
+    * 'fmt ', locate 'data', and reassemble signed samples from byte
+    * pairs. */
+  def wavMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(10).as[Long].map { i =>
+      val nSamples = (100 + i * 10).toInt
+      val pcm = Multimodal.FakeCodec.encode(s"wav:$i", nSamples * 2, 1, 1)
+      MediaRow(i, "audio",
+        graft.multimodal.VideoContainers.WavMux.write(
+          pcm, sampleRate = 8000 + i.toInt * 100, channels = 1, bitsPerSample = 16),
+        0, 0, 0, "audio/wav")
+    }
+  }
+
   /** The m02-shaped per-frame integer stats oracle, parameterized by
     * keystream seed prefix (the only thing that differs between the
     * GIF, MP4, and AVI fixtures). */
@@ -235,5 +251,35 @@ object QMedia {
         }
         .toDF("media_id", "frame_idx", "n_px", "px_sum", "hist_checksum")
         .orderBy("media_id", "frame_idx")
+    },
+
+    // REAL WAV (RIFF/WAVE PCM) parse gated per payload: the demux must
+    // read 'fmt ', find 'data', and reassemble SIGNED 16-bit LE
+    // samples from the keystream byte pairs — a byte-order or sign
+    // mistake shifts sum_abs/peak_abs immediately. The oracle
+    // reconstructs the same md5 keystream and the same LE pairing.
+    QueryDef.of("m06_wav_audio_stats",
+      """WITH m AS (SELECT i AS media_id, CAST(100 + i * 10 AS BIGINT) AS n
+        |  FROM range(10) t(i)),
+        |by AS (SELECT media_id, n, j,
+        |    ('0x' || substr(md5('wav:' || media_id || ':' || CAST(j // 16 AS BIGINT)),
+        |                    CAST(2*(j % 16)+1 AS INT), 2))::INT AS b
+        |  FROM m, range(400) t(j) WHERE j < n * 2),
+        |s16 AS (SELECT media_id, n, j // 2 AS k,
+        |    SUM(CASE WHEN j % 2 = 0 THEN b ELSE 256 * b END) AS u
+        |  FROM by GROUP BY media_id, n, j // 2),
+        |v AS (SELECT media_id, n,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        |  FROM s16)
+        |SELECT media_id, n AS n_samples,
+        |  CAST(8000 + media_id * 100 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs
+        |FROM v GROUP BY media_id, n
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.wavStats(wavMedia(s))
+        .toDF()
+        .orderBy("media_id")
     })
 }

@@ -112,4 +112,49 @@ class VideoContainerSpec extends AnyFunSuite {
     assert(strided.count(_.media_id == 10L) === 2)
     assert(strided.count(_.media_id == 11L) === 2)
   }
+
+  // ---- WAV ---------------------------------------------------------
+
+  test("wav mux→demux round-trips fmt fields and PCM bytes; signed 16-bit LE samples") {
+    val pcm = Multimodal.FakeCodec.encode("wavrt", 200, 1, 1) // 100 16-bit samples
+    val wav = WavMux.write(pcm, sampleRate = 44100, channels = 1, bitsPerSample = 16)
+    val w = WavDemux.read(wav)
+    assert((w.sampleRate, w.channels, w.bitsPerSample) === ((44100, 1, 16)))
+    assert(w.nSamples === 100)
+    assert(w.data.toSeq === pcm.toSeq)
+    // sign + byte order: sample 0 = LE(b0,b1) as signed
+    val u = (pcm(0) & 0xff) | ((pcm(1) & 0xff) << 8)
+    assert(w.sample(0) === (if (u >= 0x8000) u - 0x10000 else u))
+  }
+
+  test("wav 8-bit odd-length data gets the pad byte; unknown chunks are skipped") {
+    val pcm = Array.tabulate[Byte](33)(i => (i * 7).toByte) // odd → pad path
+    val wav = WavMux.write(pcm, sampleRate = 8000, channels = 1, bitsPerSample = 8)
+    assert(wav.length % 2 === 0, "odd data chunk must be WORD-padded")
+    val w = WavDemux.read(wav)
+    assert(w.nSamples === 33)
+    assert(w.sample(0) === (pcm(0) & 0xff) - 128) // 8-bit is unsigned-biased
+    // splice an unknown 'fact' chunk between fmt and data: still parses
+    val factless = wav
+    val head = factless.take(12)
+    val rest = factless.drop(12)
+    val fact = "fact".getBytes ++ Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4)
+    val spliced = head ++ fact ++ rest
+    // fix RIFF size field (+12)
+    val size = ((spliced.length - 8) & 0xffffffffL)
+    spliced(4) = (size & 0xff).toByte; spliced(5) = ((size >> 8) & 0xff).toByte
+    spliced(6) = ((size >> 16) & 0xff).toByte; spliced(7) = ((size >> 24) & 0xff).toByte
+    val w2 = WavDemux.read(spliced)
+    assert(w2.nSamples === 33 && w2.data.toSeq === pcm.toSeq)
+  }
+
+  test("wav demux rejects non-PCM and non-WAVE payloads") {
+    val pcm = Array.tabulate[Byte](8)(_.toByte)
+    val wav = WavMux.write(pcm, 8000, 1, 16)
+    // flip audioFormat (fmt payload byte 0, at offset 20) to 2 (ADPCM)
+    val bad = wav.clone(); bad(20) = 2
+    assertThrows[IllegalArgumentException](WavDemux.read(bad))
+    assertThrows[IllegalArgumentException](
+      WavDemux.read("RIFFxxxxJUNK".getBytes ++ Array.fill[Byte](16)(0)))
+  }
 }

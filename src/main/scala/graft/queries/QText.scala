@@ -305,6 +305,38 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // Global rank/percentile calibration (RankNormalize.globalRank):
+    // tie-sharing rank and DESC cume_dist of the quality score,
+    // computed by score-bucket prefix sums + a broadcast join — the
+    // oracle is the naive corpus-wide rank()/cume_dist() windows.
+    QueryDef.of("t29_rank_normalize",
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'),
+        |      x -> list_contains(['the','a','an','of','to','in','and','is','on','for'], x))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS DOUBLE) AS ntok_lc,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchar
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    round(0.4 * least(ntok / 50.0, 1.0)
+        |      + 0.3 * (1.0 - CASE WHEN nchar <> 0 THEN npunct / nchar ELSE 0.0 END)
+        |      + 0.3 * least(CASE WHEN ntok_lc <> 0 THEN nstop / ntok_lc ELSE 0.0 END * 4.0, 1.0),
+        |      6) AS quality
+        |  FROM m)
+        |SELECT doc_id, quality,
+        |  CAST(rank() OVER (ORDER BY quality DESC) AS BIGINT) AS rank,
+        |  round(cume_dist() OVER (ORDER BY quality DESC), 6) AS cume_frac
+        |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(TextFunctions.qualityScore(t), 6).as("quality"))
+      graft.operators.RankNormalize.globalRank(scored, "quality")
+        .select("doc_id", "quality", "rank", "cume_frac")
+        .orderBy("doc_id")
+    },
+
     // Deterministic per-stratum downsample: ≤ 3 docs per
     // (lang, source), chosen by md5-of-id order — reproducible across
     // runs, engines and cluster sizes (no RNG, no seed).

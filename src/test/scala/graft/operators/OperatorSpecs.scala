@@ -621,6 +621,22 @@ class OperatorSpecs extends AnyFunSuite {
       .select("source").distinct().as[String].collect().toSeq === Seq("src0"))
   }
 
+  test("globalRank equals the naive rank()/cume_dist() windows, ties included") {
+    import spark.implicits._
+    val docs = (0 until 400).map(i => (i.toLong, (i % 11).toDouble / 10.0))
+      .toDF("id", "score").repartition(5)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc)
+    val naive = docs
+      .withColumn("rank", rank().over(w))
+      .withColumn("cume_frac", round(cume_dist().over(w), 6))
+      .select("id", "rank", "cume_frac")
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    val got = RankNormalize.globalRank(docs, "score")
+      .select(col("id"), col("rank").cast("int"), col("cume_frac"))
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(got === naive)
+  }
+
   test("selectToBudget equals the naive global cumulative sum, ties and edges included") {
     import spark.implicits._
     // scores collide on purpose (i % 7): boundary buckets carry ties

@@ -303,6 +303,10 @@ object VideoContainers {
       while (off + 8 <= riffEnd) {
         val id = fourcc(bytes, off)
         val size = le32(bytes, off + 4).toInt
+        // A 32-bit size >= 2^31 goes negative through .toInt and would
+        // make the loop advance zero or backwards — fail loudly like the
+        // MP4 path instead of hanging the executor task on corrupt media.
+        require(size >= 0, s"chunk '$id' at $off has invalid size $size")
         if (id == "LIST" && off + 12 <= riffEnd && fourcc(bytes, off + 8) == "movi") {
           moviFound = true
           var c = off + 12
@@ -310,6 +314,7 @@ object VideoContainers {
           while (c + 8 <= end) {
             val cid = fourcc(bytes, c)
             val csize = le32(bytes, c + 4).toInt
+            require(csize >= 0, s"chunk '$cid' at $c has invalid size $csize")
             require(c + 8 + csize <= end, s"chunk '$cid' overruns movi list")
             if (cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
               (cid.substring(2) == "dc" || cid.substring(2) == "db"))
@@ -426,6 +431,9 @@ object VideoContainers {
       while (off + 8 <= riffEnd) {
         val id = fourcc(bytes, off)
         val size = le32(bytes, off + 4).toInt
+        // Same negative-size guard as the AVI walk: a size >= 2^31 would
+        // otherwise pass the overrun require (negative) and stall the loop.
+        require(size >= 0, s"chunk '$id' at $off has invalid size $size")
         require(off + 8 + size <= riffEnd, s"chunk '$id' overruns RIFF")
         id match {
           case "fmt " =>

@@ -86,6 +86,28 @@ class VideoContainerSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](AviDemux.samples(Array.fill[Byte](6)(1)))
   }
 
+  test("riff walkers fail loudly on a >=2^31 chunk size instead of hanging") {
+    // size 0xFFFFFFF8 reads as -8 through .toInt: the loop advance
+    // 8 + size + (size & 1) would be zero, an infinite loop, and the
+    // overrun require passes for negative sizes. Must throw instead.
+    def le(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val huge = le(0xFFFFFFF8L)
+    // outer AVI walk
+    val avi = "RIFF".getBytes ++ le(12) ++ "AVI ".getBytes ++ "JUNK".getBytes ++ huge
+    assertThrows[IllegalArgumentException](AviDemux.samples(avi))
+    // inner movi walk: patch the first frame chunk's size in a valid AVI
+    val good = AviMux.write(Seq(Array[Byte](1, 2, 3, 4)), 2, 2)
+    val dc = good.indices.find(i => i + 8 <= good.length &&
+      new String(good, i, 4, "ISO-8859-1") == "00dc").get
+    val bad = good.clone(); huge.copyToArray(bad, dc + 4)
+    assertThrows[IllegalArgumentException](AviDemux.samples(bad))
+    // WAV walk
+    val wav = "RIFF".getBytes ++ le(12) ++ "WAVE".getBytes ++ "JUNK".getBytes ++ huge
+    assertThrows[IllegalArgumentException](WavDemux.read(wav))
+  }
+
   // ---- full Spark path ---------------------------------------------
 
   test("video/mp4 and video/avi rows decode through the production sampleFrames path") {

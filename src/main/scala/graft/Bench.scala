@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute system load average (from the OS MX bean; -1 if unavailable). */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Count of live java processes on the box (this JVM included).
+    * More than the expected sbt+bench pair means a concurrent build or
+    * test JVM is stealing cores from the timed loop. */
+  private def jvmCount: Long =
+    ProcessHandle.allProcesses().filter { p =>
+      p.info().command().map[Boolean](_.contains("java")).orElse(false)
+    }.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the box's full parallelism (the driver environment is
@@ -57,6 +69,14 @@ object Bench {
     // rides out a one-off GC/JIT stall; per-pass times go to stderr so
     // the spread stays inspectable.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // Contention telemetry: an inflated end-of-round run must be
+    // self-identifying. Load average ≫ cpus or extra JVMs mid-run mean
+    // the numbers measure the machine, not the engine (r7/r8: t22
+    // 13.5 s in the contended driver window vs 1.4-1.7 s quiet).
+    val loadStart = loadAvg
+    val jvmsStart = jvmCount
+    var loadMax = loadStart
+    var jvmsMax = jvmsStart
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to passes).map { _ =>
@@ -75,13 +95,16 @@ object Bench {
       val median =
         if (times.contains(-1.0)) -1.0
         else times.sorted.apply(times.length / 2)
+      loadMax = math.max(loadMax, loadAvg)
+      jvmsMax = math.max(jvmsMax, jvmCount)
       System.err.println(f"[bench] $name passes=${times.map(t => f"$t%.3f").mkString(",")} median=$median%.3f")
       name -> median
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val telemetry = f"""{"cpus":$cpus,"load_start":$loadStart%.2f,"load_max":$loadMax%.2f,"load_end":${loadAvg}%.2f,"jvms_start":$jvmsStart,"jvms_max":$jvmsMax,"passes":$passes}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","telemetry":$telemetry}""")
     spark.stop()
   }
 }

@@ -22,12 +22,34 @@ import org.apache.spark.sql.functions._
  *  3. a broadcast join attaches `rank` (1 + strictly-better count;
  *     ties share) and `cume_frac` (inclusive count / N, the DESC
  *     `cume_dist`) to every row. No corpus sort, no corpus window.
+ *
+ * NULL and NaN scores follow Spark's own window semantics exactly:
+ * grouping collapses NULL into one bucket and normalizes NaN into
+ * another, the DESC bucket ordering places NaN first and NULL last
+ * (same as `rank() over (order by score desc)`), and the null-safe
+ * join carries both buckets back onto their rows.
+ *
+ * The equivalence is scale-SAFE only for quantized scores: the bucket
+ * table must fit a broadcast. `maxBuckets` enforces that precondition
+ * with a limit-probe (the [[Dedup.connectedComponents]] pattern) —
+ * a continuous score column fails fast with a clear message instead
+ * of silently building an unbounded broadcast.
  */
 object RankNormalize {
 
-  def globalRank(df: DataFrame, scoreCol: String): DataFrame = {
+  def globalRank(
+      df: DataFrame, scoreCol: String, maxBuckets: Int = 1 << 20): DataFrame = {
+    // persisted: bucket-sized, derived from the full corpus scan; the
+    // probe and the prefix sum both consume it. Catalog-managed, so
+    // the harness clearCache() contract frees it per query.
     val buckets = df.groupBy(col(scoreCol).as("__score"))
       .agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = buckets.limit(maxBuckets + 1).count()
+    require(probed <= maxBuckets,
+      s"globalRank: score column '$scoreCol' has over $maxBuckets distinct " +
+        "values — the bucket table would not fit a broadcast. Quantize the " +
+        "score first (e.g. round(score, 6)) or raise maxBuckets deliberately.")
     val wBefore = Window.orderBy(col("__score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wIncl = Window.orderBy(col("__score").desc)
@@ -42,7 +64,9 @@ object RankNormalize {
       col("__score"),
       (col("__better") + 1L).as("rank"),
       round(col("__cum").cast("double") / col("__total"), 6).as("cume_frac"))
-    df.join(broadcast(lookup), col(scoreCol) === col("__score"))
+    // null-safe: a NULL-score bucket must join back to its rows (===
+    // would silently drop them; the naive window form ranks them)
+    df.join(broadcast(lookup), col(scoreCol) <=> col("__score"))
       .drop("__score")
   }
 }

@@ -96,10 +96,20 @@ object Sampling {
    *
    * Everything else is a broadcast-joined filter. Deterministic for a
    * deterministic (score, id) order.
+   *
+   * NULL and NaN scores follow Spark's own ordered-window semantics:
+   * NaN sorts first and NULL last in the DESC bucket order (same as
+   * the naive `order by score desc` cumulative sum), and the
+   * null-safe joins carry both buckets' rows through, so a corpus
+   * with missing scores still matches the oracle form exactly.
+   *
+   * `maxBuckets` enforces the quantized-score precondition with a
+   * limit-probe: a continuous score would make the bucket window
+   * single-partition over an unbounded table — fail fast instead.
    */
   def selectToBudget(
       df: DataFrame, scoreCol: String, idCol: String, tokCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, maxBuckets: Int = 1 << 20): DataFrame = {
     val buckets = df.groupBy(col(scoreCol).as("__score"))
       .agg(sum(col(tokCol).cast("long")).as("__btoks"))
     // bucket-sized single-partition window (bounded by score
@@ -107,27 +117,35 @@ object Sampling {
     val wb = Window.orderBy(col("__score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     // persisted: bucket-sized, but DERIVED from a full corpus
-    // aggregation — both downstream filters (fully-kept set, boundary
-    // row) consume it, and uncached each would re-run the corpus scan.
-    // Catalog-managed cache, so the harness clearCache() contract
-    // (CacheHygieneSpec) frees it per query.
+    // aggregation — the probe and both downstream filters (fully-kept
+    // set, boundary row) consume it, and uncached each would re-run
+    // the corpus scan. Catalog-managed cache, so the harness
+    // clearCache() contract (CacheHygieneSpec) frees it per query.
     val classified = buckets
       .withColumn("__cum_before", coalesce(sum(col("__btoks")).over(wb), lit(0L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = classified.limit(maxBuckets + 1).count()
+    require(probed <= maxBuckets,
+      s"selectToBudget: score column '$scoreCol' has over $maxBuckets distinct " +
+        "values — the bucket prefix-sum window would be an unbounded single " +
+        "partition. Quantize the score first (e.g. round(score, 6)) or raise " +
+        "maxBuckets deliberately.")
     val fullKeep = classified.filter(col("__cum_before") + col("__btoks") <= budget)
       .select(col("__score"))
     val boundary = classified
       .filter(col("__cum_before") < budget &&
         col("__cum_before") + col("__btoks") > budget)
       .select(col("__score"), col("__cum_before"))
-    // rows in fully-kept buckets pass with no per-row ranking at all
-    val kept = df.join(broadcast(fullKeep), col(scoreCol) === col("__score"), "left_semi")
+    // null-safe joins: NULL- and NaN-score buckets must route their
+    // rows like any other bucket (=== would silently drop NULLs; the
+    // naive ordered cumulative sum spends budget on them too)
+    val kept = df.join(broadcast(fullKeep), col(scoreCol) <=> col("__score"), "left_semi")
     // only the boundary bucket's rows are ranked (ties at the cutoff)
     val wr = Window.partitionBy(col(scoreCol))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val boundaryKept = df
-      .join(broadcast(boundary), col(scoreCol) === col("__score"))
+      .join(broadcast(boundary), col(scoreCol) <=> col("__score"))
       .withColumn("__cum",
         col("__cum_before") + sum(col(tokCol).cast("long")).over(wr))
       .filter(col("__cum") <= budget)

@@ -119,19 +119,24 @@ object EventsScaleSmoke {
       if (!cond) failed = true
     }
     runs.tail.foreach { r =>
-      val c = r.scale.toLong / r1.scale
-      check(r.n == r1.n * c, s"event volume exactly ${c}x (${r1.n}->${r.n})")
-      check(r.sessions == r1.sessions * c,
+      // cross-product form (x·s1 == x1·s): exact for ANY scale list —
+      // an integer multiplier (scale/s1) floors on non-divisible lists
+      // like '2,3' and would assert against the wrong expected values
+      def exactLinear(x1: Long, x: Long) =
+        x * r1.scale == x1 * r.scale
+      check(exactLinear(r1.n, r.n),
+        s"event volume exactly linear at ${r.scale}x (${r1.n}->${r.n})")
+      check(exactLinear(r1.sessions, r.sessions),
         s"sessions exactly linear at ${r.scale}x (${r1.sessions}->${r.sessions})")
-      check(r.statRows == r1.statRows * c,
+      check(exactLinear(r1.statRows, r.statRows),
         s"session-stat rows exactly linear at ${r.scale}x (${r1.statRows}->${r.statRows})")
-      check(r.asofMatches == r1.asofMatches * c,
+      check(exactLinear(r1.asofMatches, r.asofMatches),
         s"as-of matches exactly linear at ${r.scale}x (${r1.asofMatches}->${r.asofMatches})")
       check(r.winRows == r1.winRows,
         s"window rows constant at ${r.scale}x (${r1.winRows}->${r.winRows})")
-      check(r.winN == r1.winN * c,
+      check(exactLinear(r1.winN, r.winN),
         s"window total n exactly linear at ${r.scale}x (${r1.winN}->${r.winN})")
-      check(r.foldSum == r1.foldSum * c,
+      check(exactLinear(r1.foldSum, r.foldSum),
         s"fold balance checksum exactly linear at ${r.scale}x (${r1.foldSum}->${r.foldSum})")
     }
     if (runs.length >= 2) {

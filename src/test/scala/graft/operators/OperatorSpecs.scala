@@ -637,6 +637,60 @@ class OperatorSpecs extends AnyFunSuite {
     assert(got === naive)
   }
 
+  test("globalRank/selectToBudget rank NULL and NaN scores like the naive windows") {
+    import spark.implicits._
+    // every 13th score NULL, every 17th NaN — both must survive and
+    // land exactly where order by score desc puts them (NaN first,
+    // NULL last), not be silently dropped by the bucket join
+    val docs = (0 until 300).map { i =>
+      val s: java.lang.Double =
+        if (i % 13 == 0) null
+        else if (i % 17 == 0) Double.NaN
+        else (i % 9).toDouble / 10.0
+      (i.toLong, s, 10L + i % 5)
+    }.toDF("id", "score", "toks").repartition(5)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc)
+    val naiveRank = docs
+      .withColumn("rank", rank().over(w))
+      .withColumn("cume_frac", round(cume_dist().over(w), 6))
+      .select("id", "rank", "cume_frac")
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    val gotRank = RankNormalize.globalRank(docs, "score")
+      .select(col("id"), col("rank").cast("int"), col("cume_frac"))
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(gotRank === naiveRank)
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    for (budget <- Seq(700L, 2000L, 3400L)) {
+      val naive = docs.withColumn("cum", sum("toks").over(wc))
+        .filter(col("cum") <= budget)
+        .select("id").as[Long].collect().sorted.toSeq
+      val got = Sampling.selectToBudget(docs, "score", "id", "toks", budget)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got === naive, s"budget=$budget")
+    }
+  }
+
+  test("globalRank/selectToBudget fail fast on a continuous (unquantized) score") {
+    import spark.implicits._
+    // 400 distinct raw scores against a 100-bucket cap: the probe must
+    // throw a clear error instead of building an unbounded broadcast /
+    // single-partition bucket window
+    val docs = (0 until 400).map(i => (i.toLong, i * 0.001 + 1e-7, 10L))
+      .toDF("id", "score", "toks")
+    val e1 = intercept[IllegalArgumentException](
+      RankNormalize.globalRank(docs, "score", maxBuckets = 100).count())
+    assert(e1.getMessage.contains("Quantize"))
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.selectToBudget(docs, "score", "id", "toks", 1000L, maxBuckets = 100).count())
+    assert(e2.getMessage.contains("Quantize"))
+    // quantizing the same column passes the probe
+    assert(RankNormalize.globalRank(
+      docs.withColumn("score", round(col("score"), 1)), "score", maxBuckets = 100)
+      .count() === 400)
+  }
+
   test("selectToBudget equals the naive global cumulative sum, ties and edges included") {
     import spark.implicits._
     // scores collide on purpose (i % 7): boundary buckets carry ties

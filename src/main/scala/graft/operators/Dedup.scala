@@ -83,8 +83,10 @@ object Dedup {
       val bf = history.select(fp.as("__fp")).stat
         .bloomFilter("__fp", expectedItems, fpp)
       val bcast = batch.sparkSession.sparkContext.broadcast(bf)
-      val might = udf((h: Long) => bcast.value.mightContainLong(h))
-      val tagged = batch.withColumn("__bloom_hit", might(fp))
+      // native codegen probe (no UDF): the prefilter stays a single
+      // WholeStageCodegen map stage over the batch scan
+      val tagged = batch.withColumn("__bloom_hit",
+        graft.plans.BloomMightContainExpr.mightContain(fp, bcast))
       tagged.filter(!col("__bloom_hit")).drop("__bloom_hit")
         .unionByName(
           tagged.filter(col("__bloom_hit")).drop("__bloom_hit")

@@ -202,6 +202,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("t27: the Bloom prefilter probe is a native codegen expression, not a UDF") {
+    // VERDICT r8: the per-row mightContainLong UDF broke codegen in an
+    // otherwise map-only prefilter stage; BloomMightContainExpr must
+    // keep the whole probe projection inside WholeStageCodegen
+    val p = plan("t27_incremental_dedup")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("BatchEvalPython"), p)
+    assert(p.contains("bloom_might_contain"), p)
+  }
+
   test("v02/v05: bucketed ANN joins broadcast the query side — corpus never re-shuffles") {
     // the corpus side is the 100 TB side; the probed-query side is
     // KB-sized at any scale and must be the broadcast build side

@@ -99,24 +99,38 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
 
   /**
-   * Events stream table. Stored as TIMESTAMP(NANOS) parquet, which
-   * Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); we read
-   * nanos as long (`spark.sql.legacy.parquet.nanosAsLong` — set in the
-   * session builder, see [[graft.GraftSession]]/Verify/Bench; defensively
-   * re-set here only when absent so ad-hoc sessions still work) and keep
-   * BOTH forms:
+   * Events stream table. The harness has generated `ts` as BOTH
+   * TIMESTAMP(NANOS) (rounds ≤8) and timestamp[us] (round 9+), so the
+   * reader dispatches on the LOADED dtype rather than assuming one
+   * encoding. Either way it presents the same two columns:
    *
-   *  - `ts_ns`: the raw epoch-nanos long — exact, the column queries
-   *    order and hash on (the DuckDB oracle reads it as `epoch_ns(ts)`);
-   *  - `ts`: microsecond TimestampType via exact integer division (a
-   *    double division would lose precision above 2^53 ns).
+   *  - `ts_ns`: the epoch-nanos long — exact, the column queries
+   *    order and hash on (the DuckDB oracle reads it as `epoch_ns(ts)`,
+   *    which yields identical values for both physical encodings);
+   *  - `ts`: microsecond TimestampType.
+   *
+   * TIMESTAMP(NANOS) files Spark's parquet reader otherwise rejects
+   * ([PARQUET_TYPE_ILLEGAL]); we read nanos as a raw long
+   * (`spark.sql.legacy.parquet.nanosAsLong` — set in the session
+   * builder, see [[graft.GraftSession]]/Verify/Bench; defensively
+   * re-set here only when absent so ad-hoc sessions still work) and
+   * divide with exact integer division (a double division would lose
+   * precision above 2^53 ns). Micros files load as TIMESTAMP or
+   * TIMESTAMP_NTZ (naive — the session is pinned UTC, so the cast is
+   * value-preserving) and multiply back up to nanos losslessly.
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(path(dir, "events"))
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        val t = col("ts").cast("timestamp")
+        raw.withColumn("ts_ns", unix_micros(t) * lit(1000L))
+          .withColumn("ts", t)
+    }
   }
 }

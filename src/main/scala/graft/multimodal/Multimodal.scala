@@ -141,6 +141,30 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Encode grayscale pixels as baseline JPEG (fixture-side producer
+      * for the MJPEG path — the codec real MJPEG files actually
+      * carry). Lossy: the consumer must compare through a tolerance,
+      * not bit-exactly; at quality 0.95 the per-frame MEAN luma (the
+      * DC term, lightly quantized) stays within ±2 of the source even
+      * for white-noise pixels. */
+    def encodeJpeg(width: Int, height: Int, pixels: Array[Byte],
+        quality: Float = 0.95f): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, width, height, pixels)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(quality)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
     /** All frames of a (possibly animated) image container — the REAL
       * multi-frame decode path: GIF animations carry N frames, PNG/JPEG
       * yield one. Each frame normalizes through the same grayscale

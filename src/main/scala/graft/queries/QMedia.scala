@@ -88,6 +88,36 @@ object QMedia {
     }
   }
 
+  /** 20 MJPEG containers — JPEG frames (the codec real MJPEG files
+    * actually carry) through BOTH real muxes: ids 0–9 RIFF/AVI
+    * (fourcc `MJPG`), ids 10–19 ISO-BMFF/MP4 (compressor `jpeg`).
+    * JPEG is lossy, so unlike the PNG fixtures the keystream oracle
+    * is tolerance-gated, not bit-exact (see `m07`). Dims are
+    * multiples of 8 (whole DCT blocks — no partial-block edge
+    * effects on the mean); metadata dims zeroed as in
+    * [[imageMedia]], so decoded dimensions can only come from the
+    * JPEG payload itself. */
+  def mjpegMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(20).as[Long].map { i =>
+      val w = (16 + (i % 3) * 8).toInt
+      val h = (16 + (i % 2) * 8).toInt
+      val nf = (2 + i % 3).toInt
+      val frames = (0 until nf).map { f =>
+        Multimodal.ImageIoCodec.encodeJpeg(w, h,
+          Multimodal.FakeCodec.encode(s"mjpg:$i:$f", w, h, 1))
+      }
+      if (i < 10)
+        MediaRow(i, "video",
+          graft.multimodal.VideoContainers.AviMux.write(frames, w, h, fourccCodec = "MJPG"),
+          0, 0, nf, "video/avi")
+      else
+        MediaRow(i, "video",
+          graft.multimodal.VideoContainers.Mp4Mux.write(frames, w, h, compressor = "jpeg"),
+          0, 0, nf, "video/mp4")
+    }
+  }
+
   /** 10 PCM WAVs through the REAL RIFF/WAVE mux: 16-bit mono
     * little-endian keystream samples — the demux side must parse
     * 'fmt ', locate 'data', and reassemble signed samples from byte
@@ -250,6 +280,49 @@ object QMedia {
           (f.media_id, f.frame_idx, f.width.toLong * f.height, pxSum, hist)
         }
         .toDF("media_id", "frame_idx", "n_px", "px_sum", "hist_checksum")
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // REAL MJPEG decode through both containers (VERDICT r8 item 6):
+    // JPEG frames demuxed from AVI (fourcc MJPG) and MP4 (compressor
+    // 'jpeg') and decoded by the actual JPEG codec path. JPEG is
+    // lossy, so the gate is tolerance-shaped: decoded dimensions and
+    // frame count are exact output columns, and `luma_ok` asserts the
+    // decoded mean luma lands within ±2 of the keystream source mean
+    // (the DC term survives quantization; a gamma, sign, channel, or
+    // sample-reassembly bug shifts it far beyond 2). The oracle
+    // derives the exact columns from the fixture grammar and pins
+    // luma_ok TRUE — a tolerance miss flips the value and fails the
+    // hash compare.
+    QueryDef.of("m07_mjpeg_decode",
+      """WITH m AS (SELECT i AS media_id,
+        |    CASE WHEN i < 10 THEN 'avi' ELSE 'mp4' END AS container,
+        |    CAST(16 + (i % 3) * 8 AS INT) AS w,
+        |    CAST(16 + (i % 2) * 8 AS INT) AS h,
+        |    CAST(2 + i % 3 AS INT) AS nf
+        |  FROM range(20) t(i))
+        |SELECT media_id, container, CAST(f AS INT) AS frame_idx,
+        |  w AS width, h AS height, TRUE AS luma_ok
+        |FROM m, range(4) t(f) WHERE f < nf
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Multimodal.sampleFrames(mjpegMedia(s), everyN = 1)
+        .map { fr =>
+          var sum = 0L
+          fr.pixels.foreach(b => sum += (b & 0xff))
+          val measured = sum.toDouble / (fr.width * fr.height)
+          // the same keystream the fixture encoded, at the DECODED
+          // dims — wrong dims shift both the width column and the
+          // expectation, failing the compare twice over
+          val src = Multimodal.FakeCodec.encode(
+            s"mjpg:${fr.media_id}:${fr.frame_idx}", fr.width, fr.height, 1)
+          var esum = 0L
+          src.foreach(b => esum += (b & 0xff))
+          val expected = esum.toDouble / (fr.width * fr.height)
+          (fr.media_id, if (fr.media_id < 10) "avi" else "mp4", fr.frame_idx,
+            fr.width, fr.height, math.abs(measured - expected) <= 2.0)
+        }
+        .toDF("media_id", "container", "frame_idx", "width", "height", "luma_ok")
         .orderBy("media_id", "frame_idx")
     },
 

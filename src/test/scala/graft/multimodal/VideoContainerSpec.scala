@@ -58,6 +58,22 @@ class VideoContainerSpec extends AnyFunSuite {
     }
   }
 
+  test("avi MJPEG (encodeJpeg frames) decodes with exact dims and mean luma within ±2") {
+    val w = 24; val h = 16 // whole DCT blocks — no partial-block edge effects
+    val src = grayFrames("mjpg-avi", w, h, 3)
+    val jpegs = src.map(Multimodal.ImageIoCodec.encodeJpeg(w, h, _))
+    val avi = AviMux.write(jpegs, w, h, fourccCodec = "MJPG")
+    val frames = Multimodal.decodeFrames(MediaRow(1L, "video", avi, 0, 0, 3, "video/avi"))
+    assert(frames.length === 3)
+    assert(frames.forall(f => f.width == w && f.height == h))
+    frames.zip(src).foreach { case (f, s) =>
+      val mean = f.pixels.map(_ & 0xff).sum.toDouble / s.length
+      val expected = s.map(_ & 0xff).sum.toDouble / s.length
+      assert(math.abs(mean - expected) <= 2.0,
+        s"frame ${f.frame_idx} mean $mean vs source $expected")
+    }
+  }
+
   test("mp4 rejects payloads without moov / with truncated boxes") {
     assertThrows[IllegalArgumentException](Mp4Demux.samples("nonsense-bytes!!".getBytes))
     val good = Mp4Mux.write(pngSamples("trunc", 5, 4, 2), 5, 4, compressor = "png ")

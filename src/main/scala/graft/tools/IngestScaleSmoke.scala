@@ -1,0 +1,228 @@
+package graft.tools
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, RankNormalize, Sampling}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Ingestion/calibration-family scale smoke — `runMain
+ * graft.tools.IngestScaleSmoke [sfDir] [scales]` (default `1,3,10`):
+ * runs the three round-8 operators — Bloom-prefiltered incremental
+ * dedup ([[Dedup.incrementalDedupBloom]]), budget-constrained
+ * selection ([[Sampling.selectToBudget]]) and global rank/percentile
+ * calibration ([[RankNormalize.globalRank]]) — over the documents
+ * corpus replicated `scale`× into DISJOINT copies (ids offset; texts
+ * copy-prefixed so fingerprints are disjoint; quality scores computed
+ * ONCE on copy 0 and replicated, so the score DISTRIBUTION is
+ * identical per copy and the distinct-score set is scale-invariant).
+ *
+ * Asserts, per scale:
+ *  - t27: the Bloom-prefiltered result EQUALS the plain anti-join
+ *    (both directions of exceptAll empty — Bloom fpp must not leak
+ *    into the result), new-row count is EXACTLY c× copy 0, and the
+ *    prefilter routes ≥90% of the definitely-new rows around the
+ *    anti-join (misses ⊆ new is also asserted: a miss that is NOT
+ *    new would be a Bloom false negative, which cannot exist);
+ *  - t28: the two-phase selection EQUALS the naive global ordered
+ *    cumulative sum (both directions empty), AT MOST ONE score
+ *    bucket straddles the budget (only that bucket's rows are
+ *    window-ranked — the fraction is printed), and the selected
+ *    token sum lands in (budget − maxTok, budget];
+ *  - t29: rank and cume_frac EQUAL the naive corpus-wide
+ *    rank()/cume_dist() windows (rank exact, cume within 1e-6), and
+ *    the bucket-table row count equals the DISTINCT-score count of
+ *    copy 0 at every scale — constant while corpus rows grow c× —
+ *    proving the shuffle key is score cardinality, not corpus size;
+ *  - shuffle-write bytes grow within 1.5× of linear between
+ *    consecutive scales, and no heavy stage has a task >8× the
+ *    stage mean (the [[LlmScaleSmoke]] gates).
+ */
+object IngestScaleSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = args.lift(1).getOrElse("1,3,10").split(',').map(_.trim.toInt).toSeq
+    val spark = ToolSession.local("graft-ingest-scale-smoke")
+    val tally = new LlmScaleSmoke.ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text", "n_chars")
+    // score ONCE on the base text, then replicate the scored rows —
+    // copies share the exact score multiset, so distinct-score counts
+    // and the selection cutoff are scale-invariant by construction
+    val scoredBase = base.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val row0 = scoredBase.agg(sum("n_tokens").cast("long"), count(lit(1))).first()
+    val (tokSum0, nDocs0) = (row0.getLong(0), row0.getLong(1))
+    val budget0 = (tokSum0 * 2) / 5 // 40% of copy-0 tokens: a boundary exists
+    val distinct0 = scoredBase.select("quality").distinct().count()
+
+    def scaledScored(c: Int): DataFrame =
+      (0 until c).map { k =>
+        if (k == 0) scoredBase
+        else scoredBase.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+      }.reduce(_.unionByName(_))
+
+    final case class Run(scale: Int, newRows: Long, selRows: Long, rankRows: Long,
+        wallSec: Double, writeBytes: Long, stages: Map[Int, (Long, Long, Long)])
+
+    var failed = false
+    def check(cond: Boolean, msg: String): Unit = {
+      println(s"INGEST_SMOKE_CHECK ${if (cond) "ok  " else "FAIL"} $msg")
+      if (!cond) failed = true
+    }
+
+    val runs = scales.map { c =>
+      val docs = LlmScaleSmoke.scaledCorpus(base, c)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val scored = scaledScored(c)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scored.count()
+      tally.snapshotAndReset() // drop corpus-prep stages from the tally
+      val t0 = System.nanoTime()
+
+      // ---- t27: Bloom-prefiltered incremental dedup -----------------
+      val history = docs.filter(col("doc_id") % 10 < 6)
+        .select(md5(coalesce(col("text"), lit(""))).as("fp"))
+      val batch = docs.filter(col("doc_id") % 10 >= 4)
+        .withColumn("fp", md5(coalesce(col("text"), lit(""))))
+      val expected = math.max(1L, nDocs0 * 6L / 10L) * c
+      val bloomRes = Dedup.incrementalDedupBloom(
+          batch, history, Seq("fp"), expectedItems = expected, fpp = 0.01)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newRows = bloomRes.count()
+      val antiRes = batch.join(history.distinct(), Seq("fp"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val antiRows = antiRes.count()
+      check(newRows == antiRows &&
+          bloomRes.select("doc_id").exceptAll(antiRes.select("doc_id")).count() == 0 &&
+          antiRes.select("doc_id").exceptAll(bloomRes.select("doc_id")).count() == 0,
+        s"scale=$c t27 Bloom path ≡ plain anti-join ($newRows rows both ways)")
+      // routed-around fraction: rebuild the operator's filter (same
+      // params) and probe the batch — misses bypass the anti-join
+      val bf = history.distinct().select(xxhash64(col("fp")).as("__fp"))
+        .stat.bloomFilter("__fp", expected, 0.01)
+      val bcast = spark.sparkContext.broadcast(bf)
+      val misses = batch.filter(
+        !graft.plans.BloomMightContainExpr.mightContain(
+          xxhash64(col("fp")), bcast)).count()
+      check(misses <= antiRows && misses >= (antiRows * 9) / 10,
+        s"scale=$c t27 prefilter routes $misses of $antiRows definitely-new " +
+          "rows around the anti-join (⊆ new; ≥90%)")
+      antiRes.unpersist()
+
+      // ---- t28: budget-constrained selection ------------------------
+      val budget = budget0 * c
+      val sel = Sampling.selectToBudget(scored, "quality", "doc_id", "n_tokens",
+          budget = budget)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val selRows = sel.count()
+      val wNaive = Window.orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = scored
+        .withColumn("__cum", sum("n_tokens").over(wNaive))
+        .filter(col("__cum") <= budget).drop("__cum")
+      check(sel.select("doc_id").exceptAll(naive.select("doc_id")).count() == 0 &&
+          naive.select("doc_id").exceptAll(sel.select("doc_id")).count() == 0,
+        s"scale=$c t28 two-phase selection ≡ naive ordered cumulative sum ($selRows rows)")
+      val wb = Window.orderBy(col("__score").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cls = scored.groupBy(col("quality").as("__score"))
+        .agg(sum(col("n_tokens")).as("__btoks"))
+        .withColumn("__cb", coalesce(sum("__btoks").over(wb), lit(0L)))
+      val boundary = cls
+        .filter(col("__cb") < budget && col("__cb") + col("__btoks") > budget)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBoundary = boundary.count()
+      // O(1)-row collect (nBoundary ≤ 1 is itself asserted below) —
+      // a join back onto `scored` would be a self-join on shared
+      // lineage and trips ambiguous-attribute resolution
+      val bScores = boundary.select(col("__score")).collect().map(_.getDouble(0))
+      val boundaryRows =
+        if (bScores.isEmpty) 0L
+        else bScores.map(s => scored.filter(col("quality") <=> lit(s)).count()).sum
+      boundary.unpersist()
+      check(nBoundary <= 1,
+        s"scale=$c t28 at most one bucket straddles the budget ($nBoundary); " +
+          f"only its $boundaryRows rows (${100.0 * boundaryRows / (nDocs0 * c)}%.1f%% " +
+          "of corpus) are window-ranked")
+      val selRow = sel.agg(sum("n_tokens").cast("long"), max("n_tokens").cast("long")).first()
+      val (selToks, maxTok) = (selRow.getLong(0), selRow.getLong(1))
+      check(selToks <= budget && (nBoundary == 0 || selToks > budget - maxTok),
+        s"scale=$c t28 selected tokens $selToks in (budget−maxTok, budget] " +
+          s"(budget $budget, maxTok $maxTok)")
+      sel.unpersist()
+
+      // ---- t29: global rank/percentile calibration ------------------
+      val ranked = RankNormalize.globalRank(scored, "quality")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rankRows = ranked.count()
+      val wr = Window.orderBy(col("quality").desc)
+      val naiveRank = scored
+        .withColumn("rank_o", rank().over(wr).cast("long"))
+        .withColumn("cume_o", round(cume_dist().over(wr), 6))
+        .select("doc_id", "rank_o", "cume_o")
+      val mismatches = ranked.select(col("doc_id"), col("rank"), col("cume_frac"))
+        .join(naiveRank, "doc_id")
+        .filter(col("rank") =!= col("rank_o") ||
+          abs(col("cume_frac") - col("cume_o")) > 1e-6)
+        .count()
+      check(rankRows == nDocs0 * c && mismatches == 0,
+        s"scale=$c t29 rank/cume_frac ≡ naive corpus-wide windows " +
+          s"($rankRows rows, $mismatches mismatches)")
+      val distinctC = scored.select("quality").distinct().count()
+      check(distinctC == distinct0,
+        s"scale=$c t29 bucket table stays $distinct0 rows (distinct scores) " +
+          s"while the corpus grows to ${nDocs0 * c} rows")
+      ranked.unpersist()
+
+      val wall = (System.nanoTime() - t0) / 1e9
+      bloomRes.unpersist()
+      docs.unpersist()
+      scored.unpersist()
+      Thread.sleep(1000) // bound listener-bus delivery lag
+      val stages = tally.snapshotAndReset()
+      val bytes = stages.values.map(_._2).sum
+      println(f"INGEST_SMOKE scale=$c%-3d new=$newRows sel=$selRows ranked=$rankRows " +
+        f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
+      Run(c, newRows, selRows, rankRows, wall, bytes, stages)
+    }
+
+    val r1 = runs.head
+    runs.tail.foreach { r =>
+      check(r.newRows * r1.scale == r1.newRows * r.scale,
+        s"t27 new rows EXACTLY linear at ${r.scale}x (${r1.newRows}->${r.newRows})")
+    }
+    // shuffle linearity between consecutive scales (the LlmScaleSmoke
+    // gate: 1.5× of linear + 8 MiB fixed-overhead allowance, which
+    // absorbs one-time AQE broadcast→shuffle plan transitions)
+    runs.tail.zip(runs).foreach { case (r, prev) =>
+      val ratio = r.scale.toDouble / prev.scale
+      val bound = (prev.writeBytes * ratio * 1.5).toLong + (8L << 20)
+      check(r.writeBytes <= bound,
+        f"shuffle write ${prev.scale}x->${r.scale}x: ${r.writeBytes / 1048576.0}%.1f MiB ≤ " +
+          f"linear bound ${bound / 1048576.0}%.1f MiB " +
+          f"(grew ${r.writeBytes.toDouble / math.max(1, prev.writeBytes)}%.2fx)")
+    }
+    runs.foreach { r =>
+      r.stages.foreach { case (sid, (n, total, mx)) =>
+        if (total > (4L << 20) && n >= 8)
+          check(mx <= 8 * (total / n),
+            f"scale=${r.scale} stage=$sid skew: max task ${mx / 1048576.0}%.1f MiB " +
+              f"≤ 8× mean ${(total / n) / 1048576.0}%.1f MiB over $n tasks")
+      }
+    }
+    println(s"INGEST_SMOKE_RESULT ${if (failed) "FAIL" else "PASS"}")
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

@@ -18,12 +18,13 @@ import org.apache.spark.sql.functions._
  * the regime where a scale-correct plan must shuffle linearly).
  *
  * Asserts, from task-level metrics:
- *  - shuffle-write bytes between the two LARGEST scales grow within
- *    1.5× of linear — a quadratic stage (all-pairs join, unbucketed
- *    skew) blows through this immediately. The smallest scale is
- *    reported but not asserted against: AQE legitimately flips
- *    broadcast joins to shuffled ones as inputs outgrow the
- *    threshold, a one-time plan transition, not a scaling defect;
+ *  - shuffle-write bytes between EVERY consecutive scale pair grow
+ *    within 1.5× of linear plus an 8 MiB fixed-overhead allowance —
+ *    a quadratic stage (all-pairs join, unbucketed skew) blows
+ *    through this immediately. The allowance absorbs the one-time
+ *    AQE broadcast→shuffled-join plan transitions that inflate the
+ *    smallest pair as inputs outgrow the broadcast threshold — a
+ *    plan transition, not a scaling defect;
  *  - no heavy stage (>4 MiB write, ≥8 tasks) has one task carrying
  *    >8× the stage mean — the skew bound;
  *  - dedup outputs scale linearly within 2% (each disjoint copy has
@@ -165,18 +166,21 @@ object LlmScaleSmoke {
         s"scale=${r.scale} pack fill efficiency: ${r.packs} packs within " +
           s"[$ideal, ${(ideal * 1.25).toLong + 64}] of the budget lower bound")
     }
-    if (runs.length >= 2) {
-      val (lo, hi) = (runs(runs.length - 2), runs.last)
-      val ratio = hi.scale.toDouble / lo.scale
-      val bound = (lo.writeBytes * ratio * 1.5).toLong + (8L << 20)
-      check(hi.writeBytes <= bound,
-        f"shuffle write ${lo.scale}x->${hi.scale}x: ${hi.writeBytes / 1048576.0}%.1f MiB ≤ " +
-          f"linear bound ${bound / 1048576.0}%.1f MiB")
-      runs.tail.zip(runs).foreach { case (r, prev) =>
-        println(f"LLM_SMOKE_INFO bytes ${prev.scale}x->${r.scale}x grew " +
-          f"${r.writeBytes.toDouble / math.max(1, prev.writeBytes)}%.2fx for a " +
-          f"${r.scale.toDouble / prev.scale}%.2fx scale-up")
-      }
+    // every consecutive pair is GATED (was: only the two largest
+    // scales, smallest-pair INFO-only). The 8 MiB fixed-overhead
+    // allowance absorbs the one-time AQE broadcast→shuffle plan
+    // transitions that inflate the smallest pair (measured r8:
+    // 4.17× bytes for the 3× scale-up — within the 1.5×-of-linear
+    // bound once the allowance is counted, and a genuinely quadratic
+    // stage still blows through it immediately).
+    runs.tail.zip(runs).foreach { case (r, prev) =>
+      val ratio = r.scale.toDouble / prev.scale
+      val bound = (prev.writeBytes * ratio * 1.5).toLong + (8L << 20)
+      check(r.writeBytes <= bound,
+        f"shuffle write ${prev.scale}x->${r.scale}x: ${r.writeBytes / 1048576.0}%.1f MiB ≤ " +
+          f"linear bound ${bound / 1048576.0}%.1f MiB " +
+          f"(grew ${r.writeBytes.toDouble / math.max(1, prev.writeBytes)}%.2fx for a " +
+          f"$ratio%.2fx scale-up)")
     }
     runs.foreach { r =>
       r.stages.foreach { case (sid, (n, total, mx)) =>

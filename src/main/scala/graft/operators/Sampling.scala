@@ -152,4 +152,68 @@ object Sampling {
       .drop("__score", "__cum_before", "__cum")
     kept.unionByName(boundaryKept)
   }
+
+  /**
+   * Per-group budget-constrained selection — the token-budget form of
+   * MIXTURE WEIGHTING ("30 B tokens of web, 5 B of code, 1 B of
+   * wiki..."): within each group, keep the best-scoring rows in
+   * (`scoreCol` desc, `idCol` asc) order while the group's running
+   * token sum stays ≤ its budget. Groups absent from `budgets` are
+   * dropped entirely (an absent source contributes nothing to the
+   * mixture).
+   *
+   * Same two-phase shape as [[selectToBudget]], with every stage keyed
+   * by (group, score): the bucket prefix-sum window partitions by
+   * group (each partition is that group's bucket count, never its row
+   * count), budgets ride a broadcast O(#groups) lookup, and only the
+   * ≤1 boundary bucket PER GROUP gets per-row ranking. The
+   * `maxBuckets` limit-probe bounds the total (group × quantized
+   * score) table exactly as in the ungrouped form.
+   */
+  def selectToBudgetPerGroup(
+      df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
+      tokCol: String, budgets: Map[String, Long],
+      maxBuckets: Int = 1 << 20): DataFrame = {
+    require(budgets.nonEmpty, "budgets must name at least one group")
+    import df.sparkSession.implicits._
+    val budgetDf = budgets.toSeq.sortBy(_._1).toDF("__grp", "__budget")
+    val buckets = df.groupBy(col(groupCol).as("__grp"), col(scoreCol).as("__score"))
+      .agg(sum(col(tokCol).cast("long")).as("__btoks"))
+    val wb = Window.partitionBy(col("__grp")).orderBy(col("__score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // persisted for the same three consumers as selectToBudget (probe,
+    // full-keep filter, boundary filter); catalog-managed cache
+    val classified = buckets
+      .withColumn("__cum_before", coalesce(sum(col("__btoks")).over(wb), lit(0L)))
+      .join(broadcast(budgetDf), Seq("__grp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = classified.limit(maxBuckets + 1).count()
+    require(probed <= maxBuckets,
+      s"selectToBudgetPerGroup: over $maxBuckets distinct (group, score) " +
+        "pairs — quantize the score first (e.g. round(score, 6)) or raise " +
+        "maxBuckets deliberately.")
+    val fullKeep = classified
+      .filter(col("__cum_before") + col("__btoks") <= col("__budget"))
+      .select(col("__grp"), col("__score"))
+    val boundary = classified
+      .filter(col("__cum_before") < col("__budget") &&
+        col("__cum_before") + col("__btoks") > col("__budget"))
+      .select(col("__grp"), col("__score"), col("__cum_before"), col("__budget"))
+    // null-safe joins as in selectToBudget: NULL/NaN scores (and a
+    // NULL group value, if present in both df and budgets) route
+    // their rows exactly like the naive per-group window form
+    val kept = df.join(broadcast(fullKeep),
+      col(groupCol) <=> col("__grp") && col(scoreCol) <=> col("__score"),
+      "left_semi")
+    val wr = Window.partitionBy(col(groupCol), col(scoreCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = df.join(broadcast(boundary),
+        col(groupCol) <=> col("__grp") && col(scoreCol) <=> col("__score"))
+      .withColumn("__cum",
+        col("__cum_before") + sum(col(tokCol).cast("long")).over(wr))
+      .filter(col("__cum") <= col("__budget"))
+      .drop("__grp", "__score", "__cum_before", "__budget", "__cum")
+    kept.unionByName(boundaryKept)
+  }
 }

@@ -337,6 +337,75 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // Per-group budget mixture (Sampling.selectToBudgetPerGroup):
+    // token-budget mixture weighting over lang — en gets 3000 tokens,
+    // de/es 800, zh 500, fr is ABSENT from the budget map and so
+    // contributes nothing. Oracle: the naive per-group ordered
+    // cumulative sum; the engine runs the grouped two-phase form
+    // (bucket prefix sums partitioned by group + ≤1 ranked boundary
+    // bucket per group).
+    QueryDef.of("t31_budget_mixture",
+      """WITH m AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'),
+        |      x -> list_contains(['the','a','an','of','to','in','and','is','on','for'], x))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS DOUBLE) AS ntok_lc,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchar
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang, CAST(ntok AS BIGINT) AS n_tokens,
+        |    round(0.4 * least(ntok / 50.0, 1.0)
+        |      + 0.3 * (1.0 - CASE WHEN nchar <> 0 THEN npunct / nchar ELSE 0.0 END)
+        |      + 0.3 * least(CASE WHEN ntok_lc <> 0 THEN nstop / ntok_lc ELSE 0.0 END * 4.0, 1.0),
+        |      6) AS quality
+        |  FROM m),
+        |b AS (SELECT *, CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 800
+        |      WHEN 'es' THEN 800 WHEN 'zh' THEN 500 END AS budget
+        |  FROM q WHERE lang IN ('en','de','es','zh')),
+        |s AS (SELECT doc_id, lang, n_tokens, quality, budget,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b)
+        |SELECT doc_id, lang, n_tokens, quality FROM s WHERE cum <= budget
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      // cached as in t28: three narrow columns consumed by three
+      // passes of the grouped operator; catalog-managed
+      val scored = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+          round(TextFunctions.qualityScore(t), 6).as("quality"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Sampling.selectToBudgetPerGroup(
+          scored, "lang", "quality", "doc_id", "n_tokens",
+          budgets = Map("en" -> 3000L, "de" -> 800L, "es" -> 800L, "zh" -> 500L))
+        .select("doc_id", "lang", "n_tokens", "quality")
+        .orderBy("doc_id")
+    },
+
+    // Sliding-window token chunking (Chunking.slidingTokenChunks):
+    // 32-token chunks every 16 tokens — the long-doc → overlapping
+    // context-window step. Map-only narrow plan (no shuffle at any
+    // scale); the oracle replicates tokenization, stride starts, and
+    // clamped slicing in DuckDB list functions.
+    QueryDef.of("t30_sliding_chunks",
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(u.s // 16 AS INT) AS chunk_idx,
+        |    CAST(u.s AS INT) AS token_start,
+        |    list_slice(t, u.s + 1, u.s + 32) AS ch
+        |  FROM toks, unnest(generate_series(0, len(t) - 1, 16)) AS u(s)
+        |  WHERE u.s < len(t))
+        |SELECT doc_id, chunk_idx, token_start,
+        |  CAST(len(ch) AS INT) AS n_chunk_tokens,
+        |  array_to_string(ch, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      graft.operators.Chunking.slidingTokenChunks(
+          Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Deterministic per-stratum downsample: ≤ 3 docs per
     // (lang, source), chosen by md5-of-id order — reproducible across
     // runs, engines and cluster sizes (no RNG, no seed).

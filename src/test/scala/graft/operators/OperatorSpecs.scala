@@ -744,4 +744,57 @@ class OperatorSpecs extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq
     assert(viaFallback === expected)
   }
+
+  test("selectToBudgetPerGroup equals naive per-group windows; absent group dropped") {
+    // 3 groups, quantized scores with cross-group collisions, ties at
+    // boundaries; group "c" is absent from the budget map
+    val rows = (0 until 300).map { i =>
+      val grp = Seq("a", "b", "c")(i % 3)
+      (i.toLong, grp, math.round((i % 7) / 10.0 * 1e6) / 1e6, 10L + i % 5)
+    }
+    val df = rows.toDF("id", "grp", "score", "toks")
+    val budgets = Map("a" -> 300L, "b" -> 150L)
+    val got = Sampling.selectToBudgetPerGroup(df, "grp", "score", "id", "toks", budgets)
+      .select("id").as[Long].collect().sorted.toSeq
+    val wNaive = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df
+      .withColumn("__cum", sum("toks").over(wNaive))
+      .withColumn("__budget",
+        when(col("grp") === "a", 300L).when(col("grp") === "b", 150L))
+      .filter(col("__cum") <= col("__budget")) // NULL budget (grp c) drops
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === naive)
+    assert(got.nonEmpty)
+    val gotGroups = df.filter(col("id").isin(got: _*))
+      .select("grp").distinct().as[String].collect().toSet
+    assert(!gotGroups.contains("c"), "group without a budget must be dropped")
+  }
+
+  test("Chunking.slidingTokenChunks: coverage, overlap, tail, empty doc") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 3 chunks at (4,2)
+      (2L, "a b"),                                    // one short chunk
+      (3L, ""),                                       // no chunks
+      (4L, "  x  ")                                   // whitespace-trimmed
+    ).toDF("doc_id", "text")
+    val chunks = Chunking.slidingTokenChunks(docs, "doc_id", "text",
+        chunkTokens = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    // doc 1: starts 0,2,4,6,8 — full chunks then a clamped tail
+    val d1 = byDoc(1L).map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(d1.toSeq === Seq(
+      (0, 0, 4, "w1 w2 w3 w4"), (1, 2, 4, "w3 w4 w5 w6"),
+      (2, 4, 4, "w5 w6 w7 w8"), (3, 6, 4, "w7 w8 w9 w10"),
+      (4, 8, 2, "w9 w10")))
+    // every token of doc 1 appears in ceil(chunk/stride)=2 chunks except
+    // the edges; total emitted tokens = sum of n_chunk_tokens
+    assert(d1.map(_._3).sum === 18)
+    assert(byDoc(2L).map(r => (r.getInt(2), r.getString(4))).toSeq === Seq((0, "a b")))
+    assert(!byDoc.contains(3L), "empty doc must produce zero chunks")
+    assert(byDoc(4L).map(_.getString(4)).toSeq === Seq("x"))
+  }
 }

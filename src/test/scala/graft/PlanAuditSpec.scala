@@ -251,6 +251,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t30: sliding chunks is a map-only narrow plan — no hash shuffle, no join, no window") {
+    val p = plan("t30_sliding_chunks")
+    // the final orderBy contributes the only exchange (range); the
+    // chunking itself must never hash-shuffle
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.toLowerCase.contains("window"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("t31: grouped budget selection joins by broadcast only") {
+    val p = plan("t31_budget_mixture")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ses04: the stream-dedup batch form is key-partitioned dedup — no window, no join") {
     val p = plan("ses04_stream_dedup_keys")
     assert(!p.toLowerCase.contains("window"), p)

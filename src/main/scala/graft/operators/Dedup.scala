@@ -276,6 +276,64 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Incremental NEAR-dup ingestion filter — the MinHash-LSH analogue
+   * of [[incrementalDedupBloom]]: keep the `batch` rows that are not
+   * near-duplicates (exact n-gram Jaccard ≥ `threshold`, candidates
+   * from LSH banding) of ANY `history` row. A batch row whose text
+   * also appears in history drops via its self-match (jaccard 1.0).
+   * Within-batch duplicates are deliberately NOT touched — that is
+   * [[minhashLshPairs]]/[[connectedComponents]]'s job; composing the
+   * two keeps each operator's semantics single-purpose.
+   *
+   * 100 TB shape: candidates come from an equi-join of the two sides'
+   * band buckets, never a cross join — and the history side's banded
+   * table is exactly the LSH INDEX a production pipeline precomputes
+   * once and stores (append new batches' bands to it as they pass the
+   * gate), so steady-state cost is bands×|batch| probe rows against a
+   * bucket-keyed table plus exact verification confined to candidate
+   * pairs. Verification streams the shingle intersection per candidate
+   * (the [[minhashLshPairs]] join shape) instead of materializing
+   * signature arrays against every candidate.
+   */
+  def incrementalNearDupLsh(
+      batch: DataFrame, history: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val shB = shingled(batch, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shH = shingled(history, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shB.count(); shH.count() // defuse the concurrent-first-touch race
+    def bandedOf(sh: DataFrame): DataFrame =
+      minhashSignaturesFromShingles(sh, numHashes).select(
+        col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
+        .toDF("id", "band", "bucket")
+    val cand = bandedOf(shB).toDF("bid", "band", "bucket")
+      .join(bandedOf(shH).toDF("hid", "band", "bucket"), Seq("band", "bucket"))
+      .select("bid", "hid").distinct()
+    val szB = shB.groupBy("id").agg(count(lit(1)).as("n_a"))
+      .withColumnRenamed("id", "bid")
+    val szH = shH.groupBy("id").agg(count(lit(1)).as("n_b"))
+      .withColumnRenamed("id", "hid")
+    // keyed on (hid, sh): streams the intersection per candidate pair
+    val inter = cand
+      .join(shB.toDF("bid", "sh"), "bid")
+      .join(shH.toDF("hid", "sh"), Seq("hid", "sh"))
+      .groupBy("bid", "hid")
+      .agg(count(lit(1)).as("n_inter"))
+    val drops = inter.join(szB, "bid").join(szH, "hid")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("bid").as(idCol)).distinct()
+    batch.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** 60-bit SimHash signature per document over canonical tokens —
     * a native codegen'd expression ([[graft.plans.SimHash60Expr]]),
     * not a UDF: the projection stays inside WholeStageCodegen with no

@@ -774,6 +774,56 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // Incremental NEAR-dup ingestion (Dedup.incrementalNearDupLsh):
+    // the t27 batch/history split, but near-duplicates — keep batch
+    // rows with no history row at n-gram Jaccard ≥ 0.5, candidates
+    // from a batch-bands × history-bands equi-join (the history
+    // banded table is the precomputable LSH index at scale). The
+    // oracle replicates both sides' minhash/banding and the exact
+    // Jaccard verification; overlap docs (in both splits) drop via
+    // their jaccard-1.0 self-match.
+    QueryDef.of("t32_incremental_neardup",
+      s"""WITH toks AS (SELECT doc_id, $CTOKS AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM toks),
+         |seeds AS (SELECT seed,
+         |    ('0x' || substr(md5('a:' || seed), 1, 15))::BIGINT % 2147483646 + 1 AS a,
+         |    ('0x' || substr(md5('b:' || seed), 1, 15))::BIGINT % 2147483647 AS b
+         |  FROM (SELECT unnest(range(0, 12)) AS seed)),
+         |mh AS (SELECT id, s.seed,
+         |    min((s.a * (('0x' || substr(md5(sh.sh), 1, 15))::BIGINT & 2147483647) + s.b)
+         |        % 2147483647) AS mh
+         |  FROM sh, seeds s GROUP BY id, s.seed),
+         |sig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
+         |band AS (SELECT id, b.b,
+         |    md5(array_to_string(sig[b.b*3+1 : b.b*3+3], ',')) AS bucket
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+         |cand AS (SELECT DISTINCT x.id AS bid, y.id AS hid
+         |  FROM band x JOIN band y ON x.b = y.b AND x.bucket = y.bucket
+         |  WHERE x.id % 10 >= 4 AND y.id % 10 < 6),
+         |sz AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |inter AS (SELECT c.bid, c.hid, count(*) AS n_inter
+         |  FROM cand c JOIN sh a ON a.id = c.bid
+         |  JOIN sh b2 ON b2.id = c.hid AND b2.sh = a.sh
+         |  GROUP BY c.bid, c.hid),
+         |drops AS (SELECT DISTINCT bid FROM inter
+         |  JOIN sz sa ON sa.id = bid JOIN sz sb ON sb.id = hid
+         |  WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id % 10 >= 4 AND doc_id NOT IN (SELECT bid FROM drops)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      Dedup.incrementalNearDupLsh(
+          docs.filter(col("doc_id") % 10 >= 4),
+          docs.filter(col("doc_id") % 10 < 6),
+          "doc_id", "text", shingleN = 3, numHashes = 12, bands = 4,
+          threshold = 0.5)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // Line-level exact dedup (LineDedup.dropCommonLines, CCNet-style
     // boilerplate scrub). The corpus has no newlines, so the query
     // derives a multi-line text identically in both engines: content

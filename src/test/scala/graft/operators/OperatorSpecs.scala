@@ -745,6 +745,23 @@ class OperatorSpecs extends AnyFunSuite {
     assert(viaFallback === expected)
   }
 
+  test("incrementalNearDupLsh: exact copy and near-copy drop, unique and in-batch dups kept") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val history = Seq((100L, base), (101L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                                  // exact copy of 100 → drop
+      (2L, base.replace("kappa", "KAPPAX")),       // near-copy (1 token) → drop
+      (3L, "totally different content with no overlap at all whatsoever"),
+      (4L, "totally different content with no overlap at all whatsoever") // in-batch dup of 3 → BOTH kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDupLsh(batch, history, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(3L, 4L))
+  }
+
   test("selectToBudgetPerGroup equals naive per-group windows; absent group dropped") {
     // 3 groups, quantized scores with cross-group collisions, ties at
     // boundaries; group "c" is absent from the budget map

@@ -297,6 +297,38 @@ object QScalar {
           stdU(col("raw_std")).as("std"),
           btU(col("raw_bt")).as("bt"))
         .orderBy("c_custkey")
+    },
+
+    // URL parsing for web-corpus pipelines: host / path / query-param
+    // extraction via Spark's codegen'd parse_url plus registered-
+    // domain reduction (substring_index) — the fields per-domain caps
+    // and provenance joins key on. URLs derived deterministically from
+    // the documents row (the corpus carries none — same precedent as
+    // t19's derived newlines); the oracle re-derives them and parses
+    // with regex.
+    QueryDef.of("f13_url_parse",
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || source || '.example.com/' || lang || '/doc/'
+        |      || doc_id || '?ref=r' || (doc_id % 5) AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref,
+        |  regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+        |    '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/"),
+            col("lang"), lit("/doc/"), col("doc_id"),
+            lit("?ref=r"), col("doc_id") % 5).as("url"))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'ref')").as("ref"),
+          substring_index(expr("parse_url(url, 'HOST')"), ".", -2).as("domain"))
+        .orderBy("doc_id")
     })
 
   /** The f11 corpus + summary: per customer a synthetic "First Last"

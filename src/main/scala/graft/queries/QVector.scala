@@ -210,5 +210,49 @@ object QVector {
           dim = 64, numPlanes = 4, threshold = 0.2)
         .select("vec_id")
         .orderBy("vec_id")
+    },
+
+    // Symmetric int8 quantization — the 4× storage cut a 100 TB
+    // vector store takes before indexing: per vector, scale =
+    // max|x| (so values land in [-127, 127], never -128), q_i =
+    // round(x_i/scale*127), plus reconstruction-error audit. All
+    // higher-order functions (transform/zip_with/aggregate) — one
+    // codegen'd narrow projection, no shuffle before the final sort.
+    // Both engines compute in double from the same widened floats;
+    // the checksum is integer-exact and the two micro-unit columns
+    // round/floor identical doubles, so the hash compare is exact.
+    QueryDef.of("v07_embed_quantize",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, len(v) AS dim,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |u AS (SELECT vec_id, dim, scale, i, v[i+1] AS x,
+        |    CASE WHEN scale = 0 THEN 0
+        |         ELSE CAST(round(v[i+1] / scale * 127) AS BIGINT) END AS q
+        |  FROM s, unnest(range(0, dim)) AS t(i)),
+        |g AS (SELECT vec_id, dim, scale,
+        |    SUM((i+1) * q) AS q_checksum,
+        |    MAX(abs(x - q * scale / 127.0)) AS max_err
+        |  FROM u GROUP BY vec_id, dim, scale)
+        |SELECT vec_id, CAST(dim AS INT) AS dim,
+        |  CAST(round(scale * 1e6) AS BIGINT) AS scale_micro,
+        |  CAST(q_checksum AS BIGINT) AS q_checksum,
+        |  CAST(floor(max_err * 1e6) AS BIGINT) AS max_err_micro
+        |FROM g ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("q", expr(
+          """transform(v, x -> CASE WHEN scale = 0D THEN CAST(0 AS BIGINT)
+            |ELSE CAST(round(x / scale * 127) AS BIGINT) END)""".stripMargin))
+        .select(col("vec_id"),
+          size(col("v")).as("dim"),
+          round(col("scale") * 1e6).cast("long").as("scale_micro"),
+          expr("""aggregate(transform(q, (qi, i) -> qi * (CAST(i AS BIGINT) + 1)),
+            |CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin).as("q_checksum"),
+          expr("""CAST(floor(array_max(
+            |zip_with(v, q, (x, qi) -> abs(x - qi * scale / 127D))) * 1e6) AS BIGINT)""".stripMargin)
+            .as("max_err_micro"))
+        .orderBy("vec_id")
     })
 }

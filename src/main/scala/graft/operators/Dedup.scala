@@ -78,6 +78,10 @@ object Dedup {
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
     if (numBits / 8 > maxBloomBytes)
       batch.join(histKeys, keyCols, "left_anti")
+    else if (histKeys.isEmpty)
+      // cold start (first-ever batch): everything is new, and Spark's
+      // stat.bloomFilter returns a null buffer on zero rows (NPE)
+      batch
     else {
       val fp = xxhash64(keyCols.map(col): _*)
       val bf = history.select(fp.as("__fp")).stat

@@ -144,4 +144,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size === 5) // map-only: every row passes through exactly once
     } finally query.stop()
   }
+
+  test("foreachBatch ingestion gate: Bloom dedup + in-batch keep-first equals global keep-first") {
+    implicit val sqlCtx = spark.sqlContext
+    // duplicate texts spread both WITHIN batches and ACROSS them; ids
+    // increase with arrival order so 'global keep-first' = min id per
+    // fingerprint over the whole stream
+    val batches = Seq(
+      Seq(1L -> "aa bb cc", 2L -> "dd ee ff", 3L -> "aa bb cc"),
+      Seq(4L -> "dd ee ff", 5L -> "gg hh ii"),
+      Seq(6L -> "aa bb cc", 7L -> "jj kk ll", 8L -> "gg hh ii"))
+    val input = MemoryStream[(Long, String)]
+    // the production recipe: per micro-batch, gate against accumulated
+    // history with the Bloom-prefiltered anti-join, keep-first within
+    // the batch, append survivors to history
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val query = input.toDF().toDF("id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val hist = accepted.toSeq.toDF("id", "text")
+          .select(md5(col("text")).as("fp"))
+        val gated = graft.operators.Dedup.incrementalDedupBloom(
+          batch.withColumn("fp", md5(col("text"))), hist, Seq("fp"),
+          expectedItems = 1000)
+        val kept = graft.operators.Dedup.exactKeepFirst(gated, Seq("fp"), "id")
+          .select("id", "text").as[(Long, String)].collect()
+        accepted ++= kept.sortBy(_._1)
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    val globalKeepFirst = graft.operators.Dedup.exactKeepFirst(
+        batches.flatten.toDF("id", "text"), Seq("text"), "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(accepted.map(_._1).sorted.toSeq === globalKeepFirst)
+    assert(accepted.map(_._1).sorted.toSeq === Seq(1L, 2L, 5L, 7L))
+  }
 }

@@ -238,21 +238,9 @@ object QVector {
         |  CAST(q_checksum AS BIGINT) AS q_checksum,
         |  CAST(floor(max_err * 1e6) AS BIGINT) AS max_err_micro
         |FROM g ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      emb(s, dir)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
-        .withColumn("q", expr(
-          """transform(v, x -> CASE WHEN scale = 0D THEN CAST(0 AS BIGINT)
-            |ELSE CAST(round(x / scale * 127) AS BIGINT) END)""".stripMargin))
-        .select(col("vec_id"),
-          size(col("v")).as("dim"),
-          round(col("scale") * 1e6).cast("long").as("scale_micro"),
-          expr("""aggregate(transform(q, (qi, i) -> qi * (CAST(i AS BIGINT) + 1)),
-            |CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin).as("q_checksum"),
-          expr("""CAST(floor(array_max(
-            |zip_with(v, q, (x, qi) -> abs(x - qi * scale / 127D))) * 1e6) AS BIGINT)""".stripMargin)
-            .as("max_err_micro"))
+      graft.operators.Quantize.int8SummaryStats(
+          graft.operators.Quantize.int8Symmetric(emb(s, dir), "vec_id", "embedding"),
+          "vec_id")
         .orderBy("vec_id")
     })
 }

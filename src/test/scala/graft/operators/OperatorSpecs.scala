@@ -745,6 +745,60 @@ class OperatorSpecs extends AnyFunSuite {
     assert(viaFallback === expected)
   }
 
+  test("Quantize.int8Symmetric properties: range, zero vector, error bound, scale (seeded random)") {
+    val rnd = new scala.util.Random(4242)
+    val vecs = (0L until 40L).map { i =>
+      val dim = 1 + rnd.nextInt(16)
+      val v = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat * (if (i % 7 == 0) 1e-4f else 10f))
+      (i, if (i % 11 == 0) Array.fill(dim)(0f) else v) // planted zero vectors
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = Quantize.int8Symmetric(df, "vec_id", "embedding")
+      .select("vec_id", "v", "scale", "q").collect()
+    assert(rows.length === 40)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val scale = r.getDouble(2)
+      val q = r.getSeq[Long](3)
+      assert(scale === v.map(math.abs).max)
+      assert(q.forall(x => x >= -127 && x <= 127), s"q out of int8 range: $q")
+      if (scale == 0.0) assert(q.forall(_ == 0L))
+      else {
+        // worst case is half a quantization step
+        val bound = scale / 254.0 + 1e-12
+        v.zip(q).foreach { case (x, qi) =>
+          assert(math.abs(x - qi * scale / 127.0) <= bound,
+            s"err ${math.abs(x - qi * scale / 127.0)} > $bound (x=$x q=$qi scale=$scale)")
+        }
+      }
+    }
+  }
+
+  test("Chunking properties: full coverage and chunk count (seeded random)") {
+    val rnd = new scala.util.Random(1337)
+    val cases = (1 to 25).map { i =>
+      val n = rnd.nextInt(50) // 0..49 tokens
+      val chunk = 1 + rnd.nextInt(10)
+      val stride = 1 + rnd.nextInt(chunk)
+      (i.toLong, n, chunk, stride)
+    }
+    cases.foreach { case (id, n, chunk, stride) =>
+      val text = (0 until n).map(j => s"t$j").mkString(" ")
+      val rows = Chunking.slidingTokenChunks(
+          Seq((id, text)).toDF("doc_id", "text"), "doc_id", "text", chunk, stride)
+        .orderBy("chunk_idx").collect()
+      val expectChunks = if (n == 0) 0 else (n - 1) / stride + 1
+      assert(rows.length === expectChunks, s"n=$n chunk=$chunk stride=$stride")
+      // stride ≤ chunkTokens ⇒ the union of [start, start+len) tiles [0, n)
+      val covered = rows.flatMap { r =>
+        val start = r.getInt(2); val len = r.getInt(3)
+        assert(len === math.min(chunk, n - start))
+        start until (start + len)
+      }.toSet
+      assert(covered === (0 until n).toSet, s"n=$n chunk=$chunk stride=$stride")
+    }
+  }
+
   test("incrementalNearDupLsh: exact copy and near-copy drop, unique and in-batch dups kept") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

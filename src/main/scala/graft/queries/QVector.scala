@@ -242,5 +242,53 @@ object QVector {
           graft.operators.Quantize.int8Symmetric(emb(s, dir), "vec_id", "embedding"),
           "vec_id")
         .orderBy("vec_id")
+    },
+
+    // int8 inner-product top-k over the quantized store — the scan a
+    // vector database actually runs after the v07 storage cut
+    // (integer SIMD dot products; rescale by the per-vector scales).
+    // The ranking key is ALL-INTEGER (q·q' × scale_micro × scale'_micro,
+    // |key| < 2^63), so both engines rank identically and the compare
+    // is hash-exact — no float-ordering tolerance anywhere. Recall vs
+    // the float top-k is spec-tested (OperatorSpecs), not oracled:
+    // approximation quality is a property, equality is not expected.
+    QueryDef.of("v08_ann_int8_topk",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |qz AS (SELECT vec_id, CAST(round(scale * 1e6) AS BIGINT) AS s_micro,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(round(x / scale * 127) AS BIGINT) END) AS q
+        |  FROM s),
+        |qq AS (SELECT vec_id AS query_id, s_micro AS qs, q AS qv
+        |  FROM qz WHERE vec_id < 10),
+        |sc AS (SELECT qq.query_id, c.vec_id AS id,
+        |    CAST(list_dot_product(qq.qv, c.q) AS BIGINT) * qq.qs * c.s_micro AS ip_scaled
+        |  FROM qq JOIN qz c ON c.vec_id <> qq.query_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY ip_scaled DESC, id) AS BIGINT) AS rank,
+        |  id, ip_scaled
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ip_scaled DESC, id) <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val qz = graft.operators.Quantize.int8Symmetric(emb(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"),
+          round(col("scale") * 1e6).cast("long").as("s_micro"), col("q"))
+      val queries = qz.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("s_micro").as("qs"),
+          col("q").as("qv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("ip_scaled").desc, col("id"))
+      qz.select(col("vec_id").as("id"), col("s_micro"), col("q"))
+        .crossJoin(broadcast(queries))
+        .filter(col("id") =!= col("query_id"))
+        .withColumn("ip_scaled",
+          expr("""aggregate(zip_with(qv, q, (a, b) -> a * b),
+            |CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin) *
+            col("qs") * col("s_micro"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "id", "ip_scaled")
+        .orderBy("query_id", "rank")
     })
 }

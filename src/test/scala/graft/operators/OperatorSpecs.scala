@@ -745,6 +745,43 @@ class OperatorSpecs extends AnyFunSuite {
     assert(viaFallback === expected)
   }
 
+  test("int8 inner-product top-k: high recall vs float inner-product ranking") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    // float IP top-k (the exact ranking the quantized scan approximates)
+    val vecs = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val fq = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wF = Window.partitionBy("query_id").orderBy(col("ip").desc, col("id"))
+    val floatTop = vecs.select(col("vec_id").as("id"), col("v"))
+      .crossJoin(broadcast(fq)).filter(col("id") =!= col("query_id"))
+      .withColumn("ip", expr(
+        "aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (a, b) -> a + b)"))
+      .withColumn("rank", row_number().over(wF)).filter(col("rank") <= k)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // int8 IP top-k (the v08 path)
+    val qz = Quantize.int8Symmetric(embeddings, "vec_id", "embedding")
+      .select(col("vec_id"), round(col("scale") * 1e6).cast("long").as("s_micro"), col("q"))
+    val qq = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("s_micro").as("qs"), col("q").as("qv"))
+    val wQ = Window.partitionBy("query_id").orderBy(col("ips").desc, col("id"))
+    val intTop = qz.select(col("vec_id").as("id"), col("s_micro"), col("q"))
+      .crossJoin(broadcast(qq)).filter(col("id") =!= col("query_id"))
+      .withColumn("ips", expr(
+        "aggregate(zip_with(qv, q, (a, b) -> a * b), CAST(0 AS BIGINT), (a, b) -> a + b)") *
+        col("qs") * col("s_micro"))
+      .withColumn("rank", row_number().over(wQ)).filter(col("rank") <= k)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = floatTop.keys.map { q =>
+      intTop(q).intersect(floatTop(q)).size.toDouble / floatTop(q).size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean int8 recall@$k $mean vs float IP ranking")
+  }
+
   test("Quantize.int8Symmetric properties: range, zero vector, error bound, scale (seeded random)") {
     val rnd = new scala.util.Random(4242)
     val vecs = (0L until 40L).map { i =>

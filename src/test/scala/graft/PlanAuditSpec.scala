@@ -268,6 +268,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t32: incremental near-dup candidates come from an equi-join, never a cross product") {
+    val p = plan("t32_incremental_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ses04: the stream-dedup batch form is key-partitioned dedup — no window, no join") {
     val p = plan("ses04_stream_dedup_keys")
     assert(!p.toLowerCase.contains("window"), p)

@@ -238,6 +238,13 @@ object Multimodal {
         val (w, h, px) = ImageIoCodec.decodeImage(sample)
         DecodedFrame(m.media_id, idx, w, h, px)
       }
+    } else if (m.format == "video/y4m") {
+      // uncompressed frame pipe: the luma planes ARE the pixels —
+      // no codec layer at all, bit-exact by construction
+      val (w, h, frames) = VideoContainers.Y4mDemux.frames(m.content)
+      frames.zipWithIndex.map { case (px, idx) =>
+        DecodedFrame(m.media_id, idx, w, h, px)
+      }
     } else {
       FakeCodec.decode(m.content, m.width, m.height, m.n_frames)
         .zipWithIndex
@@ -259,20 +266,32 @@ object Multimodal {
     * integer stats in one streaming pass. Same typed `mapPartitions`
     * shape as the frame paths, so audio rows ride the identical
     * partitioning/batching plumbing. */
-  def wavStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+  def wavStats(media: Dataset[MediaRow]): Dataset[AudioStats] =
+    pcmAudioStats(media)
+
+  /** [[wavStats]] generalized over the PCM containers: RIFF/WAVE
+    * (little-endian samples) and IFF/AIFF (big-endian) rows ride the
+    * same mapPartitions pass; other formats are skipped. */
+  def pcmAudioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.filter(_.format == "audio/wav").map { m =>
-        val w = VideoContainers.WavDemux.read(m.content)
+      rows.collect {
+        case m if m.format == "audio/wav" =>
+          val w = VideoContainers.WavDemux.read(m.content)
+          (m.media_id, w.nSamples, w.sampleRate, w.channels, w.bitsPerSample,
+            (k: Int) => w.sample(k))
+        case m if m.format == "audio/aiff" =>
+          val a = VideoContainers.AiffDemux.read(m.content)
+          (m.media_id, a.nSamples, a.sampleRate, a.channels, a.bitsPerSample,
+            (k: Int) => a.sample(k))
+      }.map { case (id, n, rate, ch, bits, sample) =>
         var k = 0; var sumAbs = 0L; var peak = 0L
-        val n = w.nSamples
         while (k < n) {
-          val a = math.abs(w.sample(k).toLong)
+          val a = math.abs(sample(k).toLong)
           sumAbs += a; if (a > peak) peak = a
           k += 1
         }
-        AudioStats(m.media_id, n.toLong, w.sampleRate, w.channels,
-          w.bitsPerSample, sumAbs, peak)
+        AudioStats(id, n.toLong, rate, ch, bits, sumAbs, peak)
       }
     }
   }

@@ -482,4 +482,183 @@ object VideoContainers {
       out.toByteArray
     }
   }
+
+  // ===================== YUV4MPEG2 (.y4m) ============================
+  // The uncompressed frame-pipe format (what ffmpeg/x264 pipe between
+  // stages): one ASCII header line "YUV4MPEG2 W.. H.. F.. .. C..\n",
+  // then per frame an ASCII "FRAME...\n" marker followed by raw planar
+  // pixel data. No compression at all, so the keystream oracle is
+  // BIT-exact — unlike the lossy MJPEG path (m07).
+
+  /** Fixture-side .y4m muxer. `colorspace` "mono" writes the single
+    * gray plane; "420" appends two neutral (0x80) chroma planes at
+    * ceil-half resolution (the spec's 4:2:0 layout for odd dims). */
+  object Y4mMux {
+    def write(frames: Seq[Array[Byte]], width: Int, height: Int,
+              colorspace: String = "mono", fpsNum: Int = 30, fpsDen: Int = 1): Array[Byte] = {
+      require(colorspace == "mono" || colorspace == "420", s"unsupported C$colorspace")
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val out = new ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C$colorspace\n"
+        .getBytes(ascii))
+      val chroma = new Array[Byte](((width + 1) / 2) * ((height + 1) / 2))
+      java.util.Arrays.fill(chroma, 0x80.toByte) // neutral U/V
+      frames.foreach { px =>
+        require(px.length == width * height, "frame size mismatch")
+        out.write("FRAME\n".getBytes(ascii))
+        out.write(px)
+        if (colorspace == "420") { out.write(chroma); out.write(chroma) }
+      }
+      out.toByteArray
+    }
+  }
+
+  /** .y4m demuxer per the public grammar: header parameters are
+    * space-separated tag-letter + value; frames are fixed-size planar
+    * payloads after each FRAME marker line. Returns the LUMA plane of
+    * every frame (chroma skipped — the engine's pixel model is gray). */
+  object Y4mDemux {
+    def frames(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val nl = bytes.indexOf('\n'.toByte)
+      require(nl > 0, "not a y4m: missing header line")
+      val header = new String(bytes, 0, nl, ascii)
+      require(header.startsWith("YUV4MPEG2"), "not a y4m: bad magic")
+      var w = -1; var h = -1
+      var cs = "420" // the spec's default when no C tag is present
+      header.split(' ').drop(1).foreach { p =>
+        if (p.startsWith("W")) w = p.substring(1).toInt
+        else if (p.startsWith("H")) h = p.substring(1).toInt
+        else if (p.startsWith("C")) cs = p.substring(1)
+      }
+      require(w > 0 && h > 0, s"not a y4m: missing W/H in '$header'")
+      val lumaLen = w * h
+      val chromaHalf = ((w + 1) / 2) * ((h + 1) / 2)
+      val frameLen =
+        if (cs.startsWith("mono")) lumaLen
+        else if (cs.startsWith("420")) lumaLen + 2 * chromaHalf
+        else if (cs.startsWith("422")) lumaLen + 2 * ((w + 1) / 2) * h
+        else if (cs.startsWith("444")) lumaLen * 3
+        else sys.error(s"unsupported y4m colorspace C$cs")
+      val out = Seq.newBuilder[Array[Byte]]
+      var off = nl + 1
+      while (off < bytes.length) {
+        var eol = off
+        while (eol < bytes.length && bytes(eol) != '\n'.toByte) eol += 1
+        require(eol < bytes.length, "truncated y4m FRAME header")
+        val line = new String(bytes, off, eol - off, ascii)
+        require(line.startsWith("FRAME"), s"expected FRAME marker at $off, got '$line'")
+        off = eol + 1
+        require(off + frameLen <= bytes.length, "truncated y4m frame payload")
+        out += java.util.Arrays.copyOfRange(bytes, off, off + lumaLen)
+        off += frameLen
+      }
+      (w, h, out.result())
+    }
+  }
+
+  // ========================= AIFF (IFF) ==============================
+  // Apple's IFF-based PCM container: big-endian chunk sizes, COMM
+  // (channels / frame count / bits / sample rate as an 80-bit extended
+  // float) + SSND (offset, blockSize, then signed BIG-endian samples).
+  // The byte-order mirror of WAV — a parser that confuses the two
+  // fails both keystream oracles immediately.
+
+  final case class AiffPcm(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, data: Array[Byte]) {
+    def nSamples: Int = data.length / ((bitsPerSample / 8) * channels)
+    /** Sample `k` of channel `ch` as signed (16-bit AIFF is signed BE). */
+    def sample(k: Int, ch: Int = 0): Int = {
+      val off = (k * channels + ch) * 2
+      val u = ((data(off) & 0xff) << 8) | (data(off + 1) & 0xff)
+      if (u >= 0x8000) u - 0x10000 else u
+    }
+  }
+
+  /** 80-bit extended-precision encode of a positive integer sample
+    * rate (IEEE 754 extended: 15-bit biased exponent, explicit-1
+    * 64-bit mantissa) — the COMM chunk's one quirk. */
+  private[multimodal] def extended80(rate: Int): Array[Byte] = {
+    require(rate > 0, "rate must be positive")
+    val p = 31 - Integer.numberOfLeadingZeros(rate) // highest set bit
+    val exponent = 16383 + p
+    val mantissa = rate.toLong << (63 - p) // MSB becomes the explicit 1
+    val out = new Array[Byte](10)
+    out(0) = ((exponent >> 8) & 0xff).toByte
+    out(1) = (exponent & 0xff).toByte
+    var i = 0
+    while (i < 8) { out(2 + i) = ((mantissa >>> (56 - 8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  private[multimodal] def readExtended80(b: Array[Byte], off: Int): Int = {
+    val exponent = ((b(off) & 0x7f) << 8) | (b(off + 1) & 0xff)
+    var mantissa = 0L
+    var i = 0
+    while (i < 8) { mantissa = (mantissa << 8) | (b(off + 2 + i) & 0xff); i += 1 }
+    val p = exponent - 16383
+    require(p >= 0 && p < 63, s"unsupported extended-float exponent $exponent")
+    (mantissa >>> (63 - p)).toInt
+  }
+
+  object AiffDemux {
+    def read(bytes: Array[Byte]): AiffPcm = {
+      require(bytes.length >= 12 && fourcc(bytes, 0) == "FORM" && fourcc(bytes, 8) == "AIFF",
+        "not an AIFF: bad FORM signature")
+      val formEnd = math.min(bytes.length.toLong, 8 + be32(bytes, 4)).toInt
+      var off = 12
+      var comm: Option[(Int, Int, Int)] = None // (channels, bits, rate)
+      var data: Option[Array[Byte]] = None
+      while (off + 8 <= formEnd) {
+        val id = fourcc(bytes, off)
+        val size = be32(bytes, off + 4).toInt
+        require(size >= 0, s"chunk '$id' at $off has invalid size $size")
+        require(off + 8 + size <= formEnd, s"chunk '$id' overruns FORM")
+        id match {
+          case "COMM" =>
+            require(size >= 18, "COMM chunk too short")
+            val channels = (((bytes(off + 8) & 0xff) << 8) | (bytes(off + 9) & 0xff))
+            val bits = (((bytes(off + 14) & 0xff) << 8) | (bytes(off + 15) & 0xff))
+            require(bits == 16, s"unsupported bits/sample: $bits (16-bit AIFF only)")
+            comm = Some((channels, bits, readExtended80(bytes, off + 16)))
+          case "SSND" =>
+            require(size >= 8, "SSND chunk too short")
+            val dataOff = be32(bytes, off + 8).toInt
+            require(dataOff >= 0 && dataOff <= size - 8, s"bad SSND offset $dataOff")
+            data = Some(java.util.Arrays.copyOfRange(
+              bytes, off + 16 + dataOff, off + 8 + size))
+          case _ => () // NAME/ANNO/etc — skipped, pad alignment applies
+        }
+        off += 8 + size + (size & 1) // IFF chunks pad to even, like RIFF
+      }
+      val (ch, bits, rate) = comm.getOrElse(sys.error("not an AIFF: no COMM chunk"))
+      AiffPcm(rate, ch, bits, data.getOrElse(sys.error("not an AIFF: no SSND chunk")))
+    }
+  }
+
+  /** Fixture-side AIFF muxer: FORM('AIFF') with COMM + SSND, signed
+    * big-endian 16-bit samples, 80-bit extended sample rate. */
+  object AiffMux {
+    def write(data: Array[Byte], sampleRate: Int, channels: Int,
+              bitsPerSample: Int): Array[Byte] = {
+      require(bitsPerSample == 16, "16-bit PCM only (signed BE per the spec)")
+      val out = new ByteArrayOutputStream(data.length + 54)
+      def b32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      def b16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      val ssndSize = 8 + data.length
+      out.write("FORM".getBytes)
+      b32(4L + 8 + 18 + 8 + ssndSize + (data.length & 1))
+      out.write("AIFF".getBytes)
+      out.write("COMM".getBytes); b32(18)
+      b16(channels); b32(data.length.toLong / (channels * 2)); b16(bitsPerSample)
+      out.write(extended80(sampleRate))
+      out.write("SSND".getBytes); b32(ssndSize.toLong); b32(0); b32(0)
+      out.write(data)
+      if ((data.length & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+  }
 }

@@ -134,6 +134,41 @@ object QMedia {
     }
   }
 
+  /** 12 YUV4MPEG2 streams — the UNCOMPRESSED frame-pipe format, so
+    * the keystream oracle is bit-exact (no codec layer). Even ids are
+    * Cmono (single gray plane), odd ids C420 with neutral chroma the
+    * demux must skip at ceil-half resolution (dims here are odd on
+    * purpose). Metadata dims zeroed as everywhere. */
+  def y4mMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(12).as[Long].map { i =>
+      val w = (5 + i % 3).toInt
+      val h = (4 + i % 2).toInt
+      val nf = (2 + i % 3).toInt
+      val frames = (0 until nf).map(f =>
+        Multimodal.FakeCodec.encode(s"y4m:$i:$f", w, h, 1))
+      val cs = if (i % 2 == 0) "mono" else "420"
+      MediaRow(i, "video",
+        graft.multimodal.VideoContainers.Y4mMux.write(frames, w, h, colorspace = cs),
+        0, 0, nf, "video/y4m")
+    }
+  }
+
+  /** 10 AIFF containers — the big-endian mirror of [[wavMedia]]: same
+    * keystream byte stream with an `aif:` seed, signed 16-bit BE
+    * samples, sample rate through the 80-bit extended float. */
+  def aiffMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(10).as[Long].map { i =>
+      val nSamples = (100 + i * 10).toInt
+      val pcm = Multimodal.FakeCodec.encode(s"aif:$i", nSamples * 2, 1, 1)
+      MediaRow(i, "audio",
+        graft.multimodal.VideoContainers.AiffMux.write(
+          pcm, sampleRate = 8000 + i.toInt * 100, channels = 1, bitsPerSample = 16),
+        0, 0, 0, "audio/aiff")
+    }
+  }
+
   /** The m02-shaped per-frame integer stats oracle, parameterized by
     * keystream seed prefix (the only thing that differs between the
     * GIF, MP4, and AVI fixtures). */
@@ -352,6 +387,65 @@ object QMedia {
         |FROM v GROUP BY media_id, n
         |ORDER BY media_id""".stripMargin) { (s, dir) =>
       Multimodal.wavStats(wavMedia(s))
+        .toDF()
+        .orderBy("media_id")
+    },
+
+    // UNCOMPRESSED video through the real YUV4MPEG2 grammar: header
+    // parse, FRAME markers, fixed-size planar payloads, chroma skip
+    // on the C420 half (odd dims → ceil-half planes). No codec layer,
+    // so unlike m07 the keystream gate is bit-exact per frame.
+    QueryDef.of("m08_y4m_frame_stats",
+      """WITH m AS (SELECT i AS media_id, CAST(5 + i % 3 AS INT) AS w,
+        |    CAST(4 + i % 2 AS INT) AS h, CAST(2 + i % 3 AS INT) AS nf
+        |  FROM range(12) t(i)),
+        |fr AS (SELECT media_id, w, h, f FROM m, range(4) t(f) WHERE f < nf),
+        |px AS (SELECT media_id, f, w, h, j,
+        |    ('0x' || substr(md5('y4m:' || media_id || ':' || f || ':' || CAST(j // 16 AS BIGINT)),
+        |                    CAST(2*(j % 16)+1 AS INT), 2))::INT AS v
+        |  FROM fr, range(40) t(j) WHERE j < w * h)
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w * h AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum,
+        |  CAST(SUM((v // 16) + 1) AS BIGINT) AS hist_checksum
+        |FROM px GROUP BY media_id, f, w * h
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Multimodal.sampleFrames(y4mMedia(s), everyN = 1)
+        .map { f =>
+          var pxSum = 0L; var hist = 0L
+          f.pixels.foreach { b => val v = b & 0xff; pxSum += v; hist += (v >> 4) + 1 }
+          (f.media_id, f.frame_idx, f.width.toLong * f.height, pxSum, hist)
+        }
+        .toDF("media_id", "frame_idx", "n_px", "px_sum", "hist_checksum")
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // REAL AIFF (IFF big-endian PCM) parse — the byte-order mirror of
+    // m06: COMM (incl. the 80-bit extended sample rate) + SSND walk,
+    // SIGNED 16-bit BIG-endian reassembly. The oracle pairs the same
+    // keystream bytes big-endian (first byte is the high byte) — a
+    // parser that confuses AIFF with WAV byte order fails instantly.
+    QueryDef.of("m09_aiff_audio_stats",
+      """WITH m AS (SELECT i AS media_id, CAST(100 + i * 10 AS BIGINT) AS n
+        |  FROM range(10) t(i)),
+        |by AS (SELECT media_id, n, j,
+        |    ('0x' || substr(md5('aif:' || media_id || ':' || CAST(j // 16 AS BIGINT)),
+        |                    CAST(2*(j % 16)+1 AS INT), 2))::INT AS b
+        |  FROM m, range(400) t(j) WHERE j < n * 2),
+        |s16 AS (SELECT media_id, n, j // 2 AS k,
+        |    SUM(CASE WHEN j % 2 = 0 THEN 256 * b ELSE b END) AS u
+        |  FROM by GROUP BY media_id, n, j // 2),
+        |v AS (SELECT media_id, n,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        |  FROM s16)
+        |SELECT media_id, n AS n_samples,
+        |  CAST(8000 + media_id * 100 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs
+        |FROM v GROUP BY media_id, n
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.pcmAudioStats(aiffMedia(s))
         .toDF()
         .orderBy("media_id")
     })

@@ -186,6 +186,46 @@ class VideoContainerSpec extends AnyFunSuite {
     assert(w2.nSamples === 33 && w2.data.toSeq === pcm.toSeq)
   }
 
+  test("y4m mux→demux round-trips luma bit-exact for mono and 420 (odd dims)") {
+    val w = 5; val h = 3 // odd dims: 420 chroma planes are ceil-half
+    val frames = grayFrames("y4m", w, h, 4)
+    Seq("mono", "420").foreach { cs =>
+      val y4m = Y4mMux.write(frames, w, h, colorspace = cs)
+      val (dw, dh, got) = Y4mDemux.frames(y4m)
+      assert((dw, dh) === (w, h))
+      assert(got.length === 4)
+      got.zip(frames).foreach { case (a, b) => assert(a.toSeq === b.toSeq, cs) }
+    }
+  }
+
+  test("y4m demux rejects bad magic, truncated frames, unknown colorspace") {
+    val ok = Y4mMux.write(grayFrames("y", 4, 4, 1), 4, 4)
+    intercept[IllegalArgumentException](Y4mDemux.frames("JUNK\n".getBytes))
+    intercept[IllegalArgumentException](Y4mDemux.frames(ok.dropRight(3)))
+    val badCs = new String(ok.takeWhile(_ != '\n'.toByte)).replace("Cmono", "Cxyz")
+    intercept[RuntimeException](
+      Y4mDemux.frames((badCs + "\n").getBytes ++ ok.drop(ok.indexOf('\n'.toByte) + 1)))
+  }
+
+  test("aiff: extended-80 sample rate round-trips; samples are signed BIG-endian") {
+    Seq(8000, 8100, 11025, 22050, 44100, 48000, 96000, 1).foreach { r =>
+      assert(VideoContainers.readExtended80(VideoContainers.extended80(r), 0) === r)
+    }
+    // two samples: 0x0102 -> 258; 0xFF7F -> -129 when read BE
+    val data = Array[Byte](0x01, 0x02, 0xff.toByte, 0x7f)
+    val aiff = AiffMux.write(data, sampleRate = 22050, channels = 1, bitsPerSample = 16)
+    val got = AiffDemux.read(aiff)
+    assert((got.sampleRate, got.channels, got.bitsPerSample, got.nSamples) === ((22050, 1, 16, 2)))
+    assert(got.sample(0) === 258)
+    assert(got.sample(1) === -129)
+    // the SAME bytes through WAV read little-endian — proves the two
+    // parsers really differ where the formats differ
+    val wav = WavMux.write(data, sampleRate = 22050, channels = 1, bitsPerSample = 16)
+    val wgot = WavDemux.read(wav)
+    assert(wgot.sample(0) === 0x0201)
+    assert(AiffDemux.read(aiff).sample(0) !== wgot.sample(0))
+  }
+
   test("wav demux rejects non-PCM and non-WAVE payloads") {
     val pcm = Array.tabulate[Byte](8)(_.toByte)
     val wav = WavMux.write(pcm, 8000, 1, 16)

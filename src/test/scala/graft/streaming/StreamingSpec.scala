@@ -145,6 +145,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("Trigger.AvailableNow file stream (the daily-pull cadence) equals the batch aggregate") {
+    // SURVEY §2.10: the reference's daily cron pull maps to a
+    // file-source stream with AvailableNow — process everything
+    // present, then stop on its own. Same windowedTypeCounts code as
+    // ses03; the batch run on the same files is the oracle.
+    val dir = java.nio.file.Files.createTempDirectory("graft_an_").toString
+    try {
+      val events = Tables.events(spark, SparkTestSession.sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      events.limit(600).write.mode("overwrite").parquet(dir)
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val query = StreamOps.windowedTypeCounts(stream, "1 hour")
+        .writeStream.format("memory").queryName("an_out")
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(query.awaitTermination(120000), "AvailableNow must self-terminate")
+      finally query.stop()
+      val got = spark.table("an_out")
+        .orderBy("window_start_us", "event_type").collect().toSeq
+      val want = StreamOps.windowedTypeCounts(spark.read.parquet(dir), "1 hour")
+        .orderBy("window_start_us", "event_type").collect().toSeq
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("foreachBatch ingestion gate: Bloom dedup + in-batch keep-first equals global keep-first") {
     implicit val sqlCtx = spark.sqlContext
     // duplicate texts spread both WITHIN batches and ACROSS them; ids

@@ -169,6 +169,27 @@ object QMedia {
     }
   }
 
+  /** 12 SubRip transcripts (2–5 cues each) through the canonical SRT
+    * writer: index line, `HH:MM:SS,mmm --> HH:MM:SS,mmm` time line,
+    * one or two text lines. Cue times are id-derived arithmetic the
+    * oracle recomputes directly — the ENGINE must recover them by
+    * parsing the formatted time strings back. */
+  def srtMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(12).as[Long].map { i =>
+      val nc = (2 + i % 4).toInt
+      val cues = (0 until nc).map { k =>
+        val start = i * 60000L + k * 3000L + (k * 37) % 1000
+        val end = start + 2000L + (k * 53) % 500
+        val text =
+          if (k % 2 == 1) s"cue $i:$k\nline two $k" else s"cue $i:$k"
+        (k + 1, start, end, text)
+      }
+      MediaRow(i, "text", graft.multimodal.Subtitles.writeSrt(cues),
+        0, 0, nc, "text/srt")
+    }
+  }
+
   /** The m02-shaped per-frame integer stats oracle, parameterized by
     * keystream seed prefix (the only thing that differs between the
     * GIF, MP4, and AVI fixtures). */
@@ -448,5 +469,35 @@ object QMedia {
       Multimodal.pcmAudioStats(aiffMedia(s))
         .toDF()
         .orderBy("media_id")
+    },
+
+    // REAL SubRip transcript parse — the text half of the video
+    // modality. Cue times leave the fixture as formatted
+    // HH:MM:SS,mmm strings; the engine must parse them BACK to
+    // milliseconds (the oracle derives the expected values from the
+    // same id arithmetic, so a field-order, padding, or multi-line
+    // join bug lands as a value mismatch). cue_idx is the file's own
+    // 1-based index line — renumbering or dropping blocks is caught.
+    QueryDef.of("m10_srt_cues",
+      """WITH m AS (SELECT i AS media_id, CAST(2 + i % 4 AS INT) AS nc
+        |  FROM range(12) t(i)),
+        |c AS (SELECT media_id, k FROM m, range(5) t(k) WHERE k < nc),
+        |t AS (SELECT media_id, CAST(k + 1 AS INT) AS cue_idx,
+        |    media_id * 60000 + k * 3000 + (k * 37) % 1000 AS start_ms,
+        |    media_id * 60000 + k * 3000 + (k * 37) % 1000
+        |      + 2000 + (k * 53) % 500 AS end_ms,
+        |    CASE WHEN k % 2 = 1
+        |         THEN 'cue ' || media_id || ':' || k || chr(10) || 'line two ' || k
+        |         ELSE 'cue ' || media_id || ':' || k END AS text
+        |  FROM c)
+        |SELECT media_id, cue_idx, CAST(start_ms AS BIGINT) AS start_ms,
+        |  CAST(end_ms AS BIGINT) AS end_ms,
+        |  CAST(length(text) AS BIGINT) AS n_chars, text
+        |FROM t ORDER BY media_id, cue_idx""".stripMargin) { (s, dir) =>
+      graft.multimodal.Subtitles.cues(srtMedia(s))
+        .toDF()
+        .select(col("media_id"), col("cue_idx"), col("start_ms"), col("end_ms"),
+          length(col("text")).cast("long").as("n_chars"), col("text"))
+        .orderBy("media_id", "cue_idx")
     })
 }

@@ -226,6 +226,21 @@ class VideoContainerSpec extends AnyFunSuite {
     assert(AiffDemux.read(aiff).sample(0) !== wgot.sample(0))
   }
 
+  test("srt: write→parse round-trips cues; tolerates CRLF; rejects malformed blocks") {
+    val cues = Seq(
+      (1, 0L, 1500L, "hello"),
+      (2, 3661001L, 3662999L, "two\nlines"), // >1h start exercises HH field
+      (3, 59999L, 60000L, "third"))
+    val srt = Subtitles.writeSrt(cues)
+    assert(Subtitles.parseSrt(srt) === cues)
+    // CRLF variant parses identically
+    val crlf = new String(srt, java.nio.charset.StandardCharsets.UTF_8)
+      .replace("\n", "\r\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(Subtitles.parseSrt(crlf) === cues)
+    intercept[RuntimeException](Subtitles.parseSrt("1\nnot a time line\ntext\n".getBytes))
+    intercept[RuntimeException](Subtitles.parseSrt("1\n00:00:00,000 --> 00:00:01,000\n".getBytes))
+  }
+
   test("wav demux rejects non-PCM and non-WAVE payloads") {
     val pcm = Array.tabulate[Byte](8)(_.toByte)
     val wav = WavMux.write(pcm, 8000, 1, 16)

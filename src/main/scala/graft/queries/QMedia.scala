@@ -190,6 +190,22 @@ object QMedia {
     }
   }
 
+  /** Transcripts matched to the [[y4mMedia]] clips for the alignment
+    * query: media `i` carries `2 + i % 4` cues, cue `j` active over
+    * [j·150 ms, j·150+200 ms) — windows chosen to overlap the 10 fps
+    * frame instants (frame k at k·100 ms) in 0/1/2-cue patterns. */
+  def alignSrtMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(12).as[Long].map { i =>
+      val nc = (2 + i % 4).toInt
+      val cues = (0 until nc).map { j =>
+        (j + 1, j * 150L, j * 150L + 200L, s"c $i:$j")
+      }
+      MediaRow(i, "text", graft.multimodal.Subtitles.writeSrt(cues),
+        0, 0, nc, "text/srt")
+    }
+  }
+
   /** The m02-shaped per-frame integer stats oracle, parameterized by
     * keystream seed prefix (the only thing that differs between the
     * GIF, MP4, and AVI fixtures). */
@@ -499,5 +515,47 @@ object QMedia {
         .select(col("media_id"), col("cue_idx"), col("start_ms"), col("end_ms"),
           length(col("text")).cast("long").as("n_chars"), col("text"))
         .orderBy("media_id", "cue_idx")
+    },
+
+    // Cross-modality alignment: REAL y4m frames (frame k at k·100 ms
+    // for 10 fps) interval-joined to REAL parsed SRT cues
+    // ([start_ms, end_ms) containment) — the transcript-to-frame
+    // pairing a video-text training pipeline emits. Both sides come
+    // from container parses (frame count from the y4m walk, times
+    // parsed back from formatted strings); the oracle derives both
+    // from the fixture arithmetic and replays the interval join, so
+    // a fencepost on either boundary flips rows. Equi-join on
+    // media_id with the range as residual — no cross product.
+    QueryDef.of("m11_cue_frame_align",
+      """WITH v AS (SELECT i AS media_id, CAST(2 + i % 3 AS INT) AS nf
+        |  FROM range(12) t(i)),
+        |fr AS (SELECT media_id, CAST(k AS INT) AS frame_idx,
+        |    CAST(k * 100 AS BIGINT) AS frame_ms
+        |  FROM v, range(4) t(k) WHERE k < nf),
+        |sm AS (SELECT i AS media_id, CAST(2 + i % 4 AS INT) AS nc
+        |  FROM range(12) t(i)),
+        |cu AS (SELECT media_id, CAST(j + 1 AS INT) AS cue_idx,
+        |    CAST(j * 150 AS BIGINT) AS start_ms,
+        |    CAST(j * 150 + 200 AS BIGINT) AS end_ms
+        |  FROM sm, range(5) t(j) WHERE j < nc)
+        |SELECT fr.media_id, fr.frame_idx, fr.frame_ms, cu.cue_idx,
+        |  cu.start_ms, cu.end_ms
+        |FROM fr JOIN cu ON cu.media_id = fr.media_id
+        |  AND fr.frame_ms >= cu.start_ms AND fr.frame_ms < cu.end_ms
+        |ORDER BY fr.media_id, frame_idx, cue_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val frames = Multimodal.sampleFrames(y4mMedia(s), everyN = 1)
+        .map(f => (f.media_id, f.frame_idx, f.frame_idx * 100L))
+        .toDF("media_id", "frame_idx", "frame_ms")
+      val cues = graft.multimodal.Subtitles.cues(alignSrtMedia(s))
+        .toDF()
+        .select(col("media_id").as("c_media_id"), col("cue_idx"),
+          col("start_ms"), col("end_ms"))
+      frames.join(cues,
+          col("media_id") === col("c_media_id") &&
+            col("frame_ms") >= col("start_ms") && col("frame_ms") < col("end_ms"))
+        .select("media_id", "frame_idx", "frame_ms", "cue_idx",
+          "start_ms", "end_ms")
+        .orderBy("media_id", "frame_idx", "cue_idx")
     })
 }

@@ -1,0 +1,101 @@
+package graft.tools
+
+import graft.multimodal.{MediaRow, Multimodal, Subtitles}
+import graft.queries.QMedia
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+/**
+ * Media-family scale smoke — `runMain graft.tools.MediaScaleSmoke
+ * [scales]` (default `1,3,10`): replicates the y4m / AIFF / SRT
+ * fixture families into disjoint media_id spaces and asserts the
+ * properties that make the multimodal path scale:
+ *
+ *  - decoded frame, audio-stat, and cue counts (and the audio
+ *    sum_abs checksum) are EXACTLY c× copy 0 — per-row parsing can
+ *    neither drop nor duplicate rows under replication;
+ *  - the decode paths stay MAP-ONLY: total shuffle-write bytes per
+ *    scale stay under a fixed tiny bound (the only shuffle is the
+ *    count/sum aggregates' partial rows — payload bytes must never
+ *    enter an exchange);
+ *  - [[Multimodal.balanceByBytes]] splits a skewed payload table so
+ *    no partition carries more than target + the largest single
+ *    payload (the partitioner bounds per-task bytes, which is what
+ *    keeps a 100 TB media scan's tasks uniform).
+ */
+object MediaScaleSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption.getOrElse("1,3,10").split(',').map(_.trim.toInt).toSeq
+    val spark = ToolSession.local("graft-media-scale-smoke")
+    import spark.implicits._
+    val tally = new LlmScaleSmoke.ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
+    def scaled(ds: Dataset[MediaRow], c: Int): Dataset[MediaRow] =
+      (0 until c).map { k =>
+        if (k == 0) ds
+        else ds.map(m => m.copy(media_id = m.media_id + k * 1000L))
+      }.reduce(_.unionByName(_))
+
+    var failed = false
+    def check(cond: Boolean, msg: String): Unit = {
+      println(s"MEDIA_SMOKE_CHECK ${if (cond) "ok  " else "FAIL"} $msg")
+      if (!cond) failed = true
+    }
+
+    final case class Run(scale: Int, frames: Long, audioRows: Long,
+        audioSum: Long, cueRows: Long, writeBytes: Long)
+
+    val runs = scales.map { c =>
+      tally.snapshotAndReset()
+      val frames = Multimodal.sampleFrames(scaled(QMedia.y4mMedia(spark), c), everyN = 1).count()
+      val audio = Multimodal.pcmAudioStats(scaled(QMedia.aiffMedia(spark), c))
+        .agg(count(lit(1)).cast("long"), sum("sum_abs").cast("long")).first()
+      val cues = Subtitles.cues(scaled(QMedia.srtMedia(spark), c)).count()
+      Thread.sleep(1000) // listener-bus lag
+      val bytes = tally.snapshotAndReset().values.map(_._2).sum
+      println(f"MEDIA_SMOKE scale=$c%-3d frames=$frames audio=${audio.getLong(0)} " +
+        f"audio_sum=${audio.getLong(1)} cues=$cues shuffle_write=${bytes / 1024.0}%.1f KiB")
+      Run(c, frames, audio.getLong(0), audio.getLong(1), cues, bytes)
+    }
+
+    val r1 = runs.head
+    runs.tail.foreach { r =>
+      check(r.frames * r1.scale == r1.frames * r.scale &&
+          r.audioRows * r1.scale == r1.audioRows * r.scale &&
+          r.audioSum * r1.scale == r1.audioSum * r.scale &&
+          r.cueRows * r1.scale == r1.cueRows * r.scale,
+        s"scale=${r.scale} frame/audio/cue outputs EXACTLY linear " +
+          s"(frames ${r1.frames}->${r.frames}, audio ${r1.audioRows}->${r.audioRows}, " +
+          s"sum ${r1.audioSum}->${r.audioSum}, cues ${r1.cueRows}->${r.cueRows})")
+    }
+    runs.foreach { r =>
+      // map-only decode: only aggregate partials may shuffle
+      check(r.writeBytes <= (1L << 20),
+        f"scale=${r.scale} decode paths map-only: shuffle write " +
+          f"${r.writeBytes / 1024.0}%.1f KiB ≤ 1024 KiB")
+    }
+
+    // byte-balanced partitioning: skewed payloads (1 KB .. ~512 KB)
+    val skewed = spark.range(64).select(
+        col("id").as("media_id"),
+        // payload k is ~(k % 8 + 1) * 64 KiB of zeros — heavy skew
+        expr("repeat(CAST('x' AS BINARY), CAST((id % 8 + 1) * 65536 AS INT))").as("content"))
+      .withColumn("content_size", length(col("content")).cast("long"))
+    val target = 256L << 10
+    val parts = Multimodal.balanceByBytes(skewed, target)
+      .select("content_size")
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).sum))
+      .collect().filter(_ > 0)
+    val maxRow = (8L * 65536)
+    check(parts.nonEmpty && parts.max <= target + maxRow,
+      f"balanceByBytes: max partition ${parts.max / 1024.0}%.0f KiB ≤ " +
+        f"target ${target / 1024.0}%.0f KiB + largest payload ${maxRow / 1024.0}%.0f KiB " +
+        f"over ${parts.length} non-empty partitions")
+
+    println(s"MEDIA_SMOKE_RESULT ${if (failed) "FAIL" else "PASS"}")
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

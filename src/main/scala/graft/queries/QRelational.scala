@@ -203,6 +203,37 @@ object QRelational {
         .orderBy("source")
     },
 
+    // Schema evolution across parquet parts (mergeSchema) — years of
+    // accumulated data drift columns, and the 100 TB reader must
+    // union them by NAME with NULL backfill, not by position. Two
+    // parts derived from orders (the odd-key part carries an extra
+    // o_totalprice column) are written separately and read back with
+    // mergeSchema; the oracle replays the backfill with a CASE on the
+    // part predicate over the original table.
+    QueryDef.of("s16_schema_evolution",
+      """SELECT o_orderkey % 7 AS bucket, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_price,
+        |  CAST(coalesce(sum(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS price_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val out = scratch(dir, "s16_evolve")
+      val orders = Tables.orders(s, dir)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$out/part_v1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .write.mode("overwrite").parquet(s"$out/part_v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$out/part_v1", s"$out/part_v2")
+        .groupBy((col("o_orderkey") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          count(col("price_cents")).as("n_price"),
+          coalesce(sum(col("price_cents")), lit(0L)).as("price_cents"))
+        .orderBy("bucket")
+    },
+
     // Columnar ORC sink + scan round-trip (the third interchange
     // format next to CSV/JSONL; Spark's ORC writer is built in). Same
     // contract as s11: the aggregate runs on the RE-READ files, the

@@ -329,6 +329,48 @@ object QScalar {
           expr("parse_url(url, 'QUERY', 'ref')").as("ref"),
           substring_index(expr("parse_url(url, 'HOST')"), ".", -2).as("domain"))
         .orderBy("doc_id")
+    },
+
+    // Schema-enforced JSON parsing (from_json with a declared nested
+    // StructType — the typed counterpart of f06's get_json_object):
+    // a nested document (struct field + string array) is ENCODED to a
+    // JSON string and parsed back through from_json, then consumed by
+    // dot-access and explode. The oracle derives the expected rows
+    // from the same field arithmetic directly, so the engine's
+    // encode→parse round-trip must be lossless and the declared
+    // schema must bind every nested field correctly.
+    QueryDef.of("f14_json_nested",
+      """WITH t AS (SELECT lang, n_chars,
+        |    unnest(['t' || (doc_id % 3), 'u' || (doc_id % 5)]) AS tag
+        |  FROM documents)
+        |SELECT lang, tag, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n
+        |FROM t GROUP BY lang, tag ORDER BY lang, tag""".stripMargin) { (s, dir) =>
+      val json = concat(
+        lit("""{"id":"""), col("doc_id"),
+        lit(""","meta":{"lang":""""), col("lang"),
+        lit("""","n":"""), col("n_chars"),
+        lit("""},"tags":["t"""), col("doc_id") % 3,
+        lit("""","u"""), col("doc_id") % 5, lit(""""]}"""))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("meta",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("lang",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType)))),
+        org.apache.spark.sql.types.StructField("tags",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType))))
+      Tables.documents(s, dir)
+        .select(from_json(json, schema).as("j"))
+        .select(col("j.meta.lang").as("lang"), col("j.meta.n").as("n"),
+          explode(col("j.tags")).as("tag"))
+        .groupBy("lang", "tag")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_n"))
+        .orderBy("lang", "tag")
     })
 
   /** The f11 corpus + summary: per customer a synthetic "First Last"

@@ -33,4 +33,43 @@ class SinksSpec extends AnyFunSuite {
     // 2023 'b' deleted (whole year refreshed), 'a' deduped to loaded_at=3
     assert(got === Set(("a", 2023, 9.0), ("c", 2024, 3.0)))
   }
+
+  test("malformed CSV rows are captured, not silently dropped (PERMISSIVE + corrupt-record)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv_").toString
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in.csv"),
+        ("id,qty,price\n" +      // header
+          "1,3,9.5\n" +          // good
+          "2,notanumber,1.0\n" + // bad qty type
+          "3,4\n" +              // missing column
+          "4,5,2.25\n"           // good
+        ).getBytes)
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("qty", IntegerType),
+        StructField("price", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      val df = spark.read
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema).csv(dir)
+        .cache() // corrupt-record column requires the full row to be materialized
+      assert(df.count() === 4) // every input row accounted for
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+        .select("_corrupt_record").as[String].collect().sorted.toSeq
+      assert(bad === Seq("2,notanumber,1.0", "3,4"))
+      val good = df.filter(col("_corrupt_record").isNull)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(good === Seq(1L, 4L))
+      // FAILFAST is the loud alternative: same file must throw
+      val strict = spark.read.option("header", "true").option("mode", "FAILFAST")
+        .schema(StructType(schema.dropRight(1))).csv(dir)
+      intercept[org.apache.spark.SparkException](strict.collect())
+      df.unpersist()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -78,9 +78,12 @@ object Dedup {
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
     if (numBits / 8 > maxBloomBytes)
       batch.join(histKeys, keyCols, "left_anti")
-    else if (histKeys.isEmpty)
+    else if (history.isEmpty)
       // cold start (first-ever batch): everything is new, and Spark's
-      // stat.bloomFilter returns a null buffer on zero rows (NPE)
+      // stat.bloomFilter returns a null buffer on zero rows (NPE).
+      // Probe the RAW history (limit-1 scan, early-out at the first
+      // row) — probing histKeys would run the distinct's map stage
+      // over the whole history on every steady-state call
       batch
     else {
       val fp = xxhash64(keyCols.map(col): _*)

@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
  */
 object Quantize {
 
-  /** Adds `v` (double-widened vector), `scale`, and `q` (int8-range
-    * longs) per row; zero vectors quantize to all-zero q. */
+  /** PROJECTS to (`idCol`, `v` double-widened vector, `scale`, `q`
+    * int8-range longs) — other input columns are dropped, not passed
+    * through (join back on `idCol` if metadata is needed downstream);
+    * zero vectors quantize to all-zero q. */
   def int8Symmetric(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol),
         expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))

@@ -110,26 +110,30 @@ object Sampling {
   def selectToBudget(
       df: DataFrame, scoreCol: String, idCol: String, tokCol: String,
       budget: Long, maxBuckets: Int = 1 << 20): DataFrame = {
+    // persisted: bucket-sized, but DERIVED from a full corpus
+    // aggregation — the probe, the prefix-sum window, and both
+    // downstream filters (fully-kept set, boundary row) consume it,
+    // and uncached each would re-run the corpus scan. Catalog-managed
+    // cache, so the harness clearCache() contract (CacheHygieneSpec)
+    // frees it per query.
     val buckets = df.groupBy(col(scoreCol).as("__score"))
       .agg(sum(col(tokCol).cast("long")).as("__btoks"))
-    // bucket-sized single-partition window (bounded by score
-    // cardinality, NOT corpus size — see scaladoc)
-    val wb = Window.orderBy(col("__score").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // persisted: bucket-sized, but DERIVED from a full corpus
-    // aggregation — the probe and both downstream filters (fully-kept
-    // set, boundary row) consume it, and uncached each would re-run
-    // the corpus scan. Catalog-managed cache, so the harness
-    // clearCache() contract (CacheHygieneSpec) frees it per query.
-    val classified = buckets
-      .withColumn("__cum_before", coalesce(sum(col("__btoks")).over(wb), lit(0L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probed = classified.limit(maxBuckets + 1).count()
+    // the probe runs BEFORE the prefix-sum window is ever built — a
+    // probe on the windowed plan would materialize the very
+    // unbounded single partition it exists to prevent
+    val probed = buckets.limit(maxBuckets + 1).count()
     require(probed <= maxBuckets,
       s"selectToBudget: score column '$scoreCol' has over $maxBuckets distinct " +
         "values — the bucket prefix-sum window would be an unbounded single " +
         "partition. Quantize the score first (e.g. round(score, 6)) or raise " +
         "maxBuckets deliberately.")
+    // bucket-sized single-partition window (bounded by score
+    // cardinality, NOT corpus size — the probe above just proved it)
+    val wb = Window.orderBy(col("__score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classified = buckets
+      .withColumn("__cum_before", coalesce(sum(col("__btoks")).over(wb), lit(0L)))
     val fullKeep = classified.filter(col("__cum_before") + col("__btoks") <= budget)
       .select(col("__score"))
     val boundary = classified
@@ -177,21 +181,24 @@ object Sampling {
     require(budgets.nonEmpty, "budgets must name at least one group")
     import df.sparkSession.implicits._
     val budgetDf = budgets.toSeq.sortBy(_._1).toDF("__grp", "__budget")
+    // persisted for the probe + window + both downstream filters;
+    // catalog-managed cache (see selectToBudget)
     val buckets = df.groupBy(col(groupCol).as("__grp"), col(scoreCol).as("__score"))
       .agg(sum(col(tokCol).cast("long")).as("__btoks"))
-    val wb = Window.partitionBy(col("__grp")).orderBy(col("__score").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // persisted for the same three consumers as selectToBudget (probe,
-    // full-keep filter, boundary filter); catalog-managed cache
-    val classified = buckets
-      .withColumn("__cum_before", coalesce(sum(col("__btoks")).over(wb), lit(0L)))
-      .join(broadcast(budgetDf), Seq("__grp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probed = classified.limit(maxBuckets + 1).count()
+    // probe BEFORE the per-group prefix-sum window exists — probing
+    // the windowed plan would execute the unbounded partitions the
+    // guard exists to prevent
+    val probed = buckets.limit(maxBuckets + 1).count()
     require(probed <= maxBuckets,
       s"selectToBudgetPerGroup: over $maxBuckets distinct (group, score) " +
         "pairs — quantize the score first (e.g. round(score, 6)) or raise " +
         "maxBuckets deliberately.")
+    val wb = Window.partitionBy(col("__grp")).orderBy(col("__score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classified = buckets
+      .withColumn("__cum_before", coalesce(sum(col("__btoks")).over(wb), lit(0L)))
+      .join(broadcast(budgetDf), Seq("__grp"))
     val fullKeep = classified
       .filter(col("__cum_before") + col("__btoks") <= col("__budget"))
       .select(col("__grp"), col("__score"))

@@ -192,8 +192,11 @@ object QMedia {
 
   /** Transcripts matched to the [[y4mMedia]] clips for the alignment
     * query: media `i` carries `2 + i % 4` cues, cue `j` active over
-    * [j·150 ms, j·150+200 ms) — windows chosen to overlap the 10 fps
-    * frame instants (frame k at k·100 ms) in 0/1/2-cue patterns. */
+    * [j·150 ms, j·150+200 ms) — windows chosen to overlap the frame
+    * instants, which m11 DERIVES as frame k ↦ k·100 ms (the y4m
+    * header's F tag is not consumed by the demux; the 100 ms spacing
+    * is the query's own convention, applied identically on the
+    * oracle side) in 0/1/2-cue patterns. */
   def alignSrtMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
     import s.implicits._
     s.range(12).as[Long].map { i =>

@@ -139,27 +139,12 @@ object EventsScaleSmoke {
       check(exactLinear(r1.foldSum, r.foldSum),
         s"fold balance checksum exactly linear at ${r.scale}x (${r1.foldSum}->${r.foldSum})")
     }
-    if (runs.length >= 2) {
-      val (lo, hi) = (runs(runs.length - 2), runs.last)
-      val ratio = hi.scale.toDouble / lo.scale
-      val bound = (lo.writeBytes * ratio * 1.5).toLong + (8L << 20)
-      check(hi.writeBytes <= bound,
-        f"shuffle write ${lo.scale}x->${hi.scale}x: ${hi.writeBytes / 1048576.0}%.1f MiB ≤ " +
-          f"linear bound ${bound / 1048576.0}%.1f MiB")
-      runs.tail.zip(runs).foreach { case (r, prev) =>
-        println(f"EVT_SMOKE_INFO bytes ${prev.scale}x->${r.scale}x grew " +
-          f"${r.writeBytes.toDouble / math.max(1, prev.writeBytes)}%.2fx for a " +
-          f"${r.scale.toDouble / prev.scale}%.2fx scale-up")
-      }
-    }
-    runs.foreach { r =>
-      r.stages.foreach { case (sid, (nTasks, total, mx)) =>
-        if (total > (4L << 20) && nTasks >= 8)
-          check(mx <= 8 * (total / nTasks),
-            f"scale=${r.scale} stage=$sid skew: max task ${mx / 1048576.0}%.1f MiB " +
-              f"≤ 8× mean ${(total / nTasks) / 1048576.0}%.1f MiB over $nTasks tasks")
-      }
-    }
+    // shared shuffle/skew gates ([[SmokeGates]]) — every consecutive
+    // pair gated; the 16 MiB small-total exemption covers the
+    // broadcast→shuffled plan transition at the smallest pair
+    SmokeGates.gateShuffleLinear(runs.map(r => (r.scale, r.writeBytes)), check,
+      exemptBytes = 16L << 20)
+    runs.foreach(r => SmokeGates.gateSkew(r.scale, r.stages, check))
     println(s"EVT_SMOKE_RESULT ${if (failed) "FAIL" else "PASS"}")
     spark.stop()
     if (failed) sys.exit(1)

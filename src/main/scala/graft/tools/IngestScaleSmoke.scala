@@ -213,36 +213,26 @@ object IngestScaleSmoke {
     runs.tail.foreach { r =>
       check(r.newRows * r1.scale == r1.newRows * r.scale,
         s"t27 new rows EXACTLY linear at ${r.scale}x (${r1.newRows}->${r.newRows})")
-      // disjoint copies replicate copy 0's near-dup structure exactly
-      // (copy-prefixed tokens → per-copy shingle spaces), so the LSH
-      // ingestion gate's kept count is EXACTLY linear too
-      check(r.nearKept * r1.scale == r1.nearKept * r.scale,
-        s"t32 near-dup kept rows EXACTLY linear at ${r.scale}x " +
-          s"(${r1.nearKept}->${r.nearKept})")
+      // disjoint copies replicate copy 0's JACCARD structure exactly,
+      // but LSH candidacy for BORDERLINE pairs (0.5 ≤ j < 1) depends
+      // on the hash draw, which the copy prefix re-rolls per copy —
+      // only the jaccard-1.0 self-matches (identical signatures, the
+      // bulk of the drops) are deterministically replicated. Gate is
+      // therefore linear within a ±1%-of-batch tolerance, not exact.
+      val expected = r1.nearKept * r.scale / r1.scale
+      val tol = math.max(1L, nDocs0 * 6L / 10L * r.scale / 100L)
+      check(math.abs(r.nearKept - expected) <= tol,
+        s"t32 near-dup kept rows linear ±1% at ${r.scale}x " +
+          s"(${r1.nearKept}->${r.nearKept}, expected ~$expected ±$tol)")
     }
-    // shuffle linearity between consecutive scales (the LlmScaleSmoke
-    // gate: 1.5× of linear + 8 MiB fixed-overhead allowance). A pair
-    // whose LARGER total is still under 32 MiB is exempt: at that size
-    // the growth is AQE flipping broadcast joins to shuffled ones as
-    // inputs outgrow the threshold (measured here: 2.4 → 25.7 MiB for
-    // 1x→3x while 3x→10x is 1.10× of linear), and any genuinely
-    // quadratic stage still trips the gated larger pairs immediately.
-    runs.tail.zip(runs).foreach { case (r, prev) =>
-      val ratio = r.scale.toDouble / prev.scale
-      val bound = (prev.writeBytes * ratio * 1.5).toLong + (8L << 20)
-      check(r.writeBytes <= bound || r.writeBytes <= (32L << 20),
-        f"shuffle write ${prev.scale}x->${r.scale}x: ${r.writeBytes / 1048576.0}%.1f MiB ≤ " +
-          f"linear bound ${bound / 1048576.0}%.1f MiB or small-total exemption " +
-          f"(grew ${r.writeBytes.toDouble / math.max(1, prev.writeBytes)}%.2fx)")
-    }
-    runs.foreach { r =>
-      r.stages.foreach { case (sid, (n, total, mx)) =>
-        if (total > (4L << 20) && n >= 8)
-          check(mx <= 8 * (total / n),
-            f"scale=${r.scale} stage=$sid skew: max task ${mx / 1048576.0}%.1f MiB " +
-              f"≤ 8× mean ${(total / n) / 1048576.0}%.1f MiB over $n tasks")
-      }
-    }
+    // shared shuffle/skew gates ([[SmokeGates]]). The 32 MiB
+    // small-total exemption covers this smoke's 1x→3x step, where AQE
+    // flips broadcast joins to shuffled ones as inputs outgrow the
+    // threshold (measured: 2.4 → 25.7 MiB while 3x→10x is 1.10× of
+    // linear).
+    SmokeGates.gateShuffleLinear(runs.map(r => (r.scale, r.writeBytes)), check,
+      exemptBytes = 32L << 20)
+    runs.foreach(r => SmokeGates.gateSkew(r.scale, r.stages, check))
     println(s"INGEST_SMOKE_RESULT ${if (failed) "FAIL" else "PASS"}")
     spark.stop()
     if (failed) sys.exit(1)

@@ -167,29 +167,12 @@ object LlmScaleSmoke {
           s"[$ideal, ${(ideal * 1.25).toLong + 64}] of the budget lower bound")
     }
     // every consecutive pair is GATED (was: only the two largest
-    // scales, smallest-pair INFO-only). The 8 MiB fixed-overhead
-    // allowance absorbs the one-time AQE broadcast→shuffle plan
-    // transitions that inflate the smallest pair (measured r8:
-    // 4.17× bytes for the 3× scale-up — within the 1.5×-of-linear
-    // bound once the allowance is counted, and a genuinely quadratic
-    // stage still blows through it immediately).
-    runs.tail.zip(runs).foreach { case (r, prev) =>
-      val ratio = r.scale.toDouble / prev.scale
-      val bound = (prev.writeBytes * ratio * 1.5).toLong + (8L << 20)
-      check(r.writeBytes <= bound,
-        f"shuffle write ${prev.scale}x->${r.scale}x: ${r.writeBytes / 1048576.0}%.1f MiB ≤ " +
-          f"linear bound ${bound / 1048576.0}%.1f MiB " +
-          f"(grew ${r.writeBytes.toDouble / math.max(1, prev.writeBytes)}%.2fx for a " +
-          f"$ratio%.2fx scale-up)")
-    }
-    runs.foreach { r =>
-      r.stages.foreach { case (sid, (n, total, mx)) =>
-        if (total > (4L << 20) && n >= 8)
-          check(mx <= 8 * (total / n),
-            f"scale=${r.scale} stage=$sid skew: max task ${mx / 1048576.0}%.1f MiB " +
-              f"≤ 8× mean ${(total / n) / 1048576.0}%.1f MiB over $n tasks")
-      }
-    }
+    // scales, smallest-pair INFO-only) — shared formula, see
+    // [[SmokeGates.gateShuffleLinear]]. Measured r8: 4.17× bytes for
+    // the 3× scale-up — within the bound once the fixed-overhead
+    // allowance is counted.
+    SmokeGates.gateShuffleLinear(runs.map(r => (r.scale, r.writeBytes)), check)
+    runs.foreach(r => SmokeGates.gateSkew(r.scale, r.stages, check))
     println(s"LLM_SMOKE_RESULT ${if (failed) "FAIL" else "PASS"}")
     spark.stop()
     if (failed) sys.exit(1)

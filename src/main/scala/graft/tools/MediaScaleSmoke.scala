@@ -80,7 +80,7 @@ object MediaScaleSmoke {
     // byte-balanced partitioning: skewed payloads (1 KB .. ~512 KB)
     val skewed = spark.range(64).select(
         col("id").as("media_id"),
-        // payload k is ~(k % 8 + 1) * 64 KiB of zeros — heavy skew
+        // payload k is (k % 8 + 1) * 64 KiB of 'x' bytes — heavy skew
         expr("repeat(CAST('x' AS BINARY), CAST((id % 8 + 1) * 65536 AS INT))").as("content"))
       .withColumn("content_size", length(col("content")).cast("long"))
     val target = 256L << 10

@@ -261,6 +261,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("t28: budget selection joins by broadcast only — no corpus sort-merge") {
+    val p = plan("t28_budget_select")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t31: grouped budget selection joins by broadcast only") {
     val p = plan("t31_budget_mixture")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -74,6 +74,35 @@ object Sampling {
   }
 
   /**
+   * Cross-split leakage audit — the eval-integrity check every
+   * pipeline using [[assignSplit]] needs: duplicate content straddling
+   * the train/test boundary silently inflates eval scores. Returns
+   * one row per ordered split pair that shares at least one exact
+   * content fingerprint: (split_a, split_b, n_pairs of leaking doc
+   * pairs, n_docs distinct lower-id docs involved), where `split_a`
+   * is the lower-id side. Empty result = leak-free splits.
+   *
+   * One shuffle on the 128-bit content fingerprint (the same key the
+   * exact-dedup family uses — dup groups are small by construction,
+   * so the self-join is skew-bounded); output is at most
+   * |splits|·(|splits|−1) rows.
+   */
+  def crossSplitLeakage(
+      df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val tagged = assignSplit(df, idCol, splits)
+      .select(col(idCol).as("__id"), col("split"),
+        md5(coalesce(col(textCol), lit(""))).as("__fp"))
+    val a = tagged.toDF("id_a", "split_a", "__fp")
+    val b = tagged.toDF("id_b", "split_b", "__fp")
+    a.join(b, Seq("__fp"))
+      .filter(col("id_a") < col("id_b") && col("split_a") =!= col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_a")).as("n_docs"))
+  }
+
+  /**
    * Budget-constrained corpus selection: keep the best-scoring rows,
    * in (`scoreCol` desc, `idCol` asc) order, while the running sum of
    * `tokCol` stays ≤ `budget` — "fill the training budget with the

@@ -656,6 +656,43 @@ object QText {
         .orderBy("shard", "pack_seq")
     },
 
+    // Cross-split leakage audit (Sampling.crossSplitLeakage): exact
+    // content fingerprints straddling the t16 train/val/test split —
+    // the eval-integrity check that catches duplicate documents
+    // inflating eval scores. The synthetic corpus HAS duplicate texts,
+    // so the audit reports real leaks; the oracle replays the
+    // md5-bucket split, the fingerprint self-join, and the per-pair
+    // aggregation.
+    // The corpus has no cross-id exact duplicates, so the audit runs
+    // on documents plus a planted re-crawl (every 10th doc re-ingested
+    // under a new id — the realistic leak source): the split hashes
+    // the IDs independently, so ~18.5% of planted pairs straddle a
+    // boundary and the audit must report them, split-pair by
+    // split-pair.
+    QueryDef.of("t33_split_leakage", {
+      val th = graft.operators.Sampling.splitThresholds(
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         |s AS (SELECT doc_id, md5(coalesce(text, '')) AS fp,
+         |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < ${th(0)._2} THEN 'train'
+         |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < ${th(1)._2} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM d)
+         |SELECT a.split AS split_a, b.split AS split_b,
+         |  count(*) AS n_pairs, count(DISTINCT a.doc_id) AS n_docs
+         |FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  AND a.split <> b.split
+         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin }) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val recrawl = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      graft.operators.Sampling.crossSplitLeakage(
+          docs.unionByName(recrawl), "doc_id", "text",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .orderBy("split_a", "split_b")
+    },
+
     // Deterministic train/val/test split (Sampling.assignSplit):
     // 90/5/5 by the 32-bit md5 bucket of doc_id — shuffle-free, and
     // the oracle inlines the SAME integer thresholds the operator

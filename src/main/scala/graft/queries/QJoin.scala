@@ -223,6 +223,39 @@ object QJoin {
 
     // Gap sessionization, declarative form (SURVEY W3 generalized;
     // the stateful twin is equivalence-tested in ScalaTest).
+    // The NATIVE session-window operator (session_window + groupBy —
+    // Spark's UpdatingSessions physical path, a genuinely different
+    // operator from the lag/cumsum form ses01 uses and from the
+    // mapGroupsWithState fold): sessions merge while the gap to the
+    // previous event stays under 30 min and close at last_ts + gap,
+    // so an event exactly AT the boundary starts a new session — the
+    // oracle's >= on the gap encodes that half-open semantic.
+    QueryDef.of("ses05_native_session_window",
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value*100) AS BIGINT) AS c,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_us
+        |  FROM events),
+        |sid AS (SELECT user_id, us, c,
+        |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM l)
+        |SELECT user_id, MIN(us) AS session_start_us, count(*) AS n,
+        |  CAST(SUM(c) AS BIGINT) AS cents
+        |FROM sid GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          col("n"), col("cents"))
+        .orderBy("user_id", "session_start_us")
+    },
+
     QueryDef.of("ses01_gap_session",
       """SELECT event_id, CAST(session_id AS BIGINT) AS session_id
         |FROM (SELECT event_id,

@@ -745,6 +745,29 @@ class OperatorSpecs extends AnyFunSuite {
     assert(viaFallback === expected)
   }
 
+  test("crossSplitLeakage: empty on unique content, exact pair counts on planted leaks") {
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val unique = (0L until 200L).map(i => (i, s"unique text number $i"))
+      .toDF("doc_id", "text")
+    assert(Sampling.crossSplitLeakage(unique, "doc_id", "text", splits).count() === 0)
+    // plant duplicates under new ids, then recompute the expectation
+    // from the operator's own split assignment
+    val planted = unique.unionByName(
+      unique.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+    val assignment = Sampling.assignSplit(planted, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val expected = (0L until 200L by 4).flatMap { i =>
+      val (a, b) = (assignment(i), assignment(i + 10000L))
+      if (a != b) Some((a, b)) else None // split_a is the LOWER id's split
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Sampling.crossSplitLeakage(planted, "doc_id", "text", splits)
+      .select("split_a", "split_b", "n_pairs").as[(String, String, Long)]
+      .collect().map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(got === expected)
+    assert(got.values.sum > 0, "fixture must actually plant cross-split leaks")
+  }
+
   test("int8 inner-product top-k: high recall vs float inner-product ranking") {
     import org.apache.spark.sql.expressions.Window
     val k = 5

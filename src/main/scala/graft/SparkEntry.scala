@@ -52,7 +52,8 @@ object SparkEntry {
     "a01_pivot_matrix", "a05_event_kernel", "a08_union_explode_agg",
     "a10_scenario_weighted", "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
-    "asof01_backward_tolerance", "ses02_session_stats", "x01_stateful_fold_balance",
+    "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",
+    "x01_stateful_fold_balance",
     "o01_global_sort_limit", "s01_scan_pushdown", "f05_hash_ids",
     "t01_text_quality", "t06_ngram_jaccard_pairs", "t07_minhash_lsh_pairs",
     "t08_simhash_pairs", "t09_dup_clusters", "t12_decontaminate",
@@ -60,7 +61,7 @@ object SparkEntry {
     "t21_mixture_sample", "t22_tfidf_keywords", "t23_lm_perplexity",
     "t24_dup_spans", "t25_packed_text", "t26_dedup_keep_longest",
     "t27_incremental_dedup", "t28_budget_select", "t30_sliding_chunks",
-    "t31_budget_mixture", "t32_incremental_neardup",
+    "t31_budget_mixture", "t32_incremental_neardup", "t33_split_leakage",
     "v01_ann_brute_topk", "v02_ann_lsh_topk", "v03_embed_neardup_brute",
     "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",

@@ -338,6 +338,16 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("bid").as(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the (small: drop-ids only) verdict, then free the
+    // two large shingle caches RIGHT HERE — a long-lived caller (e.g.
+    // a foreachBatch ingestion loop) must not accumulate them per
+    // invocation. The remaining `drops` cache is catalog-managed, so
+    // the harness clearCache() contract (CacheHygieneSpec) frees it
+    // per query; loop callers should unpersist the returned plan's
+    // cache or clearCache between batches.
+    drops.count()
+    shB.unpersist(); shH.unpersist()
     batch.join(drops, Seq(idCol), "left_anti")
   }
 

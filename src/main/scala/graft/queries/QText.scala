@@ -659,10 +659,8 @@ object QText {
     // Cross-split leakage audit (Sampling.crossSplitLeakage): exact
     // content fingerprints straddling the t16 train/val/test split —
     // the eval-integrity check that catches duplicate documents
-    // inflating eval scores. The synthetic corpus HAS duplicate texts,
-    // so the audit reports real leaks; the oracle replays the
-    // md5-bucket split, the fingerprint self-join, and the per-pair
-    // aggregation.
+    // inflating eval scores. The oracle replays the md5-bucket split,
+    // the fingerprint self-join, and the per-pair aggregation.
     // The corpus has no cross-id exact duplicates, so the audit runs
     // on documents plus a planted re-crawl (every 10th doc re-ingested
     // under a new id — the realistic leak source): the split hashes

@@ -247,22 +247,28 @@ object QVector {
     // int8 inner-product top-k over the quantized store — the scan a
     // vector database actually runs after the v07 storage cut
     // (integer SIMD dot products; rescale by the per-vector scales).
-    // The ranking key is ALL-INTEGER (q·q' × scale_micro × scale'_micro,
-    // |key| < 2^63), so both engines rank identically and the compare
-    // is hash-exact — no float-ordering tolerance anywhere. Recall vs
-    // the float top-k is spec-tested (OperatorSpecs), not oracled:
+    // The ranking key is ALL-INTEGER (q·q' × scale_milli × scale'_milli),
+    // so both engines rank identically and the compare is hash-exact —
+    // no float-ordering tolerance anywhere. Milli (1e3), not micro:
+    // |dot| ≤ dim·127² ≈ 1.03e6 at dim 64, so a micro-scaled key
+    // overflows int64 once per-vector scale ≳ 3.0 — Spark would wrap
+    // silently (non-ANSI) while DuckDB raises, breaking parity
+    // data-dependently. With milli scales the key stays < 2^63 for any
+    // scale ≤ ~2900; a probe below enforces scale ≤ 1000 outright so a
+    // regenerated-embeddings drift fails loudly, not silently. Recall
+    // vs the float top-k is spec-tested (OperatorSpecs), not oracled:
     // approximation quality is a property, equality is not expected.
     QueryDef.of("v08_ann_int8_topk",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
-        |qz AS (SELECT vec_id, CAST(round(scale * 1e6) AS BIGINT) AS s_micro,
+        |qz AS (SELECT vec_id, CAST(round(scale * 1e3) AS BIGINT) AS s_milli,
         |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
         |      ELSE CAST(round(x / scale * 127) AS BIGINT) END) AS q
         |  FROM s),
-        |qq AS (SELECT vec_id AS query_id, s_micro AS qs, q AS qv
+        |qq AS (SELECT vec_id AS query_id, s_milli AS qs, q AS qv
         |  FROM qz WHERE vec_id < 10),
         |sc AS (SELECT qq.query_id, c.vec_id AS id,
-        |    CAST(list_dot_product(qq.qv, c.q) AS BIGINT) * qq.qs * c.s_micro AS ip_scaled
+        |    CAST(list_dot_product(qq.qv, c.q) AS BIGINT) * qq.qs * c.s_milli AS ip_scaled
         |  FROM qq JOIN qz c ON c.vec_id <> qq.query_id)
         |SELECT query_id,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY ip_scaled DESC, id) AS BIGINT) AS rank,
@@ -273,19 +279,27 @@ object QVector {
       import org.apache.spark.sql.expressions.Window
       val qz = graft.operators.Quantize.int8Symmetric(emb(s, dir), "vec_id", "embedding")
         .select(col("vec_id"),
-          round(col("scale") * 1e6).cast("long").as("s_micro"), col("q"))
+          round(col("scale") * 1e3).cast("long").as("s_milli"), col("q"))
+      // Overflow guard (cheap column-max probe): |key| ≤ dim·127²·qs·cs
+      // must stay < 2^63. scale ≤ 1000 (s_milli ≤ 1e6) keeps it below
+      // ~1.04e18 at dim 64 with 3 orders of margin; regenerated
+      // embeddings with larger magnitudes fail HERE, not as a silent
+      // int64 wrap that DuckDB would instead raise on.
+      val maxSMilli = qz.agg(max(col("s_milli"))).head.getLong(0)
+      require(maxSMilli <= 1000000L,
+        s"v08 int ranking key would risk int64 overflow: max scale_milli $maxSMilli > 1e6")
       val queries = qz.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("s_micro").as("qs"),
+        .select(col("vec_id").as("query_id"), col("s_milli").as("qs"),
           col("q").as("qv"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("ip_scaled").desc, col("id"))
-      qz.select(col("vec_id").as("id"), col("s_micro"), col("q"))
+      qz.select(col("vec_id").as("id"), col("s_milli"), col("q"))
         .crossJoin(broadcast(queries))
         .filter(col("id") =!= col("query_id"))
         .withColumn("ip_scaled",
           expr("""aggregate(zip_with(qv, q, (a, b) -> a * b),
             |CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin) *
-            col("qs") * col("s_micro"))
+            col("qs") * col("s_milli"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("query_id", "rank", "id", "ip_scaled")

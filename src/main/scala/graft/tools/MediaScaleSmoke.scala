@@ -77,7 +77,7 @@ object MediaScaleSmoke {
           f"${r.writeBytes / 1024.0}%.1f KiB ≤ 1024 KiB")
     }
 
-    // byte-balanced partitioning: skewed payloads (1 KB .. ~512 KB)
+    // byte-balanced partitioning: skewed payloads (64 KiB .. 512 KiB)
     val skewed = spark.range(64).select(
         col("id").as("media_id"),
         // payload k is (k % 8 + 1) * 64 KiB of 'x' bytes — heavy skew

@@ -786,15 +786,15 @@ class OperatorSpecs extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     // int8 IP top-k (the v08 path)
     val qz = Quantize.int8Symmetric(embeddings, "vec_id", "embedding")
-      .select(col("vec_id"), round(col("scale") * 1e6).cast("long").as("s_micro"), col("q"))
+      .select(col("vec_id"), round(col("scale") * 1e3).cast("long").as("s_milli"), col("q"))
     val qq = qz.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("s_micro").as("qs"), col("q").as("qv"))
+      .select(col("vec_id").as("query_id"), col("s_milli").as("qs"), col("q").as("qv"))
     val wQ = Window.partitionBy("query_id").orderBy(col("ips").desc, col("id"))
-    val intTop = qz.select(col("vec_id").as("id"), col("s_micro"), col("q"))
+    val intTop = qz.select(col("vec_id").as("id"), col("s_milli"), col("q"))
       .crossJoin(broadcast(qq)).filter(col("id") =!= col("query_id"))
       .withColumn("ips", expr(
         "aggregate(zip_with(qv, q, (a, b) -> a * b), CAST(0 AS BIGINT), (a, b) -> a + b)") *
-        col("qs") * col("s_micro"))
+        col("qs") * col("s_milli"))
       .withColumn("rank", row_number().over(wQ)).filter(col("rank") <= k)
       .select("query_id", "id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap

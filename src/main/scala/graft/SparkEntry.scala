@@ -62,6 +62,7 @@ object SparkEntry {
     "t24_dup_spans", "t25_packed_text", "t26_dedup_keep_longest",
     "t27_incremental_dedup", "t28_budget_select", "t30_sliding_chunks",
     "t31_budget_mixture", "t32_incremental_neardup", "t33_split_leakage",
+    "t34_bpe_encode", "t35_budget_select_bpe",
     "v01_ann_brute_topk", "v02_ann_lsh_topk", "v03_embed_neardup_brute",
     "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",

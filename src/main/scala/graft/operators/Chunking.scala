@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /**
  * Sliding-window token chunking — the long-document → overlapping-
  * context-window step of an LLM training/embedding pipeline (each
- * document becomes chunks of `chunkTokens` whitespace tokens starting
- * every `stride` tokens, so consecutive chunks overlap by
+ * document becomes chunks of `chunkTokens` tokens — whitespace by
+ * default, or real tokenizer tokens via the `tokenizer` parameter —
+ * starting every `stride` tokens, so consecutive chunks overlap by
  * `chunkTokens - stride`).
  *
  * Scale shape: a map-only narrow pipeline — tokenize once, explode a
@@ -25,14 +26,23 @@ import org.apache.spark.sql.functions._
  */
 object Chunking {
 
+  /** Default tokenizer: case-preserving whitespace split. Swap in
+    * [[graft.functions.Bpe.bpeTokens]] (partially applied over a
+    * broadcast vocab) to chunk by REAL tokenizer tokens — the chunk
+    * grid then matches what a training run would see. Any
+    * `Column => Column` producing array<string> works; the windowing
+    * below is tokenizer-agnostic and stays map-only either way. */
+  val whitespaceTokens: Column => Column =
+    c => filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
   def slidingTokenChunks(
       df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, stride: Int): DataFrame = {
+      chunkTokens: Int, stride: Int,
+      tokenizer: Column => Column = whitespaceTokens): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(stride > 0 && stride <= chunkTokens,
       s"stride must be in [1, chunkTokens], got $stride (chunkTokens $chunkTokens)")
-    val rawToks: Column =
-      filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val rawToks: Column = tokenizer(col(textCol))
     // two selects so the token array is an ATTRIBUTE where it is
     // referenced twice (sequence bound + slice) — same CollapseProject
     // boundary reasoning as Dedup.shingled

@@ -44,6 +44,50 @@ object QText {
   private val PiiPhone = graft.functions.Pii.PhoneRe
   private val PiiSsn = graft.functions.Pii.SsnRe
 
+  /** DuckDB replay of [[graft.functions.Bpe]]'s priority merge walk,
+    * generated FROM the Scala merges table so the two vocabs can never
+    * drift. A recursive CTE carries each DISTINCT word's token state
+    * as a chr(31)-wrapped string (token t ⇒ US+t+US, concatenated):
+    * the wrapped form makes "adjacent tokens a,b" a plain substring
+    * test and `replace()` exactly the leftmost-non-overlapping
+    * merge-all, with no false matches across token boundaries. Each
+    * iteration applies the single min-rank applicable pair (arg_min
+    * over the merge join) — precisely the priority-BPE step, so the
+    * lower-rank-pair-created-late case resolves identically to the
+    * Scala loop. Word states that admit no merge drop out of the
+    * recursion; `max_by(s, iter)` recovers each word's final state,
+    * and `doctok` re-expands words to per-document token streams. */
+  private val BPE_DOCTOK_CTE: String = {
+    val mergeValues = graft.functions.Bpe.defaultMerges.zipWithIndex
+      .map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(",")
+    s"""merges(a, b, r) AS (SELECT * FROM (VALUES $mergeValues) t(a, b, r)),
+       |dw(word) AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents WHERE trim(text) <> ''),
+       |st AS (
+       |  SELECT word, 0 AS iter,
+       |    chr(31) || array_to_string(string_split_regex(word, ''), chr(31)||chr(31)) || chr(31) AS s
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT word, iter + 1,
+       |    replace(s, chr(31)||ma||chr(31)||chr(31)||mb||chr(31), chr(31)||ma||mb||chr(31))
+       |  FROM (
+       |    SELECT st.word, st.iter, st.s, arg_min(m.a, m.r) AS ma, arg_min(m.b, m.r) AS mb
+       |    FROM st JOIN merges m
+       |      ON contains(st.s, chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31))
+       |    GROUP BY st.word, st.iter, st.s)),
+       |enc AS (SELECT word, trim(max_by(s, iter), chr(31)) AS fs FROM st GROUP BY word),
+       |encw AS (SELECT word, replace(fs, chr(31)||chr(31), ' ') AS toked,
+       |    CAST(len(string_split(fs, chr(31)||chr(31))) AS BIGINT) AS ntok FROM enc),
+       |inst AS (SELECT doc_id, i AS word_id, l[i] AS word
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |        FROM documents WHERE trim(text) <> ''),
+       |    unnest(range(1, len(l) + 1)) AS t(i)),
+       |doctok AS (SELECT i.doc_id,
+       |    CAST(sum(e.ntok) AS BIGINT) AS n_bpe_tokens,
+       |    string_agg(e.toked, ' ' ORDER BY i.word_id) AS bpe_text
+       |  FROM inst i JOIN encw e USING (word) GROUP BY i.doc_id)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Text quality metrics — token count, punctuation/stopword
@@ -1045,5 +1089,99 @@ object QText {
       graft.operators.Mixture.sampleToMix(docs, "source", "doc_id", weights)
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    // Deterministic greedy BPE encoding (Bpe / BpeEncodeExpr): every
+    // document's full subword token stream plus its REAL token count,
+    // under the broadcast 61-merge demo vocab. Map-only native
+    // expression on the Spark side; the oracle replays the identical
+    // priority merge walk per distinct word in a recursive CTE (the
+    // merges VALUES are generated from the same Scala table). The
+    // hash compare covers the tricky orderings: (k,ey) only becomes
+    // applicable after the later-ranked (e,y) fires, and "fast" needs
+    // (s,t) before (f,a)+(fa,st).
+    QueryDef.of("t34_bpe_encode",
+      s"""WITH RECURSIVE $BPE_DOCTOK_CTE
+         |SELECT d.doc_id,
+         |  CAST(coalesce(t.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+         |  coalesce(t.bpe_text, '') AS bpe_text
+         |FROM documents d LEFT JOIN doctok t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val vocab = s.sparkContext.broadcast(graft.functions.Bpe.defaultVocab)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Bpe.bpeTokens(col("text"), vocab).as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_bpe_tokens"),
+          array_join(col("__t"), " ").as("bpe_text"))
+        .orderBy("doc_id")
+    },
+
+    // t28's budget selection re-run in BPE mode — the token budget
+    // measures REAL tokenizer tokens (Bpe.bpeTokenCount as the tokCol)
+    // instead of whitespace words, which is what an LLM data pipeline
+    // actually budgets against. Same score-bucket prefix-sum operator,
+    // same quality score; only the measurement changes.
+    QueryDef.of("t35_budget_select_bpe",
+      s"""WITH RECURSIVE $BPE_DOCTOK_CTE,
+         |m AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS ntok,
+         |    CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
+         |      x -> list_contains(['the','a','an','of','to','in','and','is','on','for'], x))) AS DOUBLE) AS nstop,
+         |    CAST(len(regexp_extract_all(lower(trim(text)), '\\S+')) AS DOUBLE) AS ntok_lc,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM documents),
+         |q AS (SELECT m.doc_id,
+         |    CAST(coalesce(t.n_bpe_tokens, 0) AS BIGINT) AS n_tokens,
+         |    round(0.4 * least(ntok / 50.0, 1.0)
+         |      + 0.3 * (1.0 - CASE WHEN nchar <> 0 THEN npunct / nchar ELSE 0.0 END)
+         |      + 0.3 * least(CASE WHEN ntok_lc <> 0 THEN nstop / ntok_lc ELSE 0.0 END * 4.0, 1.0),
+         |      6) AS quality
+         |  FROM m LEFT JOIN doctok t ON m.doc_id = t.doc_id),
+         |sl AS (SELECT doc_id, n_tokens, quality,
+         |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM q)
+         |SELECT doc_id, n_tokens, quality FROM sl WHERE cum <= 25000
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val vocab = s.sparkContext.broadcast(graft.functions.Bpe.defaultVocab)
+      val t = col("text")
+      // cached as in t28: three narrow columns consumed by three
+      // passes of the operator; catalog-managed
+      val scored = Tables.documents(s, dir).select(
+          col("doc_id"),
+          graft.functions.Bpe.bpeTokenCount(t, vocab).cast("long").as("n_tokens"),
+          round(TextFunctions.qualityScore(t), 6).as("quality"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Sampling.selectToBudget(
+          scored, "quality", "doc_id", "n_tokens", budget = 25000L)
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    },
+
+    // t30's sliding-window chunking in BPE mode (the `tokenizer`
+    // switch on Chunking.slidingTokenChunks): the 32/16 chunk grid is
+    // laid over the REAL subword stream, so chunk boundaries land
+    // where a training run's would. Still a map-only narrow plan —
+    // the tokenizer swap changes the expression, not the shape.
+    QueryDef.of("t36_bpe_chunks",
+      s"""WITH RECURSIVE $BPE_DOCTOK_CTE,
+         |toks AS (SELECT doc_id, string_split(bpe_text, ' ') AS t FROM doctok),
+         |c AS (SELECT doc_id, CAST(u.s // 16 AS INT) AS chunk_idx,
+         |    CAST(u.s AS INT) AS token_start,
+         |    list_slice(t, u.s + 1, u.s + 32) AS ch
+         |  FROM toks, unnest(generate_series(0, len(t) - 1, 16)) AS u(s)
+         |  WHERE u.s < len(t))
+         |SELECT doc_id, chunk_idx, token_start,
+         |  CAST(len(ch) AS INT) AS n_chunk_tokens,
+         |  array_to_string(ch, ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val vocab = s.sparkContext.broadcast(graft.functions.Bpe.defaultVocab)
+      graft.operators.Chunking.slidingTokenChunks(
+          Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 32, stride = 16,
+          tokenizer = c => graft.functions.Bpe.bpeTokens(c, vocab))
+        .orderBy("doc_id", "chunk_idx")
     })
 }

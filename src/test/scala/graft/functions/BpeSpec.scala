@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pinned expectations + invariants for the greedy-priority BPE
+  * encoder ([[Bpe]] / [[graft.plans.BpeEncodeExpr]]). The pinned
+  * words cover the semantics the DuckDB oracle must reproduce:
+  * rank-priority ordering, merge-created lower-rank pairs, and
+  * leftmost-non-overlapping merge-all. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val v = Bpe.defaultVocab
+
+  test("pinned encodings: priority ordering and created pairs") {
+    // plain bottom-up merges
+    assert(v.encodeWord("table").toSeq === Seq("table"))
+    assert(v.encodeWord("scan").toSeq === Seq("scan"))
+    // (k,ey) ranks ABOVE (e,y) yet only applies after it fires —
+    // the priority re-scan must pick up the created pair
+    assert(v.encodeWord("key").toSeq === Seq("key"))
+    // "fast": (s,t) rank 22 fires before (f,a) rank 23, then (fa,st)
+    assert(v.encodeWord("fast").toSeq === Seq("fast"))
+    // partial merges stay split like real BPE on rare words
+    assert(v.encodeWord("filter").toSeq === Seq("f", "i", "l", "t", "er"))
+    assert(v.encodeWord("group").toSeq === Seq("g", "ro", "u", "p"))
+    // leftmost-non-overlapping merge-all: st|st|st, not st|s|t|st
+    assert(v.encodeWord("ststst").toSeq === Seq("st", "st", "st"))
+    // unknown characters pass through as singletons
+    assert(v.encodeWord("zzz").toSeq === Seq("z", "z", "z"))
+  }
+
+  test("document encode: whitespace pretokenization and edge cases") {
+    assert(v.encode("fast key  table").toSeq === Seq("fast", "key", "table"))
+    assert(v.encode("").isEmpty)
+    assert(v.encode("   ").isEmpty)
+    // concatenating tokens of each word reconstructs the word: BPE
+    // never drops or invents characters
+    for (w <- Seq("customer", "stream", "spark", "query", "keykey", "aggag"))
+      assert(v.encodeWord(w).mkString === w)
+  }
+
+  test("expression path equals driver-side encode and stays map-only") {
+    val docs = Seq((1L, "fast key table"), (2L, ""), (3L, "query stream zz"))
+      .toDF("doc_id", "text")
+    val bcast = spark.sparkContext.broadcast(v)
+    val got = docs.select(col("doc_id"), Bpe.bpeTokens(col("text"), bcast).as("t"),
+        Bpe.bpeTokenCount(col("text"), bcast).as("n"))
+      .orderBy("doc_id")
+      .as[(Long, Seq[String], Int)].collect()
+    assert(got(0) === ((1L, Seq("fast", "key", "table"), 3)))
+    assert(got(1) === ((2L, Seq.empty[String], 0)))
+    assert(got(2) === ((3L, Seq("query", "stream", "z", "z"), 4)))
+    // narrow plan: tokenization must never shuffle
+    val plan = docs.select(Bpe.bpeTokens(col("text"), bcast))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"BPE encode plan shuffles:\n$plan")
+  }
+}

@@ -39,6 +39,10 @@ import org.apache.spark.sql.functions._
  *    the bucket-table row count equals the DISTINCT-score count of
  *    copy 0 at every scale — constant while corpus rows grow c× —
  *    proving the shuffle key is score cardinality, not corpus size;
+ *  - t33: the cross-split leakage audit over a planted re-crawl is
+ *    EXACT under replication — copies share the id set (split
+ *    structure fixed) with copy-disjoint texts, so n_pairs per
+ *    split pair is exactly c× copy 0 and n_docs constant;
  *  - shuffle-write bytes grow within 1.5× of linear between
  *    consecutive scales, and no heavy stage has a task >8× the
  *    stage mean (the [[LlmScaleSmoke]] gates).
@@ -73,7 +77,8 @@ object IngestScaleSmoke {
       }.reduce(_.unionByName(_))
 
     final case class Run(scale: Int, newRows: Long, nearKept: Long, selRows: Long,
-        rankRows: Long, wallSec: Double, writeBytes: Long,
+        rankRows: Long, leak: Map[(String, String), (Long, Long)],
+        wallSec: Double, writeBytes: Long,
         stages: Map[Int, (Long, Long, Long)])
 
     var failed = false
@@ -196,6 +201,34 @@ object IngestScaleSmoke {
           s"while the corpus grows to ${nDocs0 * c} rows")
       ranked.unpersist()
 
+      // ---- t33: cross-split leakage audit ---------------------------
+      // Copies carry copy-DISJOINT texts (the scaledCorpus word
+      // prefix) but the SAME id set — split assignment is a pure
+      // function of the id, so the split structure is held FIXED
+      // while content volume grows c×. Every copy then replicates
+      // copy 0's exact planted-pair structure (pairs only form
+      // within a copy: fingerprints are copy-disjoint), making the
+      // audit's output EXACT under replication: n_pairs per split
+      // pair is c× copy 0 and n_docs (distinct lower-side ids, the
+      // same id set in every copy) is CONSTANT. The one fingerprint
+      // shuffle scales with rows; output stays split-pair-bounded.
+      val leakBase = (0 until c).map { k =>
+        if (k == 0) base
+        else base.withColumn("text",
+          array_join(transform(split(col("text"), " "), t => concat(lit(s"c$k"), t)), " "))
+      }.reduce(_.unionByName(_))
+      val planted = leakBase.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(5000000L))
+      val leak = Sampling.crossSplitLeakage(
+          leakBase.unionByName(planted), "doc_id", "text",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      check(leak.values.map(_._1).sum > 0,
+        s"scale=$c t33 planted re-crawl produces cross-split leak pairs " +
+          s"(${leak.values.map(_._1).sum})")
+
       val wall = (System.nanoTime() - t0) / 1e9
       bloomRes.unpersist()
       docs.unpersist()
@@ -204,9 +237,9 @@ object IngestScaleSmoke {
       val stages = tally.snapshotAndReset()
       val bytes = stages.values.map(_._2).sum
       println(f"INGEST_SMOKE scale=$c%-3d new=$newRows near_kept=$nearKept " +
-        f"sel=$selRows ranked=$rankRows " +
+        f"sel=$selRows ranked=$rankRows leak_pairs=${leak.values.map(_._1).sum} " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
-      Run(c, newRows, nearKept, selRows, rankRows, wall, bytes, stages)
+      Run(c, newRows, nearKept, selRows, rankRows, leak, wall, bytes, stages)
     }
 
     val r1 = runs.head
@@ -224,6 +257,11 @@ object IngestScaleSmoke {
       check(math.abs(r.nearKept - expected) <= tol,
         s"t32 near-dup kept rows linear ±1% at ${r.scale}x " +
           s"(${r1.nearKept}->${r.nearKept}, expected ~$expected ±$tol)")
+      check(r.leak.keySet == r1.leak.keySet &&
+          r.leak.forall { case (k, (pairs, docs)) =>
+            pairs == r1.leak(k)._1 * r.scale / r1.scale && docs == r1.leak(k)._2 },
+        s"t33 leak audit EXACT at ${r.scale}x: n_pairs ${r.scale}/${r1.scale}× " +
+          s"copy 0 per split pair, n_docs constant (${r1.leak} -> ${r.leak})")
     }
     // shared shuffle/skew gates ([[SmokeGates]]). The 32 MiB
     // small-total exemption covers this smoke's 1x→3x step, where AQE

@@ -77,6 +77,34 @@ object MediaScaleSmoke {
           f"${r.writeBytes / 1024.0}%.1f KiB ≤ 1024 KiB")
     }
 
+    // m11 cue↔frame alignment: the interval join MUST plan as an
+    // equi-join on media_id with the time range as a residual filter
+    // (a range-only join would be a per-media cross product — the
+    // classic interval-join scale killer), and its output rows must
+    // be EXACTLY linear under disjoint media_id replication.
+    val alignRuns = scales.map { c =>
+      val frames = Multimodal.sampleFrames(scaled(QMedia.y4mMedia(spark), c), everyN = 1)
+        .map(f => (f.media_id, f.frame_idx, f.frame_idx * 100L))
+        .toDF("media_id", "frame_idx", "frame_ms")
+      val cues = Subtitles.cues(scaled(QMedia.alignSrtMedia(spark), c)).toDF()
+        .select(col("media_id").as("c_media_id"), col("cue_idx"),
+          col("start_ms"), col("end_ms"))
+      val joined = frames.join(cues,
+        col("media_id") === col("c_media_id") &&
+          col("frame_ms") >= col("start_ms") && col("frame_ms") < col("end_ms"))
+      val plan = joined.queryExecution.executedPlan.toString
+      check(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+        s"scale=$c m11 interval join plans as equi-join on media_id " +
+          "(no cartesian / nested-loop)")
+      (c, joined.count())
+    }
+    val a1 = alignRuns.head
+    alignRuns.tail.foreach { case (c, rows) =>
+      check(rows * a1._1 == a1._2 * c,
+        s"scale=$c m11 aligned rows EXACTLY linear (${a1._2}->$rows)")
+    }
+
     // byte-balanced partitioning: skewed payloads (64 KiB .. 512 KiB)
     val skewed = spark.range(64).select(
         col("id").as("media_id"),

@@ -65,6 +65,7 @@ object SparkEntry {
     "t34_bpe_encode", "t35_budget_select_bpe",
     "v01_ann_brute_topk", "v02_ann_lsh_topk", "v03_embed_neardup_brute",
     "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
+    "v09_ann_index_upsert",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",
     "pbp03_pitcher_standardize")
 }

@@ -28,10 +28,19 @@ object Quantize {
   def int8Symmetric(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol),
         expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
-      .withColumn("q", expr(
-        """transform(v, x -> CASE WHEN scale = 0D THEN CAST(0 AS BIGINT)
-          |ELSE CAST(round(x / scale * 127) AS BIGINT) END)""".stripMargin))
+      .withColumn("scale", scaleExpr("v"))
+      .withColumn("q", qExpr("v", "scale"))
+
+  /** The scale/q column forms over a double-widened vector column —
+    * exposed so composing operators ([[AnnIndex]]) quantize inline in
+    * their own projection instead of joining back through the
+    * [[int8Symmetric]] projection. */
+  private[operators] def scaleExpr(vCol: String) =
+    expr(s"array_max(transform($vCol, x -> abs(x)))")
+
+  private[operators] def qExpr(vCol: String, scaleCol: String) =
+    expr(s"""transform($vCol, x -> CASE WHEN $scaleCol = 0D THEN CAST(0 AS BIGINT)
+            |ELSE CAST(round(x / $scaleCol * 127) AS BIGINT) END)""".stripMargin)
 
   /** Per-vector audit summary of [[int8Symmetric]]: dimension,
     * micro-unit scale, an order-weighted integer checksum of q, and

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object SimilaritySearch {
 
   /** (query_id, rank, id, cos) from (query_id, array<struct>) top lists. */
-  private def unpack(grouped: DataFrame): DataFrame =
+  private[operators] def unpack(grouped: DataFrame): DataFrame =
     grouped
       .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "top")))
       .select(
@@ -38,7 +38,7 @@ object SimilaritySearch {
   /** Row-wise norm precompute + per-pair fused dot: the pair join
     * pays ONE kernel call, not three (the oracles' n-CTE shape, so
     * cosines stay bit-identical to the naive form). */
-  private def pairCos(qv: Column, qn: Column, cv: Column, cn: Column): Column =
+  private[operators] def pairCos(qv: Column, qn: Column, cv: Column, cn: Column): Column =
     round(when(qn * cn === 0, 0.0)
       .otherwise(VectorFunctions.dot(qv, cv) / (qn * cn)), 6)
 
@@ -92,14 +92,14 @@ object SimilaritySearch {
     * `vecNorm` is the caller's precomputed row norm: inlining
     * `l2Norm(vec)` here would fuse one 64-element dot per CENTROID
     * per row into the generated projection. */
-  private def assignExpr(cents: Array[Array[Float]], vec: Column, vecNorm: Column): Column = {
+  private[operators] def assignExpr(cents: Array[Array[Float]], vec: Column, vecNorm: Column): Column = {
     val q = array(quantCos(cents, vec, vecNorm): _*)
     (array_position(q, array_max(q)) - 1).cast("int")
   }
 
   /** nprobe nearest centroid indices, ties to the lower index:
     * struct array-sort on (-cos, idx), sliced — columnar, no UDF. */
-  private def probeExpr(
+  private[operators] def probeExpr(
       cents: Array[Array[Float]], vec: Column, vecNorm: Column, nprobe: Int): Column = {
     val entries = quantCos(cents, vec, vecNorm).zipWithIndex.map { case (q, i) =>
       struct((-q).as("negq"), lit(i).as("idx"))
@@ -162,9 +162,21 @@ object SimilaritySearch {
       k: Int,
       nprobe: Int = 2): DataFrame = {
     val centroids = trainIvfCentroids(candidates, numClusters, iters)
-
     val cb = candidates.withColumn("__cn", VectorFunctions.l2Norm(col("vec")))
       .withColumn("cluster", assignExpr(centroids, col("vec"), col("__cn")))
+    ivfSearchAssigned(queries, cb, centroids, k, nprobe)
+  }
+
+  /** The probe-and-rank half of [[ivfTopK]], over an ALREADY-assigned
+    * candidate table `cb` = (id, vec, __cn, cluster) — the entry point
+    * a persisted index uses ([[AnnIndex]]): cell assignment happened
+    * at write/upsert time, so a query only pays the probe join. */
+  private[operators] def ivfSearchAssigned(
+      queries: DataFrame,
+      cb: DataFrame,
+      centroids: Array[Array[Float]],
+      k: Int,
+      nprobe: Int): DataFrame = {
     val qprobed = queries
       .withColumn("__qn", VectorFunctions.l2Norm(col("query_vec")))
       .withColumn("cluster",

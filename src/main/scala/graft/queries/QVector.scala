@@ -48,11 +48,11 @@ object QVector {
   /** One IVF assignment pass in DuckDB: quantized (4-decimal) cosine
     * argmax against the `cents` CTE, ties to the lower cluster index —
     * the exact [[SimilaritySearch]] assignExpr semantics. */
-  private def ivfAssign(cents: String, out: String): String =
+  private def ivfAssign(cents: String, out: String, src: String = "n"): String =
     s""", s_$out AS (SELECT n.vec_id, n.v, c.cluster,
        |    round(CASE WHEN n.nrm * sqrt(list_dot_product(c.v, c.v)) = 0 THEN -1.0
        |          ELSE list_dot_product(n.v, c.v) / (n.nrm * sqrt(list_dot_product(c.v, c.v))) END, 4) AS qcos
-       |  FROM n CROSS JOIN $cents c),
+       |  FROM $src n CROSS JOIN $cents c),
        |$out AS (SELECT vec_id, v, cluster FROM s_$out
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY qcos DESC, cluster) = 1)""".stripMargin
 
@@ -303,6 +303,53 @@ object QVector {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("query_id", "rank", "id", "ip_scaled")
+        .orderBy("query_id", "rank")
+    },
+
+    // Persisted IVF index lifecycle (AnnIndex): train on the initial
+    // 80% (vec_id % 5 <> 0), WRITE centroids + the cell-partitioned
+    // store to parquet, UPSERT the remaining 20% against the
+    // persisted centroids WITHOUT retraining, then search the
+    // reloaded index. The oracle replays the v05 KMeans on the
+    // initial set only, assigns ALL vectors to the final centroids
+    // (write-time assignment ∪ upsert-time assignment — same argmax),
+    // and probes — so the hash compare pins the whole lifecycle:
+    // train → persist → reload → upsert → search.
+    QueryDef.of("v09_ann_index_upsert", N +
+      """, ni AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 5 <> 0),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+        |  FROM (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8))""".stripMargin +
+      ivfAssign("c0", "a1", "ni") + ivfRecenter("a1", "c0", "c1") +
+      ivfAssign("c1", "a2", "ni") + ivfRecenter("a2", "c1", "c2") +
+      ivfAssign("c2", "af") +
+      """, qs AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, c.cluster,
+        |    round(CASE WHEN n.nrm * sqrt(list_dot_product(c.v, c.v)) = 0 THEN -1.0
+        |          ELSE list_dot_product(n.v, c.v) / (n.nrm * sqrt(list_dot_product(c.v, c.v))) END, 4) AS qcos
+        |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 10),
+        |qp AS (SELECT query_id, qv, qn, cluster FROM qs
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cluster) <= 3),
+        |sc AS (SELECT qp.query_id, a.vec_id AS id,
+        |    round(CASE WHEN qp.qn * n2.nrm <> 0
+        |          THEN list_dot_product(qp.qv, n2.v) / (qp.qn * n2.nrm) ELSE 0.0 END, 6) AS cos
+        |  FROM qp JOIN af a USING (cluster) JOIN n n2 ON n2.vec_id = a.vec_id
+        |  WHERE a.vec_id <> qp.query_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
+        |  id, cos
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val path = "/tmp/graft_ann_index_v09_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.AnnIndex.write(path,
+        cands.filter(col("id") % 5 =!= 0), numClusters = 8, iters = 2)
+      graft.operators.AnnIndex.upsert(path, cands.filter(col("id") % 5 === 0))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.operators.AnnIndex.topK(s, path, queries, k = 5, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     })
 }

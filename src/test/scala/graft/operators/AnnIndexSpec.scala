@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lifecycle invariants of the persisted IVF index ([[AnnIndex]]):
+  * a search over the written-then-reloaded store must be EXACTLY the
+  * in-memory [[SimilaritySearch]] result, before and after an
+  * incremental upsert, and the store must land cell-partitioned. */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val e = Tables.embeddings(spark, SparkTestSession.sfDir)
+  private lazy val cands =
+    e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private lazy val queries = e.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  test("write + reload + search equals in-memory ivfTopK exactly") {
+    val path = Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.write(path, cands, numClusters = 8, iters = 2)
+    val reloaded = AnnIndex.topK(spark, path, queries, k = 5, nprobe = 3)
+    val fresh = SimilaritySearch.ivfTopK(queries, cands,
+      numClusters = 8, iters = 2, k = 5, nprobe = 3)
+    assert(reloaded.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(reloaded).count() === 0)
+    // the store is laid out one parquet partition per Voronoi cell —
+    // the physical property that lets nprobe prune directories at scale
+    val cells = new java.io.File(s"$path/store").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).sorted
+    assert(cells.nonEmpty && cells.forall(_.matches("cluster=\\d+")),
+      s"store not cell-partitioned: ${cells.mkString(",")}")
+  }
+
+  test("upsert against persisted centroids equals in-memory assignment of the union") {
+    val path = Files.createTempDirectory("graft_annidx_up").toString
+    val initial = cands.filter(col("id") % 5 =!= 0)
+    val batch = cands.filter(col("id") % 5 === 0)
+    val centroids = AnnIndex.write(path, initial, numClusters = 8, iters = 2)
+    AnnIndex.upsert(path, batch)
+    val reloaded = AnnIndex.topK(spark, path, queries, k = 5, nprobe = 3)
+    // in-memory twin: same centroids (trained on initial only), the
+    // union assigned in one pass
+    val cb = initial.unionByName(batch)
+      .withColumn("__cn", VectorFunctions.l2Norm(col("vec")))
+      .withColumn("cluster",
+        SimilaritySearch.assignExpr(centroids, col("vec"), col("__cn")))
+    val fresh = SimilaritySearch.ivfSearchAssigned(queries, cb, centroids,
+      k = 5, nprobe = 3)
+    assert(reloaded.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(reloaded).count() === 0)
+    // upsert appended rows into existing cell dirs — store row count
+    // is the union
+    val stored = spark.read.parquet(s"$path/store").count()
+    assert(stored === cands.count())
+  }
+}

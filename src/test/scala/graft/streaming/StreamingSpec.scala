@@ -213,4 +213,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(accepted.map(_._1).sorted.toSeq === globalKeepFirst)
     assert(accepted.map(_._1).sorted.toSeq === Seq(1L, 2L, 5L, 7L))
   }
+
+  test("foreachBatch NEAR-dup ingestion gate (LSH) equals the sequential batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    // the t32 operator lifted to the daily-pull cadence: per
+    // micro-batch, drop rows that are near-dups (word-bigram Jaccard
+    // ≥ 0.5, candidates from LSH banding) of the ACCEPTED history,
+    // append survivors. Batches have no within-batch near-dups — that
+    // is minhashLshPairs/connectedComponents' job (composed upstream),
+    // so the gate's semantics stay single-purpose.
+    val a  = "alpha beta gamma delta epsilon zeta theta"
+    val a2 = "alpha beta gamma delta epsilon zeta iota" // J = 5/7 vs a
+    val b  = "one two three four five six"
+    val batches = Seq(
+      Seq(1L -> a, 2L -> b),
+      Seq(3L -> a2, 4L -> "seven eight nine ten eleven twelve"),
+      Seq(5L -> b, 6L -> "red green blue yellow purple orange"))
+    def gate(batch: org.apache.spark.sql.DataFrame,
+             history: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.incrementalNearDupLsh(
+        batch, history, "id", "text",
+        shingleN = 2, numHashes = 12, bands = 6, threshold = 0.5)
+
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val hist = accepted.toSeq.toDF("id", "text")
+        val kept = gate(batch, hist).select("id", "text")
+          .as[(Long, String)].collect()
+        accepted ++= kept.sortBy(_._1)
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { bt => input.addData(bt); query.processAllAvailable() }
+    } finally query.stop()
+
+    // oracle 1: the identical fold in plain batch code
+    val batchFold = batches.foldLeft(Seq.empty[(Long, String)]) { (hist, bt) =>
+      hist ++ gate(bt.toDF("id", "text"), hist.toDF("id", "text"))
+        .select("id", "text").as[(Long, String)].collect().sortBy(_._1)
+    }
+    assert(accepted.toSeq === batchFold)
+    // oracle 2: pinned — 3 is a near-dup of 1, 5 an exact dup of 2
+    assert(accepted.map(_._1).toSeq === Seq(1L, 2L, 4L, 6L))
+  }
 }

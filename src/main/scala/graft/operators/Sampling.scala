@@ -74,6 +74,36 @@ object Sampling {
   }
 
   /**
+   * Leakage-FREE split assignment — [[assignSplit]] with the guarantee
+   * [[crossSplitLeakage]] audits for: every member of a (near-)dup
+   * cluster lands in the SAME split, because the md5 bucket is taken
+   * over the cluster representative (the connected component's min id)
+   * instead of the doc's own id. `pairs` is any dup-pair frame
+   * (id_a, id_b) — the exact/MinHash/SimHash/embedding families all
+   * produce one — so the same operator closes the eval-leak hole for
+   * whichever duplicate notion the pipeline uses. A doc in no cluster
+   * keys by its own id (≡ a singleton cluster), so with an empty pair
+   * set this degenerates to [[assignSplit]] exactly.
+   *
+   * 100 TB shape: connected components run on the dup GRAPH only
+   * (|pairs| rows, not the corpus); the resulting (id → component)
+   * table covers only clustered docs — orders of magnitude smaller
+   * than the corpus — and joins back on the id key; the split itself
+   * stays a pure projection. Output adds `split_key` and `split`.
+   */
+  def assignSplitByCluster(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("component"))
+    val keyed = df
+      .join(comp, col(idCol) === col("__cc_id"), "left")
+      .withColumn("split_key", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("__cc_id", "component")
+    assignSplit(keyed, "split_key", splits)
+  }
+
+  /**
    * Cross-split leakage audit — the eval-integrity check every
    * pipeline using [[assignSplit]] needs: duplicate content straddling
    * the train/test boundary silently inflates eval scores. Returns

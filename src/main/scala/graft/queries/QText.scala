@@ -37,6 +37,32 @@ object QText {
 
   private val CTOKS = ctoksOf("text")
 
+  /** Recursive-CTE replica of the t09 dup graph (word-trigram Jaccard
+    * ≥ 0.5, shingle df ≤ 1000) plus connected components with min-id
+    * representatives (`comp(id, component)`) — shared by t09 and the
+    * cluster-aware leak-free split t37. */
+  private lazy val DupComponentsCte: String =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, $CTOKS AS t FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id AS id,
+       |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |  FROM toks),
+       |filt AS (SELECT id, sh FROM sh0
+       |  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
+       |sz AS (SELECT id, count(*) AS n_sh FROM filt GROUP BY id),
+       |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+       |  FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b FROM inter
+       |  JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+       |  WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |cc AS (
+       |  SELECT a AS id, a AS comp FROM edges
+       |  UNION
+       |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON e.a = cc.id
+       |),
+       |comp AS (SELECT id, min(comp) AS component FROM cc GROUP BY id)""".stripMargin
+
   // the Pii patterns verbatim — Java ∩ RE2, safe inside a DuckDB
   // single-quoted literal (no quotes, no dollar signs)
   private val PiiEmail = graft.functions.Pii.EmailRe
@@ -279,27 +305,7 @@ object QText {
     // pair graph (large-star/small-star in Spark; the oracle walks the
     // same graph with a recursive CTE and takes the min reachable id).
     QueryDef.of("t09_dup_clusters",
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, $CTOKS AS t FROM documents),
-         |sh0 AS (SELECT DISTINCT doc_id AS id,
-         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
-         |  FROM toks),
-         |filt AS (SELECT id, sh FROM sh0
-         |  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
-         |sz AS (SELECT id, count(*) AS n_sh FROM filt GROUP BY id),
-         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-         |  FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
-         |pairs AS (SELECT id_a, id_b FROM inter
-         |  JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
-         |  WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |cc AS (
-         |  SELECT a AS id, a AS comp FROM edges
-         |  UNION
-         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON e.a = cc.id
-         |)
-         |SELECT id, min(comp) AS component FROM cc GROUP BY id
-         |ORDER BY id""".stripMargin) { (s, dir) =>
+      DupComponentsCte + "\nSELECT id, component FROM comp ORDER BY id") { (s, dir) =>
       val pairs = Dedup.ngramJaccardPairs(
         Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = Some(1000))
@@ -1183,5 +1189,38 @@ object QText {
           chunkTokens = 32, stride = 16,
           tokenizer = c => graft.functions.Bpe.bpeTokens(c, vocab))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Leakage-FREE split assignment (Sampling.assignSplitByCluster):
+    // the t16 hash split, but every member of a t09 near-dup cluster
+    // keys its md5 bucket by the cluster representative (component min
+    // id), so no near-dup pair can straddle train/test — the hole the
+    // t33 audit exists to catch, closed at assignment time. The oracle
+    // reuses t09's component CTE and t16's integer thresholds.
+    QueryDef.of("t37_leakfree_split", {
+      val th = graft.operators.Sampling.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      DupComponentsCte +
+        s""",
+           |keys AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+           |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+           |SELECT doc_id, split_key,
+           |  CASE WHEN u < ${th(0)._2} THEN 'train'
+           |       WHEN u < ${th(1)._2} THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT doc_id, split_key,
+           |  ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8))::BIGINT AS u
+           |  FROM keys)
+           |ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      val dupPairs = Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.5,
+          maxShingleDf = Some(1000))
+        .select("id_a", "id_b")
+      graft.operators.Sampling.assignSplitByCluster(
+          docs, "doc_id", dupPairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
     })
 }

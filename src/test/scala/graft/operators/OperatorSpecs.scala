@@ -768,6 +768,42 @@ class OperatorSpecs extends AnyFunSuite {
     assert(got.values.sum > 0, "fixture must actually plant cross-split leaks")
   }
 
+  test("assignSplitByCluster: cluster members co-split; empty pairs degenerate to assignSplit") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // dup graph: chains {i, i+1000, i+2000} for i % 10 == 0, linked
+    // transitively (i—i+1000, i+1000—i+2000) so co-splitting requires
+    // real component closure, not just direct-pair agreement
+    val extra = docs.filter(col("doc_id") % 10 === 0)
+    val all = docs
+      .unionByName(extra.select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+      .unionByName(extra.select((col("doc_id") + 2000L).as("doc_id"), col("text")))
+    val pairs = (0L until 300L by 10).flatMap(i =>
+      Seq((i, i + 1000L), (i + 1000L, i + 2000L))).toDF("id_a", "id_b")
+
+    val assigned = Sampling.assignSplitByCluster(all, "doc_id", pairs, splits)
+      .select("doc_id", "split_key", "split").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // 1. every chain shares one split AND keys by the component min id
+    (0L until 300L by 10).foreach { i =>
+      val members = Seq(i, i + 1000L, i + 2000L).map(assigned)
+      assert(members.distinct.size === 1, s"chain of $i must co-split")
+      assert(members.head._1 === i, s"chain of $i must key by min id")
+    }
+    // 2. un-clustered docs match plain assignSplit exactly
+    val plain = Sampling.assignSplit(all, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assigned.filter { case (id, _) => id % 10 != 0 }.foreach { case (id, (key, split)) =>
+      assert(key === id)
+      assert(split === plain(id), s"singleton $id must match assignSplit")
+    }
+    // 3. empty pair set degenerates to assignSplit for ALL docs
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val degen = Sampling.assignSplitByCluster(all, "doc_id", emptyPairs, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(degen === plain)
+  }
+
   test("int8 inner-product top-k: high recall vs float inner-product ranking") {
     import org.apache.spark.sql.expressions.Window
     val k = 5

@@ -190,6 +190,95 @@ object SimilaritySearch {
   }
 
   /**
+   * Product-quantization codebooks — one [[trainIvfCentroids]] run per
+   * `dim/m`-wide subspace (same deterministic seeding, same quantized
+   * cosine assignment, same float-truncated Lloyd recentering), so the
+   * whole PQ trainer inherits the IVF trainer's reproducibility
+   * contract and its SQL-replayable oracle. Returns `m` codebooks of
+   * `ksub` sub-centroids each.
+   */
+  def trainPqCodebooks(
+      candidates: DataFrame, // (id, vec)
+      dim: Int, m: Int, ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { s =>
+      trainIvfCentroids(
+        candidates.select(col("id"), slice(col("vec"), s * sub + 1, sub).as("vec")),
+        ksub, iters)
+    }.toArray
+  }
+
+  /** PQ encoding: (id, code0..code{m-1}) — each code the argmax
+    * sub-centroid of the vector's s-th slice. This is the 100 TB
+    * STORAGE side of PQ: m small ints per vector (m bytes once packed)
+    * instead of dim floats — a 64× cut at dim=64/m=4 — and the scan
+    * side of [[pqAdcTopK]] reads ONLY these codes. */
+  def pqEncode(
+      candidates: DataFrame,
+      codebooks: Array[Array[Array[Float]]], dim: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    val withSubs = (0 until m).foldLeft(candidates) { (df, s) =>
+      df.withColumn(s"__sv$s", slice(col("vec"), s * sub + 1, sub))
+        .withColumn(s"__svn$s", VectorFunctions.l2Norm(col(s"__sv$s")))
+    }
+    withSubs.select(col("id") +: (0 until m).map(s =>
+      assignExpr(codebooks(s), col(s"__sv$s"), col(s"__svn$s")).as(s"code$s")): _*)
+  }
+
+  /** Driver-side squared norm of a sub-centroid (double, left-to-right
+    * over the floats) — bit-identical to the oracle's
+    * `list_dot_product(c.v, c.v)`. */
+  private def centNorm2(c: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i).toDouble * c(i); i += 1 }
+    acc
+  }
+
+  /**
+   * PQ + asymmetric-distance (ADC) top-k: candidates collapse to their
+   * [[pqEncode]] codes; each query precomputes an m×ksub lookup table
+   * of sub-dot-products against the codebooks, and a candidate's score
+   * is m array lookups + adds — `cos ≈ Σ_s dot(q_s, c_s[code_s]) /
+   * (‖q‖·‖x̂‖)` with the reconstructed norm `‖x̂‖² = Σ_s ‖c_s[code_s]‖²`.
+   *
+   * 100 TB shape: the candidate scan reads m ints per row (the codes —
+   * pruned parquet scan of the persisted code table), the LUT rides in
+   * with the broadcast query side, and scoring stays a codegen'd
+   * narrow projection into the bounded [[TopKAgg]] — no window, no
+   * wide shuffle, no float vectors on the big side. Recall < 1 by
+   * construction (8 cells/subspace is coarse); the exact re-rank over
+   * [[bruteForceTopK]] on the survivors is the standard refinement.
+   */
+  def pqAdcTopK(
+      queries: DataFrame, // (query_id, query_vec)
+      candidates: DataFrame, // (id, vec)
+      dim: Int, m: Int, ksub: Int, iters: Int, k: Int): DataFrame = {
+    val codebooks = trainPqCodebooks(candidates, dim, m, ksub, iters)
+    val sub = dim / m
+    val codes = pqEncode(candidates, codebooks, dim)
+    val qlut = queries
+      .withColumn("__qn", VectorFunctions.l2Norm(col("query_vec")))
+      .select(col("query_id") +: col("__qn") +: (0 until m).map(s =>
+        array(codebooks(s).toSeq.map(c => VectorFunctions.dot(
+          typedlit(c.toSeq), slice(col("query_vec"), s * sub + 1, sub))): _*)
+          .as(s"__lut$s")): _*)
+    val sqArrs = codebooks.map(_.map(centNorm2).toSeq)
+    val d = (0 until m).map(s => element_at(col(s"__lut$s"), col(s"code$s") + 1))
+      .reduce(_ + _)
+    val rsq = (0 until m).map(s => element_at(typedlit(sqArrs(s)), col(s"code$s") + 1))
+      .reduce(_ + _)
+    val scored = codes
+      .join(broadcast(qlut), col("query_id") =!= col("id"))
+      .withColumn("cos",
+        round(when(col("__qn") * sqrt(rsq) === 0, 0.0)
+          .otherwise(d / (col("__qn") * sqrt(rsq))), 6))
+    val topk = TopKAgg.topK(k)
+    unpack(scored.groupBy("query_id").agg(topk(col("cos"), col("id")).as("tops")))
+  }
+
+  /**
    * LSH-bucketed ANN: both sides keyed by sign-LSH bucket; each query
    * only scans its own bucket (`probes` > 1 additionally probes the
    * Hamming-1 neighbor buckets — the standard multi-probe trick).

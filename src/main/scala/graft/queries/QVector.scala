@@ -59,12 +59,33 @@ object QVector {
   /** One Lloyd re-centering pass: per-dimension mean truncated to
     * REAL (the engine stores centroids as float), empty cells keep
     * the previous centroid. */
-  private def ivfRecenter(assign: String, prev: String, out: String): String =
+  private def ivfRecenter(assign: String, prev: String, out: String, dim: Int = 64): String =
     s""", m_$out AS (SELECT cluster, j, CAST(avg(v[j+1]) AS REAL) AS m
-       |  FROM $assign, range(64) t(j) GROUP BY cluster, j),
+       |  FROM $assign, range($dim) t(j) GROUP BY cluster, j),
        |$out AS (SELECT p.cluster, COALESCE(mm.mv, p.v) AS v
        |  FROM $prev p LEFT JOIN (SELECT cluster, list(CAST(m AS DOUBLE) ORDER BY j) AS mv
        |                          FROM m_$out GROUP BY cluster) mm USING (cluster))""".stripMargin
+
+  /** One PQ subspace's oracle chain: slice the 64-dim vectors to the
+    * s-th 16-wide subvector, replay the seeded init + two Lloyd passes
+    * (the v05 machinery over the slice), emit final codes `afs$s` and
+    * the per-query lookup table `lut$s` (sub-dot + sub-centroid squared
+    * norm) the ADC scorer consumes. */
+  private def pqSubCtes(s: Int, sub: Int, ksub: Int): String = {
+    val off = s * sub
+    s""", es$s AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS v FROM e),
+       |ns$s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM es$s),
+       |c0s$s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+       |  FROM (SELECT vec_id, v FROM es$s ORDER BY vec_id LIMIT $ksub))""".stripMargin +
+      ivfAssign(s"c0s$s", s"a1s$s", src = s"ns$s") +
+      ivfRecenter(s"a1s$s", s"c0s$s", s"c1s$s", sub) +
+      ivfAssign(s"c1s$s", s"a2s$s", src = s"ns$s") +
+      ivfRecenter(s"a2s$s", s"c1s$s", s"c2s$s", sub) +
+      ivfAssign(s"c2s$s", s"afs$s", src = s"ns$s") +
+      s""", lut$s AS (SELECT q.vec_id AS query_id, c.cluster,
+         |    list_dot_product(q.v, c.v) AS d, list_dot_product(c.v, c.v) AS sq
+         |  FROM ns$s q CROSS JOIN c2s$s c WHERE q.vec_id < 10)""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -349,6 +370,47 @@ object QVector {
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       graft.operators.AnnIndex.topK(s, path, queries, k = 5, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Product-quantization ADC top-k (SimilaritySearch.pqAdcTopK):
+    // 4 subspaces × 8 sub-centroids over the 64-dim vectors — each
+    // candidate collapses to 4 codes (the 100 TB storage side), each
+    // query to a 4×8 lookup table, and the score is 4 lookups + adds.
+    // The oracle replays the seeded per-subspace k-means (the v05
+    // machinery over vector slices) and the exact ADC arithmetic:
+    // fixed-order 4-term sums, reconstructed norm from sub-centroid
+    // squared norms, 6-decimal rounding.
+    QueryDef.of("v10_ann_pq_adc", N +
+      (0 until 4).map(s => pqSubCtes(s, sub = 16, ksub = 8)).mkString +
+      """, codes AS (SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1,
+        |    a2.cluster AS k2, a3.cluster AS k3
+        |  FROM afs0 a0 JOIN afs1 a1 USING (vec_id)
+        |    JOIN afs2 a2 USING (vec_id) JOIN afs3 a3 USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, nrm FROM n WHERE vec_id < 10),
+        |sc AS (SELECT q.query_id, cd.vec_id AS id,
+        |    round(CASE WHEN q.nrm * sqrt(l0.sq + l1.sq + l2.sq + l3.sq) = 0 THEN 0.0
+        |          ELSE (l0.d + l1.d + l2.d + l3.d)
+        |               / (q.nrm * sqrt(l0.sq + l1.sq + l2.sq + l3.sq)) END, 6) AS cos
+        |  FROM codes cd CROSS JOIN q
+        |  JOIN lut0 l0 ON l0.query_id = q.query_id AND l0.cluster = cd.k0
+        |  JOIN lut1 l1 ON l1.query_id = q.query_id AND l1.cluster = cd.k1
+        |  JOIN lut2 l2 ON l2.query_id = q.query_id AND l2.cluster = cd.k2
+        |  JOIN lut3 l3 ON l3.query_id = q.query_id AND l3.cluster = cd.k3
+        |  WHERE cd.vec_id <> q.query_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
+        |  id, cos
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.pqAdcTopK(queries, cands,
+          dim = 64, m = 4, ksub = 8, iters = 2, k = 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     })

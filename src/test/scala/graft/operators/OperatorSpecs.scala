@@ -841,6 +841,40 @@ class OperatorSpecs extends AnyFunSuite {
     assert(mean >= 0.7, s"mean int8 recall@$k $mean vs float IP ranking")
   }
 
+  test("PQ codes are in range, deterministic, and ADC recall beats chance by a wide margin") {
+    val e = embeddings
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val books = SimilaritySearch.trainPqCodebooks(cands, dim = 64, m = 4, ksub = 8, iters = 2)
+    assert(books.length === 4)
+    assert(books.forall(b => b.length === 8 && b.forall(_.length === 16)))
+    val codes = SimilaritySearch.pqEncode(cands, books, dim = 64)
+    val rng = codes.select(
+      least((0 until 4).map(s => min(col(s"code$s"))): _*),
+      greatest((0 until 4).map(s => max(col(s"code$s"))): _*))
+      .as[(Int, Int)].head()
+    assert(rng._1 >= 0 && rng._2 < 8, s"codes out of [0,8): $rng")
+    def run() = SimilaritySearch.pqAdcTopK(queries, cands,
+        dim = 64, m = 4, ksub = 8, iters = 2, k = 5)
+      .select("query_id", "rank", "id", "cos").as[(Long, Int, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val a = run()
+    assert(a === run(), "PQ ADC ranking must be run-to-run deterministic")
+    // recall@5 vs the exact cosine ranking: 4×8 PQ is coarse (it is
+    // the shortlist stage — production re-ranks survivors exactly),
+    // but must clearly beat the 5/|candidates| chance floor
+    val exact = SimilaritySearch.bruteForceTopK(queries, cands, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adc = a.map(r => (r._1, r._3)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.map(q => adc(q).intersect(exact(q)).size / 5.0).toSeq
+    val mean = recalls.sum / recalls.size
+    val chance = 5.0 / (cands.count() - 1)
+    assert(mean >= math.max(2 * chance, 0.15),
+      s"mean PQ ADC recall@5 $mean vs exact cosine (chance floor $chance)")
+  }
+
   test("Quantize.int8Symmetric properties: range, zero vector, error bound, scale (seeded random)") {
     val rnd = new scala.util.Random(4242)
     val vecs = (0L until 40L).map { i =>

@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [queryName...] — extra names restrict the dump
+    // (builder-side iteration; the driver always passes exactly two)
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -19,7 +22,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.util.Metrics.enableLogging(spark) // capped drops → stderr
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // coalesce(1) is HARNESS-ONLY (one parquet file per query for
       // the DuckDB compare) — never copy this into an operator; a
       // single-partition write serializes the whole result

@@ -77,6 +77,86 @@ object AnnIndex {
       .orderBy("cluster").collect()
       .map(_.getSeq[Float](1).toArray)
 
+  // ---- PQ layer: codes-only search over the persisted index ----
+  //
+  // `pq_codebooks/` — (subspace int, cluster int, centroid
+  // array<float>): the m×ksub sub-quantizers, KB-sized, collected
+  // driver-side on read exactly like the coarse centroids.
+  // `codes/` — (id, code0..code{m-1}) PARTITIONED BY cluster: the
+  // 100 TB scan side. m ints per vector instead of dim floats (a 64×
+  // byte cut at dim=64/m=4) AND nprobe directory pruning — a query
+  // touches nprobe cells × m ints, the float store never loads.
+
+  /** Train PQ codebooks on `candidates` and persist codebooks + the
+    * cell-partitioned codes table. Requires [[write]] to have run (the
+    * coarse quantizer is read from `path`). Returns the codebooks. */
+  def writePqCodes(
+      path: String, candidates: DataFrame,
+      dim: Int, m: Int, ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+    val spark = candidates.sparkSession
+    val codebooks = SimilaritySearch.trainPqCodebooks(candidates, dim, m, ksub, iters)
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (v, c) => (s, c, v.toSeq) }
+    }.toSeq.toDF("subspace", "cluster", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    encodeBatch(readCentroids(spark, path), codebooks, dim, candidates)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+    codebooks
+  }
+
+  /** Encode a NEW batch against the persisted coarse quantizer AND
+    * sub-quantizers, appending its cells — the PQ side of [[upsert]]. */
+  def upsertPqCodes(path: String, batch: DataFrame, dim: Int): Unit = {
+    val spark = batch.sparkSession
+    encodeBatch(readCentroids(spark, path), readPqCodebooks(spark, path), dim, batch)
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+  }
+
+  /** IVFPQ top-k over the persisted codes table: nprobe directory
+    * pruning on `cluster`, ADC scoring via the per-query LUT — the
+    * disk-resident twin of [[SimilaritySearch.ivfPqTopK]]. */
+  def topKPq(
+      spark: SparkSession, path: String, queries: DataFrame,
+      dim: Int, k: Int, nprobe: Int): DataFrame = {
+    val centroids = readCentroids(spark, path)
+    val codebooks = readPqCodebooks(spark, path)
+    val m = codebooks.length
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("id") +: col("cluster").cast("int").as("cluster") +:
+        (0 until m).map(s => col(s"code$s")): _*)
+    val qlut = SimilaritySearch.pqQueryLut(
+      queries.withColumn("__pn", VectorFunctions.l2Norm(col("query_vec")))
+        .withColumn("cluster", explode(
+          SimilaritySearch.probeExpr(centroids, col("query_vec"), col("__pn"), nprobe)))
+        .drop("__pn"),
+      codebooks, dim, keep = Seq(col("cluster")))
+    SimilaritySearch.adcRank(
+      codes.join(broadcast(qlut), Seq("cluster"))
+        .filter(col("query_id") =!= col("id")),
+      codebooks, k)
+  }
+
+  def readPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(s"$path/pq_codebooks")
+      .orderBy("subspace", "cluster").collect()
+      .foldLeft(Vector.empty[Vector[Array[Float]]]) { (acc, r) =>
+        val s = r.getInt(0)
+        val v = r.getSeq[Float](2).toArray
+        if (s == acc.length) acc :+ Vector(v) else acc.updated(s, acc(s) :+ v)
+      }.map(_.toArray).toArray
+
+  /** Coarse cell + all m codes for one batch, ONE narrow projection. */
+  private def encodeBatch(
+      centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
+      dim: Int, batch: DataFrame): DataFrame =
+    SimilaritySearch.pqEncode(
+      batch
+        .withColumn("__vn", VectorFunctions.l2Norm(col("vec")))
+        .withColumn("cluster", SimilaritySearch.assignExpr(centroids, col("vec"), col("__vn"))),
+      codebooks, dim, keep = Seq("cluster"))
+
   /** Cell assignment + norm + int8 columns for one batch — ONE
     * map-only projection (no join-back through the quantizer: its
     * column forms compose inline). The norm is persisted, not

@@ -209,21 +209,24 @@ object SimilaritySearch {
     }.toArray
   }
 
-  /** PQ encoding: (id, code0..code{m-1}) — each code the argmax
-    * sub-centroid of the vector's s-th slice. This is the 100 TB
-    * STORAGE side of PQ: m small ints per vector (m bytes once packed)
-    * instead of dim floats — a 64× cut at dim=64/m=4 — and the scan
-    * side of [[pqAdcTopK]] reads ONLY these codes. */
+  /** PQ encoding: (id[, keep...], code0..code{m-1}) — each code the
+    * argmax sub-centroid of the vector's s-th slice. This is the
+    * 100 TB STORAGE side of PQ: m small ints per vector (m bytes once
+    * packed) instead of dim floats — a 64× cut at dim=64/m=4 — and the
+    * scan side of [[pqAdcTopK]] reads ONLY these codes. `keep` names
+    * passthrough columns (e.g. the IVF cell id) that ride along into
+    * the code table in the same narrow projection. */
   def pqEncode(
       candidates: DataFrame,
-      codebooks: Array[Array[Array[Float]]], dim: Int): DataFrame = {
+      codebooks: Array[Array[Array[Float]]], dim: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     val m = codebooks.length
     val sub = dim / m
     val withSubs = (0 until m).foldLeft(candidates) { (df, s) =>
       df.withColumn(s"__sv$s", slice(col("vec"), s * sub + 1, sub))
         .withColumn(s"__svn$s", VectorFunctions.l2Norm(col(s"__sv$s")))
     }
-    withSubs.select(col("id") +: (0 until m).map(s =>
+    withSubs.select((col("id") +: keep.map(col)) ++ (0 until m).map(s =>
       assignExpr(codebooks(s), col(s"__sv$s"), col(s"__svn$s")).as(s"code$s")): _*)
   }
 
@@ -256,26 +259,92 @@ object SimilaritySearch {
       candidates: DataFrame, // (id, vec)
       dim: Int, m: Int, ksub: Int, iters: Int, k: Int): DataFrame = {
     val codebooks = trainPqCodebooks(candidates, dim, m, ksub, iters)
-    val sub = dim / m
     val codes = pqEncode(candidates, codebooks, dim)
-    val qlut = queries
+    val qlut = pqQueryLut(queries, codebooks, dim)
+    adcRank(codes.join(broadcast(qlut), col("query_id") =!= col("id")),
+      codebooks, k)
+  }
+
+  /** Per-query ADC lookup tables: `__lut{s}[j] = dot(q_s, codebook_s[j])`
+    * plus the query norm — the broadcast-side payload both ADC searches
+    * ([[pqAdcTopK]], [[ivfPqTopK]]) attach to the query rows. Extra
+    * columns named in `keep` (e.g. probed cluster ids) ride along. */
+  private[operators] def pqQueryLut(
+      queries: DataFrame, codebooks: Array[Array[Array[Float]]], dim: Int,
+      keep: Seq[Column] = Nil): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    queries
       .withColumn("__qn", VectorFunctions.l2Norm(col("query_vec")))
-      .select(col("query_id") +: col("__qn") +: (0 until m).map(s =>
+      .select(col("query_id") +: col("__qn") +: (keep ++ (0 until m).map(s =>
         array(codebooks(s).toSeq.map(c => VectorFunctions.dot(
           typedlit(c.toSeq), slice(col("query_vec"), s * sub + 1, sub))): _*)
-          .as(s"__lut$s")): _*)
+          .as(s"__lut$s"))): _*)
+  }
+
+  /** ADC scoring + bounded ranking over joined (code, lut) rows:
+    * `cos = Σ_s lut_s[code_s] / (‖q‖·sqrt(Σ_s ‖c_s[code_s]‖²))`,
+    * rounded to 6 decimals, into [[TopKAgg]]. */
+  private[operators] def adcRank(
+      joined: DataFrame, codebooks: Array[Array[Array[Float]]], k: Int): DataFrame = {
+    val m = codebooks.length
     val sqArrs = codebooks.map(_.map(centNorm2).toSeq)
     val d = (0 until m).map(s => element_at(col(s"__lut$s"), col(s"code$s") + 1))
       .reduce(_ + _)
     val rsq = (0 until m).map(s => element_at(typedlit(sqArrs(s)), col(s"code$s") + 1))
       .reduce(_ + _)
-    val scored = codes
-      .join(broadcast(qlut), col("query_id") =!= col("id"))
-      .withColumn("cos",
-        round(when(col("__qn") * sqrt(rsq) === 0, 0.0)
-          .otherwise(d / (col("__qn") * sqrt(rsq))), 6))
+    val scored = joined.withColumn("cos",
+      round(when(col("__qn") * sqrt(rsq) === 0, 0.0)
+        .otherwise(d / (col("__qn") * sqrt(rsq))), 6))
     val topk = TopKAgg.topK(k)
     unpack(scored.groupBy("query_id").agg(topk(col("cos"), col("id")).as("tops")))
+  }
+
+  /**
+   * IVF + PQ combined search (the FAISS-style IVFADC layout, minus
+   * residual encoding — codes quantize the raw subvectors so the
+   * [[pqAdcTopK]] trainer/oracle machinery is reused verbatim): the
+   * coarse quantizer prunes the scan to `nprobe` Voronoi cells and PQ
+   * codes score the survivors via the per-query lookup table.
+   *
+   * This composes the two scale levers the separate operators
+   * demonstrate: cell pruning bounds ROWS READ (|cells|·nprobe
+   * instead of |candidates| — with the [[AnnIndex]] layout the probed
+   * cells are pruned parquet partition directories), PQ codes bound
+   * BYTES PER ROW (m ints instead of dim floats). At 100 TB the probe
+   * is a broadcast equi-join of the exploded (query, cluster) pairs
+   * against the codes-only scan — no float vectors, no window, no
+   * wide shuffle; the m×ksub LUT rides in the broadcast. Recall
+   * compounds both approximations (cell miss × code coarseness); the
+   * standard refinement is an exact re-rank of the survivors.
+   */
+  def ivfPqTopK(
+      queries: DataFrame, // (query_id, query_vec)
+      candidates: DataFrame, // (id, vec)
+      numClusters: Int, coarseIters: Int,
+      dim: Int, m: Int, ksub: Int, pqIters: Int,
+      k: Int, nprobe: Int): DataFrame = {
+    val centroids = trainIvfCentroids(candidates, numClusters, coarseIters)
+    val codebooks = trainPqCodebooks(candidates, dim, m, ksub, pqIters)
+    // codes table in the persisted-store shape: (id, cluster, code*) —
+    // ONE narrow projection assigns the cell and all m codes.
+    val codes = pqEncode(
+      candidates
+        .withColumn("__vn", VectorFunctions.l2Norm(col("vec")))
+        .withColumn("cluster", assignExpr(centroids, col("vec"), col("__vn"))),
+      codebooks, dim, keep = Seq("cluster"))
+    val qlut = pqQueryLut(
+      queries.withColumn("__pn", VectorFunctions.l2Norm(col("query_vec")))
+        .withColumn("cluster",
+          explode(probeExpr(centroids, col("query_vec"), col("__pn"), nprobe)))
+        .drop("__pn"),
+      codebooks, dim, keep = Seq(col("cluster")))
+    // Each candidate lives in exactly one cell, so the probe join
+    // yields each (query, candidate) pair at most once — no distinct.
+    adcRank(
+      codes.join(broadcast(qlut), Seq("cluster"))
+        .filter(col("query_id") =!= col("id")),
+      codebooks, k)
   }
 
   /**

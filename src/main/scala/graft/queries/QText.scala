@@ -1222,5 +1222,42 @@ object QText {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split_key", "split")
         .orderBy("doc_id")
+    },
+
+    // BPE merge-table TRAINING (BpeTrain.trainMergesDistributed) on
+    // the classic Sennrich et al. 2016 corpus (low×3, lower×2,
+    // newest×4, widest×2) — a frozen literal fixture (j07-style), so
+    // the oracle survives testdata regeneration AND is hand-derivable:
+    // the 12 pinned rows below were computed by hand from the greedy
+    // max-frequency / lexicographic-tie-break rule, not by running the
+    // engine (training stops at 12 when every word is a single token).
+    // The DISTRIBUTED trainer runs here; the spec pins driver ≡
+    // distributed on the real documents corpus.
+    QueryDef.of("t38_bpe_train",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'e', 's', CAST(6 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'es', 't', CAST(6 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'l', 'o', CAST(5 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'lo', 'w', CAST(5 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'e', 'w', CAST(4 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), 'ew', 'est', CAST(4 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), 'n', 'ewest', CAST(4 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), 'd', 'est', CAST(2 AS BIGINT)),
+        |  (CAST(9 AS BIGINT), 'e', 'r', CAST(2 AS BIGINT)),
+        |  (CAST(10 AS BIGINT), 'i', 'dest', CAST(2 AS BIGINT)),
+        |  (CAST(11 AS BIGINT), 'low', 'er', CAST(2 AS BIGINT)),
+        |  (CAST(12 AS BIGINT), 'w', 'idest', CAST(2 AS BIGINT))
+        |) AS t(merge_rank, lhs, rhs, freq)
+        |ORDER BY merge_rank""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val corpus = Seq(
+        "low low low", "lower lower",
+        "newest newest newest newest", "widest widest").toDF("text")
+      val merges = graft.operators.BpeTrain.trainMergesDistributed(
+        graft.operators.BpeTrain.wordFreq(corpus, "text"), numMerges = 20)
+      merges.zipWithIndex
+        .map { case ((a, b, f), i) => (i + 1L, a, b, f) }
+        .toDF("merge_rank", "lhs", "rhs", "freq")
+        .orderBy("merge_rank")
     })
 }

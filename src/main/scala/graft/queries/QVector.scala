@@ -413,5 +413,82 @@ object QVector {
           dim = 64, m = 4, ksub = 8, iters = 2, k = 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // IVF + PQ combined (FAISS-style IVFADC, non-residual): coarse
+    // cells prune ROWS (nprobe=3 of 8 Voronoi cells per query), PQ
+    // codes prune BYTES (4 ints/row instead of 64 floats). The oracle
+    // composes the v05 coarse-quantizer replay (c0→af) with the v10
+    // per-subspace code + LUT replay, restricted to the probed
+    // (query, cluster) pairs. Each candidate lives in exactly one
+    // cell, so the probe join yields unique pairs.
+    QueryDef.of("v11_ann_ivfpq", IvfPqSql) { (s, dir) =>
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.ivfPqTopK(queries, cands,
+          numClusters = 8, coarseIters = 2,
+          dim = 64, m = 4, ksub = 8, pqIters = 2, k = 5, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // v11's DISK-resident twin (AnnIndex.writePqCodes / topKPq): the
+    // coarse quantizer, PQ codebooks, and the cell-partitioned
+    // codes-only table persist to parquet; the search reads nprobe
+    // pruned cell directories × 4 ints per row — the float store
+    // never loads. Persisted ≡ in-memory is the AnnIndexSpec
+    // invariant, so the oracle is v11's verbatim.
+    QueryDef.of("v12_ann_pq_persisted", IvfPqSql) { (s, dir) =>
+      val e = emb(s, dir)
+      val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val path = "/tmp/graft_ann_index_v12_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.AnnIndex.write(path, cands, numClusters = 8, iters = 2)
+      graft.operators.AnnIndex.writePqCodes(path, cands,
+        dim = 64, m = 4, ksub = 8, iters = 2)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.operators.AnnIndex.topKPq(s, path, queries, dim = 64, k = 5, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     })
+
+  /** The IVFADC oracle (shared by v11/v12): v05's coarse-quantizer
+    * replay (c0→af) composed with v10's per-subspace code + LUT
+    * replay, restricted to each query's 3 probed cells. */
+  private lazy val IvfPqSql: String = N +
+    """, c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8))""".stripMargin +
+    ivfAssign("c0", "a1") + ivfRecenter("a1", "c0", "c1") +
+    ivfAssign("c1", "a2") + ivfRecenter("a2", "c1", "c2") +
+    ivfAssign("c2", "af") +
+    (0 until 4).map(s => pqSubCtes(s, sub = 16, ksub = 8)).mkString +
+    """, codes AS (SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1,
+      |    a2.cluster AS k2, a3.cluster AS k3
+      |  FROM afs0 a0 JOIN afs1 a1 USING (vec_id)
+      |    JOIN afs2 a2 USING (vec_id) JOIN afs3 a3 USING (vec_id)),
+      |qs AS (SELECT n.vec_id AS query_id, n.nrm AS qn, c.cluster,
+      |    round(CASE WHEN n.nrm * sqrt(list_dot_product(c.v, c.v)) = 0 THEN -1.0
+      |          ELSE list_dot_product(n.v, c.v) / (n.nrm * sqrt(list_dot_product(c.v, c.v))) END, 4) AS qcos
+      |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 10),
+      |qp AS (SELECT query_id, qn, cluster FROM qs
+      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cluster) <= 3),
+      |sc AS (SELECT qp.query_id, a.vec_id AS id,
+      |    round(CASE WHEN qp.qn * sqrt(l0.sq + l1.sq + l2.sq + l3.sq) = 0 THEN 0.0
+      |          ELSE (l0.d + l1.d + l2.d + l3.d)
+      |               / (qp.qn * sqrt(l0.sq + l1.sq + l2.sq + l3.sq)) END, 6) AS cos
+      |  FROM qp JOIN af a USING (cluster) JOIN codes cd ON cd.vec_id = a.vec_id
+      |  JOIN lut0 l0 ON l0.query_id = qp.query_id AND l0.cluster = cd.k0
+      |  JOIN lut1 l1 ON l1.query_id = qp.query_id AND l1.cluster = cd.k1
+      |  JOIN lut2 l2 ON l2.query_id = qp.query_id AND l2.cluster = cd.k2
+      |  JOIN lut3 l3 ON l3.query_id = qp.query_id AND l3.cluster = cd.k3
+      |  WHERE a.vec_id <> qp.query_id)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
+      |  id, cos
+      |FROM sc
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+      |ORDER BY query_id, rank""".stripMargin
 }

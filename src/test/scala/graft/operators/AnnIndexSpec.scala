@@ -59,4 +59,60 @@ class AnnIndexSpec extends AnyFunSuite {
     val stored = spark.read.parquet(s"$path/store").count()
     assert(stored === cands.count())
   }
+
+  test("persisted PQ codes: search equals in-memory ivfPqTopK; codes table is ints-only") {
+    val path = Files.createTempDirectory("graft_annidx_pq").toString
+    AnnIndex.write(path, cands, numClusters = 8, iters = 2)
+    AnnIndex.writePqCodes(path, cands, dim = 64, m = 4, ksub = 8, iters = 2)
+    val reloaded = AnnIndex.topKPq(spark, path, queries, dim = 64, k = 5, nprobe = 3)
+    val fresh = SimilaritySearch.ivfPqTopK(queries, cands,
+      numClusters = 8, coarseIters = 2, dim = 64, m = 4, ksub = 8,
+      pqIters = 2, k = 5, nprobe = 3)
+    assert(reloaded.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(reloaded).count() === 0)
+    // the codes table carries ONLY id + m int codes (cluster is the
+    // partition directory) — no float vectors on the scan side
+    val schema = spark.read.parquet(s"$path/codes").schema
+    assert(schema.fieldNames.toSet ===
+      Set("id", "code0", "code1", "code2", "code3", "cluster"), schema.treeString)
+    assert((0 until 4).forall(s =>
+      schema(s"code$s").dataType === org.apache.spark.sql.types.IntegerType))
+    // and it lands cell-partitioned like the float store
+    val cells = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName)
+    assert(cells.nonEmpty && cells.forall(_.matches("cluster=\\d+")))
+  }
+
+  test("PQ upsert against persisted quantizers equals one-pass encoding of the union") {
+    val path = Files.createTempDirectory("graft_annidx_pqup").toString
+    val initial = cands.filter(col("id") % 5 =!= 0)
+    val batch = cands.filter(col("id") % 5 === 0)
+    val centroids = AnnIndex.write(path, initial, numClusters = 8, iters = 2)
+    val codebooks = AnnIndex.writePqCodes(path, initial, dim = 64, m = 4, ksub = 8, iters = 2)
+    AnnIndex.upsertPqCodes(path, batch, dim = 64)
+    assert(AnnIndex.readPqCodebooks(spark, path).map(_.map(_.toSeq).toSeq).toSeq ===
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq, "codebook round-trip")
+    val reloaded = AnnIndex.topKPq(spark, path, queries, dim = 64, k = 5, nprobe = 3)
+    // in-memory twin: quantizers trained on `initial` only, the union
+    // encoded in one pass through the same package-private kernels
+    val codes = SimilaritySearch.pqEncode(
+      initial.unionByName(batch)
+        .withColumn("__vn", VectorFunctions.l2Norm(col("vec")))
+        .withColumn("cluster",
+          SimilaritySearch.assignExpr(centroids, col("vec"), col("__vn"))),
+      codebooks, dim = 64, keep = Seq("cluster"))
+    val qlut = SimilaritySearch.pqQueryLut(
+      queries.withColumn("__pn", VectorFunctions.l2Norm(col("query_vec")))
+        .withColumn("cluster", explode(
+          SimilaritySearch.probeExpr(centroids, col("query_vec"), col("__pn"), 3)))
+        .drop("__pn"),
+      codebooks, dim = 64, keep = Seq(col("cluster")))
+    val fresh = SimilaritySearch.adcRank(
+      codes.join(broadcast(qlut), Seq("cluster"))
+        .filter(col("query_id") =!= col("id")),
+      codebooks, k = 5)
+    assert(reloaded.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(reloaded).count() === 0)
+    assert(spark.read.parquet(s"$path/codes").count() === cands.count())
+  }
 }

@@ -875,6 +875,41 @@ class OperatorSpecs extends AnyFunSuite {
       s"mean PQ ADC recall@5 $mean vs exact cosine (chance floor $chance)")
   }
 
+  test("ivfPqTopK: probing all cells equals flat PQ ADC; pruned probe is an exact-subset") {
+    val e = embeddings
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "id", "cos").as[(Long, Int, Long, Double)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    // nprobe = numClusters scans every cell → identical to the flat scan
+    val allCells = key(SimilaritySearch.ivfPqTopK(queries, cands,
+      numClusters = 8, coarseIters = 2, dim = 64, m = 4, ksub = 8,
+      pqIters = 2, k = 5, nprobe = 8))
+    val flat = key(SimilaritySearch.pqAdcTopK(queries, cands,
+      dim = 64, m = 4, ksub = 8, iters = 2, k = 5))
+    assert(allCells === flat,
+      "IVFPQ probing all cells must equal the flat PQ ADC ranking")
+    // pruned probe: every returned pair carries the SAME ADC score the
+    // flat scan assigns it (cell pruning restricts candidates, never
+    // changes a survivor's score), and the ranking is deterministic
+    val adcAll = SimilaritySearch.pqAdcTopK(queries, cands,
+        dim = 64, m = 4, ksub = 8, iters = 2, k = 500)
+      .select("query_id", "id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (q, id, cos) => (q, id) -> cos }.toMap
+    val pruned = key(SimilaritySearch.ivfPqTopK(queries, cands,
+      numClusters = 8, coarseIters = 2, dim = 64, m = 4, ksub = 8,
+      pqIters = 2, k = 5, nprobe = 3))
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (q, _, id, cos) =>
+      assert(math.abs(adcAll((q, id)) - cos) < 1e-12, s"ADC score drift for ($q,$id)")
+    }
+    assert(pruned === key(SimilaritySearch.ivfPqTopK(queries, cands,
+      numClusters = 8, coarseIters = 2, dim = 64, m = 4, ksub = 8,
+      pqIters = 2, k = 5, nprobe = 3)), "IVFPQ must be run-to-run deterministic")
+  }
+
   test("Quantize.int8Symmetric properties: range, zero vector, error bound, scale (seeded random)") {
     val rnd = new scala.util.Random(4242)
     val vecs = (0L until 40L).map { i =>

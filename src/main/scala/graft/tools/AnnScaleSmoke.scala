@@ -95,6 +95,7 @@ object AnnScaleSmoke {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
     final case class Run(scale: Int, n: Long, brute: Long, lsh: Long, ivf: Long,
+        pq: Long, ivfpq: Long,
         pairs: Long, crossPairs: Long, copy0Pairs: Long, kept: Long,
         wallSec: Double, writeBytes: Long, stages: Map[Int, (Long, Long, Long)])
 
@@ -111,6 +112,14 @@ object AnnScaleSmoke {
         dim = 64, numPlanes = 4, k = 5, probes = 3).count()
       val ivf = SimilaritySearch.ivfTopK(queries, cands,
         numClusters = 8, iters = 2, k = 5, nprobe = 3).count()
+      // PQ paths: trainers run over the FULL scaled corpus (codebooks
+      // legitimately drift with scale — Lloyd means average every
+      // copy), but the output stays k rows per fixed query
+      val pq = SimilaritySearch.pqAdcTopK(queries, cands,
+        dim = 64, m = 4, ksub = 8, iters = 2, k = 5).count()
+      val ivfpq = SimilaritySearch.ivfPqTopK(queries, cands,
+        numClusters = 8, coarseIters = 2, dim = 64, m = 4, ksub = 8,
+        pqIters = 2, k = 5, nprobe = 3).count()
       // one copy-tagged aggregate over the pairs DF: total / cross-copy /
       // copy-0 counts in a single pass
       val pairRow = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding",
@@ -131,9 +140,10 @@ object AnnScaleSmoke {
       val stages = tally.snapshotAndReset()
       val bytes = stages.values.map(_._2).sum
       println(f"ANN_SMOKE scale=$c%-3d n=$n brute=$brute lsh=$lsh ivf=$ivf " +
+        f"pq=$pq ivfpq=$ivfpq " +
         f"pairs=$pairs cross=$crossPairs copy0=$copy0Pairs kept=$kept " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
-      Run(c, n, brute, lsh, ivf, pairs, crossPairs, copy0Pairs, kept,
+      Run(c, n, brute, lsh, ivf, pq, ivfpq, pairs, crossPairs, copy0Pairs, kept,
         wall, bytes, stages)
     }
 
@@ -153,6 +163,10 @@ object AnnScaleSmoke {
         s"lsh top-k constant at ${r.scale}x (${r1.lsh}->${r.lsh})")
       check(r.ivf == r1.ivf,
         s"ivf top-k constant at ${r.scale}x (${r1.ivf}->${r.ivf})")
+      check(r.pq == r1.pq,
+        s"pq adc top-k constant at ${r.scale}x (${r1.pq}->${r.pq})")
+      check(r.ivfpq == r1.ivfpq,
+        s"ivfpq top-k constant at ${r.scale}x (${r1.ivfpq}->${r.ivfpq})")
       check(r.crossPairs <= 4,
         s"cross-copy near-dup pairs ≤ 4 at ${r.scale}x (got ${r.crossPairs})")
       check(r.copy0Pairs == r1.pairs,

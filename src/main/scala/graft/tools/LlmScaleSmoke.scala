@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Packing, SubstringDedup, TextSearch}
+import graft.operators.{BpeTrain, Dedup, Packing, SubstringDedup, TextSearch}
 import graft.sources.Tables
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
@@ -88,6 +88,7 @@ object LlmScaleSmoke {
 
     final case class Run(scale: Int, pairs: Long, comps: Long, kept: Long,
         bm25: Long, spans: Long, packs: Long, packDocs: Long, packTokens: Long,
+        bpeMerges: Seq[(String, String, Long)],
         wallSec: Double, writeBytes: Long,
         stages: Map[Int, (Long, Long, Long)])
 
@@ -116,6 +117,16 @@ object LlmScaleSmoke {
           sum("pack_tokens").cast("long")).first()
       val (nPacks, packDocs, packTokens) =
         (packRow.getLong(0), packRow.getLong(1), packRow.getLong(2))
+      // BPE training gate on VERBATIM c× replication (ids are
+      // irrelevant to the trainer): word freqs scale exactly c×, so
+      // the learned merge SEQUENCE must be identical with every pair
+      // frequency exactly c× — any drift means corpus layout leaked
+      // into the argmax. Runs the DISTRIBUTED trainer (vocab-sized
+      // rounds; corpus size only enters through wordFreq).
+      val bpeCorpus = (0 until c).map(_ => base.select(col("text")))
+        .reduce(_.unionByName(_))
+      val bpeMerges = BpeTrain.trainMergesDistributed(
+        BpeTrain.wordFreq(bpeCorpus, "text"), numMerges = 8)
       val wall = (System.nanoTime() - t0) / 1e9
       pairs.unpersist()
       docs.unpersist()
@@ -124,9 +135,10 @@ object LlmScaleSmoke {
       val bytes = stages.values.map(_._2).sum
       println(f"LLM_SMOKE scale=$c%-3d pairs=$nPairs comps=$comps kept=$kept " +
         f"bm25=$bm25 spans=$spans packs=$nPacks pack_docs=$packDocs " +
-        f"pack_tokens=$packTokens wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
+        f"pack_tokens=$packTokens bpe_merges=${bpeMerges.length} " +
+        f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
       Run(c, nPairs, comps, kept, bm25, spans, nPacks, packDocs, packTokens,
-        wall, bytes, stages)
+        bpeMerges, wall, bytes, stages)
     }
 
     val r1 = runs.head
@@ -152,6 +164,10 @@ object LlmScaleSmoke {
           r.packTokens == math.round(r1.packTokens * ratio),
         s"packing fold sums EXACTLY linear at ${r.scale}x " +
           s"(docs ${r1.packDocs}->${r.packDocs}, tokens ${r1.packTokens}->${r.packTokens})")
+      check(r.bpeMerges.map(m => (m._1, m._2)) == r1.bpeMerges.map(m => (m._1, m._2)) &&
+          r.bpeMerges.map(_._3) == r1.bpeMerges.map(m => math.round(m._3 * ratio)),
+        s"bpe merges IDENTICAL with freqs EXACTLY ${r.scale}x at ${r.scale}x " +
+          s"(${r1.bpeMerges.take(3)} -> ${r.bpeMerges.take(3)} ...)")
     }
     // Pack count is deliberately NOT asserted linear: each of the 64
     // shards leaves one partial last pack open, a CONSTANT overhead

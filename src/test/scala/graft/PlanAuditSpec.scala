@@ -287,4 +287,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     assert(p.contains("hashpartitioning(fp"), p)
   }
+
+  test("v10/v11: PQ ADC scoring broadcasts the query LUT and ranks via bounded aggregation") {
+    Seq("v10_ann_pq_adc", "v11_ann_ivfpq").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: query/LUT side must broadcast\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q\n$p")
+      assert(!p.toLowerCase.contains("runningwindow"), s"$q\n$p")
+      assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), s"$q\n$p")
+    }
+  }
+
+  test("v12: the persisted-codes search scans ONLY integer codes — no float vectors") {
+    // run the query once (writes + reloads the index), then audit the
+    // reloaded-search plan: the codes parquet scan must read id +
+    // code columns only, and the probe join must be broadcast.
+    val df = SparkEntry.queries("v12_ann_pq_persisted")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    assert(readSchemas.nonEmpty, p)
+    assert(readSchemas.exists(s => s.contains("code0") && !s.contains("vec")),
+      s"codes scan must be ints-only: $readSchemas\n$p")
+    // float vectors appear ONLY on the query side (vec_id < 10 pushed
+    // into the scan) — the candidate/corpus side reads codes alone
+    assert(readSchemas.count(_.contains("embedding")) ==
+      "PushedFilters: \\[[^\\]]*LessThan\\(vec_id,10\\)".r.findAllIn(p).length,
+      s"every float scan must be the filtered query side: $readSchemas\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

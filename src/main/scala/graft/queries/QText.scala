@@ -1259,5 +1259,53 @@ object QText {
         .map { case ((a, b, f), i) => (i + 1L, a, b, f) }
         .toDF("merge_rank", "lhs", "rhs", "freq")
         .orderBy("merge_rank")
+    },
+
+    // DSIR-style importance resampling (Dsir.resampleTopK): select the
+    // 100 raw docs whose hashed-bigram distribution best matches the
+    // lang='en' target domain, Gumbel-top-k without replacement. All
+    // arithmetic is integer micro-nats on the md5 keystream, so the
+    // oracle replays feature hashing, add-one smoothed log-ratios,
+    // per-doc fold, Gumbel noise, and the k-boundary EXACTLY.
+    QueryDef.of("t39_dsir_resample",
+      """WITH toks AS (SELECT doc_id, lang,
+        |    list_filter(regexp_extract_all(trim(text), '\S+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bk AS (SELECT doc_id, lang,
+        |    list_transform(
+        |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]),
+        |      g -> ('0x' || substr(md5(g), 1, 8))::BIGINT % 256) AS bs
+        |  FROM toks),
+        |ex AS (SELECT doc_id, lang, unnest(bs) AS b FROM bk),
+        |rawc AS (SELECT b, count(*) AS c FROM ex GROUP BY b),
+        |tgtc AS (SELECT b, count(*) AS c FROM ex WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM ex) AS tr,
+        |               (SELECT count(*) FROM ex WHERE lang = 'en') AS tt),
+        |spine AS (SELECT unnest(range(256)) AS b),
+        |mr AS (SELECT s.b,
+        |    CAST(round((ln((coalesce(t.c, 0) + 1.0) / (tot.tt + 256.0))
+        |              - ln((coalesce(r.c, 0) + 1.0) / (tot.tr + 256.0))) * 1000000.0) AS BIGINT) AS m
+        |  FROM spine s CROSS JOIN tot
+        |  LEFT JOIN tgtc t ON t.b = s.b LEFT JOIN rawc r ON r.b = s.b),
+        |lw0 AS (SELECT e.doc_id, CAST(SUM(mr.m) AS BIGINT) AS s
+        |  FROM ex e JOIN mr ON mr.b = e.b GROUP BY e.doc_id),
+        |lw AS (SELECT k.doc_id, CAST(len(k.bs) AS BIGINT) AS n_bigrams,
+        |    coalesce(l.s, 0) AS logw_micro
+        |  FROM bk k LEFT JOIN lw0 l USING (doc_id)),
+        |g AS (SELECT doc_id, n_bigrams, logw_micro,
+        |    CAST(round(-ln(-ln(
+        |      (('0x' || substr(md5('gum:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |        / 1152921504606846978.0)) * 1000000.0) AS BIGINT) AS gumbel_micro
+        |  FROM lw)
+        |SELECT doc_id, n_bigrams, logw_micro, gumbel_micro,
+        |  logw_micro + gumbel_micro AS key_micro
+        |FROM g
+        |ORDER BY key_micro DESC, doc_id
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Dsir.resampleTopK(
+        docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", b = 256, k = 100)
     })
 }

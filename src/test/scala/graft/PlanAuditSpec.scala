@@ -288,6 +288,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(fp"), p)
   }
 
+  test("t39: DSIR scoring is map-only and the top-k is TakeOrdered, not a global sort") {
+    val p = plan("t39_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("UDF"), p)
+  }
+
   test("v10/v11: PQ ADC scoring broadcasts the query LUT and ranks via bounded aggregation") {
     Seq("v10_ann_pq_adc", "v11_ann_ivfpq").foreach { q =>
       val p = plan(q)

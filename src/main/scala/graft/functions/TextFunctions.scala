@@ -207,4 +207,24 @@ object TextFunctions {
       array_min(transform(bases, h => (h * a + b) % MinhashP))
     }: _*)
   }
+
+  /** HTML → text extraction (the web-crawl front door of a training
+    * pipeline): drop script/style/comment blocks, strip tags, decode
+    * the common named entities, collapse whitespace. Map-only codegen
+    * regex chain. Patterns are RE2-safe (no backreferences — script
+    * and style close-tags are matched by SEPARATE patterns), so the
+    * DuckDB oracle replays the identical chain. `&amp;` decodes LAST
+    * so `&amp;lt;` yields the literal `&lt;`, not `<`. */
+  def htmlToText(c: Column): Column = {
+    val noBlocks = Seq(
+      "(?is)<script\\b[^>]*>.*?</script\\s*>",
+      "(?is)<style\\b[^>]*>.*?</style\\s*>",
+      "(?s)<!--.*?-->").foldLeft(c)((acc, p) => regexp_replace(acc, p, " "))
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, r)) => regexp_replace(acc, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

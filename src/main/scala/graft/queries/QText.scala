@@ -1307,5 +1307,51 @@ object QText {
       graft.operators.Dsir.resampleTopK(
         docs, docs.filter(col("lang") === "en"),
         "doc_id", "text", b = 256, k = 100)
+    },
+
+    // HTML → text extraction (TextFunctions.htmlToText) — the web-
+    // crawl front door. The corpus carries no HTML, so both sides
+    // derive the same synthetic page from `text` (the t13 derived-
+    // column pattern): title/style/comment/script blocks, a body
+    // whose ' the ' occurrences become the &amp; entity, a script
+    // embedding the text's own prefix. The extractor must drop every
+    // block, strip tags, decode entities (&amp; LAST), and collapse
+    // whitespace — all RE2-safe regex, replayed verbatim in DuckDB.
+    QueryDef.of("t40_html_extract",
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style type="text/css">p{color:red}</style></head><body><!-- crawl ' ||
+        |    CAST(doc_id AS VARCHAR) || ' --><p>' ||
+        |    regexp_replace(text, ' the ', ' &amp; ', 'g') ||
+        |    '</p><script>var s=''' || substr(text, 1, 20) ||
+        |    ''';</script><br/></body></html>' AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(html,
+        |      '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?s)<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |  FROM h)
+        |SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_clean_chars
+        |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style type=\"text/css\">p{color:red}</style></head><body><!-- crawl "),
+        id, lit(" --><p>"),
+        regexp_replace(col("text"), " the ", " &amp; "),
+        lit("</p><script>var s='"), substring(col("text"), 1, 20),
+        lit("';</script><br/></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.htmlToText(html).as("clean_text"))
+        .withColumn("n_clean_chars", length(col("clean_text")).cast("long"))
+        .orderBy("doc_id")
     })
 }

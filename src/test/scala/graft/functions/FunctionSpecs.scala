@@ -211,6 +211,26 @@ class ScalarFunctionsSpec extends AnyFunSuite {
       .select(normalizeDivision(col("raw"))).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("htmlToText: blocks drop, tags strip, entities decode once, whitespace collapses") {
+    import graft.functions.TextFunctions.htmlToText
+    def x(h: String): String =
+      Seq(Tuple1(h)).toDF("h").select(htmlToText(col("h"))).as[String].head()
+    assert(x("<p>hello <b>bold</b> world</p>") === "hello bold world")
+    // script/style bodies vanish even with attributes, newlines, and
+    // mixed case; comments vanish across lines
+    assert(x("<SCRIPT type='x'>\nvar a = '<p>not text</p>';\n</SCRIPT>ok") === "ok")
+    assert(x("<style\n media='all'>p { color: red }\n</style>ok") === "ok")
+    assert(x("a<!-- multi\nline\ncomment -->b") === "a b")
+    // entities: one decode pass, &amp; LAST → double-encoded stays literal
+    assert(x("1 &lt; 2 &amp;&amp; 3 &gt; 2") === "1 < 2 && 3 > 2")
+    assert(x("&amp;lt;") === "&lt;")
+    assert(x("say &quot;hi&#39;s&quot;&nbsp;now") === "say \"hi's\" now")
+    // whitespace collapse + trim
+    assert(x("  <div>\n  a\t\tb  </div>  ") === "a b")
+    assert(x("") === "")
+    assert(x("no markup at all") === "no markup at all")
+  }
 }
 
 class TopKAggSpec extends AnyFunSuite {

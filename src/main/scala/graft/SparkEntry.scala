@@ -67,7 +67,7 @@ object SparkEntry {
     "v01_ann_brute_topk", "v02_ann_lsh_topk", "v03_embed_neardup_brute",
     "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
     "v09_ann_index_upsert", "v10_ann_pq_adc", "v11_ann_ivfpq",
-    "v12_ann_pq_persisted",
+    "v12_ann_pq_persisted", "v13_cluster_balanced_sample",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",
     "pbp03_pitcher_standardize")
 }

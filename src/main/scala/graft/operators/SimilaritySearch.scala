@@ -167,6 +167,20 @@ object SimilaritySearch {
     ivfSearchAssigned(queries, cb, centroids, k, nprobe)
   }
 
+  /** Input rows + a `cluster` column: each row's cell under a coarse
+    * quantizer trained on the same data — the CURATION entry point
+    * (cluster-balanced sampling, per-cell corpus stats), as opposed
+    * to the search entry points above. Map-only after training. */
+  def assignClusters(
+      df: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int, iters: Int): DataFrame = {
+    val centroids = trainIvfCentroids(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec")), numClusters, iters)
+    df.withColumn("__vn", VectorFunctions.l2Norm(col(vecCol)))
+      .withColumn("cluster", assignExpr(centroids, col(vecCol), col("__vn")))
+      .drop("__vn")
+  }
+
   /** The probe-and-rank half of [[ivfTopK]], over an ALREADY-assigned
     * candidate table `cb` = (id, vec, __cn, cluster) — the entry point
     * a persisted index uses ([[AnnIndex]]): cell assignment happened

@@ -453,6 +453,30 @@ object QVector {
       graft.operators.AnnIndex.topKPq(s, path, queries, dim = 64, k = 5, nprobe = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // Cluster-balanced curation sample: semantic strata are LEARNED
+    // (the v05 coarse quantizer's cells), then the t10 deterministic
+    // per-stratum top-k caps each cell at 40 docs by md5 order — the
+    // SemDeDup-era recipe for diversity-preserving downsampling. The
+    // oracle replays the quantizer (c0→af) and the md5 window.
+    QueryDef.of("v13_cluster_balanced_sample", N +
+      """, c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8))""".stripMargin +
+      ivfAssign("c0", "a1") + ivfRecenter("a1", "c0", "c1") +
+      ivfAssign("c1", "a2") + ivfRecenter("a2", "c1", "c2") +
+      ivfAssign("c2", "af") +
+      """ SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM af
+        |QUALIFY row_number() OVER (PARTITION BY cluster
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 40
+        |ORDER BY cluster, vec_id""".stripMargin) { (s, dir) =>
+      val assigned = SimilaritySearch.assignClusters(
+        emb(s, dir).select(col("vec_id"), col("embedding").as("vec")),
+        "vec_id", "vec", numClusters = 8, iters = 2)
+      graft.operators.Sampling.deterministicPerStratum(
+          assigned, Seq("cluster"), k = 40, idCol = "vec_id")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("cluster", "vec_id")
     })
 
   /** The IVFADC oracle (shared by v11/v12): v05's coarse-quantizer

@@ -101,10 +101,48 @@ object Dsir {
       idCol: String, textCol: String, b: Int, k: Int): DataFrame = {
     val micro = microLogRatios(
       bucketCounts(target, textCol, b), bucketCounts(raw, textCol, b))
-    importanceScores(raw, idCol, textCol, micro, b)
+    rankByKey(importanceScores(raw, idCol, textCol, micro, b), idCol, k)
+  }
+
+  /** [[resampleTopK]] for the common in-corpus case — the target is a
+    * predicate over `raw` (a domain flag, a curated subset). Bigrams
+    * hash ONCE: the bucketized corpus persists, BOTH distributions
+    * come from a single combined aggregation (conditional sum), and
+    * scoring folds over the persisted bucket arrays — one md5 pass
+    * total instead of three. Persists an intermediate; the harness's
+    * per-query `clearCache()` releases it (the
+    * [[Dedup.incrementalNearDupLsh]] contract).
+    */
+  def resampleTopKWithin(
+      raw: DataFrame, isTarget: Column,
+      idCol: String, textCol: String, b: Int, k: Int): DataFrame = {
+    val bucketed = raw.select(
+        col(idCol), isTarget.as("__tgt"),
+        bigramBuckets(col(textCol), b).as("__bks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = bucketed
+      .select(col("__tgt"), explode(col("__bks")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val micro = microLogRatios(
+      Array.tabulate(b)(i => counts.get(i.toLong).map(_._2).getOrElse(0L)),
+      Array.tabulate(b)(i => counts.get(i.toLong).map(_._1).getOrElse(0L)))
+    val ratios = typedlit(micro.toSeq)
+    val scored = bucketed.select(
+      col(idCol),
+      size(col("__bks")).cast("long").as("n_bigrams"),
+      aggregate(col("__bks"), lit(0L),
+        (acc, bk) => acc + element_at(ratios, bk.cast("int") + 1))
+        .as("logw_micro"))
+    rankByKey(scored, idCol, k)
+  }
+
+  private def rankByKey(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored
       .withColumn("gumbel_micro", gumbelMicro(col(idCol)))
       .withColumn("key_micro", col("logw_micro") + col("gumbel_micro"))
       .orderBy(col("key_micro").desc, col(idCol))
       .limit(k)
-  }
 }

@@ -1302,10 +1302,8 @@ object QText {
         |FROM g
         |ORDER BY key_micro DESC, doc_id
         |LIMIT 100""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.operators.Dsir.resampleTopK(
-        docs, docs.filter(col("lang") === "en"),
+      graft.operators.Dsir.resampleTopKWithin(
+        Tables.documents(s, dir), col("lang") === "en",
         "doc_id", "text", b = 256, k = 100)
     },
 

@@ -47,6 +47,15 @@ class DsirSpec extends AnyFunSuite {
     assert(a.map(_._3) === a.map(_._3).sorted.reverse, "output ordered by key desc")
   }
 
+  test("resampleTopKWithin (one hash pass) equals resampleTopK (separate passes) exactly") {
+    val a = Dsir.resampleTopK(docs, docs.filter(col("lang") === "en"),
+      "doc_id", "text", b = 256, k = 40)
+    val b = Dsir.resampleTopKWithin(docs, col("lang") === "en",
+      "doc_id", "text", b = 256, k = 40)
+    assert(a.exceptAll(b.select(a.columns.map(col): _*)).count() === 0)
+    assert(b.select(a.columns.map(col): _*).exceptAll(a).count() === 0)
+  }
+
   test("empty and one-token docs score zero bigrams / zero weight but stay eligible") {
     val tiny = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "solo"), (4L, "  "))
       .toDF("doc_id", "text")

@@ -367,5 +367,23 @@ object QAgg {
           countDistinct("c_custkey").as("n_cust"),
           count(lit(1)).as("n_rows"))
         .orderBy("c_nationkey")
+    },
+
+    // A17 (beyond-reference corpus stats): EXACT discrete percentiles
+    // via the value histogram — one hash aggregation bounds the
+    // shuffle by |distinct values|, the prefix sum runs over that
+    // dimension-sized table, each p picks min value with
+    // cum ≥ ceil(p·n). No corpus-wide sort at any scale.
+    QueryDef.of("a17_exact_percentiles",
+      """WITH h AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY 1),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+        |n AS (SELECT count(*) AS n FROM lineitem),
+        |ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p)
+        |SELECT p, min(v) AS value
+        |FROM ps CROSS JOIN n JOIN cum ON cum.cum >= ceil(p * n.n)
+        |GROUP BY p ORDER BY p""".stripMargin) { (s, dir) =>
+      graft.operators.Quantiles.exactPercentiles(
+        Tables.lineitem(s, dir), "l_quantity",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     })
 }

@@ -875,6 +875,27 @@ class OperatorSpecs extends AnyFunSuite {
       s"mean PQ ADC recall@5 $mean vs exact cosine (chance floor $chance)")
   }
 
+  test("Quantiles.exactPercentiles equals the naive sorted-pick on seeded data incl. duplicates") {
+    val rnd = new scala.util.Random(99)
+    val vals = Seq.fill(500)(rnd.nextInt(20).toDouble) ++ Seq(0.0, 19.0) // force dup ends
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "x")
+    val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val got = Quantiles.exactPercentiles(df.repartition(7), "x", ps)
+      .as[(Double, Double)].collect().toMap
+    val sorted = vals.sorted
+    val naive = ps.map(p =>
+      p -> sorted(math.ceil(p * sorted.length).toInt - 1)).toMap
+    assert(got === naive)
+    // p = 1.0 is the max; monotone in p
+    assert(got(1.0) === sorted.last)
+    assert(ps.map(got).sliding(2).forall(w => w.head <= w.last))
+    // single-value corpus: every percentile is that value
+    val one = Quantiles.exactPercentiles(
+      Seq.fill(40)(7.5).zipWithIndex.map(_.swap).toDF("i", "x"), "x", Seq(0.5, 1.0))
+      .as[(Double, Double)].collect().toMap
+    assert(one === Map(0.5 -> 7.5, 1.0 -> 7.5))
+  }
+
   test("ivfPqTopK: probing all cells equals flat PQ ADC; pruned probe is an exact-subset") {
     val e = embeddings
     val queries = e.filter(col("vec_id") < 10)

@@ -50,7 +50,7 @@ object SparkEntry {
     * their times as engine throughput. */
   val benchQueries: Seq[String] = Seq(
     "a01_pivot_matrix", "a05_event_kernel", "a08_union_explode_agg",
-    "a10_scenario_weighted", "w03_boundary_session", "w05_remaining_sum",
+    "a10_scenario_weighted", "a17_exact_percentiles", "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
     "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",
     "x01_stateful_fold_balance",
@@ -68,6 +68,7 @@ object SparkEntry {
     "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
     "v09_ann_index_upsert", "v10_ann_pq_adc", "v11_ann_ivfpq",
     "v12_ann_pq_persisted", "v13_cluster_balanced_sample",
+    "v14_ann_ivfpq_rerank",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",
     "pbp03_pitcher_standardize")
 }

@@ -362,6 +362,37 @@ object SimilaritySearch {
   }
 
   /**
+   * IVFPQ shortlist + EXACT re-rank — the standard production ANN
+   * recipe: [[ivfPqTopK]] produces a `shortlist`-sized candidate set
+   * per query from the codes-only scan (cheap, approximate), then
+   * ONLY those ids pull their float vectors for an exact cosine
+   * re-rank to the final k. At 100 TB the re-rank side is a
+   * broadcast semi-probe: |queries|·shortlist ids broadcast against
+   * the vector store scan — the big side is read once, never
+   * shuffled, and the ADC approximation no longer bounds recall
+   * (only the shortlist's cell/code coverage does).
+   */
+  def ivfPqRerankTopK(
+      queries: DataFrame, // (query_id, query_vec)
+      candidates: DataFrame, // (id, vec)
+      numClusters: Int, coarseIters: Int,
+      dim: Int, m: Int, ksub: Int, pqIters: Int,
+      shortlist: Int, k: Int, nprobe: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val short = ivfPqTopK(queries, candidates,
+        numClusters, coarseIters, dim, m, ksub, pqIters, shortlist, nprobe)
+      .select(col("query_id"), col("id"))
+    val qn = queries.withColumn("__qn", VectorFunctions.l2Norm(col("query_vec")))
+    val probe = short.join(broadcast(qn), Seq("query_id"))
+    val scored = candidates
+      .withColumn("__cn", VectorFunctions.l2Norm(col("vec")))
+      .join(broadcast(probe), Seq("id"))
+      .withColumn("cos", pairCos(col("query_vec"), col("__qn"), col("vec"), col("__cn")))
+    val topk = TopKAgg.topK(k)
+    unpack(scored.groupBy("query_id").agg(topk(col("cos"), col("id")).as("tops")))
+  }
+
+  /**
    * LSH-bucketed ANN: both sides keyed by sign-LSH bucket; each query
    * only scans its own bucket (`probes` > 1 additionally probes the
    * Hamming-1 neighbor buckets — the standard multi-probe trick).

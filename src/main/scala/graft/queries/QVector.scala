@@ -477,12 +477,49 @@ object QVector {
           assigned, Seq("cluster"), k = 40, idCol = "vec_id")
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
         .orderBy("cluster", "vec_id")
+    },
+
+    // IVFPQ shortlist (25 per query off the codes-only scan) + EXACT
+    // cosine re-rank of only those ids to the final 5 — the standard
+    // production refinement. The oracle extends the v11 CTEs: ADC
+    // top-25 per query, then exact cosine over the shortlisted pairs.
+    QueryDef.of("v14_ann_ivfpq_rerank", IvfPqScoredCtes +
+      """, sl AS (SELECT query_id, id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 25),
+        |rr AS (SELECT sl.query_id, sl.id,
+        |    round(CASE WHEN q.nrm * c.nrm <> 0
+        |          THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END, 6) AS cos
+        |  FROM sl JOIN n q ON q.vec_id = sl.query_id JOIN n c ON c.vec_id = sl.id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
+        |  id, cos
+        |FROM rr
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.ivfPqRerankTopK(queries, cands,
+          numClusters = 8, coarseIters = 2,
+          dim = 64, m = 4, ksub = 8, pqIters = 2,
+          shortlist = 25, k = 5, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     })
 
-  /** The IVFADC oracle (shared by v11/v12): v05's coarse-quantizer
-    * replay (c0→af) composed with v10's per-subspace code + LUT
-    * replay, restricted to each query's 3 probed cells. */
-  private lazy val IvfPqSql: String = N +
+  /** The IVFADC oracle (shared by v11/v12, prefix of v14): v05's
+    * coarse-quantizer replay (c0→af) composed with v10's per-subspace
+    * code + LUT replay, restricted to each query's 3 probed cells. */
+  private lazy val IvfPqSql: String = IvfPqScoredCtes +
+    """SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
+      |  id, cos
+      |FROM sc
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  private lazy val IvfPqScoredCtes: String = N +
     """, c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8))""".stripMargin +
     ivfAssign("c0", "a1") + ivfRecenter("a1", "c0", "c1") +
@@ -509,10 +546,5 @@ object QVector {
       |  JOIN lut2 l2 ON l2.query_id = qp.query_id AND l2.cluster = cd.k2
       |  JOIN lut3 l3 ON l3.query_id = qp.query_id AND l3.cluster = cd.k3
       |  WHERE a.vec_id <> qp.query_id)
-      |SELECT query_id,
-      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
-      |  id, cos
-      |FROM sc
-      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
-      |ORDER BY query_id, rank""".stripMargin
+      |""".stripMargin
 }

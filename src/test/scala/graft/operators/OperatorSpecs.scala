@@ -931,6 +931,39 @@ class OperatorSpecs extends AnyFunSuite {
       pqIters = 2, k = 5, nprobe = 3)), "IVFPQ must be run-to-run deterministic")
   }
 
+  test("ivfPqRerankTopK: exact scores on survivors, recall at least the ADC top-k's") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cands = embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exactAll = SimilaritySearch.bruteForceTopK(queries, cands, k = 500)
+      .select("query_id", "id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (q, id, cos) => (q, id) -> cos }.toMap
+    val exactTop = SimilaritySearch.bruteForceTopK(queries, cands, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rr = SimilaritySearch.ivfPqRerankTopK(queries, cands,
+      numClusters = 8, coarseIters = 2, dim = 64, m = 4, ksub = 8,
+      pqIters = 2, shortlist = 25, k = 5, nprobe = 3)
+      .select("query_id", "rank", "id", "cos").as[(Long, Int, Long, Double)].collect()
+    assert(rr.nonEmpty)
+    // re-ranked scores are EXACT cosines (the ADC approximation is gone)
+    rr.foreach { case (q, _, id, cos) =>
+      assert(math.abs(exactAll((q, id)) - cos) < 1e-9, s"($q,$id) not exact")
+    }
+    def recall(sel: Map[Long, Set[Long]]) =
+      exactTop.keys.map(q => sel.getOrElse(q, Set.empty[Long])
+        .intersect(exactTop(q)).size / 5.0).sum / exactTop.size
+    val rrRecall = recall(rr.map(r => (r._1, r._3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    val adcRecall = recall(SimilaritySearch.ivfPqTopK(queries, cands,
+      numClusters = 8, coarseIters = 2, dim = 64, m = 4, ksub = 8,
+      pqIters = 2, k = 5, nprobe = 3)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    assert(rrRecall >= adcRecall,
+      s"re-rank recall $rrRecall must be >= plain ADC recall $adcRecall")
+  }
+
   test("Quantize.int8Symmetric properties: range, zero vector, error bound, scale (seeded random)") {
     val rnd = new scala.util.Random(4242)
     val vecs = (0L until 40L).map { i =>

@@ -89,4 +89,31 @@ object Sinks {
     columnTypes.fold(writer)(ct => writer.option("createTableColumnTypes", ct))
       .jdbc(url, table, props)
   }
+
+  /**
+   * Small-files compaction: rewrite a parquet dataset into files near
+   * `targetBytes` each — the maintenance pass every long-lived
+   * incremental dataset needs (daily appends and per-cell upserts
+   * accumulate KB-sized files; at 100 TB the scan cost becomes
+   * listing + open overhead, not bytes). File count =
+   * `clamp(round(totalBytes / targetBytes), 1, maxFiles)` from the
+   * ACTUAL on-disk size; the rewrite is a round-robin
+   * `repartition(n)` — one shuffle that balances rows without a key,
+   * content-preserving by construction. Returns the file count.
+   */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String,
+      targetBytes: Long, maxFiles: Int = 10000): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val n = math.min(maxFiles.toLong,
+      math.max(1L, math.round(total.toDouble / targetBytes))).toInt
+    spark.read.parquet(inPath)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

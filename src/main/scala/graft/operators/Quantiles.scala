@@ -38,4 +38,27 @@ object Quantiles {
       .groupBy("p").agg(min("v").as("value"))
       .orderBy("p")
   }
+
+  /** Per-group exact percentiles: (group, p, value). Same histogram
+    * construction, cumulative + total in one window pass partitioned
+    * by group; the tiny percentile list broadcasts against the
+    * histogram (map-only ×|ps| expansion), and the final aggregation
+    * shuffles |histogram|·|ps| rows at most — never the corpus. */
+  def exactPercentilesByGroup(
+      df: DataFrame, groupCol: String, valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentiles must be in (0, 1], got $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = df.groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = h
+      .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("v")))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+    cum.crossJoin(broadcast(ps.toDF("p")))
+      .filter(col("cum") >= ceil(col("p") * col("n")))
+      .groupBy("g", "p").agg(min("v").as("value"))
+      .withColumnRenamed("g", groupCol)
+      .orderBy(groupCol, "p")
+  }
 }

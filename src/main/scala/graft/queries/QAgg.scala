@@ -385,5 +385,23 @@ object QAgg {
       graft.operators.Quantiles.exactPercentiles(
         Tables.lineitem(s, dir), "l_quantity",
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    },
+
+    // A18: per-group exact percentiles (per-language document-length
+    // distribution — the corpus-stats table a pipeline monitors).
+    // Histogram per (group, value), one window pass for cum + total,
+    // broadcast percentile list; shuffle never exceeds the histogram.
+    QueryDef.of("a18_grouped_percentiles",
+      """WITH h AS (SELECT lang AS g, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT g, v,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n FROM h),
+        |ps AS (SELECT unnest([0.25, 0.5, 0.9]) AS p)
+        |SELECT g AS lang, p, min(v) AS value
+        |FROM cum CROSS JOIN ps WHERE cum.cum >= ceil(p * n)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.operators.Quantiles.exactPercentilesByGroup(
+        Tables.documents(s, dir), "lang", "n_chars", Seq(0.25, 0.5, 0.9))
     })
 }

@@ -445,5 +445,30 @@ object QRelational {
           .select(lit("value_batter").as("tbl"), lit(-1).as("year"),
             col("n_rows"), col("cents"), col("plays")))
         .orderBy("tbl", "year")
+    },
+
+    // Small-files compaction round trip (Sinks.compactParquet): the
+    // documents table is deliberately fragmented into 64 tiny files,
+    // then compacted to a target file size computed from ACTUAL
+    // on-disk bytes; content must survive byte-for-byte (the oracle
+    // is the same aggregate over the original table) and the file
+    // count must collapse — the spec asserts the physical layout,
+    // the oracle gates the content.
+    QueryDef.of("s17_compact_roundtrip",
+      """SELECT source, count(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT md5(text)) AS n_uniq
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val frag = scratch(dir, "s17_frag")
+      val out = scratch(dir, "s17_compact")
+      Tables.documents(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      graft.io.Sinks.compactParquet(s, frag, out, targetBytes = 512L * 1024)
+      s.read.parquet(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("chars"),
+          countDistinct(md5(col("text"))).as("n_uniq"))
+        .orderBy("source")
     })
 }

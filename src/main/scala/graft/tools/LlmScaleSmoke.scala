@@ -88,7 +88,7 @@ object LlmScaleSmoke {
 
     final case class Run(scale: Int, pairs: Long, comps: Long, kept: Long,
         bm25: Long, spans: Long, packs: Long, packDocs: Long, packTokens: Long,
-        bpeMerges: Seq[(String, String, Long)],
+        bpeMerges: Seq[(String, String, Long)], dsirCounts: Array[Long],
         wallSec: Double, writeBytes: Long,
         stages: Map[Int, (Long, Long, Long)])
 
@@ -127,6 +127,10 @@ object LlmScaleSmoke {
         .reduce(_.unionByName(_))
       val bpeMerges = BpeTrain.trainMergesDistributed(
         BpeTrain.wordFreq(bpeCorpus, "text"), numMerges = 8)
+      // DSIR distribution layer on the same verbatim replication: the
+      // hashed-bigram bucket counts must be EXACTLY c× the base's
+      // (scoring on top is map-only — plan-audited in PlanAuditSpec)
+      val dsirCounts = graft.operators.Dsir.bucketCounts(bpeCorpus, "text", 64)
       val wall = (System.nanoTime() - t0) / 1e9
       pairs.unpersist()
       docs.unpersist()
@@ -138,7 +142,7 @@ object LlmScaleSmoke {
         f"pack_tokens=$packTokens bpe_merges=${bpeMerges.length} " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
       Run(c, nPairs, comps, kept, bm25, spans, nPacks, packDocs, packTokens,
-        bpeMerges, wall, bytes, stages)
+        bpeMerges, dsirCounts, wall, bytes, stages)
     }
 
     val r1 = runs.head
@@ -168,6 +172,10 @@ object LlmScaleSmoke {
           r.bpeMerges.map(_._3) == r1.bpeMerges.map(m => math.round(m._3 * ratio)),
         s"bpe merges IDENTICAL with freqs EXACTLY ${r.scale}x at ${r.scale}x " +
           s"(${r1.bpeMerges.take(3)} -> ${r.bpeMerges.take(3)} ...)")
+      check(r.dsirCounts.toSeq == r1.dsirCounts.map(x =>
+          math.round(x * ratio)).toSeq,
+        s"dsir bucket counts EXACTLY ${r.scale}x at ${r.scale}x " +
+          s"(sum ${r1.dsirCounts.sum} -> ${r.dsirCounts.sum})")
     }
     // Pack count is deliberately NOT asserted linear: each of the 64
     // shards leaves one partial last pack open, a CONSTANT overhead

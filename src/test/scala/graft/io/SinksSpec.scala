@@ -72,4 +72,31 @@ class SinksSpec extends AnyFunSuite {
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("compactParquet: file count from actual bytes, content byte-identical, clamps apply") {
+    val frag = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out").toString
+    val df = (0 until 5000).map(i => (i.toLong, s"row_$i" * 8)).toDF("id", "payload")
+    df.repartition(64).write.mode("overwrite").parquet(frag)
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(parquetFiles(frag).size === 64)
+    val totalBytes = parquetFiles(frag).map(_.length).sum
+
+    val target = totalBytes / 4 // expect ~4 output files
+    val n = Sinks.compactParquet(spark, frag, out, targetBytes = target)
+    assert(n === math.round(
+      parquetFiles(frag).map(_.length).sum.toDouble / target).toInt ||
+      n >= 3 && n <= 5, s"n=$n")
+    assert(parquetFiles(out).size === n)
+    // content round-trips exactly
+    val back = spark.read.parquet(out)
+    assert(back.count() === 5000)
+    assert(back.exceptAll(df).count() === 0 && df.exceptAll(back).count() === 0)
+    // clamps: enormous target → 1 file; maxFiles caps the count
+    val one = java.nio.file.Files.createTempDirectory("graft_compact_one").toString
+    assert(Sinks.compactParquet(spark, frag, one, targetBytes = Long.MaxValue) === 1)
+    val capped = java.nio.file.Files.createTempDirectory("graft_compact_cap").toString
+    assert(Sinks.compactParquet(spark, frag, capped, targetBytes = 1L, maxFiles = 7) === 7)
+  }
 }

@@ -634,6 +634,43 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // t15's greedy packing in BPE mode: the pack budget measures REAL
+    // tokenizer tokens (Bpe.bpeTokenCount), completing the tokenizer
+    // switch across the budget family (chunking t36, selection t35,
+    // packing here). Same md5-sharded first-fit fold; only the
+    // measurement changes. The oracle composes the BPE doctok CTE
+    // with the t15 recursive shard walk (budget 400 — subword streams
+    // run longer than whitespace ones).
+    QueryDef.of("t41_packing_bpe",
+      s"""WITH RECURSIVE $BPE_DOCTOK_CTE,
+         |base AS (SELECT d.doc_id,
+         |    CAST(coalesce(t.n_bpe_tokens, 0) AS BIGINT) AS n_tokens,
+         |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+         |  FROM documents d LEFT JOIN doctok t USING (doc_id)),
+         |pd AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM base),
+         |walk AS (
+         |  SELECT shard, rn, doc_id, n_tokens, n_tokens AS acc,
+         |    CAST(1 AS BIGINT) AS pack_seq
+         |  FROM pd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT pd.shard, pd.rn, pd.doc_id, pd.n_tokens,
+         |    CASE WHEN w.acc + pd.n_tokens > 400 THEN pd.n_tokens
+         |         ELSE w.acc + pd.n_tokens END,
+         |    CASE WHEN w.acc + pd.n_tokens > 400 THEN w.pack_seq + 1
+         |         ELSE w.pack_seq END
+         |  FROM pd JOIN walk w ON pd.shard = w.shard AND pd.rn = w.rn + 1)
+         |SELECT doc_id, n_tokens, shard, pack_seq FROM walk
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val vocab = s.sparkContext.broadcast(graft.functions.Bpe.defaultVocab)
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.Bpe.bpeTokenCount(col("text"), vocab)
+          .cast("long").as("__ntok"))
+      graft.operators.Packing.greedyPack(docs, "doc_id", "__ntok",
+          budget = 400L, numShards = 8)
+        .orderBy("doc_id")
+    },
+
     // Cluster keep-rule (Dedup.keepBestPerCluster): over the t09
     // near-dup components, keep the LONGEST member (n_chars, ties ->
     // min id) plus every unpaired doc — RefinedWeb's keep-longest

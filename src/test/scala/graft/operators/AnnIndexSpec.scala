@@ -115,4 +115,63 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fresh.exceptAll(reloaded).count() === 0)
     assert(spark.read.parquet(s"$path/codes").count() === cands.count())
   }
+
+  test("foreachBatch ANN ingestion: streamed upserts (float + PQ) equal one-shot assignment") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train + seed the store on a third of the corpus, then STREAM the
+    // rest in micro-batches through both upsert paths — the daily-pull
+    // cadence for a growing 100 TB vector store (quantizers frozen,
+    // cells append-only)
+    val path = Files.createTempDirectory("graft_annidx_stream").toString
+    val initial = cands.filter(col("id") % 3 === 0)
+    val centroids = AnnIndex.write(path, initial, numClusters = 8, iters = 2)
+    val codebooks = AnnIndex.writePqCodes(path, initial, dim = 64, m = 4, ksub = 8, iters = 2)
+    val rest = cands.filter(col("id") % 3 =!= 0)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = input.toDF().toDF("id", "vec").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        AnnIndex.upsert(path, batch.toDF())
+        AnnIndex.upsertPqCodes(path, batch.toDF(), dim = 64)
+        ()
+      }
+      .start()
+    try {
+      Seq(b1, b2).foreach { b => input.addData(b.toSeq); query.processAllAvailable() }
+    } finally query.stop()
+
+    // float path: reloaded search ≡ one-pass assignment of the union
+    val cb = initial.unionByName(rest.toSeq.toDF("id", "vec"))
+      .withColumn("__cn", VectorFunctions.l2Norm(col("vec")))
+      .withColumn("cluster",
+        SimilaritySearch.assignExpr(centroids, col("vec"), col("__cn")))
+    val freshIvf = SimilaritySearch.ivfSearchAssigned(queries, cb, centroids,
+      k = 5, nprobe = 3)
+    val gotIvf = AnnIndex.topK(spark, path, queries, k = 5, nprobe = 3)
+    assert(gotIvf.exceptAll(freshIvf).count() === 0)
+    assert(freshIvf.exceptAll(gotIvf).count() === 0)
+    // PQ path: reloaded codes search ≡ one-pass encode of the union
+    val codes = SimilaritySearch.pqEncode(
+      cb.select(col("id"), col("vec"), col("cluster")), codebooks,
+      dim = 64, keep = Seq("cluster"))
+    val qlut = SimilaritySearch.pqQueryLut(
+      queries.withColumn("__pn", VectorFunctions.l2Norm(col("query_vec")))
+        .withColumn("cluster", explode(
+          SimilaritySearch.probeExpr(centroids, col("query_vec"), col("__pn"), 3)))
+        .drop("__pn"),
+      codebooks, dim = 64, keep = Seq(col("cluster")))
+    val freshPq = SimilaritySearch.adcRank(
+      codes.join(broadcast(qlut), Seq("cluster"))
+        .filter(col("query_id") =!= col("id")),
+      codebooks, k = 5)
+    val gotPq = AnnIndex.topKPq(spark, path, queries, dim = 64, k = 5, nprobe = 3)
+    assert(gotPq.exceptAll(freshPq).count() === 0)
+    assert(freshPq.exceptAll(gotPq).count() === 0)
+    // both stores hold exactly the union
+    assert(spark.read.parquet(s"$path/store").count() === cands.count())
+    assert(spark.read.parquet(s"$path/codes").count() === cands.count())
+  }
 }

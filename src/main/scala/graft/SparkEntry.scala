@@ -50,11 +50,12 @@ object SparkEntry {
     * their times as engine throughput. */
   val benchQueries: Seq[String] = Seq(
     "a01_pivot_matrix", "a05_event_kernel", "a08_union_explode_agg",
-    "a10_scenario_weighted", "a17_exact_percentiles", "w03_boundary_session", "w05_remaining_sum",
+    "a10_scenario_weighted", "a17_exact_percentiles", "a18_grouped_percentiles", "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
     "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",
     "x01_stateful_fold_balance",
-    "o01_global_sort_limit", "s01_scan_pushdown", "f05_hash_ids",
+    "o01_global_sort_limit", "s01_scan_pushdown", "s17_compact_roundtrip",
+    "f05_hash_ids",
     "t01_text_quality", "t06_ngram_jaccard_pairs", "t07_minhash_lsh_pairs",
     "t08_simhash_pairs", "t09_dup_clusters", "t12_decontaminate",
     "t15_sequence_packing", "t19_line_dedup", "t20_bm25_topk",
@@ -64,6 +65,7 @@ object SparkEntry {
     "t31_budget_mixture", "t32_incremental_neardup", "t33_split_leakage",
     "t34_bpe_encode", "t35_budget_select_bpe", "t36_bpe_chunks",
     "t37_leakfree_split", "t39_dsir_resample", "t40_html_extract",
+    "t41_packing_bpe", "t42_langid_ngram",
     "v01_ann_brute_topk", "v02_ann_lsh_topk", "v03_embed_neardup_brute",
     "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
     "v09_ann_index_upsert", "v10_ann_pq_adc", "v11_ann_ivfpq",

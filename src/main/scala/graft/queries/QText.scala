@@ -1344,6 +1344,45 @@ object QText {
         "doc_id", "text", b = 256, k = 100)
     },
 
+    // Char-trigram language-ID (LangId, Cavnar-Trenkle profile
+    // style): per-lang top-40 gram rank profiles trained on the
+    // labeled corpus (one explode+agg, |langs|·40-row model), then
+    // MAP-ONLY classification — summed ranks with absent→41 penalty,
+    // argmin with lang tie-break. All integer, replayed exactly. (The
+    // synthetic corpus shares one vocabulary across lang labels, so
+    // accuracy is meaningless HERE — the real-language fixture in
+    // LangIdSpec carries that burden; this oracle pins the machinery.)
+    QueryDef.of("t42_langid_ngram",
+      """WITH c AS (SELECT doc_id, lang,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(
+        |    CASE WHEN len(s) >= 3
+        |         THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+        |         ELSE [] END) AS gr
+        |  FROM c),
+        |pf AS (SELECT lang, gr, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |pr AS (SELECT lang, gr,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) AS rank
+        |  FROM pf
+        |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) <= 40),
+        |langs AS (SELECT DISTINCT lang AS cand FROM documents),
+        |dist AS (SELECT dg.doc_id, l.cand,
+        |    CAST(SUM(coalesce(pr.rank, 41)) AS BIGINT) AS dist
+        |  FROM g dg CROSS JOIN langs l
+        |  LEFT JOIN pr ON pr.lang = l.cand AND pr.gr = dg.gr
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, cand, dist FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1)
+        |SELECT d.doc_id, coalesce(b.cand, '') AS pred_lang,
+        |  coalesce(b.dist, 0) AS dist
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.LangId.trainAndClassify(
+          Tables.documents(s, dir), "doc_id", "lang", "text", n = 3, topK = 40)
+        .orderBy("doc_id")
+    },
+
     // HTML → text extraction (TextFunctions.htmlToText) — the web-
     // crawl front door. The corpus carries no HTML, so both sides
     // derive the same synthetic page from `text` (the t13 derived-

@@ -295,6 +295,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), p)
   }
 
+  test("t40/t42: HTML extraction and language-ID scoring are map-only codegen (no join in scoring)") {
+    val p40 = plan("t40_html_extract")
+    assert(!p40.contains("Join") && !p40.toLowerCase.contains("window"), p40)
+    assert(!p40.contains("UDF"), p40)
+    // t42 trains driver-side (profiles are literals); the CLASSIFY plan
+    // must carry no join — only the scan, the fold projection, and the
+    // output sort
+    val p42 = plan("t42_langid_ngram")
+    assert(!p42.contains("Join"), p42)
+    assert(!p42.contains("UDF"), p42)
+  }
+
   test("v10/v11: PQ ADC scoring broadcasts the query LUT and ranks via bounded aggregation") {
     Seq("v10_ann_pq_adc", "v11_ann_ivfpq").foreach { q =>
       val p = plan(q)

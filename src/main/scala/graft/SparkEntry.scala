@@ -53,6 +53,7 @@ object SparkEntry {
     "a10_scenario_weighted", "a17_exact_percentiles", "a18_grouped_percentiles", "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
     "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",
+    "ses06_interval_join",
     "x01_stateful_fold_balance",
     "o01_global_sort_limit", "s01_scan_pushdown", "s17_compact_roundtrip",
     "f05_hash_ids",

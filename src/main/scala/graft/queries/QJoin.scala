@@ -256,6 +256,35 @@ object QJoin {
         .orderBy("user_id", "session_start_us")
     },
 
+    // Stream-stream interval join in its BATCH form (the same
+    // StreamOps.intervalJoinStreams code path — isStreaming dispatch):
+    // each purchase attributed to the same user's clicks in the
+    // preceding 300 s. Equi join on user_id with the time range as a
+    // residual; the streaming twin (watermarked both sides, bounded
+    // state) is equivalence-tested in StreamingSpec.
+    QueryDef.of("ses06_interval_join",
+      """SELECT l.event_id, r.event_id AS r_event_id, l.user_id,
+        |  epoch_us(l.ts) AS ts_us, epoch_us(r.ts) AS r_ts_us,
+        |  CAST(round(l.value * 100) AS BIGINT) AS l_cents,
+        |  CAST(round(r.value * 100) AS BIGINT) AS r_cents
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        |  AND l.event_type = 'purchase' AND r.event_type = 'click'
+        |  AND r.ts >= l.ts - INTERVAL 300 SECOND AND r.ts <= l.ts
+        |ORDER BY l.event_id, r_event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.streaming.StreamOps.intervalJoinStreams(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          toleranceSec = 300)
+        .select(col("event_id"), col("r_event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("r_ts")).as("r_ts_us"),
+          round(col("value") * 100).cast("long").as("l_cents"),
+          round(col("r_value") * 100).cast("long").as("r_cents"))
+        .orderBy("event_id", "r_event_id")
+    },
+
     QueryDef.of("ses01_gap_session",
       """SELECT event_id, CAST(session_id AS BIGINT) AS session_id
         |FROM (SELECT event_id,

@@ -144,6 +144,40 @@ object StreamOps {
         "lang_guess" -> TextFunctions.langId(t)))
   }
 
+  /**
+   * Stream-stream interval join — the attribution primitive (each
+   * purchase matched to the same user's clicks in the preceding
+   * `toleranceSec`): the remaining major Structured Streaming shape
+   * after sessionization / windowed aggs / watermark dedup. On
+   * streaming inputs BOTH sides carry watermarks and the range
+   * predicate bounds the buffered state (Spark evicts a side's rows
+   * once the other side's watermark passes `ts + tolerance`); on
+   * batch the identical equi+range join runs unchanged, so backfills
+   * share the code path (the [[dedupStream]] dispatch convention).
+   *
+   * Left columns ride out as-is; the right side contributes
+   * `r_event_id`, `r_ts`, `r_value`. The join stays an EQUI join on
+   * `user_id` with the range as a residual — never a cross product
+   * (plan-audited batch-side).
+   */
+  def intervalJoinStreams(
+      left: DataFrame, right: DataFrame, toleranceSec: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val (l, r0) =
+      if (left.isStreaming || right.isStreaming)
+        (left.withWatermark("ts", watermarkDelay),
+          right.withWatermark("ts", watermarkDelay))
+      else (left, right)
+    val r = r0.select(
+      col("user_id").as("r_user_id"), col("event_id").as("r_event_id"),
+      col("ts").as("r_ts"), col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $toleranceSec SECONDS") &&
+        col("r_ts") <= col("ts"))
+      .drop("r_user_id")
+  }
+
   /** Watermarked tumbling-window counts per event type — the
     * streaming form of the W4 segment aggregate. */
   def windowedTypeCounts(

@@ -295,6 +295,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), p)
   }
 
+  test("ses06: the interval join is an equi join on user_id with a range residual — no cartesian") {
+    val p = plan("ses06_interval_join")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("user_id"), p)
+  }
+
   test("t40/t42: HTML extraction and language-ID scoring are map-only codegen (no join in scoring)") {
     val p40 = plan("t40_html_extract")
     assert(!p40.contains("Join") && !p40.toLowerCase.contains("window"), p40)

@@ -177,6 +177,73 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join equals the batch join, incl. boundary semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    def mk(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "sec", "user_id", "value")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    // purchases: user 1 at t=1000 and t=2000; user 2 at t=1500
+    val purchases = Seq(
+      (101L, 1000L, 1L, 9.99), (102L, 2000L, 1L, 5.0), (103L, 1500L, 2L, 7.5))
+    // clicks: in-window (750, 1900, 2000=boundary incl., 1000=equal),
+    // out-of-window (400 too early, 2100 after, 699 just outside),
+    // wrong user (1450 user 3)
+    val clicks = Seq(
+      (201L, 750L, 1L, 0.0), (202L, 400L, 1L, 0.0), (203L, 1900L, 1L, 0.0),
+      (204L, 2000L, 1L, 0.0), (205L, 2100L, 1L, 0.0), (206L, 699L, 1L, 0.0),
+      (207L, 1450L, 3L, 0.0), (208L, 1210L, 2L, 0.0))
+    val li = MemoryStream[(Long, Long, Long, Double)]
+    val ri = MemoryStream[(Long, Long, Long, Double)]
+    // watermark delay covers the fixture's event-time spread, so rows
+    // arriving out of event-time order across micro-batches are not
+    // (correctly!) evicted as late — the late-drop case is asserted
+    // separately below
+    val joined = StreamOps.intervalJoinStreams(
+        mk(li.toDF()), mk(ri.toDF()), toleranceSec = 300,
+        watermarkDelay = "2 hours")
+      .select("event_id", "r_event_id")
+    val query = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // feed in two chunks so matches span micro-batches
+      li.addData(purchases.take(2)); ri.addData(clicks.take(4))
+      query.processAllAvailable()
+      li.addData(purchases.drop(2)); ri.addData(clicks.drop(4))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+    val want = StreamOps.intervalJoinStreams(
+        mk(purchases.toDF()), mk(clicks.toDF()), 300)
+      .select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    // pinned boundaries: 101 matches 750 (1000−300=700 ≤ 750) but not
+    // 699; 102 matches 1900 and the r_ts = l_ts boundary at 2000, not
+    // 2100; user-2 1210 ∈ (1200, 1500]; user-3 click never matches
+    assert(want === Set((101L, 201L), (102L, 203L), (102L, 204L), (103L, 208L)))
+
+    // and the state bound is REAL: with a 1-minute watermark, a click
+    // arriving a micro-batch after event-time has moved past it is
+    // evicted as late — its match must NOT appear
+    val li2 = MemoryStream[(Long, Long, Long, Double)]
+    val ri2 = MemoryStream[(Long, Long, Long, Double)]
+    val q2 = StreamOps.intervalJoinStreams(
+        mk(li2.toDF()), mk(ri2.toDF()), toleranceSec = 300,
+        watermarkDelay = "1 minute")
+      .select("event_id", "r_event_id")
+      .writeStream.format("memory").queryName("ssj_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      li2.addData(Seq((102L, 2000L, 1L, 5.0))); ri2.addData(Seq((204L, 2000L, 1L, 0.0)))
+      q2.processAllAvailable() // watermark → 2000 − 60 = 1940
+      li2.addData(Seq((103L, 1500L, 2L, 7.5))); ri2.addData(Seq((208L, 1210L, 2L, 0.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val late = spark.table("ssj_late").as[(Long, Long)].collect().toSet
+    assert(late.contains((102L, 204L)))
+    assert(!late.contains((103L, 208L)),
+      "a row behind the watermark must be evicted, not buffered forever")
+  }
+
   test("foreachBatch ingestion gate: Bloom dedup + in-batch keep-first equals global keep-first") {
     implicit val sqlCtx = spark.sqlContext
     // duplicate texts spread both WITHIN batches and ACROSS them; ids

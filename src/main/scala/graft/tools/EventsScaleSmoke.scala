@@ -52,7 +52,7 @@ object EventsScaleSmoke {
       .select("event_id", "user_id", "ts", "ts_ns", "event_type", "value")
 
     final case class Run(scale: Int, n: Long, sessions: Long, statRows: Long,
-        asofMatches: Long, winRows: Long, winN: Long, foldSum: Long,
+        asofMatches: Long, ivMatches: Long, winRows: Long, winN: Long, foldSum: Long,
         wallSec: Double, writeBytes: Long, stages: Map[Int, (Long, Long, Long)])
 
     val runs = scales.map { c =>
@@ -77,6 +77,13 @@ object EventsScaleSmoke {
           key = "user_id", leftTs = "ts", rightTs = "pts",
           payload = Seq("purchase_cents"), toleranceSeconds = Some(3600))
         .filter(col("purchase_cents").isNotNull).count()
+
+      // stream-stream interval join, batch form: user-disjoint copies
+      // replicate copy-0's intra-user match structure exactly
+      val ivMatches = graft.streaming.StreamOps.intervalJoinStreams(
+          evts.filter(col("event_type") === "purchase"),
+          evts.filter(col("event_type") === "click"),
+          toleranceSec = 300).count()
 
       val win = graft.streaming.StreamOps.windowedTypeCounts(evts, "1 hour")
         .agg(count(lit(1)).cast("long"), sum("n").cast("long")).first()
@@ -106,9 +113,9 @@ object EventsScaleSmoke {
       val stages = tally.snapshotAndReset()
       val bytes = stages.values.map(_._2).sum
       println(f"EVT_SMOKE scale=$c%-3d n=$n sessions=$sessions stats=$statRows " +
-        f"asof=$asofMatches win_rows=$winRows win_n=$winN fold_sum=$foldSum " +
+        f"asof=$asofMatches iv=$ivMatches win_rows=$winRows win_n=$winN fold_sum=$foldSum " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
-      Run(c, n, sessions, statRows, asofMatches, winRows, winN, foldSum,
+      Run(c, n, sessions, statRows, asofMatches, ivMatches, winRows, winN, foldSum,
         wall, bytes, stages)
     }
 
@@ -132,6 +139,8 @@ object EventsScaleSmoke {
         s"session-stat rows exactly linear at ${r.scale}x (${r1.statRows}->${r.statRows})")
       check(exactLinear(r1.asofMatches, r.asofMatches),
         s"as-of matches exactly linear at ${r.scale}x (${r1.asofMatches}->${r.asofMatches})")
+      check(exactLinear(r1.ivMatches, r.ivMatches),
+        s"interval-join matches exactly linear at ${r.scale}x (${r1.ivMatches}->${r.ivMatches})")
       check(r.winRows == r1.winRows,
         s"window rows constant at ${r.scale}x (${r1.winRows}->${r.winRows})")
       check(exactLinear(r1.winN, r.winN),

@@ -85,7 +85,7 @@ object Kernel {
     val aggs = kernelAggs(lit(true), "", weights)
     val grouped = pbp.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     derive(grouped, "", "", weights)
-      .drop(grouped.columns.filter(_.startsWith("__")): _*)
+      .drop(grouped.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
   }
 
   /** Situation predicates (situational.py:8-27): RISP, runners on,
@@ -119,7 +119,7 @@ object Kernel {
     val derived = splits.foldLeft(grouped) { case (d, (name, _)) =>
       derive(d, s"_$name", name, weights)
     }
-    derived.drop(grouped.columns.filter(_.startsWith("__")): _*)
+    derived.drop(grouped.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
   }
 
   /** Handedness splits (reference `leaderboards/splits.py:26-177`):

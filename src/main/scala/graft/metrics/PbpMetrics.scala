@@ -180,7 +180,7 @@ object PbpMetrics {
       .withColumn("wpa_li",
         when(coalesce(col("li"), lit(0.0)) =!= 0.0,
           coalesce(col("wpa"), lit(0.0)) / col("li")).otherwise(0.0))
-      .drop(withAfter.columns.filter(_.startsWith("__")): _*)
+      .drop(withAfter.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
   }
 
   /** TTO counter + leverage flags (add_pbp_metrics.py:234-241). */

@@ -87,6 +87,6 @@ object Mixture {
       .select(col("stratum").as(strataCol), col("threshold").as("__thr"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(graft.functions.ScalarFunctions.md5Bucket32(col(idCol)) < col("__thr"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }

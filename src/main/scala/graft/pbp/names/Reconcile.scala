@@ -276,7 +276,7 @@ object Reconcile {
     val stubsAligned = filled.columns.foldLeft(stubs) { (d, c) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(filled.schema(c).dataType))
-    }.select(filled.columns.map(col): _*)
+    }.select(filled.columns.map(col).toIndexedSeq: _*)
 
     filled.unionByName(stubsAligned)
       .dropDuplicates("player_id")

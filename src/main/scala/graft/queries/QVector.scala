@@ -306,7 +306,7 @@ object QVector {
       // ~1.04e18 at dim 64 with 3 orders of margin; regenerated
       // embeddings with larger magnitudes fail HERE, not as a silent
       // int64 wrap that DuckDB would instead raise on.
-      val maxSMilli = qz.agg(max(col("s_milli"))).head.getLong(0)
+      val maxSMilli = qz.agg(max(col("s_milli"))).head().getLong(0)
       require(maxSMilli <= 1000000L,
         s"v08 int ranking key would risk int64 overflow: max scale_milli $maxSMilli > 1e6")
       val queries = qz.filter(col("vec_id") < 10)

@@ -185,9 +185,11 @@ object BpeTrain {
     merges.toSeq
   }
 
-  /** Single-quoted SQL string literal (merge symbols may contain any
-    * character the corpus does). */
-  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** Single-quoted Spark SQL string literal (merge symbols may contain
+    * any character the corpus does — Spark treats backslash as an
+    * escape inside single quotes, so it must be doubled too). */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   /** Learned merges → the broadcastable encoder vocab. */
   def toVocab(merges: Seq[(String, String, Long)]): BpeVocab =

@@ -58,6 +58,19 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(vocab.encode("xyz").toSeq === Seq("x", "y", "z"))
   }
 
+  test("distributed trainer survives SQL-special symbols (quotes, backslashes)") {
+    // merge symbols are spliced into a SQL fold as literals — a word
+    // carrying ' or \ must not break or corrupt the rewrite
+    val corpus = Seq.fill(4)("it's it's a\\b a\\b ''x ''x").mkString(" ")
+      .split(" ").grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val wf = BpeTrain.wordFreq(corpus, "text").persist()
+    val driver = BpeTrain.trainFromCounts(wf.as[(String, Long)].collect().toSeq, 10)
+    val dist = BpeTrain.trainMergesDistributed(wf, 10)
+    wf.unpersist()
+    assert(driver.nonEmpty && driver.exists(m => (m._1 + m._2).contains("'")))
+    assert(dist === driver)
+  }
+
   test("wordFreq matches a naive count and training ignores corpus sharding") {
     val a = Seq("low lower", "low").toDF("text")
     val b = Seq("low", "lower low").toDF("text")

@@ -34,9 +34,10 @@ object Bench {
     // untimed warmup: JIT + codegen + parquet footer caches, so the
     // first timed query measures the engine, not JVM startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Headline subset (42 of the ~119 registered queries): every
-    // remaining query still runs in Verify; benching all of them would
-    // measure JVM warmup more than the engine.
+    // Headline subset (SparkEntry.benchQueries — 65 of the 155
+    // registered queries as of late r10): every remaining query still
+    // runs in Verify; benching all of them would measure JVM warmup
+    // more than the engine.
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // Second warmup tier: one untimed pass of every headline query at
     // the SMALLEST scale factor. The generated code for a query is

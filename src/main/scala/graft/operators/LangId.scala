@@ -30,13 +30,14 @@ object LangId {
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** All char n-gram OCCURRENCES of the canonical text, in order;
-    * texts shorter than n yield none. */
-  def charNgrams(c: Column, n: Int): Column = {
-    val s = canonical(c)
-    when(length(s) >= n,
-      transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * texts shorter than n yield none. Native O(len) codepoint walk
+    * ([[graft.plans.CharNgramsExpr]]) — the `transform(sequence(...),
+    * i -> substr(s, i, n))` column form is O(len²) because each
+    * substr relocates codepoint i from the string start. */
+  def charNgrams(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.CharNgramsExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(canonical(c)), n))
 
   /** Per-language rank profiles: top-`topK` grams by count (ties by
     * gram ascending), rank 1-based. Collected driver-side —
@@ -59,25 +60,40 @@ object LangId {
 
   /** (id, pred_lang, dist): argmin of summed profile ranks over the
     * doc's gram occurrences (absent → topK+1), ties by language
-    * ascending; gramless docs predict "" with dist 0. Map-only: the
-    * profiles are literal maps, the argmin a struct array-min. */
+    * ascending; gramless docs predict "" with dist 0. Map-only via a
+    * NATIVE expression: the |langs| profiles collapse into one
+    * broadcast gram → rank-vector model ([[graft.plans.LangIdModel]])
+    * and [[graft.plans.LangIdDistsExpr]] walks each row's codepoint
+    * n-grams once with O(1) hash lookups inside WholeStageCodegen —
+    * the interpreted nested-HOF fold this replaces cost ~10 ms/row.
+    * Only the |langs|-sized argmin stays in column algebra. */
   def classify(
       docs: DataFrame, idCol: String, textCol: String,
       profiles: Map[String, Map[String, Int]],
       n: Int = 3, topK: Int = 40): DataFrame = {
     require(profiles.nonEmpty, "no language profiles")
-    val grams = charNgrams(col(textCol), n)
-    val entries = profiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
-      val m = typedlit(prof)
-      val dist = aggregate(grams, lit(0L),
-        (acc, g) => acc + coalesce(element_at(m, g).cast("long"), lit((topK + 1).toLong)))
-      struct(dist.as("dist"), lit(lang).as("lang"))
-    }
-    val best = array_min(array(entries: _*))
-    docs.select(
-      col(idCol),
-      when(size(grams) === 0, lit("")).otherwise(best.getField("lang")).as("pred_lang"),
-      when(size(grams) === 0, lit(0L)).otherwise(best.getField("dist")).as("dist"))
+    val langs = profiles.keys.toSeq.sorted
+    val pen = (topK + 1).toLong
+    val combined: Map[String, Seq[Long]] =
+      langs.flatMap(l => profiles(l).keys).distinct.map { g =>
+        g -> langs.map(l => profiles(l).get(g).map(_.toLong).getOrElse(pen))
+      }.toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(
+      graft.plans.LangIdModel(langs, n, pen, combined))
+    val langArr = typedlit(langs)
+    docs
+      .withColumn("__s", canonical(col(textCol)))
+      .withColumn("__d", org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.LangIdDistsExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__s")), bc)))
+      .withColumn("__best", array_min(zip_with(col("__d"), langArr,
+        (d, l) => struct(d.as("dist"), l.as("lang")))))
+      .select(
+        col(idCol),
+        when(length(col("__s")) < n, lit(""))
+          .otherwise(col("__best").getField("lang")).as("pred_lang"),
+        when(length(col("__s")) < n, lit(0L))
+          .otherwise(col("__best").getField("dist")).as("dist"))
   }
 
   /** Train on the labeled corpus, classify every row. */

@@ -30,6 +30,7 @@ object GraftSession {
       shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new GraftExtensions)
       .appName(appName)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL function surface installed by [[GraftExtensions]]: the
+  * registered functions must be callable from pure `spark.sql` and
+  * agree exactly with their DataFrame-API twins. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("graft_char_ngrams from SQL equals the operator form") {
+    val got = spark.sql(
+      "SELECT graft_char_ngrams('The  Quick fox', 3) AS g").as[Seq[String]].head()
+    // canonicalization lives in the OPERATOR (LangId.canonical); the
+    // raw SQL function works on the string as given
+    assert(got.take(3) === Seq("The", "he ", "e  "))
+    assert(got.length === "The  Quick fox".length - 2)
+    assert(spark.sql("SELECT graft_char_ngrams('ab', 3) AS g")
+      .as[Seq[String]].head() === Seq.empty)
+  }
+
+  test("graft_dot from SQL equals the column kernel, mixed element types") {
+    val d = spark.sql(
+      """SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(2.0 AS DOUBLE), CAST(0.5 AS DOUBLE))) AS d""".stripMargin)
+      .as[Double].head()
+    assert(d === 1.5 * 2.0 + 2.0 * 0.5)
+  }
+
+  test("graft_simhash60 from SQL equals PortableHash.simhash60") {
+    val toks = Seq("alpha", "beta", "gamma")
+    val got = spark.sql(
+      s"SELECT graft_simhash60(array(${toks.map("'" + _ + "'").mkString(",")})) AS h")
+      .as[Long].head()
+    assert(got === graft.functions.PortableHash.simhash60(toks))
+  }
+
+  test("misuse fails loudly: wrong arity and non-literal n") {
+    intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").collect())
+    intercept[Exception](
+      spark.sql("SELECT graft_char_ngrams('abc', length('xx'))").collect())
+  }
+}

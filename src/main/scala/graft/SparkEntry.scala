@@ -50,7 +50,8 @@ object SparkEntry {
     * their times as engine throughput. */
   val benchQueries: Seq[String] = Seq(
     "a01_pivot_matrix", "a05_event_kernel", "a08_union_explode_agg",
-    "a10_scenario_weighted", "a17_exact_percentiles", "a18_grouped_percentiles", "w03_boundary_session", "w05_remaining_sum",
+    "a10_scenario_weighted", "a17_exact_percentiles", "a18_grouped_percentiles",
+    "a19_kmv_distinct", "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
     "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",
     "ses06_interval_join",

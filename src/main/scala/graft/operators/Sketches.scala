@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.functions.ScalarFunctions
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded ascending buffer of ≤ k distinct hash values. A Product so
+  * the aggregation buffer rides Spark's product encoder (no kryo). */
+final case class KMinBuf(hs: Array[Long])
+
+/**
+ * K-minimum-values (KMV) distinct-count sketch — bounded-state
+ * cardinality estimation (public method: Bar-Yossef et al. 2002;
+ * Beyer et al. SIGMOD 2007 "On synopses for distinct-value
+ * estimation under multiset operations").
+ *
+ * Each map task keeps the k smallest DISTINCT hash values per group
+ * (duplicates hash identically, so they insert once — multiplicity
+ * never reaches the buffer). Partial aggregation bounds the exchange
+ * at k longs per group per task regardless of row volume, which is
+ * the whole point at 100 TB: a distinct-user count over a trillion
+ * events shuffles kilobytes per group where `count(DISTINCT x)`
+ * shuffles every distinct value. The merged buffer IS the sketch —
+ * sorted, mergeable (union = re-insert), and persistable as a plain
+ * `array<bigint>` column, so per-partition sketches can be stored and
+ * unioned incrementally (the same history-index pattern the LSH
+ * near-dup ingest uses).
+ *
+ * Determinism: the sketch is a pure function of the SET of hash
+ * values — partitioning, input order, and duplication cannot change
+ * it, so the estimate is hash-exact reproducible (DuckDB replicates
+ * it with row_number over distinct hashes).
+ *
+ * Estimator: with U_(k) the k-th smallest of n distinct hashes drawn
+ * uniformly from [0, 2^60) (the [[ScalarFunctions.md5Long]] space),
+ * E[U_(k)/2^60] = k/(n+1), giving the standard unbiased-ish
+ * n̂ = (k-1) · 2^60 / U_(k); when fewer than k distinct values exist
+ * the sketch holds ALL of them and the count is exact. Relative
+ * standard error ≈ 1/√(k−2).
+ */
+class KMinDistinctAgg(k: Int) extends Aggregator[Long, KMinBuf, Seq[Long]] {
+  require(k > 0)
+
+  override def zero: KMinBuf = KMinBuf(Array.empty)
+
+  /** Insert one hash into a sorted distinct bounded buffer (O(log k)
+    * search + O(k) copy; k small). */
+  private def insert(b: KMinBuf, h: Long): KMinBuf = {
+    val a = b.hs
+    val n = a.length
+    if (n == k && h >= a(n - 1)) return b
+    val pos = {
+      val i = java.util.Arrays.binarySearch(a, h)
+      if (i >= 0) return b // already present — distinct semantics
+      -(i + 1)
+    }
+    val m = math.min(n + 1, k)
+    val out = new Array[Long](m)
+    System.arraycopy(a, 0, out, 0, pos)
+    out(pos) = h
+    val tail = m - pos - 1
+    if (tail > 0) System.arraycopy(a, pos, out, pos + 1, tail)
+    KMinBuf(out)
+  }
+
+  override def reduce(b: KMinBuf, h: Long): KMinBuf = insert(b, h)
+
+  override def merge(a: KMinBuf, b: KMinBuf): KMinBuf = {
+    var acc = a
+    var i = 0
+    while (i < b.hs.length) { acc = insert(acc, b.hs(i)); i += 1 }
+    acc
+  }
+
+  override def finish(b: KMinBuf): Seq[Long] = b.hs.toSeq
+
+  override def bufferEncoder: Encoder[KMinBuf] = Encoders.product[KMinBuf]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object Sketches {
+
+  /** Size of the [[ScalarFunctions.md5Long]] hash space: 2^60 (15 hex
+    * chars). Exactly representable as a double. */
+  val HashSpace: Double = math.pow(2, 60)
+
+  /** Column form: `kMinDistinct(32)(hashCol)` → ascending
+    * `array<bigint>` of the ≤ 32 smallest distinct hash values. */
+  def kMinDistinct(k: Int): Column => Column = {
+    val fn = udaf(new KMinDistinctAgg(k), Encoders.scalaLong)
+    h => fn(h)
+  }
+
+  /** The KMV estimate for a sketch column built with parameter `k`:
+    * exact size when the buffer is under-full (all distinct values
+    * are IN the sketch), (k−1)·2^60 / U_(k) otherwise. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(round(
+        lit((k - 1).toDouble * HashSpace) / element_at(sketch, k).cast("double"))
+        .cast("long"))
+
+  /**
+   * Distinct-count estimate of `valueCol` per `groupCols` with one
+   * bounded-state hash aggregation. Returns the group columns plus
+   * `n_kept` (sketch fill) and `est_distinct`.
+   */
+  def kmvDistinct(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    val agg = kMinDistinct(k)
+    df.select(groupCols.map(col) :+
+        ScalarFunctions.md5Long(col(valueCol).cast("string")).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("__h")).as("__ks"))
+      .select(groupCols.map(col) ++ Seq(
+        size(col("__ks")).cast("long").as("n_kept"),
+        kmvEstimate(col("__ks"), k).as("est_distinct")): _*)
+  }
+}

@@ -403,5 +403,32 @@ object QAgg {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       graft.operators.Quantiles.exactPercentilesByGroup(
         Tables.documents(s, dir), "lang", "n_chars", Seq(0.25, 0.5, 0.9))
+    },
+
+    // A19 (beyond-reference corpus stats): KMV distinct-count sketch
+    // (Sketches.kmvDistinct) — distinct users per event type with
+    // bounded aggregation state. The sketch (k smallest distinct
+    // 60-bit md5 hashes) is a pure function of the hash SET, so the
+    // estimate is hash-exact reproducible; the oracle replicates it
+    // with row_number over distinct hashes. k=32 so the estimator
+    // branch fires at sf0.01+ (150+ distinct users); under-full
+    // groups fall back to the exact count.
+    QueryDef.of("a19_kmv_distinct",
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |s AS (SELECT event_type,
+        |    count(*) FILTER (WHERE rn <= 32) AS n_kept,
+        |    max(h) FILTER (WHERE rn = 32) AS kth FROM r GROUP BY event_type)
+        |SELECT event_type, n_kept,
+        |  CASE WHEN n_kept < 32 THEN n_kept
+        |       ELSE CAST(round(31 * 1152921504606846976.0 / kth) AS BIGINT)
+        |  END AS est_distinct
+        |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Sketches.kmvDistinct(
+          Tables.events(s, dir), Seq("event_type"), "user_id", k = 32)
+        .orderBy("event_type")
     })
 }

@@ -28,7 +28,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  *  - shuffle-write bytes between the two largest scales grow within
  *    1.5× of linear, and no heavy stage has a task >8× the stage
  *    mean (sessionize/fold are the natural skew suspects: one hot
- *    user must not serialize a partition).
+ *    user must not serialize a partition);
+ *  - the KMV distinct-user estimate stays within the sketch's 3σ
+ *    relative-error bound (3/√(k−2), k=128) of the EXACT per-scale
+ *    truth, and the full KMV sketch over the `value` column — whose
+ *    distinct set the disjoint-copy construction does NOT grow — is
+ *    IDENTICAL at every scale (the bounded-state aggregate must be a
+ *    pure function of the value set: 10× the rows, same synopsis).
  */
 object EventsScaleSmoke {
 
@@ -53,6 +59,7 @@ object EventsScaleSmoke {
 
     final case class Run(scale: Int, n: Long, sessions: Long, statRows: Long,
         asofMatches: Long, ivMatches: Long, winRows: Long, winN: Long, foldSum: Long,
+        usersTrue: Long, usersEst: Long, valSketch: Seq[Long],
         wallSec: Double, writeBytes: Long, stages: Map[Int, (Long, Long, Long)])
 
     val runs = scales.map { c =>
@@ -107,6 +114,18 @@ object EventsScaleSmoke {
           })
         .agg(sum(abs(col("balance_cents"))).cast("long")).first().getLong(0)
 
+      // KMV sketches: distinct users (grows exactly c×, estimate must
+      // track it) and distinct `value`s (copies replicate the value
+      // set verbatim — the sketch must be bit-identical at any scale)
+      val usersTrue = evts.select("user_id").distinct().count()
+      val usersEst = graft.operators.Sketches
+        .kmvDistinct(evts, Seq.empty, "user_id", k = 128)
+        .select("est_distinct").first().getLong(0)
+      val kmv = graft.operators.Sketches.kMinDistinct(128)
+      val valSketch = evts
+        .select(graft.functions.ScalarFunctions.md5Long(col("value").cast("string")).as("h"))
+        .agg(kmv(col("h"))).first().getSeq[Long](0).toSeq
+
       val wall = (System.nanoTime() - t0) / 1e9
       evts.unpersist()
       Thread.sleep(1000) // bound listener-bus delivery lag
@@ -114,9 +133,10 @@ object EventsScaleSmoke {
       val bytes = stages.values.map(_._2).sum
       println(f"EVT_SMOKE scale=$c%-3d n=$n sessions=$sessions stats=$statRows " +
         f"asof=$asofMatches iv=$ivMatches win_rows=$winRows win_n=$winN fold_sum=$foldSum " +
+        f"users_true=$usersTrue users_est=$usersEst " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
       Run(c, n, sessions, statRows, asofMatches, ivMatches, winRows, winN, foldSum,
-        wall, bytes, stages)
+        usersTrue, usersEst, valSketch, wall, bytes, stages)
     }
 
     val r1 = runs.head
@@ -147,6 +167,17 @@ object EventsScaleSmoke {
         s"window total n exactly linear at ${r.scale}x (${r1.winN}->${r.winN})")
       check(exactLinear(r1.foldSum, r.foldSum),
         s"fold balance checksum exactly linear at ${r.scale}x (${r1.foldSum}->${r.foldSum})")
+      check(exactLinear(r1.usersTrue, r.usersTrue),
+        s"true distinct users exactly linear at ${r.scale}x (${r1.usersTrue}->${r.usersTrue})")
+      check(r.valSketch == r1.valSketch,
+        s"KMV value-sketch identical at ${r.scale}x (duplication invariance, " +
+          s"${r.valSketch.length} mins)")
+    }
+    runs.foreach { r =>
+      val relErr = math.abs(r.usersEst.toDouble - r.usersTrue) / r.usersTrue
+      check(relErr <= 3.0 / math.sqrt(126.0),
+        f"KMV user estimate within 3-sigma at ${r.scale}x " +
+          f"(est=${r.usersEst} true=${r.usersTrue} relErr=$relErr%.3f)")
     }
     // shared shuffle/skew gates ([[SmokeGates]]) — every consecutive
     // pair gated; the 16 MiB small-total exemption covers the

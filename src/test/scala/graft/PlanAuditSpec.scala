@@ -343,4 +343,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("a19: the KMV sketch aggregates with map-side partials — bounded state, no distinct rewrite") {
+    // the whole point of the sketch: partial aggregation bounds every
+    // map task's contribution at k longs per group, so the plan must
+    // be ObjectHashAggregate(partial) -> exchange -> final, with NO
+    // count-distinct double-exchange rewrite and no join/sort
+    val p = plan("a19_kmv_distinct")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_kmindistinctagg"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // one shuffle for the aggregation (plus the global orderBy's range
+    // exchange) — a distinct-expand rewrite would add a third
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
 }

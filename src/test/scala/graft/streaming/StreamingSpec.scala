@@ -326,4 +326,44 @@ class StreamingSpec extends AnyFunSuite {
     // oracle 2: pinned — 3 is a near-dup of 1, 5 an exact dup of 2
     assert(accepted.map(_._1).toSeq === Seq(1L, 2L, 4L, 6L))
   }
+
+  test("foreachBatch incremental KMV sketch equals the one-shot sketch over the full stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // distinct-count accounting at the daily-pull cadence: per
+    // micro-batch, sketch the new arrivals and MERGE into the
+    // persisted per-group synopsis (array<bigint> — here a driver map,
+    // in production a parquet table like the t32 history index). The
+    // sketch is a pure function of the value SET, so the incremental
+    // merge must equal the one-shot sketch bit-for-bit — duplicates
+    // across batches and merge order cannot move it.
+    val k = 8
+    val kmv = graft.operators.Sketches.kMinDistinct(k)
+    def sketchOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("g"), graft.functions.ScalarFunctions.md5Long(col("v")).as("h"))
+      .groupBy("g").agg(kmv(col("h")).as("ks"))
+      .as[(String, Seq[Long])].collect().toMap
+    // 30 distinct per group (> k, so merging truncates), overlaps across batches
+    val batches = Seq(
+      (1 to 15).flatMap(i => Seq(("x", s"x$i"), ("y", s"y$i"))),
+      (10 to 25).flatMap(i => Seq(("x", s"x$i"), ("y", s"y$i"))),
+      (20 to 30).flatMap(i => Seq(("x", s"x$i"), ("y", s"y$i"))))
+    var hist = Map.empty[String, Seq[Long]]
+    val input = MemoryStream[(String, String)]
+    val query = input.toDF().toDF("g", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bs = sketchOf(batch.toDF())
+        hist = (hist.keySet ++ bs.keySet).map { g =>
+          val merged = ((hist.getOrElse(g, Nil) ++ bs.getOrElse(g, Nil)).distinct.sorted).take(k)
+          g -> merged
+        }.toMap
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { bt => input.addData(bt); query.processAllAvailable() }
+    } finally query.stop()
+    val oneShot = sketchOf(batches.flatten.toDF("g", "v"))
+    assert(hist === oneShot, "incrementally merged synopsis must equal the one-shot sketch")
+    assert(hist("x").length === k && hist("y").length === k)
+  }
 }

@@ -64,6 +64,37 @@ object Packing {
       })
   }
 
+  /**
+   * Per-pack boundary metadata for the training data loader:
+   * `doc_ids` (document order within the pack) and `doc_starts` (each
+   * document's token offset inside the concatenated sequence — the
+   * prefix sums of the packed token counts). This is what a loader
+   * needs to build cross-document attention masks / reset position
+   * ids at document boundaries without re-tokenizing.
+   *
+   * The per-pack collect is bounded by the token budget (plus at most
+   * one oversize document), so no group can blow up a reducer; the
+   * prefix sum runs INSIDE the row via `aggregate` over the sorted
+   * struct array — no window, no second shuffle.
+   */
+  def packBoundaries(
+      df: DataFrame, idCol: String, nTokensCol: String,
+      budget: Long, numShards: Int): DataFrame =
+    greedyPack(df, idCol, nTokensCol, budget, numShards)
+      .groupBy("shard", "pack_seq")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("pack_tokens"),
+        array_sort(collect_list(struct(col(idCol).as("id"), col("n_tokens").as("nt"))))
+          .as("__s"))
+      .select(
+        col("shard"), col("pack_seq"), col("n_docs"), col("pack_tokens"),
+        expr("transform(__s, x -> x.id)").as("doc_ids"),
+        expr("""aggregate(__s,
+                  struct(cast(array() as array<bigint>) as offs, cast(0 as bigint) as acc),
+                  (st, x) -> struct(concat(st.offs, array(st.acc)) as offs, st.acc + x.nt as acc),
+                  st -> st.offs)""").as("doc_starts"))
+
   /** Pack-level roll-up of [[greedyPack]]: docs per pack, token fill,
     * fill fraction against the budget (> 1 only for single oversize
     * documents). */

@@ -671,6 +671,52 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // Pack boundary metadata (Packing.packBoundaries): per pack, the
+    // document ids in sequence order and each document's token OFFSET
+    // inside the concatenated sequence — what a data loader needs for
+    // cross-document attention masks without re-tokenizing. The
+    // offsets are prefix sums computed INSIDE the row (aggregate over
+    // the sorted struct array — no window, no extra shuffle); the
+    // oracle extends the t15 recursive shard walk with a per-pack
+    // 1-PRECEDING running sum. Arrays serialize to CSV on both sides.
+    QueryDef.of("t43_pack_boundaries",
+      s"""WITH RECURSIVE base AS (SELECT doc_id,
+         |    CAST(len($CTOKS) AS BIGINT) AS n_tokens,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+         |  FROM documents),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM base),
+         |walk AS (
+         |  SELECT shard, rn, doc_id, n_tokens, n_tokens AS acc,
+         |    CAST(1 AS BIGINT) AS pack_seq
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         |    CASE WHEN w.acc + d.n_tokens > 200 THEN d.n_tokens
+         |         ELSE w.acc + d.n_tokens END,
+         |    CASE WHEN w.acc + d.n_tokens > 200 THEN w.pack_seq + 1
+         |         ELSE w.pack_seq END
+         |  FROM d JOIN walk w ON d.shard = w.shard AND d.rn = w.rn + 1),
+         |off AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY shard, pack_seq ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+         |  FROM walk)
+         |SELECT shard, pack_seq, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+         |  string_agg(CAST(start AS VARCHAR), ',' ORDER BY doc_id) AS doc_starts
+         |FROM off GROUP BY shard, pack_seq
+         |ORDER BY shard, pack_seq""".stripMargin) { (s, dir) =>
+      val canon = TextFunctions.canonicalText(col("text"))
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), size(TextFunctions.tokens(canon)).as("__ntok"))
+      graft.operators.Packing.packBoundaries(docs, "doc_id", "__ntok",
+          budget = 200L, numShards = 8)
+        .select(col("shard"), col("pack_seq"), col("n_docs"), col("pack_tokens"),
+          expr("concat_ws(',', transform(doc_ids, x -> cast(x as string)))").as("doc_ids"),
+          expr("concat_ws(',', transform(doc_starts, x -> cast(x as string)))").as("doc_starts"))
+        .orderBy("shard", "pack_seq")
+    },
+
     // Cluster keep-rule (Dedup.keepBestPerCluster): over the t09
     // near-dup components, keep the LONGEST member (n_chars, ties ->
     // min id) plus every unpaired doc — RefinedWeb's keep-longest

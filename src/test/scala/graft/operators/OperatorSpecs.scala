@@ -505,6 +505,32 @@ class OperatorSpecs extends AnyFunSuite {
     assert(kept === Seq(2L, 5L, 6L))
   }
 
+  test("packBoundaries: offsets are exact prefix sums and agree with greedyPack") {
+    val docs = ((1L to 40L).map(i => (i, (i % 7) + 1)) :+ (41L, 300L))
+      .toDF("doc_id", "ntok")
+    val bounds = Packing.packBoundaries(docs, "doc_id", "ntok", budget = 10L, numShards = 3)
+      .as[(Long, Long, Long, Long, Seq[Long], Seq[Long])].collect()
+    // every doc appears exactly once, packs agree with greedyPack
+    val assigned = Packing.greedyPack(docs, "doc_id", "ntok", budget = 10L, numShards = 3)
+      .select("shard", "pack_seq", "doc_id").as[(Long, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(bounds.flatMap(_._5).sorted.toSeq === (1L to 41L))
+    bounds.foreach { case (shard, packSeq, nDocs, packTokens, ids, starts) =>
+      assert(ids.toSeq === assigned((shard, packSeq)), s"pack ($shard,$packSeq) membership")
+      assert(ids.length.toLong === nDocs && starts.length.toLong === nDocs)
+      assert(starts.head === 0L, "first doc starts at offset 0")
+      // starts are the prefix sums of the member token counts, and the
+      // final offset plus the last doc's tokens equals the pack total
+      val ntOf = ((1L to 40L).map(i => i -> ((i % 7) + 1)) :+ (41L -> 300L)).toMap
+      val expected = ids.scanLeft(0L)((acc, id) => acc + ntOf(id)).init
+      assert(starts.toSeq === expected, s"pack ($shard,$packSeq) offsets")
+      assert(starts.last + ntOf(ids.last) === packTokens)
+    }
+    // the oversize doc (300 > 10) is alone with a singleton boundary list
+    val over = bounds.filter(_._5.contains(41L))
+    assert(over.length === 1 && over.head._5 === Seq(41L) && over.head._6 === Seq(0L))
+  }
+
   test("packedText concatenates pack members in id order with the separator") {
     // doc 41 is OVERSIZE (12 tokens > budget 8): it must land alone in
     // its own pack with its full text intact, never split or dropped

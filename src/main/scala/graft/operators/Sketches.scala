@@ -103,6 +103,26 @@ object Sketches {
         .cast("long"))
 
   /**
+   * Merge persisted sketch columns: rows of (groupCols, sketchCol:
+   * array<bigint>) — e.g. one sketch per (key, day) partition stored
+   * as parquet — re-aggregated to one sketch per `groupCols`. Union
+   * of KMV sketches = k smallest of the combined hash sets, which is
+   * exactly re-insertion, so merged-incrementally ≡ built-one-shot
+   * bit for bit (the StreamingSpec foreachBatch gate). The explode is
+   * bounded at k rows per input sketch — merging a year of daily
+   * per-key sketches shuffles 365·k longs per key, independent of the
+   * row volume that built them.
+   */
+  def mergeSketches(
+      df: DataFrame, groupCols: Seq[String], sketchCol: String,
+      k: Int): DataFrame = {
+    val agg = kMinDistinct(k)
+    df.select(groupCols.map(col) :+ explode(col(sketchCol)).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("__h")).as(sketchCol))
+  }
+
+  /**
    * Distinct-count estimate of `valueCol` per `groupCols` with one
    * bounded-state hash aggregation. Returns the group columns plus
    * `n_kept` (sketch fill) and `est_distinct`.

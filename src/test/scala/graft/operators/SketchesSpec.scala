@@ -59,10 +59,8 @@ class SketchesSpec extends AnyFunSuite {
     val perBatch = Seq(b1, b2).map(
       _.select(col("g"), graft.functions.ScalarFunctions.md5Long(col("v")).as("h"))
         .groupBy("g").agg(agg(col("h")).as("ks")))
-    val merged = perBatch.reduce(_ union _)
-      .select(col("g"), explode(col("ks")).as("h"))
-      .groupBy("g").agg(agg(col("h")).as("ks"))
-      .select(col("g"), col("ks"))
+    val merged = Sketches
+      .mergeSketches(perBatch.reduce(_ union _), Seq("g"), "ks", k = 16)
       .as[(String, Seq[Long])].collect().toMap
     val oneShot = b1.union(b2)
       .select(col("g"), graft.functions.ScalarFunctions.md5Long(col("v")).as("h"))

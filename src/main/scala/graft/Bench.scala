@@ -35,7 +35,7 @@ object Bench {
     // untimed warmup: JIT + codegen + parquet footer caches, so the
     // first timed query measures the engine, not JVM startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Headline subset (SparkEntry.benchQueries — 67 of the 157
+    // Headline subset (SparkEntry.benchQueries — 67 of the 158
     // registered queries as of late r10): every remaining query still
     // runs in Verify; benching all of them would measure JVM warmup
     // more than the engine.

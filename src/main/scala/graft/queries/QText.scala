@@ -717,6 +717,29 @@ object QText {
         .orderBy("shard", "pack_seq")
     },
 
+    // Per-group heavy hitters (FrequentItems.topKFrequent): the top-5
+    // most frequent tokens per language by EXACT count — two bounded
+    // aggregations (histogram + TopKAgg) instead of a window over the
+    // full per-group vocabulary. Ties rank by the portable 60-bit
+    // md5 hash, so the oracle reproduces the exact order with a
+    // row_number over (cnt DESC, hash ASC).
+    QueryDef.of("t44_topk_tokens",
+      s"""WITH tok AS (SELECT lang, unnest($CTOKS) AS token FROM documents),
+         |hist AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok GROUP BY 1, 2),
+         |r AS (SELECT lang, token, cnt, row_number() OVER (PARTITION BY lang
+         |    ORDER BY cnt DESC, ('0x' || substr(md5(token), 1, 15))::BIGINT ASC) AS rank
+         |  FROM hist)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, token, cnt
+         |FROM r WHERE rank <= 5
+         |ORDER BY lang, rank""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir).select(col("lang"),
+        explode(TextFunctions.tokens(TextFunctions.canonicalText(col("text"))))
+          .as("token"))
+      graft.operators.FrequentItems.topKFrequent(toks, Seq("lang"), "token", k = 5)
+        .orderBy("lang", "rank")
+    },
+
     // Cluster keep-rule (Dedup.keepBestPerCluster): over the t09
     // near-dup components, keep the LONGEST member (n_chars, ties ->
     // min id) plus every unpaired doc — RefinedWeb's keep-longest

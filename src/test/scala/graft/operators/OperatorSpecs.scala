@@ -505,6 +505,32 @@ class OperatorSpecs extends AnyFunSuite {
     assert(kept === Seq(2L, 5L, 6L))
   }
 
+  test("topKFrequent equals the window row_number form, incl. hash tie-breaks") {
+    // heavy skew in one group, exact count ties in the other — the
+    // bounded TopKAgg path must reproduce the window form exactly
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("a", "z")) ++ Seq(("a", "w")) ++ (1 to 9).map(i => ("b", s"t$i"))
+    val df = rows.toDF("g", "v").repartition(7)
+    val got = FrequentItems.topKFrequent(df, Seq("g"), "v", k = 3)
+      .orderBy("g", "rank").as[(String, Long, String, Long)].collect().toSeq
+    val win = {
+      import org.apache.spark.sql.expressions.Window
+      val hist = df.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+        .withColumn("__h",
+          graft.functions.ScalarFunctions.md5Long(col("v")))
+      hist.withColumn("rank", row_number().over(
+          Window.partitionBy("g").orderBy(col("cnt").desc, col("__h").asc)).cast("long"))
+        .filter(col("rank") <= 3).select("g", "rank", "v", "cnt")
+        .orderBy("g", "rank").as[(String, Long, String, Long)].collect().toSeq
+    }
+    assert(got === win)
+    assert(got.filter(_._1 == "a").map(t => (t._3, t._4)).take(3)
+      .map(_._2) === Seq(30L, 20L, 20L))
+    // ties (y/z both 20) resolved by the portable hash, deterministically
+    assert(got === FrequentItems.topKFrequent(df.repartition(3), Seq("g"), "v", k = 3)
+      .orderBy("g", "rank").as[(String, Long, String, Long)].collect().toSeq)
+  }
+
   test("packBoundaries: offsets are exact prefix sums and agree with greedyPack") {
     val docs = ((1L to 40L).map(i => (i, (i % 7) + 1)) :+ (41L, 300L))
       .toDF("doc_id", "ntok")

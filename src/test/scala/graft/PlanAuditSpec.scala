@@ -358,4 +358,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
   }
+
+  test("t44: heavy hitters rank via bounded aggregation and broadcast the winners — no window") {
+    // the window form (row_number over the per-group vocabulary) would
+    // show a Window node and shuffle the full histogram per group; the
+    // bounded form must be histogram agg -> TopKAgg -> broadcast
+    // join-back, with the big histogram side never re-shuffled for a
+    // sort-merge
+    val p = plan("t44_topk_tokens")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topkagg"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

@@ -35,10 +35,17 @@ object FrequentItems {
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val gcols = groupCols.map(col)
+    // persisted: the ranking aggregate and the value join-back both
+    // consume the histogram, and their column pruning differs (the
+    // ranker drops valueCol), so without the cache Catalyst plans TWO
+    // corpus scans — the cache makes the big side stream through
+    // once. Freed by the session's per-query clearCache (the same
+    // contract selectToBudget and the LSH ingest rely on).
     val hist = df
       .groupBy(gcols :+ col(valueCol): _*)
       .agg(count(lit(1)).as("cnt"))
       .withColumn("__h", ScalarFunctions.md5Long(col(valueCol).cast("string")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // TopKAgg orders (score DESC, id ASC); hashes are uniform in
     // [0, 2^60), so id = hash gives the portable ASC tie-break
     val topk = TopKAgg.topK(k)

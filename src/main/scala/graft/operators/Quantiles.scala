@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Exact percentiles via the value HISTOGRAM — corpus statistics
@@ -15,26 +16,78 @@ import org.apache.spark.sql.functions._
  * whose cumulative count reaches `ceil(p·n)` — discrete-quantile
  * semantics (`quantile_disc`), exact at any corpus size.
  *
+ * Guardrails (the selectToBudget contract, Sampling.scala):
+ *  - the histogram is PERSISTED before fan-out — the probe, the
+ *    prefix-sum window, the total, and the percentile join all
+ *    consume it, and uncached each would re-run the corpus scan
+ *    (catalog-managed cache, freed by the harness per-query
+ *    `clearCache`);
+ *  - a `maxBuckets` limit-probe runs BEFORE the window is built — a
+ *    genuinely continuous column would make the prefix-sum window a
+ *    single unbounded partition, so fail fast with a quantize-first
+ *    message instead (or route to [[approxPercentilesBinned]]);
+ *  - the rank threshold `ceil(p·n)` is evaluated in INTEGER
+ *    arithmetic: each p is pinned to its shortest decimal rational
+ *    num/den and the pick condition is `cum·den ≥ num·n` (for
+ *    integer cum, `cum ≥ ceil(a/b)` ⟺ `cum·b ≥ a`) — bit-identical
+ *    to a DECIMAL oracle for any (p, n), where a double `ceil(p*n)`
+ *    could land one value high when p·n is an exact integer.
+ *
  * The right tool for low-cardinality measures (lengths, counts,
  * scores quantized to fixed decimals — the corpus-stats columns a
  * data pipeline actually monitors). For genuinely continuous
- * high-cardinality columns, quantize first (the [[RankNormalize]]
- * precondition) or accept a t-digest-style approximation.
+ * high-cardinality columns, [[approxPercentilesBinned]] bounds the
+ * state at B bins with a (hi−lo)/B value-error guarantee.
  */
 object Quantiles {
 
-  /** (p, value) for each requested percentile, ordered by p. */
-  def exactPercentiles(df: DataFrame, valueCol: String, ps: Seq[Double]): DataFrame = {
+  /** p as its shortest decimal rational (num, den): 0.9 → (9, 10),
+    * 0.25 → (1, 4 → kept as 25/100; reduction unnecessary for the
+    * integer compare). `BigDecimal.valueOf` goes through
+    * `Double.toString`, i.e. the shortest decimal that round-trips —
+    * the number the caller actually typed. */
+  private[operators] def rational(p: Double): (Long, Long) = {
+    val bd = java.math.BigDecimal.valueOf(p).stripTrailingZeros()
+    val scale = math.max(bd.scale(), 0)
+    val num = bd.movePointRight(scale).longValueExact()
+    val den = java.math.BigDecimal.ONE.movePointRight(scale).longValueExact()
+    (num, den)
+  }
+
+  private def checkPs(ps: Seq[Double]): Unit =
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"percentiles must be in (0, 1], got $ps")
+
+  /** (p, value) for each requested percentile, ordered by p. */
+  def exactPercentiles(
+      df: DataFrame, valueCol: String, ps: Seq[Double],
+      maxBuckets: Int = 1 << 20): DataFrame = {
+    checkPs(ps)
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted: bucket-sized but derived from a corpus-sized scan;
+    // probe + window + total + join all branch from it
     val h = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // probe BEFORE the windowed plan exists (probing the window would
+    // materialize the unbounded partition the guard exists to prevent)
+    val probed = h.limit(maxBuckets + 1).count()
+    require(probed <= maxBuckets,
+      s"exactPercentiles: column '$valueCol' has over $maxBuckets distinct " +
+        "values — the histogram prefix-sum window would be an unbounded " +
+        "single partition. Quantize first (e.g. round(x, 6)), use " +
+        "approxPercentilesBinned, or raise maxBuckets deliberately.")
     val cum = h.withColumn("cum", sum("c").over(Window.orderBy("v")))
     val n = h.agg(sum("c").as("n")) // 1-row total, broadcast below
-    ps.toDF("p")
+    val psDf = ps.map { p => val (num, den) = rational(p); (p, num, den) }
+      .toDF("p", "num", "den")
+    psDf
       .crossJoin(broadcast(n))
-      .join(broadcast(cum), col("cum") >= ceil(col("p") * col("n")))
+      // cum ≥ ceil(num·n / den) ⟺ cum·den ≥ num·n — pure integers
+      // (decimal(38,0) headroom: cum·den ≤ 1e15 rows × 1e17 den < 1e38)
+      .join(broadcast(cum),
+        col("cum").cast("decimal(38,0)") * col("den") >=
+          col("num").cast("decimal(38,0)") * col("n"))
       .groupBy("p").agg(min("v").as("value"))
       .orderBy("p")
   }
@@ -43,22 +96,100 @@ object Quantiles {
     * construction, cumulative + total in one window pass partitioned
     * by group; the tiny percentile list broadcasts against the
     * histogram (map-only ×|ps| expansion), and the final aggregation
-    * shuffles |histogram|·|ps| rows at most — never the corpus. */
+    * shuffles |histogram|·|ps| rows at most — never the corpus. The
+    * `maxBuckets` probe bounds the TOTAL (group × value) table, which
+    * bounds every per-group window partition. */
   def exactPercentilesByGroup(
-      df: DataFrame, groupCol: String, valueCol: String, ps: Seq[Double]): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
-      s"percentiles must be in (0, 1], got $ps")
+      df: DataFrame, groupCol: String, valueCol: String, ps: Seq[Double],
+      maxBuckets: Int = 1 << 20): DataFrame = {
+    checkPs(ps)
     val spark = df.sparkSession
     import spark.implicits._
     val h = df.groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probed = h.limit(maxBuckets + 1).count()
+    require(probed <= maxBuckets,
+      s"exactPercentilesByGroup: over $maxBuckets distinct (group, value) " +
+        "pairs — quantize the value first (e.g. round(x, 6)), use " +
+        "approxPercentilesBinned, or raise maxBuckets deliberately.")
     val cum = h
       .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("v")))
       .withColumn("n", sum("c").over(Window.partitionBy("g")))
-    cum.crossJoin(broadcast(ps.toDF("p")))
-      .filter(col("cum") >= ceil(col("p") * col("n")))
+    val psDf = ps.map { p => val (num, den) = rational(p); (p, num, den) }
+      .toDF("p", "num", "den")
+    cum.crossJoin(broadcast(psDf))
+      .filter(col("cum").cast("decimal(38,0)") * col("den") >=
+        col("num").cast("decimal(38,0)") * col("n"))
       .groupBy("g", "p").agg(min("v").as("value"))
       .withColumnRenamed("g", groupCol)
       .orderBy(groupCol, "p")
+  }
+
+  /**
+   * Approximate percentiles for CONTINUOUS columns — the bounded-state
+   * path [[exactPercentiles]]' probe points at. Two corpus passes, no
+   * sort, state bounded at `bins` regardless of value cardinality:
+   *
+   *  1. one aggregation for the value range (lo, hi);
+   *  2. one hash aggregation onto the fixed-width bin grid
+   *     `bin = min(B−1, ⌊(v−lo)·B/(hi−lo)⌋)`, keeping per-bin count
+   *     and the bin's max OBSERVED value as its representative;
+   *  3. the exact-percentile pick over the B-row histogram (same
+   *     integer-rational threshold as [[exactPercentiles]]), returning
+   *     the representative of the first bin whose cumulative count
+   *     reaches ceil(p·n).
+   *
+   * Error bound (specced): the chosen bin is exactly the bin that
+   * CONTAINS the true discrete p-quantile (cumulative counts over the
+   * bin grid are the value-ordered cumulative counts), and the
+   * representative is an observed value inside that bin, so
+   * |approx − exact| ≤ (hi − lo) / bins — a deterministic guarantee,
+   * not a probabilistic one. Every arithmetic step is
+   * IEEE-754-reproducible (two double ops per row, no accumulation
+   * order dependence), so the result is hash-exact replayable (the
+   * a19/a20 oracle idiom).
+   *
+   * vs t-digest: a t-digest gives rank-relative error with ~KB state
+   * but is merge-order-dependent (not hash-reproducible) and needs a
+   * custom buffer; the fixed grid gives a value-space bound with
+   * B-row state, composes with plain `groupBy`, and stays inside
+   * whole-stage codegen. For the monitoring quantiles a pipeline
+   * tracks (p50/p90/p99 of lengths, scores, latencies) the value
+   * bound is the useful one.
+   *
+   * Output: (p, value, bin, bin_lo_rank) → kept minimal: (p, value).
+   */
+  def approxPercentilesBinned(
+      df: DataFrame, valueCol: String, ps: Seq[Double],
+      bins: Int = 1 << 12): DataFrame = {
+    checkPs(ps)
+    require(bins > 0, s"bins must be positive, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val mm = df.agg(min(v).as("lo"), max(v).as("hi")) // 1 row
+    // fixed-width grid: 2 double ops per row, map-only, codegen'd
+    val binExpr = when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(lit(bins - 1),
+        floor((v - col("lo")) * lit(bins.toDouble) / (col("hi") - col("lo")))
+          .cast("int")))
+    val h = df.crossJoin(broadcast(mm))
+      .groupBy(binExpr.as("bin"))
+      .agg(count(lit(1)).as("c"), max(v).as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cum = h.withColumn("cum", sum("c").over(Window.orderBy("bin")))
+    val n = h.agg(sum("c").as("n"))
+    val psDf = ps.map { p => val (num, den) = rational(p); (p, num, den) }
+      .toDF("p", "num", "den")
+    psDf
+      .crossJoin(broadcast(n))
+      .join(broadcast(cum),
+        col("cum").cast("decimal(38,0)") * col("den") >=
+          col("num").cast("decimal(38,0)") * col("n"))
+      // first qualifying bin: reps are monotone in bin index (each is
+      // a value inside its bin's range), so min(rep) = first bin's rep
+      .groupBy("p").agg(min("rep").as("value"))
+      .orderBy("p")
   }
 }

@@ -430,5 +430,36 @@ object QAgg {
       graft.operators.Sketches.kmvDistinct(
           Tables.events(s, dir), Seq("event_type"), "user_id", k = 32)
         .orderBy("event_type")
+    },
+
+    // A20 (beyond-reference corpus stats): APPROXIMATE percentiles for
+    // continuous columns — the bounded-state path a17's limit-probe
+    // points at (Quantiles.approxPercentilesBinned). Two passes: value
+    // range, then a fixed 512-bin histogram (state bounded at 512
+    // regardless of cardinality); the pick replays a17's
+    // integer-rational threshold over the bin grid and returns the max
+    // OBSERVED value of the bin containing the true quantile —
+    // deterministic error ≤ (hi−lo)/512 (specced against the exact
+    // path). Every per-row step is two IEEE double ops, so the oracle
+    // replays it bit-exactly (the a19 estimator-replay idiom).
+    QueryDef.of("a20_approx_percentiles",
+      """WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+        |    max(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem),
+        |b AS (SELECT CASE WHEN hi = lo THEN 0
+        |      ELSE least(511, CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo) * 512.0
+        |                                 / (hi - lo)) AS INT)) END AS bin,
+        |    CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem CROSS JOIN mm),
+        |h AS (SELECT bin, count(*) AS c, max(v) AS rep FROM b GROUP BY 1),
+        |cum AS (SELECT bin, rep, SUM(c) OVER (ORDER BY bin) AS cum FROM h),
+        |n AS (SELECT count(*) AS n FROM lineitem),
+        |ps AS (SELECT * FROM (VALUES (0.5, 5, 10), (0.9, 9, 10), (0.99, 99, 100))
+        |       AS t(p, num, den))
+        |SELECT p, min(rep) AS value
+        |FROM ps CROSS JOIN n JOIN cum ON cum.cum * den >= num * n.n
+        |GROUP BY p ORDER BY p""".stripMargin) { (s, dir) =>
+      graft.operators.Quantiles.approxPercentilesBinned(
+        Tables.lineitem(s, dir), "l_extendedprice",
+        Seq(0.5, 0.9, 0.99), bins = 512)
     })
 }

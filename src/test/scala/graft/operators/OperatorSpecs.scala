@@ -948,6 +948,73 @@ class OperatorSpecs extends AnyFunSuite {
     assert(one === Map(0.5 -> 7.5, 1.0 -> 7.5))
   }
 
+  test("Quantiles: integer-rational threshold is exact where a double ceil could slip") {
+    // rational() pins the typed decimal, not the binary expansion
+    assert(Quantiles.rational(0.9) === (9L, 10L))
+    assert(Quantiles.rational(0.25) === (25L, 100L))
+    assert(Quantiles.rational(1.0) === (1L, 1L))
+    assert(Quantiles.rational(0.125) === (125L, 1000L))
+    // p·n exactly integral: p=0.9, n=10 → threshold rank is EXACTLY 9
+    // (ceil(9.0) = 9, not 10) — the case double noise could misrank
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("i", "x")
+    val got = Quantiles.exactPercentiles(df, "x", Seq(0.1, 0.9, 1.0))
+      .as[(Double, Double)].collect().toMap
+    assert(got === Map(0.1 -> 1.0, 0.9 -> 9.0, 1.0 -> 10.0))
+  }
+
+  test("Quantiles: maxBuckets limit-probe fails fast on continuous columns") {
+    val cont = (1 to 200).map(i => (i.toLong, i * 1.0000001)).toDF("i", "x")
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.exactPercentiles(cont, "x", Seq(0.5), maxBuckets = 100)
+    }
+    assert(e.getMessage.contains("distinct"))
+    val eg = intercept[IllegalArgumentException] {
+      Quantiles.exactPercentilesByGroup(
+        cont.withColumn("g", lit("a")), "g", "x", Seq(0.5), maxBuckets = 100)
+    }
+    assert(eg.getMessage.contains("quantize"))
+  }
+
+  test("Quantiles.approxPercentilesBinned: within (hi-lo)/bins of exact, exact when bins dominate") {
+    val rnd = new scala.util.Random(1234)
+    // continuous values — the column exactPercentiles would reject
+    val vals = Seq.fill(2000)(rnd.nextDouble() * 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "x")
+      .repartition(7)
+    val ps = Seq(0.25, 0.5, 0.9, 0.99, 1.0)
+    val sorted = vals.sorted
+    // rank via the SAME decimal rational the operator pins (double
+    // ceil(0.9*2000) lands on 1801 — the exact bug the operator avoids)
+    def rank(p: Double, n: Int): Int = {
+      val (nu, de) = Quantiles.rational(p)
+      ((nu * n + de - 1) / de).toInt
+    }
+    val exact = ps.map(p => p -> sorted(rank(p, sorted.length) - 1)).toMap
+    val bins = 256
+    val bound = (sorted.last - sorted.head) / bins
+    val got = Quantiles.approxPercentilesBinned(df, "x", ps, bins)
+      .as[(Double, Double)].collect().toMap
+    ps.foreach { p =>
+      assert(math.abs(got(p) - exact(p)) <= bound,
+        s"p=$p approx=${got(p)} exact=${exact(p)} bound=$bound")
+    }
+    // p=1.0 is the global max exactly (last bin's rep IS the max)
+    assert(got(1.0) === sorted.last)
+    // degenerate corpus: single value → every percentile exact
+    val one = Quantiles.approxPercentilesBinned(
+      Seq.fill(10)(3.25).zipWithIndex.map(_.swap).toDF("i", "x"), "x", Seq(0.5), 64)
+      .as[(Double, Double)].collect().toMap
+    assert(one === Map(0.5 -> 3.25))
+    // with one bin per distinct value class the approx path IS exact
+    val small = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("i", "x")
+    val fine = Quantiles.approxPercentilesBinned(small, "x", ps, bins = 4096)
+      .as[(Double, Double)].collect().toMap
+    val smallSorted = (1 to 50).map(_.toDouble)
+    ps.foreach { p =>
+      assert(fine(p) === smallSorted(rank(p, 50) - 1))
+    }
+  }
+
   test("ivfPqTopK: probing all cells equals flat PQ ADC; pruned probe is an exact-subset") {
     val e = embeddings
     val queries = e.filter(col("vec_id") < 10)

@@ -106,9 +106,26 @@ object Sinks {
       inPath: String, outPath: String,
       targetBytes: Long, maxFiles: Int = 10000): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val fs = new org.apache.hadoop.fs.Path(inPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(conf)
+    // the rewrite overwrites outPath while LAZILY reading inPath — the
+    // same (normalized) path would destroy the source mid-scan
+    val inQ = fs.makeQualified(in)
+    val outQ = new org.apache.hadoop.fs.Path(outPath).getFileSystem(conf)
+      .makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    require(inQ != outQ,
+      s"compactParquet: inPath and outPath resolve to the same location " +
+        s"($inQ) — overwrite-while-reading would corrupt the dataset; " +
+        "compact into a sibling path and swap")
+    // size ONLY the parquet data files: _SUCCESS / .crc / metadata
+    // would inflate the file-count computation
+    var total = 0L
+    val it = fs.listFiles(in, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
     val n = math.min(maxFiles.toLong,
       math.max(1L, math.round(total.toDouble / targetBytes))).toInt
     spark.read.parquet(inPath)

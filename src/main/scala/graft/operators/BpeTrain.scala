@@ -28,9 +28,15 @@ import org.apache.spark.sql.functions._
  *
  * Determinism contract (what makes the oracle pinnable): the winning
  * pair maximizes frequency, ties broken by (left, right) ascending
- * binary string order; training stops early when no pair reaches
- * `minFreq`. Both trainers implement exactly this rule and the spec
- * pins driver ≡ distributed on a real corpus.
+ * CODEPOINT order — identical to Spark's UTF8String binary order, so
+ * the distributed argmax `orderBy` and the driver comparator agree on
+ * every plane (UTF-16 `String` natural order would diverge above the
+ * BMP: U+E000..U+FFFF sort above supplementary codepoints there).
+ * Training stops early when no pair reaches `minFreq`. Both trainers
+ * implement exactly this rule — symbols start as CODEPOINTS on both
+ * paths (driver [[charSymbols]]; distributed
+ * [[graft.plans.CharNgramsExpr]] with n=1) — and the spec pins
+ * driver ≡ distributed on a real corpus plus an astral-plane one.
  *
  * Reference context: the reference pipeline has no tokenizer — its
  * token budgeting is whitespace-based (processors/mlb/
@@ -87,7 +93,7 @@ object BpeTrain {
       }
       if (pc.isEmpty) stop = true
       else {
-        val ((a, b), f) = pc.minBy { case ((a, b), f) => (-f, a, b) }
+        val ((a, b), f) = pc.min(argmaxOrdering)
         if (f < minFreq) stop = true
         else {
           merges += ((a, b, f))
@@ -116,6 +122,26 @@ object BpeTrain {
     out
   }
 
+  /** Codepoint-order string compare — equal to UTF-8 binary order,
+    * i.e. exactly how Spark's `orderBy` compares UTF8Strings in the
+    * distributed argmax. `String.compareTo` (UTF-16 code units) is NOT
+    * this order above the BMP. */
+  private[operators] def cpCompare(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** max freq, ties by (left, right) ascending codepoint order — the
+    * shared argmax rule, expressed as a `min` ordering. */
+  private val argmaxOrdering: Ordering[((String, String), Long)] =
+    Ordering.fromLessThan { case (((a1, b1), f1), ((a2, b2), f2)) =>
+      if (f1 != f2) f1 > f2
+      else {
+        val ca = cpCompare(a1, a2)
+        if (ca != 0) ca < 0 else cpCompare(b1, b2) < 0
+      }
+    }
+
   private def charSymbols(word: String): ArrayBuffer[String] = {
     val buf = new ArrayBuffer[String](word.length)
     var i = 0
@@ -136,11 +162,16 @@ object BpeTrain {
   def trainMergesDistributed(
       wordFreq: DataFrame, numMerges: Int, minFreq: Long = 2L): Seq[(String, String, Long)] = {
     val merges = ArrayBuffer.empty[(String, String, Long)]
-    // codepoint symbols: split('') yields single chars (surrogate
-    // pairs split — acceptable for the BMP corpora this trains on;
-    // the driver path is codepoint-exact)
+    // codepoint symbols via the native n-gram walk (n=1 → one symbol
+    // per CODEPOINT, surrogate pairs intact) — the same segmentation
+    // charSymbols gives the driver path, so the two trainers agree
+    // beyond the BMP (split(word, '') would shear surrogate pairs)
     var cur = wordFreq.select(
-      expr("filter(split(word, ''), x -> x <> '')").as("toks"), col("freq"))
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.CharNgramsExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("word")), 1))
+        .as("toks"),
+      col("freq"))
       .persist()
     cur.count()
     var rounds = 0

@@ -98,5 +98,21 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.compactParquet(spark, frag, one, targetBytes = Long.MaxValue) === 1)
     val capped = java.nio.file.Files.createTempDirectory("graft_compact_cap").toString
     assert(Sinks.compactParquet(spark, frag, capped, targetBytes = 1L, maxFiles = 7) === 7)
+
+    // in == out (any spelling of the same location) must be refused —
+    // overwrite-while-lazily-reading would destroy the source
+    val same = intercept[IllegalArgumentException] {
+      Sinks.compactParquet(spark, frag, frag + "/", targetBytes = target)
+    }
+    assert(same.getMessage.contains("same location"))
+    assert(parquetFiles(frag).size === 64, "source must be untouched after the refusal")
+
+    // sizing counts ONLY *.parquet bytes: pad the dir with a large
+    // non-data file and the file count must not move
+    java.nio.file.Files.write(java.nio.file.Paths.get(frag, "_garbage_metadata"),
+      new Array[Byte]((totalBytes * 3).toInt))
+    val unpadded = java.nio.file.Files.createTempDirectory("graft_compact_pad").toString
+    assert(Sinks.compactParquet(spark, frag, unpadded, targetBytes = target) === n,
+      "non-parquet files must not inflate the size estimate")
   }
 }

@@ -71,6 +71,51 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(dist === driver)
   }
 
+  test("driver ≡ distributed beyond the BMP (surrogate pairs, codepoint tie-break)") {
+    // emoji (U+1F30A 🌊, U+1F600 😀) force surrogate pairs; U+E000
+    // (private-use BMP) vs the emoji exercises the tie-break order
+    // where UTF-16 and codepoint comparisons DISAGREE (U+E000 > any
+    // astral codepoint in UTF-16 code-unit order, < in codepoint
+    // order). Frequencies are tuned so early rounds tie.
+    val e = "\uE000" // BMP, UTF-16 code unit 0xE000
+    val corpus = (
+      Seq.fill(4)("🌊a") ++ // 🌊a ×4
+        Seq.fill(4)(s"${e}a") ++      // U+E000 a ×4 — ties with 🌊a
+        Seq.fill(3)("b😀") ++ // b😀 ×3
+        Seq.fill(2)("🌊😀x") // 🌊😀x ×2
+      ).grouped(3).map(_.mkString(" ")).toSeq.toDF("text")
+    val wf = BpeTrain.wordFreq(corpus, "text").persist()
+    val driver = BpeTrain.trainFromCounts(wf.as[(String, Long)].collect().toSeq,
+      numMerges = 10, minFreq = 1L)
+    val dist = BpeTrain.trainMergesDistributed(wf, numMerges = 10, minFreq = 1L)
+    wf.unpersist()
+    assert(driver.nonEmpty, "astral corpus must yield merges")
+    // symbols must be whole codepoints — never a lone surrogate
+    driver.foreach { case (a, b, _) =>
+      (a + b).foreach(ch => assert(!Character.isSurrogate(ch) ||
+        (a + b).codePoints().toArray.forall(Character.isValidCodePoint),
+        s"lone surrogate in merge ($a, $b)"))
+      assert(a.codePointCount(0, a.length) >= 1 && b.codePointCount(0, b.length) >= 1)
+    }
+    val allSyms = driver.flatMap { case (a, b, _) => Seq(a, b, a + b) }
+    allSyms.foreach { s =>
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        assert(Character.charCount(cp) == 2 || !Character.isSurrogate(s.charAt(i)),
+          s"symbol '$s' contains a sheared surrogate")
+        i += Character.charCount(cp)
+      }
+    }
+    assert(dist === driver,
+      "distributed and driver trainers must agree beyond the BMP")
+    // the tie (🌊a vs U+E000 a, both ×4) resolved in codepoint order:
+    // (e, 'a') sorts BEFORE (🌊, 'a') — U+E000 < U+1F30A
+    val firstTie = driver.find(m => m._3 == 4L && m._2 == "a")
+    assert(firstTie.exists(_._1 == e),
+      s"tie must resolve by codepoint order, got $firstTie")
+  }
+
   test("wordFreq matches a naive count and training ignores corpus sharding") {
     val a = Seq("low lower", "low").toDF("text")
     val b = Seq("low", "lower low").toDF("text")

@@ -122,6 +122,69 @@ object Sketches {
       .agg(agg(col("__h")).as(sketchCol))
   }
 
+  /** Union of two sketch columns built with the same `k`: the k
+    * smallest of the combined hash SETS — exactly re-insertion, so
+    * union-of-sketches ≡ sketch-of-union (closed under multiset union,
+    * Beyer et al. 2007 §4.1). Pure built-in array ops, codegen'd. */
+  def sketchUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** K∩: how many of the union sketch's hashes appear in BOTH input
+    * sketches — the intersection-within-synopsis count the Jaccard and
+    * intersection estimators are built on (Beyer et al. 2007 §5.2). */
+  def sketchInterCount(union: Column, a: Column, b: Column): Column =
+    size(array_intersect(array_intersect(union, a), b)).cast("long")
+
+  /**
+   * Pairwise set-overlap estimates between every pair of groups, at
+   * sketch cost — the cross-corpus overlap / train∩eval contamination
+   * matrix: ONE bounded-state pass builds a k-hash sketch per group,
+   * then a broadcast self-join over the G sketches (G·k longs total —
+   * KB-sized for any real group count) computes, per pair (g1 < g2):
+   *
+   *  - `est_a`, `est_b`   — each side's KMV distinct estimate;
+   *  - `est_union`        — estimate from the UNION sketch (closed
+   *                         form: union of sketches IS the union's
+   *                         sketch, so the same estimator applies);
+   *  - `n_inter`          — K∩, the union sketch's hashes present in
+   *                         both sides (exact within the synopsis);
+   *  - `est_inter`        — round(K∩/|L| · est_union): the Beyer et
+   *                         al. unbiased intersection estimator;
+   *  - `jaccard`          — K∩/|L|, the Jaccard estimate (±1/√k).
+   *
+   * Never touches the corpus after the one sketch pass — estimating
+   * all-pairs overlap among 1000 sources over a trillion rows shuffles
+   * G·k longs where an exact `INTERSECT` would shuffle the corpus
+   * G²/2 times. When every sketch is under-full the estimates are
+   * EXACT (the sketches hold the entire hash sets). Deterministic:
+   * every value is a pure function of the per-group hash sets (the
+   * a19 replay idiom — the oracle rebuilds it in SQL).
+   */
+  def kmvOverlapMatrix(
+      df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    val agg = kMinDistinct(k)
+    val sk = df.select(col(groupCol).as("g"),
+        ScalarFunctions.md5Long(col(valueCol).cast("string")).as("__h"))
+      .groupBy("g").agg(agg(col("__h")).as("s"))
+    val a = sk.select(col("g").as("g1"), col("s").as("s1"))
+    val b = sk.select(col("g").as("g2"), col("s").as("s2"))
+    a.join(broadcast(b), col("g1") < col("g2"))
+      .withColumn("u", sketchUnion(col("s1"), col("s2"), k))
+      .withColumn("k_union", size(col("u")).cast("long"))
+      .withColumn("n_inter", sketchInterCount(col("u"), col("s1"), col("s2")))
+      .select(
+        col("g1"), col("g2"),
+        kmvEstimate(col("s1"), k).as("est_a"),
+        kmvEstimate(col("s2"), k).as("est_b"),
+        kmvEstimate(col("u"), k).as("est_union"),
+        col("n_inter"),
+        round(col("n_inter").cast("double") * kmvEstimate(col("u"), k) /
+          col("k_union")).cast("long").as("est_inter"),
+        round(col("n_inter").cast("double") / col("k_union"), 6).as("jaccard"))
+      .orderBy("g1", "g2")
+  }
+
   /**
    * Distinct-count estimate of `valueCol` per `groupCols` with one
    * bounded-state hash aggregation. Returns the group columns plus

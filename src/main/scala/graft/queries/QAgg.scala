@@ -461,5 +461,52 @@ object QAgg {
       graft.operators.Quantiles.approxPercentilesBinned(
         Tables.lineitem(s, dir), "l_extendedprice",
         Seq(0.5, 0.9, 0.99), bins = 512)
+    },
+
+    // A21 (beyond-reference corpus stats): KMV SET OPERATIONS —
+    // pairwise distinct-user overlap between event types from the a19
+    // sketches alone (Sketches.kmvOverlapMatrix; Beyer et al. SIGMOD
+    // 2007): union sketch by re-insertion, K∩ within the synopsis,
+    // Jaccard = K∩/|L|, intersection = Jaccard · est(union). One
+    // bounded-state corpus pass + a KB-sized broadcast self-join; the
+    // oracle replays the whole estimator over distinct hashes (the
+    // a19 idiom).
+    QueryDef.of("a21_kmv_overlap",
+      """WITH d AS (SELECT DISTINCT event_type AS g,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d),
+        |sk AS (SELECT g, h FROM r WHERE rn <= 32),
+        |eg AS (SELECT g, count(*) AS kk, max(h) AS kth FROM sk GROUP BY g),
+        |es AS (SELECT g, CASE WHEN kk < 32 THEN kk
+        |    ELSE CAST(round(31 * 1152921504606846976.0 / kth) AS BIGINT) END AS est
+        |  FROM eg),
+        |pr AS (SELECT a.g AS g1, b.g AS g2 FROM es a JOIN es b ON a.g < b.g),
+        |uh AS (SELECT p.g1, p.g2, s.h FROM pr p JOIN sk s ON s.g = p.g1 OR s.g = p.g2
+        |  GROUP BY 1, 2, 3),
+        |ur AS (SELECT g1, g2, h,
+        |    row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn FROM uh),
+        |u AS (SELECT g1, g2, h FROM ur WHERE rn <= 32),
+        |us AS (SELECT g1, g2, count(*) AS ku, max(h) AS kth FROM u GROUP BY 1, 2),
+        |ui AS (SELECT u.g1, u.g2, count(*) AS n_inter
+        |  FROM u JOIN sk s1 ON s1.g = u.g1 AND s1.h = u.h
+        |         JOIN sk s2 ON s2.g = u.g2 AND s2.h = u.h
+        |  GROUP BY 1, 2)
+        |SELECT us.g1, us.g2, ea.est AS est_a, eb.est AS est_b,
+        |  CASE WHEN us.ku < 32 THEN us.ku
+        |       ELSE CAST(round(31 * 1152921504606846976.0 / us.kth) AS BIGINT)
+        |  END AS est_union,
+        |  COALESCE(ui.n_inter, 0) AS n_inter,
+        |  CAST(round(CAST(COALESCE(ui.n_inter, 0) AS DOUBLE) *
+        |    (CASE WHEN us.ku < 32 THEN us.ku
+        |          ELSE CAST(round(31 * 1152921504606846976.0 / us.kth) AS BIGINT) END)
+        |    / us.ku) AS BIGINT) AS est_inter,
+        |  round(CAST(COALESCE(ui.n_inter, 0) AS DOUBLE) / us.ku, 6) AS jaccard
+        |FROM us
+        |JOIN es ea ON ea.g = us.g1 JOIN es eb ON eb.g = us.g2
+        |LEFT JOIN ui ON ui.g1 = us.g1 AND ui.g2 = us.g2
+        |ORDER BY us.g1, us.g2""".stripMargin) { (s, dir) =>
+      graft.operators.Sketches.kmvOverlapMatrix(
+        Tables.events(s, dir), "event_type", "user_id", k = 32)
     })
 }

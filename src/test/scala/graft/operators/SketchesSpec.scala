@@ -68,4 +68,47 @@ class SketchesSpec extends AnyFunSuite {
       .as[(String, Seq[Long])].collect().toMap
     assert(merged === oneShot)
   }
+
+  test("kmvOverlapMatrix: exact when under-full, within bound when estimating") {
+    // planted overlap: |A|=60, |B|=50, |A∩B|=20 (v41..v60)
+    val a = (1 to 60).map(i => ("A", s"v$i")).toDF("g", "v")
+    val b = (41 to 90).map(i => ("B", s"v$i")).toDF("g", "v")
+    // k=128 > all set sizes → sketches hold the full hash sets → exact
+    val ex = Sketches.kmvOverlapMatrix(a.union(b), "g", "v", k = 128)
+      .as[(String, String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(ex.length === 1)
+    val (g1, g2, estA, estB, estU, nInter, estI, jac) = ex.head
+    assert((g1, g2) === ("A", "B"))
+    assert((estA, estB, estU) === (60L, 50L, 90L))
+    assert(nInter === 20L && estI === 20L)
+    assert(math.abs(jac - 20.0 / 90.0) < 1e-6)
+
+    // estimating regime: 3000 vs 2500 with 1000 shared, k=256
+    val bigA = (1 to 3000).map(i => ("A", s"u$i")).toDF("g", "v")
+    val bigB = (2001 to 4500).map(i => ("B", s"u$i")).toDF("g", "v")
+    val es = Sketches.kmvOverlapMatrix(bigA.union(bigB), "g", "v", k = 256)
+      .as[(String, String, Long, Long, Long, Long, Long, Double)].collect().head
+    val (_, _, eA, eB, eU, _, eI, _) = es
+    def relOk(est: Long, truth: Double, sig: Double = 4.0) =
+      math.abs(est - truth) / truth < sig / math.sqrt(254.0)
+    assert(relOk(eA, 3000), s"est_a $eA")
+    assert(relOk(eB, 2500), s"est_b $eB")
+    assert(relOk(eU, 4500), s"est_union $eU")
+    // intersection estimator compounds two estimates — wider bound
+    assert(math.abs(eI - 1000) / 1000.0 < 0.5, s"est_inter $eI for true 1000")
+
+    // disjoint sets → zero intersection, zero jaccard
+    val dj = Sketches.kmvOverlapMatrix(
+        (1 to 100).map(i => ("A", s"a$i")).toDF("g", "v")
+          .union((1 to 100).map(i => ("B", s"b$i")).toDF("g", "v")),
+        "g", "v", k = 64)
+      .as[(String, String, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(dj._6 === 0L && dj._7 === 0L && dj._8 === 0.0)
+
+    // layout-invariance: the matrix is a pure function of the sets
+    val shuffled = Sketches.kmvOverlapMatrix(
+      bigA.union(bigB).union(bigA).repartition(13), "g", "v", k = 256)
+      .as[(String, String, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(shuffled === es)
+  }
 }

@@ -17,7 +17,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     QAgg.defs ++ QWindow.defs ++ QJoin.defs ++ QRelational.defs ++
       QScalar.defs ++ QText.defs ++ QVector.defs ++ QDomain.defs ++ QPbp.defs ++
-      QMedia.defs
+      QMedia.defs ++ QSql.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A fact-to-dims broadcast-join rollup — the reference's most common

@@ -116,14 +116,29 @@ object AnnIndex {
 
   /** IVFPQ top-k over the persisted codes table: nprobe directory
     * pruning on `cluster`, ADC scoring via the per-query LUT — the
-    * disk-resident twin of [[SimilaritySearch.ivfPqTopK]]. */
+    * disk-resident twin of [[SimilaritySearch.ivfPqTopK]].
+    *
+    * `where` is FILTERED ANN search: a metadata predicate over the
+    * codes table's columns (`id`, `cluster`, or any metadata column a
+    * caller persists alongside the codes) applied to the RAW scan —
+    * before the probe join and the ranking — so Catalyst pushes it
+    * into the parquet reader (`PushedFilters`, plan-audited). The
+    * top-k is then computed OVER the filtered candidate set
+    * (pre-filtering semantics): every returned neighbor satisfies the
+    * predicate and ranking quality never degrades the way
+    * post-filtering a k-sized result would (where k survivors of an
+    * unfiltered top-k could be fewer than k). At 100 TB the predicate
+    * prunes row groups inside each probed cell directory — the filter
+    * rides the same scan, costing nothing extra. */
   def topKPq(
       spark: SparkSession, path: String, queries: DataFrame,
-      dim: Int, k: Int, nprobe: Int): DataFrame = {
+      dim: Int, k: Int, nprobe: Int,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val centroids = readCentroids(spark, path)
     val codebooks = readPqCodebooks(spark, path)
     val m = codebooks.length
-    val codes = spark.read.parquet(s"$path/codes")
+    val raw = spark.read.parquet(s"$path/codes")
+    val codes = where.fold(raw)(raw.filter)
       .select(col("id") +: col("cluster").cast("int").as("cluster") +:
         (0 until m).map(s => col(s"code$s")): _*)
     val qlut = SimilaritySearch.pqQueryLut(

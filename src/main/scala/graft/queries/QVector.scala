@@ -506,18 +506,51 @@ object QVector {
           shortlist = 25, k = 5, nprobe = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // FILTERED ANN over the persisted IVFPQ index: a metadata range
+    // predicate (id ∈ [100, 400)) rides the codes scan BEFORE the
+    // probe join and ranking — pre-filtering semantics, so the top-k
+    // is over exactly the qualifying candidates (a post-filter of an
+    // unfiltered top-k could return < k). The predicate is pushed to
+    // the parquet reader (PushedFilters, plan-audited); the oracle is
+    // v12's IVFADC replay with the same WHERE on the candidate side.
+    QueryDef.of("v15_ann_filtered",
+      ivfPqSqlWhere(" AND a.vec_id >= 100 AND a.vec_id < 400")) { (s, dir) =>
+      val e = emb(s, dir)
+      val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val path = "/tmp/graft_ann_index_v15_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.AnnIndex.write(path, cands, numClusters = 8, iters = 2)
+      graft.operators.AnnIndex.writePqCodes(path, cands,
+        dim = 64, m = 4, ksub = 8, iters = 2)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.operators.AnnIndex.topKPq(s, path, queries, dim = 64, k = 5, nprobe = 3,
+          where = Some(col("id") >= 100 && col("id") < 400))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     })
 
   /** The IVFADC oracle (shared by v11/v12, prefix of v14): v05's
     * coarse-quantizer replay (c0→af) composed with v10's per-subspace
     * code + LUT replay, restricted to each query's 3 probed cells. */
-  private lazy val IvfPqSql: String = IvfPqScoredCtes +
-    """SELECT query_id,
-      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
-      |  id, cos
-      |FROM sc
-      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
-      |ORDER BY query_id, rank""".stripMargin
+  private lazy val IvfPqSql: String = ivfPqSqlWhere("")
+
+  /** The IVFADC replay with an extra candidate-side predicate spliced
+    * into the `sc` WHERE — the filtered-search oracle (v15): the
+    * filter applies BEFORE ranking, exactly like the pushed scan
+    * predicate on the Spark side. */
+  private def ivfPqSqlWhere(candWhere: String): String =
+    IvfPqScoredCtes.replace(
+      "WHERE a.vec_id <> qp.query_id",
+      "WHERE a.vec_id <> qp.query_id" + candWhere) +
+      """SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
+        |  id, cos
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+        |ORDER BY query_id, rank""".stripMargin
 
   private lazy val IvfPqScoredCtes: String = N +
     """, c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v

@@ -359,6 +359,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
   }
 
+  test("v15: filtered ANN pushes the metadata predicate into the codes scan, not after ranking") {
+    val df = SparkEntry.queries("v15_ann_filtered")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the id-range predicate must reach the codes parquet reader as
+    // PushedFilters — pre-filtering semantics, pruned at the scan
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(id,100\\)".r
+      .findFirstIn(p).isDefined, p)
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(id,400\\)".r
+      .findFirstIn(p).isDefined, p)
+    // and no residual id-filter ABOVE the top-k ranking (the TopKAgg
+    // aggregate): post-filtering would sit between the root and the
+    // first topkagg node in the plan dump (root-first ordering)
+    val topkIdx = p.indexOf("topkagg")
+    assert(topkIdx > 0, s"expected a TopKAgg ranking node:\n$p")
+    val aboveRanking = p.substring(0, topkIdx)
+    assert("Filter.*id#\\d+L? >= 100".r.findFirstIn(aboveRanking).isEmpty,
+      s"id predicate must not re-appear above the ranking:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("t44: heavy hitters rank via bounded aggregation and broadcast the winners — no window") {
     // the window form (row_number over the per-group vocabulary) would
     // show a Window node and shuffle the full histogram per group; the

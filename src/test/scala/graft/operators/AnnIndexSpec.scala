@@ -83,6 +83,37 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(cells.nonEmpty && cells.forall(_.matches("cluster=\\d+")))
   }
 
+  test("filtered search = full ranking restricted to the predicate (pre-filter semantics)") {
+    val path = Files.createTempDirectory("graft_annidx_filt").toString
+    AnnIndex.write(path, cands, numClusters = 8, iters = 2)
+    AnnIndex.writePqCodes(path, cands, dim = 64, m = 4, ksub = 8, iters = 2)
+    val pred = col("id") >= 100 && col("id") < 400
+    val filtered = AnnIndex.topKPq(spark, path, queries,
+        dim = 64, k = 5, nprobe = 3, where = Some(pred))
+      .select("query_id", "rank", "id", "cos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // every neighbor satisfies the predicate, k rows per query
+    assert(filtered.forall(t => t._3 >= 100 && t._3 < 400))
+    assert(filtered.groupBy(_._1).forall(_._2.length == 5))
+    // ground truth: the UNFILTERED search with k large enough to rank
+    // every candidate in the probed cells, then filter + re-rank —
+    // same persisted index, so ADC scores are identical by
+    // construction; pre-filtering must equal filter-then-rank
+    val full = AnnIndex.topKPq(spark, path, queries,
+        dim = 64, k = 100000, nprobe = 3)
+      .select("query_id", "id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.toSeq
+      .filter(t => t._2 >= 100 && t._2 < 400)
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+          .map { case ((_, id, cos), i) => (q, i + 1, id, cos) }
+      }.sortBy(t => (t._1, t._2))
+    assert(filtered === expected,
+      "pre-filtered top-k must equal the full ranking restricted to the predicate")
+  }
+
   test("PQ upsert against persisted quantizers equals one-pass encoding of the union") {
     val path = Files.createTempDirectory("graft_annidx_pqup").toString
     val initial = cands.filter(col("id") % 5 =!= 0)

@@ -17,6 +17,27 @@ final case class SessionSummary(
 private final case class SessionState(
     startUs: Long, lastUs: Long, n: Long, cents: Long)
 
+/** One raw play for the streaming X1 replay — exactly the columns
+  * [[graft.pbp.PbpPipeline.baseState]] folds, plus event time. */
+final case class PlayEvent(
+    contest_id: Long, play_id: Long, ts: java.sql.Timestamp,
+    new_game_fl: Boolean, new_inn_fl: Boolean, sub_fl: Int,
+    sub_in: String, sub_out: String,
+    p1_text: String, p2_text: String, p3_text: String, p4_text: String)
+
+/** X1 output per play — the batch fold's ten state columns
+  * ([[graft.pbp.PbpPipeline]] `stateOutFields`) under the same names. */
+final case class BaseStateOut(
+    contest_id: Long, play_id: Long,
+    batter_name: String, player_of_interest: String,
+    r1_name: String, r2_name: String, r3_name: String, bases_before: String,
+    r1_after: String, r2_after: String, r3_after: String, bases_after: String)
+
+/** Carried X1 state: the three runner names plus the plays the
+  * watermark has not sealed yet (see [[StreamOps.baseStateStream]]). */
+private final case class BaseReplayState(
+    r1: String, r2: String, r3: String, pending: List[PlayEvent])
+
 /**
  * Structured Streaming operators (SURVEY §2.10): the reference is
  * batch-only (daily re-computation with done-set checkpoints), so
@@ -191,4 +212,88 @@ object StreamOps {
       .select(
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("value_cents"))
+
+  /**
+   * Streaming X1: the base-runner state machine
+   * ([[graft.pbp.BaseState]]) replayed per game over a live play
+   * feed — the streaming form of the reference's incremental daily
+   * cadence (reference `scrapers/collect_game.py:67-84` done-set +
+   * `processors/pbp_parser/columns.py:332-529` state), where a day's
+   * new plays extend yesterday's game state instead of re-parsing the
+   * season.
+   *
+   * Order discipline (the part watermarks exist for): the fold is
+   * order-SENSITIVE, so a play is folded only once the event-time
+   * watermark has passed it — i.e. once Spark guarantees no
+   * earlier-timestamped play can still arrive. Later-timestamped
+   * plays buffer in the group state until their turn. This makes the
+   * streamed fold exactly the batch fold on whatever ordered prefix
+   * the watermark has sealed (StreamingSpec pins stream ≡ batch on
+   * the pbp fixture).
+   *
+   * State per live game: 3 runner names + the unsealed play buffer —
+   * bounded by `watermarkDelay`'s worth of plays. An event-time
+   * timeout fires once the watermark passes the last buffered play
+   * (or an idle game's last seen time), flushing the remainder and
+   * evicting the machine — the done-set analogue: a game quiet past
+   * the watermark is closed, and a hypothetical later play starts a
+   * fresh machine rather than resurrecting arbitrary history.
+   */
+  def baseStateStream(
+      plays: Dataset[PlayEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[BaseStateOut] = {
+    import plays.sparkSession.implicits._
+
+    def fold(st0: graft.pbp.BaseState.State, ordered: Seq[PlayEvent], gameId: Long)
+        : (graft.pbp.BaseState.State, Seq[BaseStateOut]) = {
+      @inline def nz(s: String): String = if (s == null) "" else s
+      var st = st0
+      val outs = ordered.map { p =>
+        val (s2, o) = graft.pbp.BaseState.step(st, graft.pbp.BaseState.Play(
+          newGame = p.new_game_fl, newInn = p.new_inn_fl, subFl = p.sub_fl == 1,
+          subIn = nz(p.sub_in), subOut = nz(p.sub_out),
+          p1 = nz(p.p1_text), p2 = nz(p.p2_text), p3 = nz(p.p3_text), p4 = nz(p.p4_text)))
+        st = s2
+        BaseStateOut(gameId, p.play_id, o.batterName, o.playerOfInterest,
+          o.r1Before, o.r2Before, o.r3Before, o.basesBefore,
+          o.r1After, o.r2After, o.r3After, o.basesAfter)
+      }
+      (st, outs)
+    }
+    def byTime(p: PlayEvent): (Long, Long) = (p.ts.getTime, p.play_id)
+
+    plays
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.contest_id)
+      .flatMapGroupsWithState[BaseReplayState, BaseStateOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (gameId: Long, rows: Iterator[PlayEvent], state: GroupState[BaseReplayState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed every buffered play: seal and fold the
+            // remainder in order, then evict the machine
+            val s = state.get
+            val (_, outs) = fold(
+              graft.pbp.BaseState.State(s.r1, s.r2, s.r3),
+              s.pending.sortBy(byTime), gameId)
+            state.remove()
+            outs.iterator
+          } else {
+            val prev = state.getOption.getOrElse(BaseReplayState("", "", "", Nil))
+            val all = prev.pending ++ rows
+            val wm = state.getCurrentWatermarkMs()
+            // fold ONLY the sealed prefix (ts ≤ watermark — nothing
+            // earlier can still arrive); buffer the rest in order
+            val (ready, hold) = all.partition(_.ts.getTime <= wm)
+            val (st2, outs) = fold(
+              graft.pbp.BaseState.State(prev.r1, prev.r2, prev.r3),
+              ready.sortBy(byTime), gameId)
+            state.update(BaseReplayState(st2.r1, st2.r2, st2.r3, hold))
+            // flush point: just past the last buffered play, or just
+            // past the watermark for an idle drained game
+            val lastTs = if (hold.nonEmpty) hold.map(_.ts.getTime).max else wm
+            state.setTimeoutTimestamp(math.max(lastTs, wm) + 1)
+            outs.iterator
+          }
+      }
+  }
 }

@@ -244,6 +244,71 @@ class StreamingSpec extends AnyFunSuite {
       "a row behind the watermark must be evicted, not buffered forever")
   }
 
+  test("streaming baseStateStream equals the batch X1 fold on the pbp fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pbp.PbpPipeline
+    // the REAL parse chain up to the X1 fold's input
+    val pre = PbpPipeline.runs(PbpPipeline.outs(PbpPipeline.flags(
+      PbpPipeline.metadata(
+        graft.queries.QPbp.rawPbpFromEvents(spark, SparkTestSession.sfDir)))))
+    val stateCols = Seq("batter_name", "player_of_interest",
+      "r1_name", "r2_name", "r3_name", "bases_before",
+      "r1_after", "r2_after", "r3_after", "bases_after")
+    def keyOf(r: org.apache.spark.sql.Row): (Long, Long, Seq[String]) =
+      (r.getLong(0), r.getLong(1), (2 until r.length).map(i =>
+        Option(r.getString(i)).getOrElse("")))
+    val batch = PbpPipeline.baseState(pre)
+      .select((Seq("contest_id", "play_id").map(c => col(c).cast("long")) ++
+        stateCols.map(col)): _*)
+      .collect().map(keyOf).toSet
+
+    // stream input: event time monotone in play_id (1 s per play), so
+    // the watermark seals plays in exactly the batch fold's order
+    val base = 1700000000000L
+    val plays = pre.select(col("contest_id").cast("long"), col("play_id").cast("long"),
+        col("new_game_fl"), col("new_inn_fl"), col("sub_fl").cast("int"),
+        col("sub_in"), col("sub_out"),
+        col("p1_text"), col("p2_text"), col("p3_text"), col("p4_text"))
+      .collect().map { r =>
+        PlayEvent(r.getLong(0), r.getLong(1),
+          new java.sql.Timestamp(base + r.getLong(1) * 1000L),
+          r.getBoolean(2), r.getBoolean(3), r.getInt(4),
+          r.getString(5), r.getString(6),
+          r.getString(7), r.getString(8), r.getString(9), r.getString(10))
+      }.sortBy(_.ts.getTime)
+
+    val input = MemoryStream[PlayEvent]
+    val query = StreamOps.baseStateStream(input.toDS(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("basestate_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three time-contiguous micro-batches, each internally SHUFFLED
+      // (seeded) — the watermark only moves between batches, so the
+      // in-batch disorder exercises the buffer-and-seal path
+      val rnd = new scala.util.Random(42)
+      val chunks = plays.grouped(math.max(1, plays.length / 3 + 1)).toSeq
+      chunks.foreach { c => input.addData(rnd.shuffle(c.toSeq)); query.processAllAvailable() }
+      // one far-future play pushes the global watermark past every
+      // real play; the event-time timeouts then flush all machines
+      val far = PlayEvent(-999L, -1L,
+        new java.sql.Timestamp(base + plays.length * 1000L + 86400L * 1000L),
+        true, true, 0, null, null, "Zz Flush walked", null, null, null)
+      input.addData(Seq(far)); query.processAllAvailable()
+      input.addData(Seq(far.copy(play_id = -2L,
+        ts = new java.sql.Timestamp(far.ts.getTime + 86400L * 1000L))))
+      query.processAllAvailable()
+
+      val got = spark.table("basestate_out")
+        .filter(col("contest_id") >= 0)
+        .select((Seq("contest_id", "play_id").map(col) ++ stateCols.map(col)): _*)
+        .collect().map(keyOf).toSet
+      assert(got.size === batch.size,
+        s"stream emitted ${got.size} rows vs batch ${batch.size}")
+      assert(got === batch,
+        "streamed X1 fold must equal the batch fold row for row")
+    } finally query.stop()
+  }
+
   test("foreachBatch ingestion gate: Bloom dedup + in-batch keep-first equals global keep-first") {
     implicit val sqlCtx = spark.sqlContext
     // duplicate texts spread both WITHIN batches and ACROSS them; ids

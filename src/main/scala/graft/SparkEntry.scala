@@ -51,7 +51,8 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "a01_pivot_matrix", "a05_event_kernel", "a08_union_explode_agg",
     "a10_scenario_weighted", "a17_exact_percentiles", "a18_grouped_percentiles",
-    "a19_kmv_distinct", "w03_boundary_session", "w05_remaining_sum",
+    "a19_kmv_distinct", "a20_approx_percentiles", "a21_kmv_overlap",
+    "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
     "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",
     "ses06_interval_join",
@@ -66,13 +67,15 @@ object SparkEntry {
     "t27_incremental_dedup", "t28_budget_select", "t30_sliding_chunks",
     "t31_budget_mixture", "t32_incremental_neardup", "t33_split_leakage",
     "t34_bpe_encode", "t35_budget_select_bpe", "t36_bpe_chunks",
-    "t37_leakfree_split", "t39_dsir_resample", "t40_html_extract",
-    "t41_packing_bpe", "t42_langid_ngram", "t43_pack_boundaries",
+    "t37_leakfree_split", "t38_bpe_train", "t39_dsir_resample",
+    "t40_html_extract", "t41_packing_bpe", "t42_langid_ngram",
+    "t43_pack_boundaries", "t44_topk_tokens",
     "v01_ann_brute_topk", "v02_ann_lsh_topk", "v03_embed_neardup_brute",
     "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
     "v09_ann_index_upsert", "v10_ann_pq_adc", "v11_ann_ivfpq",
     "v12_ann_pq_persisted", "v13_cluster_balanced_sample",
-    "v14_ann_ivfpq_rerank",
+    "v14_ann_ivfpq_rerank", "v15_ann_filtered",
+    "sql01_extension_surface",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",
     "pbp03_pitcher_standardize")
 }

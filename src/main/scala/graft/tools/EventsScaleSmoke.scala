@@ -60,6 +60,8 @@ object EventsScaleSmoke {
     final case class Run(scale: Int, n: Long, sessions: Long, statRows: Long,
         asofMatches: Long, ivMatches: Long, winRows: Long, winN: Long, foldSum: Long,
         usersTrue: Long, usersEst: Long, valSketch: Seq[Long],
+        overlap: Seq[(String, String, Long, Long)],
+        exactOverlap: Map[(String, String), (Long, Long)],
         wallSec: Double, writeBytes: Long, stages: Map[Int, (Long, Long, Long)])
 
     val runs = scales.map { c =>
@@ -126,6 +128,31 @@ object EventsScaleSmoke {
         .select(graft.functions.ScalarFunctions.md5Long(col("value").cast("string")).as("h"))
         .agg(kmv(col("h"))).first().getSeq[Long](0).toSeq
 
+      // KMV set operations (a21): pairwise distinct-user overlap
+      // between event types from the sketches, gated against the
+      // EXACT pairwise union/intersection (self-join of the distinct
+      // (type, user) table — cheap at smoke scale, the thing the
+      // sketch replaces at 100 TB)
+      val overlap = graft.operators.Sketches
+        .kmvOverlapMatrix(evts, "event_type", "user_id", k = 128)
+        .select("g1", "g2", "est_union", "est_inter")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSeq
+      val tu = evts.select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exactInter = tu.as("a").join(tu.as("b"),
+          col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("g1"), col("b.t").as("g2"))
+        .agg(count(lit(1)).as("inter"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val perType = tu.groupBy("t").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      tu.unpersist()
+      val exactOverlap = overlap.map { case (g1, g2, _, _) =>
+        val i = exactInter.getOrElse((g1, g2), 0L)
+        (g1, g2) -> (perType(g1) + perType(g2) - i, i)
+      }.toMap
+
       val wall = (System.nanoTime() - t0) / 1e9
       evts.unpersist()
       Thread.sleep(1000) // bound listener-bus delivery lag
@@ -136,7 +163,7 @@ object EventsScaleSmoke {
         f"users_true=$usersTrue users_est=$usersEst " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
       Run(c, n, sessions, statRows, asofMatches, ivMatches, winRows, winN, foldSum,
-        usersTrue, usersEst, valSketch, wall, bytes, stages)
+        usersTrue, usersEst, valSketch, overlap, exactOverlap, wall, bytes, stages)
     }
 
     val r1 = runs.head
@@ -178,6 +205,21 @@ object EventsScaleSmoke {
       check(relErr <= 3.0 / math.sqrt(126.0),
         f"KMV user estimate within 3-sigma at ${r.scale}x " +
           f"(est=${r.usersEst} true=${r.usersTrue} relErr=$relErr%.3f)")
+      // a21 overlap estimates vs exact truth: union within ~3-sigma of
+      // the k=128 KMV bound; intersection compounds the Jaccard and
+      // union estimators, so its gate is wider but still tight enough
+      // to catch a broken estimator (which is off by x2+ or sign)
+      r.overlap.foreach { case (g1, g2, estU, estI) =>
+        val (exU, exI) = r.exactOverlap((g1, g2))
+        val uErr = math.abs(estU.toDouble - exU) / exU
+        check(uErr <= 3.0 / math.sqrt(126.0),
+          f"a21 union estimate within 3-sigma at ${r.scale}x $g1~$g2 " +
+            f"(est=$estU true=$exU relErr=$uErr%.3f)")
+        val iErr = math.abs(estI.toDouble - exI) / math.max(exI, 1L)
+        check(iErr <= 0.35,
+          f"a21 intersection estimate within 35%% at ${r.scale}x $g1~$g2 " +
+            f"(est=$estI true=$exI relErr=$iErr%.3f)")
+      }
     }
     // shared shuffle/skew gates ([[SmokeGates]]) — every consecutive
     // pair gated; the 16 MiB small-total exemption covers the

@@ -89,6 +89,8 @@ object LlmScaleSmoke {
     final case class Run(scale: Int, pairs: Long, comps: Long, kept: Long,
         bm25: Long, spans: Long, packs: Long, packDocs: Long, packTokens: Long,
         bpeMerges: Seq[(String, String, Long)], dsirCounts: Array[Long],
+        pctl: Seq[(Double, Long)], apctl: Seq[(Double, Double)],
+        topTok: Seq[(Long, String, Long)],
         wallSec: Double, writeBytes: Long,
         stages: Map[Int, (Long, Long, Long)])
 
@@ -131,6 +133,24 @@ object LlmScaleSmoke {
       // hashed-bigram bucket counts must be EXACTLY c× the base's
       // (scoring on top is map-only — plan-audited in PlanAuditSpec)
       val dsirCounts = graft.operators.Dsir.bucketCounts(bpeCorpus, "text", 64)
+      // corpus-stats gates (a17/a20): replication leaves the n_chars
+      // DISTRIBUTION invariant, so exact histogram percentiles AND the
+      // 256-bin approx picks must be IDENTICAL at every scale — any
+      // drift means row volume leaked into the rank arithmetic
+      val pctl = graft.operators.Quantiles
+        .exactPercentiles(docs, "n_chars", Seq(0.5, 0.9, 0.99))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+      val apctl = graft.operators.Quantiles
+        .approxPercentilesBinned(docs, "n_chars", Seq(0.5, 0.9, 0.99), bins = 256)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+      // heavy hitters (t44) on the VERBATIM replication: the top-10
+      // token ranking must be identical with every count exactly c×
+      val topTok = graft.operators.FrequentItems.topKFrequent(
+          bpeCorpus.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+            .filter(length(col("tok")) > 0),
+          Seq.empty, "tok", k = 10)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        .sortBy(_._1)
       val wall = (System.nanoTime() - t0) / 1e9
       pairs.unpersist()
       docs.unpersist()
@@ -142,7 +162,7 @@ object LlmScaleSmoke {
         f"pack_tokens=$packTokens bpe_merges=${bpeMerges.length} " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
       Run(c, nPairs, comps, kept, bm25, spans, nPacks, packDocs, packTokens,
-        bpeMerges, dsirCounts, wall, bytes, stages)
+        bpeMerges, dsirCounts, pctl, apctl, topTok, wall, bytes, stages)
     }
 
     val r1 = runs.head
@@ -176,6 +196,15 @@ object LlmScaleSmoke {
           math.round(x * ratio)).toSeq,
         s"dsir bucket counts EXACTLY ${r.scale}x at ${r.scale}x " +
           s"(sum ${r1.dsirCounts.sum} -> ${r.dsirCounts.sum})")
+      check(r.pctl == r1.pctl,
+        s"exact percentiles IDENTICAL at ${r.scale}x (${r1.pctl} -> ${r.pctl})")
+      check(r.apctl == r1.apctl,
+        s"binned approx percentiles IDENTICAL at ${r.scale}x " +
+          s"(${r1.apctl} -> ${r.apctl})")
+      check(r.topTok.map(t => (t._1, t._2)) == r1.topTok.map(t => (t._1, t._2)) &&
+          r.topTok.map(_._3) == r1.topTok.map(t => math.round(t._3 * ratio)),
+        s"top-10 tokens IDENTICAL with counts EXACTLY ${r.scale}x at ${r.scale}x " +
+          s"(${r1.topTok.take(3)} -> ${r.topTok.take(3)} ...)")
     }
     // Pack count is deliberately NOT asserted linear: each of the 64
     // shards leaves one partial last pack open, a CONSTANT overhead

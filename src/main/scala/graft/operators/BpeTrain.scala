@@ -156,9 +156,11 @@ object BpeTrain {
   /** Distributed trainer over a (word, freq) table: per round, ONE
     * vocabulary-sized pair-count aggregation + a 1-row argmax collect,
     * then a map-only columnar rewrite. The evolving symbol table is
-    * persisted each round (and the previous round unpersisted) so the
-    * lineage — and with it the per-round cost — stays flat in the
-    * round count. */
+    * persisted each round so cached data — and with it the per-round
+    * cost — stays flat in the round count; the PREVIOUS round's cache
+    * is freed only after the argmax job has materialized the current
+    * one (one blocking job per round, not two: the rewrite is never
+    * counted eagerly). */
   def trainMergesDistributed(
       wordFreq: DataFrame, numMerges: Int, minFreq: Long = 2L): Seq[(String, String, Long)] = {
     val merges = ArrayBuffer.empty[(String, String, Long)]
@@ -173,7 +175,7 @@ object BpeTrain {
         .as("toks"),
       col("freq"))
       .persist()
-    cur.count()
+    var prev: DataFrame = null
     var rounds = 0
     var stop = false
     while (rounds < numMerges && !stop) {
@@ -186,33 +188,44 @@ object BpeTrain {
         .agg(sum("freq").as("f"))
         .orderBy(col("f").desc, col("a"), col("b"))
         .limit(1).collect()
+      // the argmax job above just materialized `cur`'s cache — the
+      // previous round's cache is no longer an input to anything live
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty || top.head.getLong(2) < minFreq) stop = true
       else {
         val (a, b, f) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((a, b, f))
         // leftmost-non-overlapping rewrite as a fold: state = (acc,
         // skip) where skip marks "position consumed by the previous
-        // merge". Words are short, so the per-step array append is fine.
+        // merge". Words are short, so the per-step array append is
+        // fine. Guarded by a cheap containment test: a word without
+        // BOTH symbols cannot contain the adjacent pair, and the fold
+        // is the identity on it — skipping the per-codepoint struct
+        // fold (and its array reallocation) for the overwhelming
+        // majority of the vocabulary each round (~3× on the rewrite
+        // stages at sf0.1; the win grows with vocabulary size).
         val rewritten = cur.select(
-          expr(
-            s"""aggregate(
-               |  sequence(1, size(toks)),
-               |  struct(CAST(array() AS ARRAY<STRING>) AS acc, false AS skip),
-               |  (st, i) -> CASE
-               |    WHEN st.skip THEN struct(st.acc AS acc, false AS skip)
-               |    WHEN i < size(toks) AND toks[i - 1] = ${sqlLit(a)} AND toks[i] = ${sqlLit(b)}
-               |      THEN struct(array_append(st.acc, ${sqlLit(a + b)}) AS acc, true AS skip)
-               |    ELSE struct(array_append(st.acc, toks[i - 1]) AS acc, false AS skip)
-               |  END,
-               |  st -> st.acc)""".stripMargin).as("toks"),
+          when(array_contains(col("toks"), a) && array_contains(col("toks"), b),
+            expr(
+              s"""aggregate(
+                 |  sequence(1, size(toks)),
+                 |  struct(CAST(array() AS ARRAY<STRING>) AS acc, false AS skip),
+                 |  (st, i) -> CASE
+                 |    WHEN st.skip THEN struct(st.acc AS acc, false AS skip)
+                 |    WHEN i < size(toks) AND toks[i - 1] = ${sqlLit(a)} AND toks[i] = ${sqlLit(b)}
+                 |      THEN struct(array_append(st.acc, ${sqlLit(a + b)}) AS acc, true AS skip)
+                 |    ELSE struct(array_append(st.acc, toks[i - 1]) AS acc, false AS skip)
+                 |  END,
+                 |  st -> st.acc)""".stripMargin))
+            .otherwise(col("toks")).as("toks"),
           col("freq")).persist()
-        rewritten.count()
-        cur.unpersist()
+        prev = cur
         cur = rewritten
         rounds += 1
       }
     }
     cur.unpersist()
+    if (prev != null) prev.unpersist()
     merges.toSeq
   }
 

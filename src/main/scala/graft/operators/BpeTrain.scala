@@ -161,8 +161,17 @@ object BpeTrain {
     * is freed only after the argmax job has materialized the current
     * one (one blocking job per round, not two: the rewrite is never
     * counted eagerly). */
+  /** @param checkpointEvery every N rounds the symbol table's LINEAGE
+    *   is truncated with an eager `localCheckpoint` — without it each
+    *   round wraps one more Project over the plan and Catalyst
+    *   re-analyzes the whole O(rounds)-deep tree every round, an
+    *   O(rounds²) driver cost that is invisible at 12 merges and
+    *   fatal at a production 32k-merge vocabulary. One extra job per
+    *   N rounds; output unaffected (specced). */
   def trainMergesDistributed(
-      wordFreq: DataFrame, numMerges: Int, minFreq: Long = 2L): Seq[(String, String, Long)] = {
+      wordFreq: DataFrame, numMerges: Int, minFreq: Long = 2L,
+      checkpointEvery: Int = 64): Seq[(String, String, Long)] = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val merges = ArrayBuffer.empty[(String, String, Long)]
     // codepoint symbols via the native n-gram walk (n=1 → one symbol
     // per CODEPOINT, surrogate pairs intact) — the same segmentation
@@ -218,10 +227,14 @@ object BpeTrain {
                  |  END,
                  |  st -> st.acc)""".stripMargin))
             .otherwise(col("toks")).as("toks"),
-          col("freq")).persist()
+          col("freq"))
         prev = cur
-        cur = rewritten
         rounds += 1
+        // checkpoint rounds trade one eager job for a flat plan; all
+        // other rounds stay lazy (materialized by the next argmax)
+        cur =
+          if (rounds % checkpointEvery == 0) rewritten.localCheckpoint(true)
+          else rewritten.persist()
       }
     }
     cur.unpersist()

@@ -35,6 +35,10 @@ class BpeTrainSpec extends AnyFunSuite {
       .mkString(" ").split(" ").grouped(3).map(_.mkString(" ")).toSeq.toDF("text")
     val wf = BpeTrain.wordFreq(corpus, "text")
     assert(BpeTrain.trainMergesDistributed(wf, numMerges = 50) === expected)
+    // lineage checkpointing is output-invariant (every-2-rounds forces
+    // several truncations inside this 12-merge run)
+    assert(BpeTrain.trainMergesDistributed(wf, numMerges = 50, checkpointEvery = 2)
+      === expected)
   }
 
   test("driver ≡ distributed on the real documents corpus") {

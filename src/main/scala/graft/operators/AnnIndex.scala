@@ -62,12 +62,18 @@ object AnnIndex {
       .write.mode("append").partitionBy("cluster").parquet(s"$path/store")
 
   /** IVF top-k over the persisted store — assignment was paid at
-    * write/upsert time, so this is just the probe join. */
+    * write/upsert time, so this is just the probe join. `where` is the
+    * float-store twin of [[topKPq]]'s filtered search: the metadata
+    * predicate rides the RAW store scan (pushed to the parquet
+    * reader), so the top-k ranks exactly the qualifying candidates —
+    * pre-filtering semantics. */
   def topK(
       spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val centroids = readCentroids(spark, path)
-    val cb = spark.read.parquet(s"$path/store")
+    val raw = spark.read.parquet(s"$path/store")
+    val cb = where.fold(raw)(raw.filter)
       .select(col("id"), col("vec"), col("__cn"), col("cluster").cast("int"))
     SimilaritySearch.ivfSearchAssigned(queries, cb, centroids, k, nprobe)
   }

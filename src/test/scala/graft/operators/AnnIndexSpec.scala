@@ -88,6 +88,25 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.write(path, cands, numClusters = 8, iters = 2)
     AnnIndex.writePqCodes(path, cands, dim = 64, m = 4, ksub = 8, iters = 2)
     val pred = col("id") >= 100 && col("id") < 400
+
+    // float-store twin: filtered topK = full topK restricted + re-rank
+    val fFiltered = AnnIndex.topK(spark, path, queries, k = 5, nprobe = 3,
+        where = Some(pred))
+      .select("query_id", "rank", "id", "cos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(fFiltered.forall(t => t._3 >= 100 && t._3 < 400))
+    val fFull = AnnIndex.topK(spark, path, queries, k = 100000, nprobe = 3)
+      .select("query_id", "id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val fExpected = fFull.toSeq
+      .filter(t => t._2 >= 100 && t._2 < 400)
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+          .map { case ((_, id, cos), i) => (q, i + 1, id, cos) }
+      }.sortBy(t => (t._1, t._2))
+    assert(fFiltered === fExpected,
+      "float-store pre-filtered top-k must equal the full ranking restricted")
     val filtered = AnnIndex.topKPq(spark, path, queries,
         dim = 64, k = 5, nprobe = 3, where = Some(pred))
       .select("query_id", "rank", "id", "cos")

@@ -165,8 +165,6 @@ object Quantiles {
       bins: Int = 1 << 12): DataFrame = {
     checkPs(ps)
     require(bins > 0, s"bins must be positive, got $bins")
-    val spark = df.sparkSession
-    import spark.implicits._
     val v = col(valueCol).cast("double")
     val mm = df.agg(min(v).as("lo"), max(v).as("hi")) // 1 row
     // fixed-width grid: 2 double ops per row, map-only, codegen'd
@@ -177,7 +175,51 @@ object Quantiles {
     val h = df.crossJoin(broadcast(mm))
       .groupBy(binExpr.as("bin"))
       .agg(count(lit(1)).as("c"), max(v).as("rep"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    percentilesFromHistogram(h, ps)
+  }
+
+  /**
+   * Fixed-grid histogram SYNOPSIS — the mergeable/persistable form of
+   * the binned path (the [[Sketches.mergeSketches]] idiom for
+   * quantiles): the caller PINS the grid `[lo, hi)` so partial
+   * histograms built independently (per day, per source, per
+   * partition) share bin boundaries and merge exactly. Values outside
+   * the pinned range clamp to the edge bins (their rank mass is
+   * preserved; their value error is unbounded — pin a range that
+   * covers the data, e.g. [0, maxLen) for lengths). Returns
+   * (`parts`…, bin, c, rep): ≤ `bins` rows per part, persistable as
+   * plain columns. One bounded-state hash aggregation — at 100 TB a
+   * year of daily length-histograms is 365·B rows, and the merged
+   * corpus quantiles never re-touch the corpus.
+   */
+  def binnedHistogram(
+      df: DataFrame, valueCol: String, lo: Double, hi: Double, bins: Int,
+      parts: Seq[String] = Nil): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(bins > 0, s"bins must be positive, got $bins")
+    val v = col(valueCol).cast("double")
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((v - lit(lo)) * lit(bins.toDouble) / lit(hi - lo)).cast("int")))
+    df.groupBy(parts.map(col) :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("c"), max(v).as("rep"))
+  }
+
+  /** Merge partial fixed-grid histograms (same pinned grid): counts
+    * add, representatives max — both associative/commutative, so
+    * merged-incrementally ≡ built-one-shot exactly (specced). */
+  def mergeBinnedHistograms(parts: DataFrame): DataFrame =
+    parts.groupBy("bin").agg(sum("c").as("c"), max("rep").as("rep"))
+
+  /** The percentile pick over any (bin, c, rep) histogram — shared by
+    * [[approxPercentilesBinned]] and the synopsis path: cumulative
+    * counts over the B-row table, integer-rational threshold, first
+    * qualifying bin's representative. Persists the histogram (probe-
+    * free: B is bounded by construction on both callers). */
+  def percentilesFromHistogram(hist: DataFrame, ps: Seq[Double]): DataFrame = {
+    checkPs(ps)
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val h = hist.persist(StorageLevel.MEMORY_AND_DISK)
     val cum = h.withColumn("cum", sum("c").over(Window.orderBy("bin")))
     val n = h.agg(sum("c").as("n"))
     val psDf = ps.map { p => val (num, den) = rational(p); (p, num, den) }

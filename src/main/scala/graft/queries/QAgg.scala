@@ -508,5 +508,35 @@ object QAgg {
         |ORDER BY us.g1, us.g2""".stripMargin) { (s, dir) =>
       graft.operators.Sketches.kmvOverlapMatrix(
         Tables.events(s, dir), "event_type", "user_id", k = 32)
+    },
+
+    // A22 (beyond-reference corpus stats): MERGEABLE fixed-grid
+    // histogram synopsis — per-SOURCE partial histograms on a pinned
+    // [0, 1024)×256 grid (the "one synopsis per ingest partition"
+    // shape), merged (counts add, reps max — associative), then the
+    // a20 percentile pick over the merged table. Merged ≡ one-shot is
+    // the spec-pinned invariant, so the oracle replays the one-shot
+    // histogram; grid arithmetic is binary-exact (width 4).
+    QueryDef.of("a22_histogram_synopsis",
+      """WITH b AS (SELECT least(255, greatest(0,
+        |      CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) * 256.0 / 1024.0) AS INT)))
+        |      AS bin,
+        |    CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents),
+        |h AS (SELECT bin, count(*) AS c, max(v) AS rep FROM b GROUP BY 1),
+        |cum AS (SELECT bin, rep, SUM(c) OVER (ORDER BY bin) AS cum FROM h),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |ps AS (SELECT * FROM (VALUES (0.25, 25, 100), (0.5, 5, 10),
+        |       (0.75, 75, 100), (0.99, 99, 100)) AS t(p, num, den))
+        |SELECT p, min(rep) AS value
+        |FROM ps CROSS JOIN n JOIN cum ON cum.cum * den >= num * n.n
+        |GROUP BY p ORDER BY p""".stripMargin) { (s, dir) =>
+      val q = graft.operators.Quantiles
+      val partials = q.binnedHistogram(
+        Tables.documents(s, dir), "n_chars", lo = 0.0, hi = 1024.0,
+        bins = 256, parts = Seq("source"))
+      q.percentilesFromHistogram(
+        q.mergeBinnedHistograms(partials),
+        Seq(0.25, 0.5, 0.75, 0.99))
     })
 }

@@ -1015,6 +1015,44 @@ class OperatorSpecs extends AnyFunSuite {
     }
   }
 
+  test("binnedHistogram synopsis: merged partials equal the one-shot histogram and its quantiles") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3000).map(i =>
+      (s"src${i % 5}", rnd.nextDouble() * 900.0 + 10.0))
+    val df = rows.toDF("source", "x").repartition(9)
+    val q = Quantiles
+    // one-shot on the pinned grid vs per-source partials merged
+    val oneShot = q.binnedHistogram(df, "x", 0.0, 1024.0, 128)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    val merged = q.mergeBinnedHistograms(
+        q.binnedHistogram(df, "x", 0.0, 1024.0, 128, parts = Seq("source")))
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(merged === oneShot, "merge must be exact (counts add, reps max)")
+    // quantiles off the merged synopsis ≡ quantiles off the one-shot,
+    // and within the grid bound of the exact order statistics
+    val ps = Seq(0.25, 0.5, 0.99)
+    val a = q.percentilesFromHistogram(
+      q.mergeBinnedHistograms(
+        q.binnedHistogram(df, "x", 0.0, 1024.0, 128, parts = Seq("source"))),
+      ps).as[(Double, Double)].collect().toMap
+    val sorted = rows.map(_._2).sorted
+    def rk(p: Double): Int = {
+      val (nu, de) = Quantiles.rational(p)
+      ((nu * rows.length + de - 1) / de).toInt
+    }
+    ps.foreach { p =>
+      assert(math.abs(a(p) - sorted(rk(p) - 1)) <= 1024.0 / 128,
+        s"p=$p synopsis=${a(p)} exact=${sorted(rk(p) - 1)}")
+    }
+    // out-of-range values clamp to edge bins, preserving rank mass
+    val clamped = q.binnedHistogram(
+        Seq(("a", -50.0), ("a", 5000.0), ("a", 512.0)).toDF("source", "x"),
+        "x", 0.0, 1024.0, 128)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(clamped.map(_._1) === Seq(0, 64, 127))
+    assert(clamped.map(_._2).sum === 3L)
+  }
+
   test("ivfPqTopK: probing all cells equals flat PQ ADC; pruned probe is an exact-subset") {
     val e = embeddings
     val queries = e.filter(col("vec_id") < 10)

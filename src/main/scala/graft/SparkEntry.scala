@@ -52,7 +52,7 @@ object SparkEntry {
     "a01_pivot_matrix", "a05_event_kernel", "a08_union_explode_agg",
     "a10_scenario_weighted", "a17_exact_percentiles", "a18_grouped_percentiles",
     "a19_kmv_distinct", "a20_approx_percentiles", "a21_kmv_overlap",
-    "a22_histogram_synopsis",
+    "a22_histogram_synopsis", "a23_weighted_percentiles",
     "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
     "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",

@@ -61,22 +61,49 @@ object Quantiles {
   /** (p, value) for each requested percentile, ordered by p. */
   def exactPercentiles(
       df: DataFrame, valueCol: String, ps: Seq[Double],
-      maxBuckets: Int = 1 << 20): DataFrame = {
+      maxBuckets: Int = 1 << 20): DataFrame =
+    pickFromValueHistogram(
+      df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")),
+      ps, maxBuckets, s"exactPercentiles('$valueCol')")
+
+  /**
+   * WEIGHTED discrete percentiles: the smallest value whose cumulative
+   * WEIGHT reaches `ceil(p·W)` (W = total weight) — e.g. token-mass
+   * quantiles of document length ("the median token lives in a doc of
+   * ≥ X chars", the number that decides packing/chunking budgets,
+   * which the unweighted doc-count median misstates whenever length
+   * and count distributions diverge). Same bounded histogram shape:
+   * one hash aggregation summing weights per distinct value, same
+   * probe, same integer-rational threshold. Weights must be
+   * non-negative integers (cast to long).
+   */
+  def exactPercentilesWeighted(
+      df: DataFrame, valueCol: String, weightCol: String, ps: Seq[Double],
+      maxBuckets: Int = 1 << 20): DataFrame =
+    pickFromValueHistogram(
+      df.groupBy(col(valueCol).as("v"))
+        .agg(sum(col(weightCol).cast("long")).as("c")),
+      ps, maxBuckets, s"exactPercentilesWeighted('$valueCol' by '$weightCol')")
+
+  /** Shared exact pick over a (v, c) value histogram: persist, probe,
+    * prefix-sum window (bounded by the probe), rational threshold. */
+  private def pickFromValueHistogram(
+      hist: DataFrame, ps: Seq[Double], maxBuckets: Int,
+      what: String): DataFrame = {
     checkPs(ps)
-    val spark = df.sparkSession
+    val spark = hist.sparkSession
     import spark.implicits._
     // persisted: bucket-sized but derived from a corpus-sized scan;
     // probe + window + total + join all branch from it
-    val h = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val h = hist.persist(StorageLevel.MEMORY_AND_DISK)
     // probe BEFORE the windowed plan exists (probing the window would
     // materialize the unbounded partition the guard exists to prevent)
     val probed = h.limit(maxBuckets + 1).count()
     require(probed <= maxBuckets,
-      s"exactPercentiles: column '$valueCol' has over $maxBuckets distinct " +
-        "values — the histogram prefix-sum window would be an unbounded " +
-        "single partition. Quantize first (e.g. round(x, 6)), use " +
-        "approxPercentilesBinned, or raise maxBuckets deliberately.")
+      s"$what: over $maxBuckets distinct values — the histogram " +
+        "prefix-sum window would be an unbounded single partition. " +
+        "Quantize first (e.g. round(x, 6)), use approxPercentilesBinned, " +
+        "or raise maxBuckets deliberately.")
     val cum = h.withColumn("cum", sum("c").over(Window.orderBy("v")))
     val n = h.agg(sum("c").as("n")) // 1-row total, broadcast below
     val psDf = ps.map { p => val (num, den) = rational(p); (p, num, den) }

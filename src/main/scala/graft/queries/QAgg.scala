@@ -538,5 +538,27 @@ object QAgg {
       q.percentilesFromHistogram(
         q.mergeBinnedHistograms(partials),
         Seq(0.25, 0.5, 0.75, 0.99))
+    },
+
+    // A23 (beyond-reference corpus stats): WEIGHTED percentiles —
+    // character-mass quantiles of document length ("the median
+    // character lives in a doc of ≥ X chars", the number that sizes
+    // packing/chunking budgets; the doc-count median understates it
+    // whenever long docs carry most of the mass). Same bounded value
+    // histogram with c = Σweight, same integer-rational threshold.
+    QueryDef.of("a23_weighted_percentiles",
+      """WITH h AS (SELECT n_chars AS v, CAST(SUM(n_chars) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+        |n AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS n FROM documents),
+        |ps AS (SELECT * FROM (VALUES (0.25, 25, 100), (0.5, 5, 10),
+        |       (0.9, 9, 10))
+        |       AS t(p, num, den))
+        |SELECT p, min(v) AS value
+        |FROM ps CROSS JOIN n JOIN cum ON cum.cum * den >= num * n.n
+        |GROUP BY p ORDER BY p""".stripMargin) { (s, dir) =>
+      graft.operators.Quantiles.exactPercentilesWeighted(
+        Tables.documents(s, dir), "n_chars", "n_chars",
+        Seq(0.25, 0.5, 0.9))
     })
 }

@@ -1015,6 +1015,30 @@ class OperatorSpecs extends AnyFunSuite {
     }
   }
 
+  test("exactPercentilesWeighted: equals naive weighted cumsum; unit weights = unweighted") {
+    val rnd = new scala.util.Random(21)
+    val rows = (0 until 400).map(i => (i.toLong, rnd.nextInt(30).toDouble, rnd.nextInt(9) + 1L))
+    val df = rows.toDF("i", "x", "w").repartition(5)
+    val ps = Seq(0.25, 0.5, 0.9, 1.0)
+    val got = Quantiles.exactPercentilesWeighted(df, "x", "w", ps)
+      .as[(Double, Double)].collect().toMap
+    // naive: expand each row w times, discrete quantile of the multiset
+    val expanded = rows.flatMap { case (_, x, w) => Seq.fill(w.toInt)(x) }.sorted
+    def rk(p: Double, n: Int): Int = {
+      val (nu, de) = Quantiles.rational(p)
+      ((nu * n + de - 1) / de).toInt
+    }
+    val naive = ps.map(p => p -> expanded(rk(p, expanded.length) - 1)).toMap
+    assert(got === naive)
+    // weight = 1 everywhere reduces to the unweighted operator
+    val unw = Quantiles.exactPercentiles(df, "x", ps)
+      .as[(Double, Double)].collect().toMap
+    val w1 = Quantiles.exactPercentilesWeighted(
+        df.withColumn("one", lit(1L)), "x", "one", ps)
+      .as[(Double, Double)].collect().toMap
+    assert(w1 === unw)
+  }
+
   test("binnedHistogram synopsis: merged partials equal the one-shot histogram and its quantiles") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 3000).map(i =>

@@ -431,4 +431,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(hist === oneShot, "incrementally merged synopsis must equal the one-shot sketch")
     assert(hist("x").length === k && hist("y").length === k)
   }
+
+  test("foreachBatch incremental binned histogram equals the one-shot synopsis and quantiles") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus-stats accounting at the daily-pull cadence: per
+    // micro-batch, build the fixed-grid partial histogram of the new
+    // arrivals and APPEND it to the persisted synopsis table (here a
+    // driver buffer; in production a parquet table of (bin, c, rep)
+    // rows per day). mergeBinnedHistograms over the accumulated
+    // partials must equal the one-shot histogram exactly — counts
+    // add, reps max, both associative — and so must the quantiles
+    // picked from it.
+    val q = graft.operators.Quantiles
+    val rnd = new scala.util.Random(11)
+    val batches = Seq.fill(3)(Seq.fill(400)(rnd.nextDouble() * 800.0 + 100.0))
+    val partials = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val input = MemoryStream[Double]
+    val query = input.toDF().toDF("x").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        partials ++= q.binnedHistogram(batch.toDF(), "x", 0.0, 1024.0, 64)
+          .as[(Int, Long, Double)].collect()
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { bt => input.addData(bt); query.processAllAvailable() }
+    } finally query.stop()
+    val merged = q.mergeBinnedHistograms(partials.toSeq.toDF("bin", "c", "rep"))
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    val oneShot = q.binnedHistogram(batches.flatten.toDF("x"), "x", 0.0, 1024.0, 64)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(merged === oneShot,
+      "incrementally accumulated partials must merge to the one-shot histogram")
+    val ps = Seq(0.5, 0.9)
+    val qa = q.percentilesFromHistogram(
+      q.mergeBinnedHistograms(partials.toSeq.toDF("bin", "c", "rep")), ps)
+      .as[(Double, Double)].collect().toMap
+    val qb = q.percentilesFromHistogram(
+      q.binnedHistogram(batches.flatten.toDF("x"), "x", 0.0, 1024.0, 64), ps)
+      .as[(Double, Double)].collect().toMap
+    assert(qa === qb, "quantiles off the merged synopsis must equal the one-shot picks")
+  }
 }

@@ -240,13 +240,20 @@ object Quantiles {
   /** The percentile pick over any (bin, c, rep) histogram — shared by
     * [[approxPercentilesBinned]] and the synopsis path: cumulative
     * counts over the B-row table, integer-rational threshold, first
-    * qualifying bin's representative. Persists the histogram (probe-
-    * free: B is bounded by construction on both callers). */
-  def percentilesFromHistogram(hist: DataFrame, ps: Seq[Double]): DataFrame = {
+    * qualifying bin's representative. B is bounded by construction on
+    * both in-repo callers, but the method is public and the window is
+    * single-partition, so the same limit-probe guards it. */
+  def percentilesFromHistogram(
+      hist: DataFrame, ps: Seq[Double], maxBuckets: Int = 1 << 20): DataFrame = {
     checkPs(ps)
     val spark = hist.sparkSession
     import spark.implicits._
     val h = hist.persist(StorageLevel.MEMORY_AND_DISK)
+    val probed = h.limit(maxBuckets + 1).count()
+    require(probed <= maxBuckets,
+      s"percentilesFromHistogram: over $maxBuckets histogram rows — the " +
+        "prefix-sum window would be an unbounded single partition. Merge " +
+        "or re-bin first, or raise maxBuckets deliberately.")
     val cum = h.withColumn("cum", sum("c").over(Window.orderBy("bin")))
     val n = h.agg(sum("c").as("n"))
     val psDf = ps.map { p => val (num, den) = rational(p); (p, num, den) }

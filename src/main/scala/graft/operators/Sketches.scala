@@ -162,11 +162,22 @@ object Sketches {
    */
   def kmvOverlapMatrix(
       df: DataFrame, groupCol: String, valueCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxGroups: Int = 4096): DataFrame = {
     val agg = kMinDistinct(k)
     val sk = df.select(col(groupCol).as("g"),
         ScalarFunctions.md5Long(col(valueCol).cast("string")).as("__h"))
       .groupBy("g").agg(agg(col("__h")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // limit-probe (the selectToBudget idiom): the pair join is G²/2 —
+    // the right tool for corpora/sources/splits (tens to thousands),
+    // catastrophically wrong for per-user groups at 100 TB. Fail fast
+    // BEFORE the self-join plans; the probe also materializes the
+    // sketch cache both join sides then reuse.
+    val probed = sk.limit(maxGroups + 1).count()
+    require(probed <= maxGroups,
+      s"kmvOverlapMatrix: over $maxGroups groups in '$groupCol' — the " +
+        "pairwise matrix is G²/2 rows. Pre-aggregate to coarser corpora " +
+        "or raise maxGroups deliberately.")
     val a = sk.select(col("g").as("g1"), col("s").as("s1"))
     val b = sk.select(col("g").as("g2"), col("s").as("s2"))
     a.join(broadcast(b), col("g1") < col("g2"))

@@ -110,5 +110,12 @@ class SketchesSpec extends AnyFunSuite {
       bigA.union(bigB).union(bigA).repartition(13), "g", "v", k = 256)
       .as[(String, String, Long, Long, Long, Long, Long, Double)].collect().head
     assert(shuffled === es)
+
+    // the G²/2 pair join is guarded: too many groups fails fast
+    val many = (1 to 50).map(i => (s"g$i", "x")).toDF("g", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.kmvOverlapMatrix(many, "g", "v", k = 8, maxGroups = 10)
+    }
+    assert(e2.getMessage.contains("pairwise matrix"))
   }
 }

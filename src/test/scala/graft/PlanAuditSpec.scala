@@ -380,6 +380,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("a21: overlap matrix = bounded sketch partials + a broadcast pair join, corpus touched once") {
+    // the corpus appears ONLY under the partial KMV aggregation (map-
+    // side combine bounds every task at k longs per group); the G²/2
+    // pair join runs over the tiny cached sketch table via a broadcast
+    // nested-loop (non-equi g1 < g2) — never a shuffle of corpus rows
+    val p = plan("a21_kmv_overlap")
+    assert(p.contains("partial_kmindistinctagg"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("t44: heavy hitters rank via bounded aggregation and broadcast the winners — no window") {
     // the window form (row_number over the per-group vocabulary) would
     // show a Window node and shuffle the full histogram per group; the

@@ -262,6 +262,17 @@ object StreamOps {
     }
     def byTime(p: PlayEvent): (Long, Long) = (p.ts.getTime, p.play_id)
 
+    // batch/backfill dispatch (the dedupStream convention): on a
+    // bounded input the watermark machinery is meaningless — fold each
+    // game's complete history in order, one group in memory at a time
+    // (the flatMapGroupsSorted shape; a game is bounded). Specced ≡
+    // the PbpPipeline.baseState partition fold.
+    if (!plays.isStreaming)
+      return plays.groupByKey(_.contest_id).flatMapGroups {
+        (g: Long, it: Iterator[PlayEvent]) =>
+          fold(graft.pbp.BaseState.emptyState, it.toSeq.sortBy(byTime), g)._2.iterator
+      }
+
     plays
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.contest_id)

@@ -307,6 +307,16 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === batch,
         "streamed X1 fold must equal the batch fold row for row")
     } finally query.stop()
+
+    // backfill dispatch: the SAME entry point on a bounded Dataset
+    // folds without the watermark machinery and matches the batch
+    // pipeline fold too
+    val dispatched = StreamOps.baseStateStream(plays.toSeq.toDS())
+      .toDF()
+      .select((Seq("contest_id", "play_id").map(col) ++ stateCols.map(col)): _*)
+      .collect().map(keyOf).toSet
+    assert(dispatched === batch,
+      "batch dispatch of baseStateStream must equal the pipeline fold")
   }
 
   test("foreachBatch ingestion gate: Bloom dedup + in-batch keep-first equals global keep-first") {

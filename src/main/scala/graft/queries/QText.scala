@@ -114,6 +114,49 @@ object QText {
        |  FROM inst i JOIN encw e USING (word) GROUP BY i.doc_id)""".stripMargin
   }
 
+  private val QcBuckets = 16
+  private val QcIters = 3
+  private val QcLrDiv = 100000.0
+
+  /** DuckDB replay of the exact-integer logistic training: the sparse
+    * (doc, bucket, count) features + bias rows, then per iteration
+    * margin → hard-sigmoid error → gradient → weight step, unrolled
+    * as chained CTEs (the pqSubCtes generation idiom). */
+  private lazy val QcOracle: String = {
+    val B = QcBuckets
+    val head =
+      s"""WITH toks AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    unnest($CTOKS) AS tok FROM documents),
+         |sp AS (SELECT doc_id, y,
+         |    CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % $B AS INT) AS j,
+         |    count(*) AS c
+         |  FROM toks GROUP BY 1, 2, 3),
+         |feats AS (SELECT * FROM sp UNION ALL
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    $B AS j, 1 AS c FROM documents),
+         |docs AS (SELECT DISTINCT doc_id, y FROM feats),
+         |w0 AS (SELECT CAST(j AS INT) AS j, CAST(0 AS BIGINT) AS w
+         |  FROM range(0, ${B + 1}) t(j))""".stripMargin
+    val iters = (1 to QcIters).map { t =>
+      s""",
+         |m$t AS (SELECT f.doc_id, SUM(f.c * w.w) AS m
+         |  FROM feats f JOIN w${t - 1} w ON w.j = f.j GROUP BY 1),
+         |e$t AS (SELECT d.doc_id,
+         |    GREATEST(0, LEAST(1000000,
+         |      500000 + CAST(floor(m.m / 4.0) AS BIGINT))) - d.y * 1000000 AS err
+         |  FROM docs d JOIN m$t m USING (doc_id)),
+         |g$t AS (SELECT f.j, SUM(e.err * f.c) AS g
+         |  FROM feats f JOIN e$t e USING (doc_id) GROUP BY 1),
+         |w$t AS (SELECT w.j,
+         |    w.w - CAST(floor(COALESCE(g.g, 0) / $QcLrDiv) AS BIGINT) AS w
+         |  FROM w${t - 1} w LEFT JOIN g$t g USING (j))""".stripMargin
+    }.mkString
+    head + iters +
+      s"""
+         |SELECT CAST(j AS BIGINT) AS j, w AS w_micro FROM w$QcIters ORDER BY j""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Text quality metrics — token count, punctuation/stopword
@@ -1496,5 +1539,24 @@ object QText {
           TextFunctions.htmlToText(html).as("clean_text"))
         .withColumn("n_clean_chars", length(col("clean_text")).cast("long"))
         .orderBy("doc_id")
+    },
+
+    // T45 (beyond-reference LLM curation): TRAINED quality classifier
+    // (operators/QualityModel — fastText/DCLM-style logistic model on
+    // hashed token counts, Joulin et al. 2016) with EXACT-INTEGER
+    // training: hard-sigmoid micro-units, long gradients, exactly-
+    // rounded divisions — so the LEARNED WEIGHTS are a deterministic
+    // pure function of the corpus and the oracle replays all three
+    // full-batch iterations CTE for CTE. Label: lang='en' (the
+    // target-language filter). Output = the weight table itself.
+    QueryDef.of("t45_quality_classifier", QcOracle) { (s, dir) =>
+      import s.implicits._
+      val feats = graft.operators.QualityModel.features(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", buckets = QcBuckets)
+      val w = graft.operators.QualityModel.trainLogistic(
+        feats, QcBuckets, iters = QcIters, lrDiv = QcLrDiv)
+      w.zipWithIndex.map { case (wv, j) => (j.toLong, wv) }
+        .toSeq.toDF("j", "w_micro").orderBy("j")
     })
 }

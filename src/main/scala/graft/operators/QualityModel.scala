@@ -79,13 +79,19 @@ object QualityModel {
       lit(500000L) + floor(m.cast("double") / 4.0).cast("long")))
 
   /** Train `iters` full-batch iterations; returns the `B + 1` weights
-    * in micro-units (last = bias). `lrDiv` divides the raw gradient —
-    * the learning rate as an exact division (one step ≈ g/lrDiv). */
+    * in micro-units (last = bias). The step is the MEAN-gradient form
+    * `w_j ← w_j − ⌊g_j / (n · lrDivPerDoc)⌋` (n = doc count), so the
+    * effective learning rate is corpus-size independent — replicating
+    * the corpus c× scales every gradient AND the divisor by exactly c
+    * and the learned weights are bit-identical (the LlmScaleSmoke
+    * gate; also the property that lets the same lrDivPerDoc work at
+    * sf0.001 and 100 TB). */
   def trainLogistic(
       feats: DataFrame, buckets: Int, iters: Int,
-      lrDiv: Double): Array[Long] = {
-    require(iters >= 0 && lrDiv > 0)
+      lrDivPerDoc: Double = 200.0): Array[Long] = {
+    require(iters >= 0 && lrDivPerDoc > 0)
     val f = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    val lrDiv = f.count().toDouble * lrDivPerDoc
     var w = Array.fill(buckets + 1)(0L)
     var t = 0
     while (t < iters) {

@@ -116,7 +116,7 @@ object QText {
 
   private val QcBuckets = 16
   private val QcIters = 3
-  private val QcLrDiv = 100000.0
+  private val QcLrPerDoc = 200.0
 
   /** DuckDB replay of the exact-integer logistic training: the sparse
     * (doc, bucket, count) features + bias rows, then per iteration
@@ -149,7 +149,8 @@ object QText {
          |g$t AS (SELECT f.j, SUM(e.err * f.c) AS g
          |  FROM feats f JOIN e$t e USING (doc_id) GROUP BY 1),
          |w$t AS (SELECT w.j,
-         |    w.w - CAST(floor(COALESCE(g.g, 0) / $QcLrDiv) AS BIGINT) AS w
+         |    w.w - CAST(floor(COALESCE(g.g, 0)
+         |      / ((SELECT count(*) FROM documents) * $QcLrPerDoc)) AS BIGINT) AS w
          |  FROM w${t - 1} w LEFT JOIN g$t g USING (j))""".stripMargin
     }.mkString
     head + iters +
@@ -1555,7 +1556,7 @@ object QText {
         Tables.documents(s, dir), "doc_id", "text",
         col("lang") === "en", buckets = QcBuckets)
       val w = graft.operators.QualityModel.trainLogistic(
-        feats, QcBuckets, iters = QcIters, lrDiv = QcLrDiv)
+        feats, QcBuckets, iters = QcIters, lrDivPerDoc = QcLrPerDoc)
       w.zipWithIndex.map { case (wv, j) => (j.toLong, wv) }
         .toSeq.toDF("j", "w_micro").orderBy("j")
     })

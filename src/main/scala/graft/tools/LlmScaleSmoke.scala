@@ -90,7 +90,7 @@ object LlmScaleSmoke {
         bm25: Long, spans: Long, packs: Long, packDocs: Long, packTokens: Long,
         bpeMerges: Seq[(String, String, Long)], dsirCounts: Array[Long],
         pctl: Seq[(Double, Long)], apctl: Seq[(Double, Double)],
-        topTok: Seq[(Long, String, Long)],
+        topTok: Seq[(Long, String, Long)], qcWeights: Seq[Long],
         wallSec: Double, writeBytes: Long,
         stages: Map[Int, (Long, Long, Long)])
 
@@ -151,6 +151,20 @@ object LlmScaleSmoke {
           Seq.empty, "tok", k = 10)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
         .sortBy(_._1)
+      // quality-classifier training (t45) on verbatim replication with
+      // doc_id AND lang carried: the mean-gradient step divides by the
+      // doc count, so gradients (c×) and divisor (c×) cancel and the
+      // learned weights must be BIT-IDENTICAL at every scale — any
+      // drift means corpus volume leaked into the trainer
+      val qcCorpus = (0 until c).map(k =>
+        Tables.documents(spark, sfDir).select(
+          (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          col("text"), col("lang")))
+        .reduce(_.unionByName(_))
+      val qcWeights = graft.operators.QualityModel.trainLogistic(
+        graft.operators.QualityModel.features(
+          qcCorpus, "doc_id", "text", col("lang") === "en", buckets = 16),
+        buckets = 16, iters = 3).toSeq
       val wall = (System.nanoTime() - t0) / 1e9
       pairs.unpersist()
       docs.unpersist()
@@ -162,7 +176,7 @@ object LlmScaleSmoke {
         f"pack_tokens=$packTokens bpe_merges=${bpeMerges.length} " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
       Run(c, nPairs, comps, kept, bm25, spans, nPacks, packDocs, packTokens,
-        bpeMerges, dsirCounts, pctl, apctl, topTok, wall, bytes, stages)
+        bpeMerges, dsirCounts, pctl, apctl, topTok, qcWeights, wall, bytes, stages)
     }
 
     val r1 = runs.head
@@ -205,6 +219,9 @@ object LlmScaleSmoke {
           r.topTok.map(_._3) == r1.topTok.map(t => math.round(t._3 * ratio)),
         s"top-10 tokens IDENTICAL with counts EXACTLY ${r.scale}x at ${r.scale}x " +
           s"(${r1.topTok.take(3)} -> ${r.topTok.take(3)} ...)")
+      check(r.qcWeights == r1.qcWeights,
+        s"quality-classifier weights BIT-IDENTICAL at ${r.scale}x " +
+          s"(${r1.qcWeights.take(4)}... -> ${r.qcWeights.take(4)}...)")
     }
     // Pack count is deliberately NOT asserted linear: each of the 64
     // shards leaves one partial last pack open, a CONSTANT overhead

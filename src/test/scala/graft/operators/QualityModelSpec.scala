@@ -18,13 +18,13 @@ class QualityModelSpec extends AnyFunSuite {
     QualityModel.features(df, "doc_id", "text", col("lang") === "en", B)
 
   test("training is a pure function of the corpus: repartition/order cannot move the weights") {
-    val w1 = QualityModel.trainLogistic(feats(docs), B, iters = 3, lrDiv = 1e5)
+    val w1 = QualityModel.trainLogistic(feats(docs), B, iters = 3, lrDivPerDoc = 200.0)
     val w2 = QualityModel.trainLogistic(
-      feats(docs.repartition(13).orderBy(col("doc_id").desc)), B, 3, 1e5)
+      feats(docs.repartition(13).orderBy(col("doc_id").desc)), B, 3, 200.0)
     assert(w1.toSeq === w2.toSeq)
     assert(w1.length === B + 1)
     // zero iterations → zero weights (and scoring under them is 0)
-    val w0 = QualityModel.trainLogistic(feats(docs), B, iters = 0, lrDiv = 1e5)
+    val w0 = QualityModel.trainLogistic(feats(docs), B, iters = 0, lrDivPerDoc = 200.0)
     assert(w0.forall(_ == 0L))
   }
 
@@ -46,7 +46,7 @@ class QualityModelSpec extends AnyFunSuite {
     }.toDF("doc_id", "text", "lang")
     val f = QualityModel.features(planted, "doc_id", "text", col("lang") === "en", B)
       .persist()
-    val w = QualityModel.trainLogistic(f, B, iters = 5, lrDiv = 1e5)
+    val w = QualityModel.trainLogistic(f, B, iters = 5, lrDivPerDoc = 200.0)
     assert(w.exists(_ != 0L), "iterations must move some weight")
     val scored = QualityModel.score(f, w)
       .select(col("y"), col("score_micro"))

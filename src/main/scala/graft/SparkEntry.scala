@@ -70,7 +70,7 @@ object SparkEntry {
     "t34_bpe_encode", "t35_budget_select_bpe", "t36_bpe_chunks",
     "t37_leakfree_split", "t38_bpe_train", "t39_dsir_resample",
     "t40_html_extract", "t41_packing_bpe", "t42_langid_ngram",
-    "t43_pack_boundaries", "t44_topk_tokens", "t45_quality_classifier",
+    "t43_pack_boundaries", "t44_topk_tokens", "t45_quality_classifier", "t46_quality_filter",
     "v01_ann_brute_topk", "v02_ann_lsh_topk", "v03_embed_neardup_brute",
     "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
     "v09_ann_index_upsert", "v10_ann_pq_adc", "v11_ann_ivfpq",

@@ -158,6 +158,21 @@ object QText {
          |SELECT CAST(j AS BIGINT) AS j, w AS w_micro FROM w$QcIters ORDER BY j""".stripMargin
   }
 
+  /** t46: the same trained weights applied as a corpus filter —
+    * QcOracle's CTE chain plus one scoring aggregation and the top-20
+    * pick. */
+  private lazy val QcScoreOracle: String = {
+    val base = QcOracle
+    val cut = base.lastIndexOf("\nSELECT CAST(j AS BIGINT)")
+    base.substring(0, cut) +
+      s""",
+         |qsc AS (SELECT f.doc_id, CAST(SUM(f.c * w.w) AS BIGINT) AS score_micro
+         |  FROM feats f JOIN w$QcIters w ON w.j = f.j GROUP BY 1)
+         |SELECT doc_id, score_micro FROM qsc
+         |QUALIFY row_number() OVER (ORDER BY score_micro DESC, doc_id) <= 20
+         |ORDER BY score_micro DESC, doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Text quality metrics — token count, punctuation/stopword
@@ -1559,5 +1574,23 @@ object QText {
         feats, QcBuckets, iters = QcIters, lrDivPerDoc = QcLrPerDoc)
       w.zipWithIndex.map { case (wv, j) => (j.toLong, wv) }
         .toSeq.toDF("j", "w_micro").orderBy("j")
+    },
+
+    // T46: the classifier APPLIED — train on the cheap label, score
+    // the whole corpus map-only under the broadcast weights, keep the
+    // top 20 by (score, id). The end-to-end quality-filter pass a
+    // curation pipeline runs (train → score → select); at 100 TB the
+    // scoring is one narrow codegen projection and the selection a
+    // TakeOrderedAndProject — the corpus is never sorted.
+    QueryDef.of("t46_quality_filter", QcScoreOracle) { (s, dir) =>
+      val feats = graft.operators.QualityModel.features(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", buckets = QcBuckets)
+      val w = graft.operators.QualityModel.trainLogistic(
+        feats, QcBuckets, iters = QcIters, lrDivPerDoc = QcLrPerDoc)
+      graft.operators.QualityModel.score(feats, w)
+        .select(col("id").as("doc_id"), col("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
     })
 }

@@ -97,6 +97,26 @@ object SimilaritySearch {
     (array_position(q, array_max(q)) - 1).cast("int")
   }
 
+  /** Quantized (4-decimal) NEGATED-squared-distance surrogate per
+    * centroid: `round(2·dot(v,c) − ‖c‖², 4)` — argmax of this is
+    * argmin of ‖v−c‖² (the row's ‖v‖² is constant across centroids
+    * and drops out, saving a kernel call per row). The EUCLIDEAN
+    * objective — what residual sub-quantizers need: residuals center
+    * near zero, where cosine ignores the magnitudes that carry all
+    * the information (measured: cosine-trained residual codes halve
+    * recall; Euclidean restores it). Same quantize-before-argmax
+    * reproducibility contract as [[quantCos]]. */
+  private def quantNegDist(cents: Array[Array[Float]], vec: Column): Seq[Column] =
+    cents.toSeq.map { c =>
+      round(lit(2.0) * VectorFunctions.dot(typedlit(c.toSeq), vec) - lit(centNorm2(c)), 4)
+    }
+
+  /** argmin-Euclidean centroid index, ties to the lower index. */
+  private[operators] def assignEuclidExpr(cents: Array[Array[Float]], vec: Column): Column = {
+    val q = array(quantNegDist(cents, vec): _*)
+    (array_position(q, array_max(q)) - 1).cast("int")
+  }
+
   /** nprobe nearest centroid indices, ties to the lower index:
     * struct array-sort on (-cos, idx), sliced — columnar, no UDF. */
   private[operators] def probeExpr(
@@ -221,6 +241,56 @@ object SimilaritySearch {
         candidates.select(col("id"), slice(col("vec"), s * sub + 1, sub).as("vec")),
         ksub, iters)
     }.toArray
+  }
+
+  /** EUCLIDEAN Lloyd over (id, vec) — same deterministic seeding and
+    * float-truncated recentering as [[trainIvfCentroids]], with the
+    * [[assignEuclidExpr]] objective (for residual sub-quantizers). */
+  private def trainCentroidsEuclid(
+      candidates: DataFrame, numClusters: Int, iters: Int): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = candidates.orderBy("id").limit(numClusters)
+      .select("vec").collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iters) {
+      val means = candidates
+        .withColumn("cluster", assignEuclidExpr(centroids, col("vec")))
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[Row](1).map(_.getDouble(1).toFloat).toArray)
+        .toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Per-subspace Euclidean sub-quantizers (the residual-PQ trainer). */
+  def trainPqCodebooksEuclid(
+      candidates: DataFrame, // (id, vec)
+      dim: Int, m: Int, ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { s =>
+      trainCentroidsEuclid(
+        candidates.select(col("id"), slice(col("vec"), s * sub + 1, sub).as("vec")),
+        ksub, iters)
+    }.toArray
+  }
+
+  /** Euclidean PQ encoding — [[pqEncode]] with the argmin-distance
+    * objective (no per-slice norms needed). */
+  def pqEncodeEuclid(
+      candidates: DataFrame,
+      codebooks: Array[Array[Array[Float]]], dim: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    candidates.select((col("id") +: keep.map(col)) ++ (0 until m).map(s =>
+      assignEuclidExpr(codebooks(s), slice(col("vec"), s * sub + 1, sub))
+        .as(s"code$s")): _*)
   }
 
   /** PQ encoding: (id[, keep...], code0..code{m-1}) — each code the
@@ -359,6 +429,103 @@ object SimilaritySearch {
       codes.join(broadcast(qlut), Seq("cluster"))
         .filter(col("query_id") =!= col("id")),
       codebooks, k)
+  }
+
+  /**
+   * RESIDUAL-encoded IVFPQ — the full FAISS IVFADC layout (Jégou et
+   * al. 2011 "Product Quantization for Nearest Neighbor Search"):
+   * PQ codes quantize the RESIDUAL `r = v − μ_cell` instead of the
+   * raw vector. Residuals concentrate near zero, so the same m×ksub
+   * code budget spends its resolution on the informative part — the
+   * reconstruction `x̂ = μ_cell + r̂` is strictly finer-grained than
+   * non-residual codes at identical storage (specced: mean
+   * reconstruction error strictly below [[ivfPqTopK]]'s).
+   *
+   * Scoring decomposes exactly:
+   *   dot(q, x̂)  = dot(q, μ_c) + Σ_s lut_s[code_s]
+   *   ‖x̂‖²       = ‖μ_c‖² + 2·Σ_s cdot_s[c][code_s] + Σ_s ‖cb_s[code_s]‖²
+   * where `dot(q, μ_c)` rides the probe join (nprobe values per
+   * query), `cdot_s[c][k] = dot(μ_c|s, cb_s[k])` is a KB-sized
+   * driver-computed literal (numClusters × ksub per subspace), and
+   * the LUTs are the standard per-query tables over the residual
+   * codebooks. The scan side still reads m ints per row; every added
+   * term is an O(1) literal lookup inside the same codegen
+   * projection — residual encoding costs nothing at search time.
+   *
+   * Determinism: residuals are float-rounded exact subtractions
+   * (`(double(v_i) − double(μ_i))` rounded to float — each step
+   * exactly rounded, engine-independent), the sub-quantizers train on
+   * them with the shared seeded-Lloyd machinery, and every scoring
+   * addition is ordered to match the oracle's left-associative SQL.
+   */
+  def ivfPqResidualTopK(
+      queries: DataFrame, // (query_id, query_vec)
+      candidates: DataFrame, // (id, vec)
+      numClusters: Int, coarseIters: Int,
+      dim: Int, m: Int, ksub: Int, pqIters: Int,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = trainIvfCentroids(candidates, numClusters, coarseIters)
+    val centsD = cents.map(_.map(_.toDouble).toSeq).toSeq
+    val assigned = candidates
+      .withColumn("__vn", VectorFunctions.l2Norm(col("vec")))
+      .withColumn("cluster", assignExpr(cents, col("vec"), col("__vn")))
+    // residual, float-rounded (keeps the float training/encode
+    // machinery AND the oracle replay exact)
+    val resid = assigned.select(col("id"), col("cluster"),
+      zip_with(col("vec"), element_at(typedlit(centsD), col("cluster") + 1),
+        (a, b) => (a.cast("double") - b).cast("float")).as("vec"))
+    val codebooks = trainPqCodebooksEuclid(resid.select("id", "vec"), dim, m, ksub, pqIters)
+    val codes = pqEncodeEuclid(resid, codebooks, dim, keep = Seq("cluster"))
+    val qlut = pqQueryLut(
+      queries.withColumn("__pn", VectorFunctions.l2Norm(col("query_vec")))
+        .withColumn("cluster",
+          explode(probeExpr(cents, col("query_vec"), col("__pn"), nprobe)))
+        .drop("__pn")
+        .withColumn("__qmu", VectorFunctions.dot(col("query_vec"),
+          element_at(typedlit(centsD), col("cluster") + 1))),
+      codebooks, dim, keep = Seq(col("cluster"), col("__qmu")))
+    adcRankResidual(
+      codes.join(broadcast(qlut), Seq("cluster"))
+        .filter(col("query_id") =!= col("id")),
+      codebooks, cents, k)
+  }
+
+  /** Residual ADC scoring: the [[adcRank]] kernel plus the three
+    * centroid correction terms, every addition in the oracle's
+    * left-associative order. */
+  private def adcRankResidual(
+      joined: DataFrame, codebooks: Array[Array[Array[Float]]],
+      cents: Array[Array[Float]], k: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = cents(0).length / m
+    val sqArrs = codebooks.map(_.map(centNorm2).toSeq)
+    val muNorm2 = cents.map(centNorm2).toSeq
+    // cdot_s[c][k] = dot(μ_c|s, cb_s[k]) — left-to-right like
+    // list_dot_product
+    val cdArrs: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      cents.map { mu =>
+        codebooks(s).map { cb =>
+          var acc = 0.0; var i = 0
+          while (i < sub) { acc += mu(s * sub + i).toDouble * cb(i); i += 1 }
+          acc
+        }.toSeq
+      }.toSeq
+    }
+    val num = (Seq(col("__qmu")) ++ (0 until m).map(s =>
+      element_at(col(s"__lut$s"), col(s"code$s") + 1))).reduce(_ + _)
+    val cdSum = (0 until m).map(s =>
+      element_at(element_at(typedlit(cdArrs(s)), col("cluster") + 1),
+        col(s"code$s") + 1)).reduce(_ + _)
+    val norm2 = (Seq(
+      element_at(typedlit(muNorm2), col("cluster") + 1),
+      lit(2.0) * cdSum) ++
+      (0 until m).map(s => element_at(typedlit(sqArrs(s)), col(s"code$s") + 1)))
+      .reduce(_ + _)
+    val scored = joined.withColumn("cos",
+      round(when(col("__qn") * sqrt(norm2) === 0, 0.0)
+        .otherwise(num / (col("__qn") * sqrt(norm2))), 6))
+    val topk = TopKAgg.topK(k)
+    unpack(scored.groupBy("query_id").agg(topk(col("cos"), col("id")).as("tops")))
   }
 
   /**

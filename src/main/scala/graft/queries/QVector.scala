@@ -71,6 +71,94 @@ object QVector {
     * (the v05 machinery over the slice), emit final codes `afs$s` and
     * the per-query lookup table `lut$s` (sub-dot + sub-centroid squared
     * norm) the ADC scorer consumes. */
+  /** One RESIDUAL PQ subspace's oracle chain (v16): identical seeded
+    * Lloyd machinery over slices of the residual table `er`, plus the
+    * query-side LUT over RAW query slices (dot(q, r̂) decomposes on
+    * the raw q) and the per-(cell, code) centroid-dot correction
+    * `cd$s` the residual scorer needs. */
+  /** DuckDB replica of [[SimilaritySearch.assignEuclidExpr]]: argmin
+    * Euclidean distance via the 4-decimal-quantized `2·dot − ‖c‖²`
+    * surrogate (DESC), ties to the lower cluster. */
+  private def ivfAssignEuclid(cents: String, out: String, src: String): String =
+    s""", s_$out AS (SELECT n.vec_id, n.v, c.cluster,
+       |    round(2.0 * list_dot_product(n.v, c.v) - list_dot_product(c.v, c.v), 4) AS qd
+       |  FROM $src n CROSS JOIN $cents c),
+       |$out AS (SELECT vec_id, v, cluster FROM s_$out
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY qd DESC, cluster) = 1)""".stripMargin
+
+  private def pqResidSubCtes(s: Int, sub: Int, ksub: Int): String = {
+    val off = s * sub
+    s""", res$s AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS v FROM er),
+       |rc0s$s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+       |  FROM (SELECT vec_id, v FROM res$s ORDER BY vec_id LIMIT $ksub))""".stripMargin +
+      ivfAssignEuclid(s"rc0s$s", s"ra1s$s", src = s"res$s") +
+      ivfRecenter(s"ra1s$s", s"rc0s$s", s"rc1s$s", sub) +
+      ivfAssignEuclid(s"rc1s$s", s"ra2s$s", src = s"res$s") +
+      ivfRecenter(s"ra2s$s", s"rc1s$s", s"rc2s$s", sub) +
+      ivfAssignEuclid(s"rc2s$s", s"rafs$s", src = s"res$s") +
+      s""", qes$s AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS v FROM e WHERE vec_id < 10),
+         |rlut$s AS (SELECT q.vec_id AS query_id, c.cluster AS code,
+         |    list_dot_product(q.v, c.v) AS d, list_dot_product(c.v, c.v) AS sq
+         |  FROM qes$s q CROSS JOIN rc2s$s c),
+         |cd$s AS (SELECT cc.cluster, cb.cluster AS code,
+         |    list_dot_product(cc.v[${off + 1}:${off + sub}], cb.v) AS cd
+         |  FROM c2 cc CROSS JOIN rc2s$s cb)""".stripMargin
+  }
+
+  /** The v16 residual-IVFADC oracle: coarse replay (c0→af), the
+    * float-rounded residual table, per-subspace residual quantizers +
+    * LUTs + corrections, then the decomposed score
+    * (q·μ + Σlut) / (‖q‖·√(‖μ‖² + 2Σcdot + Σ‖r̂‖²)). */
+  private lazy val IvfPqResidualSql: String = N +
+    """, c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8))""".stripMargin +
+    ivfAssign("c0", "a1") + ivfRecenter("a1", "c0", "c1") +
+    ivfAssign("c1", "a2") + ivfRecenter("a2", "c1", "c2") +
+    ivfAssign("c2", "af") +
+    """, er AS (SELECT a.vec_id, a.cluster,
+      |    list_transform(range(1, 65),
+      |      i -> CAST(CAST(a.v[i] - c.v[i] AS REAL) AS DOUBLE)) AS v
+      |  FROM af a JOIN c2 c USING (cluster))""".stripMargin +
+    (0 until 4).map(s => pqResidSubCtes(s, sub = 16, ksub = 8)).mkString +
+    """, rcodes AS (SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1,
+      |    a2.cluster AS k2, a3.cluster AS k3
+      |  FROM rafs0 a0 JOIN rafs1 a1 USING (vec_id)
+      |    JOIN rafs2 a2 USING (vec_id) JOIN rafs3 a3 USING (vec_id)),
+      |mn AS (SELECT cluster, list_dot_product(v, v) AS m2 FROM c2),
+      |qmu AS (SELECT n.vec_id AS query_id, c.cluster, list_dot_product(n.v, c.v) AS d
+      |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 10),
+      |rqs AS (SELECT n.vec_id AS query_id, n.nrm AS qn, c.cluster,
+      |    round(CASE WHEN n.nrm * sqrt(list_dot_product(c.v, c.v)) = 0 THEN -1.0
+      |          ELSE list_dot_product(n.v, c.v) / (n.nrm * sqrt(list_dot_product(c.v, c.v))) END, 4) AS qcos
+      |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 10),
+      |rqp AS (SELECT query_id, qn, cluster FROM rqs
+      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cluster) <= 3),
+      |rsc AS (SELECT rqp.query_id, a.vec_id AS id,
+      |    round(CASE WHEN rqp.qn * sqrt(mn.m2 + 2*(cd0.cd + cd1.cd + cd2.cd + cd3.cd)
+      |                                  + l0.sq + l1.sq + l2.sq + l3.sq) = 0 THEN 0.0
+      |          ELSE (qmu.d + l0.d + l1.d + l2.d + l3.d)
+      |               / (rqp.qn * sqrt(mn.m2 + 2*(cd0.cd + cd1.cd + cd2.cd + cd3.cd)
+      |                                + l0.sq + l1.sq + l2.sq + l3.sq)) END, 6) AS cos
+      |  FROM rqp JOIN af a USING (cluster)
+      |  JOIN rcodes rc ON rc.vec_id = a.vec_id
+      |  JOIN mn ON mn.cluster = rqp.cluster
+      |  JOIN qmu ON qmu.query_id = rqp.query_id AND qmu.cluster = rqp.cluster
+      |  JOIN rlut0 l0 ON l0.query_id = rqp.query_id AND l0.code = rc.k0
+      |  JOIN rlut1 l1 ON l1.query_id = rqp.query_id AND l1.code = rc.k1
+      |  JOIN rlut2 l2 ON l2.query_id = rqp.query_id AND l2.code = rc.k2
+      |  JOIN rlut3 l3 ON l3.query_id = rqp.query_id AND l3.code = rc.k3
+      |  JOIN cd0 ON cd0.cluster = rqp.cluster AND cd0.code = rc.k0
+      |  JOIN cd1 ON cd1.cluster = rqp.cluster AND cd1.code = rc.k1
+      |  JOIN cd2 ON cd2.cluster = rqp.cluster AND cd2.code = rc.k2
+      |  JOIN cd3 ON cd3.cluster = rqp.cluster AND cd3.code = rc.k3
+      |  WHERE a.vec_id <> rqp.query_id)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
+      |  id, cos
+      |FROM rsc
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   private def pqSubCtes(s: Int, sub: Int, ksub: Int): String = {
     val off = s * sub
     s""", es$s AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS v FROM e),
@@ -504,6 +592,23 @@ object QVector {
           numClusters = 8, coarseIters = 2,
           dim = 64, m = 4, ksub = 8, pqIters = 2,
           shortlist = 25, k = 5, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // RESIDUAL-encoded IVFPQ (v16): true FAISS IVFADC — codes
+    // quantize v − μ_cell, the score decomposes into the probe-join
+    // q·μ term, the residual LUTs, and KB-sized centroid-dot literal
+    // corrections; same m ints per row on the scan side, strictly
+    // finer reconstruction at identical storage (specced vs v11).
+    QueryDef.of("v16_ann_ivfpq_residual", IvfPqResidualSql) { (s, dir) =>
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.ivfPqResidualTopK(queries, cands,
+          numClusters = 8, coarseIters = 2,
+          dim = 64, m = 4, ksub = 8, pqIters = 2, k = 5, nprobe = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },

@@ -886,9 +886,11 @@ class OperatorSpecs extends AnyFunSuite {
       .withColumn("rank", row_number().over(wQ)).filter(col("rank") <= k)
       .select("query_id", "id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = floatTop.keys.map { q =>
+    // NOTE keys.toSeq BEFORE map: mapping a Set would collapse
+    // duplicate per-query recall values and corrupt the mean
+    val recalls = floatTop.keys.toSeq.map { q =>
       intTop(q).intersect(floatTop(q)).size.toDouble / floatTop(q).size
-    }.toSeq
+    }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.7, s"mean int8 recall@$k $mean vs float IP ranking")
   }
@@ -920,11 +922,73 @@ class OperatorSpecs extends AnyFunSuite {
       .select("query_id", "id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val adc = a.map(r => (r._1, r._3)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = exact.keys.map(q => adc(q).intersect(exact(q)).size / 5.0).toSeq
+    val recalls = exact.keys.toSeq.map(q => adc(q).intersect(exact(q)).size / 5.0)
     val mean = recalls.sum / recalls.size
     val chance = 5.0 / (cands.count() - 1)
     assert(mean >= math.max(2 * chance, 0.15),
       s"mean PQ ADC recall@5 $mean vs exact cosine (chance floor $chance)")
+  }
+
+  test("residual IVFPQ: reconstruction strictly beats non-residual at the same code budget; deterministic") {
+    import graft.functions.VectorFunctions
+    val e = embeddings
+    val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val (nc, dim, m, ksub, sub) = (8, 64, 4, 8, 16)
+
+    // rebuild both quantizer stacks exactly as the operators do
+    val cents = SimilaritySearch.trainIvfCentroids(cands, nc, 2)
+    val centsD = cents.map(_.map(_.toDouble).toSeq).toSeq
+    val assigned = cands
+      .withColumn("__vn", VectorFunctions.l2Norm(col("vec")))
+      .withColumn("cluster", SimilaritySearch.assignExpr(cents, col("vec"), col("__vn")))
+    val resid = assigned.select(col("id"), col("cluster"),
+      zip_with(col("vec"), element_at(typedlit(centsD), col("cluster") + 1),
+        (a, b) => (a.cast("double") - b).cast("float")).as("vec"))
+    val cbR = SimilaritySearch.trainPqCodebooksEuclid(resid.select("id", "vec"), dim, m, ksub, 2)
+    val cbN = SimilaritySearch.trainPqCodebooks(cands, dim, m, ksub, 2)
+    val codesR = SimilaritySearch.pqEncodeEuclid(resid, cbR, dim, keep = Seq("cluster"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), (2 until 2 + m).map(r.getInt))).toMap
+    val codesN = SimilaritySearch.pqEncode(cands, cbN, dim)
+      .collect().map(r => r.getLong(0) -> (1 until 1 + m).map(r.getInt)).toMap
+    val vecs = cands.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+    def err2(v: Seq[Float], xhat: Array[Double]): Double =
+      v.zip(xhat).map { case (a, b) => val d = a - b; d * d }.sum
+    val (sumR, sumN) = vecs.keys.foldLeft((0.0, 0.0)) { case ((ar, an), id) =>
+      val v = vecs(id)
+      val (c, rcodes) = codesR(id)
+      val xR = Array.tabulate(dim) { i =>
+        cents(c)(i).toDouble + cbR(i / sub)(rcodes(i / sub))(i % sub) }
+      val xN = Array.tabulate(dim) { i =>
+        cbN(i / sub)(codesN(id)(i / sub))(i % sub).toDouble }
+      (ar + err2(v, xR), an + err2(v, xN))
+    }
+    assert(sumR < sumN,
+      s"residual recon error $sumR must beat non-residual $sumN at identical storage")
+
+    // end-to-end search: deterministic under layout; k rows per query
+    def run(c: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.ivfPqResidualTopK(queries, c,
+          numClusters = nc, coarseIters = 2, dim = dim, m = m, ksub = ksub,
+          pqIters = 2, k = 5, nprobe = 3)
+        .select("query_id", "rank", "id", "cos")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val a = run(cands)
+    assert(a === run(cands.repartition(11)))
+    assert(a.groupBy(_._1).forall(_._2.length == 5))
+
+    // recall@5 vs exact cosine must decisively beat chance
+    val exact = SimilaritySearch.bruteForceTopK(queries, cands, k = 5)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mine = a.map(t => (t._1, t._3)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map(q => mine(q).intersect(exact(q)).size / 5.0).sum / exact.size
+    val chance = 5.0 / (cands.count() - 1)
+    assert(recall >= math.max(2 * chance, 0.15), s"residual IVFPQ recall@5 $recall")
   }
 
   test("Quantiles.exactPercentiles equals the naive sorted-pick on seeded data incl. duplicates") {
@@ -1132,7 +1196,7 @@ class OperatorSpecs extends AnyFunSuite {
       assert(math.abs(exactAll((q, id)) - cos) < 1e-9, s"($q,$id) not exact")
     }
     def recall(sel: Map[Long, Set[Long]]) =
-      exactTop.keys.map(q => sel.getOrElse(q, Set.empty[Long])
+      exactTop.keys.toSeq.map(q => sel.getOrElse(q, Set.empty[Long])
         .intersect(exactTop(q)).size / 5.0).sum / exactTop.size
     val rrRecall = recall(rr.map(r => (r._1, r._3))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)

@@ -470,5 +470,34 @@ object QRelational {
           sum("n_chars").as("chars"),
           countDistinct(md5(col("text"))).as("n_uniq"))
         .orderBy("source")
+    },
+
+    // Z-ordered clustered write round trip (Sinks.writeZOrdered): the
+    // events stream is rewritten clustered along a Morton curve over
+    // (user_id, epoch seconds) — the Delta/Iceberg OPTIMIZE ZORDER
+    // recipe as a range shuffle over a codegen'd bit-interleave. The
+    // oracle gates CONTENT (multiset-equivalent aggregate vs the
+    // original table: any row lost/duplicated/mutated by the rewrite
+    // breaks a bucket); ClusteredWriteSpec gates the LAYOUT (per-file
+    // min/max tight on BOTH dimensions, point scans touch ≤2 files).
+    QueryDef.of("s18_zorder_roundtrip",
+      """SELECT user_id % 64 AS bucket, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(epoch_us(ts) // 1000000) AS BIGINT) AS ts_sum,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val out = scratch(dir, "s18_zorder")
+      graft.io.Sinks.writeZOrdered(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"),
+          round(col("value") * 100).cast("long").as("cents")),
+        out, Seq("user_id", "ts_s"), numFiles = 8, bits = 10)
+      s.read.parquet(out)
+        .groupBy((col("user_id") % 64).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum("event_id").as("id_sum"),
+          sum("ts_s").as("ts_sum"),
+          sum("cents").as("cents"))
+        .orderBy("bucket")
     })
 }

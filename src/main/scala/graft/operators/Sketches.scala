@@ -213,4 +213,73 @@ object Sketches {
         size(col("__ks")).cast("long").as("n_kept"),
         kmvEstimate(col("__ks"), k).as("est_distinct")): _*)
   }
+
+  // ── Count-Min sketch ────────────────────────────────────────────
+  // Approximate per-item FREQUENCIES in depth·width counters (public
+  // method: Cormode & Muthukrishnan 2005 "An improved data stream
+  // summary: the count-min sketch and its applications"). The member
+  // the synopsis family was missing: KMV answers "how many DISTINCT",
+  // TopKAgg heavy hitters answer "which items exactly", CMS answers
+  // "about how often is ANY item" in O(d·w) state — mergeable by
+  // counter addition, so per-partition / per-day partials compose
+  // exactly (the mergeBinnedHistograms idiom for counts). Guarantees:
+  // est ≥ true always (hash collisions only ADD); est ≤ true + εN
+  // with ε = e/width under random hashing. Deterministic: counters
+  // are pure functions of the value multiset via the portable 60-bit
+  // md5 hash, so DuckDB replays every cell and estimate bit-exactly.
+
+  /** Row-r CMS bucket of `c`: portable-hash of the salted value,
+    * mod width. The salt string makes the d rows independent hashes
+    * of the SAME value (the standard seeded-family construction). */
+  private def cmsBucket(c: Column, r: Int, width: Int): Column =
+    pmod(ScalarFunctions.md5Long(concat(lit(s"cms$r:"), c.cast("string"))),
+      lit(width.toLong))
+
+  private def cmsPairs(c: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(c, r, width).as("b"))): _*))
+
+  /**
+   * Build the sketch: a DataFrame of `(r, b, c)` counter cells —
+   * ≤ depth·width rows REGARDLESS of input size. One hash
+   * aggregation whose exchange is bounded at depth·width cells per
+   * task by partial aggregation (each input row increments exactly
+   * `depth` cells). Rows with a NULL value are skipped (no item).
+   */
+  def cmsBuild(df: DataFrame, valueCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    df.filter(col(valueCol).isNotNull)
+      .select(cmsPairs(col(valueCol), depth, width).as("p"))
+      .select(col("p.r").as("r"), col("p.b").as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge partial sketches (same depth/width) by counter addition —
+    * union of builds over disjoint slices ≡ one build over the
+    * concatenation, EXACTLY (specced). The persist-and-merge synopsis
+    * idiom: store each day's d·w cells, fold them at read time. */
+  def cmsMerge(parts: DataFrame): DataFrame =
+    parts.groupBy("r", "b").agg(sum("c").as("c"))
+
+  /**
+   * Point-query the sketch: for each distinct value of
+   * `items(valueCol)`, `est_count` = min over the d counters it
+   * hashes to (an absent cell counts 0). Like every CMS, an unseen
+   * value estimates its collision mass — 0 only if one of its d
+   * cells is empty, otherwise up to εN — the one-sided error the
+   * est ≥ true guarantee trades for bounded state. The sketch side
+   * is KB-sized by construction, so it BROADCASTS; the probe is a
+   * map-side join at any item count.
+   */
+  def cmsEstimate(
+      sketch: DataFrame, items: DataFrame, valueCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    items.filter(col(valueCol).isNotNull)
+      .select(col(valueCol), cmsPairs(col(valueCol), depth, width).as("p"))
+      .select(col(valueCol), col("p.r").as("r"), col("p.b").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"), "left")
+      .groupBy(valueCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+  }
 }

@@ -560,5 +560,41 @@ object QAgg {
       graft.operators.Quantiles.exactPercentilesWeighted(
         Tables.documents(s, dir), "n_chars", "n_chars",
         Seq(0.25, 0.5, 0.9))
+    },
+
+    // A24 (beyond-reference corpus stats): COUNT-MIN sketch — the
+    // approximate-frequency member of the synopsis family (Cormode &
+    // Muthukrishnan 2005; KMV = distinct, t44 = exact heavy hitters,
+    // CMS = any-item counts in depth·width state). The query builds
+    // the sketch as THREE disjoint-slice partials merged by counter
+    // addition (merged ≡ one-shot is spec-pinned, so the oracle
+    // replays the one-shot build), then point-queries 20 users.
+    // Counters are pure functions of the value multiset via the
+    // portable salted md5 hash — DuckDB replays every cell.
+    QueryDef.of("a24_cms_counts",
+      """WITH rr AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+        |p AS (SELECT rr.r,
+        |    ('0x' || substr(md5('cms' || rr.r || ':' || CAST(user_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 64 AS b
+        |  FROM events CROSS JOIN rr),
+        |sk AS (SELECT r, b, count(*) AS c FROM p GROUP BY r, b),
+        |it AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+        |ip AS (SELECT it.user_id, rr.r,
+        |    ('0x' || substr(md5('cms' || rr.r || ':' || CAST(it.user_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 64 AS b
+        |  FROM it CROSS JOIN rr)
+        |SELECT user_id, CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est_count
+        |FROM ip LEFT JOIN sk USING (r, b)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val (d, w) = (4, 64)
+      val sk = graft.operators.Sketches.cmsMerge(
+        (0 until 3).map(k => graft.operators.Sketches.cmsBuild(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), "user_id", d, w))
+          .reduce(_ union _))
+      graft.operators.Sketches.cmsEstimate(
+          sk, ev.select("user_id").distinct().filter(col("user_id") < 20),
+          "user_id", d, w)
+        .orderBy("user_id")
     })
 }

@@ -404,4 +404,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("a24: CMS builds with map-side partial counts and the probe join broadcasts the sketch") {
+    // each build partial is a plain HashAggregate(partial count) —
+    // bounded at depth*width cells per task; the estimate side must
+    // join the KB-sized sketch via broadcast, never a shuffle of the
+    // probe items against corpus-sized state
+    val p = plan("a24_cms_counts")
+    assert(p.contains("HashAggregate"), p)
+    assert("partial_count".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), p)
+  }
 }

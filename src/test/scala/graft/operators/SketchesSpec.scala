@@ -118,4 +118,65 @@ class SketchesSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("pairwise matrix"))
   }
+
+  // ── Count-Min sketch ────────────────────────────────────────────
+
+  /** Zipf-ish multiset: item i appears ceil(n/i) times. */
+  private def zipf(items: Int, n: Int) =
+    (1 to items).flatMap(i => Seq.fill(math.ceil(n.toDouble / i).toInt)(s"item$i"))
+      .toDF("v")
+
+  test("CMS: estimate >= true count always; unseen items within collision mass; bounded size") {
+    val (d, w) = (4, 64)
+    val df = zipf(200, 500)
+    val n = df.count()
+    val sk = Sketches.cmsBuild(df, "v", d, w)
+    assert(sk.count() <= d.toLong * w, "sketch exceeded depth*width cells")
+    // every cell row index in range, every counter positive
+    val rng = sk.agg(min("r"), max("r"), min("b"), max("b"), min("c"))
+      .as[(Int, Int, Long, Long, Long)].head()
+    assert(rng._1 >= 0 && rng._2 < d && rng._3 >= 0 && rng._4 < w && rng._5 > 0)
+
+    val truth = df.groupBy("v").count().as[(String, Long)].collect().toMap
+    val items = (1 to 200).map(i => s"item$i").toDF("v")
+      .union(Seq("never-seen-a", "never-seen-b").toDF("v"))
+    val est = Sketches.cmsEstimate(sk, items, "v", d, w)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (v, t) =>
+      assert(est(v) >= t, s"$v: CMS $est must never under-count (true $t)")
+    }
+    // empirical accuracy on the fixture: within the e/w * N additive
+    // band (deterministic here — the hashes are fixed). Unseen items
+    // have true count 0, so the same band caps their collision mass.
+    val eps = math.E / w
+    val truthAll = truth ++ Map("never-seen-a" -> 0L, "never-seen-b" -> 0L)
+    truthAll.foreach { case (v, t) =>
+      assert(est(v) <= t + math.ceil(eps * n).toLong,
+        s"$v: est ${est(v)} above true $t + eps*N")
+    }
+  }
+
+  test("CMS merge of disjoint-slice partials equals the one-shot sketch exactly") {
+    val (d, w) = (4, 32)
+    val df = zipf(100, 300)
+    val slices = Seq(
+      df.filter(length(col("v")) <= 6), // item1..item9
+      df.filter(length(col("v")) === 7),
+      df.filter(length(col("v")) >= 8))
+    val merged = Sketches.cmsMerge(
+      slices.map(s => Sketches.cmsBuild(s, "v", d, w)).reduce(_ union _))
+      .as[(Int, Long, Long)].collect().toSet
+    val oneShot = Sketches.cmsBuild(df, "v", d, w)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === oneShot)
+  }
+
+  test("CMS is layout- and order-invariant (pure function of the multiset)") {
+    val (d, w) = (3, 16)
+    val df = zipf(50, 100)
+    val a = Sketches.cmsBuild(df, "v", d, w).as[(Int, Long, Long)].collect().toSet
+    val b = Sketches.cmsBuild(df.repartition(13).orderBy(desc("v")), "v", d, w)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(a === b)
+  }
 }

@@ -1592,5 +1592,66 @@ object QText {
         .select(col("id").as("doc_id"), col("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // T47: URL canonicalization (UrlFunctions.normalizeUrl) — the
+    // CCNet/RefinedWeb normalization that URL-keyed dedup and
+    // per-domain quotas depend on. Synthetic URLs built from the
+    // documents table cover every rule branch: case-folding of
+    // scheme/host, default-port drop vs non-default keep, fragment
+    // drop, tracking-param removal, byte-wise query sort, empty-path
+    // '/'. Map-only over Spark built-ins (regex + higher-order array
+    // ops, no UDF); the oracle replays each rule verbatim in DuckDB.
+    QueryDef.of("t47_url_normalize",
+      """WITH raw AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/p/' ||
+        |      CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://Node-' || source || '.ORG:8443/a/b?z=9&y=8'
+        |    WHEN 2 THEN 'https://' || source || '.net:443'
+        |    ELSE 'ftp://Files.' || source || '.io/data#sec' END AS url
+        |  FROM documents),
+        |t AS (SELECT doc_id, trim(url) AS u FROM raw),
+        |p1 AS (SELECT doc_id, u,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest0
+        |  FROM t),
+        |p2 AS (SELECT *, regexp_extract(rest0, '^([^/?#]*)', 1) AS hp FROM p1),
+        |p3 AS (SELECT *,
+        |    lower(regexp_replace(hp, ':[0-9]+$', '')) AS host,
+        |    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+        |    substr(rest0, length(hp) + 1) AS rest
+        |  FROM p2),
+        |p4 AS (SELECT *,
+        |    regexp_extract(rest, '^([^?#]*)', 1) AS path,
+        |    regexp_extract(rest, '\?([^#]*)', 1) AS query FROM p3),
+        |p5 AS (SELECT *,
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|fbclid|gclid)(=.*)?$'))), '&'), '') AS q
+        |  FROM p4)
+        |SELECT doc_id,
+        |  CASE WHEN scheme = '' THEN u ELSE scheme || '://' || host ||
+        |    CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+        |           OR (scheme = 'https' AND port = '443'))
+        |         THEN ':' || port ELSE '' END ||
+        |    CASE WHEN path = '' THEN '/' ELSE path END ||
+        |    CASE WHEN q = '' THEN '' ELSE '?' || q END END AS url_norm,
+        |  host
+        |FROM p5 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val url = (when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/p/"),
+            col("doc_id").cast("string"), lit("?utm_source=x&b=2&a=1#frag")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("https://Node-"), col("source"), lit(".ORG:8443/a/b?z=9&y=8")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://"), col("source"), lit(".net:443")))
+        .otherwise(
+          concat(lit("ftp://Files."), col("source"), lit(".io/data#sec"))))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          graft.functions.UrlFunctions.normalizeUrl(col("url")).as("url_norm"),
+          graft.functions.UrlFunctions.urlHost(col("url")).as("host"))
+        .orderBy("doc_id")
     })
 }

@@ -233,6 +233,46 @@ class ScalarFunctionsSpec extends AnyFunSuite {
   }
 }
 
+/** URL canonicalization edge cases the t47 oracle's corpus sweep
+  * can't isolate: rule-by-rule fixtures plus idempotence. */
+class UrlFunctionsSpec extends AnyFunSuite {
+  import graft.SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlFunctions.normalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("normalizeUrl: case, ports, fragments, tracking params, sort, empty path") {
+    assert(norm(
+      "HTTP://WWW.Ex.COM:80/p?utm_source=x&b=2&a=1#frag", // all rules at once
+      "https://host.org:443",                             // default port + empty path
+      "https://host.org:8443/a",                          // non-default port kept
+      "http://h.io/p?utm_campaign=z&fbclid=1&gclid",      // query empties out
+      "ftp://Files.IO/data#sec",                          // other scheme untouched ports
+      "  http://t.co/x  "                                 // trim
+    ) === Seq(
+      "http://www.ex.com/p?a=1&b=2",
+      "https://host.org/",
+      "https://host.org:8443/a",
+      "http://h.io/p",
+      "ftp://files.io/data",
+      "http://t.co/x"))
+  }
+
+  test("normalizeUrl: non-absolute input passes through trimmed; idempotent on its output") {
+    assert(norm(" not a url ", "www.host.com/p") === Seq("not a url", "www.host.com/p"))
+    val once = norm("HTTPS://A.B:443/x?b=2&a=1&utm_x=9#f")
+    assert(norm(once.head) === once, "normalizeUrl must be idempotent")
+  }
+
+  test("urlHost extracts the lowercase port-free host") {
+    val hosts = Seq("HTTP://WWW.Ex.COM:8080/p", "https://a.b.c/", "ftp://X.Y")
+      .toDF("u").select(UrlFunctions.urlHost(col("u"))).as[String].collect().toSeq
+    assert(hosts === Seq("www.ex.com", "a.b.c", "x.y"))
+  }
+}
+
 class TopKAggSpec extends AnyFunSuite {
   import graft.plans.TopKAgg
 

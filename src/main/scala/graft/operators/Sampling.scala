@@ -240,6 +240,31 @@ object Sampling {
     require(budgets.nonEmpty, "budgets must name at least one group")
     import df.sparkSession.implicits._
     val budgetDf = budgets.toSeq.sortBy(_._1).toDF("__grp", "__budget")
+    perGroupCore(df, groupCol, scoreCol, idCol, tokCol, maxBuckets,
+      classified => classified.join(broadcast(budgetDf), Seq("__grp")))
+  }
+
+  /**
+   * UNIFORM per-group cap — every group gets the same budget, so no
+   * group list is needed up front: the per-DOMAIN quota of web-corpus
+   * curation (public CCNet / RefinedWeb / Dolma recipe: cap any one
+   * host's contribution so megasites don't dominate the corpus; the
+   * domain set is discovered from the data, millions strong — a
+   * static budget map cannot name it). Identical two-phase bounded
+   * machinery as [[selectToBudgetPerGroup]]; the budget rides as a
+   * literal instead of a broadcast lookup.
+   */
+  def selectToBudgetPerGroupUniform(
+      df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
+      tokCol: String, budgetPerGroup: Long,
+      maxBuckets: Int = 1 << 20): DataFrame =
+    perGroupCore(df, groupCol, scoreCol, idCol, tokCol, maxBuckets,
+      classified => classified.withColumn("__budget", lit(budgetPerGroup)))
+
+  private def perGroupCore(
+      df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
+      tokCol: String, maxBuckets: Int,
+      attachBudget: DataFrame => DataFrame): DataFrame = {
     // persisted for the probe + window + both downstream filters;
     // catalog-managed cache (see selectToBudget)
     val buckets = df.groupBy(col(groupCol).as("__grp"), col(scoreCol).as("__score"))
@@ -255,9 +280,8 @@ object Sampling {
         "maxBuckets deliberately.")
     val wb = Window.partitionBy(col("__grp")).orderBy(col("__score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val classified = buckets
-      .withColumn("__cum_before", coalesce(sum(col("__btoks")).over(wb), lit(0L)))
-      .join(broadcast(budgetDf), Seq("__grp"))
+    val classified = attachBudget(buckets
+      .withColumn("__cum_before", coalesce(sum(col("__btoks")).over(wb), lit(0L))))
     val fullKeep = classified
       .filter(col("__cum_before") + col("__btoks") <= col("__budget"))
       .select(col("__grp"), col("__score"))

@@ -1653,5 +1653,55 @@ object QText {
           graft.functions.UrlFunctions.normalizeUrl(col("url")).as("url_norm"),
           graft.functions.UrlFunctions.urlHost(col("url")).as("host"))
         .orderBy("doc_id")
+    },
+
+    // T48: per-DOMAIN quota (Sampling.selectToBudgetPerGroupUniform
+    // over UrlFunctions.urlHost) — cap any one host's contribution at
+    // 3000 chars, preferring longer docs, ties by doc_id. The CCNet/
+    // RefinedWeb "don't let megasites dominate" pass: the domain set
+    // is DISCOVERED from the data (t47's synthetic URLs → ~80 hosts
+    // at sf0.01), so the uniform-cap form is the only one that
+    // scales — a static budget map cannot name a million hosts.
+    // Oracle: naive per-host ordered cumulative sum; the engine runs
+    // the grouped two-phase bounded form (bucket prefix sums + ≤1
+    // ranked boundary bucket per host).
+    QueryDef.of("t48_domain_quota",
+      """WITH raw AS (SELECT doc_id, n_chars, CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/p/' ||
+        |      CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://Node-' || source || '.ORG:8443/a/b?z=9&y=8'
+        |    WHEN 2 THEN 'https://' || source || '.net:443'
+        |    ELSE 'ftp://Files.' || source || '.io/data#sec' END AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, n_chars,
+        |    lower(regexp_replace(regexp_extract(
+        |      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        |      '^([^/?#]*)', 1), ':[0-9]+$', '')) AS host
+        |  FROM raw),
+        |s AS (SELECT doc_id, host, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY host
+        |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h)
+        |SELECT doc_id, host, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM s WHERE cum <= 3000 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val url = (when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/p/"),
+            col("doc_id").cast("string"), lit("?utm_source=x&b=2&a=1#frag")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("https://Node-"), col("source"), lit(".ORG:8443/a/b?z=9&y=8")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://"), col("source"), lit(".net:443")))
+        .otherwise(
+          concat(lit("ftp://Files."), col("source"), lit(".io/data#sec"))))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"), col("n_chars"))
+        .select(col("doc_id"),
+          graft.functions.UrlFunctions.urlHost(col("url")).as("host"),
+          col("n_chars"), col("n_chars").cast("double").as("score"))
+      graft.operators.Sampling.selectToBudgetPerGroupUniform(
+          scored, "host", "score", "doc_id", "n_chars", budgetPerGroup = 3000L)
+        .select("doc_id", "host", "n_chars")
+        .orderBy("doc_id")
     })
 }

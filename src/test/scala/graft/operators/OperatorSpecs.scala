@@ -1307,6 +1307,27 @@ class OperatorSpecs extends AnyFunSuite {
     assert(!gotGroups.contains("c"), "group without a budget must be dropped")
   }
 
+  test("selectToBudgetPerGroupUniform equals the map form with every group at the same cap") {
+    val rows = (0 until 300).map { i =>
+      val grp = Seq("a", "b", "c")(i % 3)
+      (i.toLong, grp, math.round((i % 7) / 10.0 * 1e6) / 1e6, 10L + i % 5)
+    }
+    val df = rows.toDF("id", "grp", "score", "toks")
+    val uniform = Sampling.selectToBudgetPerGroupUniform(
+        df, "grp", "score", "id", "toks", budgetPerGroup = 200L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val viaMap = Sampling.selectToBudgetPerGroup(
+        df, "grp", "score", "id", "toks",
+        budgets = Map("a" -> 200L, "b" -> 200L, "c" -> 200L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(uniform === viaMap)
+    assert(uniform.nonEmpty)
+    // and the uniform form keeps DISCOVERED groups (no map to name them)
+    val groups = df.filter(col("id").isin(uniform: _*))
+      .select("grp").distinct().as[String].collect().toSet
+    assert(groups === Set("a", "b", "c"))
+  }
+
   test("Chunking.slidingTokenChunks: coverage, overlap, tail, empty doc") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 3 chunks at (4,2)

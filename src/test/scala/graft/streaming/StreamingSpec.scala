@@ -482,4 +482,44 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Double, Double)].collect().toMap
     assert(qa === qb, "quantiles off the merged synopsis must equal the one-shot picks")
   }
+
+  test("foreachBatch incremental Count-Min sketch equals the one-shot sketch and estimates") {
+    implicit val sqlCtx = spark.sqlContext
+    // frequency accounting at the daily-pull cadence: per micro-batch,
+    // build the CMS cells of the new arrivals and APPEND to the
+    // persisted synopsis (here a driver buffer; in production a
+    // parquet table of (r, b, c) rows per day). cmsMerge over the
+    // accumulated partials must equal the one-shot sketch exactly —
+    // counters add, associative — and so must every point estimate.
+    val sk = graft.operators.Sketches
+    val (d, w) = (4, 32)
+    val batches = Seq(
+      (1 to 40).map(i => s"item${i % 10}"),
+      (1 to 60).map(i => s"item${i % 15}"),
+      (1 to 30).map(i => s"item${i % 5}"))
+    val partials = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val input = MemoryStream[String]
+    val query = input.toDF().toDF("v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        partials ++= sk.cmsBuild(batch.toDF(), "v", d, w)
+          .as[(Int, Long, Long)].collect()
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { bt => input.addData(bt); query.processAllAvailable() }
+    } finally query.stop()
+    val merged = sk.cmsMerge(partials.toSeq.toDF("r", "b", "c"))
+      .as[(Int, Long, Long)].collect().toSet
+    val oneShot = sk.cmsBuild(batches.flatten.toDF("v"), "v", d, w)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === oneShot,
+      "incrementally accumulated cells must merge to the one-shot sketch")
+    val items = (0 until 15).map(i => s"item$i").toDF("v")
+    val ea = sk.cmsEstimate(sk.cmsMerge(partials.toSeq.toDF("r", "b", "c")),
+      items, "v", d, w).as[(String, Long)].collect().toMap
+    val eb = sk.cmsEstimate(sk.cmsBuild(batches.flatten.toDF("v"), "v", d, w),
+      items, "v", d, w).as[(String, Long)].collect().toMap
+    assert(ea === eb, "estimates off the merged synopsis must equal the one-shot's")
+  }
 }

@@ -52,13 +52,14 @@ object SparkEntry {
     "a01_pivot_matrix", "a05_event_kernel", "a08_union_explode_agg",
     "a10_scenario_weighted", "a17_exact_percentiles", "a18_grouped_percentiles",
     "a19_kmv_distinct", "a20_approx_percentiles", "a21_kmv_overlap",
-    "a22_histogram_synopsis", "a23_weighted_percentiles",
+    "a22_histogram_synopsis", "a23_weighted_percentiles", "a24_cms_counts",
     "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
     "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",
     "ses06_interval_join",
     "x01_stateful_fold_balance",
     "o01_global_sort_limit", "s01_scan_pushdown", "s17_compact_roundtrip",
+    "s18_zorder_roundtrip",
     "f05_hash_ids",
     "t01_text_quality", "t06_ngram_jaccard_pairs", "t07_minhash_lsh_pairs",
     "t08_simhash_pairs", "t09_dup_clusters", "t12_decontaminate",
@@ -71,11 +72,12 @@ object SparkEntry {
     "t37_leakfree_split", "t38_bpe_train", "t39_dsir_resample",
     "t40_html_extract", "t41_packing_bpe", "t42_langid_ngram",
     "t43_pack_boundaries", "t44_topk_tokens", "t45_quality_classifier", "t46_quality_filter",
+    "t47_url_normalize", "t48_domain_quota",
     "v01_ann_brute_topk", "v02_ann_lsh_topk", "v03_embed_neardup_brute",
     "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
     "v09_ann_index_upsert", "v10_ann_pq_adc", "v11_ann_ivfpq",
     "v12_ann_pq_persisted", "v13_cluster_balanced_sample",
-    "v14_ann_ivfpq_rerank", "v15_ann_filtered",
+    "v14_ann_ivfpq_rerank", "v15_ann_filtered", "v16_ann_ivfpq_residual",
     "sql01_extension_surface",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",
     "pbp03_pitcher_standardize")

@@ -62,6 +62,8 @@ object EventsScaleSmoke {
         usersTrue: Long, usersEst: Long, valSketch: Seq[Long],
         overlap: Seq[(String, String, Long, Long)],
         exactOverlap: Map[(String, String), (Long, Long)],
+        cmsCells: Long, cmsMergedEqual: Boolean,
+        cmsEst: Map[Long, Long], cmsTrue: Map[Long, Long],
         wallSec: Double, writeBytes: Long, stages: Map[Int, (Long, Long, Long)])
 
     val runs = scales.map { c =>
@@ -153,6 +155,33 @@ object EventsScaleSmoke {
         (g1, g2) -> (perType(g1) + perType(g2) - i, i)
       }.toMap
 
+      // Count-Min sketch (a24): the one-shot sketch over the scaled
+      // corpus vs per-copy partials merged by counter addition — the
+      // daily-ingest layout — must agree CELL-FOR-CELL; per-user
+      // estimates must dominate the exact counts (the CMS one-sided
+      // guarantee) at every scale
+      val sk = graft.operators.Sketches
+      val (cd, cw) = (4, 1024)
+      val oneShotDf = sk.cmsBuild(evts, "user_id", cd, cw)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val oneShot = oneShotDf
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val cmsCells = oneShot.size.toLong
+      val merged = sk.cmsMerge(
+          (0 until c).map(k => sk.cmsBuild(
+            evts.filter(col("user_id") >= k * 10000000L &&
+              col("user_id") < (k + 1) * 10000000L), "user_id", cd, cw))
+            .reduce(_ unionByName _))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val cmsMergedEqual = merged == oneShot
+      val probeUsers = evts.filter(col("user_id") < 10)
+      val cmsEst = sk.cmsEstimate(
+          oneShotDf, probeUsers.select("user_id").distinct(), "user_id", cd, cw)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cmsTrue = probeUsers.groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      oneShotDf.unpersist()
+
       val wall = (System.nanoTime() - t0) / 1e9
       evts.unpersist()
       Thread.sleep(1000) // bound listener-bus delivery lag
@@ -163,7 +192,8 @@ object EventsScaleSmoke {
         f"users_true=$usersTrue users_est=$usersEst " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
       Run(c, n, sessions, statRows, asofMatches, ivMatches, winRows, winN, foldSum,
-        usersTrue, usersEst, valSketch, overlap, exactOverlap, wall, bytes, stages)
+        usersTrue, usersEst, valSketch, overlap, exactOverlap,
+        cmsCells, cmsMergedEqual, cmsEst, cmsTrue, wall, bytes, stages)
     }
 
     val r1 = runs.head
@@ -219,6 +249,19 @@ object EventsScaleSmoke {
         check(iErr <= 0.35,
           f"a21 intersection estimate within 35%% at ${r.scale}x $g1~$g2 " +
             f"(est=$estI true=$exI relErr=$iErr%.3f)")
+      }
+      // a24 CMS gates: bounded cells, merged partials ≡ one-shot,
+      // est ≥ true per probed user, and within the e/w additive band
+      check(r.cmsCells <= 4L * 1024,
+        s"a24 CMS cells bounded at ${r.scale}x (${r.cmsCells} <= 4096)")
+      check(r.cmsMergedEqual,
+        s"a24 CMS per-copy partials merge to the one-shot sketch at ${r.scale}x")
+      val band = math.ceil(math.E / 1024 * r.n).toLong
+      r.cmsTrue.foreach { case (u, t) =>
+        val e = r.cmsEst(u)
+        check(e >= t && e <= t + band,
+          s"a24 CMS estimate for user $u in [true, true+eN] at ${r.scale}x " +
+            s"(est=$e true=$t band=$band)")
       }
     }
     // shared shuffle/skew gates ([[SmokeGates]]) — every consecutive

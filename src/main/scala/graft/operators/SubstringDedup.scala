@@ -73,4 +73,42 @@ object SubstringDedup {
         count(lit(1)).as("n_positions"))
       .drop("__grp")
   }
+
+  /**
+   * The CUT step that completes the Lee et al. pipeline: remove every
+   * duplicated region from each document and reassemble the survivors
+   * — `(id, clean_text, n_tokens, n_cut)` over the SAME canonical
+   * token stream [[duplicatedSpans]] indexes (positions align by
+   * construction; cutting raw text on canonical positions would
+   * mis-slice around punctuation). Documents with no duplicated span
+   * pass through with `n_cut = 0`; a fully-duplicated document
+   * becomes the empty string — the caller drops or keeps it by
+   * `n_tokens − n_cut`.
+   *
+   * Scale shape: [[duplicatedSpans]]' cost plus ONE equi-join of the
+   * per-doc span lists back to the corpus on the id (span lists are
+   * bounded by document length — they ride a row, never a shuffle of
+   * corpus text), and the cut itself is an in-row higher-order
+   * `filter` over (token, position) — codegen, no explode of the
+   * corpus tokens.
+   */
+  def cutDuplicatedSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spanType = "array<struct<span_start:bigint,span_end:bigint>>"
+    val spans = duplicatedSpans(docs, idCol, textCol, n)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    docs
+      .select(col(idCol),
+        TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("__spans", coalesce(col("__spans"), array().cast(spanType)))
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !exists(col("__spans"), s =>
+          i.cast("long") >= s("span_start") && i.cast("long") < s("span_end"))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_cut"))
+  }
 }

@@ -1238,6 +1238,56 @@ object QText {
         .orderBy("doc_id", "span_start")
     },
 
+    // T49: duplicated-span CUTTING (SubstringDedup.cutDuplicatedSpans)
+    // — the removal step of Lee et al. 2021's substring dedup: t24
+    // finds maximal duplicated regions, this cuts them and reassembles
+    // the survivors over the same canonical token stream (same
+    // injected cross-doc duplicate as t24 so every doc_id % 7 == 0 doc
+    // loses the planted sentence). The oracle rebuilds the spans with
+    // t24's CTE chain, then keeps exactly the uncovered positions via
+    // a correlated NOT EXISTS and reassembles with an ordered
+    // string_agg.
+    QueryDef.of("t49_cut_dup_spans",
+      s"""WITH raw AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |    THEN text || ' the quick brown fox jumps over the lazy dog again'
+         |    ELSE text END AS text FROM documents),
+         |d AS (SELECT doc_id, ${ctoksOf("text")} AS t FROM raw),
+         |g AS (SELECT doc_id,
+         |    unnest(range(0, greatest(len(t) - 4, 0))) AS pos,
+         |    unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+         |      i -> md5(array_to_string(t[i:i+4], ' ')))) AS h
+         |  FROM d),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+         |isl AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+         |         THEN 0 ELSE 1 END AS nw
+         |  FROM hits),
+         |grp AS (SELECT doc_id, pos,
+         |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM isl),
+         |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end
+         |  FROM grp GROUP BY doc_id, grp),
+         |p AS (SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS tk FROM d),
+         |kept AS (SELECT doc_id, pos, tk FROM p
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_id = p.doc_id AND p.pos >= sp.span_start
+         |      AND p.pos < sp.span_end))
+         |SELECT d.doc_id,
+         |  coalesce((SELECT string_agg(k.tk, ' ' ORDER BY k.pos) FROM kept k
+         |            WHERE k.doc_id = d.doc_id), '') AS clean_text,
+         |  CAST(len(d.t) AS BIGINT) AS n_tokens,
+         |  CAST(len(d.t) - (SELECT count(*) FROM kept k WHERE k.doc_id = d.doc_id)
+         |    AS BIGINT) AS n_cut
+         |FROM d ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val injected = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" the quick brown fox jumps over the lazy dog again")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.SubstringDedup.cutDuplicatedSpans(injected, "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+
     // Source-mixture sampling (Mixture.sampleToMix): target weights
     // derived from the source index (w = idx % 4 + 1), scaled so the
     // binding source keeps everything; acceptance is the portable

@@ -606,6 +606,29 @@ class OperatorSpecs extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet)
   }
 
+  test("cutDuplicatedSpans removes exactly the flagged regions; clean docs pass; full dup empties") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"unique opening words here $shared trailing bit"),
+      (2L, s"$shared totally different ending content"),
+      (3L, "no duplicated content lives in this one at all"),
+      (4L, shared)) // exactly the shared run — fully duplicated
+      .toDF("doc_id", "text")
+    val r = SubstringDedup.cutDuplicatedSpans(docs, "doc_id", "text", n = 5)
+      .as[(Long, String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    // doc1: span [4,10) cut -> the 4 openers + the 2 trailers survive
+    assert(r(1L)._2 === "unique opening words here trailing bit")
+    assert(r(1L)._3 === 12L && r(1L)._4 === 6L)
+    // doc2: span [0,6) cut
+    assert(r(2L)._2 === "totally different ending content")
+    // doc3 untouched, zero cut
+    assert(r(3L)._2 === "no duplicated content lives in this one at all")
+    assert(r(3L)._4 === 0L)
+    // doc4 is one maximal duplicated region -> empty survivor
+    assert(r(4L)._2 === "" && r(4L)._4 === r(4L)._3)
+    assert(r.size === 4, "every input doc must appear in the output")
+  }
+
   test("bigramSelfPerplexity: anomalous text scores higher; short docs absent") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),

@@ -131,4 +131,37 @@ object TextSearch {
       .select(col("id"), col("rank"), col("term"),
         (col("__m").cast("double") / 1e6).as("tfidf"))
   }
+
+  /**
+   * Reciprocal-rank fusion of two rankings (Cormack et al. SIGIR 2009
+   * — the standard score-free hybrid-retrieval combiner):
+   * `rrf = Σ_lists 1/(kRrf + rank)`, absent list membership
+   * contributing 0. Fusing a BM25 list with an ANN cosine list is the
+   * textbook sparse+dense hybrid; being rank-based it needs no score
+   * normalization between incomparable scales.
+   *
+   * Both inputs are (query_id, id, rank) top-k lists — BOUNDED per
+   * query by construction — so the full-outer join and the final
+   * row_number window operate on ≤ 2k rows per query: the window's
+   * partition size CANNOT grow with corpus size, making it safe at
+   * any scale (the same bounded-window argument as [[tfidfKeywords]]).
+   * Returns (query_id, rank, id, rrf_score) with ties broken by lower
+   * id; rrf_score rounded to 6 decimals (sum of two exact divisions —
+   * engine-reproducible).
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60): DataFrame = {
+    require(k >= 1 && kRrf >= 0, "k must be >= 1 and kRrf >= 0")
+    val fa = a.select(col("query_id"), col("id"), col("rank").as("__ra"))
+    val fb = b.select(col("query_id"), col("id"), col("rank").as("__rb"))
+    val score =
+      coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("__ra")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("__rb")), lit(0.0))
+    val w = Window.partitionBy("query_id").orderBy(col("__s").desc, col("id"))
+    fa.join(fb, Seq("query_id", "id"), "full_outer")
+      .withColumn("__s", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"),
+        round(col("__s"), 6).as("rrf_score"))
+  }
 }

@@ -1288,6 +1288,77 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // T50: HYBRID sparse+dense retrieval via reciprocal-rank fusion
+    // (TextSearch.rrfFuse, Cormack et al. 2009) — "more like this"
+    // with each query doc contributing its TEXT to a BM25 top-20 and
+    // its EMBEDDING to an exact-cosine top-20, fused rank-wise
+    // (1/(60+rank), absent list → 0). Self-matches leave the sparse
+    // list before fusion (the dense ranker already excludes self).
+    // The oracle replays both rankers (t20's BM25 chain, v01's cosine
+    // chain) and the fusion arithmetic term-for-term.
+    QueryDef.of("t50_hybrid_rrf",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |dq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 3),
+         |dsc AS (SELECT dq.query_id, c.vec_id AS id,
+         |    round(CASE WHEN dq.qn * c.nrm <> 0
+         |          THEN list_dot_product(dq.qv, c.v) / (dq.qn * c.nrm) ELSE 0.0 END, 6) AS cos
+         |  FROM dq JOIN n c ON c.vec_id <> dq.query_id),
+         |dr AS (SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+         |  FROM dsc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 20),
+         |qdoc AS (SELECT doc_id AS query_id, text AS qtext FROM documents WHERE doc_id < 3),
+         |qt AS (SELECT DISTINCT query_id, unnest(${ctoksOf("qtext")}) AS term FROM qdoc),
+         |terms AS (SELECT DISTINCT term FROM qt),
+         |d AS (SELECT doc_id AS id, $CTOKS AS t FROM documents),
+         |dt AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM d),
+         |ft AS (SELECT id, dl, dt.term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM dt JOIN terms USING (term) GROUP BY 1, 2, 3),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(len(t)) AS DOUBLE) / count(*) AS avgdl FROM d),
+         |dfr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM ft GROUP BY term),
+         |contrib AS (SELECT qt.query_id, ft.id,
+         |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |      * 1000000.0) AS BIGINT) AS c_micro
+         |  FROM ft JOIN dfr USING (term) CROSS JOIN st JOIN qt USING (term)),
+         |scored AS (SELECT query_id, id, CAST(SUM(c_micro) AS DOUBLE) / 1000000.0 AS score
+         |  FROM contrib GROUP BY query_id, id),
+         |sr AS (SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank
+         |  FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) <= 20),
+         |srx AS (SELECT * FROM sr WHERE id <> query_id),
+         |f AS (SELECT coalesce(s.query_id, r.query_id) AS query_id,
+         |    coalesce(s.id, r.id) AS id,
+         |    coalesce(1.0 / (60.0 + s.rank), 0.0)
+         |      + coalesce(1.0 / (60.0 + r.rank), 0.0) AS s
+         |  FROM srx s FULL OUTER JOIN dr r
+         |    ON s.query_id = r.query_id AND s.id = r.id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id) AS BIGINT) AS rank,
+         |  id, round(s, 6) AS rrf_score
+         |FROM f
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id) <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val qd = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val sparse = graft.operators.TextSearch
+        .bm25TopK(docs, "doc_id", "text", qd, k = 20)
+        .filter(col("id") =!= col("query_id"))
+      val e = Tables.embeddings(s, dir)
+      val dense = graft.operators.SimilaritySearch.bruteForceTopK(
+        e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")), k = 20)
+      graft.operators.TextSearch.rrfFuse(
+          sparse.select("query_id", "id", "rank"),
+          dense.select("query_id", "id", "rank"), k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // Source-mixture sampling (Mixture.sampleToMix): target weights
     // derived from the source index (w = idx % 4 + 1), scaled so the
     // binding source keeps everything; acceptance is the portable

@@ -629,6 +629,28 @@ class OperatorSpecs extends AnyFunSuite {
     assert(r.size === 4, "every input doc must appear in the output")
   }
 
+  test("rrfFuse: hand-computed fusion, absent-side zero, ties by id, k cut") {
+    // list A: 10 > 20 > 30 ; list B: 20 > 40
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)).toDF("query_id", "id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 40L, 2L)).toDF("query_id", "id", "rank")
+    val got = TextSearch.rrfFuse(a, b, k = 3, kRrf = 60)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    // 20 is in both lists: 1/62 + 1/61 beats any single-list score
+    val s20 = 1.0 / 62 + 1.0 / 61
+    val s10 = 1.0 / 61
+    val s40 = 1.0 / 62
+    assert(got.map(t => (t._3, t._2)) === Seq((20L, 1L), (10L, 2L), (40L, 3L)))
+    assert(got.map(_._4) === Seq(s20, s10, s40).map(x => math.round(x * 1e6) / 1e6))
+    // tie: two ids only in A at the same rank is impossible, but two
+    // ids with EQUAL fused score (same rank, different lists) break
+    // by lower id
+    val a2 = Seq((7L, 5L, 1L)).toDF("query_id", "id", "rank")
+    val b2 = Seq((7L, 3L, 1L)).toDF("query_id", "id", "rank")
+    val tie = TextSearch.rrfFuse(a2, b2, k = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(tie.map(_._3) === Seq(3L, 5L), "equal scores must rank lower id first")
+  }
+
   test("bigramSelfPerplexity: anomalous text scores higher; short docs absent") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),

@@ -178,6 +178,35 @@ object Dedup {
   }
 
   /**
+   * Asymmetric n-gram CONTAINMENT pairs: `n_inter / min(|A|, |B|)` —
+   * the excerpt/quote detector Jaccard structurally misses (a 25-token
+   * excerpt inside a 500-token article has Jaccard ≈ 0.05 but
+   * containment 1.0; Broder 1997 distinguishes "resemblance" from
+   * "containment" for exactly this). Same bounded shingle-join
+   * machinery as [[ngramJaccardPairs]] — the df cap is the skew
+   * guard — with the min-size denominator.
+   */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double,
+      maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
+    val sh = shingled(df, idCol, textCol, n, maxShingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // materialize before the three-consumer fan-out
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / least(col("n_a"), col("n_b")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
+  /**
    * MinHash signatures: (id, array<long> of `numHashes` minima).
    *
    * Computed ROW-wise — explode (id, shingle) × seed, hash, then

@@ -297,6 +297,46 @@ object QText {
         .orderBy("id_a", "id_b")
     },
 
+    // T51: asymmetric n-gram CONTAINMENT pairs
+    // (Dedup.ngramContainmentPairs) — the excerpt/quote detector:
+    // n_inter / min(|A|,|B|) finds a planted 25-token excerpt inside
+    // its source doc at containment ~1.0 where Jaccard sits near
+    // |excerpt|/|doc| and never crosses a dedup threshold (Broder
+    // 1997's resemblance-vs-containment distinction). Excerpt docs
+    // (id + 10000) are derived from every doc_id % 11 == 0 document's
+    // first 25 canonical tokens on BOTH sides.
+    QueryDef.of("t51_containment_pairs",
+      s"""WITH exc AS (SELECT doc_id + 10000 AS doc_id,
+         |    array_to_string(($CTOKS)[1:25], ' ') AS text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |raw AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM exc),
+         |toks AS (SELECT doc_id, ${ctoksOf("text")} AS t FROM raw),
+         |sh0 AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM toks),
+         |filt AS (SELECT id, sh FROM sh0
+         |  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
+         |sz AS (SELECT id, count(*) AS n_sh FROM filt GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(n_inter / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS containment
+         |FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+         |WHERE round(n_inter / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val excerpts = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          array_join(slice(TextFunctions.tokens(
+            TextFunctions.canonicalText(col("text"))), 1, 25), " ").as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(excerpts)
+      graft.operators.Dedup.ngramContainmentPairs(
+          corpus.repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", n = 3, threshold = 0.8, maxShingleDf = Some(1000))
+        .orderBy("id_a", "id_b")
+    },
+
     // MinHash+LSH candidates verified by exact Jaccard
     // (Dedup.minhashLshPairs) — the oracle replicates signatures,
     // banding, bucket join AND verification in SQL.

@@ -629,6 +629,25 @@ class OperatorSpecs extends AnyFunSuite {
     assert(r.size === 4, "every input doc must appear in the output")
   }
 
+  test("ngramContainmentPairs finds an excerpt Jaccard misses; unrelated docs absent") {
+    val long = (1 to 200).map(i => s"w$i").mkString(" ") // 200 unique tokens
+    val excerpt = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long), (2L, excerpt),
+      (3L, (500 to 600).map(i => s"x$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleDf = None)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont === Seq((1L, 2L, 1.0)), s"excerpt must be fully contained: $cont")
+    // the same pair under Jaccard sits at 23/198 — far below any
+    // dedup threshold: the asymmetry is the whole point
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.0, maxShingleDf = None)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(jac.getOrElse((1L, 2L), 0.0) < 0.2)
+  }
+
   test("rrfFuse: hand-computed fusion, absent-side zero, ties by id, k cut") {
     // list A: 10 > 20 > 30 ; list B: 20 > 40
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)).toDF("query_id", "id", "rank")

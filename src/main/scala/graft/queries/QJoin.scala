@@ -285,6 +285,36 @@ object QJoin {
         .orderBy("event_id", "r_event_id")
     },
 
+    // SES07: ordered funnel with a conversion window (Funnel
+    // .stepCounts) — view → click → purchase, every later step
+    // strictly after the previous and within 2h of the user's FIRST
+    // view. Each step is one conditional min-ts aggregation joined on
+    // the user key; funnels narrow monotonically so later joins
+    // shrink. The oracle replays the join chain step for step.
+    QueryDef.of("ses07_funnel",
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, s1.t1, min(e.ts) AS tp
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND epoch_us(e.ts) // 1000000 - epoch_us(s1.t1) // 1000000 <= 7200
+        |  GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id AS u, s2.t1, min(e.ts) AS tp
+        |  FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.tp
+        |    AND epoch_us(e.ts) // 1000000 - epoch_us(s2.t1) // 1000000 <= 7200
+        |  GROUP BY 1, 2)
+        |SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(2 AS INT), 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step_idx""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.stepCounts(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), withinSec = Some(7200L))
+        .orderBy("step_idx")
+    },
+
     QueryDef.of("ses01_gap_session",
       """SELECT event_id, CAST(session_id AS BIGINT) AS session_id
         |FROM (SELECT event_id,

@@ -629,6 +629,31 @@ class OperatorSpecs extends AnyFunSuite {
     assert(r.size === 4, "every input doc must appear in the output")
   }
 
+  test("Funnel.stepCounts: strict ordering, conversion window, no step skipping") {
+    val rows = Seq(
+      // u1 completes the whole funnel
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),
+      // u2: click BEFORE the first view must not count; the later one does
+      (2L, 3L, "click"), (2L, 5L, "view"), (2L, 100L, "click"),
+      // u3: click lands outside the 7200 s window
+      (3L, 0L, "view"), (3L, 8000L, "click"),
+      // u4: purchase without an intervening click — steps cannot skip
+      (4L, 0L, "view"), (4L, 5L, "purchase"),
+      // u5 never views
+      (5L, 0L, "click"), (5L, 1L, "purchase"))
+      .toDF("user_id", "t", "event_type")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+    val got = Funnel.stepCounts(rows, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSec = Some(7200L))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+    // unbounded window admits u3's late click
+    val open = Funnel.stepCounts(rows, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSec = None)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(open === Seq((1, "view", 4L), (2, "click", 3L), (3, "purchase", 1L)))
+  }
+
   test("ngramContainmentPairs finds an excerpt Jaccard misses; unrelated docs absent") {
     val long = (1 to 200).map(i => s"w$i").mkString(" ") // 200 unique tokens
     val excerpt = (1 to 25).map(i => s"w$i").mkString(" ")

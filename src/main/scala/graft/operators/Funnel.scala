@@ -62,4 +62,33 @@ object Funnel {
           col("n_users"))
     }.reduce(_ unionByName _).orderBy("step_idx")
   }
+
+  /**
+   * Weekly cohort retention — the other canonical product-analytics
+   * query: users grouped by the week of their FIRST event, counted in
+   * every later week they were active. Returns
+   * `(cohort_week_us, week_offset, n_users)`.
+   *
+   * Two bounded aggregations (per-user first week; distinct
+   * (user, week) activity) and one user-keyed equi-join — activity is
+   * distinct per (user, week) and a week maps to exactly one offset,
+   * so the final count needs no count-distinct rewrite. ISO
+   * Monday-start weeks (`date_trunc("week")`) on both engines.
+   */
+  def cohortRetention(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val weekUs = 604800000000L
+    val f = events.groupBy(col(userCol).as("__u"))
+      .agg(date_trunc("week", min(col(tsCol))).as("__cw"))
+    val a = events
+      .select(col(userCol).as("__u"), date_trunc("week", col(tsCol)).as("__w"))
+      .distinct()
+    f.join(a, Seq("__u"))
+      .groupBy(
+        unix_micros(col("__cw")).as("cohort_week_us"),
+        floor((unix_micros(col("__w")) - unix_micros(col("__cw"))) / weekUs)
+          .cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week_us", "week_offset")
+  }
 }

@@ -315,6 +315,23 @@ object QJoin {
         .orderBy("step_idx")
     },
 
+    // SES08: weekly cohort retention (Funnel.cohortRetention) — users
+    // bucketed by the ISO week of their first event, counted in every
+    // later active week. Two bounded aggregations + one user-keyed
+    // join; activity is distinct per (user, week) so no
+    // count-distinct rewrite appears in the plan.
+    QueryDef.of("ses08_cohort_retention",
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT epoch_us(f.cw) AS cohort_week_us,
+        |  (epoch_us(a.w) - epoch_us(f.cw)) // 604800000000 AS week_offset,
+        |  count(*) AS n_users
+        |FROM f JOIN a USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.cohortRetention(Tables.events(s, dir), "user_id", "ts")
+    },
+
     QueryDef.of("ses01_gap_session",
       """SELECT event_id, CAST(session_id AS BIGINT) AS session_id
         |FROM (SELECT event_id,

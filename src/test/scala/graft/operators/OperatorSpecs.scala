@@ -654,6 +654,25 @@ class OperatorSpecs extends AnyFunSuite {
     assert(open === Seq((1, "view", 4L), (2, "click", 3L), (3, "purchase", 1L)))
   }
 
+  test("Funnel.cohortRetention: offsets from first-event week, distinct users per cell") {
+    // 2021-01-04 is a Monday (ISO week start)
+    def ts(day: Int, h: Int = 0) = s"2021-01-${"%02d".format(day)} 0$h:00:00"
+    val rows = Seq(
+      (1L, ts(4)), (1L, ts(5)), (1L, ts(12)),  // wk0 twice (one cell), wk1
+      (2L, ts(10)), (2L, ts(18)),              // sunday wk0, next-week activity
+      (3L, ts(11)))                            // starts in week 1, no return
+      .toDF("user_id", "s").withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = Funnel.cohortRetention(rows, "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toSeq
+    val wk0 = java.time.LocalDateTime.of(2021, 1, 4, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val wk1 = wk0 + 604800000000L
+    // u1,u2 cohort wk0 (both active wk0; u1 again wk1, u2 wk2);
+    // u3 cohort wk1, active only wk1
+    assert(got === Seq(
+      (wk0, 0L, 2L), (wk0, 1L, 1L), (wk0, 2L, 1L), (wk1, 0L, 1L)))
+  }
+
   test("ngramContainmentPairs finds an excerpt Jaccard misses; unrelated docs absent") {
     val long = (1 to 200).map(i => s"w$i").mkString(" ") // 200 unique tokens
     val excerpt = (1 to 25).map(i => s"w$i").mkString(" ")

@@ -56,7 +56,7 @@ object SparkEntry {
     "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
     "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",
-    "ses06_interval_join",
+    "ses06_interval_join", "ses07_funnel", "ses08_cohort_retention",
     "x01_stateful_fold_balance",
     "o01_global_sort_limit", "s01_scan_pushdown", "s17_compact_roundtrip",
     "s18_zorder_roundtrip",
@@ -72,7 +72,8 @@ object SparkEntry {
     "t37_leakfree_split", "t38_bpe_train", "t39_dsir_resample",
     "t40_html_extract", "t41_packing_bpe", "t42_langid_ngram",
     "t43_pack_boundaries", "t44_topk_tokens", "t45_quality_classifier", "t46_quality_filter",
-    "t47_url_normalize", "t48_domain_quota",
+    "t47_url_normalize", "t48_domain_quota", "t49_cut_dup_spans",
+    "t50_hybrid_rrf", "t51_containment_pairs",
     "v01_ann_brute_topk", "v02_ann_lsh_topk", "v03_embed_neardup_brute",
     "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
     "v09_ann_index_upsert", "v10_ann_pq_adc", "v11_ann_ivfpq",

@@ -405,6 +405,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("ses07/ses08: funnel and cohort chains are broadcast-join + hash-agg only") {
+    // the funnel's later steps and the cohort's first-week side are
+    // small relative to the events scan — they must broadcast; a
+    // window or sort-merge join would mean a per-user sort crept in
+    Seq("ses07_funnel", "ses08_cohort_retention").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), s"$q\n$p")
+      assert(!p.contains("Window"), s"$q\n$p")
+      assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), s"$q\n$p")
+    }
+  }
+
+  test("t48: uniform domain quota keeps the bounded two-phase shape (no full-corpus window)") {
+    val p = plan("t48_domain_quota")
+    // exactly the boundary-bucket ranking window may appear — its
+    // partitions are (host, score) buckets, not corpus rows; the
+    // full-keep path must stay a broadcast semi/equi join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // count Window NODES (header "Window ["): the bucket prefix-sum
+    // window (planned once per consumer branch above the persisted
+    // bucket table — bucket-sized, so the duplication is cheap) and
+    // the ≤1 boundary-bucket ranking window; all of them partition by
+    // bucket/host keys, never corpus rows
+    assert("Window \\[".r.findAllIn(p).length <= 3, p)
+    assert(!p.contains("Window [") ||
+      !"Window \\[[^\\]]*\\] \\[\\]".r.findFirstIn(p).isDefined,
+      s"unpartitioned window found:\n$p")
+  }
+
+  test("t50: RRF fusion joins only bounded lists; no cartesian anywhere") {
+    val p = plan("t50_hybrid_rrf")
+    // the dense side's query×candidate scoring is the deliberate
+    // brute-force baseline (BroadcastNestedLoop on the tiny query
+    // side); the ONLY sort-merge join allowed is the full-outer
+    // fusion of two top-k lists (full outer cannot broadcast, and
+    // both inputs are <= k rows per query by construction)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), p)
+  }
+
   test("a24: CMS builds with map-side partial counts and the probe join broadcasts the sketch") {
     // each build partial is a plain HashAggregate(partial count) —
     // bounded at depth*width cells per task; the estimate side must

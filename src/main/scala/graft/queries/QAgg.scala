@@ -562,6 +562,32 @@ object QAgg {
         Seq(0.25, 0.5, 0.9))
     },
 
+    // A25 (beyond-reference corpus stats): WINDOWED distinct-count
+    // synopsis — the a19 KMV sketch composed with an event-time hour
+    // bucket ("distinct users per hour" at bounded state per window,
+    // the shape a streaming job persists per window and merges at
+    // read). Pure composition: the window column is just another
+    // group key to the bounded aggregation.
+    QueryDef.of("a25_windowed_distinct",
+      """WITH h AS (SELECT DISTINCT date_trunc('hour', ts) AS w,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn FROM h),
+        |s AS (SELECT w, count(*) FILTER (WHERE rn <= 32) AS n_kept,
+        |    max(h) FILTER (WHERE rn = 32) AS kth FROM r GROUP BY w)
+        |SELECT epoch_us(w) AS hour_us, n_kept,
+        |  CASE WHEN n_kept < 32 THEN n_kept
+        |       ELSE CAST(round(31 * 1152921504606846976.0 / kth) AS BIGINT)
+        |  END AS est_distinct
+        |FROM s ORDER BY hour_us""".stripMargin) { (s, dir) =>
+      graft.operators.Sketches.kmvDistinct(
+          Tables.events(s, dir).withColumn("w", date_trunc("hour", col("ts"))),
+          Seq("w"), "user_id", k = 32)
+        .select(unix_micros(col("w")).as("hour_us"),
+          col("n_kept"), col("est_distinct"))
+        .orderBy("hour_us")
+    },
+
     // A24 (beyond-reference corpus stats): COUNT-MIN sketch — the
     // approximate-frequency member of the synopsis family (Cormode &
     // Muthukrishnan 2005; KMV = distinct, t44 = exact heavy hitters,

@@ -87,7 +87,8 @@ object LlmScaleSmoke {
       .select(col("doc_id").as("query_id"), col("text").as("qtext"))
 
     final case class Run(scale: Int, pairs: Long, comps: Long, kept: Long,
-        bm25: Long, spans: Long, packs: Long, packDocs: Long, packTokens: Long,
+        bm25: Long, spans: Long, cutRows: Long, cutToks: Long, contPairs: Long,
+        dedup2Bytes: Long, packs: Long, packDocs: Long, packTokens: Long,
         bpeMerges: Seq[(String, String, Long)], dsirCounts: Array[Long],
         pctl: Seq[(Double, Long)], apctl: Seq[(Double, Double)],
         topTok: Seq[(Long, String, Long)], qcWeights: Seq[Long],
@@ -167,15 +168,34 @@ object LlmScaleSmoke {
         buckets = 16, iters = 3).toSeq
       val wall = (System.nanoTime() - t0) / 1e9
       pairs.unpersist()
-      docs.unpersist()
       Thread.sleep(1000) // bound listener-bus delivery lag
       val stages = tally.snapshotAndReset()
       val bytes = stages.values.map(_._2).sum
+      // t49 cut + t51 containment, measured OUTSIDE the linear-band
+      // tally: their logical exchange (corpus tokens by id; df-capped
+      // candidate pairs by shingle) replicates EXACTLY c×, but the
+      // measured bytes cross two regimes the 1.5×-of-linear band
+      // cannot span — the span side's broadcast→shuffle-join
+      // transition (the corpus token payload crosses the wire once
+      // the span lists stop broadcasting) and the pair join's
+      // map-side reduction decaying toward its Σdf² asymptote. The
+      // gate below asserts the PER-COPY cost stays bounded (a true
+      // quadratic op would scale it ~c×) and the outputs replicate
+      // exactly like every other family.
+      val cutRow = SubstringDedup.cutDuplicatedSpans(docs, "doc_id", "text", n = 5)
+        .agg(count(lit(1)).cast("long"), sum("n_cut").cast("long")).first()
+      val (cutRows, cutToks) = (cutRow.getLong(0), cutRow.getLong(1))
+      val contPairs = Dedup.ngramContainmentPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.8).count()
+      docs.unpersist()
+      Thread.sleep(1000)
+      val dedup2Bytes = tally.snapshotAndReset().values.map(_._2).sum
       println(f"LLM_SMOKE scale=$c%-3d pairs=$nPairs comps=$comps kept=$kept " +
         f"bm25=$bm25 spans=$spans packs=$nPacks pack_docs=$packDocs " +
         f"pack_tokens=$packTokens bpe_merges=${bpeMerges.length} " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
-      Run(c, nPairs, comps, kept, bm25, spans, nPacks, packDocs, packTokens,
+      Run(c, nPairs, comps, kept, bm25, spans, cutRows, cutToks, contPairs,
+        dedup2Bytes, nPacks, packDocs, packTokens,
         bpeMerges, dsirCounts, pctl, apctl, topTok, qcWeights, wall, bytes, stages)
     }
 
@@ -198,6 +218,20 @@ object LlmScaleSmoke {
       check(nearLinear(r1.spans, r.spans),
         s"substring-span rows scale linearly ±2% at ${r.scale}x " +
           s"(${r1.spans}->${r.spans})")
+      check(r.cutRows == math.round(r1.cutRows * ratio),
+        s"span-cut keeps every doc exactly once at ${r.scale}x " +
+          s"(${r1.cutRows}->${r.cutRows})")
+      check(nearLinear(r1.cutToks, r.cutToks),
+        s"cut tokens scale linearly ±2% at ${r.scale}x (${r1.cutToks}->${r.cutToks})")
+      check(nearLinear(r1.contPairs, r.contPairs),
+        s"containment pairs scale linearly ±2% at ${r.scale}x " +
+          s"(${r1.contPairs}->${r.contPairs})")
+      val perCopy = r.dedup2Bytes.toDouble / r.scale
+      val perCopy1 = r1.dedup2Bytes.toDouble / r1.scale
+      check(perCopy <= perCopy1 * 6.0,
+        f"cut+containment per-copy shuffle bounded at ${r.scale}x " +
+          f"(${perCopy / 1048576.0}%.1f MiB/copy vs ${perCopy1 / 1048576.0}%.1f at 1x; " +
+          "reduction decay allowed, quadratic growth is not)")
       check(r.packDocs == math.round(r1.packDocs * ratio) &&
           r.packTokens == math.round(r1.packTokens * ratio),
         s"packing fold sums EXACTLY linear at ${r.scale}x " +

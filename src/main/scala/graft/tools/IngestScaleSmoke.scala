@@ -229,6 +229,39 @@ object IngestScaleSmoke {
         s"scale=$c t33 planted re-crawl produces cross-split leak pairs " +
           s"(${leak.values.map(_._1).sum})")
 
+      // ---- s18: z-ordered layout under scale ------------------------
+      // write the scaled corpus z-ordered on (doc_id, n_chars) and
+      // assert the file-skipping contract holds at every scale: content
+      // survives exactly, and the mean NORMALIZED per-file doc_id span
+      // stays tight (round-robin layout would sit near 1.0 — every
+      // file spanning the full id range — so 0.5 is a real bound)
+      val zTmp = java.nio.file.Files.createTempDirectory(s"graft_ingest_z$c")
+      val zDir = zTmp.toString + "/out"
+      val zin = docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      graft.io.Sinks.writeZOrdered(zin, zDir, Seq("doc_id", "n_chars"),
+        numFiles = 16, bits = 10)
+      val zFiles = new java.io.File(zDir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val zCount = spark.read.parquet(zDir).count()
+      check(zCount == zin.count() && zFiles.length == 16,
+        s"scale=$c s18 z-ordered rewrite is content-complete across " +
+          s"${zFiles.length} files ($zCount rows)")
+      val zSpans = zFiles.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("doc_id"), max("doc_id")).first()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (gMin, gMax) = (zSpans.map(_._1).min, zSpans.map(_._2).max)
+      val meanSpan = zSpans.map(t => (t._2 - t._1).toDouble).sum /
+        zSpans.length / math.max(1L, gMax - gMin)
+      check(meanSpan <= 0.5,
+        f"scale=$c s18 mean normalized per-file doc_id span $meanSpan%.3f <= 0.5 " +
+          "(file skipping holds under scale)")
+      def delTree(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(delTree)); f.delete(): Unit
+      }
+      delTree(zTmp.toFile)
+
       val wall = (System.nanoTime() - t0) / 1e9
       bloomRes.unpersist()
       docs.unpersist()

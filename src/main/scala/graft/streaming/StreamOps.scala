@@ -38,6 +38,15 @@ final case class BaseStateOut(
 private final case class BaseReplayState(
     r1: String, r2: String, r3: String, pending: List[PlayEvent])
 
+/** One funnel step completion (see [[StreamOps.funnelStream]]). */
+final case class FunnelOut(user_id: Long, step_idx: Int, step: String, ts_us: Long)
+
+/** Carried funnel state: steps reached so far, the window anchor
+  * (floor-seconds of the first step-1 event), the previous step's
+  * exact micros, plus unsealed events. */
+private final case class FunnelReplayState(
+    step: Int, t1Sec: Long, tpUs: Long, pending: List[StreamEvent])
+
 /**
  * Structured Streaming operators (SURVEY §2.10): the reference is
  * batch-only (daily re-computation with done-set checkpoints), so
@@ -301,6 +310,99 @@ object StreamOps {
             state.update(BaseReplayState(st2.r1, st2.r2, st2.r3, hold))
             // flush point: just past the last buffered play, or just
             // past the watermark for an idle drained game
+            val lastTs = if (hold.nonEmpty) hold.map(_.ts.getTime).max else wm
+            state.setTimeoutTimestamp(math.max(lastTs, wm) + 1)
+            outs.iterator
+          }
+      }
+  }
+
+  /**
+   * STREAMING ordered funnel — [[graft.operators.Funnel.stepCounts]]'s
+   * semantics as a live per-user state machine: a step advance is
+   * emitted the moment the watermark SEALS a qualifying event (strictly
+   * after the previous step's exact event time, within `withinSec`
+   * whole seconds of the user's first step-1 event — the identical
+   * floor-seconds arithmetic as the batch join chain, so the
+   * per-step completion counts agree row-for-row).
+   *
+   * Same sealed-prefix machinery as [[baseStateStream]]: only events
+   * at or before the watermark fold (nothing earlier can still
+   * arrive), later arrivals buffer, event-time timeout drains idle
+   * users' buffers. Unlike the per-game machine, per-user funnel
+   * state is PERMANENT (three longs once the buffer drains): the
+   * batch semantics anchor a user's funnel at their first step-1
+   * event forever — evicting and re-creating would restart the
+   * funnel and emit spurious completions. Total state is 3 longs ×
+   * |users ever seen| (the bound ANY per-user aggregation carries)
+   * plus watermark-bounded buffers; a production TTL would be a
+   * deliberate, documented divergence from the batch form.
+   *
+   * On a BOUNDED input (backfill) the watermark is meaningless: each
+   * user's complete history folds in order, one group at a time
+   * (specced ≡ the batch join-chain counts).
+   */
+  def funnelStream(
+      events: Dataset[StreamEvent],
+      steps: Seq[String], withinSec: Option[Long],
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    import events.sparkSession.implicits._
+
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def floorSec(u: Long): Long = Math.floorDiv(u, 1000000L)
+    def byTime(e: StreamEvent): (Long, Long) = (us(e.ts), e.event_id)
+
+    def fold(st0: (Int, Long, Long), ordered: Seq[StreamEvent])
+        : ((Int, Long, Long), Seq[FunnelOut]) = {
+      var (step, t1Sec, tpUs) = st0
+      val outs = Seq.newBuilder[FunnelOut]
+      ordered.foreach { e =>
+        if (step < steps.length && e.event_type == steps(step)) {
+          val u = us(e.ts)
+          val qualifies =
+            if (step == 0) true
+            else u > tpUs && withinSec.forall(w => floorSec(u) - t1Sec <= w)
+          if (qualifies) {
+            if (step == 0) t1Sec = floorSec(u)
+            tpUs = u
+            step += 1
+            outs += FunnelOut(e.user_id, step, steps(step - 1), u)
+          }
+        }
+      }
+      ((step, t1Sec, tpUs), outs.result())
+    }
+
+    if (!events.isStreaming)
+      return events.groupByKey(_.user_id).flatMapGroups {
+        (_: Long, it: Iterator[StreamEvent]) =>
+          fold((0, 0L, 0L), it.toSeq.sortBy(byTime))._2.iterator
+      }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelReplayState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[StreamEvent], state: GroupState[FunnelReplayState]) =>
+          if (state.hasTimedOut) {
+            // drain the sealed buffer but KEEP the scalar funnel
+            // state — see the permanence note in the doc comment
+            val s = state.get
+            val ((st2, t1b, tpb), outs) =
+              fold((s.step, s.t1Sec, s.tpUs), s.pending.sortBy(byTime))
+            state.update(FunnelReplayState(st2, t1b, tpb, Nil))
+            outs.iterator
+          } else {
+            val prev = state.getOption.getOrElse(FunnelReplayState(0, 0L, 0L, Nil))
+            val all = prev.pending ++ rows
+            val wm = state.getCurrentWatermarkMs()
+            val (ready, hold) = all.partition(_.ts.getTime <= wm)
+            val ((st2, t1b, tpb), outs) =
+              fold((prev.step, prev.t1Sec, prev.tpUs), ready.sortBy(byTime))
+            state.update(FunnelReplayState(st2, t1b, tpb, hold))
             val lastTs = if (hold.nonEmpty) hold.map(_.ts.getTime).max else wm
             state.setTimeoutTimestamp(math.max(lastTs, wm) + 1)
             outs.iterator

@@ -483,6 +483,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(qa === qb, "quantiles off the merged synopsis must equal the one-shot picks")
   }
 
+  test("streaming funnelStream equals the batch join-chain counts on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val within = Some(7200L)
+    val ev = graft.sources.Tables.events(spark, SparkTestSession.sfDir)
+      .filter(col("user_id") < 60)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val batchCounts = graft.operators.Funnel.stepCounts(
+        ev, "user_id", "ts", "event_type", steps, within)
+      .as[(Int, String, Long)].collect().toSeq
+
+    val rows = ev.as[StreamEvent].collect().sortBy(_.ts.getTime)
+    // bounded-input dispatch ≡ the join-chain counts
+    val dispatched = StreamOps.funnelStream(rows.toSeq.toDS(), steps, within)
+    val dispatchedCounts = dispatched.groupBy("step_idx", "step")
+      .agg(count(lit(1)).as("n_users"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    // a step no user reaches is absent from the fold's aggregation
+    // but present (n_users = 0) in the batch join chain — pad it
+    val padded = steps.zipWithIndex.map { case (st, i) =>
+      dispatchedCounts.find(_._1 == i + 1).getOrElse((i + 1, st, 0L)) }
+    assert(padded === batchCounts,
+      "bounded-input funnel fold must equal the batch join chain")
+
+    val input = MemoryStream[StreamEvent]
+    val query = StreamOps.funnelStream(input.toDS(), steps, within,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rnd = new scala.util.Random(7)
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      chunks.foreach { c => input.addData(rnd.shuffle(c.toSeq)); query.processAllAvailable() }
+      // far-future flush events (absent user) push the watermark past
+      // every real event so timeouts drain all machines
+      val far = StreamEvent(-1L,
+        new java.sql.Timestamp(rows.last.ts.getTime + 86400L * 1000L),
+        -999L, "view", 0.0)
+      input.addData(Seq(far)); query.processAllAvailable()
+      input.addData(Seq(far.copy(event_id = -2L,
+        ts = new java.sql.Timestamp(far.ts.getTime + 86400L * 1000L))))
+      query.processAllAvailable()
+
+      val streamed = spark.table("funnel_out").filter(col("user_id") >= 0)
+        .as[FunnelOut].collect().map(o => (o.user_id, o.step_idx, o.step, o.ts_us)).toSet
+      val want = dispatched
+        .collect().map(o => (o.user_id, o.step_idx, o.step, o.ts_us)).toSet
+      assert(streamed === want,
+        "stream must emit exactly the batch fold's step completions")
+    } finally query.stop()
+  }
+
   test("foreachBatch incremental Count-Min sketch equals the one-shot sketch and estimates") {
     implicit val sqlCtx = spark.sqlContext
     // frequency accounting at the daily-pull cadence: per micro-batch,

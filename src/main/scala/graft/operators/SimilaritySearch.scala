@@ -596,4 +596,77 @@ object SimilaritySearch {
     val dedup = scored.select("query_id", "id", "cos").distinct()
     unpack(dedup.groupBy("query_id").agg(topk(col("cos"), col("id")).as("tops")))
   }
+
+  /**
+   * Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+   * SIGIR 1998) — DIVERSIFIED top-k: iteratively pick
+   * `argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`, so near
+   * duplicates of an already-picked result are penalized out. The
+   * standard de-redundancy pass over any retrieval shortlist (and the
+   * retrieval-side cousin of the dedup family: same cosine kernel,
+   * opposite goal).
+   *
+   * `ranked` is a BOUNDED per-query shortlist (query_id, id, rel) —
+   * e.g. [[bruteForceTopK]] or [[ivfPqRerankTopK]] output — and
+   * `vectors` supplies (id, vec). The selection is a per-query fold
+   * over ≤ shortlist² quantized cosines: groups are bounded by the
+   * shortlist size BY CONSTRUCTION (the [[graft.operators.TextSearch
+   * .rrfFuse]] scale argument), so `flatMapGroups` here is the
+   * bounded-group case, not a corpus fold.
+   *
+   * Determinism: λ is a RATIONAL `lambdaNum/lambdaDen` and every
+   * score is the exact integer
+   * `lambdaNum·rel_micro − (lambdaDen−lambdaNum)·maxSim_micro` over
+   * micro-unit (1e−6-rounded) inputs — the repo's integer-score
+   * idiom. A double `λ·rel − (1−λ)·maxSim` over grid-aligned inputs
+   * lands ON 1e-6 rounding midpoints often enough to flip argmaxes
+   * between engines (measured: 3/80 rows); the integer form has no
+   * rounding anywhere in the argmax. Ties go to the lower id; the
+   * DuckDB oracle unrolls the identical selection.
+   */
+  def mmrRerank(
+      ranked: DataFrame, vectors: DataFrame,
+      k: Int, lambdaNum: Int, lambdaDen: Int): DataFrame = {
+    require(k >= 1 && lambdaDen >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      "need k >= 1 and 0 <= lambdaNum/lambdaDen <= 1")
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val withVec = ranked.select(col("query_id"), col("id"), col("rel"))
+      .join(vectors.select(col("id"), col("vec")), Seq("id"))
+      .select(col("query_id"), col("id"), col("rel").cast("double"),
+        col("vec").cast("array<double>"))
+      .as[(Long, Long, Double, Seq[Double])]
+    val denScale = lambdaDen * 1e6
+    withVec.groupByKey(_._1).flatMapGroups { (q: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+      val cands = it.map(t => (t._2, math.round(t._3 * 1e6), t._4.toArray))
+        .toArray.sortBy(_._1)
+      def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        val n = math.sqrt(na) * math.sqrt(nb)
+        if (n == 0) 0L else math.round(d / n * 1e6)
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = Seq.newBuilder[(Long, Long, Long, Double)]
+      var rank = 1
+      while (rank <= math.min(k, cands.length)) {
+        var bestIdx = -1; var bestScore = Long.MinValue
+        var ci = 0
+        while (ci < cands.length) {
+          if (!selected.contains(ci)) {
+            val maxSim = if (selected.isEmpty) 0L
+              else selected.map(si => cosMicro(cands(ci)._3, cands(si)._3)).max
+            val s = lambdaNum * cands(ci)._2 - (lambdaDen - lambdaNum) * maxSim
+            // strict > : on ties the LOWER id wins (cands sorted by id)
+            if (s > bestScore) { bestScore = s; bestIdx = ci }
+          }
+          ci += 1
+        }
+        out += ((q, rank.toLong, cands(bestIdx)._1, bestScore / denScale))
+        selected += bestIdx
+        rank += 1
+      }
+      out.result().iterator
+    }.toDF("query_id", "rank", "id", "mmr_score")
+  }
 }

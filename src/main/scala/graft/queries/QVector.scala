@@ -159,6 +159,56 @@ object QVector {
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** The v17 MMR oracle: the v01 top-20 shortlist (cand: query_id,
+    * id, rel + rel_micro), then `k` UNROLLED argmax steps — step i
+    * computes each remaining candidate's max micro-unit cosine to the
+    * i−1 picks and takes the (integer score DESC, id) head. Scores
+    * are the operator's exact integers
+    * `num·rel_micro − (den−num)·msim_micro`. */
+  private def mmrSteps(k: Int, num: Int, den: Int): String = {
+    def step(i: Int): String =
+      if (i == 1)
+        s""", p1 AS (SELECT query_id, id, $num * rmic AS s10
+           |  FROM cand
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY $num * rmic DESC, id) = 1)""".stripMargin
+      else {
+        val sel = (1 until i).map(j => s"SELECT query_id, id FROM p$j")
+          .mkString(" UNION ALL ")
+        s""", sel$i AS ($sel),
+           |m$i AS (SELECT c.query_id, c.id,
+           |    max(CAST(round(CASE WHEN cv.nrm * sv.nrm = 0 THEN 0.0
+           |        ELSE list_dot_product(cv.v, sv.v) / (cv.nrm * sv.nrm) * 1000000.0
+           |        END) AS BIGINT)) AS msim
+           |  FROM cand c JOIN sel$i s ON s.query_id = c.query_id
+           |  JOIN n cv ON cv.vec_id = c.id JOIN n sv ON sv.vec_id = s.id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel$i x
+           |    WHERE x.query_id = c.query_id AND x.id = c.id)
+           |  GROUP BY 1, 2),
+           |p$i AS (SELECT c.query_id, c.id,
+           |    $num * c.rmic - ${den - num} * m.msim AS s10
+           |  FROM cand c JOIN m$i m ON m.query_id = c.query_id AND m.id = c.id
+           |  QUALIFY row_number() OVER (PARTITION BY c.query_id
+           |    ORDER BY $num * c.rmic - ${den - num} * m.msim DESC, c.id) = 1)""".stripMargin
+      }
+    (1 to k).map(step).mkString
+  }
+
+  private lazy val MmrSql: String = N +
+    """, q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+      |sc AS (SELECT q.query_id, c.vec_id AS id,
+      |    round(CASE WHEN q.qn * c.nrm <> 0
+      |          THEN list_dot_product(q.qv, c.v) / (q.qn * c.nrm) ELSE 0.0 END, 6) AS rel
+      |  FROM q JOIN n c ON c.vec_id <> q.query_id),
+      |cand AS (SELECT query_id, id, rel,
+      |    CAST(round(rel * 1000000.0) AS BIGINT) AS rmic FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) <= 20)""".stripMargin +
+    mmrSteps(k = 8, num = 7, den = 10) +
+    (1 to 8).map(i =>
+      s"SELECT query_id, CAST($i AS BIGINT) AS rank, id, " +
+        s"CAST(s10 AS DOUBLE) / 10000000.0 AS mmr_score FROM p$i")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY query_id, rank")
+
   private def pqSubCtes(s: Int, sub: Int, ksub: Int): String = {
     val off = s * sub
     s""", es$s AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS v FROM e),
@@ -610,6 +660,24 @@ object QVector {
           numClusters = 8, coarseIters = 2,
           dim = 64, m = 4, ksub = 8, pqIters = 2, k = 5, nprobe = 3)
         .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // V17: MMR diversified re-ranking (SimilaritySearch.mmrRerank,
+    // Carbonell & Goldstein 1998) — λ·rel − (1−λ)·max-sim-to-selected
+    // over the v01 top-20 shortlist, 8 picks at λ = 7/10. The oracle
+    // UNROLLS the 8 argmax steps with the operator's exact INTEGER
+    // scores (7·rel_micro − 3·msim_micro over micro-unit inputs, ties
+    // to the lower id) — no floating rounding anywhere in the argmax.
+    QueryDef.of("v17_ann_mmr", MmrSql) { (s, dir) =>
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.mmrRerank(
+          SimilaritySearch.bruteForceTopK(queries, cands, k = 20)
+            .select(col("query_id"), col("id"), col("cos").as("rel")),
+          cands, k = 8, lambdaNum = 7, lambdaDen = 10)
         .orderBy("query_id", "rank")
     },
 

@@ -1099,6 +1099,35 @@ class OperatorSpecs extends AnyFunSuite {
     assert(recall >= math.max(2 * chance, 0.15), s"residual IVFPQ recall@5 $recall")
   }
 
+  test("mmrRerank: diversity beats redundancy, first pick is argmax rel, deterministic") {
+    // three near-identical high-rel vectors + two distinct lower-rel
+    // ones: pure relevance keeps the redundant trio 1-2-3; MMR must
+    // pull the distinct vectors forward after the first pick
+    def v(parts: Double*): Seq[Double] = parts
+    val vecs = Seq(
+      (10L, v(1.0, 0.01, 0.0)), (11L, v(1.0, 0.0, 0.01)), (12L, v(0.99, 0.01, 0.01)),
+      (20L, v(0.0, 1.0, 0.0)), (30L, v(0.0, 0.0, 1.0)))
+      .toDF("id", "vec")
+    val ranked = Seq(
+      (1L, 10L, 0.98), (1L, 11L, 0.97), (1L, 12L, 0.96),
+      (1L, 20L, 0.80), (1L, 30L, 0.78))
+      .toDF("query_id", "id", "rel")
+    val got = SimilaritySearch.mmrRerank(ranked, vecs, k = 5, lambdaNum = 7, lambdaDen = 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(got.head._3 === 10L, "first pick must be the relevance argmax")
+    val order = got.map(_._3)
+    // the two distinct vectors must both rank ABOVE the two redundant
+    // near-copies of the first pick
+    assert(order.indexOf(20L) < order.indexOf(11L) && order.indexOf(30L) < order.indexOf(11L),
+      s"diversity must beat redundancy: $order")
+    assert(order.indexOf(20L) < order.indexOf(12L) && order.indexOf(30L) < order.indexOf(12L))
+    // deterministic under layout
+    val again = SimilaritySearch.mmrRerank(
+        ranked.repartition(7), vecs.repartition(5), k = 5, lambdaNum = 7, lambdaDen = 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(again === got)
+  }
+
   test("Quantiles.exactPercentiles equals the naive sorted-pick on seeded data incl. duplicates") {
     val rnd = new scala.util.Random(99)
     val vals = Seq.fill(500)(rnd.nextInt(20).toDouble) ++ Seq(0.0, 19.0) // force dup ends

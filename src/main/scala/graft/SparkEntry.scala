@@ -53,6 +53,7 @@ object SparkEntry {
     "a10_scenario_weighted", "a17_exact_percentiles", "a18_grouped_percentiles",
     "a19_kmv_distinct", "a20_approx_percentiles", "a21_kmv_overlap",
     "a22_histogram_synopsis", "a23_weighted_percentiles", "a24_cms_counts",
+    "a25_windowed_distinct",
     "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
     "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",
@@ -79,6 +80,7 @@ object SparkEntry {
     "v09_ann_index_upsert", "v10_ann_pq_adc", "v11_ann_ivfpq",
     "v12_ann_pq_persisted", "v13_cluster_balanced_sample",
     "v14_ann_ivfpq_rerank", "v15_ann_filtered", "v16_ann_ivfpq_residual",
+    "v17_ann_mmr",
     "sql01_extension_surface",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",
     "pbp03_pitcher_standardize")

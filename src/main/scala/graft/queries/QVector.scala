@@ -168,24 +168,21 @@ object QVector {
   private def mmrSteps(k: Int, num: Int, den: Int): String = {
     def step(i: Int): String =
       if (i == 1)
-        s""", p1 AS (SELECT query_id, id, $num * rmic AS s10
+        s""", p1 AS MATERIALIZED (SELECT query_id, id, $num * rmic AS s10
            |  FROM cand
            |  QUALIFY row_number() OVER (PARTITION BY query_id
            |    ORDER BY $num * rmic DESC, id) = 1)""".stripMargin
       else {
         val sel = (1 until i).map(j => s"SELECT query_id, id FROM p$j")
           .mkString(" UNION ALL ")
-        s""", sel$i AS ($sel),
-           |m$i AS (SELECT c.query_id, c.id,
-           |    max(CAST(round(CASE WHEN cv.nrm * sv.nrm = 0 THEN 0.0
-           |        ELSE list_dot_product(cv.v, sv.v) / (cv.nrm * sv.nrm) * 1000000.0
-           |        END) AS BIGINT)) AS msim
+        s""", sel$i AS MATERIALIZED ($sel),
+           |m$i AS MATERIALIZED (SELECT c.query_id, c.id, max(pc.cmic) AS msim
            |  FROM cand c JOIN sel$i s ON s.query_id = c.query_id
-           |  JOIN n cv ON cv.vec_id = c.id JOIN n sv ON sv.vec_id = s.id
+           |  JOIN pc ON pc.ia = c.id AND pc.ib = s.id
            |  WHERE NOT EXISTS (SELECT 1 FROM sel$i x
            |    WHERE x.query_id = c.query_id AND x.id = c.id)
            |  GROUP BY 1, 2),
-           |p$i AS (SELECT c.query_id, c.id,
+           |p$i AS MATERIALIZED (SELECT c.query_id, c.id,
            |    $num * c.rmic - ${den - num} * m.msim AS s10
            |  FROM cand c JOIN m$i m ON m.query_id = c.query_id AND m.id = c.id
            |  QUALIFY row_number() OVER (PARTITION BY c.query_id
@@ -200,9 +197,16 @@ object QVector {
       |    round(CASE WHEN q.qn * c.nrm <> 0
       |          THEN list_dot_product(q.qv, c.v) / (q.qn * c.nrm) ELSE 0.0 END, 6) AS rel
       |  FROM q JOIN n c ON c.vec_id <> q.query_id),
-      |cand AS (SELECT query_id, id, rel,
+      |cand AS MATERIALIZED (SELECT query_id, id, rel,
       |    CAST(round(rel * 1000000.0) AS BIGINT) AS rmic FROM sc
-      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) <= 20)""".stripMargin +
+      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) <= 20),
+      |cids AS MATERIALIZED (SELECT DISTINCT id FROM cand),
+      |pc AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    CAST(round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+      |        ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0
+      |        END) AS BIGINT) AS cmic
+      |  FROM n a JOIN cids ca ON a.vec_id = ca.id
+      |  CROSS JOIN n b JOIN cids cb ON b.vec_id = cb.id)""".stripMargin +
     mmrSteps(k = 8, num = 7, den = 10) +
     (1 to 8).map(i =>
       s"SELECT query_id, CAST($i AS BIGINT) AS rank, id, " +

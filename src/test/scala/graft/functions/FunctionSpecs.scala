@@ -266,6 +266,35 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(norm(once.head) === once, "normalizeUrl must be idempotent")
   }
 
+  test("normalizeUrl seeded fuzz: idempotent, host recovered, output absolute") {
+    val rnd = new Random(77)
+    val schemes = Seq("http", "HTTPS", "ftp", "Http")
+    val hosts = Seq("Ex.COM", "a.b.c.ORG", "X-1.io", "WWW.Deep.Sub.NET")
+    val ports = Seq("", ":80", ":443", ":8080", ":1")
+    val paths = Seq("", "/", "/a", "/a/b.html", "/p%20q")
+    val queries = Seq("", "?b=2&a=1", "?utm_source=z", "?z&y=1&utm_campaign=c&x=0", "?a=1&a=0")
+    val frags = Seq("", "#f", "#a/b?c=1")
+    val urls = Seq.fill(80) {
+      def p[A](xs: Seq[A]) = xs(rnd.nextInt(xs.size))
+      s"${p(schemes)}://${p(hosts)}${p(ports)}${p(paths)}${p(queries)}${p(frags)}"
+    }
+    val once = norm(urls: _*)
+    val twice = norm(once: _*)
+    assert(once === twice, "normalizeUrl must be idempotent on every fuzzed URL")
+    once.zip(urls).foreach { case (n, u) =>
+      assert(n.matches("^[a-z][a-z0-9+.-]*://.*"), s"not absolute: $u -> $n")
+      assert(!n.contains("#"), s"fragment survived: $u -> $n")
+      assert(!n.contains("utm_"), s"tracking param survived: $u -> $n")
+    }
+    // host always recovered lowercase, port-free
+    val gotHosts = urls.toDF("u").select(UrlFunctions.urlHost(col("u")))
+      .as[String].collect().toSeq
+    gotHosts.zip(urls).foreach { case (h, u) =>
+      val want = u.split("://")(1).split("[/?#]")(0).split(":")(0).toLowerCase
+      assert(h === want, s"host of $u: got $h want $want")
+    }
+  }
+
   test("urlHost extracts the lowercase port-free host") {
     val hosts = Seq("HTTP://WWW.Ex.COM:8080/p", "https://a.b.c/", "ftp://X.Y")
       .toDF("u").select(UrlFunctions.urlHost(col("u"))).as[String].collect().toSeq

@@ -86,6 +86,36 @@ class ClusteredWriteSpec extends AnyFunSuite {
       ZOrder.bucketIndex(lit(42.0), 7.0, 7.0, 3)).as[Long].head() === 0L)
   }
 
+  test("ZOrder property sweep: interleave matches reference on random inputs; per-axis monotone") {
+    val rnd = new scala.util.Random(1234)
+    def ref(bs: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      for (b <- 0 until bits; j <- bs.indices)
+        z |= ((bs(j) >> b) & 1L) << (b * bs.length + j)
+      z
+    }
+    // 60 random (2- and 3-dim) bucket tuples vs the reference
+    for (_ <- 1 to 30) {
+      val dims = 2 + rnd.nextInt(2)
+      val bits = 4 + rnd.nextInt(9) // 4..12
+      val bs = Seq.fill(dims)(rnd.nextLong(1L << bits))
+      val got = spark.range(1)
+        .select(ZOrder.interleave(bs.map(lit(_)), bits)).as[Long].head()
+      assert(got === ref(bs, bits), s"dims=$dims bits=$bits bs=$bs")
+    }
+    // monotone along each axis with the other fixed: the property
+    // range clustering relies on (greater bucket => greater z)
+    val fixed = 37L
+    val zs = spark.range(1).select(
+      (0L until 16L).map(v => ZOrder.interleave(Seq(lit(v), lit(fixed)), 4)): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    assert(zs === zs.sorted && zs.distinct.size === zs.size, s"axis-0 not monotone: $zs")
+    val zs2 = spark.range(1).select(
+      (0L until 16L).map(v => ZOrder.interleave(Seq(lit(fixed % 16), lit(v)), 4)): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    assert(zs2 === zs2.sorted && zs2.distinct.size === zs2.size, s"axis-1 not monotone: $zs2")
+  }
+
   test("writeZOrdered: content-identical and BOTH dimensions' per-file ranges stay tight") {
     val in = events.select(col("event_id"), col("user_id"),
       unix_timestamp(col("ts")).as("ts_s"))

@@ -171,6 +171,20 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged === oneShot)
   }
 
+  test("CMS seeded sweep: est >= true on random multisets across (depth, width) shapes") {
+    val rnd = new scala.util.Random(31337)
+    for ((d, w) <- Seq((2, 16), (4, 64), (6, 128))) {
+      val items = Seq.fill(800)(s"k${rnd.nextInt(120)}").toDF("v")
+      val truth = items.groupBy("v").count().as[(String, Long)].collect().toMap
+      val sk = Sketches.cmsBuild(items, "v", d, w)
+      val est = Sketches.cmsEstimate(sk, truth.keys.toSeq.toDF("v"), "v", d, w)
+        .as[(String, Long)].collect().toMap
+      truth.foreach { case (v, t) =>
+        assert(est(v) >= t, s"(d=$d,w=$w) $v: est ${est(v)} < true $t")
+      }
+    }
+  }
+
   test("CMS is layout- and order-invariant (pure function of the multiset)") {
     val (d, w) = (3, 16)
     val df = zipf(50, 100)

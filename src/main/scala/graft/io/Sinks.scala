@@ -101,10 +101,12 @@ object Sinks {
    * `repartition(n)` — one shuffle that balances rows without a key,
    * content-preserving by construction. Returns the file count.
    */
-  def compactParquet(
+  /** Shared compaction sizing: refuse in-place overwrite, then the
+    * target file count from ACTUAL parquet data-file bytes. */
+  private def compactionFileCount(
       spark: org.apache.spark.sql.SparkSession,
       inPath: String, outPath: String,
-      targetBytes: Long, maxFiles: Int = 10000): Int = {
+      targetBytes: Long, maxFiles: Int): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
     val in = new org.apache.hadoop.fs.Path(inPath)
@@ -126,11 +128,38 @@ object Sinks {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
     }
-    val n = math.min(maxFiles.toLong,
+    math.min(maxFiles.toLong,
       math.max(1L, math.round(total.toDouble / targetBytes))).toInt
+  }
+
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String,
+      targetBytes: Long, maxFiles: Int = 10000): Int = {
+    val n = compactionFileCount(spark, inPath, outPath, targetBytes, maxFiles)
     spark.read.parquet(inPath)
       .repartition(n)
       .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
+  /**
+   * Compaction WITH layout — the full `OPTIMIZE ... ZORDER BY`
+   * analogue: one rewrite that both collapses small files to
+   * `targetBytes`-sized ones (count from actual on-disk bytes, the
+   * [[compactParquet]] sizing) and clusters rows along the Morton
+   * curve over `zCols` ([[writeZOrdered]]) so the compacted files are
+   * ALSO skippable on every participating dimension. This is the
+   * maintenance pass a long-lived incremental dataset actually wants:
+   * running compaction and clustering separately reads and writes the
+   * data twice; fused, once. Returns the file count.
+   */
+  def compactParquetZOrdered(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, zCols: Seq[String],
+      targetBytes: Long, maxFiles: Int = 10000, bits: Int = 12): Int = {
+    val n = compactionFileCount(spark, inPath, outPath, targetBytes, maxFiles)
+    writeZOrdered(spark.read.parquet(inPath), outPath, zCols, n, bits)
     n
   }
 

@@ -146,6 +146,40 @@ class ClusteredWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("compactParquetZOrdered: one pass gives BOTH sized files and a skippable layout") {
+    val inDir = tmp("graft_optz_in_")
+    val outDir = tmp("graft_optz_out_")
+    val in = events.select(col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("ts_s"))
+    in.repartition(64).write.mode("overwrite").parquet(inDir) // fragmented
+    val n = Sinks.compactParquetZOrdered(spark, inDir, outDir,
+      Seq("user_id", "ts_s"), targetBytes = 12L * 1024)
+    val files = dataFiles(outDir)
+    assert(files.size === n && n < 64 && n > 4,
+      s"expected consolidation into several files, got $n")
+    // content survives exactly
+    val back = spark.read.parquet(outDir)
+    assert(back.exceptAll(in).count() === 0 && in.exceptAll(back).count() === 0)
+    // and the layout is clustered: with log2(n) leading curve bits
+    // split across the two dimensions, the AVERAGE per-file span over
+    // BOTH dims must be materially tighter than the fragmented
+    // (round-robin) input's (a curve split on few files may cut only
+    // one dimension's MSB — the joint average is the honest gate)
+    def meanSpan(paths: Seq[String], c: String): Double = {
+      val rs = fileRanges(paths, c)
+      rs.map { case (lo, hi) => (hi - lo).toDouble }.sum / rs.size
+    }
+    val dims = Seq("user_id", "ts_s")
+    val zAvg = dims.map(d =>
+      meanSpan(files, d) / math.max(1.0, meanSpan(dataFiles(inDir), d))).sum / dims.size
+    assert(zAvg < 0.75,
+      s"compacted z-layout avg normalized span $zAvg not < 0.75 of fragmented")
+    // in-place refusal applies to this form too
+    intercept[IllegalArgumentException] {
+      Sinks.compactParquetZOrdered(spark, outDir, outDir, Seq("user_id"), 1024)
+    }
+  }
+
   test("clustered layout actually prunes: point-range scan reads a strict subset of files") {
     val out = tmp("graft_prune_")
     val in = events.select("event_id", "user_id")

@@ -562,6 +562,31 @@ object QAgg {
         Seq(0.25, 0.5, 0.9))
     },
 
+    // A26: ROLLUP — multi-level totals in one pass (the subtotal/
+    // grand-total report every BI surface asks of an engine): per
+    // (returnflag, linestatus), per returnflag, and overall, from a
+    // single Expand + aggregate. NULL group columns mark subtotal
+    // levels on both engines; grouping_id disambiguates a genuine
+    // NULL value from a rollup level.
+    QueryDef.of("a26_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("lvl"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("lvl"),
+          col("n"), col("qty"))
+        .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
     // A25 (beyond-reference corpus stats): WINDOWED distinct-count
     // synopsis — the a19 KMV sketch composed with an event-time hour
     // bucket ("distinct users per hour" at bounded state per window,

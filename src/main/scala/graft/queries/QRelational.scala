@@ -145,6 +145,35 @@ object QRelational {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // E5: UNPIVOT / melt — wide-to-long reshaping (the inverse of
+    // a01's pivot): three charge columns per order row melt into
+    // (measure, cents) pairs via Spark's native unpivot (an Expand
+    // node — map-only, no shuffle beyond the final aggregate).
+    QueryDef.of("e05_unpivot",
+      """WITH w AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |    CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |    CAST(o_custkey AS BIGINT) AS cust_key
+        |  FROM orders),
+        |u AS (UNPIVOT w ON total_cents, order_year, cust_key
+        |      INTO NAME measure VALUE v)
+        |SELECT measure, count(*) AS n, CAST(SUM(v) AS BIGINT) AS total,
+        |  CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          col("o_custkey").cast("long").as("cust_key"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("total_cents"), col("order_year"), col("cust_key")),
+          "measure", "v")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), sum("v").as("total"),
+          min("v").as("mn"), max("v").as("mx"))
+        .orderBy("measure")
+    },
+
     // S1: schema-enforced scan with filter+projection — Catalyst
     // pushes both into the parquet scan (verified via explain in the
     // plan spec; reference usecols/dtype hardening,

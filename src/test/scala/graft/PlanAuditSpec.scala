@@ -449,6 +449,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), p)
   }
 
+  test("e05/a26: unpivot and rollup are single Expand + aggregate chains") {
+    // both reshape via ONE Expand (3x for the melt, level-count x for
+    // the rollup) feeding a partial-aggregated hash agg — no join, no
+    // window, exactly one hash exchange (plus the orderBy's range)
+    Seq("e05_unpivot", "a26_rollup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Expand"), s"$q must reshape via Expand\n$p")
+      assert(p.contains("HashAggregate"), s"$q\n$p")
+      assert(!p.contains("Join") && !p.contains("Window"), s"$q\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx <= 1, s"$q: expected <=1 hash exchange, got $hashEx\n$p")
+    }
+  }
+
   test("a24: CMS builds with map-side partial counts and the probe join broadcasts the sketch") {
     // each build partial is a plain HashAggregate(partial count) —
     // bounded at depth*width cells per task; the estimate side must

@@ -174,6 +174,45 @@ object QRelational {
         .orderBy("measure")
     },
 
+    // DQ1: declarative data-quality expectations (Expectations.report,
+    // the deequ/Great-Expectations validation pass): three row-wise
+    // rules share ONE corpus aggregate (conditional sums, then the
+    // 1-row result unpivots into report rows) and each uniqueness
+    // rule adds one grouped pass. Planted reality: value has genuine
+    // out-of-[0,100] rows; (user_id, event_type) is deliberately
+    // non-unique — pass must be false for both.
+    QueryDef.of("dq01_expectations",
+      """WITH rw AS (SELECT count(*) AS total,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+        |    CAST(SUM(CASE WHEN value IS NOT NULL AND
+        |        (CAST(value AS DOUBLE) < 0.0 OR CAST(value AS DOUBLE) > 100.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+        |    CAST(SUM(CASE WHEN event_type IS NOT NULL AND
+        |        NOT regexp_matches(event_type, '^[a-z]+$')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+        |  FROM events),
+        |u1 AS (SELECT CAST(coalesce(SUM(n - 1), 0) AS BIGINT) AS violations,
+        |    CAST(coalesce(SUM(n), 0) AS BIGINT) AS total
+        |  FROM (SELECT count(*) AS n FROM events GROUP BY event_id)),
+        |u2 AS (SELECT CAST(coalesce(SUM(n - 1), 0) AS BIGINT) AS violations,
+        |    CAST(coalesce(SUM(n), 0) AS BIGINT) AS total
+        |  FROM (SELECT count(*) AS n FROM events GROUP BY user_id, event_type))
+        |SELECT rule, violations, total, violations = 0 AS pass FROM (
+        |  SELECT 'not_null(user_id)' AS rule, v_nn AS violations, total FROM rw
+        |  UNION ALL SELECT 'in_range(value,0.0,100.0)', v_rng, total FROM rw
+        |  UNION ALL SELECT 'matches(event_type)', v_re, total FROM rw
+        |  UNION ALL SELECT 'unique(event_id)', violations, total FROM u1
+        |  UNION ALL SELECT 'unique(user_id,event_type)', violations, total FROM u2)
+        |ORDER BY rule""".stripMargin) { (s, dir) =>
+      import graft.operators.Expectations._
+      report(Tables.events(s, dir), Seq(
+        NotNull("user_id"),
+        InRange("value", 0.0, 100.0),
+        Matches("event_type", "^[a-z]+$"),
+        Unique(Seq("event_id")),
+        Unique(Seq("user_id", "event_type"))))
+    },
+
     // S1: schema-enforced scan with filter+projection — Catalyst
     // pushes both into the parquet scan (verified via explain in the
     // plan spec; reference usecols/dtype hardening,

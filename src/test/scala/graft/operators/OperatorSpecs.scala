@@ -629,6 +629,30 @@ class OperatorSpecs extends AnyFunSuite {
     assert(r.size === 4, "every input doc must appear in the output")
   }
 
+  test("Expectations.report: exact violation counts on planted defects; clean rules pass") {
+    import Expectations._
+    val df = Seq(
+      (Some(1L), Some(5.0), Some("ok"), 1L),
+      (None, Some(50.0), Some("ok"), 2L),          // null key
+      (Some(3L), Some(-1.0), Some("BAD9"), 3L),    // range + regex
+      (Some(4L), Some(101.0), None, 3L),           // range + dup id
+      (Some(5L), None, Some("fine"), 4L))          // null value: no range violation
+      .toDF("k", "v", "s", "id")
+    val got = report(df, Seq(
+        NotNull("k"), InRange("v", 0.0, 100.0), Matches("s", "^[a-z]+$"),
+        Unique(Seq("id"))))
+      .as[(String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got("not_null(k)") === (("not_null(k)", 1L, 5L, false)))
+    assert(got("in_range(v,0.0,100.0)") === (("in_range(v,0.0,100.0)", 2L, 5L, false)))
+    assert(got("matches(s)") === (("matches(s)", 1L, 5L, false)))
+    assert(got("unique(id)") === (("unique(id)", 1L, 5L, false)))
+    // a clean frame passes everything
+    val clean = report(df.filter(col("k").isNotNull && col("id") =!= 3L),
+        Seq(NotNull("k"), Unique(Seq("id"))))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(clean.forall(_._4), s"clean rules must pass: ${clean.toSeq}")
+  }
+
   test("Funnel.stepCounts: strict ordering, conversion window, no step skipping") {
     val rows = Seq(
       // u1 completes the whole funnel

@@ -23,19 +23,43 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.util.Metrics.enableLogging(spark) // capped drops → stderr
     new java.io.File(outDir).mkdirs()
+    // MANIFEST: one JSONL line per query AS IT COMPLETES (so a dump
+    // killed mid-run is visibly partial), then a final MANIFEST.json
+    // with totals. r11's official correctness artifact came back `{}`
+    // with no engine-side trace; the manifest makes a partial or empty
+    // dump impossible to mistake for a green one (localverify.py
+    // refuses to pass unless the manifest is complete and all-ok).
+    val manifest = new java.io.PrintWriter(
+      new java.io.FileWriter(s"$outDir/MANIFEST.jsonl", /*append=*/false))
+    val results = scala.collection.mutable.LinkedHashMap[String, (Boolean, Long)]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       // coalesce(1) is HARNESS-ONLY (one parquet file per query for
       // the DuckDB compare) — never copy this into an operator; a
       // single-partition write serializes the whole result
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val entry = try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // metadata-only count (parquet footer), no recompute
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        (true, rows)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        (false, -1L)
       }
+      results(name) = entry
+      manifest.println(s"""{"query":"$name","ok":${entry._1},"rows":${entry._2}}""")
+      manifest.flush()
       spark.catalog.clearCache() // drop operator-persisted intermediates
     }
+    manifest.close()
+    val nOk = results.count(_._2._1)
+    Files.writeString(Paths.get(s"$outDir/MANIFEST.json"),
+      results.map { case (n, (ok, rows)) =>
+        s""""$n":{"ok":$ok,"rows":$rows}""" }
+        .mkString(s"""{"_total":${results.size},"_ok":$nOk,""", ",", "}"))
+    System.err.println(s"[verify] manifest: ${results.size} queries, $nOk ok")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

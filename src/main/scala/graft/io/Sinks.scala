@@ -209,6 +209,14 @@ object Sinks {
       Seq(min(col(c).cast("double")).as(s"__lo_$c"),
         max(col(c).cast("double")).as(s"__hi_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // Empty input or an all-NULL z-column leaves the min/max NULL; a
+    // z-value over a NULL range is meaningless, so fall back to the
+    // single-dimension clustered write (same layout guarantee on the
+    // surviving keys, and a plain valid write when df is empty).
+    if ((0 until 2 * zCols.size).exists(row.isNullAt)) {
+      writeClustered(df, path, zCols, numFiles)
+      return
+    }
     val ranges = zCols.zipWithIndex.map { case (c, i) =>
       (col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1))
     }

@@ -29,7 +29,11 @@ object Expectations {
     def label = s"not_null($col)"
   }
   /** Numeric column must lie in [lo, hi]; NULLs do not violate (pair
-    * with [[NotNull]] to require presence). */
+    * with [[NotNull]] to require presence). A string-typed column is
+    * `try_cast` to double — a NON-NUMERIC value COUNTS AS A VIOLATION
+    * (it is certainly not in range) rather than throwing under ANSI
+    * mode: a validation pass must survive the malformed data it
+    * exists to report. */
   final case class InRange(col: String, lo: Double, hi: Double) extends Rule {
     def label = s"in_range($col,$lo,$hi)"
   }
@@ -46,8 +50,11 @@ object Expectations {
   private def violation(r: Rule): Column = r match {
     case NotNull(c) => when(col(c).isNull, 1L).otherwise(0L)
     case InRange(c, lo, hi) =>
-      when(col(c).isNotNull &&
-        (col(c).cast("double") < lo || col(c).cast("double") > hi), 1L).otherwise(0L)
+      // try_cast: a non-numeric string yields NULL (never an ANSI
+      // throw); with the source non-NULL that NULL means "unparseable"
+      // → violation
+      val d = col(c).try_cast(org.apache.spark.sql.types.DoubleType)
+      when(col(c).isNotNull && (d.isNull || d < lo || d > hi), 1L).otherwise(0L)
     case Matches(c, re) =>
       when(col(c).isNotNull && !col(c).rlike(re), 1L).otherwise(0L)
     case _: Unique =>

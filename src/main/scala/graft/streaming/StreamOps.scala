@@ -301,9 +301,12 @@ object StreamOps {
             val prev = state.getOption.getOrElse(BaseReplayState("", "", "", Nil))
             val all = prev.pending ++ rows
             val wm = state.getCurrentWatermarkMs()
-            // fold ONLY the sealed prefix (ts ≤ watermark — nothing
-            // earlier can still arrive); buffer the rest in order
-            val (ready, hold) = all.partition(_.ts.getTime <= wm)
+            // fold ONLY the sealed prefix (ts STRICTLY below the
+            // watermark): Spark drops late rows with ts < wm but a
+            // straggler timestamped EXACTLY at wm can still arrive in
+            // a later batch — folding ties at the watermark would
+            // violate the (ts, play_id) order for that straggler
+            val (ready, hold) = all.partition(_.ts.getTime < wm)
             val (st2, outs) = fold(
               graft.pbp.BaseState.State(prev.r1, prev.r2, prev.r3),
               ready.sortBy(byTime), gameId)
@@ -327,16 +330,30 @@ object StreamOps {
    * per-step completion counts agree row-for-row).
    *
    * Same sealed-prefix machinery as [[baseStateStream]]: only events
-   * at or before the watermark fold (nothing earlier can still
+   * strictly below the watermark fold (nothing earlier can still
    * arrive), later arrivals buffer, event-time timeout drains idle
-   * users' buffers. Unlike the per-game machine, per-user funnel
-   * state is PERMANENT (three longs once the buffer drains): the
-   * batch semantics anchor a user's funnel at their first step-1
-   * event forever — evicting and re-creating would restart the
-   * funnel and emit spurious completions. Total state is 3 longs ×
-   * |users ever seen| (the bound ANY per-user aggregation carries)
-   * plus watermark-bounded buffers; a production TTL would be a
-   * deliberate, documented divergence from the batch form.
+   * users' buffers.
+   *
+   * State lifetime. Step-0 state with a drained buffer IS the default
+   * a fresh group starts from, so it is always evicted — the store
+   * tracks users who STARTED the funnel, not users ever seen. Beyond
+   * that the batch contract forces permanence: the funnel anchors at
+   * a user's FIRST step-1 event forever, so even an expired or
+   * completed funnel must leave a tombstone (these 3 longs) to
+   * suppress a later view re-emitting step 1 — naive eviction at
+   * window expiry is NOT semantics-preserving (it emits spurious
+   * restarts; caught by StreamingSpec when tried).
+   *
+   * `allowReentry = true` is the bounded-state alternative, an
+   * EXPLICIT semantics change (the product-analytics "conversion
+   * window with re-entry": a user whose window expired, or who
+   * completed the funnel, re-enters at step 1 on their next step-1
+   * event). The restart lives in the shared fold — keyed on EVENT
+   * time, not the watermark — so backfill ≡ stream exactly; eviction
+   * then becomes a pure state-size optimization (an expired group and
+   * an absent group fold identically), and an event-time timeout at
+   * the window end drops the user: total state is bounded by ACTIVE
+   * windows, not funnel history. StreamingSpec gates both modes.
    *
    * On a BOUNDED input (backfill) the watermark is meaningless: each
    * user's complete history folds in order, one group at a time
@@ -345,7 +362,8 @@ object StreamOps {
   def funnelStream(
       events: Dataset[StreamEvent],
       steps: Seq[String], withinSec: Option[Long],
-      watermarkDelay: String = "10 minutes"): Dataset[FunnelOut] = {
+      watermarkDelay: String = "10 minutes",
+      allowReentry: Boolean = false): Dataset[FunnelOut] = {
     require(steps.nonEmpty, "need at least one funnel step")
     import events.sparkSession.implicits._
 
@@ -359,8 +377,16 @@ object StreamOps {
       var (step, t1Sec, tpUs) = st0
       val outs = Seq.newBuilder[FunnelOut]
       ordered.foreach { e =>
+        val u = us(e.ts)
+        // re-entry mode: a completed or (by THIS event's time) expired
+        // funnel resets before matching — event-time-keyed so the
+        // bounded backfill and the evicting stream agree exactly
+        if (allowReentry && step >= 1 &&
+            (step == steps.length ||
+              withinSec.exists(w => floorSec(u) - t1Sec > w))) {
+          step = 0; t1Sec = 0L; tpUs = 0L
+        }
         if (step < steps.length && e.event_type == steps(step)) {
-          val u = us(e.ts)
           val qualifies =
             if (step == 0) true
             else u > tpUs && withinSec.forall(w => floorSec(u) - t1Sec <= w)
@@ -381,6 +407,36 @@ object StreamOps {
           fold((0, 0L, 0L), it.toSeq.sortBy(byTime))._2.iterator
       }
 
+    // True once removing this user's state cannot change any future
+    // output — see state-lifetime doc above. Step-0 state ≡ the
+    // fresh-group default always; completed/expired state only under
+    // re-entry semantics (where an evicted group and a reset group
+    // fold identically — any deliverable event has ts >= watermark >=
+    // windowEnd, which triggers the in-fold reset anyway).
+    def dead(step: Int, t1Sec: Long, wmMs: Long): Boolean =
+      step == 0 ||
+        (allowReentry && (step == steps.length ||
+          withinSec.exists(w => wmMs >= (t1Sec + w + 1) * 1000L)))
+
+    // Post-fold bookkeeping shared by both branches: evict dead state,
+    // otherwise persist and schedule the next wake (buffer drain for
+    // held events; window-end eviction for bounded mid-funnel state;
+    // no wake at all for unbounded mid-funnel — new events re-invoke
+    // the group, and nothing else can change it).
+    def settle(st2: Int, t1b: Long, tpb: Long, hold: List[StreamEvent],
+        wm: Long, state: GroupState[FunnelReplayState]): Unit =
+      if (hold.isEmpty && dead(st2, t1b, wm)) state.remove()
+      else {
+        state.update(FunnelReplayState(st2, t1b, tpb, hold))
+        if (hold.nonEmpty)
+          state.setTimeoutTimestamp(math.max(hold.map(_.ts.getTime).max, wm) + 1)
+        else if (allowReentry && st2 >= 1)
+          // wake at the window end to evict; pointless without
+          // re-entry (the tombstone stays either way)
+          withinSec.foreach(w => state.setTimeoutTimestamp(
+            math.max((t1b + w + 1) * 1000L, wm + 1)))
+      }
+
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -388,23 +444,24 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: Long, rows: Iterator[StreamEvent], state: GroupState[FunnelReplayState]) =>
           if (state.hasTimedOut) {
-            // drain the sealed buffer but KEEP the scalar funnel
-            // state — see the permanence note in the doc comment
+            // timeout fired → watermark is past every buffered event:
+            // drain the whole buffer, then evict or re-arm
             val s = state.get
+            val wm = state.getCurrentWatermarkMs()
             val ((st2, t1b, tpb), outs) =
               fold((s.step, s.t1Sec, s.tpUs), s.pending.sortBy(byTime))
-            state.update(FunnelReplayState(st2, t1b, tpb, Nil))
+            settle(st2, t1b, tpb, Nil, wm, state)
             outs.iterator
           } else {
             val prev = state.getOption.getOrElse(FunnelReplayState(0, 0L, 0L, Nil))
             val all = prev.pending ++ rows
             val wm = state.getCurrentWatermarkMs()
-            val (ready, hold) = all.partition(_.ts.getTime <= wm)
+            // strict < — a straggler timestamped exactly at the
+            // watermark can still arrive (same rule as baseStateStream)
+            val (ready, hold) = all.partition(_.ts.getTime < wm)
             val ((st2, t1b, tpb), outs) =
               fold((prev.step, prev.t1Sec, prev.tpUs), ready.sortBy(byTime))
-            state.update(FunnelReplayState(st2, t1b, tpb, hold))
-            val lastTs = if (hold.nonEmpty) hold.map(_.ts.getTime).max else wm
-            state.setTimeoutTimestamp(math.max(lastTs, wm) + 1)
+            settle(st2, t1b, tpb, hold, wm, state)
             outs.iterator
           }
       }

@@ -243,7 +243,13 @@ object IngestScaleSmoke {
       val zFiles = new java.io.File(zDir).listFiles()
         .filter(_.getName.endsWith(".parquet"))
       val zCount = spark.read.parquet(zDir).count()
-      check(zCount == zin.count() && zFiles.length == 16,
+      // file count is ≤ requested, not ==: repartitionByRange samples
+      // the z-value range and may produce fewer partitions when the
+      // sampled range collapses at small scales — the layout contract
+      // is content-completeness + the span metric below, not an exact
+      // file count
+      check(zCount == zin.count() &&
+          zFiles.length >= 1 && zFiles.length <= 16,
         s"scale=$c s18 z-ordered rewrite is content-complete across " +
           s"${zFiles.length} files ($zCount rows)")
       val zSpans = zFiles.map { f =>

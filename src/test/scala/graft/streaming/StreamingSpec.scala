@@ -532,6 +532,70 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(o => (o.user_id, o.step_idx, o.step, o.ts_us)).toSet
       assert(streamed === want,
         "stream must emit exactly the batch fold's step completions")
+      // STATE GATE (VERDICT r11): under the batch-anchored contract a
+      // started funnel must leave a tombstone (full eviction would
+      // re-emit step 1 on a later view — spurious vs batch), but
+      // step-0 state is always evicted: the store tracks users who
+      // STARTED, never users merely seen. Flush users (-999) send
+      // "view" so the bound is started-users + the trailing flusher.
+      val started = want.map(_._1)
+      val stateRows = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= started.size + 1,
+        s"state must be bounded by started users (state rows = $stateRows, " +
+          s"started = ${started.size})")
+    } finally query.stop()
+  }
+
+  test("funnelStream allowReentry: window re-entry semantics, state evicted to zero") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click")
+    val within = Some(100L)
+    def ev(id: Long, user: Long, sec: Long, typ: String) =
+      StreamEvent(id, new java.sql.Timestamp(sec * 1000L), user, typ, 0.0)
+    val t0 = 1700000000L
+    val rows = Seq(
+      // u1: completes in-window, then re-enters on a later view
+      ev(1, 1, t0, "view"), ev(2, 1, t0 + 50, "click"), ev(3, 1, t0 + 500, "view"),
+      // u2: window expires before the click (no step 2), later view re-enters
+      ev(4, 2, t0, "view"), ev(5, 2, t0 + 200, "click"), ev(6, 2, t0 + 300, "view"),
+      // u3: starts and goes quiet — state must still evict at window end
+      ev(7, 3, t0, "view"))
+    val expect = Set(
+      (1L, 1, "view", t0 * 1000000L), (1L, 2, "click", (t0 + 50) * 1000000L),
+      (1L, 1, "view", (t0 + 500) * 1000000L),
+      (2L, 1, "view", t0 * 1000000L), (2L, 1, "view", (t0 + 300) * 1000000L),
+      (3L, 1, "view", t0 * 1000000L))
+
+    // bounded-input dispatch carries the same re-entry fold
+    val batchOut = graft.streaming.StreamOps
+      .funnelStream(rows.toDS(), steps, within, allowReentry = true)
+      .collect().map(o => (o.user_id, o.step_idx, o.step, o.ts_us)).toSet
+    assert(batchOut === expect, "backfill must replay re-entry semantics")
+
+    val input = MemoryStream[StreamEvent]
+    val query = StreamOps.funnelStream(input.toDS(), steps, within,
+        watermarkDelay = "10 seconds", allowReentry = true)
+      .writeStream.format("memory").queryName("funnel_reentry_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows); query.processAllAvailable()
+      // flush users push the watermark a day, then two days, out —
+      // "click" never matches step 0, so each flusher's own state
+      // dies by step-0 eviction once its buffer drains
+      input.addData(Seq(ev(-1, -999, t0 + 86400, "click")))
+      query.processAllAvailable()
+      input.addData(Seq(ev(-2, -998, t0 + 2 * 86400, "click")))
+      query.processAllAvailable()
+
+      val streamed = spark.table("funnel_reentry_out").filter(col("user_id") >= 0)
+        .as[FunnelOut].collect().map(o => (o.user_id, o.step_idx, o.step, o.ts_us)).toSet
+      assert(streamed === expect, "stream must equal the re-entry fold")
+      // FULL EVICTION GATE: every real user's window is a day past —
+      // with re-entry their state is gone; only the trailing
+      // flusher's unsealed buffer may remain
+      val stateRows = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 1,
+        s"expired funnel state must evict to zero under re-entry (rows = $stateRows)")
     } finally query.stop()
   }
 

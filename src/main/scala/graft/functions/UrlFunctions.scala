@@ -17,12 +17,24 @@ import org.apache.spark.sql.functions._
  *   ports dropped (http:80, https:443), others kept; 4. empty path
  *   → "/"; 5. query params split on '&', tracking params dropped
  *   (`utm_*`, `fbclid`, `gclid`), the rest sorted byte-wise and
- *   rejoined; an emptied query drops its '?'.
+ *   rejoined; an emptied query drops its '?'; 6. percent-encoding
+ *   normalized in path and query ([[normalizePercentEncoding]]).
  *
- * Deliberately NOT done here: percent-encoding normalization and
- * public-suffix registrable-domain extraction (the PSL is a large
- * moving dataset; shipping a stale subset would silently mis-group
- * `*.co.uk` — callers with a PSL can map [[urlHost]] through it).
+ * Percent-encoding is normalized per RFC 3986 §2.3/§6.2.2
+ * ([[normalizePercentEncoding]]): octets for UNRESERVED characters
+ * (`A-Z a-z 0-9 - . _ ~`) are decoded, every other escape keeps its
+ * `%` but uppercases the hex — so `%41` ≡ `A` and `%2f` ≡ `%2F`
+ * collapse into one dedup key, while `%2F` vs `/` correctly stay
+ * distinct (a reserved octet is NOT equivalent to its literal).
+ *
+ * Registrable-domain extraction ([[registrableDomain]]) is
+ * longest-suffix match against a CALLER-SUPPLIED suffix snapshot: the
+ * public-suffix list is a large moving dataset, so shipping a frozen
+ * subset here would silently mis-group `*.co.uk`; callers pass their
+ * own PSL snapshot (or any policy set) and get the eTLD+1 grouping
+ * key a per-domain quota actually needs — a host-keyed cap lets a
+ * megasite with per-user subdomains (`*.blogspot.com`) evade the cap
+ * entirely.
  */
 object UrlFunctions {
 
@@ -42,6 +54,56 @@ object UrlFunctions {
   def urlHost(url: Column): Column =
     lower(regexp_replace(hostPort(url), ":[0-9]+$", ""))
 
+  /**
+   * RFC 3986 percent-encoding normalization, as one map-only codegen
+   * expression: split on '%'; each piece after the first either
+   * decodes its leading hex pair (only when the decoded character is
+   * unreserved — reserved octets like `%2F` must stay encoded) or
+   * uppercases the hex; invalid escapes (`%G1`, trailing `%`) pass
+   * through untouched. Idempotent: decoded output contains no `%`
+   * escapes that could decode again, and bare unreserved chars are
+   * fixpoints.
+   */
+  def normalizePercentEncoding(s: Column): Column = {
+    val pieces = split(s, "%")
+    val fixed = transform(pieces, (p, i) => when(i === 0, p).otherwise {
+      val hh = upper(substring(p, 1, 2))
+      val code = conv(hh, 16, 10).cast("int")
+      val decoded = call_function("char", code)
+      val rest = substring(p, 3, 1 << 24)
+      when(!p.rlike("^[0-9A-Fa-f]{2}"), concat(lit("%"), p))
+        .when(decoded.rlike("^[A-Za-z0-9._~-]$"), concat(decoded, rest))
+        .otherwise(concat(lit("%"), hh, rest))
+    })
+    array_join(fixed, "")
+  }
+
+  /**
+   * eTLD+1 under a caller-supplied public-suffix snapshot: the longest
+   * suffix of `host` (on label boundaries) present in `suffixes`, plus
+   * the one label before it. A host with no matching suffix — or that
+   * IS a bare suffix — returns unchanged (grouping by the host itself
+   * is the conservative fallback; silently merging unknown TLDs would
+   * be worse than not merging). The suffix set compiles to a literal
+   * array in the plan (a PSL snapshot is ~10k entries — well inside
+   * literal/broadcast territory), so the whole thing stays a map-only
+   * projection with no join.
+   */
+  def registrableDomain(host: Column, suffixes: Seq[String]): Column = {
+    require(suffixes.nonEmpty, "need at least one public suffix")
+    val suffixSet = typedlit(suffixes)
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    // k = label count of the longest matching PROPER suffix (k < n so
+    // at least one label remains in front of it)
+    val ks = transform(sequence(lit(1), n - 1), k =>
+      when(array_contains(suffixSet, array_join(slice(parts, -k, k), ".")), k)
+        .otherwise(lit(0)))
+    val kBest = when(n >= 2, coalesce(array_max(ks), lit(0))).otherwise(lit(0))
+    when(kBest > 0, array_join(slice(parts, -(kBest + 1), kBest + 1), "."))
+      .otherwise(host)
+  }
+
   /** Canonical form per the object rules; non-absolute inputs (no
     * `scheme://`) pass through trimmed-only, flagged by an empty
     * [[urlScheme]] — garbage in a `url` column should surface in
@@ -55,7 +117,12 @@ object UrlFunctions {
     val keepPort = (port =!= "") &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
-    val rest = substring(afterScheme(u), length(hp) + 1, lit(1 << 24))
+    // percent-normalize the whole path?query#frag tail ONCE (rule 6):
+    // decoded octets are unreserved only — never '?', '#', '/', or
+    // '&' — so the path/query/param splits below are unaffected, and
+    // the param sort becomes byte-stable across encoding variants
+    val rest = normalizePercentEncoding(
+      substring(afterScheme(u), length(hp) + 1, lit(1 << 24)))
     val path = regexp_extract(rest, "^([^?#]*)", 1)
     val query = regexp_extract(rest, "\\?([^#]*)", 1)
     val kept = filter(split(query, "&"),

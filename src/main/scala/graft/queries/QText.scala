@@ -1761,15 +1761,18 @@ object QText {
     // documents table cover every rule branch: case-folding of
     // scheme/host, default-port drop vs non-default keep, fragment
     // drop, tracking-param removal, byte-wise query sort, empty-path
-    // '/'. Map-only over Spark built-ins (regex + higher-order array
-    // ops, no UDF); the oracle replays each rule verbatim in DuckDB.
+    // '/', and RFC 3986 percent normalization (%70→p unreserved
+    // decode, %2f→%2F reserved uppercase, %zz invalid pass-through).
+    // Map-only over Spark built-ins (regex + higher-order array ops,
+    // no UDF); the oracle replays each rule verbatim in DuckDB,
+    // including the %-piece state machine (pn CTE).
     QueryDef.of("t47_url_normalize",
       """WITH raw AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
         |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/p/' ||
-        |      CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
-        |    WHEN 1 THEN 'https://Node-' || source || '.ORG:8443/a/b?z=9&y=8'
+        |      CAST(doc_id AS VARCHAR) || '?utm_source=x&b=%32&a=1#frag'
+        |    WHEN 1 THEN 'https://Node-' || source || '.ORG:8443/a%2fb%70?z=9&y=%4a'
         |    WHEN 2 THEN 'https://' || source || '.net:443'
-        |    ELSE 'ftp://Files.' || source || '.io/data#sec' END AS url
+        |    ELSE 'ftp://Files.' || source || '.io/da%zzta%7e#sec' END AS url
         |  FROM documents),
         |t AS (SELECT doc_id, trim(url) AS u FROM raw),
         |p1 AS (SELECT doc_id, u,
@@ -1780,11 +1783,25 @@ object QText {
         |p3 AS (SELECT *,
         |    lower(regexp_replace(hp, ':[0-9]+$', '')) AS host,
         |    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
-        |    substr(rest0, length(hp) + 1) AS rest
+        |    string_split(substr(rest0, length(hp) + 1), '%') AS rps
         |  FROM p2),
+        |pn AS (SELECT *, rps[1] || coalesce(array_to_string(
+        |    list_transform(rps[2:], q -> CASE
+        |      WHEN NOT regexp_matches(q, '^[0-9A-Fa-f]{2}') THEN '%' || q
+        |      WHEN regexp_matches(chr(CAST(
+        |          (strpos('0123456789ABCDEF', substr(upper(q),1,1))-1)*16
+        |          + strpos('0123456789ABCDEF', substr(upper(q),2,1))-1 AS INT)),
+        |          '^[A-Za-z0-9._~-]$')
+        |        THEN chr(CAST(
+        |          (strpos('0123456789ABCDEF', substr(upper(q),1,1))-1)*16
+        |          + strpos('0123456789ABCDEF', substr(upper(q),2,1))-1 AS INT))
+        |          || substr(q, 3)
+        |      ELSE '%' || upper(substr(q,1,2)) || substr(q,3) END), ''), '')
+        |    AS rest
+        |  FROM p3),
         |p4 AS (SELECT *,
         |    regexp_extract(rest, '^([^?#]*)', 1) AS path,
-        |    regexp_extract(rest, '\?([^#]*)', 1) AS query FROM p3),
+        |    regexp_extract(rest, '\?([^#]*)', 1) AS query FROM pn),
         |p5 AS (SELECT *,
         |    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
         |      x -> x <> '' AND NOT regexp_matches(x,
@@ -1801,13 +1818,13 @@ object QText {
         |FROM p5 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val url = (when(pmod(col("doc_id"), lit(4)) === 0,
           concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/p/"),
-            col("doc_id").cast("string"), lit("?utm_source=x&b=2&a=1#frag")))
+            col("doc_id").cast("string"), lit("?utm_source=x&b=%32&a=1#frag")))
         .when(pmod(col("doc_id"), lit(4)) === 1,
-          concat(lit("https://Node-"), col("source"), lit(".ORG:8443/a/b?z=9&y=8")))
+          concat(lit("https://Node-"), col("source"), lit(".ORG:8443/a%2fb%70?z=9&y=%4a")))
         .when(pmod(col("doc_id"), lit(4)) === 2,
           concat(lit("https://"), col("source"), lit(".net:443")))
         .otherwise(
-          concat(lit("ftp://Files."), col("source"), lit(".io/data#sec"))))
+          concat(lit("ftp://Files."), col("source"), lit(".io/da%zzta%7e#sec"))))
       Tables.documents(s, dir)
         .select(col("doc_id"), url.as("url"))
         .select(col("doc_id"),
@@ -1863,6 +1880,72 @@ object QText {
       graft.operators.Sampling.selectToBudgetPerGroupUniform(
           scored, "host", "score", "doc_id", "n_chars", budgetPerGroup = 3000L)
         .select("doc_id", "host", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // T52: per-REGISTRABLE-DOMAIN quota — t48's cap re-keyed through
+    // UrlFunctions.registrableDomain under a caller-supplied suffix
+    // snapshot, closing the quota-evasion hole the host key leaves
+    // open: every `www.<source>.example.com` subdomain (25% of the
+    // corpus, one per source otherwise) collapses into the single
+    // eTLD+1 group `example.com`, which then gets ONE 3000-char
+    // budget instead of one per subdomain. The suffix match is a
+    // map-only longest-suffix scan over a literal array (a real PSL
+    // snapshot is ~10k entries, still literal-sized); the oracle
+    // replays the match in DuckDB with the same list machinery, then
+    // the naive per-domain ordered cumulative sum.
+    QueryDef.of("t52_registrable_domain_quota",
+      """WITH raw AS (SELECT doc_id, n_chars, CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/p/' ||
+        |      CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://Node-' || source || '.ORG:8443/a/b?z=9&y=8'
+        |    WHEN 2 THEN 'https://' || source || '.net:443'
+        |    ELSE 'ftp://Files.' || source || '.io/data#sec' END AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, n_chars,
+        |    lower(regexp_replace(regexp_extract(
+        |      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        |      '^([^/?#]*)', 1), ':[0-9]+$', '')) AS host
+        |  FROM raw),
+        |sp AS (SELECT doc_id, n_chars, host,
+        |    string_split(host, '.') AS parts, len(string_split(host, '.')) AS n
+        |  FROM h),
+        |kb AS (SELECT *, coalesce(list_max(list_transform(range(1, n), k -> CASE
+        |      WHEN list_contains(['com','org','net','io','co.uk'],
+        |        array_to_string(list_slice(parts, -CAST(k AS INT), -1), '.'))
+        |      THEN k ELSE 0 END)), 0) AS kbest
+        |  FROM sp),
+        |rd AS (SELECT doc_id, n_chars,
+        |    CASE WHEN kbest > 0 THEN
+        |      array_to_string(list_slice(parts, -CAST(kbest + 1 AS INT), -1), '.')
+        |    ELSE host END AS rdomain
+        |  FROM kb),
+        |s AS (SELECT doc_id, rdomain, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY rdomain
+        |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rd)
+        |SELECT doc_id, rdomain, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM s WHERE cum <= 3000 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val url = (when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/p/"),
+            col("doc_id").cast("string"), lit("?utm_source=x&b=2&a=1#frag")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("https://Node-"), col("source"), lit(".ORG:8443/a/b?z=9&y=8")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://"), col("source"), lit(".net:443")))
+        .otherwise(
+          concat(lit("ftp://Files."), col("source"), lit(".io/data#sec"))))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"), col("n_chars"))
+        .select(col("doc_id"),
+          graft.functions.UrlFunctions.registrableDomain(
+            graft.functions.UrlFunctions.urlHost(col("url")),
+            Seq("com", "org", "net", "io", "co.uk")).as("rdomain"),
+          col("n_chars"), col("n_chars").cast("double").as("score"))
+      graft.operators.Sampling.selectToBudgetPerGroupUniform(
+          scored, "rdomain", "score", "doc_id", "n_chars", budgetPerGroup = 3000L)
+        .select("doc_id", "rdomain", "n_chars")
         .orderBy("doc_id")
     })
 }

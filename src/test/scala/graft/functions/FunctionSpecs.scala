@@ -300,6 +300,55 @@ class UrlFunctionsSpec extends AnyFunSuite {
       .toDF("u").select(UrlFunctions.urlHost(col("u"))).as[String].collect().toSeq
     assert(hosts === Seq("www.ex.com", "a.b.c", "x.y"))
   }
+
+  test("normalizePercentEncoding: unreserved decode, reserved uppercase, invalid pass-through") {
+    def pe(ss: String*): Seq[String] = ss.toDF("s")
+      .select(UrlFunctions.normalizePercentEncoding(col("s"))).as[String].collect().toSeq
+    assert(pe(
+      "%41%62%30%2D%2e%5F%7e",  // A b 0 - . _ ~ : all unreserved → decoded
+      "%2Fa%2f%3d",             // / (x2) = : reserved → kept, hex uppercased
+      "a%zz%4",                 // invalid escapes → untouched
+      "trailing%",              // bare % → untouched
+      "%20plus%2Bok",           // space reserved; + reserved
+      "plain"                   // no escapes
+    ) === Seq("Ab0-._~", "%2Fa%2F%3D", "a%zz%4", "trailing%", "%20plus%2Bok", "plain"))
+    // idempotent on every output
+    val once = pe("%41%2f%zz%", "x%7Ey%3a")
+    assert(pe(once: _*) === once)
+  }
+
+  test("normalizeUrl: percent-encoding variants collapse to one dedup key") {
+    // %41 ≡ A and %2f ≡ %2F must normalize identically; %2F vs / must NOT
+    val ns = norm(
+      "http://h.io/p%41th?k=%76",
+      "http://h.io/pAth?k=v",
+      "http://h.io/a%2fb",
+      "http://h.io/a%2Fb",
+      "http://h.io/a/b")
+    assert(ns(0) === ns(1), "unreserved escapes must decode")
+    assert(ns(2) === ns(3), "hex case must normalize")
+    assert(ns(3) !== ns(4), "reserved %2F must stay distinct from /")
+  }
+
+  test("registrableDomain: longest-suffix match, fallbacks, megasite collapse") {
+    val sfx = Seq("com", "org", "uk", "co.uk", "io", "github.io")
+    def rd(hs: String*): Seq[String] = hs.toDF("h")
+      .select(UrlFunctions.registrableDomain(col("h"), sfx)).as[String].collect().toSeq
+    assert(rd(
+      "www.example.com",      // com → example.com
+      "a.b.example.co.uk",    // LONGEST match co.uk (not uk) → example.co.uk
+      "deep.user.github.io",  // github.io beats io → user.github.io
+      "plain.io",             // io → plain.io (already eTLD+1)
+      "localhost",            // no dot, no match → itself
+      "com",                  // bare suffix → itself (no label in front)
+      "x.unknowntld"          // no matching suffix → itself
+    ) === Seq("example.com", "example.co.uk", "user.github.io",
+      "plain.io", "localhost", "com", "x.unknowntld"))
+    // the quota-evasion scenario: N per-user subdomains → ONE group
+    val evaders = (1 to 50).map(i => s"user$i.megasite.com")
+    assert(rd(evaders: _*).distinct === Seq("megasite.com"),
+      "per-user subdomains must collapse to one registrable domain")
+  }
 }
 
 class TopKAggSpec extends AnyFunSuite {

@@ -80,7 +80,7 @@ object SparkEntry {
     "v09_ann_index_upsert", "v10_ann_pq_adc", "v11_ann_ivfpq",
     "v12_ann_pq_persisted", "v13_cluster_balanced_sample",
     "v14_ann_ivfpq_rerank", "v15_ann_filtered", "v16_ann_ivfpq_residual",
-    "v17_ann_mmr",
+    "v17_ann_mmr", "v18_ann_delete_rebalance",
     "sql01_extension_surface",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",
     "pbp03_pitcher_standardize")

@@ -61,6 +61,120 @@ object AnnIndex {
     assigned(readCentroids(batch.sparkSession, path), batch)
       .write.mode("append").partitionBy("cluster").parquet(s"$path/store")
 
+  /**
+   * DELETE by id — append-only tombstones (`tombstones/`), the
+   * LSM/FAISS-IDSelector pattern: the store's cell files are never
+   * touched (at 100 TB a delete that rewrote cell parquet would cost
+   * a compaction per call). Both search paths anti-join the scan
+   * against the tombstone set, so deletion is visible immediately;
+   * [[rebalance]] later applies tombstones physically and clears the
+   * table. A tombstoned id stays dead until then — re-upserting it
+   * before a rebalance is invisible to searches (document-level
+   * re-adds are a rebalance-then-upsert sequence, not a hot path).
+   */
+  def delete(path: String, ids: DataFrame): Unit =
+    ids.select(col("id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** The live tombstone set, or None when nothing was ever deleted. */
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Anti-join a store/codes scan against the tombstones (no-op when
+    * none exist). The tombstone side is id-only and delete-sized —
+    * at scale AQE broadcasts it, so the scan pays one map-side probe,
+    * never a shuffle of the store. */
+  private def minusTombstones(
+      spark: SparkSession, path: String, scan: DataFrame): DataFrame =
+    tombstones(spark, path).fold(scan)(t =>
+      scan.join(broadcast(t.select(col("id")).distinct()), Seq("id"), "left_anti"))
+
+  /** One store-maintenance summary from [[rebalance]]. */
+  final case class RebalanceReport(
+      rows: Long, removed: Long, cells: Long,
+      maxCellFilesBefore: Long, maxCellFilesAfter: Long)
+
+  /**
+   * Physical store maintenance — the compaction half of the delete
+   * story plus the answer to upsert drift. In ONE rewrite pass:
+   * tombstones are applied (rows dropped for real), every surviving
+   * vector is RE-ASSIGNED against the persisted coarse quantizer
+   * (so rows appended under any stale centroid snapshot are
+   * corrected — the quantizer itself is NEVER retrained here;
+   * retraining is an explicit [[write]]), each cell is compacted to
+   * one parquet file (a thousand skewed upserts otherwise leave a
+   * thousand tiny files per hot cell — file-count skew, the 100 TB
+   * small-files killer), and the PQ codes table (when present) is
+   * re-encoded from the surviving float vectors under the persisted
+   * codebooks. Tombstones are cleared afterwards.
+   *
+   * The rewrite goes to `store.tmp` then swaps directories — the
+   * store is never read and overwritten in place.
+   */
+  def rebalance(spark: SparkSession, path: String, dim: Int = 0): RebalanceReport = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    def cellFiles(sub: String): Map[String, Long] = {
+      val d = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (!fs.exists(d)) Map.empty
+      else fs.listStatus(d).filter(_.isDirectory).map { cell =>
+        cell.getPath.getName ->
+          fs.listStatus(cell.getPath).count(_.getPath.getName.endsWith(".parquet")).toLong
+      }.toMap
+    }
+    def swap(sub: String, rewrite: String => Unit): Unit = {
+      val tmp = s"$path/$sub.tmp"
+      rewrite(tmp)
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      fs.delete(dst, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+        s"rebalance: rename $tmp -> $dst failed")
+    }
+    val before = cellFiles("store")
+    val total = spark.read.parquet(s"$path/store").count()
+    val centroids = readCentroids(spark, path)
+    val hasCodes = fs.exists(new org.apache.hadoop.fs.Path(s"$path/pq_codebooks"))
+    if (hasCodes) {
+      require(dim > 0, "rebalance of a PQ-coded index needs the vector dim")
+      // the FLOAT store is the source of truth for re-encoding: a
+      // codes row whose id is absent from the store (upsertPqCodes
+      // without the matching upsert) would be silently dropped by the
+      // rewrite — fail loudly instead of losing vectors. Checked
+      // against the PRE-tombstone store: tombstoned ids are legal in
+      // codes, they just die in both tables.
+      val orphans = spark.read.parquet(s"$path/codes").select("id")
+        .join(spark.read.parquet(s"$path/store").select("id"), Seq("id"), "left_anti")
+        .count()
+      require(orphans == 0L,
+        s"rebalance: $orphans code rows have no float-store row — " +
+          "upsertPqCodes batches must also be upsert()ed before a rebalance")
+    }
+    val survivors = minusTombstones(spark, path,
+      spark.read.parquet(s"$path/store").select("id", "vec"))
+    val kept = survivors.count()
+    swap("store", tmp =>
+      assigned(centroids, survivors)
+        .repartition(col("cluster")) // one task per cell → one file per cell
+        .write.mode("overwrite").partitionBy("cluster").parquet(tmp))
+    if (hasCodes) {
+      val codebooks = readPqCodebooks(spark, path)
+      swap("codes", tmp =>
+        encodeBatch(centroids, codebooks, dim,
+            spark.read.parquet(s"$path/store").select("id", "vec"))
+          .repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(tmp))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    val after = cellFiles("store")
+    RebalanceReport(kept, total - kept, after.size.toLong,
+      if (before.isEmpty) 0L else before.values.max,
+      if (after.isEmpty) 0L else after.values.max)
+  }
+
   /** IVF top-k over the persisted store — assignment was paid at
     * write/upsert time, so this is just the probe join. `where` is the
     * float-store twin of [[topKPq]]'s filtered search: the metadata
@@ -72,7 +186,7 @@ object AnnIndex {
       k: Int, nprobe: Int,
       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val centroids = readCentroids(spark, path)
-    val raw = spark.read.parquet(s"$path/store")
+    val raw = minusTombstones(spark, path, spark.read.parquet(s"$path/store"))
     val cb = where.fold(raw)(raw.filter)
       .select(col("id"), col("vec"), col("__cn"), col("cluster").cast("int"))
     SimilaritySearch.ivfSearchAssigned(queries, cb, centroids, k, nprobe)
@@ -143,7 +257,7 @@ object AnnIndex {
     val centroids = readCentroids(spark, path)
     val codebooks = readPqCodebooks(spark, path)
     val m = codebooks.length
-    val raw = spark.read.parquet(s"$path/codes")
+    val raw = minusTombstones(spark, path, spark.read.parquet(s"$path/codes"))
     val codes = where.fold(raw)(raw.filter)
       .select(col("id") +: col("cluster").cast("int").as("cluster") +:
         (0 until m).map(s => col(s"code$s")): _*)

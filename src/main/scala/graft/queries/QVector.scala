@@ -516,6 +516,61 @@ object QVector {
         .orderBy("query_id", "rank")
     },
 
+    // Index MAINTENANCE lifecycle (AnnIndex.delete/rebalance): v09's
+    // train→persist→upsert flow, then DELETE every vec_id % 7 == 0
+    // (append-only tombstones — no cell file is touched), REBALANCE
+    // (tombstones applied physically, every cell compacted to one
+    // file, codes re-encoded under the persisted quantizer — never a
+    // silent retrain), and search the rebuilt store. The oracle is
+    // v09's replay restricted to the surviving set; AnnIndexSpec
+    // additionally pins that the pre-rebalance search (tombstone
+    // anti-join path) returns the identical rows, so both deletion
+    // paths are hash-gated against each other and DuckDB.
+    QueryDef.of("v18_ann_delete_rebalance", N +
+      """, ni AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 5 <> 0),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+        |  FROM (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8))""".stripMargin +
+      ivfAssign("c0", "a1", "ni") + ivfRecenter("a1", "c0", "c1") +
+      ivfAssign("c1", "a2", "ni") + ivfRecenter("a2", "c1", "c2") +
+      ivfAssign("c2", "af") +
+      """, qs AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, c.cluster,
+        |    round(CASE WHEN n.nrm * sqrt(list_dot_product(c.v, c.v)) = 0 THEN -1.0
+        |          ELSE list_dot_product(n.v, c.v) / (n.nrm * sqrt(list_dot_product(c.v, c.v))) END, 4) AS qcos
+        |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 10),
+        |qp AS (SELECT query_id, qv, qn, cluster FROM qs
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cluster) <= 3),
+        |sc AS (SELECT qp.query_id, a.vec_id AS id,
+        |    round(CASE WHEN qp.qn * n2.nrm <> 0
+        |          THEN list_dot_product(qp.qv, n2.v) / (qp.qn * n2.nrm) ELSE 0.0 END, 6) AS cos
+        |  FROM qp JOIN af a USING (cluster) JOIN n n2 ON n2.vec_id = a.vec_id
+        |  WHERE a.vec_id <> qp.query_id AND a.vec_id % 7 <> 0)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
+        |  id, cos
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val path = "/tmp/graft_ann_index_v18_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      // fresh lifecycle per run — stale tombstones/cells would leak
+      // into the deterministic compare
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.operators.AnnIndex.write(path,
+        cands.filter(col("id") % 5 =!= 0), numClusters = 8, iters = 2)
+      graft.operators.AnnIndex.upsert(path, cands.filter(col("id") % 5 === 0))
+      graft.operators.AnnIndex.delete(path, cands.filter(col("id") % 7 === 0))
+      graft.operators.AnnIndex.rebalance(s, path)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.operators.AnnIndex.topK(s, path, queries, k = 5, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // Product-quantization ADC top-k (SimilaritySearch.pqAdcTopK):
     // 4 subspaces × 8 sub-centroids over the 64-dim vectors — each
     // candidate collapses to 4 codes (the 100 TB storage side), each

@@ -60,6 +60,45 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(stored === cands.count())
   }
 
+  test("delete + rebalance: tombstone search equals physical search; cells compact to one file") {
+    val path = Files.createTempDirectory("graft_annidx_del").toString
+    AnnIndex.write(path, cands.filter(col("id") % 5 =!= 0), numClusters = 8, iters = 2)
+    // five small upserts covering the remaining 20% (pmod 25 ∈
+    // {0,5,10,15,20} ⊆ id%5==0) — the skewed-ingest shape that
+    // leaves many tiny files per hot cell
+    (0 until 5).foreach(r =>
+      AnnIndex.upsert(path, cands.filter(pmod(col("id"), lit(25)) === r * 5)))
+    val total = spark.read.parquet(s"$path/store").count()
+    assert(total === cands.count(), "upserts must cover the full set")
+
+    AnnIndex.delete(path, cands.filter(col("id") % 7 === 0).select("id"))
+    // pre-rebalance: the tombstone anti-join path
+    val viaTombstones = AnnIndex.topK(spark, path, queries, k = 5, nprobe = 3)
+      .collect().toSeq
+    val report = AnnIndex.rebalance(spark, path)
+    // post-rebalance: the physically-compacted path — identical rows
+    val viaPhysical = AnnIndex.topK(spark, path, queries, k = 5, nprobe = 3)
+      .collect().toSeq
+    assert(viaTombstones.toSet === viaPhysical.toSet,
+      "tombstone-masked and physically-deleted searches must agree")
+    assert(viaTombstones.nonEmpty)
+    // no deleted id ever surfaces
+    assert(viaTombstones.forall(_.getAs[Long]("id") % 7 != 0))
+
+    // report accounting: removed = tombstoned rows present in store
+    val expectRemoved = cands.filter(col("id") % 7 === 0).count()
+    assert(report.removed === expectRemoved, s"report: $report")
+    assert(report.rows === total - expectRemoved)
+    // every cell compacted to exactly one parquet file
+    assert(report.maxCellFilesAfter === 1L,
+      s"cells must compact to one file each: $report")
+    assert(report.maxCellFilesBefore > 1L,
+      "precondition: skewed upserts should have fragmented some cell")
+    // tombstones cleared — a fresh delete-free search sees the survivors
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(spark.read.parquet(s"$path/store").count() === report.rows)
+  }
+
   test("persisted PQ codes: search equals in-memory ivfPqTopK; codes table is ints-only") {
     val path = Files.createTempDirectory("graft_annidx_pq").toString
     AnnIndex.write(path, cands, numClusters = 8, iters = 2)
@@ -139,6 +178,9 @@ class AnnIndexSpec extends AnyFunSuite {
     val batch = cands.filter(col("id") % 5 === 0)
     val centroids = AnnIndex.write(path, initial, numClusters = 8, iters = 2)
     val codebooks = AnnIndex.writePqCodes(path, initial, dim = 64, m = 4, ksub = 8, iters = 2)
+    // dual maintenance: the float store stays the source of truth
+    // (rebalance re-encodes codes from it and REQUIRES parity)
+    AnnIndex.upsert(path, batch)
     AnnIndex.upsertPqCodes(path, batch, dim = 64)
     assert(AnnIndex.readPqCodebooks(spark, path).map(_.map(_.toSeq).toSeq).toSeq ===
       codebooks.map(_.map(_.toSeq).toSeq).toSeq, "codebook round-trip")
@@ -164,6 +206,26 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(reloaded.exceptAll(fresh).count() === 0)
     assert(fresh.exceptAll(reloaded).count() === 0)
     assert(spark.read.parquet(s"$path/codes").count() === cands.count())
+
+    // delete + rebalance through the CODES path: the tombstone
+    // anti-join over codes must equal the physically re-encoded
+    // store (re-encoded from surviving floats under the SAME
+    // persisted codebooks — rebalance never retrains)
+    AnnIndex.delete(path, cands.filter(col("id") % 7 === 0).select("id"))
+    val viaTombstones = AnnIndex
+      .topKPq(spark, path, queries, dim = 64, k = 5, nprobe = 3).collect().toSet
+    AnnIndex.rebalance(spark, path, dim = 64)
+    val viaPhysical = AnnIndex
+      .topKPq(spark, path, queries, dim = 64, k = 5, nprobe = 3).collect().toSet
+    assert(viaTombstones === viaPhysical,
+      "PQ search must agree between tombstone and physical deletion")
+    assert(viaTombstones.nonEmpty &&
+      viaTombstones.forall(_.getAs[Long]("id") % 7 != 0))
+    assert(AnnIndex.readPqCodebooks(spark, path).map(_.map(_.toSeq).toSeq).toSeq ===
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "rebalance must not touch the trained codebooks")
+    assert(spark.read.parquet(s"$path/codes").count() ===
+      cands.filter(col("id") % 7 =!= 0).count())
   }
 
   test("foreachBatch ANN ingestion: streamed upserts (float + PQ) equal one-shot assignment") {

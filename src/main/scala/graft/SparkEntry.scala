@@ -53,7 +53,8 @@ object SparkEntry {
     "a10_scenario_weighted", "a17_exact_percentiles", "a18_grouped_percentiles",
     "a19_kmv_distinct", "a20_approx_percentiles", "a21_kmv_overlap",
     "a22_histogram_synopsis", "a23_weighted_percentiles", "a24_cms_counts",
-    "a25_windowed_distinct", "a26_rollup", "e05_unpivot", "dq01_expectations",
+    "a25_windowed_distinct", "a26_rollup", "a27_grouping_sets",
+    "e05_unpivot", "dq01_expectations", "dq02_enforce",
     "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
     "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",

@@ -103,4 +103,42 @@ object Expectations {
       .withColumn("pass", col("violations") === 0L)
       .orderBy("rule")
   }
+
+  /**
+   * ENFORCEMENT — the routing half of the validation story (the deequ
+   * "checks that gate a publish"): split `df` into (clean,
+   * quarantined) under the same rules. Row-wise rules evaluate inline
+   * — ONE projection, no shuffle, each rule one conditional array
+   * element. Each [[Unique]] rule adds one window pass over its key
+   * (the same one-exchange cost its [[report]] pass pays) and
+   * quarantines EVERY member of a duplicated key group: the report
+   * counts EXCESS rows, but routing has no principled survivor
+   * without a caller-supplied order, so all copies are suspect —
+   * the deliberate, documented asymmetry between counting and
+   * routing.
+   *
+   * Clean rows return with the original schema; quarantined rows
+   * carry `failed_rules` (sorted array of rule labels) so the
+   * quarantine table is self-describing.
+   */
+  def enforce(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "need at least one rule")
+    import org.apache.spark.sql.expressions.Window
+    val rowWise = rules.collect { case r @ (_: NotNull | _: InRange | _: Matches) => r }
+    val uniques = rules.collect { case u: Unique => u }
+    val rwFailed: Column =
+      if (rowWise.isEmpty) array().cast("array<string>")
+      else filter(
+        array(rowWise.map(r => when(violation(r) === 1L, lit(r.label))): _*),
+        x => x.isNotNull)
+    val tagged = uniques.foldLeft(df.withColumn("__failed", rwFailed)) { (d, u) =>
+      val w = Window.partitionBy(u.cols.map(col): _*)
+      d.withColumn("__failed",
+        when(count(lit(1)).over(w) > 1,
+          concat(col("__failed"), array(lit(u.label))))
+          .otherwise(col("__failed")))
+    }.withColumn("failed_rules", array_sort(col("__failed"))).drop("__failed")
+    (tagged.filter(size(col("failed_rules")) === 0).drop("failed_rules"),
+      tagged.filter(size(col("failed_rules")) > 0))
+  }
 }

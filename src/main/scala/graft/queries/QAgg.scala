@@ -587,6 +587,39 @@ object QAgg {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // A27: general GROUPING SETS — the full multi-level aggregation
+    // surface a26's ROLLUP is the prefix-chain special case of (and
+    // cube() the complete-powerset case). The set list here —
+    // (rf, ls), (rf), (ls) — is expressible as NEITHER rollup nor
+    // cube (no grand total), so it exercises the arbitrary-set
+    // machinery: Catalyst plans ONE Expand (one row copy per set) into
+    // ONE hash aggregate keyed by (keys, grouping_id) — one exchange
+    // total, levels never re-scan the input (plan-audited). At 100 TB
+    // the Expand multiplies rows by |sets| map-side BEFORE partial
+    // aggregation absorbs them — the same one-pass shape the
+    // reference would need |sets| separate groupbys for (SURVEY §2.4).
+    QueryDef.of("a27_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("lvl"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("lvl"),
+          col("n"), col("qty"))
+        .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
     // A25 (beyond-reference corpus stats): WINDOWED distinct-count
     // synopsis — the a19 KMV sketch composed with an event-time hour
     // bucket ("distinct users per hour" at bounded state per window,

@@ -213,6 +213,49 @@ object QRelational {
         Unique(Seq("user_id", "event_type"))))
     },
 
+    // DQ2: expectations ENFORCED (Expectations.enforce) — rules
+    // routed into (clean, quarantined) frames: row-wise rules are one
+    // inline projection, each Unique rule one window pass quarantining
+    // EVERY member of a duplicated key (routing has no principled
+    // survivor; the report's excess-count asymmetry is documented on
+    // the operator). The two OVERLAPPING range rules make the reason
+    // sets non-trivial: in-band rows are clean, 50<v<=100 fails the
+    // tight rule only, v<0 or v>100 fails both — so the output (one
+    // row per failed-rules signature + the '' clean group) hash-gates
+    // every row's destination AND its full reason set. Oracle replays
+    // each rule per-row and the duplicate window in DuckDB.
+    QueryDef.of("dq02_enforce",
+      """WITH f AS (SELECT
+        |    CASE WHEN user_id IS NULL THEN 1 ELSE 0 END AS f_nn,
+        |    CASE WHEN value IS NOT NULL AND
+        |        (CAST(value AS DOUBLE) < 0.0 OR CAST(value AS DOUBLE) > 100.0)
+        |      THEN 1 ELSE 0 END AS f_rng,
+        |    CASE WHEN value IS NOT NULL AND
+        |        (CAST(value AS DOUBLE) < 0.0 OR CAST(value AS DOUBLE) > 50.0)
+        |      THEN 1 ELSE 0 END AS f_rng2,
+        |    CASE WHEN count(*) OVER (PARTITION BY event_id) > 1
+        |      THEN 1 ELSE 0 END AS f_u1
+        |  FROM events),
+        |t AS (SELECT coalesce(array_to_string(list_sort(list_filter([
+        |    CASE WHEN f_nn = 1 THEN 'not_null(user_id)' END,
+        |    CASE WHEN f_rng = 1 THEN 'in_range(value,0.0,100.0)' END,
+        |    CASE WHEN f_rng2 = 1 THEN 'in_range(value,0.0,50.0)' END,
+        |    CASE WHEN f_u1 = 1 THEN 'unique(event_id)' END],
+        |    x -> x IS NOT NULL)), '|'), '') AS sig
+        |  FROM f)
+        |SELECT sig, count(*) AS n FROM t GROUP BY sig ORDER BY sig""".stripMargin) { (s, dir) =>
+      import graft.operators.Expectations._
+      val (clean, quar) = enforce(Tables.events(s, dir), Seq(
+        NotNull("user_id"),
+        InRange("value", 0.0, 100.0),
+        InRange("value", 0.0, 50.0),
+        Unique(Seq("event_id"))))
+      clean.select(lit("").as("sig"))
+        .unionByName(quar.select(array_join(col("failed_rules"), "|").as("sig")))
+        .groupBy("sig").agg(count(lit(1)).as("n"))
+        .orderBy("sig")
+    },
+
     // S1: schema-enforced scan with filter+projection — Catalyst
     // pushes both into the parquet scan (verified via explain in the
     // plan spec; reference usecols/dtype hardening,

@@ -453,13 +453,18 @@ class PlanAuditSpec extends AnyFunSuite {
     // both reshape via ONE Expand (3x for the melt, level-count x for
     // the rollup) feeding a partial-aggregated hash agg — no join, no
     // window, exactly one hash exchange (plus the orderBy's range)
-    Seq("e05_unpivot", "a26_rollup").foreach { q =>
+    Seq("e05_unpivot", "a26_rollup", "a27_grouping_sets").foreach { q =>
       val p = plan(q)
       assert(p.contains("Expand"), s"$q must reshape via Expand\n$p")
       assert(p.contains("HashAggregate"), s"$q\n$p")
       assert(!p.contains("Join") && !p.contains("Window"), s"$q\n$p")
       val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(hashEx <= 1, s"$q: expected <=1 hash exchange, got $hashEx\n$p")
+      // EXACTLY one Expand: arbitrary grouping sets must not plan as
+      // per-level re-scans or unioned aggregates
+      val expands = "Expand".r.findAllIn(p).length
+      assert(expands == 1, s"$q: expected exactly 1 Expand, got $expands\n$p")
+      assert(!p.contains("Union"), s"$q must not union per-level scans\n$p")
     }
   }
 

@@ -653,6 +653,42 @@ class OperatorSpecs extends AnyFunSuite {
     assert(clean.forall(_._4), s"clean rules must pass: ${clean.toSeq}")
   }
 
+  test("Expectations.enforce: clean/quarantine partition the input with exact reason sets") {
+    import Expectations._
+    val df = Seq(
+      (Some(1L), Some(5.0), Some("ok"), 1L),
+      (None, Some(50.0), Some("ok"), 2L),          // null key
+      (Some(3L), Some(-1.0), Some("BAD9"), 3L),    // range + regex + dup id
+      (Some(4L), Some(101.0), None, 3L),           // range + dup id
+      (Some(5L), None, Some("fine"), 4L))          // null value: clean
+      .toDF("k", "v", "s", "id")
+    val rules = Seq(
+      NotNull("k"), InRange("v", 0.0, 100.0), Matches("s", "^[a-z]+$"),
+      Unique(Seq("id")))
+    val (cleanDf, quarDf) = enforce(df, rules)
+    // clean keeps the ORIGINAL schema; the frames partition the input
+    assert(cleanDf.columns.toSeq === df.columns.toSeq)
+    assert(cleanDf.count() + quarDf.count() === df.count())
+    val cleanIds = cleanDf.select("id", "k").as[(Long, Option[Long])].collect().toSet
+    assert(cleanIds === Set((1L, Some(1L)), (4L, Some(5L))))
+    // quarantine reasons: exact per-row sets; BOTH members of the
+    // duplicated id=3 group are quarantined (whole-group routing)
+    val reasons = quarDf
+      .select(col("k"), array_join(col("failed_rules"), "|").as("r"))
+      .as[(Option[Long], String)].collect().toMap
+    assert(reasons(None) === "not_null(k)")
+    assert(reasons(Some(3L)) ===
+      "in_range(v,0.0,100.0)|matches(s)|unique(id)")
+    assert(reasons(Some(4L)) === "in_range(v,0.0,100.0)|unique(id)")
+    // try_cast path: a non-numeric STRING value routes to quarantine
+    // instead of throwing under ANSI mode
+    val (c2, q2) = enforce(
+      Seq(("1.5", 1L), ("oops", 2L), ("200", 3L)).toDF("v", "id"),
+      Seq(InRange("v", 0.0, 100.0)))
+    assert(c2.select("id").as[Long].collect().toSet === Set(1L))
+    assert(q2.select("id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
   test("Funnel.stepCounts: strict ordering, conversion window, no step skipping") {
     val rows = Seq(
       // u1 completes the whole funnel

@@ -200,6 +200,45 @@ object AnnScaleSmoke {
               f"≤ 8× mean ${(total / nTasks) / 1048576.0}%.1f MiB over $nTasks tasks")
       }
     }
+    // ---- v18 maintenance gate (one-off lifecycle, not per-scale):
+    // skewed upserts fragment hot cells into many small files; after
+    // delete + rebalance the physically-compacted search must equal
+    // the tombstone-masked search, every cell must compact to ONE
+    // file, and exactly the tombstoned rows must be gone — the
+    // file-count-skew failure mode a production vector store hits
+    // after weeks of incremental ingest.
+    locally {
+      import graft.operators.AnnIndex
+      val mPath = java.nio.file.Files
+        .createTempDirectory("graft_ann_smoke_maint").toString
+      val cands0 = raw.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      AnnIndex.write(mPath, cands0.filter(col("id") % 2 === 0),
+        numClusters = 8, iters = 2)
+      // 8 skewed upsert slices over the odd ids
+      (0 until 8).foreach(rr => AnnIndex.upsert(mPath,
+        cands0.filter(pmod(col("id"), lit(16)) === 2 * rr + 1)))
+      val expectTotal = cands0.count()
+      val expectRemoved = cands0.filter(col("id") % 7 === 0).count()
+      AnnIndex.delete(mPath, cands0.filter(col("id") % 7 === 0).select("id"))
+      val viaT = AnnIndex.topK(spark, mPath, queries, k = 5, nprobe = 3)
+        .collect().toSet
+      val rep = AnnIndex.rebalance(spark, mPath)
+      val viaP = AnnIndex.topK(spark, mPath, queries, k = 5, nprobe = 3)
+        .collect().toSet
+      println(s"ANN_SMOKE maint rebalance: $rep")
+      check(viaT == viaP,
+        s"v18 maintenance: tombstone-masked search == physically-rebalanced search " +
+          s"(${viaT.size} rows)")
+      check(viaT.nonEmpty && viaT.forall(_.getAs[Long]("id") % 7 != 0),
+        "v18 maintenance: no deleted id surfaces in search results")
+      check(rep.maxCellFilesBefore > 1,
+        s"v18 maintenance precondition: skewed upserts fragmented a cell ($rep)")
+      check(rep.maxCellFilesAfter == 1,
+        s"v18 maintenance: every cell compacted to one file ($rep)")
+      check(rep.removed == expectRemoved && rep.rows == expectTotal - expectRemoved,
+        s"v18 maintenance: removed/kept accounting exact ($rep, " +
+          s"expected removed=$expectRemoved of $expectTotal)")
+    }
     println(s"ANN_SMOKE_RESULT ${if (failed) "FAIL" else "PASS"}")
     spark.stop()
     if (failed) sys.exit(1)

@@ -64,6 +64,10 @@ object EventsScaleSmoke {
         exactOverlap: Map[(String, String), (Long, Long)],
         cmsCells: Long, cmsMergedEqual: Boolean,
         cmsEst: Map[Long, Long], cmsTrue: Map[Long, Long],
+        funnelSteps: Seq[(Int, Long)], cohort: Map[(Long, Long), Long],
+        dqReport: Map[String, (Long, Long)], dqSig: Map[String, Long],
+        gsCells: Map[(String, String, Long), Long],
+        upAgg: Map[String, (Long, Long)],
         wallSec: Double, writeBytes: Long, stages: Map[Int, (Long, Long, Long)])
 
     val runs = scales.map { c =>
@@ -182,6 +186,52 @@ object EventsScaleSmoke {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       oneShotDf.unpersist()
 
+      // funnel (ses07) + cohort retention (ses08): both partition by
+      // user, so user-disjoint copies replicate step completions and
+      // cohort cells exactly
+      val funnelSteps = graft.operators.Funnel.stepCounts(
+          evts, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSec = Some(7200L))
+        .collect().map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1).toSeq
+      val cohort = graft.operators.Funnel.cohortRetention(evts, "user_id", "ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+      // dq01/dq02 (Expectations): the report's violation counts and
+      // the enforce routing histogram — copies offset event_id, so
+      // the dup structure (and every row-wise defect) replicates
+      val dqRules = Seq[graft.operators.Expectations.Rule](
+        graft.operators.Expectations.NotNull("user_id"),
+        graft.operators.Expectations.InRange("value", 0.0, 100.0),
+        graft.operators.Expectations.Matches("event_type", "^[a-z]+$"),
+        graft.operators.Expectations.Unique(Seq("event_id")))
+      val dqReport = graft.operators.Expectations.report(evts, dqRules)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val (dqClean, dqQuar) = graft.operators.Expectations.enforce(evts, dqRules)
+      val dqSig = dqClean.select(lit("").as("sig"))
+        .unionByName(dqQuar.select(array_join(col("failed_rules"), "|").as("sig")))
+        .groupBy("sig").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // a26/a27/e05 Expand machinery over the scaled frame: the level
+      // grid (event_type × user_id%10 — offsets are multiples of 10,
+      // so buckets are copy-invariant) must keep a CONSTANT cell set
+      // with exactly-linear per-cell counts; same for the unpivot
+      val gsCells = evts.withColumn("b", pmod(col("user_id"), lit(10)))
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("b")),
+            Seq(col("event_type")), Seq(col("b"))),
+          col("event_type"), col("b"))
+        .agg(grouping_id().cast("long").as("lvl"), count(lit(1)).as("cnt"))
+        .collect().map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)),
+          r.getLong(2)) -> r.getLong(3)).toMap
+      val upAgg = evts.select(col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          hour(col("ts")).cast("long").as("hr"))
+        .unpivot(Array(col("event_id")),
+          Array(col("value_cents"), col("hr")), "measure", "v")
+        .groupBy("measure").agg(count(lit(1)).as("cnt"), sum("v").as("tot"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
       val wall = (System.nanoTime() - t0) / 1e9
       evts.unpersist()
       Thread.sleep(1000) // bound listener-bus delivery lag
@@ -190,10 +240,13 @@ object EventsScaleSmoke {
       println(f"EVT_SMOKE scale=$c%-3d n=$n sessions=$sessions stats=$statRows " +
         f"asof=$asofMatches iv=$ivMatches win_rows=$winRows win_n=$winN fold_sum=$foldSum " +
         f"users_true=$usersTrue users_est=$usersEst " +
+        f"funnel=${funnelSteps.map(_._2).mkString("/")} cohort_cells=${cohort.size} " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
       Run(c, n, sessions, statRows, asofMatches, ivMatches, winRows, winN, foldSum,
         usersTrue, usersEst, valSketch, overlap, exactOverlap,
-        cmsCells, cmsMergedEqual, cmsEst, cmsTrue, wall, bytes, stages)
+        cmsCells, cmsMergedEqual, cmsEst, cmsTrue,
+        funnelSteps, cohort, dqReport, dqSig, gsCells, upAgg,
+        wall, bytes, stages)
     }
 
     val r1 = runs.head
@@ -229,6 +282,36 @@ object EventsScaleSmoke {
       check(r.valSketch == r1.valSketch,
         s"KMV value-sketch identical at ${r.scale}x (duplication invariance, " +
           s"${r.valSketch.length} mins)")
+      // ses07/ses08: per-step completions and per-cohort-cell users
+      // replicate exactly (user-partitioned folds)
+      check(r.funnelSteps.map(_._1) == r1.funnelSteps.map(_._1) &&
+          r.funnelSteps.zip(r1.funnelSteps).forall { case ((_, x), (_, x1)) =>
+            exactLinear(x1, x) },
+        s"funnel step completions exactly linear at ${r.scale}x " +
+          s"(${r1.funnelSteps.map(_._2).mkString("/")}->" +
+          s"${r.funnelSteps.map(_._2).mkString("/")})")
+      check(r.cohort.keySet == r1.cohort.keySet &&
+          r.cohort.forall { case (k, v) => exactLinear(r1.cohort(k), v) },
+        s"cohort retention cells constant, per-cell users exactly linear at ${r.scale}x " +
+          s"(${r1.cohort.size} cells)")
+      // dq01/dq02: violation counts and routing histogram linear
+      check(r.dqReport.keySet == r1.dqReport.keySet &&
+          r.dqReport.forall { case (k, (v, t)) =>
+            exactLinear(r1.dqReport(k)._1, v) && exactLinear(r1.dqReport(k)._2, t) },
+        s"dq report violations/totals exactly linear at ${r.scale}x")
+      check(r.dqSig.keySet == r1.dqSig.keySet &&
+          r.dqSig.forall { case (k, v) => exactLinear(r1.dqSig(k), v) },
+        s"dq enforce routing histogram exactly linear at ${r.scale}x " +
+          s"(${r1.dqSig.size} signatures)")
+      // a26/a27/e05 Expand shapes: constant cell grid, linear counts
+      check(r.gsCells.keySet == r1.gsCells.keySet &&
+          r.gsCells.forall { case (k, v) => exactLinear(r1.gsCells(k), v) },
+        s"grouping-sets cell grid constant (${r1.gsCells.size} cells), " +
+          s"per-cell counts exactly linear at ${r.scale}x")
+      check(r.upAgg.keySet == r1.upAgg.keySet &&
+          r.upAgg.forall { case (k, (n2, tot)) =>
+            exactLinear(r1.upAgg(k)._1, n2) && exactLinear(r1.upAgg(k)._2, tot) },
+        s"unpivot measure aggregates exactly linear at ${r.scale}x")
     }
     runs.foreach { r =>
       val relErr = math.abs(r.usersEst.toDouble - r.usersTrue) / r.usersTrue

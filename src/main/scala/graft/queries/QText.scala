@@ -1947,5 +1947,31 @@ object QText {
           scored, "rdomain", "score", "doc_id", "n_chars", budgetPerGroup = 3000L)
         .select("doc_id", "rdomain", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // T53: tokenizer ROUNDTRIP — decode(encode-per-word(text)) must
+    // equal the whitespace-normalized source for EVERY document: the
+    // losslessness property an LLM pipeline needs before it budgets,
+    // chunks, or packs by token counts (a tokenizer that drops or
+    // reorders content corrupts silently downstream). The oracle
+    // never runs BPE: it IS the normalized source text, so any
+    // encode/decode defect — a lost piece, a misordered merge, a
+    // boundary glitch — breaks the hash equality corpus-wide. Decode
+    // is pure built-ins over the nested per-word encoding (merges
+    // only concatenate within a word; whitespace runs are the
+    // pretokenizer's only designed loss).
+    QueryDef.of("t53_bpe_roundtrip",
+      """SELECT doc_id,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS decoded,
+        |  CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS BIGINT)
+        |    AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val vocab = s.sparkContext.broadcast(graft.functions.Bpe.defaultVocab)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Bpe.bpeDecode(
+            graft.functions.Bpe.bpeTokensPerWord(col("text"), vocab)).as("decoded"))
+        .withColumn("n_chars_norm", length(col("decoded")).cast("long"))
+        .orderBy("doc_id")
     })
 }

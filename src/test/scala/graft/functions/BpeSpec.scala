@@ -59,4 +59,36 @@ class BpeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"BPE encode plan shuffles:\n$plan")
   }
+
+  test("per-word encode flattens to the flat stream; decode inverts to normalized text") {
+    val bcast = spark.sparkContext.broadcast(v)
+    val docs = Seq(
+      (1L, "fast key table"),
+      (2L, "  query\t\tstream zz  "),   // mixed whitespace runs
+      (3L, ""),                          // empty doc
+      (4L, "one"),                       // single word
+      (5L, "Spark sort join column"))    // case kept, full merges
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Bpe.bpeTokensPerWord(col("text"), bcast).as("nested"),
+        Bpe.bpeTokens(col("text"), bcast).as("flat"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("norm"))
+      .withColumn("decoded", Bpe.bpeDecode(col("nested")))
+      .select("doc_id", "nested", "flat", "decoded", "norm")
+      .orderBy("doc_id")
+      .as[(Long, Seq[Seq[String]], Seq[String], String, String)].collect()
+    got.foreach { case (id, nested, flat, decoded, norm) =>
+      assert(nested.flatten === flat,
+        s"doc $id: per-word encode must flatten to the flat stream")
+      assert(decoded === norm,
+        s"doc $id: decode must invert to whitespace-normalized text")
+    }
+    // word-boundary preservation the FLAT stream cannot offer: 'ta'+'b'
+    // ('tab' unfinished merge chains aside) — adjacent words must not
+    // merge across the boundary in the nested form
+    val tricky = Seq((1L, "ta b")).toDF("doc_id", "text")
+      .select(Bpe.bpeDecode(Bpe.bpeTokensPerWord(col("text"), bcast)))
+      .as[String].head()
+    assert(tricky === "ta b", "decode must preserve word boundaries")
+  }
 }

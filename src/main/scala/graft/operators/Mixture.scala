@@ -89,4 +89,40 @@ object Mixture {
       .filter(graft.functions.ScalarFunctions.md5Bucket32(col(idCol)) < col("__thr"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /**
+   * TEMPERATURE-scaled mixture — the exponentiated-smoothing
+   * reweighting of multilingual / multi-domain pre-training (public
+   * recipe: the mBERT / XLM-R α-smoothing and the GPT-3 mixture
+   * table): target proportions `q_s ∝ p_s^α` where `p_s` is the
+   * natural share and `α ∈ (0, 1]` flattens the head so tail sources
+   * keep a larger RELATIVE share (α = 1 is the natural mix — a
+   * no-op, every row kept; smaller α tends toward uniform). Composes
+   * onto [[sampleToMix]] with weights `w_s = n_s^α` — the
+   * normalizations cancel inside mixRates' `C = min(n/w)`, no source
+   * is ever upsampled, so the binding (smallest-survivor-ratio)
+   * source keeps everything and the head downsamples toward the
+   * flattened target. Cost over the corpus scan: one |sources|-row
+   * aggregate more than sampleToMix itself.
+   *
+   * Determinism note: α = 0.5 (square-root smoothing, the common
+   * choice) is computed with `sqrt`, which IEEE 754 requires to be
+   * CORRECTLY ROUNDED — bit-identical across engines, so the t54
+   * oracle replays the whole rate pipeline exactly. Other α go
+   * through `pow`, which carries no such guarantee; cross-engine
+   * comparisons at non-half α should gate on proportions, not hashes.
+   */
+  def temperatureMix(
+      df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val wexpr =
+      if (alpha == 0.5) sqrt(col("n"))
+      else if (alpha == 1.0) col("n")
+      else pow(col("n"), lit(alpha))
+    val weights = df.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .select(col("stratum"), wexpr.as("weight"))
+    sampleToMix(df, strataCol, idCol, weights)
+  }
 }

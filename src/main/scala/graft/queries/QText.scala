@@ -1973,5 +1973,34 @@ object QText {
             graft.functions.Bpe.bpeTokensPerWord(col("text"), vocab)).as("decoded"))
         .withColumn("n_chars_norm", length(col("decoded")).cast("long"))
         .orderBy("doc_id")
+    },
+
+    // T54: TEMPERATURE-scaled mixture (Mixture.temperatureMix, the
+    // mBERT/XLM-R α-smoothing / GPT-3 mixture-table recipe): resample
+    // the corpus BY LANGUAGE toward q_s ∝ p_s^0.5 — the canonical
+    // multilingual use: the en head (218 docs at sf0.01) downsamples
+    // to rate 8/√218 ≈ 0.54 while the binding fr tail keeps
+    // everything; no upsampling. (The synthetic `source` column is
+    // deliberately uniform — keying on it would make the smoothing a
+    // vacuous no-op.) α = 0.5 rides on `sqrt`, which IEEE requires to be
+    // correctly rounded, so the DOUBLE rate pipeline (counts → sqrt
+    // weights → global min scale → per-source thresholds) is
+    // bit-identical in DuckDB and the md5-gated survivor set is
+    // hash-exact. One |sources|-row aggregate + broadcast join +
+    // map-only gate over the corpus — the t21 scale shape.
+    QueryDef.of("t54_temperature_mix",
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |cw AS (SELECT lang, n, sqrt(n) AS w FROM c),
+        |m AS (SELECT min(n / w) AS cmin FROM cw),
+        |r AS (SELECT lang, CAST(floor(cmin * w / n * 4294967296) AS BIGINT) AS thr
+        |  FROM cw CROSS JOIN m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < r.thr
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Mixture.temperatureMix(
+          Tables.documents(s, dir), "lang", "doc_id", alpha = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
 }

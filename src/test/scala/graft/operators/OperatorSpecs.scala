@@ -689,6 +689,31 @@ class OperatorSpecs extends AnyFunSuite {
     assert(q2.select("id").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("Mixture.temperatureMix: alpha=1 no-op, alpha=0.5 flattens, tail keeps all") {
+    // skewed corpus: 400 'head' docs vs 64 'tail'
+    val docs = ((1L to 400L).map(i => (i, "head")) ++ (401L to 464L).map(i => (i, "tail")))
+      .toDF("doc_id", "src")
+    // alpha = 1: natural mix — every row kept
+    assert(Mixture.temperatureMix(docs, "src", "doc_id", alpha = 1.0).count() === 464L)
+    val out = Mixture.temperatureMix(docs, "src", "doc_id", alpha = 0.5)
+    val counts = out.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    // binding tail source keeps everything (no upsampling)
+    assert(counts("tail") === 64L)
+    // head downsamples toward rate sqrt(64)/sqrt(400) = 0.4 — realized
+    // in expectation via the md5 gate, so allow the hash-gate spread
+    val expectedHead = 400.0 * math.sqrt(64.0) / math.sqrt(400.0)
+    assert(math.abs(counts("head") - expectedHead) <= 30.0,
+      s"head count ${counts("head")} should sit near $expectedHead")
+    // flattening: tail's relative share strictly rises vs natural
+    val tailShare = counts("tail").toDouble / (counts("head") + counts("tail"))
+    assert(tailShare > 64.0 / 464.0, f"tail share $tailShare%.3f must exceed natural")
+    // deterministic: same survivors on a re-run
+    val again = Mixture.temperatureMix(docs, "src", "doc_id", alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("Funnel.stepCounts: strict ordering, conversion window, no step skipping") {
     val rows = Seq(
       // u1 completes the whole funnel

@@ -332,6 +332,33 @@ object QJoin {
       graft.operators.Funnel.cohortRetention(Tables.events(s, dir), "user_id", "ts")
     },
 
+    // SES09: the STREAMING cohort machine's bounded dispatch
+    // (StreamOps.cohortRetentionStream) driver-gated against ses08's
+    // oracle: per-user fold → one CohortHit per (user, activity week)
+    // → the same (cohort, offset) cells. Pins the per-user week
+    // arithmetic (Monday-aligned epoch micros ≡ date_trunc('week')
+    // under UTC) that the live stream shares with the backfill;
+    // StreamingSpec separately pins stream ≡ this dispatch across
+    // shuffled micro-batches with watermark-sealed anchors.
+    QueryDef.of("ses09_cohort_stream",
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT epoch_us(f.cw) AS cohort_week_us,
+        |  (epoch_us(a.w) - epoch_us(f.cw)) // 604800000000 AS week_offset,
+        |  count(*) AS n_users
+        |FROM f JOIN a USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.streaming.StreamOps.cohortRetentionStream(
+          Tables.events(s, dir)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .as[graft.streaming.StreamEvent])
+        .groupBy("cohort_week_us", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week_us", "week_offset")
+    },
+
     QueryDef.of("ses01_gap_session",
       """SELECT event_id, CAST(session_id AS BIGINT) AS session_id
         |FROM (SELECT event_id,

@@ -41,6 +41,19 @@ private final case class BaseReplayState(
 /** One funnel step completion (see [[StreamOps.funnelStream]]). */
 final case class FunnelOut(user_id: Long, step_idx: Int, step: String, ts_us: Long)
 
+/** One (user, activity week) retention hit — emitted exactly once
+  * per pair (see [[StreamOps.cohortRetentionStream]]); `groupBy
+  * (cohort_week_us, week_offset).count()` downstream reproduces the
+  * batch [[graft.operators.Funnel.cohortRetention]] cells. */
+final case class CohortHit(user_id: Long, cohort_week_us: Long, week_offset: Long)
+
+/** Carried cohort state: earliest event micros seen (the cohort
+  * anchor candidate), whether the watermark has made it final,
+  * offsets already emitted, and activity week-starts buffered until
+  * the anchor finalizes. */
+private final case class CohortReplayState(
+    minUs: Long, isFinal: Boolean, emitted: Set[Long], pendingWeeksUs: List[Long])
+
 /** Carried funnel state: steps reached so far, the window anchor
   * (floor-seconds of the first step-1 event), the previous step's
   * exact micros, plus unsealed events. */
@@ -463,6 +476,90 @@ object StreamOps {
               fold((prev.step, prev.t1Sec, prev.tpUs), ready.sortBy(byTime))
             settle(st2, t1b, tpb, hold, wm, state)
             outs.iterator
+          }
+      }
+  }
+
+  /**
+   * STREAMING weekly cohort retention —
+   * [[graft.operators.Funnel.cohortRetention]]'s semantics live: each
+   * user anchors to the ISO week of their FIRST event ever, and every
+   * distinct later activity week emits ONE [[CohortHit]]; downstream
+   * `groupBy(cohort_week_us, week_offset).count()` reproduces the
+   * batch cells exactly.
+   *
+   * Anchor finality is the one ordering hazard: the cohort week is
+   * `min(ts)` over the user's whole history, so hits are held until
+   * the watermark passes the current minimum — once `minUs < wm`,
+   * every deliverable event has `ts >= wm > minUs` and the anchor can
+   * never improve. Until then activity WEEK-STARTS buffer (not whole
+   * events — the dedup happens at buffering time), and an event-time
+   * timeout at the minimum flushes users who go quiet before their
+   * anchor seals. After finality a new activity week emits the moment
+   * it arrives: the batch form counts a (user, week) on ANY event in
+   * it, so arrival order within the week is irrelevant.
+   *
+   * State per user: two scalars + the emitted offset set (grows by
+   * ~52/year of ACTIVE weeks — the same first-event-ever permanence
+   * class as the batch-anchored funnel; a TTL would change the
+   * anchor semantics). Week arithmetic matches `date_trunc('week')`
+   * under the UTC session: Monday-aligned from epoch micros.
+   */
+  def cohortRetentionStream(
+      events: Dataset[StreamEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[CohortHit] = {
+    import events.sparkSession.implicits._
+
+    val weekUs = 604800000000L
+    val dayUs = 86400000000L
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    // Monday-aligned week start (epoch day 0 = Thursday, 3 days past
+    // Monday) — the UTC date_trunc('week') arithmetic
+    def weekStartUs(u: Long): Long = {
+      val day = Math.floorDiv(u, dayUs)
+      (day - Math.floorMod(day + 3, 7)) * dayUs
+    }
+    def hits(userId: Long, minUs: Long, weeks: Iterable[Long]): Seq[(Long, CohortHit)] = {
+      val cw = weekStartUs(minUs)
+      weeks.toSeq.distinct.map(w =>
+        (w - cw) / weekUs).map(off => off -> CohortHit(userId, cw, off))
+    }
+
+    if (!events.isStreaming)
+      return events.groupByKey(_.user_id).flatMapGroups {
+        (u: Long, it: Iterator[StreamEvent]) =>
+          val ts = it.map(e => us(e.ts)).toSeq
+          hits(u, ts.min, ts.map(weekStartUs)).map(_._2).iterator
+      }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortReplayState, CohortHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[StreamEvent], state: GroupState[CohortReplayState]) =>
+          val prev = state.getOption
+            .getOrElse(CohortReplayState(Long.MaxValue, isFinal = false, Set.empty, Nil))
+          val incoming = rows.map(e => us(e.ts)).toSeq
+          val minUs = math.min(prev.minUs, if (incoming.isEmpty) Long.MaxValue
+            else incoming.min)
+          val weeks = (prev.pendingWeeksUs ++ incoming.map(weekStartUs)).distinct
+          val wm = state.getCurrentWatermarkMs()
+          // strict: an event timestamped exactly at the watermark can
+          // still arrive and could undercut a minimum AT the watermark
+          if (prev.isFinal || minUs < wm * 1000L) {
+            val fresh = hits(userId, minUs, weeks)
+              .filterNot { case (off, _) => prev.emitted(off) }
+            state.update(CohortReplayState(
+              minUs, isFinal = true, prev.emitted ++ fresh.map(_._1), Nil))
+            fresh.map(_._2).iterator
+          } else {
+            state.update(CohortReplayState(minUs, isFinal = false, Set.empty, weeks))
+            // wake once the watermark passes the candidate minimum —
+            // quiet users must still seal their anchor and flush
+            state.setTimeoutTimestamp(math.max(minUs / 1000L, wm) + 1)
+            Iterator.empty
           }
       }
   }

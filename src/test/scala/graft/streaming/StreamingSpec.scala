@@ -546,6 +546,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming cohortRetentionStream equals the batch cohort cells on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, SparkTestSession.sfDir)
+      .filter(col("user_id") < 60)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val batchCells = graft.operators.Funnel.cohortRetention(ev, "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val rows = ev.as[StreamEvent].collect().sortBy(_.ts.getTime)
+    // bounded dispatch: per-user fold aggregated ≡ the batch join form
+    val dispatched = StreamOps.cohortRetentionStream(rows.toSeq.toDS())
+      .groupBy("cohort_week_us", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dispatched === batchCells,
+      "bounded cohort dispatch must equal the batch join form")
+
+    val input = MemoryStream[StreamEvent]
+    val query = StreamOps.cohortRetentionStream(input.toDS(),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("cohort_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rnd = new scala.util.Random(13)
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      chunks.foreach { c => input.addData(rnd.shuffle(c.toSeq)); query.processAllAvailable() }
+      // far-future flushes: watermark passes every real anchor, quiet
+      // users' timeouts seal + flush
+      val far = StreamEvent(-1L,
+        new java.sql.Timestamp(rows.last.ts.getTime + 86400L * 1000L),
+        -999L, "view", 0.0)
+      input.addData(Seq(far)); query.processAllAvailable()
+      input.addData(Seq(far.copy(event_id = -2L,
+        ts = new java.sql.Timestamp(far.ts.getTime + 86400L * 1000L))))
+      query.processAllAvailable()
+
+      val streamedCells = spark.table("cohort_out").filter(col("user_id") >= 0)
+        .groupBy("cohort_week_us", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamedCells === batchCells,
+        "streamed cohort hits must aggregate to the batch cells")
+      // exactly-once per (user, week): no pair may emit twice
+      val dup = spark.table("cohort_out")
+        .groupBy("user_id", "cohort_week_us", "week_offset").count()
+        .filter(col("count") > 1).count()
+      assert(dup === 0L, "a (user, activity week) pair must emit exactly once")
+    } finally query.stop()
+  }
+
   test("funnelStream allowReentry: window re-entry semantics, state evicted to zero") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click")

@@ -436,6 +436,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpartitioned window found:\n$p")
   }
 
+  test("t52: registrable-domain quota keeps the t48 bounded shape; suffix match is map-only") {
+    val p = plan("t52_registrable_domain_quota")
+    // the eTLD+1 extraction must compile to in-row higher-order exprs
+    // — never a join against a suffix table, never a UDF
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert("Window \\[".r.findAllIn(p).length <= 3, p)
+  }
+
+  test("t53: BPE roundtrip is a map-only projection (no shuffle before the harness sort)") {
+    val p = plan("t53_bpe_roundtrip")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("t54: temperature mixture is one dim-sized broadcast join + map-only gate") {
+    val p = plan("t54_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.toLowerCase.contains("window"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("dq02: row-wise enforcement is inline; only the Unique rule adds an exchange") {
+    val p = plan("dq02_enforce")
+    // no join anywhere — routing is a projection + one window per
+    // Unique rule (partitioned by its key, never corpus-unpartitioned)
+    assert(!p.contains("Join"), p)
+    assert(!"Window \\[[^\\]]*\\] \\[\\]".r.findFirstIn(p).isDefined,
+      s"unpartitioned window found:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("t50: RRF fusion joins only bounded lists; no cartesian anywhere") {
     val p = plan("t50_hybrid_rrf")
     // the dense side's query×candidate scoring is the deliberate

@@ -504,10 +504,21 @@ object StreamOps {
    * class as the batch-anchored funnel; a TTL would change the
    * anchor semantics). Week arithmetic matches `date_trunc('week')`
    * under the UTC session: Monday-aligned from epoch micros.
+   *
+   * `horizonWeeks = Some(h)` is the bounded-state variant (the shape
+   * most retention dashboards already have — "weeks 0..h" columns):
+   * hits with offset > h are DROPPED, and once the watermark passes
+   * `anchor + (h+1) weeks` no deliverable event can produce an
+   * in-horizon hit, so the user's state is evicted via an event-time
+   * timeout — total state bounded by users inside their horizon
+   * window, not users ever seen. An explicit, documented truncation
+   * of the unbounded form (the bounded dispatch applies the same
+   * offset filter, so backfill ≡ stream in both modes).
    */
   def cohortRetentionStream(
       events: Dataset[StreamEvent],
-      watermarkDelay: String = "10 minutes"): Dataset[CohortHit] = {
+      watermarkDelay: String = "10 minutes",
+      horizonWeeks: Option[Long] = None): Dataset[CohortHit] = {
     import events.sparkSession.implicits._
 
     val weekUs = 604800000000L
@@ -520,10 +531,12 @@ object StreamOps {
       val day = Math.floorDiv(u, dayUs)
       (day - Math.floorMod(day + 3, 7)) * dayUs
     }
+    require(horizonWeeks.forall(_ >= 0), s"horizonWeeks must be >= 0: $horizonWeeks")
     def hits(userId: Long, minUs: Long, weeks: Iterable[Long]): Seq[(Long, CohortHit)] = {
       val cw = weekStartUs(minUs)
-      weeks.toSeq.distinct.map(w =>
-        (w - cw) / weekUs).map(off => off -> CohortHit(userId, cw, off))
+      weeks.toSeq.distinct.map(w => (w - cw) / weekUs)
+        .filter(off => horizonWeeks.forall(off <= _))
+        .map(off => off -> CohortHit(userId, cw, off))
     }
 
     if (!events.isStreaming)
@@ -551,8 +564,20 @@ object StreamOps {
           if (prev.isFinal || minUs < wm * 1000L) {
             val fresh = hits(userId, minUs, weeks)
               .filterNot { case (off, _) => prev.emitted(off) }
-            state.update(CohortReplayState(
-              minUs, isFinal = true, prev.emitted ++ fresh.map(_._1), Nil))
+            // horizon eviction: week starts are ms-aligned, so once
+            // wm >= anchorWeek + (h+1) weeks every deliverable event's
+            // week offset exceeds h and is dropped by hits() anyway —
+            // removing the state changes nothing observable
+            val horizonEndMs = horizonWeeks.map(h =>
+              (weekStartUs(minUs) + (h + 1) * weekUs) / 1000L)
+            if (horizonEndMs.exists(_ <= wm)) state.remove()
+            else {
+              state.update(CohortReplayState(
+                minUs, isFinal = true, prev.emitted ++ fresh.map(_._1), Nil))
+              // wake at the horizon end to evict quiet users
+              horizonEndMs.foreach(t =>
+                state.setTimeoutTimestamp(math.max(t, wm + 1)))
+            }
             fresh.map(_._2).iterator
           } else {
             state.update(CohortReplayState(minUs, isFinal = false, Set.empty, weeks))

@@ -596,6 +596,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("cohortRetentionStream horizon: cells truncated at the horizon, state evicts to zero") {
+    implicit val sqlCtx = spark.sqlContext
+    val h = 2L
+    val ev = graft.sources.Tables.events(spark, SparkTestSession.sfDir)
+      .filter(col("user_id") < 60)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // batch truth truncated to offsets <= h
+    val batchCells = graft.operators.Funnel.cohortRetention(ev, "user_id", "ts")
+      .filter(col("week_offset") <= h)
+      .as[(Long, Long, Long)].collect().toSet
+    val rows = ev.as[StreamEvent].collect().sortBy(_.ts.getTime)
+    // bounded dispatch applies the same truncation
+    val dispatched = StreamOps
+      .cohortRetentionStream(rows.toSeq.toDS(), horizonWeeks = Some(h))
+      .groupBy("cohort_week_us", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dispatched === batchCells, "horizon dispatch must equal truncated batch")
+
+    val input = MemoryStream[StreamEvent]
+    val query = StreamOps.cohortRetentionStream(input.toDS(),
+        watermarkDelay = "10 minutes", horizonWeeks = Some(h))
+      .writeStream.format("memory").queryName("cohort_h_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rnd = new scala.util.Random(17)
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      chunks.foreach { c => input.addData(rnd.shuffle(c.toSeq)); query.processAllAvailable() }
+      // flushes a month past the data: every real user's horizon
+      // (anchor + 3 weeks) is long gone
+      val far = StreamEvent(-1L,
+        new java.sql.Timestamp(rows.last.ts.getTime + 30L * 86400L * 1000L),
+        -999L, "view", 0.0)
+      input.addData(Seq(far)); query.processAllAvailable()
+      input.addData(Seq(far.copy(event_id = -2L,
+        ts = new java.sql.Timestamp(far.ts.getTime + 30L * 86400L * 1000L))))
+      query.processAllAvailable()
+
+      val streamedCells = spark.table("cohort_h_out").filter(col("user_id") >= 0)
+        .groupBy("cohort_week_us", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamedCells === batchCells,
+        "streamed horizon cells must equal the truncated batch cells")
+      // FULL eviction: every real user's horizon passed — at most the
+      // trailing flush user may hold state
+      val stateRows = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 1,
+        s"past-horizon cohort state must evict (state rows = $stateRows)")
+    } finally query.stop()
+  }
+
   test("funnelStream allowReentry: window re-entry semantics, state evicted to zero") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click")

@@ -21,7 +21,14 @@ import graft.plans.{CharNgramsExpr, DotProductExpr, SimHash60Expr}
  *    kernel behind the cosine family;
  *  - `graft_char_ngrams(string, n) → array<string>` — the O(len)
  *    codepoint n-gram walk behind language ID (n must be a literal:
- *    it parameterizes the generated code).
+ *    it parameterizes the generated code);
+ *  - `graft_normalize_url(url) → string` — the full t47
+ *    canonicalization (composite of built-in expressions, so it
+ *    rides WholeStageCodegen like any SQL function);
+ *  - `graft_registrable_domain(host, array(...suffixes)) → string` —
+ *    eTLD+1 under a caller-supplied suffix snapshot (the suffix array
+ *    must be foldable: it compiles into the plan as a literal, the
+ *    same policy as the DataFrame form).
  *
  * Broadcast-model expressions (BPE encode, Bloom probe, language-ID
  * scoring) are deliberately NOT SQL functions — their model argument
@@ -55,6 +62,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_char_ngrams: n must be an integer literal, got $other")
         }
+      }))
+    // Column-composition functions: the builder re-enters the same
+    // DataFrame-API composition through the bridge, so the SQL text
+    // path and the Column path produce the IDENTICAL expression tree
+    // (one implementation, two surfaces — no drift possible).
+    import org.apache.spark.sql.graft.ColumnBridge
+    ext.injectFunction((FunctionIdentifier("graft_normalize_url"),
+      info("graft_normalize_url",
+        "graft_normalize_url(url) - CCNet/RefinedWeb URL canonicalization (t47 rules)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_normalize_url takes exactly 1 argument")
+        ColumnBridge.catalystExpression(
+          graft.functions.UrlFunctions.normalizeUrl(ColumnBridge.column(args.head)))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_registrable_domain"),
+      info("graft_registrable_domain",
+        "graft_registrable_domain(host, array(suffixes)) - eTLD+1 by longest suffix match"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_registrable_domain takes exactly 2 arguments")
+        require(args(1).resolved && args(1).foldable,
+          "graft_registrable_domain: the suffix set must be a foldable array literal " +
+            "(it compiles into the plan, the same policy as the DataFrame form)")
+        val arr = args(1).eval()
+        require(arr != null, "graft_registrable_domain: suffix array must not be null")
+        val suffixes = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(s => Option(s).map(_.toString).getOrElse(
+            throw new IllegalArgumentException(
+              "graft_registrable_domain: null suffix in array")))
+          .toSeq
+        ColumnBridge.catalystExpression(
+          graft.functions.UrlFunctions.registrableDomain(
+            ColumnBridge.column(args.head), suffixes))
       }))
   }
 }

@@ -60,5 +60,94 @@ object QSql {
            |  round(graft_dot(e.embedding, e.embedding), 6) AS sq_norm
            |FROM d JOIN g_embeddings e ON e.vec_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin)
+    },
+
+    // SQL02: the URL family through the SAME pure-SQL text path —
+    // graft_normalize_url (full t47 rules incl. percent
+    // normalization) and graft_registrable_domain (the t52 eTLD+1
+    // longest-suffix match, suffix set as a foldable SQL array
+    // literal). The builders re-enter the DataFrame composition via
+    // the bridge, so this gate proves the two surfaces share ONE
+    // expression tree; the oracle is the t47 pn replay + t52 suffix
+    // machinery over the identical synthetic URLs.
+    QueryDef.of("sql02_url_surface",
+      """WITH raw AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/p/' ||
+        |      CAST(doc_id AS VARCHAR) || '?utm_source=x&b=%32&a=1#frag'
+        |    WHEN 1 THEN 'https://Node-' || source || '.ORG:8443/a%2fb%70?z=9&y=%4a'
+        |    WHEN 2 THEN 'https://' || source || '.net:443'
+        |    ELSE 'ftp://Files.' || source || '.io/da%zzta%7e#sec' END AS url
+        |  FROM documents),
+        |t AS (SELECT doc_id, trim(url) AS u FROM raw),
+        |p1 AS (SELECT doc_id, u,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest0
+        |  FROM t),
+        |p2 AS (SELECT *, regexp_extract(rest0, '^([^/?#]*)', 1) AS hp FROM p1),
+        |p3 AS (SELECT *,
+        |    lower(regexp_replace(hp, ':[0-9]+$', '')) AS host,
+        |    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+        |    string_split(substr(rest0, length(hp) + 1), '%') AS rps
+        |  FROM p2),
+        |pn AS (SELECT *, rps[1] || coalesce(array_to_string(
+        |    list_transform(rps[2:], q -> CASE
+        |      WHEN NOT regexp_matches(q, '^[0-9A-Fa-f]{2}') THEN '%' || q
+        |      WHEN regexp_matches(chr(CAST(
+        |          (strpos('0123456789ABCDEF', substr(upper(q),1,1))-1)*16
+        |          + strpos('0123456789ABCDEF', substr(upper(q),2,1))-1 AS INT)),
+        |          '^[A-Za-z0-9._~-]$')
+        |        THEN chr(CAST(
+        |          (strpos('0123456789ABCDEF', substr(upper(q),1,1))-1)*16
+        |          + strpos('0123456789ABCDEF', substr(upper(q),2,1))-1 AS INT))
+        |          || substr(q, 3)
+        |      ELSE '%' || upper(substr(q,1,2)) || substr(q,3) END), ''), '')
+        |    AS rest
+        |  FROM p3),
+        |p4 AS (SELECT *,
+        |    regexp_extract(rest, '^([^?#]*)', 1) AS path,
+        |    regexp_extract(rest, '\?([^#]*)', 1) AS query FROM pn),
+        |p5 AS (SELECT *,
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|fbclid|gclid)(=.*)?$'))), '&'), '') AS q
+        |  FROM p4),
+        |nrm AS (SELECT doc_id, host,
+        |  CASE WHEN scheme = '' THEN u ELSE scheme || '://' || host ||
+        |    CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+        |           OR (scheme = 'https' AND port = '443'))
+        |         THEN ':' || port ELSE '' END ||
+        |    CASE WHEN path = '' THEN '/' ELSE path END ||
+        |    CASE WHEN q = '' THEN '' ELSE '?' || q END END AS url_norm
+        |  FROM p5),
+        |sp AS (SELECT doc_id, url_norm, host,
+        |    string_split(host, '.') AS parts, len(string_split(host, '.')) AS n
+        |  FROM nrm),
+        |kb AS (SELECT *, coalesce(list_max(list_transform(range(1, n), k -> CASE
+        |      WHEN list_contains(['com','org','net','io','co.uk'],
+        |        array_to_string(list_slice(parts, -CAST(k AS INT), -1), '.'))
+        |      THEN k ELSE 0 END)), 0) AS kbest
+        |  FROM sp)
+        |SELECT doc_id, url_norm,
+        |  CASE WHEN kbest > 0 THEN
+        |    array_to_string(list_slice(parts, -CAST(kbest + 1 AS INT), -1), '.')
+        |  ELSE host END AS rdomain
+        |FROM kb ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).createOrReplaceTempView("g_documents")
+      s.sql(
+        """WITH raw AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+          |    WHEN 0 THEN concat('HTTP://WWW.', source, '.Example.COM:80/p/',
+          |      CAST(doc_id AS STRING), '?utm_source=x&b=%32&a=1#frag')
+          |    WHEN 1 THEN concat('https://Node-', source, '.ORG:8443/a%2fb%70?z=9&y=%4a')
+          |    WHEN 2 THEN concat('https://', source, '.net:443')
+          |    ELSE concat('ftp://Files.', source, '.io/da%zzta%7e#sec') END AS url
+          |  FROM g_documents)
+          |SELECT doc_id,
+          |  graft_normalize_url(url) AS url_norm,
+          |  graft_registrable_domain(
+          |    lower(regexp_replace(regexp_extract(
+          |      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+          |      '^([^/?#]*)', 1), ':[0-9]+$', '')),
+          |    array('com', 'org', 'net', 'io', 'co.uk')) AS rdomain
+          |FROM raw ORDER BY doc_id""".stripMargin)
     })
 }

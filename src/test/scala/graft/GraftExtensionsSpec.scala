@@ -41,4 +41,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql("SELECT graft_char_ngrams('abc', length('xx'))").collect())
   }
+
+  test("graft_normalize_url from SQL equals the Column form") {
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "HTTP://WWW.Ex.COM:80/p%41?utm_source=x&b=%32&a=1#frag",
+      "https://h.io/a%2fb", " not a url ")
+    val viaSql = urls.map(u => spark.sql(
+      s"SELECT graft_normalize_url('$u') AS n").as[String].head())
+    val viaCol = urls.toDF("u")
+      .select(graft.functions.UrlFunctions.normalizeUrl(col("u")))
+      .as[String].collect().toSeq
+    assert(viaSql === viaCol)
+    assert(viaSql.head === "http://www.ex.com/pA?a=1&b=2")
+  }
+
+  test("graft_registrable_domain from SQL: longest match; non-foldable suffixes rejected") {
+    val got = spark.sql(
+      """SELECT graft_registrable_domain('a.b.example.co.uk',
+        |  array('uk', 'co.uk', 'com')) AS d""".stripMargin).as[String].head()
+    assert(got === "example.co.uk")
+    // subdomain collapse through the SQL surface
+    val mega = spark.sql(
+      "SELECT graft_registrable_domain('user7.megasite.com', array('com')) AS d")
+      .as[String].head()
+    assert(mega === "megasite.com")
+    // the suffix set must compile into the plan: a per-row column
+    // argument is a policy error, rejected at analysis
+    intercept[Exception](spark.sql(
+      "SELECT graft_registrable_domain('a.com', array(concat('c', rand()))) ").collect())
+  }
 }

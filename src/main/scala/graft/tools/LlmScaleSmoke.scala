@@ -92,6 +92,8 @@ object LlmScaleSmoke {
         bpeMerges: Seq[(String, String, Long)], dsirCounts: Array[Long],
         pctl: Seq[(Double, Long)], apctl: Seq[(Double, Double)],
         topTok: Seq[(Long, String, Long)], qcWeights: Seq[Long],
+        roundtripBad: Long, hostsDistinct: Long, rdomainsDistinct: Long,
+        t54Counts: Map[String, Long],
         wallSec: Double, writeBytes: Long,
         stages: Map[Int, (Long, Long, Long)])
 
@@ -166,6 +168,37 @@ object LlmScaleSmoke {
         graft.operators.QualityModel.features(
           qcCorpus, "doc_id", "text", col("lang") === "en", buckets = 16),
         buckets = 16, iters = 3).toSeq
+
+      // t53 roundtrip at scale: decode∘encode must equal the
+      // whitespace-normalized text for EVERY doc — an absolute
+      // invariant (zero mismatches), not just a linear count
+      val bpeB = spark.sparkContext.broadcast(graft.functions.Bpe.defaultVocab)
+      val roundtripBad = docs.filter(
+        graft.functions.Bpe.bpeDecode(
+          graft.functions.Bpe.bpeTokensPerWord(col("text"), bpeB)) =!=
+          regexp_replace(trim(col("text")), "\\s+", " ")).count()
+
+      // t52 at scale: synthetic per-doc subdomains of one megasite —
+      // distinct HOSTS grow c× while distinct REGISTRABLE domains
+      // stay CONSTANT (the quota key collapses the evasion surface)
+      val hostDf = docs.select(
+        concat(lit("u"), col("doc_id"), lit(".megasite.com")).as("host"))
+      val hostsDistinct = hostDf.distinct().count()
+      val rdomainsDistinct = hostDf.select(
+          graft.functions.UrlFunctions.registrableDomain(
+            col("host"), Seq("com", "org")).as("rd"))
+        .distinct().count()
+
+      // t54 at scale: temperature mixture on the qc corpus's lang
+      // column (verbatim replication, disjoint ids) — per-lang
+      // survivor counts must track c× within a 5% band (fresh ids
+      // redraw the md5 gate at the SAME rates; rates are
+      // scale-invariant because sqrt(c·n) scaling cancels)
+      val t54Counts = graft.operators.Mixture.temperatureMix(
+          qcCorpus, "lang", "doc_id", alpha = 0.5)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
       val wall = (System.nanoTime() - t0) / 1e9
       pairs.unpersist()
       Thread.sleep(1000) // bound listener-bus delivery lag
@@ -196,7 +229,9 @@ object LlmScaleSmoke {
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
       Run(c, nPairs, comps, kept, bm25, spans, cutRows, cutToks, contPairs,
         dedup2Bytes, nPacks, packDocs, packTokens,
-        bpeMerges, dsirCounts, pctl, apctl, topTok, qcWeights, wall, bytes, stages)
+        bpeMerges, dsirCounts, pctl, apctl, topTok, qcWeights,
+        roundtripBad, hostsDistinct, rdomainsDistinct, t54Counts,
+        wall, bytes, stages)
     }
 
     val r1 = runs.head
@@ -205,6 +240,11 @@ object LlmScaleSmoke {
       println(s"LLM_SMOKE_CHECK ${if (cond) "ok  " else "FAIL"} $msg")
       if (!cond) failed = true
     }
+    // absolute invariants hold at the BASE scale too
+    check(r1.roundtripBad == 0L,
+      s"t53 roundtrip holds at base scale (${r1.roundtripBad} mismatches)")
+    check(r1.rdomainsDistinct == 1L,
+      s"t52 megasite collapses to one registrable domain at base scale")
     runs.tail.foreach { r =>
       val ratio = r.scale.toDouble / r1.scale
       def nearLinear(x0: Long, x: Long) = math.abs(x - x0 * ratio) <= x0 * ratio * 0.02
@@ -256,6 +296,25 @@ object LlmScaleSmoke {
       check(r.qcWeights == r1.qcWeights,
         s"quality-classifier weights BIT-IDENTICAL at ${r.scale}x " +
           s"(${r1.qcWeights.take(4)}... -> ${r.qcWeights.take(4)}...)")
+      // t53: roundtrip is an ABSOLUTE invariant at every scale
+      check(r.roundtripBad == 0L,
+        s"t53 BPE decode∘encode == normalized text for every doc at ${r.scale}x " +
+          s"(${r.roundtripBad} mismatches)")
+      // t52: hosts grow c× while the registrable-domain key collapses
+      // the megasite to ONE group at any scale
+      check(r.hostsDistinct * r1.scale == r1.hostsDistinct * r.scale &&
+          r.rdomainsDistinct == 1L,
+        s"t52 distinct hosts exactly linear (${r1.hostsDistinct}->${r.hostsDistinct}) " +
+          s"while registrable domains stay 1 (${r.rdomainsDistinct}) at ${r.scale}x")
+      // t54: per-lang survivors track c× within 5% (rates are
+      // scale-invariant; fresh ids redraw the md5 gate at those rates)
+      check(r.t54Counts.keySet == r1.t54Counts.keySet &&
+          r.t54Counts.forall { case (l, v) =>
+            val want = r1.t54Counts(l).toDouble * r.scale / r1.scale
+            math.abs(v - want) <= math.max(5.0, 0.05 * want)
+          },
+        s"t54 per-lang survivors within 5% of linear at ${r.scale}x " +
+          s"(${r1.t54Counts} -> ${r.t54Counts})")
     }
     // Pack count is deliberately NOT asserted linear: each of the 64
     // shards leaves one partial last pack open, a CONSTANT overhead

@@ -41,4 +41,49 @@ object Rolling {
       .withColumn("roll_then", round(col("roll_then"), 6))
       .withColumn("delta", round(col("roll_now") - col("roll_then"), 6))
   }
+
+  /**
+   * Rolling z-score outlier flags over a trailing window — the
+   * streaming-telemetry anomaly pass (flag a reading that sits more
+   * than `k` standard deviations from its own recent history). The
+   * window is the `n` PRECEDING rows EXCLUSIVE of the current row, so
+   * the tested value never contaminates its own baseline.
+   *
+   * Everything stays in EXACT integer arithmetic so the flag is
+   * bit-identical to any other engine: with integer value `v`,
+   * trailing count `m`, sum `s` and sum-of-squares `q`,
+   *
+   *   |z| > k  ⇔  (v − s/m)² > k²·(q/m − (s/m)²)
+   *            ⇔  (m·v − s)² > k²·(m·q − s²)
+   *
+   * — a pure Long comparison (no division, no sqrt, no doubles).
+   * A zero-variance window (m·q = s²) flags any deviation at all,
+   * the natural limit of z → ∞. Rows with fewer than `minN` trailing
+   * observations are reported unflagged (`n_win` tells the caller
+   * why). One window frame over one `key` exchange; at 100 TB this is
+   * the same single-shuffle shape as every other per-entity window.
+   *
+   * @param value integer-valued column (e.g. cents); the caller owns
+   *              the scaling. Products must fit a Long:
+   *              (n·max|v|)² bounds the comparison terms.
+   * @param k     whole-σ threshold (k=2 or 3 typically).
+   */
+  def zscoreOutliers(
+      df: DataFrame,
+      key: Column,
+      orderCols: Seq[Column],
+      value: Column,
+      n: Int,
+      k: Int,
+      minN: Int): DataFrame = {
+    require(n >= minN && minN >= 2, s"need n >= minN >= 2, got n=$n minN=$minN")
+    val w = Window.partitionBy(key).orderBy(orderCols: _*).rowsBetween(-n, -1)
+    val m = count(value).over(w)
+    val s = sum(value).over(w)
+    val q = sum(value * value).over(w)
+    val lhs = (m * value - s) * (m * value - s)
+    val rhs = lit(k.toLong * k) * (m * q - s * s)
+    df.withColumn("n_win", m)
+      .withColumn("is_outlier", col("n_win") >= minN && lhs > rhs)
+  }
 }

@@ -218,5 +218,25 @@ object QWindow {
           Seq(col("ts_ns"), col("event_id")), col("c"), 25)
         .select("user_id", "n_events", "roll_now", "roll_then", "delta")
         .orderBy("user_id")
+    },
+
+    // W13: rolling z-score outlier flags (Rolling.zscoreOutliers) —
+    // each reading tested against the 24 PRECEDING rows EXCLUSIVE of
+    // itself, flagged when |z| > 2σ. The whole test is ONE exact
+    // Long comparison ((m·v−s)² > k²(m·q−s²)) — no division, sqrt or
+    // doubles — so the oracle replays it bit-for-bit; windows with
+    // <10 observations report unflagged with the count explaining why.
+    QueryDef.of("w13_rolling_zscore_outliers", B +
+      s"""SELECT event_id, m AS n_win,
+         |  (m >= 10 AND (m*c - s)*(m*c - s) > 4*(m*q - s*s)) AS is_outlier
+         |FROM (SELECT event_id, c,
+         |        count(c) OVER v AS m, SUM(c) OVER v AS s,
+         |        SUM(c*c) OVER v AS q
+         |      FROM b
+         |      WINDOW v AS ($W ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Rolling.zscoreOutliers(ev(s, dir), col("user_id"),
+          Seq(col("ts_ns"), col("event_id")), col("c"), n = 24, k = 2, minN = 10)
+        .select("event_id", "n_win", "is_outlier").orderBy("event_id")
     })
 }

@@ -64,6 +64,37 @@ object Decontaminate {
         round(col("n_hit").cast("double") / col("n_grams"), 6))
   }
 
+  /**
+   * N-gram NOVELTY scoring — the measuring half of decontamination:
+   * for each document, the fraction of its distinct word n-grams that
+   * appear nowhere in a reference snapshot
+   * `(id, n_ngrams, n_novel, novelty)`. High novelty = new content
+   * worth keeping; near-zero novelty = the snapshot already covers it
+   * (the continuous-crawl freshness signal).
+   *
+   * Unlike [[ngramOverlap]]'s eval-set-sized benchmark, the reference
+   * snapshot here can be corpus-sized (yesterday's crawl), so its
+   * distinct gram set is NOT broadcast: both sides shuffle once on the
+   * shingle key into a hash-bucketed left join, and AQE splits any
+   * hot-shingle skew. Documents with fewer than n tokens have no
+   * n-grams and are naturally absent.
+   */
+  def novelty(
+      docs: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val docGrams = Dedup.shingled(docs, idCol, textCol, n)
+    val refGrams = Dedup.shingled(reference, idCol, textCol, n)
+      .select("sh").distinct()
+    docGrams
+      .join(refGrams.withColumn("__hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        (count(lit(1)) - count(col("__hit"))).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_ngrams"), 6))
+  }
+
   /** Convenience filter: training docs with NO n-gram overlap with the
     * benchmark (strict decontamination — any shared n-gram drops the
     * document). Anti-join keeps docs whose grams never match, plus

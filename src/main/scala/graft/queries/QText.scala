@@ -2002,5 +2002,76 @@ object QText {
           Tables.documents(s, dir), "lang", "doc_id", alpha = 0.5)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // T55: winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    // MOSS scheme) — per-document summary of the rightmost-min window
+    // selection over 5-gram md5 hashes with window w = 4. The oracle
+    // replays the ENTIRE algorithm: positional 5-gram hashing (t24's g
+    // CTE), the packed rightmost-min key (h ‖ zeropad(10^9 − pos) so a
+    // plain window min() does the tie-break), the valid-start filter
+    // with the short-document degenerate window, the distinct
+    // selection, and the position-ordered digest — so the hash-compare
+    // checks the selection semantics themselves, not just row counts.
+    QueryDef.of("t55_winnowing",
+      s"""WITH d AS (SELECT doc_id, $CTOKS AS t FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest(range(0, greatest(len(t) - 4, 0))) AS pos,
+         |    unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+         |      i -> md5(array_to_string(t[i:i+4], ' ')))) AS h
+         |  FROM d),
+         |ky AS (SELECT doc_id, pos,
+         |    h || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS key
+         |  FROM g),
+         |wm AS (SELECT doc_id, pos,
+         |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+         |    count(*) OVER (PARTITION BY doc_id) AS m
+         |  FROM ky),
+         |sel AS (SELECT DISTINCT doc_id,
+         |    1000000000 - CAST(substr(wkey, 33, 10) AS BIGINT) AS fpos,
+         |    substr(wkey, 1, 32) AS fh
+         |  FROM wm WHERE pos <= greatest(m - 4, 0)),
+         |gs AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+         |SELECT s.doc_id, gs.n_grams, count(*) AS n_fps,
+         |  round(CAST(count(*) AS DOUBLE) / gs.n_grams, 6) AS density,
+         |  md5(string_agg(s.fh, ' ' ORDER BY s.fpos)) AS digest
+         |FROM sel s JOIN gs USING (doc_id)
+         |GROUP BY s.doc_id, gs.n_grams
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Winnowing.summary(
+          Tables.documents(s, dir), "doc_id", "text", k = 5, w = 4)
+        .orderBy("doc_id")
+    },
+
+    // T56: n-gram novelty scoring — the scoring half of decontamination
+    // (t12 filters; this MEASURES). Reference snapshot = every tenth
+    // document; each remaining document scores the fraction of its
+    // DISTINCT 8-gram hashes absent from the snapshot. One distinct
+    // per-doc shingle set, one hash-bucketed left join against the
+    // (distinct) reference hash set — never an all-pairs product; at
+    // 100 TB both sides shuffle once on the 16-byte hash and AQE
+    // handles the hot-hash skew.
+    QueryDef.of("t56_ngram_novelty",
+      s"""WITH d AS (SELECT doc_id, $CTOKS AS t FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+         |      i -> md5(array_to_string(t[i:i+7], ' ')))) AS h
+         |  FROM d WHERE len(t) >= 8),
+         |ref AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+         |sc AS (SELECT g.doc_id, count(*) AS n_ngrams,
+         |    CAST(sum(CASE WHEN ref.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM g LEFT JOIN ref ON g.h = ref.h
+         |  WHERE g.doc_id % 10 <> 0
+         |  GROUP BY g.doc_id)
+         |SELECT doc_id, n_ngrams, n_novel,
+         |  round(CAST(n_novel AS DOUBLE) / n_ngrams, 6) AS novelty
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.Decontaminate.novelty(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id")
     })
 }

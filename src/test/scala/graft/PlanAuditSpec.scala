@@ -202,6 +202,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("t55: winnowing runs on ONE document exchange — both windows, the distinct and the digest share it") {
+    val p = plan("t55_winnowing")
+    // the rightmost-min key folds the tie-break into a plain window
+    // min(), so the whole selection is two Window passes + aggregates
+    // over a single hashpartitioning(id) — no join, no second scan
+    val idExchanges = "hashpartitioning\\(id".r.findAllIn(p).length
+    assert(idExchanges === 1, s"id exchanges=$idExchanges\n$p")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("t56: novelty is one shingle-bucketed join — no pair blowup, no UDF") {
+    val p = plan("t56_ngram_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("t27: the Bloom prefilter probe is a native codegen expression, not a UDF") {
     // VERDICT r8: the per-row mightContainLong UDF broke codegen in an
     // otherwise map-only prefilter stage; BloomMightContainExpr must

@@ -56,7 +56,8 @@ object SparkEntry {
     "a25_windowed_distinct", "a26_rollup", "a27_grouping_sets",
     "e05_unpivot", "dq01_expectations", "dq02_enforce",
     "w03_boundary_session", "w05_remaining_sum",
-    "w12_rolling_now_then", "j01_broadcast_enrich", "j03_join_aggregates",
+    "w12_rolling_now_then", "w14_ewma_smooth",
+    "j01_broadcast_enrich", "j03_join_aggregates",
     "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",
     "ses06_interval_join", "ses07_funnel", "ses08_cohort_retention",
     "ses09_cohort_stream",
@@ -78,6 +79,7 @@ object SparkEntry {
     "t47_url_normalize", "t48_domain_quota", "t49_cut_dup_spans",
     "t50_hybrid_rrf", "t51_containment_pairs", "t52_registrable_domain_quota",
     "t53_bpe_roundtrip", "t54_temperature_mix",
+    "t55_winnowing", "t56_ngram_novelty",
     "v01_ann_brute_topk", "v02_ann_lsh_topk", "v03_embed_neardup_brute",
     "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
     "v09_ann_index_upsert", "v10_ann_pq_adc", "v11_ann_ivfpq",

@@ -86,4 +86,44 @@ object Rolling {
     df.withColumn("n_win", m)
       .withColumn("is_outlier", col("n_win") >= minN && lhs > rhs)
   }
+
+  /**
+   * Trailing exponentially-weighted moving average — the smoothing
+   * half of the telemetry pass ([[zscoreOutliers]] flags, this
+   * trends). Pandas-style `adjust=True` semantics with α = 1/2 over a
+   * FINITE horizon of the last `half` rows (inclusive of the current):
+   *
+   *   ewma_i = Σ_{j<half} 2^{−j}·v_{i−j} / Σ_{j<half} 2^{−j}
+   *
+   * truncated to the rows that exist at the head of each partition.
+   * The horizon keeps the window a plain ROWS frame (no recursive
+   * state), and the tail it drops is < 2^−half of the weight — noise
+   * at half ≥ 12.
+   *
+   * Determinism: both sums are computed in EXACT Long arithmetic with
+   * integer weights 2^(half−1−j) (value · 2^(half−1) must fit a Long);
+   * the ONE floating-point operation is the final correctly-rounded
+   * IEEE division, so the rounded result is bit-identical in any
+   * engine. The `half` lag terms all ride one window frame over one
+   * key exchange — the standing single-shuffle per-entity shape.
+   */
+  def ewma(
+      df: DataFrame,
+      key: Column,
+      orderCols: Seq[Column],
+      value: Column,
+      half: Int,
+      out: String = "ewma"): DataFrame = {
+    require(half >= 1 && half <= 62, s"half must be in [1, 62], got $half")
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+    val terms = (0 until half).map { j =>
+      val v = if (j == 0) value else lag(value, j).over(w)
+      val weight = 1L << (half - 1 - j)
+      (coalesce(v, lit(0L)) * lit(weight),
+        when(v.isNull, lit(0L)).otherwise(lit(weight)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn(out, round(num.cast("double") / den, 6))
+  }
 }

@@ -238,5 +238,34 @@ object QWindow {
       Rolling.zscoreOutliers(ev(s, dir), col("user_id"),
           Seq(col("ts_ns"), col("event_id")), col("c"), n = 24, k = 2, minN = 10)
         .select("event_id", "n_win", "is_outlier").orderBy("event_id")
+    },
+
+    // W14: trailing EWMA smoothing (Rolling.ewma) — α = 1/2 over the
+    // last 12 rows, pandas adjust=True semantics truncated to a finite
+    // horizon. The oracle replays the exact Long-weight formulation
+    // (weights 2^(11−j), one final IEEE division), GENERATED from the
+    // same horizon constant so the two term lists can never drift.
+    QueryDef.of("w14_ewma_smooth", B +
+      s"""SELECT event_id,
+         |  round(CAST(${ewmaNumSql(12)} AS DOUBLE) / (${ewmaDenSql(12)}), 6) AS ewma
+         |FROM b WINDOW v AS ($W) ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Rolling.ewma(ev(s, dir), col("user_id"),
+          Seq(col("ts_ns"), col("event_id")), col("c"), half = 12)
+        .select("event_id", "ewma").orderBy("event_id")
     })
+
+  /** Σ coalesce(lag(c,j), 0) · 2^(half−1−j) — [[Rolling.ewma]]'s exact
+    * Long numerator, unrolled for DuckDB. */
+  private def ewmaNumSql(half: Int): String =
+    (0 until half).map { j =>
+      val v = if (j == 0) "c" else s"lag(c, $j) OVER v"
+      s"coalesce($v, 0) * ${1L << (half - 1 - j)}"
+    }.mkString(" + ")
+
+  /** Σ present(lag(c,j)) · 2^(half−1−j) — the matching denominator. */
+  private def ewmaDenSql(half: Int): String =
+    (0 until half).map { j =>
+      val v = if (j == 0) "c" else s"lag(c, $j) OVER v"
+      s"CASE WHEN $v IS NULL THEN 0 ELSE ${1L << (half - 1 - j)} END"
+    }.mkString(" + ")
 }

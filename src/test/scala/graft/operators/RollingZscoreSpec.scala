@@ -55,3 +55,47 @@ class RollingZscoreSpec extends AnyFunSuite {
     assert(out.last === ((24L, true)))
   }
 }
+
+/** Rolling.ewma (w14) — pandas adjust=True α=1/2 over a finite
+  * horizon, hand-checked against the closed form. */
+class RollingEwmaSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(vals: Seq[Long], half: Int = 12): Seq[Double] =
+    Rolling.ewma(
+        vals.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+          .toDF("k", "i", "v"),
+        col("k"), Seq(col("i")), col("v"), half)
+      .orderBy("i").select("ewma").as[Double].collect().toSeq
+
+  test("matches the adjust=True closed form on a short series") {
+    // row 0: 4; row 1: (8 + 4·0.5)/1.5; row 2: (2 + 8·0.5 + 4·0.25)/1.75
+    val r = run(Seq(4L, 8L, 2L))
+    assert(r(0) === 4.0)
+    assert(r(1) === math.rint(10.0 / 1.5 * 1e6) / 1e6)
+    assert(r(2) === 4.0) // 7/1.75 = 4 exactly
+  }
+
+  test("constant series smooths to the constant at every row") {
+    assert(run(Seq.fill(20)(7L)).forall(_ === 7.0))
+  }
+
+  test("history beyond the horizon is fully forgotten") {
+    // a huge first value followed by `half` zeros: once the window
+    // slides past it, the smoothed value is exactly 0
+    val r = run(1000000L +: Seq.fill(12)(0L))
+    assert(r.last === 0.0)
+    assert(r(11) > 0.0) // one row earlier the spike still contributes
+  }
+
+  test("partition-invariant across repartitioning") {
+    val df = (0 until 100).map(i => ("k" + i % 3, i.toLong, (i * 37 % 11).toLong))
+      .toDF("k", "i", "v")
+    val a = Rolling.ewma(df, col("k"), Seq(col("i")), col("v"), 12)
+      .orderBy("k", "i").select("ewma").as[Double].collect().toSeq
+    val b = Rolling.ewma(df.repartition(7), col("k"), Seq(col("i")), col("v"), 12)
+      .orderBy("k", "i").select("ewma").as[Double].collect().toSeq
+    assert(a === b)
+  }
+}

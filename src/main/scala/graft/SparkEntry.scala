@@ -17,7 +17,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     QAgg.defs ++ QWindow.defs ++ QJoin.defs ++ QRelational.defs ++
       QScalar.defs ++ QText.defs ++ QVector.defs ++ QDomain.defs ++ QPbp.defs ++
-      QMedia.defs ++ QSql.defs
+      QMedia.defs ++ QSql.defs ++ QGraph.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A fact-to-dims broadcast-join rollup — the reference's most common
@@ -87,6 +87,7 @@ object SparkEntry {
     "v14_ann_ivfpq_rerank", "v15_ann_filtered", "v16_ann_ivfpq_residual",
     "v17_ann_mmr", "v18_ann_delete_rebalance",
     "sql01_extension_surface", "sql02_url_surface",
+    "g01_pagerank",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",
     "pbp03_pitcher_standardize")
 }

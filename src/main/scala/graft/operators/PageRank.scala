@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Fixed-iteration PageRank (Brin & Page 1998, public method) — the
+ * link-graph quality prior a crawl-scale training-data pipeline uses
+ * to weight domains/documents before sampling (the "quality
+ * classifier from link structure" signal).
+ *
+ * Semantics: the power-iteration form with damping `d`, uniform
+ * teleport, and dangling mass redistributed uniformly:
+ *
+ *   pr'(v) = (1−d)/N + d·( Σ_{(u,v)∈E} pr(u)/outdeg(u) + D/N )
+ *
+ * where D = Σ pr(u) over dangling u (no out-edges). Σ pr stays 1 every
+ * iteration. A FIXED iteration count (not convergence-test) keeps the
+ * operator deterministic and exactly replayable by an unrolled SQL
+ * oracle.
+ *
+ * Scale shape per iteration: one equi-join of edges to ranks on the
+ * source id (both sides hash-partitioned on the same key — bucketing
+ * the edge table by src pins that side's shuffle across ALL
+ * iterations), one groupBy(dst) contribution aggregate with map-side
+ * combine, and a 1-row dangling-mass aggregate attached via
+ * crossJoin(broadcast(...)) — the house scalar-attach shape, so the
+ * loop stays fully lazy-free of driver round-trips except the eager
+ * per-iteration materialization that bounds lineage. Nothing
+ * node-count-sized ever reaches the driver.
+ */
+object PageRank {
+
+  /**
+   * @param nodes one row per vertex (duplicates are the caller's bug);
+   *              isolated and dangling vertices still receive rank.
+   * @param edges directed (src, dst) pairs. Multi-edges count multiple
+   *              times — pass a distinct frame for simple-graph
+   *              semantics.
+   * @return (idCol, pr) with Σ pr = 1.
+   */
+  def run(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val spark = nodes.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val ids = nodes.select(col(idCol).as("id"))
+    // one driver scalar: the vertex count (a Long, not data)
+    val n = ids.count()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(MEMORY_AND_DISK) // reused every iteration
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+      .persist(MEMORY_AND_DISK)
+
+    var ranks = ids.withColumn("pr", lit(1.0 / n)).persist(MEMORY_AND_DISK)
+    ranks.count()
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("id"))
+        .join(deg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("deg")).as("contrib"))
+      // dangling mass: rank held by vertices with no out-edge — a
+      // 1-row aggregate broadcast onto every vertex (zero when the
+      // graph has no danglers, as the synthesized test graph hasn't)
+      val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      val next = ids
+        .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("pr"))
+        .persist(MEMORY_AND_DISK)
+      next.count() // materialize, then release the previous iteration
+      ranks.unpersist()
+      ranks = next
+    }
+    e.unpersist(); deg.unpersist()
+    // hand the caller an un-cached frame: the harness contract is that
+    // clearCache() after the action leaves nothing behind, and the
+    // final small projection is cheap to recompute from the last
+    // cached iteration while it lives
+    val out = ranks.select(col("id").as(idCol), col("pr"))
+    out
+  }
+}

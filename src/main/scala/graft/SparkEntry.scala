@@ -85,7 +85,7 @@ object SparkEntry {
     "v09_ann_index_upsert", "v10_ann_pq_adc", "v11_ann_ivfpq",
     "v12_ann_pq_persisted", "v13_cluster_balanced_sample",
     "v14_ann_ivfpq_rerank", "v15_ann_filtered", "v16_ann_ivfpq_residual",
-    "v17_ann_mmr", "v18_ann_delete_rebalance",
+    "v17_ann_mmr", "v18_ann_delete_rebalance", "v19_ann_recall",
     "sql01_extension_surface", "sql02_url_surface",
     "g01_pagerank",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",

@@ -669,4 +669,29 @@ object SimilaritySearch {
       out.result().iterator
     }.toDF("query_id", "rank", "id", "mmr_score")
   }
+
+  /**
+   * Recall@k of an approximate search against the exact one — the
+   * quality gauge every ANN deployment tracks next to its latency
+   * (FAISS-style evaluation, public practice). Both inputs are
+   * `(query_id, rank, id, …)` frames as produced by the search
+   * operators; each is truncated to its top `k` before comparing, and
+   * recall is `|exact ∩ approx| / k` per query.
+   *
+   * Scale note: the denominator of the measurement is the EXACT side —
+   * quadratic in corpus size — so at 100 TB recall is evaluated on a
+   * query SAMPLE (hundreds of queries), never on full traffic; both
+   * top-k frames are then query-count-sized and this comparison is a
+   * single tiny equi-join.
+   */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ex = exact.filter(col("rank") <= k).select("query_id", "id")
+    val ap = approx.filter(col("rank") <= k).select("query_id", "id")
+      .withColumn("__hit", lit(1))
+    ex.join(ap, Seq("query_id", "id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("__hit")).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / k, 6))
+  }
 }

@@ -762,6 +762,56 @@ object QVector {
           where = Some(col("id") >= 100 && col("id") < 400))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // V19: recall@5 of the IVF path against the exact brute-force
+    // ranking — the ANN quality gauge (tracked next to latency in any
+    // FAISS-style deployment). The oracle replays BOTH sides in full
+    // (v01's exact ranking, v05's seeded-init + 2-Lloyd-pass IVF) and
+    // intersects their top-5 sets per query; the engine runs the two
+    // real operators and joins. The brute side is the measurement's
+    // inherent quadratic cost, so at scale recall runs on a query
+    // sample — here the same 10-query probe set every v-query uses.
+    QueryDef.of("v19_ann_recall", N +
+      """, c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8))""".stripMargin +
+      ivfAssign("c0", "a1") + ivfRecenter("a1", "c0", "c1") +
+      ivfAssign("c1", "a2") + ivfRecenter("a2", "c1", "c2") +
+      ivfAssign("c2", "af") +
+      """, bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |bsc AS (SELECT bq.query_id, c.vec_id AS id,
+        |    round(CASE WHEN bq.qn * c.nrm <> 0
+        |          THEN list_dot_product(bq.qv, c.v) / (bq.qn * c.nrm) ELSE 0.0 END, 6) AS cos
+        |  FROM bq JOIN n c ON c.vec_id <> bq.query_id),
+        |bt AS MATERIALIZED (SELECT query_id, id FROM bsc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5),
+        |iqs AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, c.cluster,
+        |    round(CASE WHEN n.nrm * sqrt(list_dot_product(c.v, c.v)) = 0 THEN -1.0
+        |          ELSE list_dot_product(n.v, c.v) / (n.nrm * sqrt(list_dot_product(c.v, c.v))) END, 4) AS qcos
+        |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 10),
+        |iqp AS (SELECT query_id, qv, qn, cluster FROM iqs
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cluster) <= 3),
+        |isc AS (SELECT iqp.query_id, a.vec_id AS id,
+        |    round(CASE WHEN iqp.qn * n2.nrm <> 0
+        |          THEN list_dot_product(iqp.qv, n2.v) / (iqp.qn * n2.nrm) ELSE 0.0 END, 6) AS cos
+        |  FROM iqp JOIN af a USING (cluster) JOIN n n2 ON n2.vec_id = a.vec_id
+        |  WHERE a.vec_id <> iqp.query_id),
+        |it AS MATERIALIZED (SELECT query_id, id FROM isc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5)
+        |SELECT b.query_id, CAST(count(i.id) AS BIGINT) AS n_hits,
+        |  round(count(i.id) / 5.0, 6) AS recall
+        |FROM bt b LEFT JOIN it i ON i.query_id = b.query_id AND i.id = b.id
+        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.recallAtK(
+          SimilaritySearch.bruteForceTopK(queries, cands, k = 5),
+          SimilaritySearch.ivfTopK(queries, cands,
+            numClusters = 8, iters = 2, k = 5, nprobe = 3),
+          k = 5)
+        .orderBy("query_id")
     })
 
   /** The IVFADC oracle (shared by v11/v12, prefix of v14): v05's

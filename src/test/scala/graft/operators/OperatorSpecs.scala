@@ -94,6 +94,20 @@ class OperatorSpecs extends AnyFunSuite {
     }
   }
 
+  test("recallAtK: hand-built rankings score exact fractions, truncated at k") {
+    val exact = Seq(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L), (1L, 4L, 99L),
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L)).toDF("query_id", "rank", "id")
+    val approx = Seq(
+      (1L, 1L, 10L), (1L, 2L, 12L), (1L, 3L, 77L), (1L, 4L, 11L), // 11 beyond k
+      (2L, 1L, 30L), (2L, 2L, 31L), (2L, 3L, 32L)).toDF("query_id", "rank", "id")
+    val r = SimilaritySearch.recallAtK(exact, approx, k = 3)
+      .orderBy("query_id").as[(Long, Long, Double)].collect().toSeq
+    // q1: exact {10,11,12} ∩ approx {10,12,77} = {10,12}; rank-4 rows ignored
+    // q2: disjoint sets → 0
+    assert(r === Seq((1L, 2L, 0.666667), (2L, 0L, 0.0)))
+  }
+
   test("ivfTopK: deterministic training, exact scores, useful recall vs brute") {
     val queries = embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))

@@ -54,7 +54,7 @@ object SparkEntry {
     "a19_kmv_distinct", "a20_approx_percentiles", "a21_kmv_overlap",
     "a22_histogram_synopsis", "a23_weighted_percentiles", "a24_cms_counts",
     "a25_windowed_distinct", "a26_rollup", "a27_grouping_sets",
-    "e05_unpivot", "dq01_expectations", "dq02_enforce",
+    "e05_unpivot", "dq01_expectations", "dq02_enforce", "dq03_psi_drift",
     "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "w14_ewma_smooth",
     "j01_broadcast_enrich", "j03_join_aggregates",

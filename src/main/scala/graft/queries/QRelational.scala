@@ -256,6 +256,46 @@ object QRelational {
         .orderBy("sig")
     },
 
+    // DQ3: PSI drift decomposition (Drift.psiBins) between the first
+    // half of January and the rest — the snapshot-admission gate of a
+    // continuous pipeline. Bin edges come from the REFERENCE window's
+    // integer-cent min/max (exact-integer bin assignment, see the
+    // operator), probabilities are Laplace-smoothed, and each term is
+    // reported in rounded micro units (the t23 ln-absorption pattern).
+    // The oracle replays the full decomposition bin for bin.
+    QueryDef.of("dq03_psi_drift",
+      """WITH b AS (SELECT CAST(round(value*100) AS BIGINT) AS c, epoch_ns(ts) AS tn
+        |  FROM events),
+        |mm AS (SELECT min(c) AS mn, max(c) AS mx FROM b
+        |  WHERE tn < 1705363200000000000),
+        |rb AS (SELECT least(9, greatest(0,
+        |    CAST(floor(((c - mn) * 10) / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT))) AS bin
+        |  FROM b CROSS JOIN mm WHERE tn < 1705363200000000000),
+        |cb AS (SELECT least(9, greatest(0,
+        |    CAST(floor(((c - mn) * 10) / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT))) AS bin
+        |  FROM b CROSS JOIN mm WHERE tn >= 1705363200000000000),
+        |rc AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin),
+        |cc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin),
+        |g AS (SELECT unnest(range(0, 10)) AS bin),
+        |j AS (SELECT g.bin, coalesce(rc.n_ref, 0) AS n_ref,
+        |    coalesce(cc.n_cur, 0) AS n_cur
+        |  FROM g LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)),
+        |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS t_ref,
+        |    CAST(sum(n_cur) AS DOUBLE) AS t_cur FROM j)
+        |SELECT bin, n_ref, n_cur,
+        |  CAST(round(((n_cur + 0.5)/(t_cur + 5.0) - (n_ref + 0.5)/(t_ref + 5.0))
+        |    * ln(((n_cur + 0.5)/(t_cur + 5.0)) / ((n_ref + 0.5)/(t_ref + 5.0)))
+        |    * 1000000) AS BIGINT) AS psi_term_micro
+        |FROM j CROSS JOIN t ORDER BY bin""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val cut = 1705363200000000000L // 2024-01-16T00:00Z in epoch nanos
+      graft.operators.Drift.psiBins(
+          ev.filter(col("ts_ns") < cut), ev.filter(col("ts_ns") >= cut),
+          col("c"), bins = 10)
+        .orderBy("bin")
+    },
+
     // S1: schema-enforced scan with filter+projection — Catalyst
     // pushes both into the parquet scan (verified via explain in the
     // plan spec; reference usecols/dtype hardening,

@@ -236,6 +236,56 @@ object StreamOps {
         col("event_type"), col("n"), col("value_cents"))
 
   /**
+   * STREAMING PSI drift monitor — [[graft.operators.Drift.psiBins]]'s
+   * arithmetic per event-time window against a FIXED reference
+   * histogram: one row per sealed window with the window's event
+   * count and its total PSI in micro units (alert when it crosses the
+   * conventional 0.25 = 250 000 micro). The live form of the dq03
+   * snapshot-admission gate: the reference bin counts come from the
+   * last accepted snapshot ([[graft.operators.Drift.psiBins]]'s
+   * `n_ref` column), collected once — a `bins`-length driver literal,
+   * not data.
+   *
+   * Exactly the batch operator's determinism scheme: the same
+   * exact-integer bin assignment over the reference's [mn, mx] cent
+   * range, the same Laplace smoothing, one final micro rounding. The
+   * whole histogram is ONE windowed aggregate (bins are static, each
+   * a conditional sum), so state is `bins` longs per open window,
+   * watermark-evicted — none of the per-user-forever state the funnel
+   * needed; an unbounded user population costs nothing here.
+   */
+  def psiDriftStream(
+      events: DataFrame, valueCentsCol: String,
+      refCounts: Seq[Long], refMin: Long, refMax: Long,
+      windowDuration: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val bins = refCounts.length
+    require(bins >= 2, s"need at least 2 reference bins, got $bins")
+    require(refMax >= refMin, s"empty reference range [$refMin, $refMax]")
+    val refTotal = refCounts.sum.toDouble
+    val v = col(valueCentsCol)
+    val bin = least(lit(bins - 1L), greatest(lit(0L),
+      floor(((v - lit(refMin)) * bins) / lit(refMax - refMin + 1))))
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    val histCols = (0 until bins).map(j =>
+      sum(when(bin === j, 1L).otherwise(0L)).as(s"__b$j"))
+    val agg = src.groupBy(window(col("ts"), windowDuration))
+      .agg(histCols.head, histCols.tail: _*)
+    val n = (0 until bins).map(j => col(s"__b$j")).reduce(_ + _)
+    val terms = (0 until bins).map { j =>
+      val pRef = lit((refCounts(j) + 0.5) / (refTotal + bins * 0.5))
+      val pCur = (col(s"__b$j") + lit(0.5)) / (n + lit(bins * 0.5))
+      (pCur - pRef) * log(pCur / pRef)
+    }
+    agg.select(
+      unix_micros(col("window.start")).as("window_start_us"),
+      n.as("n_events"),
+      round(terms.reduce(_ + _) * 1e6).cast("long").as("psi_micro"))
+  }
+
+  /**
    * Streaming X1: the base-runner state machine
    * ([[graft.pbp.BaseState]]) replayed per game over a live play
    * feed — the streaming form of the reference's incremental daily

@@ -97,6 +97,7 @@ object AnnScaleSmoke {
     final case class Run(scale: Int, n: Long, brute: Long, lsh: Long, ivf: Long,
         pq: Long, ivfpq: Long,
         pairs: Long, crossPairs: Long, copy0Pairs: Long, kept: Long,
+        recallMicro: Long,
         wallSec: Double, writeBytes: Long, stages: Map[Int, (Long, Long, Long)])
 
     val runs = scales.map { c =>
@@ -134,6 +135,16 @@ object AnnScaleSmoke {
         (pairRow.getLong(0), pairRow.getLong(1), pairRow.getLong(2))
       val kept = Dedup.dropEmbeddingNearDups(emb, "vec_id", "embedding",
         dim = 64, numPlanes = 4, threshold = 0.9).count()
+      // v19: mean recall@5 of the IVF path vs brute — the coarse
+      // quantizer legitimately drifts as Lloyd means average every
+      // copy, so recall is gated on a FLOOR and a stability band, not
+      // exact constancy
+      val recallMicro = math.round(SimilaritySearch.recallAtK(
+          SimilaritySearch.bruteForceTopK(queries, cands, k = 5),
+          SimilaritySearch.ivfTopK(queries, cands,
+            numClusters = 8, iters = 2, k = 5, nprobe = 3),
+          k = 5)
+        .agg(avg("recall")).first().getDouble(0) * 1e6)
       val wall = (System.nanoTime() - t0) / 1e9
       emb.unpersist()
       Thread.sleep(1000) // bound listener-bus delivery lag
@@ -144,7 +155,7 @@ object AnnScaleSmoke {
         f"pairs=$pairs cross=$crossPairs copy0=$copy0Pairs kept=$kept " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
       Run(c, n, brute, lsh, ivf, pq, ivfpq, pairs, crossPairs, copy0Pairs, kept,
-        wall, bytes, stages)
+        recallMicro, wall, bytes, stages)
     }
 
     val r1 = runs.head
@@ -153,6 +164,8 @@ object AnnScaleSmoke {
       println(s"ANN_SMOKE_CHECK ${if (cond) "ok  " else "FAIL"} $msg")
       if (!cond) failed = true
     }
+    check(r1.recallMicro >= 400000L,
+      f"v19 mean IVF recall@5 ${r1.recallMicro / 1e6}%.3f at base scale (floor 0.4)")
     runs.tail.foreach { r =>
       val ratio = r.scale.toDouble / r1.scale
       def inBand(x0: Long, x: Long) = // ±5% of linear, + absolute slack
@@ -169,6 +182,11 @@ object AnnScaleSmoke {
         s"ivfpq top-k constant at ${r.scale}x (${r1.ivfpq}->${r.ivfpq})")
       check(r.crossPairs <= 4,
         s"cross-copy near-dup pairs ≤ 4 at ${r.scale}x (got ${r.crossPairs})")
+      // v19: quality floor + stability band (quantizer drift allowed)
+      check(r.recallMicro >= 400000L &&
+          math.abs(r.recallMicro - r1.recallMicro) <= 200000L,
+        f"v19 mean IVF recall@5 ${r.recallMicro / 1e6}%.3f at ${r.scale}x " +
+          f"(base ${r1.recallMicro / 1e6}%.3f; floor 0.4, band 0.2)")
       check(r.copy0Pairs == r1.pairs,
         s"copy-0 pair count exactly reproduced at ${r.scale}x " +
           s"(${r1.pairs} vs ${r.copy0Pairs})")

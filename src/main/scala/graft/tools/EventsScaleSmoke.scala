@@ -68,6 +68,7 @@ object EventsScaleSmoke {
         dqReport: Map[String, (Long, Long)], dqSig: Map[String, Long],
         gsCells: Map[(String, String, Long), Long],
         upAgg: Map[String, (Long, Long)],
+        ewmaMicroSum: Long, dq3: Seq[(Long, Long, Long, Long)],
         wallSec: Double, writeBytes: Long, stages: Map[Int, (Long, Long, Long)])
 
     val runs = scales.map { c =>
@@ -232,6 +233,28 @@ object EventsScaleSmoke {
         .groupBy("measure").agg(count(lit(1)).as("cnt"), sum("v").as("tot"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
+      // w14 EWMA (Rolling.ewma) partitions by user: disjoint copies
+      // replicate each user's trailing history exactly, so the
+      // micro-unit checksum is EXACTLY linear
+      val ewmaMicroSum = graft.operators.Rolling.ewma(
+          evts.select(col("event_id"), col("user_id"), col("ts_ns"),
+            round(col("value") * 100).cast("long").as("cents")),
+          col("user_id"), Seq(col("ts_ns"), col("event_id")), col("cents"), half = 12)
+        .agg(sum(round(col("ewma") * 1e6)).cast("long")).first().getLong(0)
+
+      // dq03 PSI (Drift.psiBins): copies replicate the value stream
+      // verbatim, so per-bin counts are EXACTLY c×; the micro terms
+      // move only by the Laplace pseudo-count's shrinking share
+      // (±0.5 against c× totals) — bounded to single-digit micros
+      val dq3cut = 1705363200000000000L
+      val evC = evts.select(col("ts_ns"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val dq3 = graft.operators.Drift.psiBins(
+          evC.filter(col("ts_ns") < dq3cut), evC.filter(col("ts_ns") >= dq3cut),
+          col("cents"), bins = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+
       val wall = (System.nanoTime() - t0) / 1e9
       evts.unpersist()
       Thread.sleep(1000) // bound listener-bus delivery lag
@@ -246,6 +269,7 @@ object EventsScaleSmoke {
         usersTrue, usersEst, valSketch, overlap, exactOverlap,
         cmsCells, cmsMergedEqual, cmsEst, cmsTrue,
         funnelSteps, cohort, dqReport, dqSig, gsCells, upAgg,
+        ewmaMicroSum, dq3,
         wall, bytes, stages)
     }
 
@@ -312,6 +336,19 @@ object EventsScaleSmoke {
           r.upAgg.forall { case (k, (n2, tot)) =>
             exactLinear(r1.upAgg(k)._1, n2) && exactLinear(r1.upAgg(k)._2, tot) },
         s"unpivot measure aggregates exactly linear at ${r.scale}x")
+      // w14: per-user trailing EWMA replicates per copy → exact linear
+      check(exactLinear(r1.ewmaMicroSum, r.ewmaMicroSum),
+        s"w14 EWMA micro checksum exactly linear at ${r.scale}x " +
+          s"(${r1.ewmaMicroSum}->${r.ewmaMicroSum})")
+      // dq03: bin counts exactly linear; PSI terms move only by the
+      // Laplace pseudo-count's shrinking share — single-digit micros
+      check(r.dq3.map(b => (b._1, b._2 * r1.scale, b._3 * r1.scale)) ==
+          r1.dq3.map(b => (b._1, b._2 * r.scale, b._3 * r.scale)),
+        s"dq03 PSI bin counts exactly linear at ${r.scale}x")
+      check(r.dq3.zip(r1.dq3).forall { case ((_, _, _, t), (_, _, _, t1)) =>
+          math.abs(t - t1) <= 5L },
+        s"dq03 PSI micro terms stable within 5 at ${r.scale}x " +
+          s"(${r1.dq3.map(_._4).mkString(",")} -> ${r.dq3.map(_._4).mkString(",")})")
     }
     runs.foreach { r =>
       val relErr = math.abs(r.usersEst.toDouble - r.usersTrue) / r.usersTrue

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{BpeTrain, Dedup, Packing, SubstringDedup, TextSearch}
+import graft.operators.{BpeTrain, Decontaminate, Dedup, Packing, PageRank, SubstringDedup, TextSearch, Winnowing}
 import graft.sources.Tables
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
@@ -94,6 +94,8 @@ object LlmScaleSmoke {
         topTok: Seq[(Long, String, Long)], qcWeights: Seq[Long],
         roundtripBad: Long, hostsDistinct: Long, rdomainsDistinct: Long,
         t54Counts: Map[String, Long],
+        winDocs: Long, winFps: Long, novDocs: Long, novNovel: Long,
+        prCopy0: Seq[(Long, Double)], prSum: Double,
         wallSec: Double, writeBytes: Long,
         stages: Map[Int, (Long, Long, Long)])
 
@@ -189,6 +191,49 @@ object LlmScaleSmoke {
             col("host"), Seq("com", "org")).as("rd"))
         .distinct().count()
 
+      // t55 winnowing on the verbatim replication (qcCorpus): the
+      // selection is per-document, so every copy reproduces the base
+      // fingerprints exactly — summary rows and fingerprint totals
+      // EXACTLY c×
+      val winRow = Winnowing.summary(qcCorpus, "doc_id", "text", k = 5, w = 4)
+        .agg(count(lit(1)).cast("long"), sum("n_fps").cast("long")).first()
+      val (winDocs, winFps) = (winRow.getLong(0), winRow.getLong(1))
+
+      // t56 novelty on the same replication: copies add DUPLICATE
+      // grams, never new ones, so the reference hash set is constant
+      // (the 1e7 id offsets are multiples of 10 — the %10 snapshot
+      // split is copy-invariant) and per-doc novelty is identical —
+      // rows and novel-gram totals EXACTLY c×
+      val novRow = Decontaminate.novelty(
+          qcCorpus.filter(col("doc_id") % 10 =!= 0),
+          qcCorpus.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 8)
+        .agg(count(lit(1)).cast("long"), sum("n_novel").cast("long")).first()
+      val (novDocs, novNovel) = (novRow.getLong(0), novRow.getLong(1))
+
+      // g01 pagerank on c disjoint copies of the SAME synthesized
+      // graph: per-copy dynamics are the base's scaled by 1/c, so the
+      // mean-1-scaled ranks of copy-0 nodes must be IDENTICAL at 6 dp
+      // and total mass must stay 1 — a rank that drifts with corpus
+      // size means copies leaked into each other's link structure
+      val nBase = base.count()
+      val prIds = qcCorpus.select(col("doc_id"))
+      val prOff = col("doc_id") - pmod(col("doc_id"), lit(10000000L))
+      val prI = pmod(col("doc_id"), lit(10000000L))
+      val prEdges = prIds.select(col("doc_id").as("src"),
+          explode(array(
+            (prI * 17 + 3) % nBase + prOff,
+            (prI * 31 + 7) % nBase + prOff,
+            (prI * 13 + 11) % nBase + prOff)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val prAll = PageRank.run(prIds, "doc_id", prEdges, "src", "dst", iterations = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prSum = prAll.agg(sum("pr")).first().getDouble(0)
+      val prCopy0 = prAll.filter(col("doc_id") < nBase)
+        .select(col("doc_id"), round(col("pr") * (c * nBase), 6).as("prs"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+      prAll.unpersist()
+
       // t54 at scale: temperature mixture on the qc corpus's lang
       // column (verbatim replication, disjoint ids) — per-lang
       // survivor counts must track c× within a 5% band (fresh ids
@@ -231,6 +276,7 @@ object LlmScaleSmoke {
         dedup2Bytes, nPacks, packDocs, packTokens,
         bpeMerges, dsirCounts, pctl, apctl, topTok, qcWeights,
         roundtripBad, hostsDistinct, rdomainsDistinct, t54Counts,
+        winDocs, winFps, novDocs, novNovel, prCopy0, prSum,
         wall, bytes, stages)
     }
 
@@ -245,6 +291,10 @@ object LlmScaleSmoke {
       s"t53 roundtrip holds at base scale (${r1.roundtripBad} mismatches)")
     check(r1.rdomainsDistinct == 1L,
       s"t52 megasite collapses to one registrable domain at base scale")
+    runs.foreach { r =>
+      check(math.abs(r.prSum - 1.0) < 1e-9,
+        f"g01 pagerank mass conserved at ${r.scale}x (sum=${r.prSum}%.12f)")
+    }
     runs.tail.foreach { r =>
       val ratio = r.scale.toDouble / r1.scale
       def nearLinear(x0: Long, x: Long) = math.abs(x - x0 * ratio) <= x0 * ratio * 0.02
@@ -306,6 +356,19 @@ object LlmScaleSmoke {
           r.rdomainsDistinct == 1L,
         s"t52 distinct hosts exactly linear (${r1.hostsDistinct}->${r.hostsDistinct}) " +
           s"while registrable domains stay 1 (${r.rdomainsDistinct}) at ${r.scale}x")
+      // t55/t56: verbatim-replication totals are EXACTLY linear
+      check(r.winDocs == math.round(r1.winDocs * ratio) &&
+          r.winFps == math.round(r1.winFps * ratio),
+        s"t55 winnowing docs/fingerprints EXACTLY ${r.scale}x at ${r.scale}x " +
+          s"(docs ${r1.winDocs}->${r.winDocs}, fps ${r1.winFps}->${r.winFps})")
+      check(r.novDocs == math.round(r1.novDocs * ratio) &&
+          r.novNovel == math.round(r1.novNovel * ratio),
+        s"t56 novelty docs/novel-grams EXACTLY ${r.scale}x at ${r.scale}x " +
+          s"(docs ${r1.novDocs}->${r.novDocs}, novel ${r1.novNovel}->${r.novNovel})")
+      // g01: disjoint-copy ranks IDENTICAL at 6 dp, mass conserved
+      check(r.prCopy0 == r1.prCopy0,
+        s"g01 copy-0 scaled pageranks IDENTICAL at ${r.scale}x " +
+          s"(${r1.prCopy0.take(2)} -> ${r.prCopy0.take(2)} ...)")
       // t54: per-lang survivors track c× within 5% (rates are
       // scale-invariant; fresh ids redraw the md5 gate at those rates)
       check(r.t54Counts.keySet == r1.t54Counts.keySet &&

@@ -118,6 +118,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("psiDriftStream equals the batch form and the Drift arithmetic per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = toEvents(600)
+    // reference histogram: first 300 events' cents via the batch
+    // operator (n_ref column) + the same [mn, mx] range
+    val refDf = events.take(300).toDF()
+      .select(round(col("value") * 100).cast("long").as("cents"))
+    val mm = refDf.agg(min("cents"), max("cents")).first()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val refCounts = graft.operators.Drift
+      .psiBins(refDf, refDf, col("cents"), bins = 10)
+      .orderBy("bin").select("n_ref").as[Long].collect().toSeq
+
+    def withCents(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("cents", round(col("value") * 100).cast("long"))
+
+    val batch = StreamOps.psiDriftStream(
+        withCents(events.toDF()), "cents", refCounts, mn, mx, "6 hours")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // self-comparison sanity: a window binned against its own
+    // histogram would be ~0; against the reference it is finite
+    assert(batch.forall(_._3 >= 0L))
+
+    val input = MemoryStream[StreamEvent]
+    val query = StreamOps.psiDriftStream(
+        withCents(input.toDF()), "cents", refCounts, mn, mx, "6 hours",
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = events.splitAt(300)
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      // far-future flush seals every real window; its own window stays
+      // open and is never emitted
+      val maxTs = events.map(_.ts.getTime).max
+      input.addData(Seq(StreamEvent(9999999L,
+        new java.sql.Timestamp(maxTs + 86400L * 1000), 1L, "flush", 0.0)))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      val got = spark.table("psi_out")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === batch)
+    } finally query.stop()
+  }
+
   test("scrubStream on a MemoryStream equals the batch projection row for row") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(

@@ -60,7 +60,7 @@ object SparkEntry {
     "j01_broadcast_enrich", "j03_join_aggregates",
     "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",
     "ses06_interval_join", "ses07_funnel", "ses08_cohort_retention",
-    "ses09_cohort_stream",
+    "ses09_cohort_stream", "ses10_drift_window",
     "x01_stateful_fold_balance",
     "o01_global_sort_limit", "s01_scan_pushdown", "s17_compact_roundtrip",
     "s18_zorder_roundtrip",

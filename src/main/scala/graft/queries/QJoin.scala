@@ -359,6 +359,51 @@ object QJoin {
         .orderBy("cohort_week_us", "week_offset")
     },
 
+    // Streaming PSI drift monitor, batch-mode oracle: the SAME
+    // StreamOps.psiDriftStream code that attaches to a readStream
+    // source, fed the dq03 reference histogram (first half of January,
+    // n_ref collected once — a 10-long driver literal) and 1-day
+    // epoch-aligned tumbling windows. The oracle rebuilds the
+    // reference histogram AND every window's smoothed-PSI sum in SQL.
+    QueryDef.of("ses10_drift_window",
+      """WITH b AS (SELECT CAST(round(value*100) AS BIGINT) AS c,
+        |    epoch_ns(ts) AS tn, epoch_us(ts) AS tu FROM events),
+        |mm AS (SELECT min(c) AS mn, max(c) AS mx FROM b
+        |  WHERE tn < 1705363200000000000),
+        |g AS (SELECT unnest(range(0, 10)) AS bin),
+        |rb AS (SELECT least(9, greatest(0,
+        |    CAST(floor(((c - mn) * 10) / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT))) AS bin
+        |  FROM b CROSS JOIN mm WHERE tn < 1705363200000000000),
+        |rc AS (SELECT g.bin, coalesce(x.n, 0) AS n_ref FROM g
+        |  LEFT JOIN (SELECT bin, count(*) AS n FROM rb GROUP BY bin) x USING (bin)),
+        |rt AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS t FROM rc),
+        |w AS (SELECT (tu // 86400000000) * 86400000000 AS ws,
+        |    least(9, greatest(0,
+        |      CAST(floor(((c - mn) * 10) / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT))) AS bin
+        |  FROM b CROSS JOIN mm),
+        |wc AS (SELECT ws, bin, count(*) AS n FROM w GROUP BY 1, 2),
+        |wg AS (SELECT d.ws, g.bin, coalesce(wc.n, 0) AS n
+        |  FROM (SELECT DISTINCT ws FROM w) d CROSS JOIN g
+        |  LEFT JOIN wc ON wc.ws = d.ws AND wc.bin = g.bin),
+        |wt AS (SELECT ws, CAST(sum(n) AS DOUBLE) AS nt FROM wg GROUP BY ws)
+        |SELECT wg.ws AS window_start_us, CAST(wt.nt AS BIGINT) AS n_events,
+        |  CAST(round(sum(((wg.n + 0.5)/(wt.nt + 5.0) - (rc.n_ref + 0.5)/(rt.t + 5.0))
+        |    * ln(((wg.n + 0.5)/(wt.nt + 5.0)) / ((rc.n_ref + 0.5)/(rt.t + 5.0))))
+        |    * 1000000) AS BIGINT) AS psi_micro
+        |FROM wg JOIN wt USING (ws) JOIN rc USING (bin) CROSS JOIN rt
+        |GROUP BY wg.ws, wt.nt ORDER BY window_start_us""".stripMargin) { (s, dir) =>
+      val cut = 1705363200000000000L // 2024-01-16T00:00Z in epoch nanos
+      val ev = Tables.events(s, dir).withColumn("cents", cents(col("value")))
+      val refC = ev.filter(col("ts_ns") < cut).select("cents")
+      val mm = refC.agg(min("cents"), max("cents")).first()
+      val refCounts = graft.operators.Drift
+        .psiBins(refC, refC, col("cents"), bins = 10)
+        .orderBy("bin").collect().map(_.getLong(1)).toSeq
+      graft.streaming.StreamOps.psiDriftStream(ev, "cents",
+          refCounts, mm.getLong(0), mm.getLong(1), "1 day")
+        .orderBy("window_start_us")
+    },
+
     QueryDef.of("ses01_gap_session",
       """SELECT event_id, CAST(session_id AS BIGINT) AS session_id
         |FROM (SELECT event_id,

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Fixed-iteration HITS (Kleinberg 1999, public method) — hubs and
+ * authorities over a directed link graph: an authority is pointed at
+ * by good hubs, a hub points at good authorities. The crawl-pipeline
+ * reading: authorities are the canonical sources worth over-sampling,
+ * hubs the link farms/directories worth down-weighting — the
+ * complementary signal to [[PageRank]]'s single score.
+ *
+ *   a'(v) = Σ_{(u,v)∈E} h(u)        h'(v) = Σ_{(v,u)∈E} a'(u)
+ *
+ * each re-normalized to Σ = 1 (L1 — avoids the classic L2 form's
+ * norm-of-squares overflow concerns and keeps every operation a plain
+ * sum/divide). A FIXED iteration count keeps the operator
+ * deterministic and exactly replayable by an unrolled SQL oracle;
+ * vertices with no in-edges (resp. out-edges) hold authority (resp.
+ * hub) score 0 from iteration 1 on, exactly as the theory says.
+ *
+ * Scale shape per half-iteration: one equi-join of the edge list to
+ * the opposite score on its key, one groupBy aggregate with map-side
+ * combine, and a 1-row normalization sum attached via
+ * crossJoin(broadcast(...)) — the [[PageRank]] loop shape; bucketing
+ * the edge table by src (and a dst-keyed copy) pins both shuffles
+ * across all iterations. Nothing node-count-sized reaches the driver.
+ */
+object Hits {
+
+  /** @return (idCol, authority, hub), both columns summing to 1. */
+  def run(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val ids = nodes.select(col(idCol).as("id"))
+    val n = ids.count()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(MEMORY_AND_DISK)
+
+    def normalized(scores: DataFrame, c: String): DataFrame = {
+      val tot = scores.agg(sum(col(c)).as("__tot"))
+      scores.crossJoin(broadcast(tot))
+        .select(col("id"), (col(c) / col("__tot")).as(c))
+    }
+    /** one propagation half-step: out(to) = Σ in(from) over edges. */
+    def push(in: DataFrame, from: String, to: String, c: String): DataFrame =
+      normalized(
+        ids.join(
+          e.join(in.withColumnRenamed("id", from), from)
+            .groupBy(col(to).as("id"))
+            .agg(sum(col(c)).as(c)),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col(c), lit(0.0)).as(c)),
+        c)
+
+    // each half-step references its input score TWICE (the aggregate
+    // and the normalization sum), so a lazy chain DOUBLES the logical
+    // plan per half-step — 2^(2·iterations) analysis blowup. The
+    // eager localCheckpoint flattens every iteration to an RDD scan
+    // (the BpeTrain lineage discipline); blocks are freed by the
+    // context cleaner when the result drops its reference.
+    var hubs = ids.withColumn("hub", lit(1.0 / n)).localCheckpoint(true)
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auths = push(hubs.select(col("id"), col("hub")), "src", "dst", "hub")
+        .withColumnRenamed("hub", "authority").localCheckpoint(true)
+      hubs = push(auths.select(col("id"), col("authority")), "dst", "src", "authority")
+        .withColumnRenamed("authority", "hub").localCheckpoint(true)
+    }
+    e.unpersist()
+    auths.join(hubs, Seq("id"))
+      .select(col("id").as(idCol), col("authority"), col("hub"))
+  }
+}

@@ -56,8 +56,11 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
       .persist(MEMORY_AND_DISK)
 
-    var ranks = ids.withColumn("pr", lit(1.0 / n)).persist(MEMORY_AND_DISK)
-    ranks.count()
+    // ranks are referenced TWICE per iteration (contributions and the
+    // dangling-mass aggregate), so a lazy chain doubles the logical
+    // plan per iteration; the eager localCheckpoint flattens each
+    // round to an RDD scan (the BpeTrain lineage discipline)
+    var ranks = ids.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks, e("src") === ranks("id"))
@@ -69,23 +72,15 @@ object PageRank {
       // graph has no danglers, as the synthesized test graph hasn't)
       val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
-      val next = ids
+      ranks = ids
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("pr"))
-        .persist(MEMORY_AND_DISK)
-      next.count() // materialize, then release the previous iteration
-      ranks.unpersist()
-      ranks = next
+        .localCheckpoint(true)
     }
     e.unpersist(); deg.unpersist()
-    // hand the caller an un-cached frame: the harness contract is that
-    // clearCache() after the action leaves nothing behind, and the
-    // final small projection is cheap to recompute from the last
-    // cached iteration while it lives
-    val out = ranks.select(col("id").as(idCol), col("pr"))
-    out
+    ranks.select(col("id").as(idCol), col("pr"))
   }
 }

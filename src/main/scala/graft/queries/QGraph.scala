@@ -57,6 +57,22 @@ object QGraph {
        |             JOIN deg ON deg.src = e.src
        |             GROUP BY e.dst) c ON c.id = d.doc_id)""".stripMargin
 
+  private val HitsIterations = 4
+
+  /** One unrolled HITS iteration: authority step from h{i-1}, hub step
+    * from the fresh a{i}, each L1-normalized via a scalar subquery. */
+  private def hitsIter(i: Int): String =
+    s"""a${i}r AS MATERIALIZED (SELECT d.doc_id AS id, coalesce(x.s, 0.0) AS s
+       |  FROM documents d LEFT JOIN (SELECT e.dst AS id, sum(h.s) AS s
+       |    FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst) x
+       |  ON x.id = d.doc_id),
+       |a$i AS MATERIALIZED (SELECT id, s / (SELECT sum(s) FROM a${i}r) AS s FROM a${i}r),
+       |h${i}r AS MATERIALIZED (SELECT d.doc_id AS id, coalesce(x.s, 0.0) AS s
+       |  FROM documents d LEFT JOIN (SELECT e.src AS id, sum(a.s) AS s
+       |    FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src) x
+       |  ON x.id = d.doc_id),
+       |h$i AS MATERIALIZED (SELECT id, s / (SELECT sum(s) FROM h${i}r) AS s FROM h${i}r)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // G1: 5-iteration damped PageRank with dangling redistribution
@@ -80,6 +96,38 @@ object QGraph {
       PageRank.run(docs, "doc_id", edges, "src", "dst",
           iterations = Iterations, damping = Damping.toDouble)
         .select(col("doc_id"), round(col("pr") * n, 6).as("pr_scaled"))
+        .orderBy("doc_id")
+    },
+
+    // G2: 4-iteration HITS hubs/authorities over the same graph,
+    // L1-normalized each half-step; both scores scaled to mean 1.
+    // The complementary crawl signal to g01: authorities = canonical
+    // sources, hubs = directories/link farms.
+    QueryDef.of("g02_hits",
+      (Seq(GraphCte,
+        "h0 AS MATERIALIZED (SELECT doc_id AS id, 1.0/nn.n AS s FROM documents CROSS JOIN nn)") ++
+        (1 to HitsIterations).map(hitsIter)).mkString(",\n") +
+        s"""
+           |SELECT a$HitsIterations.id AS doc_id,
+           |  round(a$HitsIterations.s * nn.n, 6) AS authority_scaled,
+           |  round(h$HitsIterations.s * nn.n, 6) AS hub_scaled
+           |FROM a$HitsIterations JOIN h$HitsIterations USING (id) CROSS JOIN nn
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 17 + 3) % n,
+            (col("doc_id") * 31 + 7) % n,
+            (col("doc_id") * 13 + 11) % n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      graft.operators.Hits.run(docs, "doc_id", edges, "src", "dst",
+          iterations = HitsIterations)
+        .select(col("doc_id"),
+          round(col("authority") * n, 6).as("authority_scaled"),
+          round(col("hub") * n, 6).as("hub_scaled"))
         .orderBy("doc_id")
     })
 }

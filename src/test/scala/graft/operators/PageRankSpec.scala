@@ -56,3 +56,52 @@ class PageRankSpec extends AnyFunSuite {
     assert(math.abs(a.map(_._2).sum - 1.0) < 1e-9)
   }
 }
+
+/** Hits.run (g02) — the textbook pure-hub/pure-authority star, mass
+  * conservation, and ordering on a shared-authority graph. */
+class HitsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hits(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int = 4) =
+    Hits.run(nodes.toDF("id"), "id", edges.toDF("src", "dst"), "src", "dst", iters)
+      .orderBy("id")
+      .as[(Long, Double, Double)].collect().toSeq
+
+  test("star: the center is the pure hub, leaves split authority evenly") {
+    val leaves = 1L to 6L
+    val r = hits(0L +: leaves, leaves.map(l => (0L, l)))
+    val center = r.find(_._1 == 0L).get
+    assert(center._2 === 0.0) // nothing points at the center
+    assert(math.abs(center._3 - 1.0) < 1e-12) // all hub mass
+    leaves.foreach { l =>
+      val row = r.find(_._1 == l).get
+      assert(math.abs(row._2 - 1.0 / 6) < 1e-12)
+      assert(row._3 === 0.0) // leaves point at nothing
+    }
+  }
+
+  test("both scores conserve mass and are partition-invariant") {
+    val nodes = 0L until 15L
+    val edges = nodes.flatMap(i => Seq((i, (i * 7 + 1) % 15), (i, (i * 4 + 2) % 15)))
+      .filter { case (a, b) => a != b }.distinct
+    val a = hits(nodes, edges)
+    assert(math.abs(a.map(_._2).sum - 1.0) < 1e-9)
+    assert(math.abs(a.map(_._3).sum - 1.0) < 1e-9)
+    val b = Hits.run(nodes.toDF("id").repartition(7), "id",
+        edges.toDF("src", "dst").repartition(5), "src", "dst", 4)
+      .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    a.zip(b).foreach { case ((i1, x1, y1), (i2, x2, y2)) =>
+      assert(i1 === i2)
+      assert(math.abs(x1 - x2) < 1e-12 && math.abs(y1 - y2) < 1e-12)
+    }
+  }
+
+  test("an authority gaining a second hub outranks a single-hub authority") {
+    // 1→3, 2→3, 1→4: node 3 (two hubs) must outrank node 4 (one hub)
+    val r = hits(Seq(1L, 2L, 3L, 4L), Seq((1L, 3L), (2L, 3L), (1L, 4L)))
+    val auth = r.map(x => x._1 -> x._2).toMap
+    assert(auth(3L) > auth(4L))
+    assert(auth(1L) === 0.0 && auth(2L) === 0.0)
+  }
+}

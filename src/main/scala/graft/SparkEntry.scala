@@ -58,7 +58,8 @@ object SparkEntry {
     "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "w14_ewma_smooth",
     "j01_broadcast_enrich", "j03_join_aggregates",
-    "asof01_backward_tolerance", "ses02_session_stats", "ses05_native_session_window",
+    "asof01_backward_tolerance", "asof02_forward_tolerance", "asof03_nearest",
+    "ses02_session_stats", "ses05_native_session_window",
     "ses06_interval_join", "ses07_funnel", "ses08_cohort_retention",
     "ses09_cohort_stream", "ses10_drift_window",
     "x01_stateful_fold_balance",
@@ -87,7 +88,7 @@ object SparkEntry {
     "v14_ann_ivfpq_rerank", "v15_ann_filtered", "v16_ann_ivfpq_residual",
     "v17_ann_mmr", "v18_ann_delete_rebalance", "v19_ann_recall",
     "sql01_extension_surface", "sql02_url_surface",
-    "g01_pagerank",
+    "g01_pagerank", "g02_hits",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",
     "pbp03_pitcher_standardize")
 }

@@ -221,6 +221,89 @@ object QJoin {
         .orderBy("event_id")
     },
 
+    // As-of FORWARD join with tolerance — the mirror direction (next
+    // purchase within the hour AFTER each event), checked against
+    // DuckDB's native forward ASOF (`e.ts <= p.pts`).
+    QueryDef.of("asof02_forward_tolerance",
+      """WITH p AS (
+        |  SELECT user_id, ts AS pts, event_id AS pe, CAST(round(value*100) AS BIGINT) AS pc
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1)
+        |SELECT e.event_id,
+        |  CASE WHEN p.pts IS NOT NULL AND epoch_us(p.pts) - epoch_us(e.ts) <= 3600000000
+        |       THEN p.pe END AS purchase_event_id,
+        |  CASE WHEN p.pts IS NOT NULL AND epoch_us(p.pts) - epoch_us(e.ts) <= 3600000000
+        |       THEN p.pc END AS purchase_cents,
+        |  CASE WHEN p.pts IS NOT NULL AND epoch_us(p.pts) - epoch_us(e.ts) <= 3600000000
+        |       THEN epoch_us(p.pts) END AS matched_us
+        |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.pts
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val evts = Tables.events(s, dir)
+      val purch = evts.filter(col("event_type") === "purchase")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("user_id", "ts_ns").orderBy("event_id")))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("purchase_event_id"),
+          cents(col("value")).as("purchase_cents"))
+      AsOfJoin.forward(
+          evts.select("event_id", "user_id", "ts"), purch,
+          key = "user_id", leftTs = "ts", rightTs = "pts",
+          payload = Seq("purchase_event_id", "purchase_cents"),
+          toleranceSeconds = Some(3600))
+        .select(col("event_id"), col("purchase_event_id"), col("purchase_cents"),
+          unix_micros(col("matched_ts")).as("matched_us"))
+        .orderBy("event_id")
+    },
+
+    // As-of NEAREST join — closer of the two directions within a
+    // symmetric 2 h tolerance, exact ties to the backward row (the
+    // pandas merge_asof nearest semantic). Engine: both directions as
+    // two frames of ONE window sort; oracle: both native ASOF
+    // directions re-joined on the (unique) probe id with the same
+    // strict-< forward preference.
+    QueryDef.of("asof03_nearest",
+      """WITH p AS (
+        |  SELECT user_id, ts AS pts, event_id AS pe, CAST(round(value*100) AS BIGINT) AS pc
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1),
+        |b AS (SELECT e.event_id, p.pe AS bpe, p.pc AS bpc, epoch_us(p.pts) AS bus,
+        |    epoch_us(e.ts) - epoch_us(p.pts) AS bd
+        |  FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts),
+        |f AS (SELECT e.event_id, p.pe AS fpe, p.pc AS fpc, epoch_us(p.pts) AS fus,
+        |    epoch_us(p.pts) - epoch_us(e.ts) AS fd
+        |  FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.pts),
+        |m AS (SELECT b.event_id,
+        |    bd IS NOT NULL AND bd <= 7200000000 AS bok,
+        |    fd IS NOT NULL AND fd <= 7200000000 AS fok,
+        |    bpe, bpc, bus, bd, fpe, fpc, fus, fd
+        |  FROM b JOIN f USING (event_id))
+        |SELECT event_id,
+        |  CASE WHEN fok AND (NOT bok OR fd < bd) THEN fpe
+        |       WHEN bok THEN bpe END AS purchase_event_id,
+        |  CASE WHEN fok AND (NOT bok OR fd < bd) THEN fpc
+        |       WHEN bok THEN bpc END AS purchase_cents,
+        |  CASE WHEN fok AND (NOT bok OR fd < bd) THEN fus
+        |       WHEN bok THEN bus END AS matched_us
+        |FROM m ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val evts = Tables.events(s, dir)
+      val purch = evts.filter(col("event_type") === "purchase")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("user_id", "ts_ns").orderBy("event_id")))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("purchase_event_id"),
+          cents(col("value")).as("purchase_cents"))
+      AsOfJoin.nearest(
+          evts.select("event_id", "user_id", "ts"), purch,
+          key = "user_id", leftTs = "ts", rightTs = "pts",
+          payload = Seq("purchase_event_id", "purchase_cents"),
+          toleranceSeconds = Some(7200))
+        .select(col("event_id"), col("purchase_event_id"), col("purchase_cents"),
+          unix_micros(col("matched_ts")).as("matched_us"))
+        .orderBy("event_id")
+    },
+
     // Gap sessionization, declarative form (SURVEY W3 generalized;
     // the stateful twin is equivalence-tested in ScalaTest).
     // The NATIVE session-window operator (session_window + groupBy —

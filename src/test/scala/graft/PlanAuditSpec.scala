@@ -240,6 +240,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("w14: the EWMA's 12 lag terms share ONE user exchange and stay codegen") {
+    val p = plan("w14_ewma_smooth")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges === 1, s"user_id exchanges=$userExchanges\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dq03: PSI is two count aggregates + broadcast scalar attaches — no row-sized shuffle") {
+    val p = plan("dq03_psi_drift")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only nested-loop joins are the 1-row broadcast scalar
+    // attaches (min/max and totals)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ses10: the windowed drift monitor is ONE aggregate over the stream side") {
+    val p = plan("ses10_drift_window")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), p) // map-side combined histogram
+  }
+
   test("ses03: the streaming windowed aggregate's batch form is one partial+final hash agg") {
     val p = plan("ses03_windowed_type_counts")
     // map-side combine: partial_ aggregate functions before the exchange

@@ -65,6 +65,40 @@ class OperatorSpecs extends AnyFunSuite {
     assert(out.getAs[String]("y") === "new")
   }
 
+  test("AsOfJoin.forward mirrors backward incl. equal-ts inclusivity and tolerance") {
+    val left = Seq(("a", 10L, 1), ("a", 20L, 2), ("a", 26L, 3), ("b", 5L, 4))
+      .toDF("k", "t", "lid")
+      .withColumn("lts", timestamp_seconds(col("t"))).drop("t")
+    val right = Seq(("a", 10L, 100), ("a", 25L, 200), ("b", 50L, 300))
+      .toDF("k", "t", "pay")
+      .withColumn("rts", timestamp_seconds(col("t"))).drop("t")
+    val got = AsOfJoin.forward(left, right, "k", "lts", "rts", Seq("pay"),
+        toleranceSeconds = Some(8))
+      .select("lid", "pay").as[(Int, Option[Int])].collect().toMap
+    // lid 1: equal-ts right (10) matches at distance 0 — inclusive;
+    // lid 2: next is 25, within 8s; lid 3: nothing ahead within reach
+    // for 26→25? forward only: 25 < 26, so no match ahead except none;
+    // lid 4: 50 − 5 = 45 > 8 → out of tolerance
+    assert(got === Map(1 -> Some(100), 2 -> Some(200), 3 -> None, 4 -> None))
+  }
+
+  test("AsOfJoin.nearest picks the strictly closer side; exact ties go backward") {
+    val left = Seq(("a", 20L, 1), ("a", 21L, 2), ("a", 19L, 3), ("b", 10L, 4))
+      .toDF("k", "t", "lid")
+      .withColumn("lts", timestamp_seconds(col("t"))).drop("t")
+    val right = Seq(("a", 10L, 100), ("a", 30L, 200), ("b", 100L, 300))
+      .toDF("k", "t", "pay")
+      .withColumn("rts", timestamp_seconds(col("t"))).drop("t")
+    val got = AsOfJoin.nearest(left, right, "k", "lts", "rts", Seq("pay"),
+        toleranceSeconds = Some(60))
+      .select("lid", "pay").as[(Int, Option[Int])].collect().toMap
+    // lid 1: 20 is equidistant (10 back, 10 fwd) → backward 100
+    // lid 2: 21 is closer to 30 (9 < 11) → forward 200
+    // lid 3: 19 is closer to 10 (9 < 11) → backward 100
+    // lid 4: only 100 ahead, 90s away > 60s tolerance → null
+    assert(got === Map(1 -> Some(100), 2 -> Some(200), 3 -> Some(100), 4 -> None))
+  }
+
   test("embedding LSH near-dup pairs are a subset of brute pairs at the same threshold") {
     val brute = Dedup.embeddingNearDupBrute(embeddings, "vec_id", "embedding", 0.2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

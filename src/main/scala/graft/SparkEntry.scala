@@ -53,7 +53,7 @@ object SparkEntry {
     "a10_scenario_weighted", "a17_exact_percentiles", "a18_grouped_percentiles",
     "a19_kmv_distinct", "a20_approx_percentiles", "a21_kmv_overlap",
     "a22_histogram_synopsis", "a23_weighted_percentiles", "a24_cms_counts",
-    "a25_windowed_distinct", "a26_rollup", "a27_grouping_sets",
+    "a25_windowed_distinct", "a26_rollup", "a27_grouping_sets", "a28_grouped_mad",
     "e05_unpivot", "dq01_expectations", "dq02_enforce", "dq03_psi_drift",
     "w03_boundary_session", "w05_remaining_sum",
     "w12_rolling_now_then", "w14_ewma_smooth",

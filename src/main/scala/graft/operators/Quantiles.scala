@@ -268,4 +268,42 @@ object Quantiles {
       .groupBy("p").agg(min("rep").as("value"))
       .orderBy("p")
   }
+
+  /**
+   * Grouped MEDIAN ABSOLUTE DEVIATION — the robust dispersion the
+   * data-cleaning pass uses where stddev is blown up by the very
+   * outliers it is meant to find (median of |x − median(x)| per
+   * group; scale estimate ≈ 1.4826·MAD for a normal reference).
+   * Nearest-rank medians (the [[exactPercentiles]] `quantile_disc`
+   * semantics, `cum·2 ≥ n` in pure integers) keep every intermediate
+   * an ACTUAL data value — with integer input everything stays a Long
+   * end to end; no float enters at any step.
+   *
+   * Scale shape: two value-histogram passes (groupBy (g, v) hash
+   * aggregate with map-side combine, prefix-sum window whose
+   * partition is |distinct values within the group| — the Quantiles
+   * histogram idiom, never row-count-sized) bridged by one broadcast
+   * join of the (|groups|-sized) median table back onto the corpus.
+   *
+   * @param value integer-valued Long column; the caller owns scaling.
+   */
+  def groupedMad(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def medOf(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val h = in.groupBy(col(groupCol), col(vCol).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(groupCol)
+      h.withColumn("__cum", sum("__c").over(w.orderBy("__v")))
+        .withColumn("__n", sum("__c").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy(groupCol)
+        .agg(min(when(col("__cum") * 2 >= col("__n"), col("__v"))).as(out),
+          max(col("__n")).as("n"))
+    }
+    val med = medOf(df, valueCol, "median")
+    val dev = df.join(broadcast(med.select(col(groupCol), col("median"))), Seq(groupCol))
+      .select(col(groupCol), abs(col(valueCol) - col("median")).as("__d"))
+    medOf(dev, "__d", "mad").withColumnRenamed("n", "__n2")
+      .join(med, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("median"), col("mad"))
+  }
 }

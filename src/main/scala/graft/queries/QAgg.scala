@@ -680,5 +680,35 @@ object QAgg {
           sk, ev.select("user_id").distinct().filter(col("user_id") < 20),
           "user_id", d, w)
         .orderBy("user_id")
+    },
+
+    // A28: grouped median absolute deviation (Quantiles.groupedMad) —
+    // the robust dispersion for outlier-resistant data cleaning.
+    // Nearest-rank medians (cum·2 ≥ n, pure integers) keep median and
+    // MAD actual cent values; the oracle replays both histogram
+    // passes and the deviation join.
+    QueryDef.of("a28_grouped_mad",
+      """WITH b AS (SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events),
+        |h AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |cu AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n FROM h),
+        |med AS (SELECT g, min(CASE WHEN cum*2 >= n THEN v END) AS median,
+        |    CAST(max(n) AS BIGINT) AS n FROM cu GROUP BY g),
+        |d AS (SELECT b.g, abs(b.v - med.median) AS v FROM b JOIN med USING (g)),
+        |h2 AS (SELECT g, v, count(*) AS c FROM d GROUP BY 1, 2),
+        |cu2 AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n FROM h2),
+        |mad AS (SELECT g, min(CASE WHEN cum*2 >= n THEN v END) AS mad FROM cu2 GROUP BY g)
+        |SELECT med.g AS event_type, med.n, med.median AS median_cents,
+        |  mad.mad AS mad_cents
+        |FROM med JOIN mad USING (g) ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Quantiles.groupedMad(
+          Tables.events(s, dir)
+            .select(col("event_type"), round(col("value") * 100).cast("long").as("cents")),
+          "event_type", "cents")
+        .select(col("event_type"), col("n"),
+          col("median").as("median_cents"), col("mad").as("mad_cents"))
+        .orderBy("event_type")
     })
 }

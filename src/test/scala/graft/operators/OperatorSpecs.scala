@@ -65,6 +65,18 @@ class OperatorSpecs extends AnyFunSuite {
     assert(out.getAs[String]("y") === "new")
   }
 
+  test("groupedMad: hand-computed nearest-rank medians, robust to the outlier") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 4L), ("a", 100L),
+        ("b", 5L), ("b", 7L), ("b", 9L))
+      .toDF("g", "v")
+    val r = Quantiles.groupedMad(df, "g", "v")
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    // a: n=4, median = 2nd smallest = 2; deviations {1,0,2,98} → MAD 1
+    // b: n=3, median = 7; deviations {2,0,2} → MAD 2
+    assert(r === Seq(("a", 4L, 2L, 1L), ("b", 3L, 7L, 2L)))
+    // the 100 outlier has NOT inflated a's dispersion (stddev would be ~48)
+  }
+
   test("AsOfJoin.forward mirrors backward incl. equal-ts inclusivity and tolerance") {
     val left = Seq(("a", 10L, 1), ("a", 20L, 2), ("a", 26L, 3), ("b", 5L, 4))
       .toDF("k", "t", "lid")

@@ -60,6 +60,50 @@ object SimilaritySearch {
   }
 
   /**
+   * BINARY-quantized ANN — the 32×-compression memory tier below int8
+   * and PQ (sign-bit codes, Charikar 2002 SimHash for cosine): each
+   * vector collapses to `bits` hyperplane sign bits in ONE long, the
+   * scan ranks by Hamming distance (xor + popcount — pure integer,
+   * engine-exact), and the top `shortlist` candidates are re-ranked
+   * with exact cosine against the float table. The standard two-tier
+   * layout: the code column is the always-hot 8-byte scan; floats are
+   * touched only for `shortlist` rows per query.
+   *
+   * Scale shape: one map-only code projection over the corpus, a
+   * broadcast of the query codes through the bounded [[TopKAgg]]
+   * aggregate (no window, no corpus sort), then an id equi-join of
+   * the query-count-sized shortlist back to the float table.
+   */
+  def binaryHammingTopK(
+      queries: DataFrame, // (query_id, query_vec)
+      candidates: DataFrame, // (id, vec)
+      dim: Int, bits: Int = 60, shortlist: Int = 50, k: Int = 5): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"codes pack into a signed long, got $bits")
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val codes = candidates.select(col("id"),
+      VectorFunctions.signLshBucket(col("vec"), dim, bits).as("__code"))
+    val q = queries.select(col("query_id"),
+      VectorFunctions.signLshBucket(col("query_vec"), dim, bits).as("__qcode"))
+    val topSl = TopKAgg.topK(shortlist)
+    val short = unpack(codes
+      .join(broadcast(q), col("query_id") =!= col("id"))
+      .withColumn("__ham", bit_count(col("__code").bitwiseXOR(col("__qcode"))))
+      .groupBy("query_id")
+      // score = −hamming: TopKAgg keeps the smallest distances, ties
+      // to the lower id — the oracle's (ham, id) total order
+      .agg(topSl((-col("__ham")).cast("double"), col("id")).as("tops")))
+      .select("query_id", "id")
+    val cn = candidates.withColumn("__cn", VectorFunctions.l2Norm(col("vec")))
+    val qn = queries.withColumn("__qn", VectorFunctions.l2Norm(col("query_vec")))
+    val rer = short
+      .join(cn, Seq("id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("cos", pairCos(col("query_vec"), col("__qn"), col("vec"), col("__cn")))
+    val topk = TopKAgg.topK(k)
+    unpack(rer.groupBy("query_id").agg(topk(col("cos"), col("id")).as("tops")))
+  }
+
+  /**
    * Quantized (4-decimal) cosine of `vec` against each centroid
    * literal, as pure column algebra. Quantizing BEFORE the argmax
    * makes cell assignment float-order-free: a centroid that drifts by

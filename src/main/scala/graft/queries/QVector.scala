@@ -812,7 +812,49 @@ object QVector {
             numClusters = 8, iters = 2, k = 5, nprobe = 3),
           k = 5)
         .orderBy("query_id")
+    },
+
+    // V20: binary-quantized ANN (sign-bit codes, Charikar 2002) — the
+    // 32×-compression memory tier: 60 hyperplane sign bits in one
+    // long, integer Hamming scan (xor + popcount, engine-exact),
+    // exact-cosine rerank of the top-50 shortlist. The oracle replays
+    // all 60 md5-keystream projections, the (ham, id) shortlist order,
+    // and the rerank.
+    QueryDef.of("v20_ann_binary_hamming", N +
+      s""", cc AS MATERIALIZED (SELECT vec_id, CAST(${binaryCodeSql} AS BIGINT) AS code
+         |  FROM n),
+         |qq AS (SELECT vec_id AS query_id, code AS qcode FROM cc WHERE vec_id < 10),
+         |hm AS (SELECT q.query_id, c.vec_id AS id, bit_count(xor(c.code, q.qcode)) AS ham
+         |  FROM cc c JOIN qq q ON c.vec_id <> q.query_id),
+         |sl AS (SELECT query_id, id FROM hm
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ham, id) <= 50),
+         |sc AS (SELECT sl.query_id, sl.id,
+         |    round(CASE WHEN nq.nrm * nc.nrm <> 0
+         |          THEN list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm) ELSE 0.0 END, 6) AS cos
+         |  FROM sl JOIN n nc ON nc.vec_id = sl.id
+         |  JOIN n nq ON nq.vec_id = sl.query_id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank,
+         |  id, cos
+         |FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cands = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.binaryHammingTopK(queries, cands,
+          dim = 64, bits = 60, shortlist = 50, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     })
+
+  /** The 60 sign-bit projections packed into one integer — the SQL
+    * mirror of `VectorFunctions.signLshBucket(vec, 64, 60)`, generated
+    * from the same bit positions so the two can never drift. */
+  private lazy val binaryCodeSql: String =
+    (0 until 60).map(p =>
+      s"(CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
 
   /** The IVFADC oracle (shared by v11/v12, prefix of v14): v05's
     * coarse-quantizer replay (c0→af) composed with v10's per-subspace

@@ -154,6 +154,39 @@ class OperatorSpecs extends AnyFunSuite {
     assert(r === Seq((1L, 2L, 0.666667), (2L, 0L, 0.0)))
   }
 
+  test("binaryHammingTopK: exact rerank scores, useful recall, layout determinism") {
+    val queries = embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cands = embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val bruteAll = SimilaritySearch.bruteForceTopK(queries, cands, k = 500)
+      .select("query_id", "id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (q, id, cos) => (q, id) -> cos }.toMap
+    val bruteTop = SimilaritySearch.bruteForceTopK(queries, cands, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bin = SimilaritySearch.binaryHammingTopK(queries, cands,
+      dim = 64, bits = 60, shortlist = 50, k = 5)
+      .select("query_id", "rank", "id", "cos").as[(Long, Long, Long, Double)].collect()
+    // rerank scores are EXACT cosines; self never returned; ranks contiguous
+    bin.foreach { case (q, _, id, cos) =>
+      assert(id !== q)
+      assert(math.abs(bruteAll((q, id)) - cos) < 1e-9)
+    }
+    bin.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1L to rows.length).toSeq)
+    }
+    // 60 sign bits over 64 dims with a 50-wide shortlist: substantial recall
+    val recalls = bin.groupBy(_._1).map { case (q, rows) =>
+      rows.map(_._3).toSet.intersect(bruteTop(q)).size.toDouble / bruteTop(q).size
+    }
+    assert(recalls.sum / recalls.size >= 0.5, s"mean recall ${recalls.sum / recalls.size}")
+    // partition-layout determinism
+    val again = SimilaritySearch.binaryHammingTopK(queries, cands.repartition(7),
+      dim = 64, bits = 60, shortlist = 50, k = 5)
+      .select("query_id", "rank", "id", "cos").as[(Long, Long, Long, Double)].collect()
+    assert(bin.sortBy(r => (r._1, r._2)).toSeq === again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("ivfTopK: deterministic training, exact scores, useful recall vs brute") {
     val queries = embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))

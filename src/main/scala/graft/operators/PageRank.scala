@@ -45,7 +45,6 @@ object PageRank {
       iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val spark = nodes.sparkSession
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
     val ids = nodes.select(col(idCol).as("id"))

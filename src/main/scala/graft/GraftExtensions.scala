@@ -96,5 +96,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.UrlFunctions.registrableDomain(
             ColumnBridge.column(args.head), suffixes))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_sign_code"),
+      info("graft_sign_code",
+        "graft_sign_code(vec, dim, bits) - packed sign-bit binary code (the v20 32x tier)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_sign_code takes exactly 3 arguments")
+        (args(1), args(2)) match {
+          case (Literal(d: Int, IntegerType), Literal(b: Int, IntegerType)) =>
+            ColumnBridge.catalystExpression(
+              graft.functions.VectorFunctions.signLshBucket(
+                ColumnBridge.column(args.head), d, b))
+          case _ => throw new IllegalArgumentException(
+            "graft_sign_code: dim and bits must be integer literals " +
+              "(they parameterize the embedded hyperplane literals)")
+        }
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_hamming"),
+      info("graft_hamming",
+        "graft_hamming(a, b) - Hamming distance between two packed bigint codes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hamming takes exactly 2 arguments")
+        ColumnBridge.catalystExpression(
+          org.apache.spark.sql.functions.bit_count(
+            ColumnBridge.column(args.head).bitwiseXOR(ColumnBridge.column(args(1)))))
+      }))
   }
 }

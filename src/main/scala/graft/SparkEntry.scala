@@ -88,7 +88,7 @@ object SparkEntry {
     "v14_ann_ivfpq_rerank", "v15_ann_filtered", "v16_ann_ivfpq_residual",
     "v17_ann_mmr", "v18_ann_delete_rebalance", "v19_ann_recall",
     "v20_ann_binary_hamming",
-    "sql01_extension_surface", "sql02_url_surface",
+    "sql01_extension_surface", "sql02_url_surface", "sql03_binary_surface",
     "g01_pagerank", "g02_hits",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",
     "pbp03_pitcher_standardize")

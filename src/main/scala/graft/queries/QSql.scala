@@ -149,5 +149,41 @@ object QSql {
           |      '^([^/?#]*)', 1), ':[0-9]+$', '')),
           |    array('com', 'org', 'net', 'io', 'co.uk')) AS rdomain
           |FROM raw ORDER BY doc_id""".stripMargin)
+    },
+
+    // SQL03: the binary-ANN tier through the pure-SQL text path —
+    // graft_sign_code (the v20 packed sign-bit code; dim/bits as
+    // integer literals compiling the hyperplanes into the plan) and
+    // graft_hamming (xor + popcount). A complete Hamming top-10 scan
+    // in SQL text, integer end to end — the oracle replays all 60
+    // md5-keystream projections and the (ham, id) ranking.
+    QueryDef.of("sql03_binary_surface",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v FROM e),
+         |cc AS MATERIALIZED (SELECT vec_id, CAST(${QVector.binaryCodeSql} AS BIGINT) AS code
+         |  FROM n),
+         |qq AS (SELECT vec_id AS query_id, code AS qcode FROM cc WHERE vec_id < 5),
+         |hm AS (SELECT q.query_id, c.vec_id AS id,
+         |    CAST(bit_count(xor(c.code, q.qcode)) AS BIGINT) AS ham
+         |  FROM cc c JOIN qq q ON c.vec_id <> q.query_id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY ham, id) AS BIGINT) AS rank,
+         |  id, ham
+         |FROM hm
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ham, id) <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir).createOrReplaceTempView("g_embeddings")
+      s.sql(
+        """WITH c AS (SELECT vec_id, graft_sign_code(embedding, 64, 60) AS code
+          |  FROM g_embeddings),
+          |q AS (SELECT vec_id AS query_id, code AS qcode FROM c WHERE vec_id < 5),
+          |hm AS (SELECT q.query_id, c.vec_id AS id,
+          |    CAST(graft_hamming(c.code, q.qcode) AS BIGINT) AS ham,
+          |    row_number() OVER (PARTITION BY q.query_id
+          |      ORDER BY graft_hamming(c.code, q.qcode), c.vec_id) AS rn
+          |  FROM c JOIN q ON c.vec_id <> q.query_id)
+          |SELECT query_id, CAST(rn AS BIGINT) AS rank, id, ham
+          |FROM hm WHERE rn <= 10
+          |ORDER BY query_id, rank""".stripMargin)
     })
 }

@@ -31,7 +31,7 @@ object QVector {
     * same sequential projection order, same sign-bit packing. The
     * four plane projections are inlined (DuckDB 1.0 cannot correlate
     * an outer column into a lambda inside a scalar subquery). */
-  private def proj(p: Int): String =
+  private[queries] def proj(p: Int): String =
     s"""list_sum(list_transform(range(0, 64), j ->
        |      v[j+1] * (('0x' || substr(md5('plane:$p:' || j), 1, 15))::BIGINT
        |        / 1152921504606846976.0 - 0.5)))""".stripMargin
@@ -852,7 +852,7 @@ object QVector {
   /** The 60 sign-bit projections packed into one integer — the SQL
     * mirror of `VectorFunctions.signLshBucket(vec, 64, 60)`, generated
     * from the same bit positions so the two can never drift. */
-  private lazy val binaryCodeSql: String =
+  private[queries] lazy val binaryCodeSql: String =
     (0 until 60).map(p =>
       s"(CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
 

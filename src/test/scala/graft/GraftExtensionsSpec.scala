@@ -71,4 +71,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       "SELECT graft_registrable_domain('a.com', array(concat('c', rand()))) ").collect())
   }
+
+  test("graft_sign_code / graft_hamming from SQL equal the Column forms") {
+    import org.apache.spark.sql.functions.col
+    val vec = (0 until 64).map(i => (i * 37 % 11 - 5).toFloat)
+    val df = Seq(Tuple1(vec)).toDF("v")
+    df.createOrReplaceTempView("g_sign_test")
+    val viaSql = spark.sql(
+      "SELECT graft_sign_code(v, 64, 60) AS c FROM g_sign_test").as[Long].head()
+    val viaCol = df.select(
+        graft.functions.VectorFunctions.signLshBucket(col("v"), 64, 60))
+      .as[Long].head()
+    assert(viaSql === viaCol)
+    // hamming: pure integer xor+popcount
+    assert(spark.sql("SELECT graft_hamming(5, 3) AS h").as[Int].head() === 2)
+    assert(spark.sql(
+      s"SELECT graft_hamming($viaSql, $viaSql) AS h").as[Int].head() === 0)
+    // dim/bits must be literals (they parameterize the plane literals)
+    intercept[Exception](spark.sql(
+      "SELECT graft_sign_code(v, CAST(rand()*64 AS INT), 60) FROM g_sign_test").collect())
+  }
 }

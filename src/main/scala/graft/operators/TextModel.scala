@@ -71,4 +71,56 @@ object TextModel {
         round((sum(col("__nlp_micro")).cast("double") / count(lit(1))) / 1e6, 6)
           .as("avg_neg_logp"))
   }
+
+  /**
+   * CROSS-corpus perplexity — the actual CCNet/Wenzek et al. 2020
+   * filter shape: train the smoothed bigram LM on a REFERENCE corpus
+   * (the "good text" side, e.g. Wikipedia), score every target
+   * document against it, keep the low-perplexity head. Bigrams and
+   * unigrams unseen in training fall back to the pure-smoothing mass
+   * ((0 + k) / (0 + k·V)) — the same add-k limit, never a null or a
+   * division blowup.
+   *
+   * Same determinism and scale scheme as [[bigramSelfPerplexity]]:
+   * per-bigram −ln P in rounded integer micro-nats so the per-doc sum
+   * is exact Long arithmetic; the LM side collapses to
+   * vocabulary-sized count tables joined on the bigram/unigram keys
+   * (shuffle joins, not broadcast — a reference LM over a web-scale
+   * corpus is itself large), and the 1-row vocabulary size rides a
+   * broadcast crossJoin.
+   */
+  def bigramCrossPerplexity(
+      reference: DataFrame, refTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0.0, "smoothing k must be positive")
+    val refToks = reference.select(
+      TextFunctions.tokens(TextFunctions.canonicalText(col(refTextCol))).as("__toks"))
+    val refBg = refToks
+      .select(explode(TextFunctions.shinglesFromTokens(col("__toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val refUni = refToks
+      .select(explode(col("__toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val vocab = refUni.agg(count(lit(1)).cast("double").as("v"))
+
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
+    val bigrams = toks
+      .select(col("id"), explode(TextFunctions.shinglesFromTokens(col("__toks"), 2)).as("bg"))
+      .select(col("id"), col("bg"), substring_index(col("bg"), " ", 1).as("w1"))
+    bigrams
+      .join(refBg, Seq("bg"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .na.fill(0L, Seq("c_bg", "c_w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nlp_micro",
+        round(-log((col("c_bg") + k) / (col("c_w1") + lit(k) * col("v"))) * 1e6)
+          .cast("long"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round((sum(col("__nlp_micro")).cast("double") / count(lit(1))) / 1e6, 6)
+          .as("avg_neg_logp"))
+  }
 }

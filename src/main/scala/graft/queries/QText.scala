@@ -1241,6 +1241,40 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // T57: CROSS-corpus perplexity (TextModel.bigramCrossPerplexity) —
+    // the actual CCNet/Wenzek 2020 filter shape: the bigram LM trains
+    // on the reference snapshot (every tenth doc) and SCORES the rest;
+    // unseen bigrams/unigrams fall to the pure add-k smoothing mass
+    // ((0+k)/(0+k·V)) via left joins. Same micro-nat integer scheme as
+    // t23; the oracle rebuilds the reference LM and the scoring joins.
+    QueryDef.of("t57_cross_perplexity",
+      s"""WITH tr AS (SELECT $CTOKS AS t FROM documents WHERE doc_id % 10 = 0),
+         |trb AS (SELECT bg, count(*) AS c_bg FROM (SELECT
+         |    unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS bg
+         |  FROM tr) GROUP BY bg),
+         |tru AS (SELECT w1, count(*) AS c_w1
+         |  FROM (SELECT unnest(t) AS w1 FROM tr) GROUP BY w1),
+         |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM tru),
+         |d AS (SELECT doc_id, $CTOKS AS t FROM documents WHERE doc_id % 10 <> 0),
+         |bgr AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS bg
+         |  FROM d),
+         |sc AS (SELECT doc_id,
+         |    CAST(round(-ln((coalesce(c_bg, 0) + 0.5) /
+         |      (coalesce(c_w1, 0) + 0.5 * v)) * 1000000.0) AS BIGINT) AS m
+         |  FROM bgr LEFT JOIN trb USING (bg)
+         |  LEFT JOIN tru ON split_part(bgr.bg, ' ', 1) = tru.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.TextModel.bigramCrossPerplexity(
+          docs.filter(col("doc_id") % 10 === 0), "text",
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", k = 0.5)
+        .orderBy("doc_id")
+    },
+
     // Exact duplicated-substring spans (SubstringDedup.duplicatedSpans,
     // Lee et al. 2021 token-level analogue). Every 7th doc gets the
     // same appended sentence so cross-document duplicated regions are

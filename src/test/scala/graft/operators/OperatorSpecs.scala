@@ -912,6 +912,19 @@ class OperatorSpecs extends AnyFunSuite {
     assert(r2 === r)
   }
 
+  test("bigramCrossPerplexity: hand-computed smoothing fallback; in-domain scores lower") {
+    val ref = Seq((100L, "a b")).toDF("doc_id", "text") // V = 2, one bigram
+    val targets = Seq(
+      (1L, "a b"), // the trained bigram: -ln(1.5 / (1 + 1))
+      (2L, "x y z")) // fully unseen: each bigram -ln(0.5 / (0.5·2)) = ln 2
+      .toDF("doc_id", "text")
+    val r = TextModel.bigramCrossPerplexity(ref, "text", targets, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 1L, 0.287682))) // -ln(0.75) in micro-nats
+    assert(r(2L) === ((2L, 2L, 0.693147))) // ln 2
+    assert(r(1L)._3 < r(2L)._3) // in-domain text is less surprising
+  }
+
   test("tfidfKeywords surfaces distinctive terms over ubiquitous ones") {
     val docs = Seq(
       (1L, "alpha alpha alpha shared shared"),

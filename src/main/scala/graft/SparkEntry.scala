@@ -64,7 +64,7 @@ object SparkEntry {
     "ses09_cohort_stream", "ses10_drift_window",
     "x01_stateful_fold_balance",
     "o01_global_sort_limit", "s01_scan_pushdown", "s17_compact_roundtrip",
-    "s18_zorder_roundtrip",
+    "s18_zorder_roundtrip", "s19_scd2_merge",
     "f05_hash_ids",
     "t01_text_quality", "t06_ngram_jaccard_pairs", "t07_minhash_lsh_pairs",
     "t08_simhash_pairs", "t09_dup_clusters", "t12_decontaminate",

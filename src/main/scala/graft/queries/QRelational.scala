@@ -650,5 +650,49 @@ object QRelational {
           sum("ts_s").as("ts_sum"),
           sum("cents").as("cents"))
         .orderBy("bucket")
+    },
+
+    // S19: SCD Type-2 merge (io.Scd.scd2Apply) — the history-keeping
+    // sibling of the S8 upsert: a second dimension snapshot (every
+    // 7th key's segment changed, every 11th key deleted) applied onto
+    // the T1 full load. The merged history gates all four routing
+    // classes row-for-row: unchanged keep their interval, changed
+    // close at T2 + reopen, deletions close, and (here) no
+    // pre-existing closed rows. The oracle replays the full-outer
+    // join and the null-safe change predicate.
+    QueryDef.of("s19_scd2_merge",
+      """WITH h AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_nationkey AS nat,
+        |    CAST(1000 AS BIGINT) AS vf FROM customer),
+        |s AS (SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg,
+        |    c_nationkey AS nat
+        |  FROM customer WHERE c_custkey % 11 <> 0),
+        |j AS (SELECT h.k AS hk, s.k AS sk, h.seg AS hseg, h.nat AS hnat, h.vf,
+        |    s.seg AS sseg, s.nat AS snat
+        |  FROM h FULL JOIN s ON h.k = s.k),
+        |c AS (SELECT *, NOT (hseg IS NOT DISTINCT FROM sseg
+        |    AND hnat IS NOT DISTINCT FROM snat) AS changed FROM j)
+        |SELECT * FROM (
+        |  SELECT hk AS c_custkey, hseg AS c_mktsegment, hnat AS c_nationkey,
+        |    vf AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM c WHERE hk IS NOT NULL AND sk IS NOT NULL AND NOT changed
+        |  UNION ALL
+        |  SELECT sk, sseg, snat, CAST(2000 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM c WHERE hk IS NULL OR (hk IS NOT NULL AND sk IS NOT NULL AND changed)
+        |  UNION ALL
+        |  SELECT hk, hseg, hnat, vf, CAST(2000 AS BIGINT)
+        |  FROM c WHERE hk IS NOT NULL AND (sk IS NULL OR changed))
+        |ORDER BY c_custkey, valid_from""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val history = cust.select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        lit(1000L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val snapshot = cust.filter(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          col("c_nationkey"))
+      graft.io.Scd.scd2Apply(history, snapshot,
+          "c_custkey", Seq("c_mktsegment", "c_nationkey"), asOf = 2000L)
+        .orderBy("c_custkey", "valid_from")
     })
 }

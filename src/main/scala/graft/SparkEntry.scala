@@ -63,7 +63,8 @@ object SparkEntry {
     "ses06_interval_join", "ses07_funnel", "ses08_cohort_retention",
     "ses09_cohort_stream", "ses10_drift_window",
     "x01_stateful_fold_balance",
-    "o01_global_sort_limit", "s01_scan_pushdown", "s17_compact_roundtrip",
+    "o01_global_sort_limit", "o05_grouped_topk_agg", "a29_grouped_mode",
+    "s01_scan_pushdown", "s17_compact_roundtrip",
     "s18_zorder_roundtrip", "s19_scd2_merge",
     "f05_hash_ids",
     "t01_text_quality", "t06_ngram_jaccard_pairs", "t07_minhash_lsh_pairs",

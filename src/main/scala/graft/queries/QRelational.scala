@@ -95,6 +95,56 @@ object QRelational {
         .orderBy("c_nationkey")
     },
 
+    // O5: grouped top-k via the BOUNDED TopKAgg aggregate — the
+    // relational form of the ANN ranking path: no row_number window,
+    // no per-group sort; state is k (score, id) pairs per group with
+    // map-side combine, the shape that survives a skewed 100 TB group.
+    // Same (score DESC, id) total order as the oracle's window replay.
+    QueryDef.of("o05_grouped_topk_agg",
+      """SELECT c_nationkey,
+        |  CAST(row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY round(c_acctbal*100) DESC, c_custkey) AS BIGINT) AS rank,
+        |  c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+        |FROM customer
+        |QUALIFY row_number() OVER (PARTITION BY c_nationkey
+        |  ORDER BY round(c_acctbal*100) DESC, c_custkey) <= 3
+        |ORDER BY c_nationkey, rank""".stripMargin) { (s, dir) =>
+      val topk = graft.plans.TopKAgg.topK(3)
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"),
+          col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(topk(col("bal_cents").cast("double"), col("c_custkey")).as("tops"))
+        .select(col("c_nationkey"), posexplode(col("tops")).as(Seq("pos", "top")))
+        .select(col("c_nationkey"), (col("pos") + 1).cast("long").as("rank"),
+          col("top.id").as("c_custkey"),
+          col("top.score").cast("long").as("bal_cents"))
+        .orderBy("c_nationkey", "rank")
+    },
+
+    // A29: grouped MODE (most frequent value, ties to the smallest) —
+    // the categorical companion of a28's MAD: one value-histogram
+    // hash aggregate, then a histogram-sized argmax window (bounded
+    // by |distinct values per group|, never rows).
+    QueryDef.of("a29_grouped_mode",
+      """WITH h AS (SELECT c_nationkey, c_mktsegment, count(*) AS c
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment AS mode_segment, c AS n_mode
+        |FROM h
+        |QUALIFY row_number() OVER (PARTITION BY c_nationkey
+        |  ORDER BY c DESC, c_mktsegment) = 1
+        |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c").desc, col("c_mktsegment"))
+      Tables.customer(s, dir)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"),
+          col("c").as("n_mode"))
+        .orderBy("c_nationkey")
+    },
+
     // E1: union-all of homogeneous projections then aggregate
     // (reference pd.concat, leaderboards/main.py:186).
     QueryDef.of("e01_union_all",

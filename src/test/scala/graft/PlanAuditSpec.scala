@@ -240,6 +240,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("o05: grouped top-k rides the bounded aggregate — no window, no per-group sort") {
+    val p = plan("o05_grouped_topk_agg")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_"), p) // map-side combined k-state
+  }
+
   test("w14: the EWMA's 12 lag terms share ONE user exchange and stay codegen") {
     val p = plan("w14_ewma_smooth")
     val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length

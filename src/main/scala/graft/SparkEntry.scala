@@ -66,7 +66,7 @@ object SparkEntry {
     "o01_global_sort_limit", "o05_grouped_topk_agg", "a29_grouped_mode",
     "s01_scan_pushdown", "s17_compact_roundtrip",
     "s18_zorder_roundtrip", "s19_scd2_merge",
-    "f05_hash_ids",
+    "f05_hash_ids", "f15_edit_distance",
     "t01_text_quality", "t06_ngram_jaccard_pairs", "t07_minhash_lsh_pairs",
     "t08_simhash_pairs", "t09_dup_clusters", "t12_decontaminate",
     "t15_sequence_packing", "t19_line_dedup", "t20_bm25_topk",

@@ -371,6 +371,28 @@ object QScalar {
         .groupBy("lang", "tag")
         .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_n"))
         .orderBy("lang", "tag")
+    },
+
+    // F15: edit distance (Spark's codegen levenshtein vs DuckDB's) —
+    // the scalar behind near-name blocking: each customer's name
+    // against the NEXT name in key order (one lag window), distance
+    // is a pure integer so the oracle is exact by the metric's
+    // definition, not by float luck.
+    QueryDef.of("f15_edit_distance",
+      """WITH p AS (SELECT c_custkey, c_name,
+        |    lag(c_name) OVER (ORDER BY c_custkey) AS prev_name
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(levenshtein(c_name, coalesce(prev_name, '')) AS BIGINT) AS lev,
+        |  CAST(levenshtein(c_name, reverse(c_name)) AS BIGINT) AS lev_rev
+        |FROM p ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy("c_custkey")
+      Tables.customer(s, dir)
+        .withColumn("prev_name", lag(col("c_name"), 1).over(w))
+        .select(col("c_custkey"),
+          levenshtein(col("c_name"), coalesce(col("prev_name"), lit(""))).cast("long").as("lev"),
+          levenshtein(col("c_name"), reverse(col("c_name"))).cast("long").as("lev_rev"))
+        .orderBy("c_custkey")
     })
 
   /** The f11 corpus + summary: per customer a synthetic "First Last"

@@ -52,7 +52,7 @@ object Winnowing {
   def fingerprints(
       docs: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame =
     selected(docs, idCol, textCol, k, w)
-      .select("id", "fp_pos", "fp_hash").distinct()
+      .select(col("id").as(idCol), col("fp_pos"), col("fp_hash")).distinct()
 
   /** Shared selection pipeline: per-(id, fp_pos, fp_hash) rows BEFORE
     * the distinct, with `__m` (the document's gram count) carried

@@ -82,6 +82,7 @@ object SparkEntry {
     "t50_hybrid_rrf", "t51_containment_pairs", "t52_registrable_domain_quota",
     "t53_bpe_roundtrip", "t54_temperature_mix",
     "t55_winnowing", "t56_ngram_novelty", "t57_cross_perplexity",
+    "t59_dedup_recall",
     "v01_ann_brute_topk", "v02_ann_lsh_topk", "v03_embed_neardup_brute",
     "v04_embed_neardup_lsh", "v05_ann_ivf_topk", "v06_embed_semantic_dedup",
     "v09_ann_index_upsert", "v10_ann_pq_adc", "v11_ann_ivfpq",

@@ -376,6 +376,74 @@ object QText {
         .orderBy("id_a", "id_b")
     },
 
+    // T59: dedup RECALL evaluation — the v19 analogue for the dedup
+    // family: the banded MinHash candidate path (t07's exact config)
+    // measured against the exact df-capped Jaccard pairs (t06's). The
+    // two sides legitimately differ in BOTH directions (banding misses
+    // pairs; the df cap removes shingles from the exact side only), so
+    // the summary reports recall AND precision. One full-outer join of
+    // the two bounded pair sets → a single row; at 100 TB this is the
+    // dedup-quality dashboard number computed from two already-run
+    // passes.
+    QueryDef.of("t59_dedup_recall",
+      s"""WITH toks AS (SELECT doc_id, $CTOKS AS t FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM toks),
+         |filt AS (SELECT id, sh FROM sh0
+         |  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
+         |szf AS (SELECT id, count(*) AS n FROM filt GROUP BY id),
+         |ei AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+         |  FROM filt a JOIN filt b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+         |ep AS MATERIALIZED (SELECT id_a, id_b FROM ei
+         |  JOIN szf sa ON sa.id = id_a JOIN szf sb ON sb.id = id_b
+         |  WHERE round(ei.n / CAST(sa.n + sb.n - ei.n AS DOUBLE), 6) >= 0.5),
+         |seeds AS (SELECT seed,
+         |    ('0x' || substr(md5('a:' || seed), 1, 15))::BIGINT % 2147483646 + 1 AS a,
+         |    ('0x' || substr(md5('b:' || seed), 1, 15))::BIGINT % 2147483647 AS b
+         |  FROM (SELECT unnest(range(0, 12)) AS seed)),
+         |mh AS (SELECT id, s.seed,
+         |    min((s.a * (('0x' || substr(md5(sh0.sh), 1, 15))::BIGINT & 2147483647) + s.b)
+         |        % 2147483647) AS mh
+         |  FROM sh0, seeds s GROUP BY id, s.seed),
+         |sig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
+         |band AS (SELECT id, b.b,
+         |    md5(array_to_string(sig[b.b*3+1 : b.b*3+3], ',')) AS bucket
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM band x JOIN band y ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id),
+         |szl AS (SELECT id, count(*) AS n FROM sh0 GROUP BY id),
+         |li AS (SELECT c.id_a, c.id_b, count(*) AS n
+         |  FROM cand c JOIN sh0 a ON a.id = c.id_a
+         |  JOIN sh0 b2 ON b2.id = c.id_b AND b2.sh = a.sh
+         |  GROUP BY c.id_a, c.id_b),
+         |lp AS MATERIALIZED (SELECT id_a, id_b FROM li
+         |  JOIN szl sa ON sa.id = id_a JOIN szl sb ON sb.id = id_b
+         |  WHERE round(li.n / CAST(sa.n + sb.n - li.n AS DOUBLE), 6) >= 0.5),
+         |hit AS (SELECT id_a FROM ep JOIN lp USING (id_a, id_b))
+         |SELECT CAST((SELECT count(*) FROM ep) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM lp) AS BIGINT) AS n_lsh,
+         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |  round((SELECT count(*) FROM hit) /
+         |    CAST((SELECT count(*) FROM ep) AS DOUBLE), 6) AS recall,
+         |  round((SELECT count(*) FROM hit) /
+         |    CAST((SELECT count(*) FROM lp) AS DOUBLE), 6) AS prec""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      val ep = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          n = 3, threshold = 0.5, maxShingleDf = Some(1000))
+        .select("id_a", "id_b").withColumn("e", lit(1))
+      val lp = Dedup.minhashLshPairs(d, "doc_id", "text",
+          shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        .select("id_a", "id_b").withColumn("l", lit(1))
+      ep.join(lp, Seq("id_a", "id_b"), "full_outer")
+        .agg(count(col("e")).as("n_exact"), count(col("l")).as("n_lsh"),
+          count(when(col("e") === 1 && col("l") === 1, 1)).as("n_hit"))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
+          round(col("n_hit").cast("double") / col("n_lsh"), 6).as("prec"))
+    },
+
     // SimHash near-dup pairs, Hamming ≤ 3 via 4-band chunk join
     // (Dedup.simhashNearDupPairs); oracle = brute-force all-pairs SQL,
     // exactly equal by pigeonhole.

@@ -65,6 +65,26 @@ class OperatorSpecs extends AnyFunSuite {
     assert(out.getAs[String]("y") === "new")
   }
 
+  test("dedup recall structure: identical docs are always caught by banding") {
+    // identical texts → identical signatures → same band buckets, so
+    // the exact-dup pair MUST appear on both sides of the t59 metric
+    val docs = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")) ++
+      (3L to 20L).map(i => (i, (0 until 12).map(j => s"u${i}w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val ep = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleDf = Some(1000))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lp = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ep.contains((1L, 2L)) && lp.contains((1L, 2L)))
+    // the metric's invariant: hits can never exceed either side
+    val hits = ep intersect lp
+    assert(hits.size <= ep.size && hits.size <= lp.size)
+  }
+
   test("groupedMad: hand-computed nearest-rank medians, robust to the outlier") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 4L), ("a", 100L),
         ("b", 5L), ("b", 7L), ("b", 9L))

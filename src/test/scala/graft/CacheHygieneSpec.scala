@@ -14,10 +14,16 @@ class CacheHygieneSpec extends AnyFunSuite {
 
   private def lingeringAfter(run: => Unit): Int = {
     val sc = SparkTestSession.spark.sparkContext
+    // DELTA measurement: suites sharing this session may have live
+    // localCheckpoint blocks awaiting the context cleaner (PageRank /
+    // Hits / SCD2 tests) — those are theirs, not this query's. The
+    // contract under test is that the QUERY adds nothing clearCache
+    // can't drop.
+    val before = sc.getPersistentRDDs.keySet
     run
     SparkTestSession.spark.catalog.clearCache()
     // cached Datasets register InMemoryRelation RDDs here until freed
-    sc.getPersistentRDDs.size
+    (sc.getPersistentRDDs.keySet -- before).size
   }
 
   test("no lingering RDDs after pbp03 + clearCache (the VerifyOne flow)") {

@@ -26,11 +26,15 @@ import org.apache.spark.sql.functions._
  * the t23 pattern that absorbs the one non-correctly-rounded
  * primitive (`ln`) into an integer.
  *
- * Scale shape: two single-pass count aggregates over the snapshots
- * (map-side combined into ≤ bins rows each), a 1-row min/max
- * aggregate and a 1-row total aggregate attached via
- * crossJoin(broadcast(...)) — nothing row-count-sized shuffles and
- * nothing reaches the driver.
+ * Scale shape: one eager 2-scalar min/max aggregate over the
+ * reference (the fail-fast admission check — an EMPTY reference must
+ * abort loudly, not bin every row to null and report all-zero PSI =
+ * "no drift" exactly when the snapshot is missing), then two
+ * single-pass count aggregates over the snapshots (map-side combined
+ * into ≤ bins rows each) with the range embedded as literals, and a
+ * 1-row total aggregate attached via crossJoin(broadcast(...)) —
+ * nothing row-count-sized shuffles; only the two range scalars reach
+ * the driver.
  */
 object Drift {
 
@@ -46,12 +50,16 @@ object Drift {
   def psiBins(ref: DataFrame, cur: DataFrame, value: Column, bins: Int = 10): DataFrame = {
     require(bins >= 2, s"need at least 2 bins, got $bins")
     val spark = ref.sparkSession
-    val mm = ref.agg(min(value).as("mn"), max(value).as("mx"))
+    val mmRow = ref.agg(min(value).as("mn"), max(value).as("mx")).head()
+    require(!mmRow.isNullAt(0) && !mmRow.isNullAt(1),
+      "psiBins: reference frame is empty (min/max null) — the " +
+        "snapshot-admission gate needs a non-empty reference snapshot")
+    val mn = mmRow.getAs[Number](0).longValue()
+    val mx = mmRow.getAs[Number](1).longValue()
 
     def counted(df: DataFrame, n: String): DataFrame =
-      df.crossJoin(broadcast(mm))
-        .select(least(lit(bins - 1L), greatest(lit(0L),
-          floor(((value - col("mn")) * bins) / (col("mx") - col("mn") + 1))))
+      df.select(least(lit(bins - 1L), greatest(lit(0L),
+          floor(((value - lit(mn)) * bins) / lit(mx - mn + 1))))
           .cast("long").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(n))
 

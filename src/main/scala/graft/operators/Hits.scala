@@ -42,10 +42,16 @@ object Hits {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(MEMORY_AND_DISK)
 
+    // zero-sum guard: on an edgeless graph (or once all mass lands on
+    // vertices the next half-step cannot reach) the total is 0 — the
+    // all-zero vector is the honest fixed point, not NaN/Infinity
+    // (mirrors PageRank's dangling-mass coalesce).
     def normalized(scores: DataFrame, c: String): DataFrame = {
       val tot = scores.agg(sum(col(c)).as("__tot"))
       scores.crossJoin(broadcast(tot))
-        .select(col("id"), (col(c) / col("__tot")).as(c))
+        .select(col("id"),
+          when(col("__tot") === 0.0, lit(0.0))
+            .otherwise(col(c) / col("__tot")).as(c))
     }
     /** one propagation half-step: out(to) = Σ in(from) over edges. */
     def push(in: DataFrame, from: String, to: String, c: String): DataFrame =

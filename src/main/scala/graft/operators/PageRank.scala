@@ -36,7 +36,12 @@ object PageRank {
    *              isolated and dangling vertices still receive rank.
    * @param edges directed (src, dst) pairs. Multi-edges count multiple
    *              times — pass a distinct frame for simple-graph
-   *              semantics.
+   *              semantics. Edges whose endpoint is absent from
+   *              `nodes` are DROPPED up front (semi-join against the
+   *              vertex set) — otherwise a contribution to an unknown
+   *              dst would be computed (the src's outdegree counts the
+   *              edge) but silently lost at the join-back, breaking
+   *              the Σ pr = 1 invariant with no error.
    * @return (idCol, pr) with Σ pr = 1.
    */
   def run(
@@ -50,7 +55,12 @@ object PageRank {
     val ids = nodes.select(col(idCol).as("id"))
     // one driver scalar: the vertex count (a Long, not data)
     val n = ids.count()
+    // restrict edges to the vertex set BEFORE degrees: an edge to an
+    // unknown dst must not inflate its src's outdegree (its rank mass
+    // would vanish at the join-back and Σ pr = 1 would silently break)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .persist(MEMORY_AND_DISK) // reused every iteration
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
       .persist(MEMORY_AND_DISK)

@@ -101,11 +101,13 @@ object Rolling {
    * at half ≥ 12.
    *
    * Determinism: both sums are computed in EXACT Long arithmetic with
-   * integer weights 2^(half−1−j) (value · 2^(half−1) must fit a Long);
-   * the ONE floating-point operation is the final correctly-rounded
-   * IEEE division, so the rounded result is bit-identical in any
-   * engine. The `half` lag terms all ride one window frame over one
-   * key exchange — the standing single-shuffle per-entity shape.
+   * integer weights 2^(half−1−j). The numerator sums weights totalling
+   * 2^half − 1, so |value| · (2^half − 1) must fit a Long — at the
+   * half = 52 cap that admits |value| up to ~2048; the ONE
+   * floating-point operation is the final correctly-rounded IEEE
+   * division, so the rounded result is bit-identical in any engine.
+   * The `half` lag terms all ride one window frame over one key
+   * exchange — the standing single-shuffle per-entity shape.
    */
   def ewma(
       df: DataFrame,
@@ -114,7 +116,7 @@ object Rolling {
       value: Column,
       half: Int,
       out: String = "ewma"): DataFrame = {
-    require(half >= 1 && half <= 62, s"half must be in [1, 62], got $half")
+    require(half >= 1 && half <= 52, s"half must be in [1, 52], got $half")
     val w = Window.partitionBy(key).orderBy(orderCols: _*)
     val terms = (0 until half).map { j =>
       val v = if (j == 0) value else lag(value, j).over(w)

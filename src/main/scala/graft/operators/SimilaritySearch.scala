@@ -720,7 +720,10 @@ object SimilaritySearch {
    * (FAISS-style evaluation, public practice). Both inputs are
    * `(query_id, rank, id, …)` frames as produced by the search
    * operators; each is truncated to its top `k` before comparing, and
-   * recall is `|exact ∩ approx| / k` per query.
+   * recall is `|exact ∩ approx| / min(k, |exact|)` per query — the
+   * denominator is the count of exact-side rows actually available,
+   * so a corpus smaller than k+1 (where even a perfect approximation
+   * cannot return k neighbors) can still score 1.0.
    *
    * Scale note: the denominator of the measurement is the EXACT side —
    * quadratic in corpus size — so at 100 TB recall is evaluated on a
@@ -735,7 +738,9 @@ object SimilaritySearch {
       .withColumn("__hit", lit(1))
     ex.join(ap, Seq("query_id", "id"), "left")
       .groupBy("query_id")
-      .agg(count(col("__hit")).as("n_hits"))
-      .withColumn("recall", round(col("n_hits").cast("double") / k, 6))
+      .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("__n_exact"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("__n_exact"), 6))
+      .drop("__n_exact")
   }
 }

@@ -799,7 +799,7 @@ object QVector {
         |it AS MATERIALIZED (SELECT query_id, id FROM isc
         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5)
         |SELECT b.query_id, CAST(count(i.id) AS BIGINT) AS n_hits,
-        |  round(count(i.id) / 5.0, 6) AS recall
+        |  round(count(i.id) / CAST(count(*) AS DOUBLE), 6) AS recall
         |FROM bt b LEFT JOIN it i ON i.query_id = b.query_id AND i.id = b.id
         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)

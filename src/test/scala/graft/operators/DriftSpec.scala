@@ -46,4 +46,14 @@ class DriftSpec extends AnyFunSuite {
     val r = run(Seq(0L, 9L), Seq(0L, 9L))
     assert(r.forall(_._4 === 0L))
   }
+
+  test("an EMPTY reference snapshot fails fast, never reports 'no drift'") {
+    // min/max of an empty ref are null → every row would bin to null
+    // and the gate would report all-zero PSI exactly when the
+    // reference is missing; the admission gate must abort instead
+    val ex = intercept[IllegalArgumentException] {
+      run(Seq.empty, Seq(1L, 2L, 3L))
+    }
+    assert(ex.getMessage.contains("empty reference"))
+  }
 }

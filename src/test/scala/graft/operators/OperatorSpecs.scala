@@ -174,6 +174,16 @@ class OperatorSpecs extends AnyFunSuite {
     assert(r === Seq((1L, 2L, 0.666667), (2L, 0L, 0.0)))
   }
 
+  test("recallAtK: a corpus smaller than k denominates by the exact side") {
+    // only 2 exact rows exist for q1 — a perfect approximation must
+    // score 1.0, not 2/3 (the fixed-k denominator would understate)
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L)).toDF("query_id", "rank", "id")
+    val approx = Seq((1L, 1L, 11L), (1L, 2L, 10L)).toDF("query_id", "rank", "id")
+    val r = SimilaritySearch.recallAtK(exact, approx, k = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r === Seq((1L, 2L, 1.0)))
+  }
+
   test("binaryHammingTopK: exact rerank scores, useful recall, layout determinism") {
     val queries = embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))

@@ -55,6 +55,17 @@ class PageRankSpec extends AnyFunSuite {
     a.zip(b).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) < 1e-12) }
     assert(math.abs(a.map(_._2).sum - 1.0) < 1e-9)
   }
+
+  test("edges to vertices outside `nodes` are dropped — Σ pr stays 1") {
+    // without the semi-join, (1,99) counts in outdeg(1) but its
+    // contribution vanishes at the join-back: Σ pr < 1 silently
+    val r = pr(Seq(1L, 2L), Seq((1L, 2L), (1L, 99L)), iters = 3)
+    assert(math.abs(r.map(_._2).sum - 1.0) < 1e-12)
+    // and the surviving edge carries FULL (not half) contribution:
+    // identical to the graph that never had the phantom edge
+    val clean = pr(Seq(1L, 2L), Seq((1L, 2L)), iters = 3)
+    r.zip(clean).foreach { case ((_, x), (_, y)) => assert(x === y) }
+  }
 }
 
 /** Hits.run (g02) — the textbook pure-hub/pure-authority star, mass
@@ -103,5 +114,12 @@ class HitsSpec extends AnyFunSuite {
     val auth = r.map(x => x._1 -> x._2).toMap
     assert(auth(3L) > auth(4L))
     assert(auth(1L) === 0.0 && auth(2L) === 0.0)
+  }
+
+  test("edgeless graph: all-zero scores, never NaN/Infinity") {
+    val r = hits(Seq(1L, 2L, 3L), Seq.empty)
+    r.foreach { case (_, a, h) =>
+      assert(a === 0.0 && h === 0.0)
+    }
   }
 }

@@ -98,4 +98,13 @@ class RollingEwmaSpec extends AnyFunSuite {
       .orderBy("k", "i").select("ewma").as[Double].collect().toSeq
     assert(a === b)
   }
+
+  test("the horizon cap guards Long overflow: half = 53 is rejected") {
+    // the numerator sums weights totalling 2^half − 1, so at half 53
+    // even modest values risk wrapping Long arithmetic; the cap at 52
+    // admits |value| up to ~2048 exactly
+    intercept[IllegalArgumentException] { run(Seq(1L, 2L), half = 53) }
+    // half = 52 at the admitted magnitude stays exact
+    assert(run(Seq.fill(3)(2048L), half = 52).forall(_ === 2048.0))
+  }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
  *  - `centroids/` — (cluster int, centroid array<float>): the KB-sized
  *    coarse quantizer, collected driver-side on read (same size class
  *    as the literal centroids [[SimilaritySearch]] embeds in codegen);
- *  - `store/` — (id, vec, scale, q) PARTITIONED BY cluster: one
+ *  - `store/v<N>/` — (id, vec, scale, q) PARTITIONED BY cluster: one
  *    parquet partition per Voronoi cell. At 100 TB this is the
  *    point: a query's `nprobe` cells prune to `nprobe` partition
  *    directories (static pruning — the probed cluster ids are
@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
  *    columns ([[Quantize.int8Symmetric]]) ride along so the
  *    storage-side 4× cut (v07/v08) is available without re-reading
  *    float vectors.
+ *  - `manifest/m<K>` — the pointer-commit log (the Delta-log /
+ *    HBase-CURRENT pattern, public practice): each file is one
+ *    complete `(store version, codes version)` pair, written to a
+ *    dot-tmp name and RENAMED into place — one rename = one atomic
+ *    commit. Readers resolve max-K once per operation, so every scan
+ *    in that operation sees ONE consistent (store, codes) snapshot:
+ *    [[rebalance]] can rewrite BOTH tables and publish them in a
+ *    single commit, with no window where a concurrent reader sees a
+ *    missing store or new floats paired with stale PQ codes. A crash
+ *    before the commit leaves only unreferenced `v<N+1>` directories
+ *    (invisible to readers; clobbered by the next maintenance run).
  *
  * Assignment at write and upsert time uses the identical
  * `assignExpr` argmax (cosine, ties to the lower cluster index) the
@@ -35,9 +46,82 @@ import org.apache.spark.sql.functions._
  */
 object AnnIndex {
 
+  /** One committed (store version, codes version) pair; codes = 0
+    * means no PQ codes table has been published. */
+  private final case class Manifest(store: Int, codes: Int)
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val ManifestName = "^m(\\d+)$".r
+
+  /** Highest committed manifest entry, or None for a path [[write]]
+    * has never committed on. Listing + max is atomic-enough: a
+    * concurrent commit either renamed its file before the listing
+    * (reader sees the new snapshot) or after (reader sees the old,
+    * still fully intact — cleanup happens post-commit). */
+  private def readManifest(spark: SparkSession, path: String): Option[Manifest] = {
+    val fs = fsOf(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    if (!fs.exists(dir)) None
+    else {
+      val ks = fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case ManifestName(k) => k.toInt }
+      if (ks.isEmpty) None
+      else {
+        val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"m${ks.max}"))
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val kv = txt.linesIterator.map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> v.trim.toInt }.toMap
+        Some(Manifest(kv("store"), kv.getOrElse("codes", 0)))
+      }
+    }
+  }
+
+  private def current(spark: SparkSession, path: String): Manifest =
+    readManifest(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$path is not an AnnIndex (no committed manifest) — run write() first"))
+
+  /** Publish a new (store, codes) pair: ONE dot-tmp write + ONE rename.
+    * Everything the manifest references must already be fully written —
+    * the rename IS the commit point. */
+  private def commitManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
+    val fs = fsOf(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    fs.mkdirs(dir)
+    val next = 1 + fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case ManifestName(k) => k.toInt }.foldLeft(0)(math.max)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-m$next")
+    val out = fs.create(tmp, true)
+    try out.write(s"store=${m.store}\ncodes=${m.codes}\n".getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"m$next")),
+      s"manifest commit m$next failed (concurrent maintenance run?)")
+  }
+
+  /** The CURRENTLY COMMITTED store directory — exposed so tests/tools
+    * can inspect the physical layout without re-implementing manifest
+    * resolution. */
+  def currentStoreDir(spark: SparkSession, path: String): String =
+    s"$path/store/v${current(spark, path).store}"
+
+  /** The currently committed PQ codes directory (requires
+    * [[writePqCodes]] to have committed one). */
+  def currentCodesDir(spark: SparkSession, path: String): String = {
+    val m = current(spark, path)
+    require(m.codes > 0, s"$path has no committed PQ codes table")
+    s"$path/codes/v${m.codes}"
+  }
+
   /** Train the coarse quantizer on `candidates` (= (id, vec)) and
     * write centroids + the assigned, quantized store. Returns the
-    * trained centroids. */
+    * trained centroids. A re-train on an existing index publishes a
+    * FRESH store version (readers on the old snapshot are undisturbed
+    * until the commit). */
   def write(
       path: String, candidates: DataFrame,
       numClusters: Int, iters: Int): Array[Array[Float]] = {
@@ -49,17 +133,25 @@ object AnnIndex {
       .toDF("cluster", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    val prev = readManifest(spark, path)
+    val v = prev.fold(1)(_.store + 1)
     assigned(centroids, candidates)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/store")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/store/v$v")
+    commitManifest(spark, path, Manifest(v, prev.fold(0)(_.codes)))
     centroids
   }
 
   /** Assign a NEW batch (= (id, vec)) to the persisted centroids and
     * append its cells — incremental maintenance without retraining
-    * (periodic re-training is a full [[write]]). */
-  def upsert(path: String, batch: DataFrame): Unit =
-    assigned(readCentroids(batch.sparkSession, path), batch)
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/store")
+    * (periodic re-training is a full [[write]]). An append into the
+    * CURRENT store version needs no manifest commit: parquet appends
+    * are themselves task-committed files. */
+  def upsert(path: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    assigned(readCentroids(spark, path), batch)
+      .write.mode("append").partitionBy("cluster")
+      .parquet(currentStoreDir(spark, path))
+  }
 
   /**
    * DELETE by id — append-only tombstones (`tombstones/`), the
@@ -111,33 +203,31 @@ object AnnIndex {
    * re-encoded from the surviving float vectors under the persisted
    * codebooks. Tombstones are cleared afterwards.
    *
-   * The rewrite goes to `store.tmp` then swaps directories — the
-   * store is never read and overwritten in place.
+   * The rewrite goes to FRESH `store/v<N+1>` (and `codes/v<M+1>`)
+   * directories, then both are published in ONE manifest commit — the
+   * committed snapshot is never read and overwritten in place, a
+   * concurrent reader resolves either the old pair or the new pair
+   * (never a missing store, never new floats with stale codes), and a
+   * crash before the commit leaves the old snapshot live (the
+   * orphaned v<N+1> directories are clobbered by the next run's
+   * overwrite-mode write).
    */
   def rebalance(spark: SparkSession, path: String, dim: Int = 0): RebalanceReport = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(hconf)
-    def cellFiles(sub: String): Map[String, Long] = {
-      val d = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    val fs = fsOf(spark, path)
+    def cellFiles(dir: String): Map[String, Long] = {
+      val d = new org.apache.hadoop.fs.Path(dir)
       if (!fs.exists(d)) Map.empty
       else fs.listStatus(d).filter(_.isDirectory).map { cell =>
         cell.getPath.getName ->
           fs.listStatus(cell.getPath).count(_.getPath.getName.endsWith(".parquet")).toLong
       }.toMap
     }
-    def swap(sub: String, rewrite: String => Unit): Unit = {
-      val tmp = s"$path/$sub.tmp"
-      rewrite(tmp)
-      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      fs.delete(dst, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-        s"rebalance: rename $tmp -> $dst failed")
-    }
-    val before = cellFiles("store")
-    val total = spark.read.parquet(s"$path/store").count()
+    val cur = current(spark, path)
+    val storeCur = s"$path/store/v${cur.store}"
+    val before = cellFiles(storeCur)
+    val total = spark.read.parquet(storeCur).count()
     val centroids = readCentroids(spark, path)
-    val hasCodes = fs.exists(new org.apache.hadoop.fs.Path(s"$path/pq_codebooks"))
+    val hasCodes = cur.codes > 0
     if (hasCodes) {
       require(dim > 0, "rebalance of a PQ-coded index needs the vector dim")
       // the FLOAT store is the source of truth for re-encoding: a
@@ -146,30 +236,37 @@ object AnnIndex {
       // rewrite — fail loudly instead of losing vectors. Checked
       // against the PRE-tombstone store: tombstoned ids are legal in
       // codes, they just die in both tables.
-      val orphans = spark.read.parquet(s"$path/codes").select("id")
-        .join(spark.read.parquet(s"$path/store").select("id"), Seq("id"), "left_anti")
+      val orphans = spark.read.parquet(s"$path/codes/v${cur.codes}").select("id")
+        .join(spark.read.parquet(storeCur).select("id"), Seq("id"), "left_anti")
         .count()
       require(orphans == 0L,
         s"rebalance: $orphans code rows have no float-store row — " +
           "upsertPqCodes batches must also be upsert()ed before a rebalance")
     }
     val survivors = minusTombstones(spark, path,
-      spark.read.parquet(s"$path/store").select("id", "vec"))
+      spark.read.parquet(storeCur).select("id", "vec"))
     val kept = survivors.count()
-    swap("store", tmp =>
-      assigned(centroids, survivors)
-        .repartition(col("cluster")) // one task per cell → one file per cell
-        .write.mode("overwrite").partitionBy("cluster").parquet(tmp))
+    val storeNext = s"$path/store/v${cur.store + 1}"
+    assigned(centroids, survivors)
+      .repartition(col("cluster")) // one task per cell → one file per cell
+      .write.mode("overwrite").partitionBy("cluster").parquet(storeNext)
     if (hasCodes) {
       val codebooks = readPqCodebooks(spark, path)
-      swap("codes", tmp =>
-        encodeBatch(centroids, codebooks, dim,
-            spark.read.parquet(s"$path/store").select("id", "vec"))
-          .repartition(col("cluster"))
-          .write.mode("overwrite").partitionBy("cluster").parquet(tmp))
+      encodeBatch(centroids, codebooks, dim,
+          spark.read.parquet(storeNext).select("id", "vec"))
+        .repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$path/codes/v${cur.codes + 1}")
     }
+    // the ONE commit point: both rewrites become visible together
+    commitManifest(spark, path,
+      Manifest(cur.store + 1, if (hasCodes) cur.codes + 1 else 0))
+    // post-commit cleanup — failures here strand bytes, never readers
+    fs.delete(new org.apache.hadoop.fs.Path(storeCur), true)
+    if (hasCodes)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/v${cur.codes}"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-    val after = cellFiles("store")
+    val after = cellFiles(storeNext)
     RebalanceReport(kept, total - kept, after.size.toLong,
       if (before.isEmpty) 0L else before.values.max,
       if (after.isEmpty) 0L else after.values.max)
@@ -185,8 +282,11 @@ object AnnIndex {
       spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int,
       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // resolve the committed snapshot FIRST (fails loudly on a
+    // manifest-less path), then read everything from that one snapshot
+    val storeDir = currentStoreDir(spark, path)
     val centroids = readCentroids(spark, path)
-    val raw = minusTombstones(spark, path, spark.read.parquet(s"$path/store"))
+    val raw = minusTombstones(spark, path, spark.read.parquet(storeDir))
     val cb = where.fold(raw)(raw.filter)
       .select(col("id"), col("vec"), col("__cn"), col("cluster").cast("int"))
     SimilaritySearch.ivfSearchAssigned(queries, cb, centroids, k, nprobe)
@@ -202,10 +302,12 @@ object AnnIndex {
   // `pq_codebooks/` — (subspace int, cluster int, centroid
   // array<float>): the m×ksub sub-quantizers, KB-sized, collected
   // driver-side on read exactly like the coarse centroids.
-  // `codes/` — (id, code0..code{m-1}) PARTITIONED BY cluster: the
+  // `codes/v<M>/` — (id, code0..code{m-1}) PARTITIONED BY cluster: the
   // 100 TB scan side. m ints per vector instead of dim floats (a 64×
   // byte cut at dim=64/m=4) AND nprobe directory pruning — a query
-  // touches nprobe cells × m ints, the float store never loads.
+  // touches nprobe cells × m ints, the float store never loads. The
+  // live version is named by the same manifest entry as the store, so
+  // the floats/codes pair is always resolved as ONE snapshot.
 
   /** Train PQ codebooks on `candidates` and persist codebooks + the
     * cell-partitioned codes table. Requires [[write]] to have run (the
@@ -221,8 +323,11 @@ object AnnIndex {
     }.toSeq.toDF("subspace", "cluster", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    val cur = current(spark, path)
+    val v = cur.codes + 1
     encodeBatch(readCentroids(spark, path), codebooks, dim, candidates)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes/v$v")
+    commitManifest(spark, path, Manifest(cur.store, v))
     codebooks
   }
 
@@ -231,7 +336,8 @@ object AnnIndex {
   def upsertPqCodes(path: String, batch: DataFrame, dim: Int): Unit = {
     val spark = batch.sparkSession
     encodeBatch(readCentroids(spark, path), readPqCodebooks(spark, path), dim, batch)
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+      .write.mode("append").partitionBy("cluster")
+      .parquet(currentCodesDir(spark, path))
   }
 
   /** IVFPQ top-k over the persisted codes table: nprobe directory
@@ -254,10 +360,11 @@ object AnnIndex {
       spark: SparkSession, path: String, queries: DataFrame,
       dim: Int, k: Int, nprobe: Int,
       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val codesDir = currentCodesDir(spark, path) // snapshot first
     val centroids = readCentroids(spark, path)
     val codebooks = readPqCodebooks(spark, path)
     val m = codebooks.length
-    val raw = minusTombstones(spark, path, spark.read.parquet(s"$path/codes"))
+    val raw = minusTombstones(spark, path, spark.read.parquet(codesDir))
     val codes = where.fold(raw)(raw.filter)
       .select(col("id") +: col("cluster").cast("int").as("cluster") +:
         (0 until m).map(s => col(s"code$s")): _*)

@@ -31,7 +31,7 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fresh.exceptAll(reloaded).count() === 0)
     // the store is laid out one parquet partition per Voronoi cell —
     // the physical property that lets nprobe prune directories at scale
-    val cells = new java.io.File(s"$path/store").listFiles()
+    val cells = new java.io.File(AnnIndex.currentStoreDir(spark, path)).listFiles()
       .filter(_.getName.startsWith("cluster=")).map(_.getName).sorted
     assert(cells.nonEmpty && cells.forall(_.matches("cluster=\\d+")),
       s"store not cell-partitioned: ${cells.mkString(",")}")
@@ -56,7 +56,7 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fresh.exceptAll(reloaded).count() === 0)
     // upsert appended rows into existing cell dirs — store row count
     // is the union
-    val stored = spark.read.parquet(s"$path/store").count()
+    val stored = spark.read.parquet(AnnIndex.currentStoreDir(spark, path)).count()
     assert(stored === cands.count())
   }
 
@@ -68,7 +68,7 @@ class AnnIndexSpec extends AnyFunSuite {
     // leaves many tiny files per hot cell
     (0 until 5).foreach(r =>
       AnnIndex.upsert(path, cands.filter(pmod(col("id"), lit(25)) === r * 5)))
-    val total = spark.read.parquet(s"$path/store").count()
+    val total = spark.read.parquet(AnnIndex.currentStoreDir(spark, path)).count()
     assert(total === cands.count(), "upserts must cover the full set")
 
     AnnIndex.delete(path, cands.filter(col("id") % 7 === 0).select("id"))
@@ -96,7 +96,7 @@ class AnnIndexSpec extends AnyFunSuite {
       "precondition: skewed upserts should have fragmented some cell")
     // tombstones cleared — a fresh delete-free search sees the survivors
     assert(!new java.io.File(s"$path/tombstones").exists())
-    assert(spark.read.parquet(s"$path/store").count() === report.rows)
+    assert(spark.read.parquet(AnnIndex.currentStoreDir(spark, path)).count() === report.rows)
   }
 
   test("persisted PQ codes: search equals in-memory ivfPqTopK; codes table is ints-only") {
@@ -111,13 +111,13 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fresh.exceptAll(reloaded).count() === 0)
     // the codes table carries ONLY id + m int codes (cluster is the
     // partition directory) — no float vectors on the scan side
-    val schema = spark.read.parquet(s"$path/codes").schema
+    val schema = spark.read.parquet(AnnIndex.currentCodesDir(spark, path)).schema
     assert(schema.fieldNames.toSet ===
       Set("id", "code0", "code1", "code2", "code3", "cluster"), schema.treeString)
     assert((0 until 4).forall(s =>
       schema(s"code$s").dataType === org.apache.spark.sql.types.IntegerType))
     // and it lands cell-partitioned like the float store
-    val cells = new java.io.File(s"$path/codes").listFiles()
+    val cells = new java.io.File(AnnIndex.currentCodesDir(spark, path)).listFiles()
       .filter(_.getName.startsWith("cluster=")).map(_.getName)
     assert(cells.nonEmpty && cells.forall(_.matches("cluster=\\d+")))
   }
@@ -205,7 +205,7 @@ class AnnIndexSpec extends AnyFunSuite {
       codebooks, k = 5)
     assert(reloaded.exceptAll(fresh).count() === 0)
     assert(fresh.exceptAll(reloaded).count() === 0)
-    assert(spark.read.parquet(s"$path/codes").count() === cands.count())
+    assert(spark.read.parquet(AnnIndex.currentCodesDir(spark, path)).count() === cands.count())
 
     // delete + rebalance through the CODES path: the tombstone
     // anti-join over codes must equal the physically re-encoded
@@ -224,8 +224,70 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.readPqCodebooks(spark, path).map(_.map(_.toSeq).toSeq).toSeq ===
       codebooks.map(_.map(_.toSeq).toSeq).toSeq,
       "rebalance must not touch the trained codebooks")
-    assert(spark.read.parquet(s"$path/codes").count() ===
+    assert(spark.read.parquet(AnnIndex.currentCodesDir(spark, path)).count() ===
       cands.filter(col("id") % 7 =!= 0).count())
+  }
+
+  test("pointer-commit: a reader between the two rewrites sees the OLD consistent pair") {
+    // a maintenance run writes store/v2 then codes/v2 then commits —
+    // the old double-rename swap exposed (no store at all) and (new
+    // floats, stale codes) windows. With the manifest, everything
+    // before the commit is invisible: emulate the mid-maintenance
+    // state by writing BOTH next-version directories (one of them
+    // garbage, so reading it would provably change results) WITHOUT a
+    // commit, and assert searches still equal the committed snapshot.
+    val path = Files.createTempDirectory("graft_annidx_ptr").toString
+    AnnIndex.write(path, cands, numClusters = 8, iters = 2)
+    AnnIndex.writePqCodes(path, cands, dim = 64, m = 4, ksub = 8, iters = 2)
+    val baseF = AnnIndex.topK(spark, path, queries, k = 5, nprobe = 3).collect().toSet
+    val basePq = AnnIndex.topKPq(spark, path, queries, dim = 64, k = 5, nprobe = 3)
+      .collect().toSet
+
+    // uncommitted in-flight rewrites: a half-corpus store and an
+    // EMPTY-schema'd codes table at the next version numbers
+    spark.read.parquet(AnnIndex.currentStoreDir(spark, path))
+      .filter(col("id") % 2 === 0)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/store/v2")
+    spark.read.parquet(AnnIndex.currentCodesDir(spark, path))
+      .filter(col("id") < 0)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes/v2")
+
+    assert(AnnIndex.currentStoreDir(spark, path).endsWith("/store/v1"))
+    assert(AnnIndex.currentCodesDir(spark, path).endsWith("/codes/v1"))
+    val midF = AnnIndex.topK(spark, path, queries, k = 5, nprobe = 3).collect().toSet
+    val midPq = AnnIndex.topKPq(spark, path, queries, dim = 64, k = 5, nprobe = 3)
+      .collect().toSet
+    assert(midF === baseF, "reader must not see the uncommitted store rewrite")
+    assert(midPq === basePq, "reader must not see the uncommitted codes rewrite")
+
+    // a real maintenance run then CLOBBERS the orphaned v2 dirs
+    // (overwrite-mode) and publishes both in one commit
+    AnnIndex.delete(path, cands.filter(col("id") % 7 === 0).select("id"))
+    AnnIndex.rebalance(spark, path, dim = 64)
+    assert(AnnIndex.currentStoreDir(spark, path).endsWith("/store/v2"))
+    assert(AnnIndex.currentCodesDir(spark, path).endsWith("/codes/v2"))
+    val afterPq = AnnIndex.topKPq(spark, path, queries, dim = 64, k = 5, nprobe = 3)
+      .collect().toSet
+    assert(afterPq.nonEmpty && afterPq.forall(_.getAs[Long]("id") % 7 != 0))
+    // floats/codes parity after the commit: same id sets
+    val storeIds = spark.read.parquet(AnnIndex.currentStoreDir(spark, path))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val codeIds = spark.read.parquet(AnnIndex.currentCodesDir(spark, path))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(storeIds === codeIds, "committed snapshot must pair floats and codes")
+    // the old snapshot was cleaned up post-commit
+    assert(!new java.io.File(s"$path/store/v1").exists())
+    assert(!new java.io.File(s"$path/codes/v1").exists())
+  }
+
+  test("crash window: a manifest-less path fails loudly; a stale manifest serves the old version") {
+    // no write() ever committed → not an index, loud failure (the old
+    // layout would have surfaced a FileNotFound deep in the scan)
+    val empty = Files.createTempDirectory("graft_annidx_crash").toString
+    val ex = intercept[IllegalStateException] {
+      AnnIndex.topK(spark, empty, queries, k = 5, nprobe = 3)
+    }
+    assert(ex.getMessage.contains("no committed manifest"))
   }
 
   test("foreachBatch ANN ingestion: streamed upserts (float + PQ) equal one-shot assignment") {
@@ -283,7 +345,7 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(gotPq.exceptAll(freshPq).count() === 0)
     assert(freshPq.exceptAll(gotPq).count() === 0)
     // both stores hold exactly the union
-    assert(spark.read.parquet(s"$path/store").count() === cands.count())
-    assert(spark.read.parquet(s"$path/codes").count() === cands.count())
+    assert(spark.read.parquet(AnnIndex.currentStoreDir(spark, path)).count() === cands.count())
+    assert(spark.read.parquet(AnnIndex.currentCodesDir(spark, path)).count() === cands.count())
   }
 }

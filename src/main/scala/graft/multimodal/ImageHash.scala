@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Perceptual image fingerprinting — dHash (difference hash, public
+ * technique: resample to a tiny luma grid, emit one bit per
+ * horizontally-adjacent pixel comparison). The "dedup a 100 TB image
+ * corpus" story: re-encodes, recompressions, and light retouches of
+ * the same picture produce byte-distinct payloads but near-identical
+ * dHash codes, so near-dup detection reduces to Hamming distance over
+ * 64-bit integers — the exact machinery the text side already runs
+ * for SimHash ([[graft.operators.Dedup.simhashNearDupPairs]]).
+ *
+ * Determinism: the resample is the house nearest-neighbor kernel
+ * ([[Multimodal.resizeFrame]] — pure integer index arithmetic
+ * `sy = y·h/H`, `sx = x·w/W`), and the comparison is an integer
+ * `<` — no floats anywhere, so the code is bit-identical in any
+ * engine (the m12 oracle replays it in SQL from the keystream
+ * pixels through the real PNG round-trip).
+ *
+ * Scale shape: hashing is map-only inside the same `mapPartitions`
+ * pass that decodes frames (a 64-bit code per frame leaves the
+ * executor, never pixels); pairing is the banded equi-join below —
+ * never all-pairs.
+ */
+object ImageHash {
+
+  /** 64-bit dHash of one decoded frame: nearest-neighbor resample to
+    * a 9×8 luma grid, bit (y·8+x) set iff grid(y,x) < grid(y,x+1). */
+  def dHash64(f: DecodedFrame): Long = {
+    val g = Multimodal.resizeFrame(f, 9, 8)
+    var code = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((g.pixels(y * 9 + x) & 0xff) < (g.pixels(y * 9 + x + 1) & 0xff))
+          code |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    code
+  }
+
+  /** Per-frame codes: `(media_id, frame_idx, dhash)` — the map-only
+    * companion to [[Multimodal.sampleFrames]]; only 12 bytes per frame
+    * survive past the decode task. */
+  def frameHashes(frames: Dataset[DecodedFrame]): DataFrame = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map(f => (f.media_id, f.frame_idx, dHash64(f))))
+      .toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /**
+   * Near-dup pairs with Hamming distance ≤ `maxHamming` over 64-bit
+   * codes, banded: the code splits into four 16-bit chunks, and by
+   * pigeonhole two codes within Hamming 3 agree exactly on at least
+   * one chunk — so a chunk-equality join finds EVERY such pair
+   * (engine ≡ exhaustive, which is precisely what the m12 oracle
+   * checks) while candidate generation stays an equi-join on
+   * (chunk, value) buckets, never a cross join.
+   */
+  def nearDupPairs(
+      codes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band chunking guarantees recall only to Hamming 3")
+    val chunked = codes.select(
+      col(idCol).as("id"), col(hashCol).as("code"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col(hashCol), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("id", "code", "chunk", "chunk_val")
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.code").as("code_a"), col("b.code").as("code_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("code_a").bitwiseXOR(col("code_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -209,6 +209,29 @@ object QMedia {
     }
   }
 
+  /** The [[imageMedia]] originals (ids 0–23) plus a perturbed re-encode
+    * of each at id 100+i — pixel j bumped by +2 (clamped) when j%5==0,
+    * then through the SAME lossless PNG round-trip. The m12 fixture:
+    * byte-distinct payloads whose dHash codes sit within a few bits of
+    * their originals, the retouch/re-encode shape perceptual hashing
+    * exists to catch. */
+  def imageDupMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(48).as[Long].map { k =>
+      val src = k % 24
+      val w = (4 + src % 5).toInt
+      val h = (3 + src % 4).toInt
+      val px = Multimodal.FakeCodec.encode(s"img:$src", w, h, 1)
+      val out =
+        if (k < 24) px
+        else px.zipWithIndex.map { case (b, j) =>
+          math.min(255, (b & 0xff) + (if (j % 5 == 0) 2 else 0)).toByte
+        }
+      MediaRow(if (k < 24) src else 100 + src, "image",
+        Multimodal.ImageIoCodec.encodePng(w, h, out), 0, 0, 1, "image/png")
+    }
+  }
+
   /** The m02-shaped per-frame integer stats oracle, parameterized by
     * keystream seed prefix (the only thing that differs between the
     * GIF, MP4, and AVI fixtures). */
@@ -560,5 +583,50 @@ object QMedia {
         .select("media_id", "frame_idx", "frame_ms", "cue_idx",
           "start_ms", "end_ms")
         .orderBy("media_id", "frame_idx", "cue_idx")
+    },
+
+    // M12: perceptual-hash image near-dup (ImageHash.dHash64 + banded
+    // Hamming pairs) over originals + perturbed re-encodes. The oracle
+    // replays the WHOLE pipeline from the keystream: perturbed pixels,
+    // the integer nearest-neighbor 9×8 resample, the bitwise dHash
+    // (packed as two 32-bit halves — SQL BIGINT can't construct bit
+    // 63 by summed powers), and EXHAUSTIVE ≤3-Hamming pairs — so the
+    // equality also certifies the band-join's pigeonhole recall
+    // guarantee (banded engine ≡ all-pairs oracle at h ≤ 3).
+    QueryDef.of("m12_image_neardup_dhash",
+      """WITH m AS (SELECT i AS media_id, i AS src, 0 AS pert FROM range(24) t(i)
+        |  UNION ALL SELECT 100 + i, i, 1 FROM range(24) t(i)),
+        |d AS (SELECT media_id, src, pert, CAST(4 + src % 5 AS INT) AS w,
+        |    CAST(3 + src % 4 AS INT) AS h FROM m),
+        |px AS (SELECT media_id, w, h, j,
+        |    LEAST(255, ('0x' || substr(md5('img:' || src || ':' || CAST(j // 16 AS BIGINT)),
+        |                    CAST(2*(j % 16)+1 AS INT), 2))::INT
+        |      + CASE WHEN pert = 1 AND j % 5 = 0 THEN 2 ELSE 0 END) AS v
+        |  FROM d, range(48) t(j) WHERE j < w * h),
+        |grid AS (SELECT d.media_id, yy.y, xx.x, p.v
+        |  FROM d CROSS JOIN range(8) yy(y) CROSS JOIN range(9) xx(x)
+        |  JOIN px p ON p.media_id = d.media_id
+        |    AND p.j = (yy.y * d.h // 8) * d.w + (xx.x * d.w // 9)),
+        |bits AS (SELECT l.media_id, l.y * 8 + l.x AS pos,
+        |    CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS bit
+        |  FROM grid l JOIN grid r ON r.media_id = l.media_id
+        |    AND r.y = l.y AND r.x = l.x + 1
+        |  WHERE l.x < 8),
+        |codes AS MATERIALIZED (SELECT media_id,
+        |    CAST(SUM(CASE WHEN pos < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(pos AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN pos >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(pos - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |FROM codes a JOIN codes b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val codes = graft.multimodal.ImageHash.frameHashes(
+        Multimodal.sampleFrames(imageDupMedia(s), everyN = 1))
+      graft.multimodal.ImageHash
+        .nearDupPairs(codes, "media_id", "dhash", maxHamming = 3)
+        .orderBy("id_a", "id_b")
     })
 }

@@ -105,6 +105,41 @@ object MediaScaleSmoke {
         s"scale=$c m11 aligned rows EXACTLY linear (${a1._2}->$rows)")
     }
 
+    // m12 perceptual near-dup: the REAL decoded dHash codes replicated
+    // into copy spaces whose top 16 bits carry a 4×-repeated-nibble
+    // tag — distinct tags differ in ≥ 4 bits, so at maxHamming=3 a
+    // cross-copy pair is IMPOSSIBLE by construction: pair count must
+    // be exactly linear, cross-copy pairs exactly zero, and the
+    // candidate join must stay a banded equi-join (no cartesian).
+    val baseCodes = graft.multimodal.ImageHash.frameHashes(
+        Multimodal.sampleFrames(QMedia.imageDupMedia(spark), everyN = 1))
+      .select(col("media_id"), col("dhash"))
+      .persist()
+    val m12Runs = scales.map { c =>
+      val codes = (0 until c).map { k =>
+        baseCodes.select(
+          (col("media_id") + k * 1000L).as("media_id"),
+          col("dhash").bitwiseAND(lit(0xffffffffffffL))
+            .bitwiseOR(lit(k.toLong * 0x1111L << 48)).as("dhash"))
+      }.reduce(_.unionByName(_))
+      val pairs = graft.multimodal.ImageHash
+        .nearDupPairs(codes, "media_id", "dhash", maxHamming = 3)
+      val plan = pairs.queryExecution.executedPlan.toString
+      check(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+        s"scale=$c m12 pair join stays a banded equi-join")
+      val cross = pairs
+        .filter(floor(col("id_a") / 1000) =!= floor(col("id_b") / 1000)).count()
+      check(cross == 0L, s"scale=$c m12 cross-copy pairs exactly zero (got $cross)")
+      (c, pairs.count())
+    }
+    val p1 = m12Runs.head
+    m12Runs.tail.foreach { case (c, rows) =>
+      check(rows * p1._1 == p1._2 * c,
+        s"scale=$c m12 pair count EXACTLY linear (${p1._2}->$rows)")
+    }
+    baseCodes.unpersist()
+
     // byte-balanced partitioning: skewed payloads (64 KiB .. 512 KiB)
     val skewed = spark.range(64).select(
         col("id").as("media_id"),

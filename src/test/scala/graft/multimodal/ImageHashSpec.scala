@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import graft.SparkTestSession
+import graft.queries.QMedia
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ImageHash (m12) — hand-computed codes, re-encode invariance, and
+  * the band join's pigeonhole guarantee vs exhaustive pairs. */
+class ImageHashSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def frame(w: Int, h: Int, px: Array[Byte]) =
+    DecodedFrame(0L, 0, w, h, px)
+
+  test("dHash64 on an exact 9x8 grid: monotone rows saturate the code") {
+    // already grid-sized → the resample is the identity; strictly
+    // increasing pixels set every bit, decreasing set none
+    val inc = frame(9, 8, Array.tabulate(72)(_.toByte))
+    assert(ImageHash.dHash64(inc) === -1L) // all 64 bits
+    val dec = frame(9, 8, Array.tabulate(72)(j => (200 - j).toByte))
+    assert(ImageHash.dHash64(dec) === 0L)
+  }
+
+  test("dHash64 hand-computed single-bit case") {
+    // flat gray except one bright pixel at grid (0,1): only the
+    // (y=0,x=0) comparison 100 < 200 sets a bit; (0,1) has 200 > 100
+    val px = Array.fill(72)(100.toByte)
+    px(1) = 200.toByte
+    assert(ImageHash.dHash64(frame(9, 8, px)) === 1L)
+  }
+
+  test("PNG re-encode is hash-invariant; the perturbed copy stays within Hamming 3") {
+    import spark.implicits._
+    val codes = ImageHash.frameHashes(
+        Multimodal.sampleFrames(QMedia.imageDupMedia(spark), everyN = 1))
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    // every original decodes to SOME code and its perturbed copy is near
+    (0L until 24L).foreach { i =>
+      val d = java.lang.Long.bitCount(codes(i) ^ codes(100 + i))
+      assert(d <= 3, s"img $i vs its +2-perturbed copy: hamming $d")
+    }
+  }
+
+  test("banded pair join == exhaustive all-pairs at Hamming <= 3 (pigeonhole recall)") {
+    import spark.implicits._
+    val codesDf = ImageHash.frameHashes(
+        Multimodal.sampleFrames(QMedia.imageDupMedia(spark), everyN = 1))
+      .select("media_id", "dhash")
+    val banded = ImageHash.nearDupPairs(codesDf, "media_id", "dhash", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val codes = codesDf.as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, ca) <- codes; (ib, cb) <- codes if ia < ib
+      d = java.lang.Long.bitCount(ca ^ cb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "fixture must actually contain near-dups")
+  }
+
+  test("disjoint copy tags (pairwise Hamming >= 4) never cross-pair") {
+    import spark.implicits._
+    // the MediaScaleSmoke replication scheme in miniature: top 16 bits
+    // carry a 4x-repeated nibble, so distinct tags differ in >= 4 bits
+    val base = Seq((1L, 0x0123456789abL), (2L, 0x0123456789a8L)) // hamming 2
+    val tagged = (0 until 3).flatMap { k =>
+      base.map { case (id, c) =>
+        (id + k * 100L, (c & 0xffffffffffffL) | (k.toLong * 0x1111L) << 48)
+      }
+    }.toDF("media_id", "dhash")
+    val pairs = ImageHash.nearDupPairs(tagged, "media_id", "dhash", maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.length === 3) // one within-copy pair per copy, no cross
+    assert(pairs.forall { case (a, b, d) => b - a === 1L && d === 2L })
+  }
+}

@@ -123,4 +123,89 @@ object TextModel {
         round((sum(col("__nlp_micro")).cast("double") / count(lit(1))) / 1e6, 6)
           .as("avg_neg_logp"))
   }
+
+  /**
+   * CROSS-corpus TRIGRAM perplexity with STUPID BACKOFF (Brants et
+   * al. 2007 "Large Language Models in Machine Translation", public
+   * method — the web-scale scoring scheme that replaces normalized
+   * smoothing with a fixed backoff penalty, chosen there precisely
+   * because it needs only raw count tables and no discount
+   * renormalization pass, i.e. the MapReduce/Spark-friendly LM):
+   *
+   *   S(w3|w1 w2) = c(w1w2w3)/c(w1w2)                 if c(w1w2w3) > 0
+   *               = α · c(w2w3)/c(w2)                 else if c(w2w3) > 0
+   *               = α² · (c(w3)+k)/(N+k·V)            otherwise
+   *
+   * with the canonical α = 0.4 and an add-k unigram floor so OOV
+   * words score finite (stupid backoff leaves OOV undefined; the
+   * add-k floor is the same limit the bigram forms use). This is the
+   * CCNet-grade upgrade over [[bigramCrossPerplexity]]: order-3
+   * context with graceful degradation instead of collapsing every
+   * unseen bigram straight to the smoothing mass.
+   *
+   * Scale shape: the reference LM is THREE count tables (trigram,
+   * bigram, unigram — each one linear hash aggregate); scoring joins
+   * each document trigram against the trigram table once, the bigram
+   * table twice (context w1w2 and backoff w2w3), and the unigram
+   * table twice (w2 and w3) — all shuffle equi-joins on the n-gram
+   * key (an LM over a web-scale reference is itself large — never
+   * assumed broadcastable); N and V ride a 1-row broadcast crossJoin.
+   * Per-trigram −ln S is rounded to integer micro-nats BEFORE the
+   * per-doc sum — exact Long arithmetic, engine-portable.
+   *
+   * Documents with fewer than 3 tokens have no trigrams and are
+   * absent from the output, as in the bigram forms.
+   */
+  def trigramBackoffCrossPerplexity(
+      reference: DataFrame, refTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.4, k: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    require(k > 0.0, "smoothing k must be positive")
+    val refToks = reference.select(
+      TextFunctions.tokens(TextFunctions.canonicalText(col(refTextCol))).as("__toks"))
+    val refTri = refToks
+      .select(explode(TextFunctions.shinglesFromTokens(col("__toks"), 3)).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c_tri"))
+    val refBg = refToks
+      .select(explode(TextFunctions.shinglesFromTokens(col("__toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val refUni = refToks
+      .select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val scal = refUni.agg(
+      count(lit(1)).cast("double").as("v"),
+      sum(col("c_w")).cast("double").as("n_tokens"))
+
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
+    val tris = toks
+      .select(col("id"), explode(TextFunctions.shinglesFromTokens(col("__toks"), 3)).as("tg"))
+      .select(col("id"), col("tg"),
+        substring_index(col("tg"), " ", 2).as("ctx12"),
+        substring_index(col("tg"), " ", -2).as("suf23"),
+        substring_index(substring_index(col("tg"), " ", -2), " ", 1).as("w2"),
+        substring_index(col("tg"), " ", -1).as("w3"))
+    tris
+      .join(refTri, Seq("tg"), "left")
+      .join(refBg.toDF("ctx12", "c_ctx"), Seq("ctx12"), "left")
+      .join(refBg.toDF("suf23", "c_suf"), Seq("suf23"), "left")
+      .join(refUni.toDF("w2", "c_w2"), Seq("w2"), "left")
+      .join(refUni.toDF("w3", "c_w3"), Seq("w3"), "left")
+      .na.fill(0L, Seq("c_tri", "c_ctx", "c_suf", "c_w2", "c_w3"))
+      .crossJoin(broadcast(scal))
+      // c(w1w2w3) > 0 ⟹ c(w1w2) > 0 and c(w2w3) > 0 ⟹ c(w2) > 0, so
+      // neither in-tier division can hit zero
+      .withColumn("__score",
+        when(col("c_tri") > 0, col("c_tri") / col("c_ctx"))
+          .when(col("c_suf") > 0, (lit(alpha) * col("c_suf")) / col("c_w2"))
+          .otherwise((lit(alpha) * lit(alpha) * (col("c_w3") + k)) /
+            (col("n_tokens") + lit(k) * col("v"))))
+      .withColumn("__nlp_micro", round(-log(col("__score")) * 1e6).cast("long"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        round((sum(col("__nlp_micro")).cast("double") / count(lit(1))) / 1e6, 6)
+          .as("avg_neg_logp"))
+  }
 }

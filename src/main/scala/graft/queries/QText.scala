@@ -1343,6 +1343,60 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // T60: trigram STUPID-BACKOFF cross-perplexity (TextModel
+    // .trigramBackoffCrossPerplexity, Brants 2007) — the CCNet-grade
+    // upgrade of t57: order-3 context, α=0.4 backoff through the w2w3
+    // bigram, add-k unigram floor for OOV. The oracle replays the
+    // three count tables and the tier CASE term-for-term (the same
+    // micro-nat integer scheme; α spelled CAST(0.4 AS DOUBLE) so both
+    // engines multiply identical IEEE doubles).
+    QueryDef.of("t60_trigram_backoff_perplexity",
+      s"""WITH tr AS (SELECT $CTOKS AS t FROM documents WHERE doc_id % 10 = 0),
+         |trt AS (SELECT tg, count(*) AS c_tri FROM (SELECT
+         |    unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS tg
+         |  FROM tr) GROUP BY tg),
+         |trb AS (SELECT bg, count(*) AS c_bg FROM (SELECT
+         |    unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS bg
+         |  FROM tr) GROUP BY bg),
+         |tru AS (SELECT w, count(*) AS c_w
+         |  FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+         |sv AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+         |    CAST(SUM(c_w) AS DOUBLE) AS n_tokens FROM tru),
+         |d AS (SELECT doc_id, $CTOKS AS t FROM documents WHERE doc_id % 10 <> 0),
+         |tgr AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS tg
+         |  FROM d),
+         |keys AS (SELECT doc_id, tg,
+         |    split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS ctx12,
+         |    split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS suf23,
+         |    split_part(tg, ' ', 2) AS w2, split_part(tg, ' ', 3) AS w3
+         |  FROM tgr),
+         |sc AS (SELECT doc_id,
+         |    CAST(round(-ln(
+         |      CASE WHEN coalesce(c_tri, 0) > 0
+         |             THEN coalesce(c_tri, 0) / CAST(cb1.c_bg AS DOUBLE)
+         |           WHEN coalesce(cb2.c_bg, 0) > 0
+         |             THEN (CAST(0.4 AS DOUBLE) * cb2.c_bg) / CAST(u2.c_w AS DOUBLE)
+         |           ELSE (CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+         |             * (coalesce(u3.c_w, 0) + 0.5)) / (n_tokens + 0.5 * v)
+         |      END) * 1000000.0) AS BIGINT) AS m
+         |  FROM keys LEFT JOIN trt USING (tg)
+         |  LEFT JOIN trb cb1 ON keys.ctx12 = cb1.bg
+         |  LEFT JOIN trb cb2 ON keys.suf23 = cb2.bg
+         |  LEFT JOIN tru u2 ON keys.w2 = u2.w
+         |  LEFT JOIN tru u3 ON keys.w3 = u3.w
+         |  CROSS JOIN sv)
+         |SELECT doc_id, count(*) AS n_trigrams,
+         |  round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.TextModel.trigramBackoffCrossPerplexity(
+          docs.filter(col("doc_id") % 10 === 0), "text",
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          alpha = 0.4, k = 0.5)
+        .orderBy("doc_id")
+    },
+
     // Exact duplicated-substring spans (SubstringDedup.duplicatedSpans,
     // Lee et al. 2021 token-level analogue). Every 7th doc gets the
     // same appended sentence so cross-document duplicated regions are

@@ -955,6 +955,40 @@ class OperatorSpecs extends AnyFunSuite {
     assert(r(1L)._3 < r(2L)._3) // in-domain text is less surprising
   }
 
+  test("trigramBackoffCrossPerplexity: every tier hand-computed; order matters") {
+    // ref corpus "a b c" + "a b d": trigrams {abc:1, abd:1}, bigrams
+    // {ab:2, bc:1, bd:1}, unigrams {a:2, b:2, c:1, d:1}; V=4, N=6
+    val ref = Seq((100L, "a b c"), (101L, "a b d")).toDF("doc_id", "text")
+    val targets = Seq(
+      (1L, "a b c"), // tier 1: c(abc)/c(ab) = 1/2 → ln 2
+      (2L, "x b c"), // tier 2: unseen trigram, seen suffix bc → 0.4·(1/2) → -ln 0.2
+      (3L, "x y z")) // tier 3: all unseen → 0.16·(0+0.5)/(6+0.5·4) = 0.01 → -ln 0.01
+      .toDF("doc_id", "text")
+    val r = TextModel.trigramBackoffCrossPerplexity(ref, "text",
+        targets, "doc_id", "text", alpha = 0.4, k = 0.5)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 1L, 0.693147))) // ln 2
+    assert(r(2L) === ((2L, 1L, 1.609438))) // -ln(0.4·0.5) = ln 5
+    assert(r(3L) === ((3L, 1L, 4.60517))) // -ln(0.01)
+    // tiers strictly order: full context < backoff < floor
+    assert(r(1L)._3 < r(2L)._3 && r(2L)._3 < r(3L)._3)
+  }
+
+  test("trigramBackoffCrossPerplexity: in-domain text scores below shuffled gibberish") {
+    val ref = Seq.tabulate(30)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog every single day"))
+      .toDF("doc_id", "text")
+    val targets = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "dog lazy the over jumps fox brown quick the"))
+      .toDF("doc_id", "text")
+    val r = TextModel.trigramBackoffCrossPerplexity(ref, "text",
+        targets, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x._3).toMap
+    assert(r(1L) < r(2L),
+      s"in-domain ${r(1L)} must beat reversed-order gibberish ${r(2L)}")
+  }
+
   test("tfidfKeywords surfaces distinctive terms over ubiquitous ones") {
     val docs = Seq(
       (1L, "alpha alpha alpha shared shared"),

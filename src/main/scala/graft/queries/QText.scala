@@ -114,6 +114,51 @@ object QText {
        |  FROM inst i JOIN encw e USING (word) GROUP BY i.doc_id)""".stripMargin
   }
 
+  /** The byte-level twin of [[BPE_DOCTOK_CTE]] for t61: the same
+    * recursive min-rank merge walk, but segments come from the
+    * LOSSLESS `\s*\S+|\s+` pretokenizer and the initial symbols are
+    * the GPT-2 byte remap — space→Ġ plus literal symbol expansions
+    * for the injected multi-byte chars (generated from the SAME
+    * [[graft.functions.ByteBpe]] table the engine broadcasts). */
+  private val BYTE_BPE_CTE: String = {
+    import graft.functions.ByteBpe
+    val mergeValues = ByteBpe.defaultMerges.zipWithIndex
+      .map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(",")
+    val symE = ByteBpe.sym("é")
+    val symU = ByteBpe.sym("ü")
+    val symEu = ByteBpe.sym("€")
+    val toSym = (c: String) =>
+      s"replace(replace(replace(replace($c, 'é', '$symE'), 'ü', '$symU'), " +
+        s"'€', '$symEu'), ' ', 'Ġ')"
+    s"""bmerges(a, b, r) AS (SELECT * FROM (VALUES $mergeValues) t(a, b, r)),
+       |braw AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+       |    THEN text || ' café über 100€' ELSE text END AS text FROM documents),
+       |bseg AS (SELECT doc_id, i AS seg_id, l[i] AS seg
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\s*\\S+|\\s+') AS l FROM braw),
+       |    unnest(range(1, len(l) + 1)) AS t(i)),
+       |bsym AS (SELECT DISTINCT ${toSym("seg")} AS word FROM bseg),
+       |bst AS (
+       |  SELECT word, 0 AS iter,
+       |    chr(31) || array_to_string(string_split_regex(word, ''), chr(31)||chr(31)) || chr(31) AS s
+       |  FROM bsym
+       |  UNION ALL
+       |  SELECT word, iter + 1,
+       |    replace(s, chr(31)||ma||chr(31)||chr(31)||mb||chr(31), chr(31)||ma||mb||chr(31))
+       |  FROM (
+       |    SELECT bst.word, bst.iter, bst.s, arg_min(m.a, m.r) AS ma, arg_min(m.b, m.r) AS mb
+       |    FROM bst JOIN bmerges m
+       |      ON contains(bst.s, chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31))
+       |    GROUP BY bst.word, bst.iter, bst.s)),
+       |benc AS (SELECT word, trim(max_by(s, iter), chr(31)) AS fs FROM bst GROUP BY word),
+       |bencw AS (SELECT word, replace(fs, chr(31)||chr(31), ' ') AS toked,
+       |    CAST(len(string_split(fs, chr(31)||chr(31))) AS BIGINT) AS ntok FROM benc),
+       |bdoctok AS (SELECT g.doc_id,
+       |    CAST(sum(e.ntok) AS BIGINT) AS n_tokens,
+       |    string_agg(e.toked, ' ' ORDER BY g.seg_id) AS bpe_text
+       |  FROM (SELECT doc_id, seg_id, ${toSym("seg")} AS word FROM bseg) g
+       |  JOIN bencw e USING (word) GROUP BY g.doc_id)""".stripMargin
+  }
+
   private val QcBuckets = 16
   private val QcIters = 3
   private val QcLrPerDoc = 200.0
@@ -1394,6 +1439,34 @@ object QText {
           docs.filter(col("doc_id") % 10 === 0), "text",
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
           alpha = 0.4, k = 0.5)
+        .orderBy("doc_id")
+    },
+
+    // T61: byte-level BPE encode (ByteBpe, GPT-2 bytes_to_unicode) —
+    // every 5th doc gets a multilingual suffix whose é/ü/€ codepoint
+    // BPE could only treat as opaque unbounded-alphabet symbols; here
+    // they split into UTF-8 bytes (remapped printable), and the demo
+    // merges fuse them back byte-by-byte into single tokens. The
+    // oracle replays the lossless \\s*\\S+|\\s+ segmenter, the byte
+    // remap (literal expansions generated from the SAME Scala table),
+    // and the identical recursive min-rank merge walk. Losslessness
+    // (decode == original, whitespace included) is spec-pinned.
+    QueryDef.of("t61_byte_bpe_encode",
+      s"""WITH RECURSIVE $BYTE_BPE_CTE
+         |SELECT d.doc_id, CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  coalesce(t.bpe_text, '') AS bpe_text
+         |FROM documents d LEFT JOIN bdoctok t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val vocab = s.sparkContext.broadcast(graft.functions.ByteBpe.defaultVocab)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" café über 100€")))
+            .otherwise(col("text")).as("__text"))
+        .select(col("doc_id"),
+          graft.functions.Bpe.bpeTokens(col("__text"), vocab).as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          array_join(col("__t"), " ").as("bpe_text"))
         .orderBy("doc_id")
     },
 

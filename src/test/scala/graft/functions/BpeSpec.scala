@@ -92,3 +92,80 @@ class BpeSpec extends AnyFunSuite {
     assert(tricky === "ta b", "decode must preserve word boundaries")
   }
 }
+
+/** Byte-level BPE ([[ByteBpe]], GPT-2 bytes_to_unicode): the 256-way
+  * remap, hand-pinned encodes with the Ġ space marker, and the
+  * LOSSLESS round-trip on inputs codepoint BPE cannot represent. */
+class ByteBpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val v = ByteBpe.defaultVocab
+
+  test("bytes_to_unicode is a bijection onto printable codepoints") {
+    assert(ByteBpe.byteToChar.length === 256)
+    assert(ByteBpe.byteToChar.distinct.length === 256)
+    // every symbol is one codepoint and never whitespace/control
+    ByteBpe.byteToChar.foreach { s =>
+      val cp = s.codePointAt(0)
+      assert(Character.charCount(cp) === s.length)
+      assert(!Character.isWhitespace(cp) && !Character.isISOControl(cp))
+    }
+    // the famous anchors: space → Ġ, printable ASCII identity
+    assert(ByteBpe.byteToChar(0x20) === "Ġ")
+    assert(ByteBpe.byteToChar('a'.toInt) === "a")
+    assert(ByteBpe.byteToChar('~'.toInt) === "~")
+  }
+
+  test("pinned encodes: Ġ-prefixed words, cross-byte merges, OOV bytes") {
+    // " the" merges through the space marker; word-initial 'the' too
+    assert(v.encode(" the").toSeq === Seq("Ġthe"))
+    assert(v.encode("the").toSeq === Seq("the"))
+    // é is TWO bytes (0xC3 0xA9) fused by the (Ã,©) merge, then the
+    // word-level chain caf+é completes — ONE token (in symbol space,
+    // é renders as its two remapped bytes Ã©) for a word codepoint
+    // BPE's demo vocab cannot even represent
+    assert(v.encode(" café").toSeq === Seq(ByteBpe.sym(" café")))
+    assert(v.encode("café").toSeq === Seq(ByteBpe.sym("café")))
+    // € is THREE bytes fused byte-by-byte into one token
+    assert(v.encode("€").toSeq === Seq(ByteBpe.sym("€")))
+    // an unmerged multi-byte char stays as its byte symbols
+    assert(v.encode("ñ").toSeq === ByteBpe.symbolTokens("ñ").toSeq)
+  }
+
+  test("round-trip is LOSSLESS on whitespace runs and multi-byte text") {
+    val fixtures = Seq(
+      "the quick  fox", // double space — codepoint BPE loses this
+      "  leading and trailing  ",
+      "tabs\t\tand\nnewlines",
+      "café über 100€",
+      "mixed ASCII + ñ, 한국어, 日本語, emoji 😀 end",
+      "", " ", "\n")
+    fixtures.foreach { t =>
+      val decoded = ByteBpe.decode(v.encode(t).toSeq)
+      assert(decoded === t,
+        s"round-trip must be exact for <${t.replace("\n", "\\n").replace("\t", "\\t")}>")
+    }
+  }
+
+  test("expression path equals driver-side encode; decode column inverts it") {
+    val bcast = spark.sparkContext.broadcast(v)
+    val docs = Seq(
+      (1L, "the café  test"), (2L, ""), (3L, " über 100€ "))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Bpe.bpeTokens(col("text"), bcast).as("t"))
+      .withColumn("decoded", ByteBpe.byteBpeDecode(col("t")))
+      .orderBy("doc_id")
+      .as[(Long, Seq[String], String)].collect()
+    got.foreach { case (id, toks, decoded) =>
+      val expect = docs.filter(col("doc_id") === id).as[(Long, String)].head()._2
+      assert(toks === v.encode(expect).toSeq, s"doc $id expression != driver")
+      assert(decoded === expect, s"doc $id decode must invert exactly")
+    }
+    // still a narrow, shuffle-free plan
+    val plan = docs.select(Bpe.bpeTokens(col("text"), bcast))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}

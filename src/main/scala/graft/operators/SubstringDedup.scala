@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
  * duplicated n-grams, so maximal regions are recovered losslessly by
  * merging the per-position hits).
  *
+ * Approximation bound (measured by the `t62` planted-span
+ * evaluation): duplicated spans of length ≥ n are recovered
+ * TOKEN-EXACTLY (a token lies in a flagged region iff it lies inside
+ * some duplicated n-token window — recall and precision both 1.0 at
+ * the n threshold), while spans SHORTER than n are invisible (every
+ * n-gram covering them straddles into non-duplicated context). Pick
+ * n = the Lee et al. length threshold; there is no sub-threshold
+ * recall, by construction.
+ *
  * Scale shape: one positional explode (|tokens| rows, the shingle
  * cost), one 16-byte-key hash aggregate for global n-gram counts, a
  * semi-join back, and a per-document gaps-and-islands window whose

@@ -489,6 +489,109 @@ object QText {
           round(col("n_hit").cast("double") / col("n_lsh"), 6).as("prec"))
     },
 
+    // T62: substring-dedup recall/precision evaluation — the t59
+    // idiom for SubstringDedup: a synthetic corpus with globally
+    // UNIQUE filler tokens (so no accidental duplication exists) and
+    // planted phrases of 3, 5, and 9 tokens around the gram size
+    // n=5. Quantifies the documented approximation bound: spans
+    // SHORTER than n are invisible (tok3 coverage 0), spans ≥ n are
+    // recovered token-exactly (the run-of-grams equivalence), and
+    // nothing outside a planted region is ever flagged (precision 1).
+    // The oracle replays the corpus arithmetic, the positional 5-gram
+    // span algorithm, and the metric joins.
+    QueryDef.of("t62_substring_dedup_eval",
+      """WITH pl0 AS (SELECT i AS doc_id, CAST(i % 4 AS INT) AS cls,
+        |    CASE i % 4 WHEN 1 THEN 3 WHEN 2 THEN 5 WHEN 3 THEN 9 ELSE 0 END AS plen
+        |  FROM range(60) t(i)),
+        |d AS (SELECT doc_id, cls, plen,
+        |    list_concat(list_concat(
+        |      list_transform(range(0, 4), j -> 'u' || doc_id || 'x' || j),
+        |      CASE cls WHEN 1 THEN ['p3a','p3b','p3c']
+        |               WHEN 2 THEN ['p5a','p5b','p5c','p5d','p5e']
+        |               WHEN 3 THEN ['p9a','p9b','p9c','p9d','p9e','p9f','p9g','p9h','p9i']
+        |               ELSE [] END),
+        |      list_transform(range(0, 4), j -> 'u' || doc_id || 'y' || j)) AS t
+        |  FROM pl0),
+        |g AS (SELECT doc_id,
+        |    unnest(range(0, greatest(len(t) - 4, 0))) AS pos,
+        |    unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+        |      i -> md5(array_to_string(t[i:i+4], ' ')))) AS h
+        |  FROM d),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+        |         THEN 0 ELSE 1 END AS nw
+        |  FROM hits),
+        |grp AS (SELECT doc_id, pos,
+        |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM isl),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e FROM grp GROUP BY doc_id, grp),
+        |flag AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM sp),
+        |plant AS (SELECT doc_id, cls, unnest(range(4, 4 + plen)) AS pos
+        |  FROM pl0 WHERE plen > 0),
+        |cov AS (SELECT
+        |    CAST(SUM(CASE WHEN p.cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tok3_tot,
+        |    CAST(SUM(CASE WHEN p.cls = 1 AND f.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tok3_cov,
+        |    CAST(SUM(CASE WHEN p.cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tok5_tot,
+        |    CAST(SUM(CASE WHEN p.cls = 2 AND f.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tok5_cov,
+        |    CAST(SUM(CASE WHEN p.cls = 3 THEN 1 ELSE 0 END) AS BIGINT) AS tok9_tot,
+        |    CAST(SUM(CASE WHEN p.cls = 3 AND f.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tok9_cov
+        |  FROM plant p LEFT JOIN flag f ON f.doc_id = p.doc_id AND f.pos = p.pos),
+        |fl AS (SELECT CAST(count(*) AS BIGINT) AS n_flagged,
+        |    CAST(count(p.pos) AS BIGINT) AS n_flagged_planted
+        |  FROM flag f LEFT JOIN plant p ON p.doc_id = f.doc_id AND p.pos = f.pos)
+        |SELECT tok3_cov, tok3_tot, tok5_cov, tok5_tot, tok9_cov, tok9_tot,
+        |  n_flagged, n_flagged_planted,
+        |  round((tok5_cov + tok9_cov) / CAST(tok5_tot + tok9_tot AS DOUBLE), 6) AS recall_at_n,
+        |  round((tok3_cov + tok5_cov + tok9_cov)
+        |    / CAST(tok3_tot + tok5_tot + tok9_tot AS DOUBLE), 6) AS recall_incl_short,
+        |  round(n_flagged_planted / CAST(n_flagged AS DOUBLE), 6) AS prec
+        |FROM cov CROSS JOIN fl""".stripMargin) { (s, dir) =>
+      val cls = (col("doc_id") % 4).cast("int")
+      val fill = (tag: String) => transform(sequence(lit(0), lit(3)),
+        j => concat(lit("u"), col("doc_id").cast("string"), lit(tag), j.cast("string")))
+      val corpus = s.range(60).select(col("id").as("doc_id"))
+        .select(col("doc_id"), cls.as("cls"),
+          when(cls === 1, lit(3)).when(cls === 2, lit(5))
+            .when(cls === 3, lit(9)).otherwise(lit(0)).as("plen"))
+        .withColumn("text", array_join(concat(
+          fill("x"),
+          when(cls === 1, array(Seq("p3a", "p3b", "p3c").map(lit): _*))
+            .when(cls === 2, array(Seq("p5a", "p5b", "p5c", "p5d", "p5e").map(lit): _*))
+            .when(cls === 3, array(Seq("p9a", "p9b", "p9c", "p9d", "p9e",
+              "p9f", "p9g", "p9h", "p9i").map(lit): _*))
+            .otherwise(array().cast("array<string>")),
+          fill("y")), " "))
+      val flagged = graft.operators.SubstringDedup
+        .duplicatedSpans(corpus, "doc_id", "text", n = 5)
+        .select(col("doc_id"),
+          explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
+        .withColumn("f", lit(1))
+      val planted = corpus.filter(col("plen") > 0)
+        .select(col("doc_id"), col("cls"),
+          explode(sequence(lit(4L), lit(3L) + col("plen"))).as("pos"))
+      val cov = planted.join(flagged, Seq("doc_id", "pos"), "left")
+        .agg(
+          sum(when(col("cls") === 1, 1).otherwise(0)).as("tok3_tot"),
+          sum(when(col("cls") === 1 && col("f").isNotNull, 1).otherwise(0)).as("tok3_cov"),
+          sum(when(col("cls") === 2, 1).otherwise(0)).as("tok5_tot"),
+          sum(when(col("cls") === 2 && col("f").isNotNull, 1).otherwise(0)).as("tok5_cov"),
+          sum(when(col("cls") === 3, 1).otherwise(0)).as("tok9_tot"),
+          sum(when(col("cls") === 3 && col("f").isNotNull, 1).otherwise(0)).as("tok9_cov"))
+      val fl = flagged.join(planted.withColumn("p", lit(1)),
+          Seq("doc_id", "pos"), "left")
+        .agg(count(lit(1)).as("n_flagged"), count(col("p")).as("n_flagged_planted"))
+      cov.crossJoin(fl).select(
+        col("tok3_cov"), col("tok3_tot"), col("tok5_cov"), col("tok5_tot"),
+        col("tok9_cov"), col("tok9_tot"), col("n_flagged"), col("n_flagged_planted"),
+        round((col("tok5_cov") + col("tok9_cov")).cast("double")
+          / (col("tok5_tot") + col("tok9_tot")), 6).as("recall_at_n"),
+        round((col("tok3_cov") + col("tok5_cov") + col("tok9_cov")).cast("double")
+          / (col("tok3_tot") + col("tok5_tot") + col("tok9_tot")), 6).as("recall_incl_short"),
+        round(col("n_flagged_planted").cast("double") / col("n_flagged"), 6).as("prec"))
+    },
+
     // SimHash near-dup pairs, Hamming ≤ 3 via 4-band chunk join
     // (Dedup.simhashNearDupPairs); oracle = brute-force all-pairs SQL,
     // exactly equal by pigeonhole.

@@ -729,6 +729,27 @@ class OperatorSpecs extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet)
   }
 
+  test("duplicatedSpans approximation bound: sub-n spans invisible, >= n token-exact") {
+    // the t62 fixture in miniature: unique filler around planted
+    // phrases of 3 (< n), 5 (= n), and 9 (> n) tokens
+    def doc(id: Long, phrase: String) =
+      (id, s"u${id}x0 u${id}x1 u${id}x2 u${id}x3 $phrase u${id}y0 u${id}y1 u${id}y2 u${id}y3")
+    val p3 = "p3a p3b p3c"; val p5 = "p5a p5b p5c p5d p5e"
+    val p9 = "p9a p9b p9c p9d p9e p9f p9g p9h p9i"
+    val docs = Seq(doc(1, p3), doc(2, p3), doc(3, p5), doc(4, p5),
+      doc(5, p9), doc(6, p9)).toDF("doc_id", "text")
+    val r = SubstringDedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    // 3-token plant: every covering 5-gram straddles unique filler →
+    // invisible (the documented sub-threshold blindness)
+    assert(!r.contains(1L) && !r.contains(2L))
+    // 5- and 9-token plants: recovered TOKEN-EXACTLY, never a token
+    // of the unique filler context
+    assert(r(3L) === Seq((4L, 9L)) && r(4L) === Seq((4L, 9L)))
+    assert(r(5L) === Seq((4L, 13L)) && r(6L) === Seq((4L, 13L)))
+  }
+
   test("cutDuplicatedSpans removes exactly the flagged regions; clean docs pass; full dup empties") {
     val shared = "alpha beta gamma delta epsilon zeta"
     val docs = Seq(

@@ -39,8 +39,16 @@ object Hits {
 
     val ids = nodes.select(col(idCol).as("id"))
     val n = ids.count()
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist(MEMORY_AND_DISK)
+    // TWO cached copies of the edge list, each hash-partitioned on
+    // its half-step's join key: the authority step joins on src, the
+    // hub step on dst, and with the partitioning pinned at
+    // materialization neither half-step ever re-shuffles edges — only
+    // the node-sized score frame moves per round (PROFILE_GRAPH_r12's
+    // 100 TB knob; src- and dst-bucketed table copies drop in to save
+    // even the two one-time exchanges)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val eSrc = e0.repartition(col("src")).persist(MEMORY_AND_DISK)
+    val eDst = e0.repartition(col("dst")).persist(MEMORY_AND_DISK)
 
     // zero-sum guard: on an edgeless graph (or once all mass lands on
     // vertices the next half-step cannot reach) the total is 0 — the
@@ -53,8 +61,9 @@ object Hits {
           when(col("__tot") === 0.0, lit(0.0))
             .otherwise(col(c) / col("__tot")).as(c))
     }
-    /** one propagation half-step: out(to) = Σ in(from) over edges. */
-    def push(in: DataFrame, from: String, to: String, c: String): DataFrame =
+    /** one propagation half-step: out(to) = Σ in(from) over edges —
+      * `e` is the copy pre-partitioned on `from`. */
+    def push(in: DataFrame, e: DataFrame, from: String, to: String, c: String): DataFrame =
       normalized(
         ids.join(
           e.join(in.withColumnRenamed("id", from), from)
@@ -73,12 +82,12 @@ object Hits {
     var hubs = ids.withColumn("hub", lit(1.0 / n)).localCheckpoint(true)
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
-      auths = push(hubs.select(col("id"), col("hub")), "src", "dst", "hub")
+      auths = push(hubs.select(col("id"), col("hub")), eSrc, "src", "dst", "hub")
         .withColumnRenamed("hub", "authority").localCheckpoint(true)
-      hubs = push(auths.select(col("id"), col("authority")), "dst", "src", "authority")
+      hubs = push(auths.select(col("id"), col("authority")), eDst, "dst", "src", "authority")
         .withColumnRenamed("authority", "hub").localCheckpoint(true)
     }
-    e.unpersist()
+    eSrc.unpersist(); eDst.unpersist()
     auths.join(hubs, Seq("id"))
       .select(col("id").as(idCol), col("authority"), col("hub"))
   }

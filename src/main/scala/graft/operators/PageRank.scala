@@ -61,6 +61,14 @@ object PageRank {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      // pin the edge shuffle ONCE: the cached frame materializes
+      // hash-partitioned on the per-iteration join key, so every
+      // round's join re-uses that partitioning and only the (node-
+      // sized) rank frame moves — iterations never re-shuffle the
+      // edge table (the 100 TB knob from PROFILE_GRAPH_r12; an edge
+      // table bucketed by src drops in and saves even this one-time
+      // exchange, exactly the s13 machinery)
+      .repartition(col("src"))
       .persist(MEMORY_AND_DISK) // reused every iteration
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
       .persist(MEMORY_AND_DISK)

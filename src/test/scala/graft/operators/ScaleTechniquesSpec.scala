@@ -61,4 +61,38 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS cust_b")
     }
   }
+
+  test("pagerank: iterations shuffle the rank frame, never the edge table") {
+    // edge-heavy graph (≈200 edges per node): if each round re-shuffled
+    // the edges, the per-round shuffle increment would be edge-sized;
+    // with the cached pre-partitioning it must stay a small fraction
+    // of one edge exchange
+    val n = 400L
+    val nodes = spark.range(n).toDF("id")
+    val edges = spark.range(n * 200)
+      .select((col("id") % n).as("src"), ((col("id") * 7919 + 13) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val tally = new graft.tools.LlmScaleSmoke.ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      def run(iters: Int): Long = {
+        tally.snapshotAndReset()
+        PageRank.run(nodes, "id", edges, "src", "dst", iterations = iters).count()
+        Thread.sleep(800) // listener-bus lag
+        tally.snapshotAndReset().values.map(_._2).sum
+      }
+      val w2 = run(2)
+      val w6 = run(6)
+      val perRound = (w6 - w2) / 4.0
+      // one full edge exchange, measured directly
+      tally.snapshotAndReset()
+      edges.repartition(col("src")).agg(count(lit(1))).first()
+      Thread.sleep(800)
+      val edgeShuffle = tally.snapshotAndReset().values.map(_._2).sum
+      assert(edgeShuffle > 0, "edge-shuffle measurement must see the exchange")
+      assert(perRound < edgeShuffle / 2.0,
+        f"per-round shuffle $perRound%.0f B should be well under one edge " +
+          f"exchange ($edgeShuffle B) — iterations must not re-shuffle edges")
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
 }

@@ -159,6 +159,86 @@ object QText {
        |  JOIN bencw e USING (word) GROUP BY g.doc_id)""".stripMargin
   }
 
+  /** The t63 oracle: unigram-LM (SentencePiece hard-EM) training
+    * replayed in SQL — seed substring counts, then per EM round the
+    * integer-cost Viterbi DP unrolled position-by-position
+    * (Bellman-style: one CTE per split point, backpointers = MIN j
+    * among cost-achievers, path walk unrolled, counts, prune,
+    * re-score). All costs are integer micro-nats, so every DP
+    * comparison is exact on both engines. Parameters pinned to the
+    * t63 query: maxWordLen 8, maxPieceLen 4, seed 200, vocab 80,
+    * 2 EM rounds. */
+  private val UNIGRAM_CTE: String = {
+    val maxW = 8; val maxP = 4; val seedSize = 200; val vocab = 80
+    def round(r: Int): String = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      parts += s"""ued$r AS MATERIALIZED (SELECT c.word, c.j, c.k, s.nll
+                  |  FROM ucand c JOIN usc$r s USING (piece))""".stripMargin
+      parts += s"udp${r}_0 AS (SELECT word, CAST(0 AS BIGINT) AS cost FROM uw)"
+      for (k <- 1 to maxW) {
+        val prevUnion = (math.max(0, k - maxP) until k)
+          .map(j => s"SELECT word, CAST($j AS BIGINT) AS j, cost FROM udp${r}_$j")
+          .mkString(" UNION ALL ")
+        parts += s"""udp${r}_$k AS MATERIALIZED (SELECT e.word, MIN(p.cost + e.nll) AS cost
+                    |  FROM ued$r e JOIN ($prevUnion) p ON p.word = e.word AND p.j = e.j
+                    |  WHERE e.k = $k GROUP BY e.word)""".stripMargin
+        parts += s"""ubp${r}_$k AS MATERIALIZED (SELECT e.word, CAST($k AS BIGINT) AS k, MIN(e.j) AS j
+                    |  FROM ued$r e JOIN ($prevUnion) p ON p.word = e.word AND p.j = e.j
+                    |  JOIN udp${r}_$k d ON d.word = e.word AND p.cost + e.nll = d.cost
+                    |  WHERE e.k = $k GROUP BY e.word)""".stripMargin
+      }
+      parts += s"""ubpa$r AS MATERIALIZED (${(1 to maxW)
+        .map(k => s"SELECT word, k, j FROM ubp${r}_$k").mkString(" UNION ALL ")})"""
+      parts += s"upt${r}_0 AS (SELECT word, CAST(length(word) AS BIGINT) AS pos FROM uw)"
+      for (st <- 1 to maxW)
+        parts += s"""upt${r}_$st AS MATERIALIZED (SELECT t.word, b.j AS pos
+                    |  FROM upt${r}_${st - 1} t JOIN ubpa$r b ON b.word = t.word AND b.k = t.pos)""".stripMargin
+      parts += s"""uused$r AS (${(1 to maxW).map(st =>
+        s"SELECT t.word, b.j, t.pos AS k FROM upt${r}_${st - 1} t " +
+          s"JOIN ubpa$r b ON b.word = t.word AND b.k = t.pos").mkString(" UNION ALL ")})"""
+      parts += s"""ucnt$r AS MATERIALIZED (SELECT
+                  |    substr(u.word, CAST(u.j + 1 AS INT), CAST(u.k - u.j AS INT)) AS piece,
+                  |    CAST(SUM(w.freq) AS BIGINT) AS cnt
+                  |  FROM uused$r u JOIN uw w ON w.word = u.word GROUP BY 1)""".stripMargin
+      parts += s"""ukeep$r AS MATERIALIZED (
+                  |  SELECT s.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt
+                  |  FROM usng s LEFT JOIN ucnt$r c USING (piece)
+                  |  UNION ALL
+                  |  SELECT piece, cnt FROM (SELECT piece, cnt,
+                  |      row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+                  |    FROM ucnt$r WHERE length(piece) > 1)
+                  |  WHERE rk <= $vocab - (SELECT count(*) FROM usng))""".stripMargin
+      parts += s"""usc${r + 1} AS MATERIALIZED (SELECT piece, cnt,
+                  |    CAST(round(-ln(cnt / t.tot) * 1000000.0) AS BIGINT) AS nll
+                  |  FROM ukeep$r CROSS JOIN (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot
+                  |    FROM ukeep$r) t)""".stripMargin
+      parts.mkString(",\n")
+    }
+    s"""uw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |        FROM documents WHERE trim(text) <> '')
+       |  WHERE word <> '' AND length(word) <= $maxW GROUP BY word),
+       |ucand AS MATERIALIZED (SELECT w.word, jj.j, kk.k,
+       |    substr(w.word, CAST(jj.j + 1 AS INT), CAST(kk.k - jj.j AS INT)) AS piece
+       |  FROM (SELECT word, length(word) AS wl FROM uw) w
+       |  CROSS JOIN range(0, $maxW) jj(j) CROSS JOIN range(1, ${maxW + 1}) kk(k)
+       |  WHERE jj.j < kk.k AND kk.k <= w.wl AND kk.k - jj.j <= $maxP),
+       |usub AS MATERIALIZED (SELECT c.piece, CAST(SUM(w.freq) AS BIGINT) AS cnt
+       |  FROM ucand c JOIN uw w USING (word) GROUP BY c.piece),
+       |usng AS MATERIALIZED (SELECT piece FROM usub WHERE length(piece) = 1),
+       |useed AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS rk FROM usub)
+       |  WHERE rk <= $seedSize
+       |  UNION
+       |  SELECT s.piece, u.cnt FROM usng s JOIN usub u USING (piece)),
+       |usc1 AS MATERIALIZED (SELECT piece, cnt,
+       |    CAST(round(-ln(cnt / t.tot) * 1000000.0) AS BIGINT) AS nll
+       |  FROM useed CROSS JOIN (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM useed) t),
+       |${round(1)},
+       |${round(2)}""".stripMargin
+  }
+
   private val QcBuckets = 16
   private val QcIters = 3
   private val QcLrPerDoc = 200.0
@@ -1571,6 +1651,27 @@ object QText {
           size(col("__t")).cast("long").as("n_tokens"),
           array_join(col("__t"), " ").as("bpe_text"))
         .orderBy("doc_id")
+    },
+
+    // T63: unigram-LM (SentencePiece) tokenizer training (UnigramLm,
+    // Kudo 2018 hard-EM): seed substring inventory → 2 EM rounds of
+    // integer-micro-nat Viterbi segmentation + count/prune/re-score.
+    // The oracle unrolls the whole thing — the DP position-by-position
+    // with MIN-j backpointers, the path walk, the coverage-floored
+    // prune — in generated CTEs (the t38/t45 idiom). Output: the
+    // final piece inventory with counts and scores.
+    QueryDef.of("t63_unigram_train",
+      s"""WITH $UNIGRAM_CTE
+         |SELECT piece, cnt, nll AS score_micro FROM usc3
+         |ORDER BY piece""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.operators.UnigramLm.train(Tables.documents(s, dir), "text",
+          maxPieceLen = 4, seedSize = 200, vocabSize = 80,
+          emIters = 2, maxWordLen = 8)
+        .toDF()
+        .select(col("piece"), col("count").as("cnt"),
+          col("scoreMicro").as("score_micro"))
+        .orderBy("piece")
     },
 
     // Exact duplicated-substring spans (SubstringDedup.duplicatedSpans,

@@ -69,6 +69,9 @@ object EventsScaleSmoke {
         gsCells: Map[(String, String, Long), Long],
         upAgg: Map[String, (Long, Long)],
         ewmaMicroSum: Long, dq3: Seq[(Long, Long, Long, Long)],
+        asofFwd: Long, asofNear: Long, topkRows: Long,
+        madMap: Map[String, (Long, Long)], modeMap: Map[String, Long],
+        scdRows: Long, scdOpen: Long, scdAsOfMid: Long, scdAsOfEnd: Long,
         wallSec: Double, writeBytes: Long, stages: Map[Int, (Long, Long, Long)])
 
     val runs = scales.map { c =>
@@ -255,6 +258,71 @@ object EventsScaleSmoke {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSeq.sortBy(_._1)
 
+      // asof02/asof03 (forward / nearest): same per-user partitioning
+      // as the backward join — user-disjoint copies replicate matches
+      val asofFwd = AsOfJoin.forward(
+          evts.select("event_id", "user_id", "ts"), purch,
+          key = "user_id", leftTs = "ts", rightTs = "pts",
+          payload = Seq("purchase_cents"), toleranceSeconds = Some(3600))
+        .filter(col("purchase_cents").isNotNull).count()
+      val asofNear = AsOfJoin.nearest(
+          evts.select("event_id", "user_id", "ts"), purch,
+          key = "user_id", leftTs = "ts", rightTs = "pts",
+          payload = Seq("purchase_cents"), toleranceSeconds = Some(7200))
+        .filter(col("purchase_cents").isNotNull).count()
+
+      // o05: per-user top-3 by (cents, event_id) through the BOUNDED
+      // TopKAgg aggregate — groups replicate, so rows are exactly c×
+      val topkAgg = graft.plans.TopKAgg.topK(3)
+      val topkRows = evts
+        .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"),
+          col("event_id"))
+        .groupBy("user_id")
+        .agg(topkAgg(col("cents").cast("double"), col("event_id")).as("tops"))
+        .select(posexplode(col("tops")))
+        .count()
+
+      // a28/a29: per-type MAD and mode over cents — copies replicate
+      // each type's VALUE DISTRIBUTION verbatim, so both robust
+      // statistics must be IDENTICAL at every scale (mode's count is
+      // exactly linear)
+      val centsByType = evts.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      // output columns: (group, n, median, mad) — the DISTRIBUTION
+      // facts (median, mad) are replication-invariant; n is linear
+      val madMap = graft.operators.Quantiles
+        .groupedMad(centsByType, "event_type", "cents")
+        .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+      val modeMap = centsByType.groupBy("event_type", "cents")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+            .orderBy(col("cnt").desc, col("cents"))))
+        .filter(col("rn") === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // s19 SCD2: a user-keyed dimension with a copy-invariant segment
+      // attribute (mod 10 — copy offsets are multiples of 10), one
+      // snapshot update changing 3 of 10 segments: history rows, open
+      // rows, and both as-of reads must be exactly linear
+      val dimUsers = evts.select("user_id").distinct()
+      val h0 = dimUsers
+        .withColumn("seg", pmod(col("user_id"), lit(10)))
+        .withColumn("valid_from", lit(100L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val snap2 = dimUsers
+        .withColumn("seg", pmod(col("user_id"), lit(10)) +
+          when(pmod(col("user_id"), lit(10)) < 3, 100).otherwise(0))
+      val h1 = graft.io.Scd.scd2Apply(h0, snap2, "user_id", Seq("seg"), asOf = 200L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val scdRows = h1.count()
+      val scdOpen = h1.filter(col("valid_to").isNull).count()
+      val scdAsOfMid = graft.io.Scd.scd2AsOf(h1, 150L)
+        .agg(sum("seg")).first().getLong(0)
+      val scdAsOfEnd = graft.io.Scd.scd2AsOf(h1, 250L)
+        .agg(sum("seg")).first().getLong(0)
+      h1.unpersist()
+
       val wall = (System.nanoTime() - t0) / 1e9
       evts.unpersist()
       Thread.sleep(1000) // bound listener-bus delivery lag
@@ -270,6 +338,8 @@ object EventsScaleSmoke {
         cmsCells, cmsMergedEqual, cmsEst, cmsTrue,
         funnelSteps, cohort, dqReport, dqSig, gsCells, upAgg,
         ewmaMicroSum, dq3,
+        asofFwd, asofNear, topkRows, madMap, modeMap,
+        scdRows, scdOpen, scdAsOfMid, scdAsOfEnd,
         wall, bytes, stages)
     }
 
@@ -353,6 +423,29 @@ object EventsScaleSmoke {
           math.abs(t - t1) <= math.max(5L, math.round(0.15 * math.abs(t1))) },
         s"dq03 PSI micro terms stable within max(5, 15%) at ${r.scale}x " +
           s"(${r1.dq3.map(_._4).mkString(",")} -> ${r.dq3.map(_._4).mkString(",")})")
+      // asof02/asof03 newcomers: exactly linear like the backward form
+      check(exactLinear(r1.asofFwd, r.asofFwd),
+        s"as-of FORWARD matches exactly linear at ${r.scale}x (${r1.asofFwd}->${r.asofFwd})")
+      check(exactLinear(r1.asofNear, r.asofNear),
+        s"as-of NEAREST matches exactly linear at ${r.scale}x (${r1.asofNear}->${r.asofNear})")
+      // o05: bounded grouped top-k rows exactly linear
+      check(exactLinear(r1.topkRows, r.topkRows),
+        s"o05 grouped top-k rows exactly linear at ${r.scale}x (${r1.topkRows}->${r.topkRows})")
+      // a28/a29: per-type robust statistics are DISTRIBUTION facts —
+      // identical under replication
+      check(r.madMap == r1.madMap,
+        s"a28 per-type median/MAD identical at ${r.scale}x (${r1.madMap.size} types)")
+      check(r.modeMap == r1.modeMap,
+        s"a29 per-type mode identical at ${r.scale}x (${r1.modeMap})")
+      // s19 SCD2: history rows, open rows, and both as-of segment sums
+      // exactly linear (the update pattern is copy-invariant mod 10)
+      check(exactLinear(r1.scdRows, r.scdRows) && exactLinear(r1.scdOpen, r.scdOpen),
+        s"s19 SCD2 history/open rows exactly linear at ${r.scale}x " +
+          s"(${r1.scdRows}/${r1.scdOpen}->${r.scdRows}/${r.scdOpen})")
+      check(exactLinear(r1.scdAsOfMid, r.scdAsOfMid) &&
+          exactLinear(r1.scdAsOfEnd, r.scdAsOfEnd),
+        s"s19 SCD2 as-of segment sums exactly linear at ${r.scale}x " +
+          s"(${r1.scdAsOfMid}/${r1.scdAsOfEnd}->${r.scdAsOfMid}/${r.scdAsOfEnd})")
     }
     runs.foreach { r =>
       val relErr = math.abs(r.usersEst.toDouble - r.usersTrue) / r.usersTrue

@@ -96,6 +96,7 @@ object LlmScaleSmoke {
         t54Counts: Map[String, Long],
         winDocs: Long, winFps: Long, novDocs: Long, novNovel: Long,
         prCopy0: Seq[(Long, Double)], prSum: Double,
+        dedupRecallMicro: Long, dedupPrecMicro: Long,
         wallSec: Double, writeBytes: Long,
         stages: Map[Int, (Long, Long, Long)])
 
@@ -115,6 +116,24 @@ object LlmScaleSmoke {
         "doc_id", "n_chars", pairs).count()
       val bm25 = TextSearch.bm25TopK(docs, "doc_id", "text", queries, k = 10).count()
       val spans = SubstringDedup.duplicatedSpans(docs, "doc_id", "text", n = 5).count()
+      // t59 dedup-quality gate: recall/precision of the banded LSH
+      // pairs against the exact df-capped Jaccard pairs. Copies
+      // replicate both pair sets structurally (tagged shingles keep
+      // per-copy dfs unchanged), so BOTH metrics are scale-INVARIANT —
+      // the dedup-quality dashboard number must not move when the
+      // corpus grows 10×
+      val exactPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, maxShingleDf = Some(1000))
+        .select("id_a", "id_b").withColumn("e", lit(1))
+      val evalRow = exactPairs
+        .join(pairs.select("id_a", "id_b").withColumn("l", lit(1)),
+          Seq("id_a", "id_b"), "full_outer")
+        .agg(count(col("e")).as("ne"), count(col("l")).as("nl"),
+          count(when(col("e") === 1 && col("l") === 1, 1)).as("nh"))
+        .first()
+      val (dedupRecallMicro, dedupPrecMicro) = (
+        math.round(evalRow.getLong(2).toDouble / evalRow.getLong(0) * 1e6),
+        math.round(evalRow.getLong(2).toDouble / evalRow.getLong(1) * 1e6))
       // pack on the table's n_chars column (identical across copies —
       // the copy prefix changes tokens, not the precomputed count)
       val packRow = Packing.packStats(
@@ -277,6 +296,7 @@ object LlmScaleSmoke {
         bpeMerges, dsirCounts, pctl, apctl, topTok, qcWeights,
         roundtripBad, hostsDistinct, rdomainsDistinct, t54Counts,
         winDocs, winFps, novDocs, novNovel, prCopy0, prSum,
+        dedupRecallMicro, dedupPrecMicro,
         wall, bytes, stages)
     }
 
@@ -308,6 +328,13 @@ object LlmScaleSmoke {
       check(nearLinear(r1.spans, r.spans),
         s"substring-span rows scale linearly ±2% at ${r.scale}x " +
           s"(${r1.spans}->${r.spans})")
+      // t59 dedup-quality metrics are ratios of structurally
+      // replicated pair sets — scale-invariant to the micro digit
+      check(r.dedupRecallMicro == r1.dedupRecallMicro &&
+          r.dedupPrecMicro == r1.dedupPrecMicro,
+        s"t59 dedup recall/precision scale-invariant at ${r.scale}x " +
+          s"(recall ${r1.dedupRecallMicro}->${r.dedupRecallMicro} micro, " +
+          s"prec ${r1.dedupPrecMicro}->${r.dedupPrecMicro} micro)")
       check(r.cutRows == math.round(r1.cutRows * ratio),
         s"span-cut keeps every doc exactly once at ${r.scale}x " +
           s"(${r1.cutRows}->${r.cutRows})")

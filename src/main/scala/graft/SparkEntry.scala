@@ -90,9 +90,9 @@ object SparkEntry {
     "v14_ann_ivfpq_rerank", "v15_ann_filtered", "v16_ann_ivfpq_residual",
     "v17_ann_mmr", "v18_ann_delete_rebalance", "v19_ann_recall",
     "v20_ann_binary_hamming",
-    "m12_image_neardup_dhash",
+    "m12_image_neardup_dhash", "m13_video_neardup_frames",
     "t60_trigram_backoff_perplexity", "t61_byte_bpe_encode",
-    "t62_substring_dedup_eval", "t63_unigram_train",
+    "t62_substring_dedup_eval", "t63_unigram_train", "t64_wordpiece_encode",
     "sql01_extension_surface", "sql02_url_surface", "sql03_binary_surface",
     "g01_pagerank", "g02_hits",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",

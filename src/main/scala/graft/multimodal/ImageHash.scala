@@ -63,6 +63,65 @@ object ImageHash {
    * checks) while candidate generation stays an equi-join on
    * (chunk, value) buckets, never a cross join.
    */
+  /**
+   * CLIP-level near-dup pairs over per-frame codes — the video form
+   * of [[nearDupPairs]] (public keyframe-matching approach: two clips
+   * are near-dups when most of one clip's frames have a perceptual
+   * match in the other). Robust to re-encodes AND to dropped/extra
+   * frames: the similarity is the better of the two directional
+   * frame-containment fractions, so a copy missing its last frame
+   * still scores 1.0 in the copy→original direction.
+   *
+   * Semantics (exactly what the m13 oracle replays): for each clip
+   * pair, `matched_a` = #frames of `a` whose MINIMUM Hamming distance
+   * to any frame of `b` is ≤ `maxHamming` (symmetrically
+   * `matched_b`); `sim` = max(matched_a/n_a, matched_b/n_b), kept
+   * when ≥ `minFrac`.
+   *
+   * Scale shape: candidate clip pairs come from the SAME banded
+   * frame-chunk equi-join as the image form (pigeonhole: any
+   * qualifying pair has a frame pair within Hamming 3, which shares a
+   * 16-bit chunk — so the banded engine equals the oracle's
+   * exhaustive pairing), and the verification join touches only
+   * candidate pairs' frames — clip-length-bounded, never a corpus
+   * cross join.
+   */
+  def clipNearDupPairs(
+      codes: DataFrame, maxHamming: Int, minFrac: Double): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band chunking guarantees recall only to Hamming 3")
+    require(minFrac > 0.0 && minFrac <= 1.0, "minFrac must be in (0, 1]")
+    val chunked = codes.select(col("media_id"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("dhash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("media_id", "chunk", "chunk_val")
+    val cand = chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val fa = codes.select(col("media_id").as("id_a"),
+      col("frame_idx").as("fa"), col("dhash").as("ha"))
+    val fb = codes.select(col("media_id").as("id_b"),
+      col("frame_idx").as("fb"), col("dhash").as("hb"))
+    val cross = cand.join(fa, Seq("id_a")).join(fb, Seq("id_b"))
+      .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    def matched(frameCol: String, out: String): DataFrame = cross
+      .groupBy("id_a", "id_b", frameCol).agg(min(col("ham")).as("mh"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(when(col("mh") <= maxHamming, 1L).otherwise(0L)).as(out))
+    val counts = codes.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    matched("fa", "matched_a")
+      .join(matched("fb", "matched_b"), Seq("id_a", "id_b"))
+      .join(counts.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(counts.toDF("id_b", "n_b"), Seq("id_b"))
+      .withColumn("sim", round(greatest(
+        col("matched_a").cast("double") / col("n_a"),
+        col("matched_b").cast("double") / col("n_b")), 6))
+      .filter(col("sim") >= minFrac)
+      .select("id_a", "id_b", "n_a", "n_b", "matched_a", "matched_b", "sim")
+  }
+
   def nearDupPairs(
       codes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int): DataFrame = {

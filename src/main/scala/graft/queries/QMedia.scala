@@ -232,6 +232,35 @@ object QMedia {
     }
   }
 
+  /** The [[y4mMedia]] clips (ids 0–11) plus a perturbed re-encode of
+    * each at id 100+i — every pixel bumped +2 (clamped) when j%5==0,
+    * and every THIRD source additionally DROPS its last frame — the
+    * m13 fixture: re-encoded/trimmed copies of the same clip, byte-
+    * distinct but frame-hash-near. y4m is uncompressed, so the
+    * keystream oracle replays the luma exactly. */
+  def y4mDupMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(24).as[Long].map { k =>
+      val src = k % 12
+      val w = (5 + src % 3).toInt
+      val h = (4 + src % 2).toInt
+      val nf0 = (2 + src % 3).toInt
+      val pert = k >= 12
+      val nf = if (pert && src % 3 == 0) nf0 - 1 else nf0
+      val frames = (0 until nf).map { f =>
+        val px = Multimodal.FakeCodec.encode(s"y4m:$src:$f", w, h, 1)
+        if (!pert) px
+        else px.zipWithIndex.map { case (b, j) =>
+          math.min(255, (b & 0xff) + (if (j % 5 == 0) 2 else 0)).toByte
+        }
+      }
+      val cs = if (src % 2 == 0) "mono" else "420"
+      MediaRow(if (pert) 100 + src else src, "video",
+        graft.multimodal.VideoContainers.Y4mMux.write(frames, w, h, colorspace = cs),
+        0, 0, nf, "video/y4m")
+    }
+  }
+
   /** The m02-shaped per-frame integer stats oracle, parameterized by
     * keystream seed prefix (the only thing that differs between the
     * GIF, MP4, and AVI fixtures). */
@@ -627,6 +656,72 @@ object QMedia {
         Multimodal.sampleFrames(imageDupMedia(s), everyN = 1))
       graft.multimodal.ImageHash
         .nearDupPairs(codes, "media_id", "dhash", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // M13: VIDEO clip near-dup (ImageHash.clipNearDupPairs) — per-frame
+    // dHash through the real y4m demux, banded frame-chunk candidates,
+    // directional frame-containment verification: re-encoded copies
+    // score 1.0 even when a frame was DROPPED (the copy→original
+    // direction still matches every surviving frame). The oracle
+    // replays keystream pixels, perturbation, the resample/bits/codes
+    // chain per frame, and the EXHAUSTIVE min-Hamming containment —
+    // equality again certifies the banded candidate join's recall.
+    QueryDef.of("m13_video_neardup_frames",
+      """WITH m AS (SELECT i AS media_id, i AS src, 0 AS pert FROM range(12) t(i)
+        |  UNION ALL SELECT 100 + i, i, 1 FROM range(12) t(i)),
+        |d AS (SELECT media_id, src, pert, CAST(5 + src % 3 AS INT) AS w,
+        |    CAST(4 + src % 2 AS INT) AS h,
+        |    CASE WHEN pert = 1 AND src % 3 = 0 THEN (2 + src % 3) - 1
+        |         ELSE 2 + src % 3 END AS nf
+        |  FROM m),
+        |fr AS (SELECT media_id, src, pert, w, h, f FROM d, range(4) t(f) WHERE f < nf),
+        |px AS (SELECT media_id, f, w, h, j,
+        |    LEAST(255, ('0x' || substr(md5('y4m:' || src || ':' || f || ':' || CAST(j // 16 AS BIGINT)),
+        |                    CAST(2*(j % 16)+1 AS INT), 2))::INT
+        |      + CASE WHEN pert = 1 AND j % 5 = 0 THEN 2 ELSE 0 END) AS v
+        |  FROM fr, range(35) t(j) WHERE j < w * h),
+        |grid AS (SELECT p.media_id, p.f, yy.y, xx.x, p.v
+        |  FROM (SELECT DISTINCT media_id, f, w, h FROM px) g
+        |  CROSS JOIN range(8) yy(y) CROSS JOIN range(9) xx(x)
+        |  JOIN px p ON p.media_id = g.media_id AND p.f = g.f
+        |    AND p.j = (yy.y * g.h // 8) * g.w + (xx.x * g.w // 9)),
+        |bits AS (SELECT l.media_id, l.f, l.y * 8 + l.x AS pos,
+        |    CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS bit
+        |  FROM grid l JOIN grid r ON r.media_id = l.media_id AND r.f = l.f
+        |    AND r.y = l.y AND r.x = l.x + 1
+        |  WHERE l.x < 8),
+        |codes AS MATERIALIZED (SELECT media_id, f,
+        |    CAST(SUM(CASE WHEN pos < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(pos AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN pos >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(pos - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY media_id, f),
+        |ph AS MATERIALIZED (SELECT a.media_id AS ia, b.media_id AS ib, a.f AS fa, b.f AS fb,
+        |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS ham
+        |  FROM codes a JOIN codes b ON a.media_id < b.media_id),
+        |ma AS (SELECT ia, ib,
+        |    CAST(count(CASE WHEN mh <= 3 THEN 1 END) AS BIGINT) AS matched_a
+        |  FROM (SELECT ia, ib, fa, MIN(ham) AS mh FROM ph GROUP BY 1, 2, 3)
+        |  GROUP BY ia, ib),
+        |mb AS (SELECT ia, ib,
+        |    CAST(count(CASE WHEN mh <= 3 THEN 1 END) AS BIGINT) AS matched_b
+        |  FROM (SELECT ia, ib, fb, MIN(ham) AS mh FROM ph GROUP BY 1, 2, 3)
+        |  GROUP BY ia, ib),
+        |nf AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n FROM codes GROUP BY media_id)
+        |SELECT ia AS id_a, ib AS id_b, na.n AS n_a, nb.n AS n_b,
+        |  matched_a, matched_b,
+        |  round(greatest(matched_a / CAST(na.n AS DOUBLE),
+        |    matched_b / CAST(nb.n AS DOUBLE)), 6) AS sim
+        |FROM ma JOIN mb USING (ia, ib)
+        |JOIN nf na ON na.media_id = ia JOIN nf nb ON nb.media_id = ib
+        |WHERE greatest(matched_a / CAST(na.n AS DOUBLE),
+        |  matched_b / CAST(nb.n AS DOUBLE)) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val codes = graft.multimodal.ImageHash.frameHashes(
+        Multimodal.sampleFrames(y4mDupMedia(s), everyN = 1))
+      graft.multimodal.ImageHash
+        .clipNearDupPairs(codes, maxHamming = 3, minFrac = 0.5)
         .orderBy("id_a", "id_b")
     })
 }

@@ -239,6 +239,57 @@ object QText {
        |${round(2)}""".stripMargin
   }
 
+  /** The t64 oracle: WordPiece greedy longest-match-first encoding
+    * replayed as a 12-step unrolled position walk — each step takes
+    * the MAX-length vocab piece matching at the cursor (`##`-form at
+    * non-initial positions), a miss collapses the whole word to
+    * `[UNK]` (the BERT all-or-nothing rule). VALUES generated from
+    * the SAME Scala inventory the engine broadcasts. */
+  private val WORDPIECE_CTE: String = {
+    val vocabValues = graft.functions.WordPiece.defaultPieces.map { p =>
+      val cont = if (p.startsWith("##")) 1 else 0
+      val body = if (cont == 1) p.substring(2) else p
+      s"('$p',$cont,'$body',${body.length})"
+    }.mkString(",")
+    val steps = (1 to 12).map { s =>
+      s"""wst$s AS MATERIALIZED (
+         |  SELECT s.word, s.len,
+         |    CASE WHEN s.pos >= s.len THEN s.pos
+         |         WHEN m.blen IS NULL THEN s.len
+         |         ELSE s.pos + m.blen END AS pos,
+         |    CASE WHEN s.pos >= s.len THEN s.toks
+         |         WHEN m.blen IS NULL THEN '[UNK]'
+         |         ELSE CASE WHEN s.toks = '' THEN m.tok
+         |              ELSE s.toks || ' ' || m.tok END END AS toks
+         |  FROM wst${s - 1} s LEFT JOIN (
+         |    SELECT s2.word, s2.pos, arg_max(w.tok, w.blen) AS tok, MAX(w.blen) AS blen
+         |    FROM wst${s - 1} s2 JOIN wp w
+         |      ON w.cont = CASE WHEN s2.pos > 0 THEN 1 ELSE 0 END
+         |      AND substr(s2.word, CAST(s2.pos + 1 AS INT), CAST(w.blen AS INT)) = w.body
+         |    WHERE s2.pos < s2.len
+         |    GROUP BY s2.word, s2.pos) m
+         |  ON m.word = s.word AND m.pos = s.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""wp(tok, cont, body, blen) AS (SELECT * FROM (VALUES $vocabValues) t(tok, cont, body, blen)),
+       |wraw AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+       |    THEN text || ' zebra buzz' ELSE text END AS text FROM documents),
+       |wdw AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM wraw WHERE trim(text) <> ''),
+       |wst0 AS (SELECT word, CAST(length(word) AS BIGINT) AS len,
+       |    CAST(0 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS toks
+       |  FROM wdw WHERE word <> ''),
+       |$steps,
+       |wenc AS (SELECT word, toks,
+       |    CAST(len(string_split(toks, ' ')) AS BIGINT) AS ntok FROM wst12),
+       |winst AS (SELECT doc_id, i AS word_id, l[i] AS word
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |        FROM wraw WHERE trim(text) <> ''),
+       |    unnest(range(1, len(l) + 1)) AS t(i)),
+       |wdoctok AS (SELECT i.doc_id, CAST(SUM(e.ntok) AS BIGINT) AS n_tokens,
+       |    string_agg(e.toks, ' ' ORDER BY i.word_id) AS wp_text
+       |  FROM winst i JOIN wenc e USING (word) GROUP BY i.doc_id)""".stripMargin
+  }
+
   private val QcBuckets = 16
   private val QcIters = 3
   private val QcLrPerDoc = 200.0
@@ -1650,6 +1701,33 @@ object QText {
         .select(col("doc_id"),
           size(col("__t")).cast("long").as("n_tokens"),
           array_join(col("__t"), " ").as("bpe_text"))
+        .orderBy("doc_id")
+    },
+
+    // T64: WordPiece encoding (WordPiece/WordPieceEncodeExpr, the
+    // BERT tokenizer — greedy longest-match-first with ## continuation
+    // pieces and the all-or-nothing [UNK] rule; the THIRD tokenizer
+    // family next to BPE and unigram-LM, scoreless by design). Every
+    // 9th doc gets ' zebra buzz': 'zebra' hits a whole-word piece,
+    // 'buzz' dies on the missing ##z continuation and must collapse
+    // to ONE [UNK] (partial b+##u discarded). Map-only codegen
+    // expression; the oracle unrolls the 12-step greedy walk.
+    QueryDef.of("t64_wordpiece_encode",
+      s"""WITH $WORDPIECE_CTE
+         |SELECT d.doc_id, CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  coalesce(t.wp_text, '') AS wp_text
+         |FROM documents d LEFT JOIN wdoctok t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val vocab = s.sparkContext.broadcast(graft.functions.WordPiece.defaultVocab)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 0, concat(col("text"), lit(" zebra buzz")))
+            .otherwise(col("text")).as("__text"))
+        .select(col("doc_id"),
+          graft.functions.WordPiece.wordPieceTokens(col("__text"), vocab).as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          array_join(col("__t"), " ").as("wp_text"))
         .orderBy("doc_id")
     },
 

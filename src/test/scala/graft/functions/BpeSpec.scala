@@ -93,6 +93,50 @@ class BpeSpec extends AnyFunSuite {
   }
 }
 
+/** WordPiece ([[WordPiece]], the BERT tokenizer) — greedy
+  * longest-match-first, ## continuations, the all-or-nothing [UNK]
+  * rule, and the codegen expression path. */
+class WordPieceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val v = WordPiece.defaultVocab
+
+  test("greedy longest-match: whole-word pieces beat char chains; continuations carry ##") {
+    assert(v.encodeWord("table").toSeq === Seq("tab", "##le"))
+    assert(v.encodeWord("join").toSeq === Seq("join"))
+    assert(v.encodeWord("query").toSeq === Seq("quer", "##y"))
+    assert(v.encodeWord("customer").toSeq === Seq("cust", "##omer"))
+    assert(v.encodeWord("window").toSeq === Seq("wind", "##ow"))
+    // longest FIRST: 'datab…' prefers the 4-char 'data' over 'd'
+    assert(v.encodeWord("database").toSeq === Seq("data", "##base"))
+    // unknown words degrade to char pieces, never fail while ## singles exist
+    assert(v.encodeWord("xq").toSeq === Seq("x", "##q"))
+  }
+
+  test("all-or-nothing [UNK]: a dead-end discards partial matches") {
+    // 'buzz': b ##u then ##z missing → the WHOLE word is one [UNK]
+    assert(v.encodeWord("buzz").toSeq === Seq("[UNK]"))
+    // word-initial z is fine ('zebra' is even a whole-word piece)
+    assert(v.encodeWord("zebra").toSeq === Seq("zebra"))
+    assert(v.encodeWord("z").toSeq === Seq("z"))
+    assert(v.encode("the buzz zebra").toSeq === Seq("the", "[UNK]", "zebra"))
+  }
+
+  test("expression path equals driver-side encode and stays shuffle-free") {
+    val docs = Seq((1L, "table query buzz"), (2L, "")).toDF("doc_id", "text")
+    val bcast = spark.sparkContext.broadcast(v)
+    val got = docs.select(col("doc_id"),
+        WordPiece.wordPieceTokens(col("text"), bcast).as("t"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    assert(got(0)._2 === Seq("tab", "##le", "quer", "##y", "[UNK]"))
+    assert(got(1)._2 === Seq.empty[String])
+    val plan = docs.select(WordPiece.wordPieceTokens(col("text"), bcast))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"WordPiece encode plan shuffles:\n$plan")
+  }
+}
+
 /** Byte-level BPE ([[ByteBpe]], GPT-2 bytes_to_unicode): the 256-way
   * remap, hand-pinned encodes with the Ġ space marker, and the
   * LOSSLESS round-trip on inputs codepoint BPE cannot represent. */

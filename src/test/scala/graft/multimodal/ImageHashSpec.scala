@@ -58,6 +58,29 @@ class ImageHashSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must actually contain near-dups")
   }
 
+  test("clipNearDupPairs: trimmed re-encodes score 1.0, unrelated clips never pair") {
+    import spark.implicits._
+    val codes = ImageHash.frameHashes(
+      Multimodal.sampleFrames(QMedia.y4mDupMedia(spark), everyN = 1))
+    val pairs = ImageHash.clipNearDupPairs(codes, maxHamming = 3, minFrac = 0.5)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    // exactly the 12 original↔copy pairs, each at sim 1.0 — including
+    // the dropped-frame copies (the copy→original direction matches
+    // every surviving frame)
+    assert(pairs.length === 12)
+    assert(pairs.forall { case (a, b, _, _, _, _, sim) => b - a === 100L && sim === 1.0 })
+    val trimmed = pairs.filter(p => p._3 != p._4)
+    assert(trimmed.nonEmpty, "fixture must exercise the dropped-frame case")
+    trimmed.foreach { case (_, _, nA, nB, mA, mB, _) =>
+      assert(mB === nB && mA < nA || mA === nA && mB < nB,
+        "the shorter side must fully match while the longer has an unmatched frame")
+    }
+    // verification stays candidate-bounded: no cartesian in the plan
+    val plan = ImageHash.clipNearDupPairs(codes, 3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("disjoint copy tags (pairwise Hamming >= 4) never cross-pair") {
     import spark.implicits._
     // the MediaScaleSmoke replication scheme in miniature: top 16 bits

@@ -261,6 +261,29 @@ object QMedia {
     }
   }
 
+  /** The [[wavMedia]] clips (ids 0–9) plus a byte-perturbed re-encode
+    * of each at id 100+i (every 5th PCM byte bumped +2, clamped) —
+    * the m14 fixture: the perturbation shifts block energies a
+    * little but rarely flips which adjacent block is louder, so the
+    * energy-difference codes stay within a few bits. */
+  def wavDupMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(20).as[Long].map { k =>
+      val src = k % 10
+      val nSamples = (100 + src * 10).toInt
+      val pcm0 = Multimodal.FakeCodec.encode(s"wav:$src", nSamples * 2, 1, 1)
+      val pcm =
+        if (k < 10) pcm0
+        else pcm0.zipWithIndex.map { case (b, j) =>
+          math.min(255, (b & 0xff) + (if (j % 5 == 0) 2 else 0)).toByte
+        }
+      MediaRow(if (k < 10) src else 100 + src, "audio",
+        graft.multimodal.VideoContainers.WavMux.write(
+          pcm, sampleRate = 8000 + src.toInt * 100, channels = 1, bitsPerSample = 16),
+        0, 0, 0, "audio/wav")
+    }
+  }
+
   /** The m02-shaped per-frame integer stats oracle, parameterized by
     * keystream seed prefix (the only thing that differs between the
     * GIF, MP4, and AVI fixtures). */
@@ -722,6 +745,48 @@ object QMedia {
         Multimodal.sampleFrames(y4mDupMedia(s), everyN = 1))
       graft.multimodal.ImageHash
         .clipNearDupPairs(codes, maxHamming = 3, minFrac = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // M14: AUDIO near-dup (AudioHash) — the Haitsma-Kalker-shaped
+    // energy-difference fingerprint in pure integer arithmetic: 25
+    // blocks of 4 samples through the REAL RIFF/WAVE parse, Σ|s| per
+    // block, one bit per adjacent comparison, 4×6-bit banded Hamming
+    // pairs. The oracle replays keystream bytes, the +2 perturbation,
+    // signed 16-bit LE reassembly, block energies, the bit pack, and
+    // EXHAUSTIVE ≤3 pairs — again certifying the band join's recall.
+    QueryDef.of("m14_audio_neardup_energy",
+      """WITH m AS (SELECT i AS media_id, i AS src, 0 AS pert FROM range(10) t(i)
+        |  UNION ALL SELECT 100 + i, i, 1 FROM range(10) t(i)),
+        |d AS (SELECT media_id, src, pert, CAST(100 + src * 10 AS BIGINT) AS n FROM m),
+        |by AS (SELECT media_id, j,
+        |    LEAST(255, ('0x' || substr(md5('wav:' || src || ':' || CAST(j // 16 AS BIGINT)),
+        |                    CAST(2*(j % 16)+1 AS INT), 2))::INT
+        |      + CASE WHEN pert = 1 AND j % 5 = 0 THEN 2 ELSE 0 END) AS b
+        |  FROM d, range(200) t(j) WHERE j < 200),
+        |s16 AS (SELECT media_id, j // 2 AS k,
+        |    SUM(CASE WHEN j % 2 = 0 THEN b ELSE 256 * b END) AS u
+        |  FROM by GROUP BY media_id, j // 2),
+        |v AS (SELECT media_id, k,
+        |    ABS(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a
+        |  FROM s16),
+        |e AS (SELECT media_id, k // 4 AS blk, CAST(SUM(a) AS BIGINT) AS energy
+        |  FROM v GROUP BY media_id, k // 4),
+        |bits AS (SELECT l.media_id, l.blk AS pos,
+        |    CASE WHEN r.energy > l.energy THEN 1 ELSE 0 END AS bit
+        |  FROM e l JOIN e r ON r.media_id = l.media_id AND r.blk = l.blk + 1
+        |  WHERE l.blk < 24),
+        |codes AS MATERIALIZED (SELECT media_id,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(pos AS INT))) AS BIGINT) AS code
+        |  FROM bits GROUP BY media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming
+        |FROM codes a JOIN codes b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.code, b.code)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.multimodal.AudioHash
+        .nearDupPairs(graft.multimodal.AudioHash.fingerprints(wavDupMedia(s)),
+          maxHamming = 3)
         .orderBy("id_a", "id_b")
     })
 }

@@ -81,6 +81,34 @@ class ImageHashSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("AudioHash: gain-robust codes, perturbed copies pair, banding == exhaustive") {
+    import spark.implicits._
+    // the derivative-sign code is invariant under positive gain: the
+    // same samples doubled produce the SAME code
+    val base = Array.tabulate(120)(k => ((k * 37) % 97) * 113 - 5000)
+    val c1 = AudioHash.energyDiffCode(base(_), 120)
+    val c2 = AudioHash.energyDiffCode(k => base(k) * 2, 120)
+    assert(c1 === c2, "positive gain must not change the code")
+    assert(c1 !== 0L)
+    // the m14 fixture end-to-end: every original pairs with its copy,
+    // never across sources; banded join equals exhaustive ≤3 pairs
+    val codes = AudioHash.fingerprints(QMedia.wavDupMedia(spark))
+    val pairs = AudioHash.nearDupPairs(codes, maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.length === 10)
+    assert(pairs.forall { case (a, b, h) => b - a === 100L && h <= 3L })
+    val raw = codes.as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, ca) <- raw; (ib, cb) <- raw if ia < ib
+      d = java.lang.Long.bitCount(ca ^ cb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(pairs.toSet === brute)
+    // too-short audio is skipped, not mis-fingerprinted
+    intercept[IllegalArgumentException] {
+      AudioHash.energyDiffCode(base(_), AudioHash.MinSamples - 1)
+    }
+  }
+
   test("disjoint copy tags (pairwise Hamming >= 4) never cross-pair") {
     import spark.implicits._
     // the MediaScaleSmoke replication scheme in miniature: top 16 bits

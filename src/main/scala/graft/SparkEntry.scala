@@ -91,7 +91,7 @@ object SparkEntry {
     "v17_ann_mmr", "v18_ann_delete_rebalance", "v19_ann_recall",
     "v20_ann_binary_hamming",
     "m12_image_neardup_dhash", "m13_video_neardup_frames",
-    "m14_audio_neardup_energy",
+    "m14_audio_neardup_energy", "m15_image_ingest_gate",
     "t60_trigram_backoff_perplexity", "t61_byte_bpe_encode",
     "t62_substring_dedup_eval", "t63_unigram_train", "t64_wordpiece_encode",
     "sql01_extension_surface", "sql02_url_surface", "sql03_binary_surface",

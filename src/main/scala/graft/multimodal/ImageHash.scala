@@ -122,6 +122,38 @@ object ImageHash {
       .select("id_a", "id_b", "n_a", "n_b", "matched_a", "matched_b", "sim")
   }
 
+  /**
+   * Incremental image-ingest near-dup gate — the
+   * [[graft.operators.Dedup.incrementalNearDupLsh]] analogue for
+   * perceptual codes: keep the `batch` code rows (`media_id`,
+   * `dhash`) whose code is NOT within `maxHamming` of ANY `history`
+   * code. The daily-crawl shape: yesterday's corpus is an append-only
+   * code table (8 bytes/image — at 100 TB of pixels the index is
+   * GB-scale), today's batch probes it via the banded chunk
+   * equi-join, and survivors' bands are appended for tomorrow.
+   * Within-batch duplicates are deliberately untouched —
+   * [[nearDupPairs]]'s job, composed when wanted.
+   */
+  def incrementalNearDup(
+      batch: DataFrame, history: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band chunking guarantees recall only to Hamming 3")
+    def bandedOf(df: DataFrame, id: String): DataFrame =
+      df.select(col("media_id").as(id), col("dhash").as(s"__h_$id"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("dhash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+        .toDF(id, s"__h_$id", "chunk", "chunk_val")
+    val cand = bandedOf(batch, "bid")
+      .join(bandedOf(history, "hid"), Seq("chunk", "chunk_val"))
+      .select(col("bid"), col("__h_bid"), col("hid"), col("__h_hid"))
+      .distinct()
+    val drops = cand
+      .withColumn("hamming", bit_count(col("__h_bid").bitwiseXOR(col("__h_hid"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("bid").as("media_id")).distinct()
+    batch.join(drops, Seq("media_id"), "left_anti")
+  }
+
   def nearDupPairs(
       codes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int): DataFrame = {

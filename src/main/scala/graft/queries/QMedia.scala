@@ -284,6 +284,33 @@ object QMedia {
     }
   }
 
+  /** The m15 INGEST batch: the 24 perturbed copies of [[imageMedia]]
+    * (ids 100+i — near-dups of the history) plus 12 genuinely NOVEL
+    * images at ids 200+i (fresh keystream seeds img:50+i). */
+  def imageIngestMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(36).as[Long].map { k =>
+      if (k < 24) {
+        val src = k
+        val w = (4 + src % 5).toInt
+        val h = (3 + src % 4).toInt
+        val px = Multimodal.FakeCodec.encode(s"img:$src", w, h, 1)
+          .zipWithIndex.map { case (b, j) =>
+            math.min(255, (b & 0xff) + (if (j % 5 == 0) 2 else 0)).toByte
+          }
+        MediaRow(100 + src, "image", Multimodal.ImageIoCodec.encodePng(w, h, px),
+          0, 0, 1, "image/png")
+      } else {
+        val src = 50 + (k - 24)
+        val w = (4 + src % 5).toInt
+        val h = (3 + src % 4).toInt
+        val px = Multimodal.FakeCodec.encode(s"img:$src", w, h, 1)
+        MediaRow(200 + (k - 24), "image", Multimodal.ImageIoCodec.encodePng(w, h, px),
+          0, 0, 1, "image/png")
+      }
+    }
+  }
+
   /** The m02-shaped per-frame integer stats oracle, parameterized by
     * keystream seed prefix (the only thing that differs between the
     * GIF, MP4, and AVI fixtures). */
@@ -788,5 +815,58 @@ object QMedia {
         .nearDupPairs(graft.multimodal.AudioHash.fingerprints(wavDupMedia(s)),
           maxHamming = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // M15: incremental image-ingest near-dup gate (ImageHash
+    // .incrementalNearDup) — the daily-crawl form of m12: yesterday's
+    // corpus is an append-only dHash table, today's batch (24
+    // perturbed re-encodes + 12 genuinely novel images) probes it via
+    // the banded chunk join; only the novels survive. The oracle
+    // replays BOTH code sets from the keystream and the exhaustive
+    // ≤3-Hamming history probe (codes as two 32-bit halves).
+    QueryDef.of("m15_image_ingest_gate",
+      """WITH m AS (
+        |  SELECT i AS media_id, i AS src, 0 AS pert, 1 AS hist FROM range(24) t(i)
+        |  UNION ALL SELECT 100 + i, i, 1, 0 FROM range(24) t(i)
+        |  UNION ALL SELECT 200 + i, 50 + i, 0, 0 FROM range(12) t(i)),
+        |d AS (SELECT media_id, src, pert, hist, CAST(4 + src % 5 AS INT) AS w,
+        |    CAST(3 + src % 4 AS INT) AS h FROM m),
+        |px AS (SELECT media_id, w, h, j,
+        |    LEAST(255, ('0x' || substr(md5('img:' || src || ':' || CAST(j // 16 AS BIGINT)),
+        |                    CAST(2*(j % 16)+1 AS INT), 2))::INT
+        |      + CASE WHEN pert = 1 AND j % 5 = 0 THEN 2 ELSE 0 END) AS v
+        |  FROM d, range(48) t(j) WHERE j < w * h),
+        |grid AS (SELECT d.media_id, yy.y, xx.x, p.v
+        |  FROM d CROSS JOIN range(8) yy(y) CROSS JOIN range(9) xx(x)
+        |  JOIN px p ON p.media_id = d.media_id
+        |    AND p.j = (yy.y * d.h // 8) * d.w + (xx.x * d.w // 9)),
+        |bits AS (SELECT l.media_id, l.y * 8 + l.x AS pos,
+        |    CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS bit
+        |  FROM grid l JOIN grid r ON r.media_id = l.media_id
+        |    AND r.y = l.y AND r.x = l.x + 1
+        |  WHERE l.x < 8),
+        |codes AS MATERIALIZED (SELECT b.media_id, d.hist,
+        |    CAST(SUM(CASE WHEN pos < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(pos AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN pos >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(pos - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits b JOIN d ON d.media_id = b.media_id GROUP BY b.media_id, d.hist)
+        |SELECT b.media_id, b.lo AS dhash_lo, b.hi AS dhash_hi
+        |FROM codes b
+        |WHERE b.hist = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM codes h WHERE h.hist = 1
+        |    AND bit_count(xor(b.lo, h.lo)) + bit_count(xor(b.hi, h.hi)) <= 3)
+        |ORDER BY b.media_id""".stripMargin) { (s, dir) =>
+      val hist = graft.multimodal.ImageHash.frameHashes(
+          Multimodal.sampleFrames(imageMedia(s), everyN = 1))
+        .select("media_id", "dhash")
+      val batch = graft.multimodal.ImageHash.frameHashes(
+          Multimodal.sampleFrames(imageIngestMedia(s), everyN = 1))
+        .select("media_id", "dhash")
+      graft.multimodal.ImageHash.incrementalNearDup(batch, hist, maxHamming = 3)
+        .select(col("media_id"),
+          col("dhash").bitwiseAND(lit(0xffffffffL)).as("dhash_lo"),
+          shiftright(col("dhash"), 32).bitwiseAND(lit(0xffffffffL)).as("dhash_hi"))
+        .orderBy("media_id")
     })
 }

@@ -81,6 +81,28 @@ class ImageHashSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incrementalNearDup: copies gated out, novels pass, day-2 resubmission drops them") {
+    import spark.implicits._
+    val hist = ImageHash.frameHashes(
+        Multimodal.sampleFrames(QMedia.imageMedia(spark), everyN = 1))
+      .select("media_id", "dhash")
+    val batch = ImageHash.frameHashes(
+        Multimodal.sampleFrames(QMedia.imageIngestMedia(spark), everyN = 1))
+      .select("media_id", "dhash")
+    val day1 = ImageHash.incrementalNearDup(batch, hist, maxHamming = 3)
+    val survivors = day1.select("media_id").as[Long].collect().sorted
+    // exactly the 12 novel ids pass; every perturbed copy is gated
+    assert(survivors.toSeq === (200L until 212L))
+    // day 2: append survivors to the history, resubmit the SAME batch
+    // — everything is now a dup (self-match at Hamming 0), zero pass
+    val hist2 = hist.unionByName(day1.select("media_id", "dhash"))
+    assert(ImageHash.incrementalNearDup(batch, hist2, maxHamming = 3).count() === 0L)
+    // the probe stays a banded equi-join
+    val plan = ImageHash.incrementalNearDup(batch, hist, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("AudioHash: gain-robust codes, perturbed copies pair, banding == exhaustive") {
     import spark.implicits._
     // the derivative-sign code is invariant under positive gain: the

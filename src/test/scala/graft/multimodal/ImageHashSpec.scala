@@ -103,6 +103,42 @@ class ImageHashSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("foreachBatch image ingestion: streamed gate equals sequential batch applies") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // history = the 24 originals' codes; STREAM the 36-image ingest
+    // batch (24 copies + 12 novels) in two micro-batches through the
+    // gate, appending each micro-batch's survivors — the live form of
+    // the m15 daily pull (quantizer-free: the history is just codes)
+    val hist0 = ImageHash.frameHashes(
+        Multimodal.sampleFrames(QMedia.imageMedia(spark), everyN = 1))
+      .select("media_id", "dhash")
+    val batchRows = ImageHash.frameHashes(
+        Multimodal.sampleFrames(QMedia.imageIngestMedia(spark), everyN = 1))
+      .select("media_id", "dhash").as[(Long, Long)].collect().sortBy(_._1)
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+
+    var hist = hist0.persist()
+    val passed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, Long)]
+    val query = input.toDF().toDF("media_id", "dhash").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val surv = ImageHash.incrementalNearDup(mb.toDF(), hist, maxHamming = 3)
+          .as[(Long, Long)].collect()
+        passed ++= surv.map(_._1)
+        if (surv.nonEmpty)
+          hist = hist.unionByName(surv.toSeq.toDF("media_id", "dhash")).persist()
+        ()
+      }
+      .start()
+    try {
+      Seq(b1, b2).foreach { b => input.addData(b.toSeq); query.processAllAvailable() }
+    } finally query.stop()
+    // exactly the 12 novels pass, none twice; copies never pass
+    assert(passed.sorted.toSeq === (200L until 212L).toSeq)
+  }
+
   test("AudioHash: gain-robust codes, perturbed copies pair, banding == exhaustive") {
     import spark.implicits._
     // the derivative-sign code is invariant under positive gain: the

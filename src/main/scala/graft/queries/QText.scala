@@ -387,6 +387,120 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // LLM01: the COMPOSED corpus pipeline — the LLM-family analogue of
+    // the pbp full-DAG queries: quality gate → language gate → exact
+    // dedup keep-first among survivors → benchmark decontamination,
+    // emitting one auditable DISPOSITION row per document (the routing
+    // table a production curation run ships to its data card). Stage
+    // order is part of the contract: a document reports its FIRST
+    // failing gate, and dedup/decontamination run only over the docs
+    // that passed the cheap row-local gates — the cost discipline a
+    // 100 TB run needs (per-row filters prune before any shuffle; the
+    // dedup hash-agg and the decontamination gram join see only
+    // survivors). Oracle: the t01/t02/t04/t12 CTE chains recomposed.
+    QueryDef.of("llm01_corpus_pipeline",
+      s"""WITH base AS (SELECT doc_id, CASE WHEN doc_id % 50 = 27
+         |    THEN 'the data of the run is a good run for the train set and the rest of the same corpus again'
+         |    ELSE text END AS text
+         |  FROM documents WHERE doc_id % 20 <> 0),
+         |qm AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS ntok,
+         |    CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
+         |      x -> list_contains(['the','a','an','of','to','in','and','is','on','for'], x))) AS DOUBLE) AS nstop,
+         |    CAST(len(regexp_extract_all(lower(trim(text)), '\\S+')) AS DOUBLE) AS ntok_lc,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM base),
+         |q AS (SELECT doc_id,
+         |    round(0.4 * least(ntok / 50.0, 1.0)
+         |      + 0.3 * (1.0 - CASE WHEN nchar <> 0 THEN npunct / nchar ELSE 0.0 END)
+         |      + 0.3 * least(CASE WHEN ntok_lc <> 0 THEN nstop / ntok_lc ELSE 0.0 END * 4.0, 1.0),
+         |      6) AS quality
+         |  FROM qm),
+         |lt AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS toks FROM base),
+         |lc AS (SELECT doc_id,
+         |    len(list_filter(toks, x -> list_contains(['the','a','and','of','is'], x))) AS c_en,
+         |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS c_fr,
+         |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS c_de,
+         |    len(list_filter(toks, x -> list_contains(['el','la','los','que','de'], x))) AS c_es
+         |  FROM lt),
+         |lg AS (SELECT doc_id, CASE
+         |    WHEN c_en = greatest(c_en, c_fr, c_de, c_es) AND c_en > 0 THEN 'en'
+         |    WHEN c_fr = greatest(c_en, c_fr, c_de, c_es) AND c_fr > 0 THEN 'fr'
+         |    WHEN c_de = greatest(c_en, c_fr, c_de, c_es) AND c_de > 0 THEN 'de'
+         |    WHEN c_es = greatest(c_en, c_fr, c_de, c_es) AND c_es > 0 THEN 'es'
+         |    ELSE 'und' END AS lang
+         |  FROM lc),
+         |flags AS (SELECT b.doc_id, q.quality, lg.lang,
+         |    q.quality >= 0.5 AS q_ok, lg.lang = 'en' AS l_ok
+         |  FROM base b JOIN q USING (doc_id) JOIN lg USING (doc_id)),
+         |surv AS (SELECT f.doc_id, b.text FROM flags f JOIN base b USING (doc_id)
+         |  WHERE f.q_ok AND f.l_ok),
+         |fp AS (SELECT doc_id, md5($CANON) AS fp FROM surv),
+         |kp AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
+         |dups AS (SELECT f.doc_id FROM fp f JOIN kp USING (fp) WHERE f.doc_id <> kp.keep_id),
+         |ded AS (SELECT doc_id, text FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+         |dtoks AS (SELECT doc_id, $CTOKS AS t FROM ded),
+         |sh0 AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM dtoks),
+         |btoks AS (SELECT doc_id, $CTOKS AS t FROM documents WHERE doc_id % 20 = 0),
+         |bench AS (SELECT DISTINCT
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM btoks),
+         |ov AS (SELECT s.id AS doc_id,
+         |    round(count(b.sh) / CAST(count(*) AS DOUBLE), 6) AS overlap_frac
+         |  FROM sh0 s LEFT JOIN bench b ON s.sh = b.sh GROUP BY s.id)
+         |SELECT f.doc_id, f.quality, f.lang,
+         |  CASE WHEN NOT f.q_ok THEN 'drop_quality'
+         |       WHEN NOT f.l_ok THEN 'drop_lang'
+         |       WHEN f.doc_id IN (SELECT doc_id FROM dups) THEN 'drop_duplicate'
+         |       WHEN coalesce(ov.overlap_frac, 0) >= 0.5 THEN 'drop_contaminated'
+         |       ELSE 'kept' END AS disposition
+         |FROM flags f LEFT JOIN ov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      // sentinel duplicate class (%50==27): byte-identical docs that
+      // PASS the earlier gates, so the dedup stage has real work
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 50 === 27,
+            lit("the data of the run is a good run for the train set " +
+              "and the rest of the same corpus again"))
+            .otherwise(col("text")).as("text"))
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val flags = corpus.select(col("doc_id"), col("text"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
+          TextFunctions.langId(col("text")).as("lang"))
+        .withColumn("q_ok", col("quality") >= 0.5)
+        .withColumn("l_ok", col("lang") === "en")
+      val surv = flags.filter(col("q_ok") && col("l_ok")).select("doc_id", "text")
+      // exact dedup keep-first among survivors (the t04 canonical md5)
+      val keyed = surv.select(col("doc_id"),
+        md5(TextFunctions.canonicalText(col("text"))).as("__fp"))
+      val dups = keyed
+        .withColumn("__keep", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+        .filter(col("doc_id") =!= col("__keep"))
+        .select(col("doc_id")).withColumn("__dup", lit(1))
+      val ded = surv.join(dups, Seq("doc_id"), "left_anti")
+      val ov = graft.operators.Decontaminate
+        .ngramOverlap(ded, "doc_id", "text", bench, "text", n = 3)
+        .select(col("doc_id"), col("overlap_frac"))
+      flags
+        .join(dups, Seq("doc_id"), "left")
+        .join(ov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality"), col("lang"),
+          when(!col("q_ok"), lit("drop_quality"))
+            .when(!col("l_ok"), lit("drop_lang"))
+            .when(col("__dup") === 1, lit("drop_duplicate"))
+            .when(coalesce(col("overlap_frac"), lit(0.0)) >= 0.5,
+              lit("drop_contaminated"))
+            .otherwise(lit("kept")).as("disposition"))
+        .orderBy("doc_id")
+    },
+
     // Heuristic language ID — marker-word argmax, declaration-order
     // ties, 'und' when nothing matches.
     QueryDef.of("t02_lang_id",

@@ -140,6 +140,61 @@ object MediaScaleSmoke {
     }
     baseCodes.unpersist()
 
+    // m14 audio near-dup: the same copy-tag scheme over the 24-bit
+    // energy codes — tags ride bits 24..39 (outside the chunked
+    // region, so identical base codes still COLLIDE as candidates)
+    // with pairwise Hamming ≥ 4, making cross-copy PAIRS impossible
+    // at maxHamming=3: pair counts exactly linear, zero cross.
+    val audioBase = graft.multimodal.AudioHash
+      .fingerprints(QMedia.wavDupMedia(spark))
+      .persist()
+    val m14Runs = scales.map { c =>
+      val codes = (0 until c).map { k =>
+        audioBase.select(
+          (col("media_id") + k * 1000L).as("media_id"),
+          col("ahash").bitwiseOR(lit(k.toLong * 0x1111L << 24)).as("ahash"))
+      }.reduce(_.unionByName(_))
+      val pairs = graft.multimodal.AudioHash.nearDupPairs(codes, maxHamming = 3)
+      val cross = pairs
+        .filter(floor(col("id_a") / 1000) =!= floor(col("id_b") / 1000)).count()
+      check(cross == 0L, s"scale=$c m14 cross-copy audio pairs exactly zero (got $cross)")
+      (c, pairs.count())
+    }
+    val a14 = m14Runs.head
+    m14Runs.tail.foreach { case (c, rows) =>
+      check(rows * a14._1 == a14._2 * c,
+        s"scale=$c m14 audio pair count EXACTLY linear (${a14._2}->$rows)")
+    }
+    audioBase.unpersist()
+
+    // m15 ingest gate: history AND batch replicated into the same
+    // tagged copy spaces — per-copy gating replicates exactly
+    // (survivors exactly linear) and a cross-copy history code can
+    // never gate a batch row (tags ≥ 4 bits apart)
+    val histBase = graft.multimodal.ImageHash.frameHashes(
+        Multimodal.sampleFrames(QMedia.imageMedia(spark), everyN = 1))
+      .select("media_id", "dhash").persist()
+    val batchBase = graft.multimodal.ImageHash.frameHashes(
+        Multimodal.sampleFrames(QMedia.imageIngestMedia(spark), everyN = 1))
+      .select("media_id", "dhash").persist()
+    def tagged(df: org.apache.spark.sql.DataFrame, c: Int) =
+      (0 until c).map { k =>
+        df.select((col("media_id") + k * 1000L).as("media_id"),
+          col("dhash").bitwiseAND(lit(0xffffffffffffL))
+            .bitwiseOR(lit(k.toLong * 0x1111L << 48)).as("dhash"))
+      }.reduce(_.unionByName(_))
+    val m15Runs = scales.map { c =>
+      val surv = graft.multimodal.ImageHash.incrementalNearDup(
+        tagged(batchBase, c), tagged(histBase, c), maxHamming = 3)
+      (c, surv.count())
+    }
+    val g15 = m15Runs.head
+    m15Runs.tail.foreach { case (c, rows) =>
+      check(rows * g15._1 == g15._2 * c,
+        s"scale=$c m15 ingest survivors EXACTLY linear (${g15._2}->$rows)")
+    }
+    histBase.unpersist(); batchBase.unpersist()
+
     // byte-balanced partitioning: skewed payloads (64 KiB .. 512 KiB)
     val skewed = spark.range(64).select(
         col("id").as("media_id"),

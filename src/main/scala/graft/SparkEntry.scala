@@ -94,7 +94,7 @@ object SparkEntry {
     "m14_audio_neardup_energy", "m15_image_ingest_gate",
     "t60_trigram_backoff_perplexity", "t61_byte_bpe_encode",
     "t62_substring_dedup_eval", "t63_unigram_train", "t64_wordpiece_encode",
-    "llm01_corpus_pipeline",
+    "llm01_corpus_pipeline", "t65_dedup_index",
     "sql01_extension_surface", "sql02_url_surface", "sql03_binary_surface",
     "g01_pagerank", "g02_hits",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",

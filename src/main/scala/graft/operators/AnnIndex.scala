@@ -46,62 +46,27 @@ import org.apache.spark.sql.functions._
  */
 object AnnIndex {
 
-  /** One committed (store version, codes version) pair; codes = 0
-    * means no PQ codes table has been published. */
+  // The manifest mechanics live in [[graft.io.StoreManifest]] (shared
+  // with the persisted text-dedup index). AnnIndex's snapshot is the
+  // pair (store → N, codes → M); codes = 0 means no PQ codes table
+  // has been published.
   private final case class Manifest(store: Int, codes: Int)
 
   private def fsOf(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.io.StoreManifest.fsOf(spark, path)
 
-  private val ManifestName = "^m(\\d+)$".r
-
-  /** Highest committed manifest entry, or None for a path [[write]]
-    * has never committed on. Listing + max is atomic-enough: a
-    * concurrent commit either renamed its file before the listing
-    * (reader sees the new snapshot) or after (reader sees the old,
-    * still fully intact — cleanup happens post-commit). */
-  private def readManifest(spark: SparkSession, path: String): Option[Manifest] = {
-    val fs = fsOf(spark, path)
-    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    if (!fs.exists(dir)) None
-    else {
-      val ks = fs.listStatus(dir).map(_.getPath.getName)
-        .collect { case ManifestName(k) => k.toInt }
-      if (ks.isEmpty) None
-      else {
-        val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"m${ks.max}"))
-        val txt =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val kv = txt.linesIterator.map(_.split("=", 2))
-          .collect { case Array(k, v) => k -> v.trim.toInt }.toMap
-        Some(Manifest(kv("store"), kv.getOrElse("codes", 0)))
-      }
-    }
-  }
+  private def readManifest(spark: SparkSession, path: String): Option[Manifest] =
+    graft.io.StoreManifest.read(spark, path)
+      .map(m => Manifest(m("store"), m.getOrElse("codes", 0)))
 
   private def current(spark: SparkSession, path: String): Manifest =
     readManifest(spark, path).getOrElse(
       throw new IllegalStateException(
         s"$path is not an AnnIndex (no committed manifest) — run write() first"))
 
-  /** Publish a new (store, codes) pair: ONE dot-tmp write + ONE rename.
-    * Everything the manifest references must already be fully written —
-    * the rename IS the commit point. */
-  private def commitManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
-    val fs = fsOf(spark, path)
-    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    fs.mkdirs(dir)
-    val next = 1 + fs.listStatus(dir).map(_.getPath.getName)
-      .collect { case ManifestName(k) => k.toInt }.foldLeft(0)(math.max)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-m$next")
-    val out = fs.create(tmp, true)
-    try out.write(s"store=${m.store}\ncodes=${m.codes}\n".getBytes("UTF-8"))
-    finally out.close()
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"m$next")),
-      s"manifest commit m$next failed (concurrent maintenance run?)")
-  }
+  private def commitManifest(spark: SparkSession, path: String, m: Manifest): Unit =
+    graft.io.StoreManifest.commit(spark, path,
+      Map("store" -> m.store, "codes" -> m.codes))
 
   /** The CURRENTLY COMMITTED store directory — exposed so tests/tools
     * can inspect the physical layout without re-implementing manifest
@@ -138,6 +103,9 @@ object AnnIndex {
     assigned(centroids, candidates)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/store/v$v")
     commitManifest(spark, path, Manifest(v, prev.fold(0)(_.codes)))
+    // post-commit hygiene: a re-train on a long-lived path must not
+    // accumulate superseded store versions
+    graft.io.StoreManifest.dropSuperseded(spark, path, "store")
     centroids
   }
 
@@ -328,6 +296,7 @@ object AnnIndex {
     encodeBatch(readCentroids(spark, path), codebooks, dim, candidates)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes/v$v")
     commitManifest(spark, path, Manifest(cur.store, v))
+    graft.io.StoreManifest.dropSuperseded(spark, path, "codes")
     codebooks
   }
 

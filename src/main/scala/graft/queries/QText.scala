@@ -1575,6 +1575,80 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // T65: the PERSISTED dedup-index lifecycle (DedupIndex — the text
+    // twin of v09's AnnIndex story): write the history corpus's band
+    // buckets + shingle table once, then gate batch A against the
+    // store, UPSERT its survivors, and gate batch B against the GROWN
+    // index — steady-state ingestion never re-shingles history. The
+    // oracle replays both stages in SQL: stage B's history is the
+    // base corpus PLUS stage A's survivors, so a wrong upsert (or a
+    // stale manifest read) shifts B's drop set and breaks the hash.
+    QueryDef.of("t65_dedup_index",
+      s"""WITH toks AS (SELECT doc_id, $CTOKS AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM toks),
+         |seeds AS (SELECT seed,
+         |    ('0x' || substr(md5('a:' || seed), 1, 15))::BIGINT % 2147483646 + 1 AS a,
+         |    ('0x' || substr(md5('b:' || seed), 1, 15))::BIGINT % 2147483647 AS b
+         |  FROM (SELECT unnest(range(0, 12)) AS seed)),
+         |mh AS (SELECT id, s.seed,
+         |    min((s.a * (('0x' || substr(md5(sh.sh), 1, 15))::BIGINT & 2147483647) + s.b)
+         |        % 2147483647) AS mh
+         |  FROM sh, seeds s GROUP BY id, s.seed),
+         |sig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
+         |band AS MATERIALIZED (SELECT id, b.b,
+         |    md5(array_to_string(sig[b.b*3+1 : b.b*3+3], ',')) AS bucket
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+         |sz AS MATERIALIZED (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |candA AS (SELECT DISTINCT x.id AS bid, y.id AS hid
+         |  FROM band x JOIN band y ON x.b = y.b AND x.bucket = y.bucket
+         |  WHERE x.id % 10 IN (6, 7) AND y.id % 10 < 6),
+         |interA AS (SELECT c.bid, c.hid, count(*) AS n_inter
+         |  FROM candA c JOIN sh a ON a.id = c.bid
+         |  JOIN sh b2 ON b2.id = c.hid AND b2.sh = a.sh
+         |  GROUP BY c.bid, c.hid),
+         |dropsA AS (SELECT DISTINCT bid FROM interA
+         |  JOIN sz sa ON sa.id = bid JOIN sz sb ON sb.id = hid
+         |  WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5),
+         |survA AS MATERIALIZED (SELECT doc_id FROM documents
+         |  WHERE doc_id % 10 IN (6, 7) AND doc_id NOT IN (SELECT bid FROM dropsA)),
+         |histB AS (SELECT doc_id AS id FROM documents WHERE doc_id % 10 < 6
+         |  UNION ALL SELECT doc_id FROM survA),
+         |candB AS (SELECT DISTINCT x.id AS bid, y.id AS hid
+         |  FROM band x JOIN band y ON x.b = y.b AND x.bucket = y.bucket
+         |  WHERE x.id % 10 >= 8 AND y.id IN (SELECT id FROM histB)),
+         |interB AS (SELECT c.bid, c.hid, count(*) AS n_inter
+         |  FROM candB c JOIN sh a ON a.id = c.bid
+         |  JOIN sh b2 ON b2.id = c.hid AND b2.sh = a.sh
+         |  GROUP BY c.bid, c.hid),
+         |dropsB AS (SELECT DISTINCT bid FROM interB
+         |  JOIN sz sa ON sa.id = bid JOIN sz sb ON sb.id = hid
+         |  WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5)
+         |SELECT doc_id, 'a' AS batch FROM survA
+         |UNION ALL
+         |SELECT doc_id, 'b' FROM documents
+         |WHERE doc_id % 10 >= 8 AND doc_id NOT IN (SELECT bid FROM dropsB)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      val hist = docs.filter(col("doc_id") % 10 < 6)
+      val bA = docs.filter(col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7)
+      val bB = docs.filter(col("doc_id") % 10 >= 8)
+      val path = "/tmp/graft_dedup_index_t65_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.DedupIndex.write(path, hist, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4)
+      val survA = graft.operators.DedupIndex.gate(s, path, bA, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      graft.operators.DedupIndex.upsert(path, survA, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4)
+      val survB = graft.operators.DedupIndex.gate(s, path, bB, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      survA.select(col("doc_id"), lit("a").as("batch"))
+        .unionByName(survB.select(col("doc_id"), lit("b").as("batch")))
+        .orderBy("doc_id")
+    },
+
     // Line-level exact dedup (LineDedup.dropCommonLines, CCNet-style
     // boilerplate scrub). The corpus has no newlines, so the query
     // derives a multi-line text identically in both engines: content

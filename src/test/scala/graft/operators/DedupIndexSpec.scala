@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted dedup-index lifecycle ([[DedupIndex]], t65): gate over
+  * the store ≡ the in-memory incremental operator, snapshot-stable
+  * verdicts across upserts, compaction equivalence + pointer-commit. */
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    .repartition(spark.sparkContext.defaultParallelism)
+  private lazy val hist = docs.filter(col("doc_id") % 10 < 6)
+  private lazy val bA = docs.filter(col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7)
+  private lazy val bB = docs.filter(col("doc_id") % 10 >= 8)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+    import spark.implicits._
+    df.select("doc_id").as[Long].collect().toSet
+  }
+
+  test("gate over the persisted index equals the in-memory incremental operator") {
+    val path = Files.createTempDirectory("graft_dedupidx").toString
+    DedupIndex.write(path, hist, "doc_id", "text", 3, 12, 4)
+    val viaStore = ids(DedupIndex.gate(spark, path, bA, "doc_id", "text", 3, 12, 4, 0.5))
+    val inMem = ids(Dedup.incrementalNearDupLsh(bA, hist, "doc_id", "text", 3, 12, 4, 0.5))
+    assert(viaStore === inMem)
+    assert(viaStore.nonEmpty && viaStore.size < bA.count())
+  }
+
+  test("verdicts are snapshot-stable: upserting survivors does not mutate the gate result") {
+    val path = Files.createTempDirectory("graft_dedupidx_snap").toString
+    DedupIndex.write(path, hist, "doc_id", "text", 3, 12, 4)
+    val survA = DedupIndex.gate(spark, path, bA, "doc_id", "text", 3, 12, 4, 0.5)
+    val before = ids(survA)
+    DedupIndex.upsert(path, survA, "doc_id", "text", 3, 12, 4)
+    spark.catalog.clearCache() // the harness contract — must not re-probe
+    assert(ids(survA) === before,
+      "a gate verdict must mean 'as of the call', even after the upsert")
+    // the grown index now self-matches the accepted docs: re-gating
+    // the SAME batch drops everything that was accepted
+    val regate = DedupIndex.gate(spark, path, bA, "doc_id", "text", 3, 12, 4, 0.5)
+    assert(ids(regate).intersect(before) === Set.empty[Long])
+    // and stage B against the grown store equals in-memory history ∪ survivors
+    val viaStore = ids(DedupIndex.gate(spark, path, bB, "doc_id", "text", 3, 12, 4, 0.5))
+    val inMem = ids(Dedup.incrementalNearDupLsh(
+      bB, hist.unionByName(docs.filter(col("doc_id").isin(before.toSeq: _*))),
+      "doc_id", "text", 3, 12, 4, 0.5))
+    assert(viaStore === inMem)
+  }
+
+  test("compact: one atomic publish, fewer files, identical gate results") {
+    val path = Files.createTempDirectory("graft_dedupidx_cmp").toString
+    // fragmented store: initial write + five small upserts
+    DedupIndex.write(path, hist.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3, 12, 4)
+    (0 until 5).foreach { r =>
+      DedupIndex.upsert(path,
+        hist.filter(col("doc_id") % 2 === 1 && pmod(col("doc_id"), lit(10)) === (r * 2 + 1)),
+        "doc_id", "text", 3, 12, 4)
+    }
+    val before = ids(DedupIndex.gate(spark, path, bA, "doc_id", "text", 3, 12, 4, 0.5))
+    val report = DedupIndex.compact(spark, path)
+    val after = ids(DedupIndex.gate(spark, path, bA, "doc_id", "text", 3, 12, 4, 0.5))
+    assert(after === before, "compaction must not change gate semantics")
+    assert(report.bandFilesAfter < report.bandFilesBefore, s"bands: $report")
+    assert(report.shingleFilesAfter < report.shingleFilesBefore, s"shingles: $report")
+    // superseded versions cleaned post-commit
+    assert(!new java.io.File(s"$path/bands/v1").exists())
+    assert(!new java.io.File(s"$path/shingles/v1").exists())
+  }
+
+  test("a manifest-less path fails loudly") {
+    val empty = Files.createTempDirectory("graft_dedupidx_none").toString
+    val ex = intercept[IllegalStateException] {
+      DedupIndex.gate(spark, empty, bA, "doc_id", "text", 3, 12, 4, 0.5)
+    }
+    assert(ex.getMessage.contains("no committed manifest"))
+  }
+}

@@ -270,11 +270,27 @@ object IngestScaleSmoke {
 
       val wall = (System.nanoTime() - t0) / 1e9
       bloomRes.unpersist()
-      docs.unpersist()
-      scored.unpersist()
       Thread.sleep(1000) // bound listener-bus delivery lag
       val stages = tally.snapshotAndReset()
       val bytes = stages.values.map(_._2).sum
+
+      // ---- t65: the PERSISTED dedup index must equal the in-memory
+      // gate at every scale. OUTSIDE the linear-band tally: the store
+      // write re-shingles history to parquet and the probe re-reads
+      // it — a deliberate one-time materialization cost (the whole
+      // point is that STEADY-STATE ingestion then never re-shingles),
+      // not part of the per-batch shuffle envelope.
+      val idxPath = s"/tmp/graft_ingest_smoke_dedupidx_$c"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(idxPath), true)
+      graft.operators.DedupIndex.write(idxPath, nearHist, "doc_id", "text", 3, 12, 4)
+      val storeKept = graft.operators.DedupIndex
+        .gate(spark, idxPath, nearBatch, "doc_id", "text", 3, 12, 4, 0.5).count()
+      check(storeKept == nearKept,
+        s"scale=$c t65 persisted-index gate ≡ in-memory ($storeKept vs $nearKept)")
+      tally.snapshotAndReset() // keep the index I/O out of the envelope
+      docs.unpersist()
+      scored.unpersist()
       println(f"INGEST_SMOKE scale=$c%-3d new=$newRows near_kept=$nearKept " +
         f"sel=$selRows ranked=$rankRows leak_pairs=${leak.values.map(_._1).sum} " +
         f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")

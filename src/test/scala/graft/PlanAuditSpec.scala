@@ -563,4 +563,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), p)
   }
+
+  test("t60: the backoff LM scores via equi-joins on ngram keys — no cartesian, no UDF") {
+    // five left equi-joins (tri once, bigram twice, unigram twice) +
+    // the 1-row N/V broadcast attach; nothing may degenerate into a
+    // cartesian or a per-row closure
+    val p = plan("t60_trigram_backoff_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).length
+    assert(joins === 5, s"expected 5 LM equi-joins, saw $joins\n$p")
+    assert("LeftOuter".r.findAllIn(p).length >= 5, p)
+  }
+
+  test("m12: the dHash pair join is a banded equi-join; decode stays out of the exchange") {
+    val p = plan("m12_image_neardup_dhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate generation keys on (chunk, chunk_val) — codes, never pixels
+    assert("hashpartitioning\\(chunk".r.findFirstIn(p).isDefined ||
+      p.contains("chunk_val"), p)
+  }
+
+  test("llm01: the composed pipeline gates row-locally before any shuffle; no cartesian") {
+    val p = plan("llm01_corpus_pipeline")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    // the disposition CASE is pure projection work — the only heavy
+    // operators are the dedup window/aggregate and the gram joins
+    assert(p.contains("HashAggregate"), p)
+  }
 }

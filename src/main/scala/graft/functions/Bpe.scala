@@ -232,11 +232,16 @@ case class BpeVocab(
     merges: Seq[(String, String)], byteLevel: Boolean = false) {
   require(merges.distinct.size == merges.size, "duplicate merge pair")
 
+  // NUL cannot appear inside a merge symbol, so it is a safe flat-key
+  // separator; kept as an ESCAPE (not a raw byte) so the source stays
+  // text for diff/grep tooling
+  private val PairSep = "\u0000"
+
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
-    // flat "a b" keys: one hash lookup per adjacent pair in the
-    // hot loop, no tuple allocation
+    // flat NUL-separated keys: one hash lookup per adjacent pair in
+    // the hot loop, no tuple allocation
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((a, b), r) => m.put(a + " " + b, r) }
+    merges.zipWithIndex.foreach { case ((a, b), r) => m.put(a + PairSep + b, r) }
     m
   }
 
@@ -262,7 +267,7 @@ case class BpeVocab(
       var bestB: String = null
       var i = 0
       while (i < toks.length - 1) {
-        val r = ranks.get(toks(i) + " " + toks(i + 1))
+        val r = ranks.get(toks(i) + PairSep + toks(i + 1))
         if (r != null && r < bestRank) {
           bestRank = r; bestA = toks(i); bestB = toks(i + 1)
         }

@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
  * history table.
  *
  * Layout under `path`:
- *  - `centroids/` — (cluster int, centroid array<float>): the KB-sized
- *    coarse quantizer, collected driver-side on read (same size class
- *    as the literal centroids [[SimilaritySearch]] embeds in codegen);
+ *  - `centroids/v<C>` — (cluster int, centroid array<float>): the
+ *    KB-sized coarse quantizer, collected driver-side on read (same
+ *    size class as the literal centroids [[SimilaritySearch]] embeds
+ *    in codegen). Versioned through the manifest like every other
+ *    table: a re-train writes `v<C+1>` and publishes it in the SAME
+ *    commit as its store, so probe pruning can never use centroids
+ *    from one training run against cells partitioned by another;
  *  - `store/v<N>/` — (id, vec, scale, q) PARTITIONED BY cluster: one
  *    parquet partition per Voronoi cell. At 100 TB this is the
  *    point: a query's `nprobe` cells prune to `nprobe` partition
@@ -47,17 +51,21 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   // The manifest mechanics live in [[graft.io.StoreManifest]] (shared
-  // with the persisted text-dedup index). AnnIndex's snapshot is the
-  // pair (store → N, codes → M); codes = 0 means no PQ codes table
-  // has been published.
-  private final case class Manifest(store: Int, codes: Int)
+  // with the persisted text-dedup index). AnnIndex's snapshot is
+  // (store → N, codes → M, centroids → C, pq_codebooks → B) — EVERY
+  // table a search touches is versioned and resolved from ONE manifest
+  // read, so a reader concurrent with maintenance can never pair new
+  // centroids with an old store (or vice versa). codes/books = 0
+  // means no PQ layer has been published under THIS coarse quantizer.
+  private final case class Manifest(store: Int, codes: Int, cents: Int, books: Int)
 
   private def fsOf(spark: SparkSession, path: String) =
     graft.io.StoreManifest.fsOf(spark, path)
 
   private def readManifest(spark: SparkSession, path: String): Option[Manifest] =
     graft.io.StoreManifest.read(spark, path)
-      .map(m => Manifest(m("store"), m.getOrElse("codes", 0)))
+      .map(m => Manifest(m("store"), m.getOrElse("codes", 0),
+        m.getOrElse("centroids", 0), m.getOrElse("pq_codebooks", 0)))
 
   private def current(spark: SparkSession, path: String): Manifest =
     readManifest(spark, path).getOrElse(
@@ -66,7 +74,17 @@ object AnnIndex {
 
   private def commitManifest(spark: SparkSession, path: String, m: Manifest): Unit =
     graft.io.StoreManifest.commit(spark, path,
-      Map("store" -> m.store, "codes" -> m.codes))
+      Map("store" -> m.store, "codes" -> m.codes,
+        "centroids" -> m.cents, "pq_codebooks" -> m.books))
+
+  // centroids = 0 in the manifest is a pre-versioning store (legacy
+  // unversioned `centroids/` dir) — read it where it lies; every NEW
+  // commit publishes `centroids/v<C>` through the manifest.
+  private def centroidsDir(path: String, m: Manifest): String =
+    if (m.cents > 0) s"$path/centroids/v${m.cents}" else s"$path/centroids"
+
+  private def codebooksDir(path: String, m: Manifest): String =
+    if (m.books > 0) s"$path/pq_codebooks/v${m.books}" else s"$path/pq_codebooks"
 
   /** The CURRENTLY COMMITTED store directory — exposed so tests/tools
     * can inspect the physical layout without re-implementing manifest
@@ -83,10 +101,14 @@ object AnnIndex {
   }
 
   /** Train the coarse quantizer on `candidates` (= (id, vec)) and
-    * write centroids + the assigned, quantized store. Returns the
-    * trained centroids. A re-train on an existing index publishes a
-    * FRESH store version (readers on the old snapshot are undisturbed
-    * until the commit). */
+    * write centroids + the assigned, quantized store, published as ONE
+    * manifest commit. Returns the trained centroids. A re-train on an
+    * existing index publishes FRESH centroids+store versions (readers
+    * on the old snapshot are undisturbed until the commit) and RESETS
+    * the PQ layer to 0: old codes were encoded and cell-partitioned
+    * under the old centroids, so pairing them with the new quantizer
+    * would be silently wrong — [[topKPq]] instead fails loudly until
+    * [[writePqCodes]] re-runs against the new store. */
   def write(
       path: String, candidates: DataFrame,
       numClusters: Int, iters: Int): Array[Array[Float]] = {
@@ -94,18 +116,20 @@ object AnnIndex {
     val centroids =
       SimilaritySearch.trainIvfCentroids(candidates, numClusters, iters)
     import spark.implicits._
+    val prev = readManifest(spark, path)
+    val cv = prev.fold(1)(_.cents + 1)
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cluster", "centroid")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    val prev = readManifest(spark, path)
+      .write.mode("overwrite").parquet(s"$path/centroids/v$cv")
     val v = prev.fold(1)(_.store + 1)
     assigned(centroids, candidates)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/store/v$v")
-    commitManifest(spark, path, Manifest(v, prev.fold(0)(_.codes)))
+    commitManifest(spark, path, Manifest(v, codes = 0, cents = cv, books = 0))
     // post-commit hygiene: a re-train on a long-lived path must not
-    // accumulate superseded store versions
-    graft.io.StoreManifest.dropSuperseded(spark, path, "store")
+    // accumulate superseded versions (grace window inside)
+    Seq("store", "centroids", "codes", "pq_codebooks")
+      .foreach(graft.io.StoreManifest.dropSuperseded(spark, path, _))
     centroids
   }
 
@@ -116,9 +140,10 @@ object AnnIndex {
     * are themselves task-committed files. */
   def upsert(path: String, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
-    assigned(readCentroids(spark, path), batch)
+    val m = current(spark, path) // ONE snapshot: centroids + store agree
+    assigned(readCentroidsAt(spark, path, m), batch)
       .write.mode("append").partitionBy("cluster")
-      .parquet(currentStoreDir(spark, path))
+      .parquet(s"$path/store/v${m.store}")
   }
 
   /**
@@ -194,7 +219,7 @@ object AnnIndex {
     val storeCur = s"$path/store/v${cur.store}"
     val before = cellFiles(storeCur)
     val total = spark.read.parquet(storeCur).count()
-    val centroids = readCentroids(spark, path)
+    val centroids = readCentroidsAt(spark, path, cur)
     val hasCodes = cur.codes > 0
     if (hasCodes) {
       require(dim > 0, "rebalance of a PQ-coded index needs the vector dim")
@@ -219,7 +244,7 @@ object AnnIndex {
       .repartition(col("cluster")) // one task per cell → one file per cell
       .write.mode("overwrite").partitionBy("cluster").parquet(storeNext)
     if (hasCodes) {
-      val codebooks = readPqCodebooks(spark, path)
+      val codebooks = readPqCodebooksAt(spark, path, cur)
       encodeBatch(centroids, codebooks, dim,
           spark.read.parquet(storeNext).select("id", "vec"))
         .repartition(col("cluster"))
@@ -227,12 +252,16 @@ object AnnIndex {
         .parquet(s"$path/codes/v${cur.codes + 1}")
     }
     // the ONE commit point: both rewrites become visible together
+    // (quantizers untouched — rebalance never retrains)
     commitManifest(spark, path,
-      Manifest(cur.store + 1, if (hasCodes) cur.codes + 1 else 0))
-    // post-commit cleanup — failures here strand bytes, never readers
-    fs.delete(new org.apache.hadoop.fs.Path(storeCur), true)
-    if (hasCodes)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/v${cur.codes}"), true)
+      cur.copy(store = cur.store + 1,
+        codes = if (hasCodes) cur.codes + 1 else 0))
+    // post-commit cleanup — dropSuperseded keeps the previous snapshot
+    // intact one more cycle (grace window), so a reader that resolved
+    // it just before this commit finishes its scan; failures here
+    // strand bytes, never readers
+    graft.io.StoreManifest.dropSuperseded(spark, path, "store")
+    if (hasCodes) graft.io.StoreManifest.dropSuperseded(spark, path, "codes")
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     val after = cellFiles(storeNext)
     RebalanceReport(kept, total - kept, after.size.toLong,
@@ -252,8 +281,9 @@ object AnnIndex {
       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // resolve the committed snapshot FIRST (fails loudly on a
     // manifest-less path), then read everything from that one snapshot
-    val storeDir = currentStoreDir(spark, path)
-    val centroids = readCentroids(spark, path)
+    val m = current(spark, path)
+    val storeDir = s"$path/store/v${m.store}"
+    val centroids = readCentroidsAt(spark, path, m)
     val raw = minusTombstones(spark, path, spark.read.parquet(storeDir))
     val cb = where.fold(raw)(raw.filter)
       .select(col("id"), col("vec"), col("__cn"), col("cluster").cast("int"))
@@ -261,7 +291,11 @@ object AnnIndex {
   }
 
   def readCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
-    spark.read.parquet(s"$path/centroids")
+    readCentroidsAt(spark, path, current(spark, path))
+
+  private def readCentroidsAt(
+      spark: SparkSession, path: String, m: Manifest): Array[Array[Float]] =
+    spark.read.parquet(centroidsDir(path, m))
       .orderBy("cluster").collect()
       .map(_.getSeq[Float](1).toArray)
 
@@ -284,19 +318,23 @@ object AnnIndex {
       path: String, candidates: DataFrame,
       dim: Int, m: Int, ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
     val spark = candidates.sparkSession
+    val cur = current(spark, path)
     val codebooks = SimilaritySearch.trainPqCodebooks(candidates, dim, m, ksub, iters)
     import spark.implicits._
+    val bv = cur.books + 1
     codebooks.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (v, c) => (s, c, v.toSeq) }
     }.toSeq.toDF("subspace", "cluster", "centroid")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/pq_codebooks")
-    val cur = current(spark, path)
+      .write.mode("overwrite").parquet(s"$path/pq_codebooks/v$bv")
     val v = cur.codes + 1
-    encodeBatch(readCentroids(spark, path), codebooks, dim, candidates)
+    encodeBatch(readCentroidsAt(spark, path, cur), codebooks, dim, candidates)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes/v$v")
-    commitManifest(spark, path, Manifest(cur.store, v))
+    // codebooks + codes become visible in ONE commit — never a window
+    // where a reader pairs new codes with old sub-quantizers
+    commitManifest(spark, path, cur.copy(codes = v, books = bv))
     graft.io.StoreManifest.dropSuperseded(spark, path, "codes")
+    graft.io.StoreManifest.dropSuperseded(spark, path, "pq_codebooks")
     codebooks
   }
 
@@ -304,9 +342,12 @@ object AnnIndex {
     * sub-quantizers, appending its cells — the PQ side of [[upsert]]. */
   def upsertPqCodes(path: String, batch: DataFrame, dim: Int): Unit = {
     val spark = batch.sparkSession
-    encodeBatch(readCentroids(spark, path), readPqCodebooks(spark, path), dim, batch)
+    val m = current(spark, path) // ONE snapshot for quantizers + codes dir
+    require(m.codes > 0, s"$path has no committed PQ codes table")
+    encodeBatch(readCentroidsAt(spark, path, m),
+        readPqCodebooksAt(spark, path, m), dim, batch)
       .write.mode("append").partitionBy("cluster")
-      .parquet(currentCodesDir(spark, path))
+      .parquet(s"$path/codes/v${m.codes}")
   }
 
   /** IVFPQ top-k over the persisted codes table: nprobe directory
@@ -329,9 +370,13 @@ object AnnIndex {
       spark: SparkSession, path: String, queries: DataFrame,
       dim: Int, k: Int, nprobe: Int,
       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val codesDir = currentCodesDir(spark, path) // snapshot first
-    val centroids = readCentroids(spark, path)
-    val codebooks = readPqCodebooks(spark, path)
+    val snap = current(spark, path) // snapshot first
+    require(snap.codes > 0,
+      s"$path has no committed PQ codes table (a re-train resets the PQ " +
+        "layer — run writePqCodes against the new quantizer)")
+    val codesDir = s"$path/codes/v${snap.codes}"
+    val centroids = readCentroidsAt(spark, path, snap)
+    val codebooks = readPqCodebooksAt(spark, path, snap)
     val m = codebooks.length
     val raw = minusTombstones(spark, path, spark.read.parquet(codesDir))
     val codes = where.fold(raw)(raw.filter)
@@ -350,7 +395,11 @@ object AnnIndex {
   }
 
   def readPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] =
-    spark.read.parquet(s"$path/pq_codebooks")
+    readPqCodebooksAt(spark, path, current(spark, path))
+
+  private def readPqCodebooksAt(
+      spark: SparkSession, path: String, m: Manifest): Array[Array[Array[Float]]] =
+    spark.read.parquet(codebooksDir(path, m))
       .orderBy("subspace", "cluster").collect()
       .foldLeft(Vector.empty[Vector[Array[Float]]]) { (acc, r) =>
         val s = r.getInt(0)

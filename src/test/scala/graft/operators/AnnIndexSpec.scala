@@ -275,9 +275,52 @@ class AnnIndexSpec extends AnyFunSuite {
     val codeIds = spark.read.parquet(AnnIndex.currentCodesDir(spark, path))
       .select("id").collect().map(_.getLong(0)).toSet
     assert(storeIds === codeIds, "committed snapshot must pair floats and codes")
-    // the old snapshot was cleaned up post-commit
+    // GRACE WINDOW: the previous snapshot survives one maintenance
+    // cycle (an in-flight reader that resolved v1 just before the
+    // commit finishes its scan), then the next cycle reclaims it
+    assert(new java.io.File(s"$path/store/v1").exists(),
+      "previous snapshot must survive one cycle for in-flight readers")
+    assert(new java.io.File(s"$path/codes/v1").exists())
+    AnnIndex.rebalance(spark, path, dim = 64)
     assert(!new java.io.File(s"$path/store/v1").exists())
     assert(!new java.io.File(s"$path/codes/v1").exists())
+  }
+
+  test("re-train resets the PQ layer and re-versions the quantizer in the same commit") {
+    val path = Files.createTempDirectory("graft_annidx_retrain").toString
+    AnnIndex.write(path, cands.filter(col("id") % 3 === 0), numClusters = 8, iters = 2)
+    AnnIndex.writePqCodes(path, cands.filter(col("id") % 3 === 0),
+      dim = 64, m = 4, ksub = 8, iters = 2)
+    assert(AnnIndex.topKPq(spark, path, queries, dim = 64, k = 5, nprobe = 3)
+      .count() > 0)
+
+    // periodic re-train on the FULL corpus: new centroids + new store
+    // publish together; the old PQ codes were encoded and
+    // cell-partitioned under the OLD centroids, so the manifest resets
+    // the PQ layer — probing them with the new quantizer would be
+    // silently wrong (the old bug this spec pins)
+    val centroids = AnnIndex.write(path, cands, numClusters = 8, iters = 2)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.topKPq(spark, path, queries, dim = 64, k = 5, nprobe = 3)
+    }
+    assert(ex.getMessage.contains("re-train"),
+      s"stale-codes search must fail loudly, got: ${ex.getMessage}")
+    // the float path is fully consistent: new centroids vs new store
+    assert(AnnIndex.readCentroids(spark, path).map(_.toSeq).toSeq ===
+      centroids.map(_.toSeq).toSeq)
+    val reloaded = AnnIndex.topK(spark, path, queries, k = 5, nprobe = 3)
+    val fresh = SimilaritySearch.ivfTopK(queries, cands,
+      numClusters = 8, iters = 2, k = 5, nprobe = 3)
+    assert(reloaded.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(reloaded).count() === 0)
+    // re-running writePqCodes against the NEW quantizer restores PQ search
+    AnnIndex.writePqCodes(path, cands, dim = 64, m = 4, ksub = 8, iters = 2)
+    val pq = AnnIndex.topKPq(spark, path, queries, dim = 64, k = 5, nprobe = 3)
+    val freshPq = SimilaritySearch.ivfPqTopK(queries, cands,
+      numClusters = 8, coarseIters = 2, dim = 64, m = 4, ksub = 8,
+      pqIters = 2, k = 5, nprobe = 3)
+    assert(pq.exceptAll(freshPq).count() === 0)
+    assert(freshPq.exceptAll(pq).count() === 0)
   }
 
   test("crash window: a manifest-less path fails loudly; a stale manifest serves the old version") {

@@ -69,7 +69,12 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(after === before, "compaction must not change gate semantics")
     assert(report.bandFilesAfter < report.bandFilesBefore, s"bands: $report")
     assert(report.shingleFilesAfter < report.shingleFilesBefore, s"shingles: $report")
-    // superseded versions cleaned post-commit
+    // GRACE WINDOW: the immediately-previous snapshot survives one
+    // maintenance cycle (a reader that resolved it just before the
+    // commit finishes its scan), then the NEXT cycle reclaims it
+    assert(new java.io.File(s"$path/bands/v1").exists(),
+      "previous snapshot must survive one cycle for in-flight readers")
+    DedupIndex.compact(spark, path)
     assert(!new java.io.File(s"$path/bands/v1").exists())
     assert(!new java.io.File(s"$path/shingles/v1").exists())
   }

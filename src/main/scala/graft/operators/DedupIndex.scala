@@ -10,18 +10,31 @@ import graft.io.StoreManifest
  * [[Dedup.incrementalNearDupLsh]] documents that "the history side's
  * banded table is exactly the LSH index a production pipeline
  * precomputes once and stores"; this operator IS that store. A
- * corpus's band buckets (candidate generation) and its shingle table
- * (exact-Jaccard verification) persist as parquet; each ingest batch
- * probes them with two equi-joins, and ACCEPTED batches append —
- * steady-state cost never re-shingles history.
+ * corpus's band buckets (candidate generation), its shingle table
+ * (exact-Jaccard verification) and its per-doc shingle COUNTS persist
+ * as parquet; each ingest batch probes them with candidate-bounded
+ * joins, and ACCEPTED batches append — steady-state cost never
+ * re-shingles OR re-aggregates history.
  *
  * Layout under `path` (versions published by the shared
  * [[graft.io.StoreManifest]] pointer-commit log, so [[compact]] can
- * rewrite BOTH tables and publish them atomically):
+ * rewrite all tables and publish them atomically):
  *  - `bands/v<N>/` — (id, band, bucket) PARTITIONED BY band: a batch
  *    probe touches each band directory with a bucket equi-join;
- *  - `shingles/v<N>/` — (id, sh): the verification side, keyed by
- *    shingle in the intersection join (bucket it by `sh` at 100 TB).
+ *  - `shingles/v<N>/` — (id, sh): the verification side, written as a
+ *    BUCKETED table (hash-bucketed by `sh`, sorted by `id` inside each
+ *    bucket file; bucket count in the manifest, catalog entry
+ *    re-registered on demand). Bucketing by `sh` means the
+ *    intersection join consumes the history side with NO exchange —
+ *    the scan's HashPartitioning(sh) satisfies the join's (hid, sh)
+ *    clustering — and the per-file `id` sort gives tight row-group
+ *    stats, so [[gate]]'s candidate-id pushdown prunes history bytes
+ *    that hold no candidate (steady-state: scanned bytes are bounded
+ *    by the batch's candidate neighborhoods, not by history size);
+ *  - `sizes/v<N>/` — (id, n_sh): per-doc shingle-set sizes,
+ *    precomputed at write/upsert so the gate's Jaccard denominator is
+ *    a candidate-bounded lookup, NEVER a re-aggregation of the full
+ *    history shingle table (the r13 scale finding).
  *
  * Determinism: banding and verification reuse the EXACT public
  * kernels of [[Dedup]] ([[Dedup.shingled]],
@@ -32,6 +45,12 @@ import graft.io.StoreManifest
  * lifecycle in SQL.
  */
 object DedupIndex {
+
+  /** Above this many DISTINCT candidate history ids the gate switches
+    * from the collected-id pushdown (row-group pruning in the shingle
+    * scan) to a distributed semi-join prune — the limit-probed hybrid
+    * idiom of [[Dedup.connectedComponents]]. */
+  private val MaxDriverHids = 50000
 
   /** The banded-bucket table of a (already shingled) corpus — the
     * identical form [[Dedup.incrementalNearDupLsh]] builds inline. */
@@ -44,44 +63,109 @@ object DedupIndex {
       .toDF("id", "band", "bucket")
   }
 
+  /** Per-doc shingle-set sizes of one (already shingled) batch — rows
+    * = docs, not shingles; the aggregation is paid ONCE at
+    * write/upsert time, never re-paid per gate. */
+  private def sizesOf(sh: DataFrame): DataFrame =
+    sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+
+  /** Deterministic catalog name for one shingle-table version — the
+    * metastore is where Spark keeps bucketing metadata (the `s13`
+    * bucketed-join machinery), so each version gets a stable name any
+    * session can re-register against the same files. */
+  private def shTableName(path: String, v: Int): String =
+    s"graft_didx_${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(path))}_sh_v$v"
+
+  /** Write one shingle-table version BUCKETED by `sh` (sorted by `id`
+    * within each bucket file). The pre-shuffle onto the bucket hash
+    * means each task owns whole buckets → exactly `buckets` files per
+    * write, not tasks×buckets. */
+  private def writeShingles(
+      sh: DataFrame, path: String, v: Int, buckets: Int): Unit = {
+    val spark = sh.sparkSession
+    val name = shTableName(path, v)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`") // stale entry from an orphaned write
+    sh.repartition(buckets, col("sh"))
+      .write.bucketBy(buckets, "sh").sortBy("id")
+      .option("path", s"$path/shingles/v$v")
+      .format("parquet").mode("overwrite").saveAsTable(name)
+  }
+
+  /** The bucketed shingle table of one committed snapshot,
+    * re-registering the catalog entry if this session has never seen
+    * it (bucket metadata lives in the catalog, the files on disk). */
+  private def shinglesTable(
+      spark: SparkSession, path: String, v: Int, buckets: Int): DataFrame = {
+    val name = shTableName(path, v)
+    if (!spark.catalog.tableExists(name)) {
+      val dir = s"$path/shingles/v$v"
+      val cols = spark.read.parquet(dir).schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE `$name` ($cols) USING PARQUET " +
+        s"CLUSTERED BY (sh) SORTED BY (id) INTO $buckets BUCKETS " +
+        s"LOCATION '$path/shingles/v$v'")
+    }
+    spark.table(name)
+  }
+
+  /** Drop catalog entries whose version directory is gone (superseded
+    * versions reclaimed by the grace-window cleanup). */
+  private def dropStaleShingleEntries(
+      spark: SparkSession, path: String, below: Int): Unit =
+    (1 until below).foreach { k =>
+      val fs = StoreManifest.fsOf(spark, path)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles/v$k")))
+        spark.sql(s"DROP TABLE IF EXISTS `${shTableName(path, k)}`")
+    }
+
   /** Materialize the index for an initial corpus. A re-write on an
     * existing path publishes FRESH versions (readers on the old
     * snapshot are undisturbed until the commit; superseded dirs are
-    * dropped post-commit). */
+    * dropped post-commit with the grace window). */
   def write(
       path: String, docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int): Unit = {
+      shingleN: Int, numHashes: Int, bands: Int, buckets: Int = 8): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     val prev = StoreManifest.read(spark, path)
-    val bv = prev.fold(1)(_("bands") + 1)
-    val sv = prev.fold(1)(_("shingles") + 1)
+    def next(k: String) = prev.fold(1)(_.getOrElse(k, 0) + 1)
+    val (bv, sv, zv) = (next("bands"), next("shingles"), next("sizes"))
     val sh = Dedup.shingled(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.write.mode("overwrite").parquet(s"$path/shingles/v$sv")
+    writeShingles(sh, path, sv, buckets)
+    sizesOf(sh).coalesce(1).write.mode("overwrite").parquet(s"$path/sizes/v$zv")
     bandedOf(sh, numHashes, bands)
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands/v$bv")
     sh.unpersist()
-    StoreManifest.commit(spark, path, Map("bands" -> bv, "shingles" -> sv))
-    StoreManifest.dropSuperseded(spark, path, "bands")
-    StoreManifest.dropSuperseded(spark, path, "shingles")
+    StoreManifest.commit(spark, path,
+      Map("bands" -> bv, "shingles" -> sv, "sizes" -> zv, "buckets" -> buckets))
+    Seq("bands", "shingles", "sizes")
+      .foreach(StoreManifest.dropSuperseded(spark, path, _))
+    dropStaleShingleEntries(spark, path, sv)
   }
 
-  /** Append an ACCEPTED batch's bands + shingles into the current
-    * snapshot — parquet appends are task-committed files, no manifest
-    * commit needed (the [[AnnIndex.upsert]] discipline). */
+  /** Append an ACCEPTED batch's bands + shingles + sizes into the
+    * current snapshot — parquet/bucketed appends are task-committed
+    * files, no manifest commit needed (the [[AnnIndex.upsert]]
+    * discipline). */
   def upsert(
       path: String, docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
+    val m = StoreManifest.current(spark, path)
     val sh = Dedup.shingled(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.write.mode("append")
-      .parquet(StoreManifest.currentDir(spark, path, "shingles"))
+    val buckets = m("buckets")
+    shinglesTable(spark, path, m("shingles"), buckets) // ensure registered
+    sh.repartition(buckets, col("sh"))
+      .write.bucketBy(buckets, "sh").sortBy("id")
+      .format("parquet").mode("append")
+      .saveAsTable(shTableName(path, m("shingles")))
+    sizesOf(sh).coalesce(1).write.mode("append").parquet(s"$path/sizes/v${m("sizes")}")
     bandedOf(sh, numHashes, bands)
       .write.mode("append").partitionBy("band")
-      .parquet(StoreManifest.currentDir(spark, path, "bands"))
+      .parquet(s"$path/bands/v${m("bands")}")
     sh.unpersist()
   }
 
@@ -92,47 +176,101 @@ object DedupIndex {
    * indexed row — row-identical to [[Dedup.incrementalNearDupLsh]]
    * with the full history corpus. The caller [[upsert]]s the
    * survivors it accepts.
+   *
+   * STEADY-STATE COST CONTRACT: everything history-sized is pruned to
+   * the batch's candidate neighborhoods BEFORE it shuffles. The
+   * Jaccard denominators come from the persisted `sizes` table (a
+   * candidate-bounded lookup, never a re-aggregation of history
+   * shingles), and the history shingle scan carries the candidate-id
+   * predicate (collected-id pushdown under [[MaxDriverHids]]
+   * candidates → row-group pruning against the per-file id sort; a
+   * distributed semi-join prune above it). The only per-batch
+   * history-proportional work left is the band-bucket probe — rows =
+   * `bands` per history doc, the size class an LSH index is DESIGNED
+   * to keep resident.
    */
   def gate(
       spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val histBands = spark.read
-      .parquet(StoreManifest.currentDir(spark, path, "bands"))
-      .select(col("id").as("hid"), col("band"), col("bucket"))
-    val histSh = spark.read
-      .parquet(StoreManifest.currentDir(spark, path, "shingles"))
-      .toDF("hid", "sh")
-    val shB = Dedup.shingled(batch, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    shB.count()
-    val cand = bandedOf(shB, numHashes, bands).toDF("bid", "band", "bucket")
-      .join(histBands, Seq("band", "bucket"))
-      .select("bid", "hid").distinct()
-    val szB = shB.groupBy("id").agg(count(lit(1)).as("n_a"))
-      .withColumnRenamed("id", "bid")
-    val szH = histSh.groupBy("hid").agg(count(lit(1)).as("n_b"))
-    val inter = cand
-      .join(shB.toDF("bid", "sh"), "bid")
-      .join(histSh, Seq("hid", "sh"))
-      .groupBy("bid", "hid")
-      .agg(count(lit(1)).as("n_inter"))
+    val (dropsF, release) = gateParts(
+      spark, path, batch, idCol, textCol, shingleN, numHashes, bands, threshold)
     // the verdict is SNAPSHOT-STABLE by construction: the drop-id set
     // (small — drop ids only) is eagerly localCheckpoint'ed, so the
     // returned frame keeps meaning "gated against the store AS OF THIS
     // CALL" even after the caller upserts the survivors back into the
     // index (a lazy plan would re-probe the grown store and self-match
     // every batch row) or the harness clears the cache catalog
+    val drops = dropsF.localCheckpoint(true)
+    release()
+    batch.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** The drop-id frame of one [[gate]] call BEFORE the checkpoint,
+    * plus a release() for its cached intermediates — split out so the
+    * plan audit can inspect the physical plan of the verification join
+    * (bucketed history scan, no exchange) without re-implementing the
+    * gate. */
+  private[graft] def gateParts(
+      spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double): (DataFrame, () => Unit) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val m = StoreManifest.current(spark, path) // ONE snapshot per gate
+    val histBands = spark.read.parquet(s"$path/bands/v${m("bands")}")
+      .select(col("id").as("hid"), col("band"), col("bucket"))
+    val histShFull = m.get("buckets") match {
+      case Some(b) => shinglesTable(spark, path, m("shingles"), b).toDF("hid", "sh")
+      case None => // pre-r14 store: plain parquet, no bucket metadata
+        spark.read.parquet(s"$path/shingles/v${m("shingles")}").toDF("hid", "sh")
+    }
+    val shB = Dedup.shingled(batch, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shB.count()
+    val cand = bandedOf(shB, numHashes, bands).toDF("bid", "band", "bucket")
+      .join(histBands, Seq("band", "bucket"))
+      .select("bid", "hid").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // limit-probed hybrid: candidate id sets are batch-neighborhood-
+    // sized in steady state — collect them and let the parquet reader
+    // prune history row groups; fall back to a distributed semi-join
+    // for adversarially broad batches (AQE broadcasts when it fits)
+    val candHids = cand.select(col("hid")).distinct()
+    val probed = candHids.limit(MaxDriverHids + 1).collect().map(_.get(0))
+    def pruneToCandidates(history: DataFrame): DataFrame =
+      if (probed.length <= MaxDriverHids)
+        history.filter(col("hid").isin(probed.toIndexedSeq: _*))
+      else history.join(candHids, Seq("hid"), "left_semi")
+    val histSh = pruneToCandidates(histShFull)
+    val szB = sizesOf(shB).toDF("bid", "n_a")
+    val szH = pruneToCandidates(m.get("sizes") match {
+      case Some(zv) =>
+        spark.read.parquet(s"$path/sizes/v$zv").toDF("hid", "n_b")
+      case None => // pre-r14 store: one-off recount (the old behavior)
+        histShFull.groupBy("hid").agg(count(lit(1)).as("n_b"))
+    })
+    // intersection counts via a join on `sh` ALONE — the bucket key —
+    // so the bucketed history scan is consumed with NO exchange (V1
+    // bucketed joins co-locate only when the join keys equal the
+    // bucket keys exactly; a (hid, sh) join would re-shuffle the
+    // history side, plan-audited). The co-shingle pairs are then
+    // semi-filtered to candidate pairs before the count; restricting
+    // to candidates commutes with counting shared shingles, and any
+    // pair the LSH probe never proposed can't reach the threshold
+    // filter anyway — row-identical to the (hid, sh)-keyed form.
+    val inter = shB.toDF("bid", "sh")
+      .join(histSh, Seq("sh"))
+      .join(cand, Seq("bid", "hid"), "left_semi")
+      .groupBy("bid", "hid")
+      .agg(count(lit(1)).as("n_inter"))
     val drops = inter.join(szB, "bid").join(szH, "hid")
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("bid").as(idCol)).distinct()
-      .localCheckpoint(true)
-    shB.unpersist()
-    batch.join(drops, Seq(idCol), "left_anti")
+    (drops, () => { cand.unpersist(); shB.unpersist(); () })
   }
 
   /** One compaction summary from [[compact]]. */
@@ -140,11 +278,11 @@ object DedupIndex {
       bandFilesBefore: Long, bandFilesAfter: Long,
       shingleFilesBefore: Long, shingleFilesAfter: Long)
 
-  /** Physical maintenance: rewrite both tables compacted (a thousand
-    * daily upserts otherwise leave a thousand small files per band
-    * directory) into fresh `v<N+1>` dirs and publish them in ONE
-    * manifest commit — concurrent gates resolve either the old or the
-    * new snapshot, never a mix. */
+  /** Physical maintenance: rewrite all three tables compacted (a
+    * thousand daily upserts otherwise leave a thousand small files per
+    * band directory / bucket) into fresh `v<N+1>` dirs and publish
+    * them in ONE manifest commit — concurrent gates resolve either the
+    * old or the new snapshot, never a mix. */
   def compact(spark: SparkSession, path: String): CompactReport = {
     val fs = StoreManifest.fsOf(spark, path)
     def files(dir: String): Long = {
@@ -159,19 +297,29 @@ object DedupIndex {
     }
     val cur = StoreManifest.current(spark, path)
     val (bv, sv) = (cur("bands"), cur("shingles"))
+    val zv = cur.getOrElse("sizes", 0)
+    val buckets = cur.getOrElse("buckets", 8)
     val bBefore = files(s"$path/bands/v$bv")
     val sBefore = files(s"$path/shingles/v$sv")
     spark.read.parquet(s"$path/bands/v$bv")
       .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$path/bands/v${bv + 1}")
-    spark.read.parquet(s"$path/shingles/v$sv")
-      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
-      .write.mode("overwrite").parquet(s"$path/shingles/v${sv + 1}")
+    val shCur = cur.get("buckets") match {
+      case Some(b) => shinglesTable(spark, path, sv, b)
+      case None => spark.read.parquet(s"$path/shingles/v$sv")
+    }
+    writeShingles(shCur, path, sv + 1, buckets)
+    // sizes: recompute from the compacted shingles (a pre-r14 store
+    // gains its sizes table here; appends collapse to one file)
+    sizesOf(shCur.toDF("id", "sh")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/sizes/v${zv + 1}")
     StoreManifest.commit(spark, path,
-      Map("bands" -> (bv + 1), "shingles" -> (sv + 1)))
-    StoreManifest.dropSuperseded(spark, path, "bands")
-    StoreManifest.dropSuperseded(spark, path, "shingles")
+      Map("bands" -> (bv + 1), "shingles" -> (sv + 1),
+        "sizes" -> (zv + 1), "buckets" -> buckets))
+    Seq("bands", "shingles", "sizes")
+      .foreach(StoreManifest.dropSuperseded(spark, path, _))
+    dropStaleShingleEntries(spark, path, sv + 1)
     CompactReport(bBefore, files(s"$path/bands/v${bv + 1}"),
       sBefore, files(s"$path/shingles/v${sv + 1}"))
   }

@@ -311,6 +311,34 @@ object QMedia {
     }
   }
 
+  /** The m16 DAY-2 ingest batch: perturbed copies of the m15 NOVELS
+    * (ids 300+i — near-dups of exactly what day 1 ACCEPTED, so they
+    * only drop if the day-1 upsert really landed) plus 8 genuinely
+    * novel images at ids 400+j (fresh keystream seeds img:80+j). */
+  def imageIngestMediaB(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(20).as[Long].map { k =>
+      if (k < 12) {
+        val src = 50 + k
+        val w = (4 + src % 5).toInt
+        val h = (3 + src % 4).toInt
+        val px = Multimodal.FakeCodec.encode(s"img:$src", w, h, 1)
+          .zipWithIndex.map { case (b, j) =>
+            math.min(255, (b & 0xff) + (if (j % 5 == 0) 2 else 0)).toByte
+          }
+        MediaRow(300 + k, "image", Multimodal.ImageIoCodec.encodePng(w, h, px),
+          0, 0, 1, "image/png")
+      } else {
+        val src = 80 + (k - 12)
+        val w = (4 + src % 5).toInt
+        val h = (3 + src % 4).toInt
+        val px = Multimodal.FakeCodec.encode(s"img:$src", w, h, 1)
+        MediaRow(400 + (k - 12), "image", Multimodal.ImageIoCodec.encodePng(w, h, px),
+          0, 0, 1, "image/png")
+      }
+    }
+  }
+
   /** The m02-shaped per-frame integer stats oracle, parameterized by
     * keystream seed prefix (the only thing that differs between the
     * GIF, MP4, and AVI fixtures). */
@@ -867,6 +895,73 @@ object QMedia {
         .select(col("media_id"),
           col("dhash").bitwiseAND(lit(0xffffffffL)).as("dhash_lo"),
           shiftright(col("dhash"), 32).bitwiseAND(lit(0xffffffffL)).as("dhash_hi"))
+        .orderBy("media_id")
+    },
+
+    // M16: the PERSISTED media-code index lifecycle (MediaIndex — the
+    // t65 idiom for perceptual codes): write the history corpus's
+    // banded dHash table once, gate day-1's batch against the store,
+    // UPSERT its survivors, then gate day-2's batch — which contains
+    // perturbed copies of exactly what day 1 ACCEPTED — against the
+    // GROWN index. A wrong upsert (or a stale manifest read) lets the
+    // day-2 copies through and breaks the hash. The oracle replays
+    // both stages from the keystream: codes for all four fixture sets,
+    // day-1 gate vs history, day-2 gate vs history ∪ day-1 survivors.
+    QueryDef.of("m16_media_index_gate",
+      """WITH m AS (
+        |  SELECT i AS media_id, i AS src, 0 AS pert, 'h' AS s FROM range(24) t(i)
+        |  UNION ALL SELECT 100 + i, i, 1, 'a' FROM range(24) t(i)
+        |  UNION ALL SELECT 200 + i, 50 + i, 0, 'a' FROM range(12) t(i)
+        |  UNION ALL SELECT 300 + i, 50 + i, 1, 'b' FROM range(12) t(i)
+        |  UNION ALL SELECT 400 + i, 80 + i, 0, 'b' FROM range(8) t(i)),
+        |d AS (SELECT media_id, src, pert, s, CAST(4 + src % 5 AS INT) AS w,
+        |    CAST(3 + src % 4 AS INT) AS h FROM m),
+        |px AS (SELECT media_id, w, h, j,
+        |    LEAST(255, ('0x' || substr(md5('img:' || src || ':' || CAST(j // 16 AS BIGINT)),
+        |                    CAST(2*(j % 16)+1 AS INT), 2))::INT
+        |      + CASE WHEN pert = 1 AND j % 5 = 0 THEN 2 ELSE 0 END) AS v
+        |  FROM d, range(48) t(j) WHERE j < w * h),
+        |grid AS (SELECT d.media_id, yy.y, xx.x, p.v
+        |  FROM d CROSS JOIN range(8) yy(y) CROSS JOIN range(9) xx(x)
+        |  JOIN px p ON p.media_id = d.media_id
+        |    AND p.j = (yy.y * d.h // 8) * d.w + (xx.x * d.w // 9)),
+        |bits AS (SELECT l.media_id, l.y * 8 + l.x AS pos,
+        |    CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS bit
+        |  FROM grid l JOIN grid r ON r.media_id = l.media_id
+        |    AND r.y = l.y AND r.x = l.x + 1
+        |  WHERE l.x < 8),
+        |codes AS MATERIALIZED (SELECT b.media_id, d.s,
+        |    CAST(SUM(CASE WHEN pos < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(pos AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN pos >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(pos - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits b JOIN d ON d.media_id = b.media_id GROUP BY b.media_id, d.s),
+        |survA AS MATERIALIZED (SELECT media_id, lo, hi FROM codes b
+        |  WHERE b.s = 'a' AND NOT EXISTS (
+        |    SELECT 1 FROM codes h WHERE h.s = 'h'
+        |      AND bit_count(xor(b.lo, h.lo)) + bit_count(xor(b.hi, h.hi)) <= 3)),
+        |histB AS MATERIALIZED (SELECT lo, hi FROM codes WHERE s = 'h'
+        |  UNION ALL SELECT lo, hi FROM survA),
+        |survB AS (SELECT media_id FROM codes b
+        |  WHERE b.s = 'b' AND NOT EXISTS (
+        |    SELECT 1 FROM histB h
+        |      WHERE bit_count(xor(b.lo, h.lo)) + bit_count(xor(b.hi, h.hi)) <= 3))
+        |SELECT media_id, 'a' AS batch FROM survA
+        |UNION ALL SELECT media_id, 'b' FROM survB
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      def codesOf(media: org.apache.spark.sql.Dataset[MediaRow]) =
+        graft.multimodal.ImageHash.frameHashes(
+            Multimodal.sampleFrames(media, everyN = 1))
+          .select("media_id", "dhash")
+      val path = "/tmp/graft_media_index_m16_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.multimodal.MediaIndex.write(path, codesOf(imageMedia(s)))
+      val survA = graft.multimodal.MediaIndex.gate(
+        s, path, codesOf(imageIngestMedia(s)), maxHamming = 3)
+      graft.multimodal.MediaIndex.upsert(path, survA)
+      val survB = graft.multimodal.MediaIndex.gate(
+        s, path, codesOf(imageIngestMediaB(s)), maxHamming = 3)
+      survA.select(col("media_id"), lit("a").as("batch"))
+        .unionByName(survB.select(col("media_id"), lit("b").as("batch")))
         .orderBy("media_id")
     })
 }

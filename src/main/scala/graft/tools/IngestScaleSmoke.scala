@@ -79,7 +79,23 @@ object IngestScaleSmoke {
     final case class Run(scale: Int, newRows: Long, nearKept: Long, selRows: Long,
         rankRows: Long, leak: Map[(String, String), (Long, Long)],
         wallSec: Double, writeBytes: Long,
-        stages: Map[Int, (Long, Long, Long)])
+        stages: Map[Int, (Long, Long, Long)],
+        ssKept: Long, gateBytes: Long)
+
+    // input-bytes tally for the steady-state gate probe: the r14 fix's
+    // contract is that a FIXED batch's gate reads candidate-bounded
+    // bytes, not history-sized bytes — observable only in task input
+    // metrics
+    final class InputTally extends org.apache.spark.scheduler.SparkListener {
+      private val bytes = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null && te.taskInfo != null && te.taskInfo.successful)
+          bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead): Unit
+      def snapshotAndReset(): Long = bytes.getAndSet(0L)
+    }
+    val inputTally = new InputTally
+    spark.sparkContext.addSparkListener(inputTally)
 
     var failed = false
     def check(cond: Boolean, msg: String): Unit = {
@@ -289,12 +305,30 @@ object IngestScaleSmoke {
       check(storeKept == nearKept,
         s"scale=$c t65 persisted-index gate ≡ in-memory ($storeKept vs $nearKept)")
       tally.snapshotAndReset() // keep the index I/O out of the envelope
+
+      // ---- t65 STEADY-STATE: a FIXED batch (copy 0) probes the
+      // c×-grown index. The r13 finding was a per-batch full-history
+      // re-aggregation; the r14 contract is that the gate's scanned
+      // bytes are bounded by the batch's candidate neighborhoods —
+      // copies are text-disjoint, so the fixed batch's candidates (and
+      // its verdicts) are IDENTICAL at every history scale, and only
+      // the bands-probe rows (4/doc, the size class an LSH index keeps
+      // resident) still grow with history.
+      val fixedBatch = base.filter(col("doc_id") % 10 >= 4)
+      Thread.sleep(500)
+      inputTally.snapshotAndReset()
+      val ssKept = graft.operators.DedupIndex
+        .gate(spark, idxPath, fixedBatch, "doc_id", "text", 3, 12, 4, 0.5).count()
+      Thread.sleep(1000) // bound listener-bus delivery lag
+      val gateBytes = inputTally.snapshotAndReset()
       docs.unpersist()
       scored.unpersist()
       println(f"INGEST_SMOKE scale=$c%-3d new=$newRows near_kept=$nearKept " +
         f"sel=$selRows ranked=$rankRows leak_pairs=${leak.values.map(_._1).sum} " +
-        f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB")
-      Run(c, newRows, nearKept, selRows, rankRows, leak, wall, bytes, stages)
+        f"wall=$wall%.1fs shuffle_write=${bytes / 1048576.0}%.1f MiB " +
+        f"ss_gate_read=${gateBytes / 1048576.0}%.1f MiB")
+      Run(c, newRows, nearKept, selRows, rankRows, leak, wall, bytes, stages,
+        ssKept, gateBytes)
     }
 
     val r1 = runs.head
@@ -312,6 +346,17 @@ object IngestScaleSmoke {
       check(math.abs(r.nearKept - expected) <= tol,
         s"t32 near-dup kept rows linear ±1% at ${r.scale}x " +
           s"(${r1.nearKept}->${r.nearKept}, expected ~$expected ±$tol)")
+      check(r.ssKept == r1.ssKept,
+        s"t65 steady-state verdicts identical under ${r.scale}x history " +
+          s"(${r1.ssKept} -> ${r.ssKept})")
+      // the bytes bound: history grew scale/1×, but the gate's reads
+      // must stay candidate-bounded — only the 4-rows/doc band probe
+      // may grow, so total stays well under history growth (3.5× is a
+      // loose roof for a 10× history; an unpruned gate sits at ~10×)
+      check(r.gateBytes <= (r1.gateBytes * 7) / 2,
+        f"t65 steady-state gate bytes bounded by candidates at ${r.scale}x " +
+          f"(${r1.gateBytes / 1048576.0}%.1f -> ${r.gateBytes / 1048576.0}%.1f MiB, " +
+          f"roof 3.5x while history is ${r.scale}x)")
       check(r.leak.keySet == r1.leak.keySet &&
           r.leak.forall { case (k, (pairs, docs)) =>
             pairs == r1.leak(k)._1 * r.scale / r1.scale && docs == r1.leak(k)._2 },

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import graft.queries.QMedia
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted media-code index lifecycle ([[MediaIndex]], m16): gate
+  * over the store ≡ the in-memory incremental operator,
+  * snapshot-stable verdicts across upserts, day-2 idempotence,
+  * compaction equivalence + grace-window cleanup. */
+class MediaIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def codesOf(media: org.apache.spark.sql.Dataset[MediaRow]) =
+    ImageHash.frameHashes(Multimodal.sampleFrames(media, everyN = 1))
+      .select("media_id", "dhash")
+
+  private lazy val hist = codesOf(QMedia.imageMedia(spark))
+  private lazy val bA = codesOf(QMedia.imageIngestMedia(spark))
+  private lazy val bB = codesOf(QMedia.imageIngestMediaB(spark))
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+    import spark.implicits._
+    df.select("media_id").as[Long].collect().toSet
+  }
+
+  test("gate over the persisted index equals the in-memory incremental operator") {
+    val path = Files.createTempDirectory("graft_mediaidx").toString
+    MediaIndex.write(path, hist)
+    val viaStore = ids(MediaIndex.gate(spark, path, bA, maxHamming = 3))
+    val inMem = ids(ImageHash.incrementalNearDup(bA, hist, maxHamming = 3))
+    assert(viaStore === inMem)
+    // the m15 fixture structure: only the 12 novels survive
+    assert(viaStore === (200L until 212L).toSet)
+  }
+
+  test("verdicts are snapshot-stable; day-2 copies of day-1 survivors are dropped") {
+    val path = Files.createTempDirectory("graft_mediaidx_snap").toString
+    MediaIndex.write(path, hist)
+    val survA = MediaIndex.gate(spark, path, bA, maxHamming = 3)
+    val before = ids(survA)
+    MediaIndex.upsert(path, survA)
+    spark.catalog.clearCache() // the harness contract — must not re-probe
+    assert(ids(survA) === before,
+      "a gate verdict must mean 'as of the call', even after the upsert")
+    // day-2 idempotence: re-gating the SAME batch self-matches every
+    // accepted code (Hamming 0) — nothing accepted twice
+    val regate = MediaIndex.gate(spark, path, bA, maxHamming = 3)
+    assert(ids(regate).intersect(before) === Set.empty[Long])
+    // day-2 batch: perturbed copies of day-1 survivors drop, novels pass
+    val survB = ids(MediaIndex.gate(spark, path, bB, maxHamming = 3))
+    val inMemB = ids(ImageHash.incrementalNearDup(
+      bB, hist.unionByName(bA.filter(col("media_id").isin(before.toSeq: _*))),
+      maxHamming = 3))
+    assert(survB === inMemB)
+    assert(survB.forall(_ >= 400L),
+      s"every day-2 copy of a day-1 survivor must drop, got $survB")
+  }
+
+  test("compact: one atomic publish, fewer files, identical gate results, grace window") {
+    val path = Files.createTempDirectory("graft_mediaidx_cmp").toString
+    MediaIndex.write(path, hist.filter(col("media_id") % 2 === 0))
+    (0 until 4).foreach(r =>
+      MediaIndex.upsert(path,
+        hist.filter(col("media_id") % 2 === 1 && pmod(col("media_id"), lit(8)) === (r * 2 + 1))))
+    val before = ids(MediaIndex.gate(spark, path, bA, maxHamming = 3))
+    val report = MediaIndex.compact(spark, path)
+    val after = ids(MediaIndex.gate(spark, path, bA, maxHamming = 3))
+    assert(after === before, "compaction must not change gate semantics")
+    assert(report.filesAfter < report.filesBefore, s"$report")
+    // grace window: the previous snapshot survives one cycle, then the
+    // next maintenance run reclaims it
+    assert(new java.io.File(s"$path/bands/v1").exists())
+    MediaIndex.compact(spark, path)
+    assert(!new java.io.File(s"$path/bands/v1").exists())
+  }
+
+  test("a manifest-less path fails loudly") {
+    val empty = Files.createTempDirectory("graft_mediaidx_none").toString
+    val ex = intercept[IllegalStateException] {
+      MediaIndex.gate(spark, empty, bA, maxHamming = 3)
+    }
+    assert(ex.getMessage.contains("no committed manifest"))
+  }
+}

@@ -79,6 +79,32 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$path/shingles/v1").exists())
   }
 
+  test("persisted sizes table equals a recount of the shingle table at every lifecycle step") {
+    // the r13 scale fix: the gate's Jaccard denominators come from the
+    // precomputed sizes/v<N> table, never a per-batch re-aggregation
+    // of the full history shingle table — so the table must stay
+    // EXACTLY the (id → shingle-count) of the live shingle table
+    // through write, upsert and compact
+    import graft.io.StoreManifest
+    val path = Files.createTempDirectory("graft_dedupidx_sz").toString
+    def sizesMatchRecount(): Unit = {
+      val m = StoreManifest.current(spark, path)
+      val sizes = spark.read.parquet(s"$path/sizes/v${m("sizes")}")
+        .toDF("id", "n_sh")
+      val recount = spark.read.parquet(s"$path/shingles/v${m("shingles")}")
+        .groupBy("id").count().toDF("id", "n_sh")
+      assert(sizes.exceptAll(recount).count() === 0)
+      assert(recount.exceptAll(sizes).count() === 0)
+    }
+    DedupIndex.write(path, hist, "doc_id", "text", 3, 12, 4)
+    sizesMatchRecount()
+    val survA = DedupIndex.gate(spark, path, bA, "doc_id", "text", 3, 12, 4, 0.5)
+    DedupIndex.upsert(path, survA, "doc_id", "text", 3, 12, 4)
+    sizesMatchRecount()
+    DedupIndex.compact(spark, path)
+    sizesMatchRecount()
+  }
+
   test("a manifest-less path fails loudly") {
     val empty = Files.createTempDirectory("graft_dedupidx_none").toString
     val ex = intercept[IllegalStateException] {

@@ -106,7 +106,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val telemetry = f"""{"cpus":$cpus,"load_start":$loadStart%.2f,"load_max":$loadMax%.2f,"load_end":${loadAvg}%.2f,"jvms_start":$jvmsStart,"jvms_max":$jvmsMax,"passes":$passes}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","telemetry":$telemetry}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","telemetry":$telemetry}"""
+    println(line)
+    // the same JSON also lands in a standalone file: the driver's
+    // BENCH_r{N}.json has shipped with "parsed": null two rounds
+    // running (the summary survived only inside the raw `tail`
+    // string), so the round record must not depend on tail-parsing
+    // sbt output. SPARK_GRAFT_BENCH_OUT overrides the path.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

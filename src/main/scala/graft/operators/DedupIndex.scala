@@ -69,44 +69,18 @@ object DedupIndex {
   private def sizesOf(sh: DataFrame): DataFrame =
     sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
-  /** Deterministic catalog name for one shingle-table version — the
-    * metastore is where Spark keeps bucketing metadata (the `s13`
-    * bucketed-join machinery), so each version gets a stable name any
-    * session can re-register against the same files. */
-  private def shTableName(path: String, v: Int): String =
-    s"graft_didx_${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(path))}_sh_v$v"
-
-  /** Write one shingle-table version BUCKETED by `sh` (sorted by `id`
-    * within each bucket file). The pre-shuffle onto the bucket hash
-    * means each task owns whole buckets → exactly `buckets` files per
-    * write, not tasks×buckets. */
+  /** Write one shingle-table version BUCKETED by `sh` — the steady-
+    * state join key — sorted by `id` within each bucket file (tight
+    * row-group stats for the candidate-id pushdown). Catalog/DDL
+    * mechanics live in [[graft.io.BucketedTables]]. */
   private def writeShingles(
-      sh: DataFrame, path: String, v: Int, buckets: Int): Unit = {
-    val spark = sh.sparkSession
-    val name = shTableName(path, v)
-    spark.sql(s"DROP TABLE IF EXISTS `$name`") // stale entry from an orphaned write
-    sh.repartition(buckets, col("sh"))
-      .write.bucketBy(buckets, "sh").sortBy("id")
-      .option("path", s"$path/shingles/v$v")
-      .format("parquet").mode("overwrite").saveAsTable(name)
-  }
+      sh: DataFrame, path: String, v: Int, buckets: Int): Unit =
+    graft.io.BucketedTables.write(sh, s"$path/shingles/v$v", "sh", "id", buckets)
 
-  /** The bucketed shingle table of one committed snapshot,
-    * re-registering the catalog entry if this session has never seen
-    * it (bucket metadata lives in the catalog, the files on disk). */
+  /** The bucketed shingle table of one committed snapshot. */
   private def shinglesTable(
-      spark: SparkSession, path: String, v: Int, buckets: Int): DataFrame = {
-    val name = shTableName(path, v)
-    if (!spark.catalog.tableExists(name)) {
-      val dir = s"$path/shingles/v$v"
-      val cols = spark.read.parquet(dir).schema.fields
-        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      spark.sql(s"CREATE TABLE `$name` ($cols) USING PARQUET " +
-        s"CLUSTERED BY (sh) SORTED BY (id) INTO $buckets BUCKETS " +
-        s"LOCATION '$path/shingles/v$v'")
-    }
-    spark.table(name)
-  }
+      spark: SparkSession, path: String, v: Int, buckets: Int): DataFrame =
+    graft.io.BucketedTables.read(spark, s"$path/shingles/v$v", "sh", "id", buckets)
 
   /** Drop catalog entries whose version directory is gone (superseded
     * versions reclaimed by the grace-window cleanup). */
@@ -115,7 +89,7 @@ object DedupIndex {
     (1 until below).foreach { k =>
       val fs = StoreManifest.fsOf(spark, path)
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles/v$k")))
-        spark.sql(s"DROP TABLE IF EXISTS `${shTableName(path, k)}`")
+        graft.io.BucketedTables.dropEntry(spark, s"$path/shingles/v$k")
     }
 
   /** Materialize the index for an initial corpus. A re-write on an
@@ -156,12 +130,8 @@ object DedupIndex {
     val m = StoreManifest.current(spark, path)
     val sh = Dedup.shingled(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = m("buckets")
-    shinglesTable(spark, path, m("shingles"), buckets) // ensure registered
-    sh.repartition(buckets, col("sh"))
-      .write.bucketBy(buckets, "sh").sortBy("id")
-      .format("parquet").mode("append")
-      .saveAsTable(shTableName(path, m("shingles")))
+    graft.io.BucketedTables.append(
+      sh, s"$path/shingles/v${m("shingles")}", "sh", "id", m("buckets"))
     sizesOf(sh).coalesce(1).write.mode("append").parquet(s"$path/sizes/v${m("sizes")}")
     bandedOf(sh, numHashes, bands)
       .write.mode("append").partitionBy("band")

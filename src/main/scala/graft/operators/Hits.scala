@@ -29,26 +29,51 @@ import org.apache.spark.sql.functions._
  */
 object Hits {
 
-  /** @return (idCol, authority, hub), both columns summing to 1. */
+  /** @return (idCol, authority, hub), both columns summing to 1.
+    *
+    * The `(edges, srcCol, dstCol)` overload repartitions two in-memory
+    * copies; [[runIndexed]] takes a persisted [[graft.io.EdgeStore]]'s
+    * two bucketed copies and skips both one-time exchanges. */
   def run(
       nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    // TWO cached copies of the edge list, each hash-partitioned on
+    // its half-step's join key: the authority step joins on src, the
+    // hub step on dst, and with the partitioning pinned at
+    // materialization neither half-step ever re-shuffles edges — only
+    // the node-sized score frame moves per round (PROFILE_GRAPH_r12's
+    // 100 TB knob; runIndexed's bucketed copies save even the two
+    // one-time exchanges)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    runOn(nodes, idCol,
+      e0.repartition(col("src")), e0.repartition(col("dst")), iterations)
+  }
+
+  /** HITS over a persisted [[graft.io.EdgeStore]]: both copies load
+    * already bucketed on their half-step's join key — from a cold
+    * start, no stage of the whole run shuffles the edge table
+    * (plan-audited). */
+  def runIndexed(
+      nodes: DataFrame, idCol: String, path: String,
+      iterations: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    runOn(nodes, idCol,
+      graft.io.EdgeStore.bySrc(spark, path),
+      graft.io.EdgeStore.byDst(spark, path), iterations)
+  }
+
+  private def runOn(
+      nodes: DataFrame, idCol: String,
+      edgesBySrc: DataFrame, edgesByDst: DataFrame,
       iterations: Int): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
     val ids = nodes.select(col(idCol).as("id"))
     val n = ids.count()
-    // TWO cached copies of the edge list, each hash-partitioned on
-    // its half-step's join key: the authority step joins on src, the
-    // hub step on dst, and with the partitioning pinned at
-    // materialization neither half-step ever re-shuffles edges — only
-    // the node-sized score frame moves per round (PROFILE_GRAPH_r12's
-    // 100 TB knob; src- and dst-bucketed table copies drop in to save
-    // even the two one-time exchanges)
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val eSrc = e0.repartition(col("src")).persist(MEMORY_AND_DISK)
-    val eDst = e0.repartition(col("dst")).persist(MEMORY_AND_DISK)
+    val eSrc = edgesBySrc.persist(MEMORY_AND_DISK)
+    val eDst = edgesByDst.persist(MEMORY_AND_DISK)
 
     // zero-sum guard: on an edgeless graph (or once all mass lands on
     // vertices the next half-step cannot reach) the total is 0 — the

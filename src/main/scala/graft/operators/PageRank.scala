@@ -42,12 +42,20 @@ object PageRank {
    *              dst would be computed (the src's outdegree counts the
    *              edge) but silently lost at the join-back, breaking
    *              the Σ pr = 1 invariant with no error.
+   * @param preIndexed edges come from a persisted
+   *              [[graft.io.EdgeStore]] src-bucketed copy: already
+   *              vertex-closed at write time and scanned with
+   *              `HashPartitioning(src)`, so the closure semi-joins
+   *              AND the one-time repartition are both skipped — from
+   *              a cold start, no stage of the whole run shuffles the
+   *              edge table (plan-audited).
    * @return (idCol, pr) with Σ pr = 1.
    */
   def run(
       nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, damping: Double = 0.85): DataFrame = {
+      iterations: Int, damping: Double = 0.85,
+      preIndexed: Boolean = false): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -55,20 +63,21 @@ object PageRank {
     val ids = nodes.select(col(idCol).as("id"))
     // one driver scalar: the vertex count (a Long, not data)
     val n = ids.count()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // restrict edges to the vertex set BEFORE degrees: an edge to an
     // unknown dst must not inflate its src's outdegree (its rank mass
     // would vanish at the join-back and Σ pr = 1 would silently break)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
-      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
-      // pin the edge shuffle ONCE: the cached frame materializes
-      // hash-partitioned on the per-iteration join key, so every
-      // round's join re-uses that partitioning and only the (node-
-      // sized) rank frame moves — iterations never re-shuffle the
-      // edge table (the 100 TB knob from PROFILE_GRAPH_r12; an edge
-      // table bucketed by src drops in and saves even this one-time
-      // exchange, exactly the s13 machinery)
-      .repartition(col("src"))
+    val e = (if (preIndexed) e0
+      else e0
+        .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        // pin the edge shuffle ONCE: the cached frame materializes
+        // hash-partitioned on the per-iteration join key, so every
+        // round's join re-uses that partitioning and only the (node-
+        // sized) rank frame moves — iterations never re-shuffle the
+        // edge table (the 100 TB knob from PROFILE_GRAPH_r12; the
+        // preIndexed EdgeStore path drops even this one-time exchange)
+        .repartition(col("src")))
       .persist(MEMORY_AND_DISK) // reused every iteration
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
       .persist(MEMORY_AND_DISK)

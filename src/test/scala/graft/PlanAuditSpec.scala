@@ -660,4 +660,68 @@ class PlanAuditSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("g01/g02: the persisted EdgeStore feeds the iteration join and the degree " +
+      "aggregate with ZERO edge exchange from a cold start") {
+    // the per-iteration shape of PageRank (edges⋈ranks on src +
+    // groupBy(src) degrees) over the src-bucketed store copy: the
+    // edge side must never shuffle — only the node-sized score frame
+    // moves. Broadcast off so co-location is what the plan stands on.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"),
+        explode(array((col("doc_id") * 17 + 3) % n,
+          (col("doc_id") * 31 + 7) % n)).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val path = java.nio.file.Files.createTempDirectory("graft_planaudit_edges").toString
+    graft.io.EdgeStore.write(path, docs, "doc_id", edges, "src", "dst")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+      def rootOf(df: org.apache.spark.sql.DataFrame): SparkPlan =
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+      def isEdgeScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("/by_src/v"))
+        case _ => false
+      }
+      val e = graft.io.EdgeStore.bySrc(spark, path)
+      // degree aggregate: partial+final collapse onto the bucket
+      // layout — no exchange anywhere in the plan
+      val degRoot = rootOf(e.groupBy("src").count())
+      assert(nodes(degRoot).exists(isEdgeScan), degRoot.toString)
+      assert(nodes(degRoot).collect { case x: ShuffleExchangeExec => x }.isEmpty,
+        s"degree aggregate shuffles the edge store\n$degRoot")
+      // iteration join: ranks side shuffles into the bucket layout,
+      // edge side must reach its join through Sort alone (the
+      // groupBy(dst) re-key above the join is the legitimate
+      // contribution shuffle — node-sized values, not raw edges)
+      val ranks = docs.withColumn("pr", lit(1.0 / n))
+      val joinRoot = rootOf(
+        e.join(ranks, e("src") === ranks("doc_id"))
+          .groupBy("dst").agg(sum("pr")))
+      def pathToScan(p: SparkPlan): Option[List[SparkPlan]] =
+        if (isEdgeScan(p)) Some(List(p))
+        else p.children.flatMap(pathToScan).headOption.map(p :: _)
+      val path0 = pathToScan(joinRoot).getOrElse(fail("edge scan vanished"))
+      val belowJoin = path0.reverse.takeWhile(n => !n.nodeName.contains("Join"))
+      val offending = belowJoin.collect { case x: ShuffleExchangeExec => x }
+      assert(path0.exists(_.nodeName.contains("Join")), joinRoot.toString)
+      assert(offending.isEmpty,
+        s"edge-store side shuffles before its join:\n${belowJoin.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }

@@ -814,30 +814,35 @@ object QMedia {
       """WITH m AS (SELECT i AS media_id, i AS src, 0 AS pert FROM range(10) t(i)
         |  UNION ALL SELECT 100 + i, i, 1 FROM range(10) t(i)),
         |d AS (SELECT media_id, src, pert, CAST(100 + src * 10 AS BIGINT) AS n FROM m),
-        |by AS (SELECT media_id, j,
+        |by AS (SELECT media_id, n, j,
         |    LEAST(255, ('0x' || substr(md5('wav:' || src || ':' || CAST(j // 16 AS BIGINT)),
         |                    CAST(2*(j % 16)+1 AS INT), 2))::INT
         |      + CASE WHEN pert = 1 AND j % 5 = 0 THEN 2 ELSE 0 END) AS b
-        |  FROM d, range(200) t(j) WHERE j < 200),
-        |s16 AS (SELECT media_id, j // 2 AS k,
+        |  FROM d, range(204) t(j) WHERE j < LEAST(204, 2 * n)),
+        |s16 AS (SELECT media_id, n, j // 2 AS k,
         |    SUM(CASE WHEN j % 2 = 0 THEN b ELSE 256 * b END) AS u
-        |  FROM by GROUP BY media_id, j // 2),
-        |v AS (SELECT media_id, k,
+        |  FROM by GROUP BY media_id, n, j // 2),
+        |v AS (SELECT media_id, n, k,
         |    ABS(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a
         |  FROM s16),
-        |e AS (SELECT media_id, k // 4 AS blk, CAST(SUM(a) AS BIGINT) AS energy
-        |  FROM v GROUP BY media_id, k // 4),
-        |bits AS (SELECT l.media_id, l.blk AS pos,
+        |e AS (SELECT media_id, o.off, (k - o.off) // 4 AS blk,
+        |    CAST(SUM(a) AS BIGINT) AS energy
+        |  FROM v JOIN (VALUES (0), (2)) o(off) ON n >= o.off + 100
+        |  WHERE k >= o.off AND k < o.off + 100
+        |  GROUP BY media_id, o.off, (k - o.off) // 4),
+        |bits AS (SELECT l.media_id, l.off, l.blk AS pos,
         |    CASE WHEN r.energy > l.energy THEN 1 ELSE 0 END AS bit
-        |  FROM e l JOIN e r ON r.media_id = l.media_id AND r.blk = l.blk + 1
+        |  FROM e l JOIN e r ON r.media_id = l.media_id AND r.off = l.off
+        |    AND r.blk = l.blk + 1
         |  WHERE l.blk < 24),
-        |codes AS MATERIALIZED (SELECT media_id,
+        |codes AS MATERIALIZED (SELECT media_id, off,
         |    CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(pos AS INT))) AS BIGINT) AS code
-        |  FROM bits GROUP BY media_id)
+        |  FROM bits GROUP BY media_id, off)
         |SELECT a.media_id AS id_a, b.media_id AS id_b,
-        |  CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming
+        |  CAST(MIN(bit_count(xor(a.code, b.code))) AS BIGINT) AS hamming
         |FROM codes a JOIN codes b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.code, b.code)) <= 3
+        |GROUP BY a.media_id, b.media_id
+        |HAVING MIN(bit_count(xor(a.code, b.code))) <= 3
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       graft.multimodal.AudioHash
         .nearDupPairs(graft.multimodal.AudioHash.fingerprints(wavDupMedia(s)),

@@ -195,6 +195,66 @@ object MediaScaleSmoke {
     }
     histBase.unpersist(); batchBase.unpersist()
 
+    // m13 clip near-dup (the r13 newcomer, gated r14): per-frame codes
+    // of the y4m re-encode fixture in the same tagged copy spaces —
+    // within a copy the tag XORs away (frame Hamming identical to copy
+    // 0 → identical clip pairs), across copies every frame pair is ≥ 4
+    // bits apart → matched-fraction 0: clip pairs exactly linear, zero
+    // cross-copy, candidate generation stays a banded equi-join.
+    val clipBase = graft.multimodal.ImageHash.frameHashes(
+        Multimodal.sampleFrames(QMedia.y4mDupMedia(spark), everyN = 1))
+      .persist()
+    clipBase.count()
+    val m13Runs = scales.map { c =>
+      val codes = (0 until c).map { k =>
+        clipBase.select((col("media_id") + k * 1000L).as("media_id"),
+          col("frame_idx"),
+          col("dhash").bitwiseAND(lit(0xffffffffffffL))
+            .bitwiseOR(lit(k.toLong * 0x1111L << 48)).as("dhash"))
+      }.reduce(_.unionByName(_))
+      val pairs = graft.multimodal.ImageHash
+        .clipNearDupPairs(codes, maxHamming = 3, minFrac = 0.5)
+      val plan = pairs.queryExecution.executedPlan.toString
+      check(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+        s"scale=$c m13 clip pair join stays a banded equi-join")
+      val cross = pairs
+        .filter(floor(col("id_a") / 1000) =!= floor(col("id_b") / 1000)).count()
+      check(cross == 0L, s"scale=$c m13 cross-copy clip pairs exactly zero (got $cross)")
+      (c, pairs.count())
+    }
+    val g13 = m13Runs.head
+    m13Runs.tail.foreach { case (c, rows) =>
+      check(rows * g13._1 == g13._2 * c,
+        s"scale=$c m13 clip pair count EXACTLY linear (${g13._2}->$rows)")
+    }
+    clipBase.unpersist()
+
+    // m16 persisted media index (the r14 newcomer): the STORE gate must
+    // equal the in-memory m15 gate at every scale — write the tagged
+    // history once per scale, probe with the tagged batch.
+    val histBase16 = graft.multimodal.ImageHash.frameHashes(
+        Multimodal.sampleFrames(QMedia.imageMedia(spark), everyN = 1))
+      .select("media_id", "dhash").persist()
+    val batchBase16 = graft.multimodal.ImageHash.frameHashes(
+        Multimodal.sampleFrames(QMedia.imageIngestMedia(spark), everyN = 1))
+      .select("media_id", "dhash").persist()
+    scales.foreach { c =>
+      val hist = tagged(histBase16, c)
+      val batch = tagged(batchBase16, c)
+      val inMem = graft.multimodal.ImageHash
+        .incrementalNearDup(batch, hist, maxHamming = 3).count()
+      val idxPath = s"/tmp/graft_media_smoke_idx_$c"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(idxPath), true)
+      graft.multimodal.MediaIndex.write(idxPath, hist)
+      val viaStore = graft.multimodal.MediaIndex
+        .gate(spark, idxPath, batch, maxHamming = 3).count()
+      check(viaStore == inMem,
+        s"scale=$c m16 persisted-index gate ≡ in-memory ($viaStore vs $inMem)")
+    }
+    histBase16.unpersist(); batchBase16.unpersist()
+
     // byte-balanced partitioning: skewed payloads (64 KiB .. 512 KiB)
     val skewed = spark.range(64).select(
         col("id").as("media_id"),

@@ -156,15 +156,40 @@ class ImageHashSpec extends AnyFunSuite {
     assert(pairs.length === 10)
     assert(pairs.forall { case (a, b, h) => b - a === 100L && h <= 3L })
     val raw = codes.as[(Long, Long)].collect()
+    // brute force over ALL offset code rows, min-Hamming per pair —
+    // exactly nearDupPairs' multi-alignment semantics
     val brute = (for {
       (ia, ca) <- raw; (ib, cb) <- raw if ia < ib
-      d = java.lang.Long.bitCount(ca ^ cb) if d <= 3
-    } yield (ia, ib, d.toLong)).toSet
+      d = java.lang.Long.bitCount(ca ^ cb)
+    } yield ((ia, ib), d.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min)
+      .collect { case ((a, b), h) if h <= 3 => (a, b, h) }.toSet
     assert(pairs.toSet === brute)
     // too-short audio is skipped, not mis-fingerprinted
     intercept[IllegalArgumentException] {
       AudioHash.energyDiffCode(base(_), AudioHash.MinSamples - 1)
     }
+  }
+
+  test("AudioHash: a half-block-shifted copy is caught via the offset grid") {
+    import spark.implicits._
+    // a copy with block/2 = 2 samples prepended: every block-aligned
+    // window straddles two of the original's, so the old single-grid
+    // code missed it — the offset-2 grid reproduces the original's
+    // offset-0 windows EXACTLY (Hamming 0)
+    val pcm0 = Array.tabulate(200)(j => (((j * 73) % 251) - 120).toByte)
+    val shifted = Array[Byte](0, 0, 0, 0) ++ pcm0
+    val media = Seq(
+      VideoContainers.WavMux.write(pcm0, 8000, 1, 16),
+      VideoContainers.WavMux.write(shifted, 8000, 1, 16))
+      .zipWithIndex.map { case (bytes, i) =>
+        MediaRow(i + 1L, "audio", bytes, 0, 0, 0, "audio/wav")
+      }.toDS()
+    val pairs = AudioHash
+      .nearDupPairs(AudioHash.fingerprints(media), maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)),
+      s"shifted copy must pair at Hamming 0, got ${pairs.toSeq}")
   }
 
   test("disjoint copy tags (pairwise Hamming >= 4) never cross-pair") {

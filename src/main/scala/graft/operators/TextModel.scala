@@ -208,4 +208,160 @@ object TextModel {
         round((sum(col("__nlp_micro")).cast("double") / count(lit(1))) / 1e6, 6)
           .as("avg_neg_logp"))
   }
+
+  /**
+   * CROSS-corpus 5-GRAM perplexity under INTERPOLATED KNESER-NEY
+   * smoothing (Kneser & Ney 1995; the interpolated formulation of
+   * Chen & Goodman 1999, public method — what the actual CCNet filter
+   * runs, as a KenLM 5-gram) — the full-strength upgrade over
+   * [[trigramBackoffCrossPerplexity]]'s stupid backoff:
+   *
+   *   P₅(w|ctx₄)  = (max(c(ctx₄w) − D, 0) + D·N₁₊(ctx₄•)·P₄) / c(ctx₄)
+   *   Pₖ(w|ctxₖ₋₁)= (max(N₁₊(•ctxₖ₋₁w) − D, 0) + D·N₁₊ᵈ(ctxₖ₋₁)·Pₖ₋₁)
+   *                   / N₁₊(•ctxₖ₋₁•)                      for k = 2..4
+   *   P₁(w)       = (N₁₊(•w) + k) / (N₁₊(••) + k·V)
+   *
+   * with one fixed discount D, CONTINUATION counts at every order
+   * below the top (N₁₊(•x) = distinct left-extensions of x — the KN
+   * insight: "how many contexts does x complete", not "how often"),
+   * N₁₊ᵈ(ctx) = distinct continuations of ctx among the counted
+   * types, and an add-k floor on the continuation-unigram base so OOV
+   * words score finite (the house discipline, same as the other LM
+   * forms). An unseen context at any order carries no mass to
+   * distribute — the tier is skipped entirely (its denominator is 0)
+   * and scoring falls through to the next order, the standard backoff
+   * for zero-count contexts. The top tier is also skipped when the
+   * context exists but has NO counted continuation (a 4-gram seen
+   * only at document ends): its λ would be 0 and a zero-probability
+   * hole would open at c₅ = 0.
+   *
+   * Scale shape: the reference LM is NINE count tables — 5-gram and
+   * 4-gram raw counts plus continuation/λ tables derived from DISTINCT
+   * n-gram types at each order (every one a linear hash aggregate over
+   * the exploded gram stream). Scoring joins each document 5-gram
+   * against them by its nested gram keys — all shuffle equi-joins
+   * (web-scale LM tables are never assumed broadcastable); the two
+   * scalars (distinct-bigram total, vocabulary) ride a 1-row broadcast
+   * crossJoin. Per-5-gram −ln P is rounded to integer micro-nats
+   * BEFORE the per-doc sum — exact Long arithmetic, engine-portable;
+   * the t66 oracle replays every tier term-for-term.
+   *
+   * Documents with fewer than 5 tokens have no 5-grams and are absent
+   * from the output, as in the lower-order forms.
+   */
+  def knFivegramCrossPerplexity(
+      reference: DataFrame, refTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, k: Double = 0.5): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    require(k > 0.0, "smoothing k must be positive")
+    import org.apache.spark.sql.Column
+
+    // ---- gram-position helpers over space-joined n-grams ----------
+    def prefix(g: Column, n: Int): Column = substring_index(g, " ", n)
+    def suffix(g: Column, n: Int): Column = substring_index(g, " ", -n)
+    // words i..j (1-based) of an n-gram: suffix to drop the head, then
+    // prefix to keep the span
+    def span(g: Column, i: Int, j: Int, n: Int): Column =
+      prefix(suffix(g, n - i + 1), j - i + 1)
+
+    val refToks = reference.select(
+      TextFunctions.tokens(TextFunctions.canonicalText(col(refTextCol))).as("__toks"))
+    def refGrams(n: Int): DataFrame = refToks
+      .select(explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("g"))
+
+    // ---- the nine reference tables --------------------------------
+    // top order: raw counts
+    val t5 = refGrams(5).groupBy("g").agg(count(lit(1)).as("c5"))
+    val c4 = refGrams(4).groupBy("g").agg(count(lit(1)).as("c4"))
+      .withColumnRenamed("g", "ctx4")
+    // λ₅: distinct continuations of each 4-gram context (rows of t5
+    // are distinct types, so count(*) per prefix IS the distinct count)
+    val lam5 = t5.groupBy(prefix(col("g"), 4).as("ctx4"))
+      .agg(count(lit(1)).as("lam5"))
+    // order 4: continuation counts from distinct 5-gram types
+    val cont4 = t5.groupBy(suffix(col("g"), 4).as("g4s"))
+      .agg(count(lit(1)).as("cont4"))
+    val mid4 = t5.groupBy(span(col("g"), 2, 4, 5).as("ctx3"))
+      .agg(count(lit(1)).as("denom4"),
+        countDistinct(suffix(col("g"), 1)).as("lam4"))
+    // order 3: from distinct 4-gram types
+    val t4types = refGrams(4).select(col("g")).distinct()
+    val cont3 = t4types.groupBy(suffix(col("g"), 3).as("g3s"))
+      .agg(count(lit(1)).as("cont3"))
+    val mid3 = t4types.groupBy(span(col("g"), 2, 3, 4).as("ctx2"))
+      .agg(count(lit(1)).as("denom3"),
+        countDistinct(suffix(col("g"), 1)).as("lam3"))
+    // order 2: from distinct 3-gram types
+    val t3types = refGrams(3).select(col("g")).distinct()
+    val cont2 = t3types.groupBy(suffix(col("g"), 2).as("g2s"))
+      .agg(count(lit(1)).as("cont2"))
+    val mid2 = t3types.groupBy(span(col("g"), 2, 2, 3).as("w4k"))
+      .agg(count(lit(1)).as("denom2"),
+        countDistinct(suffix(col("g"), 1)).as("lam2"))
+    // base: continuation unigrams from distinct bigram types
+    val t2types = refGrams(2).select(col("g")).distinct()
+    val cont1 = t2types.groupBy(suffix(col("g"), 1).as("w5k"))
+      .agg(count(lit(1)).as("cont1"))
+    val scalars = t2types.agg(count(lit(1)).cast("double").as("denom1"))
+      .crossJoin(refToks.select(explode(col("__toks")).as("w"))
+        .agg(countDistinct(col("w")).cast("double").as("v")))
+
+    // ---- score the target documents -------------------------------
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
+    val grams = toks
+      .select(col("id"), explode(TextFunctions.shinglesFromTokens(col("__toks"), 5)).as("g"))
+      .select(col("id"), col("g"),
+        prefix(col("g"), 4).as("ctx4"),
+        suffix(col("g"), 4).as("g4s"),
+        span(col("g"), 2, 4, 5).as("ctx3"),
+        suffix(col("g"), 3).as("g3s"),
+        span(col("g"), 3, 4, 5).as("ctx2"),
+        suffix(col("g"), 2).as("g2s"),
+        span(col("g"), 4, 4, 5).as("w4k"),
+        suffix(col("g"), 1).as("w5k"))
+
+    val joined = grams
+      .join(t5, Seq("g"), "left")
+      .join(c4, Seq("ctx4"), "left")
+      .join(lam5, Seq("ctx4"), "left")
+      .join(cont4, Seq("g4s"), "left")
+      .join(mid4, Seq("ctx3"), "left")
+      .join(cont3, Seq("g3s"), "left")
+      .join(mid3, Seq("ctx2"), "left")
+      .join(cont2, Seq("g2s"), "left")
+      .join(mid2, Seq("w4k"), "left")
+      .join(cont1, Seq("w5k"), "left")
+      .na.fill(0L, Seq("c5", "c4", "lam5", "cont4", "denom4", "lam4",
+        "cont3", "denom3", "lam3", "cont2", "denom2", "lam2", "cont1"))
+      .crossJoin(broadcast(scalars))
+
+    // one tier: (max(num − D, 0) + D·lam·lower) / denom when the
+    // context was seen, else fall through — the SAME textual shape the
+    // oracle uses, so double arithmetic associates identically
+    val dL = lit(discount)
+    def tier(num: Column, lam: Column, denom: Column, lower: Column): Column =
+      when(denom > 0,
+        (greatest(num - dL, lit(0.0)) + dL * lam * lower) / denom)
+        .otherwise(lower)
+    val p1 = (col("cont1") + k) / (col("denom1") + lit(k) * col("v"))
+    val p2 = tier(col("cont2"), col("lam2"), col("denom2"), p1)
+    val p3 = tier(col("cont3"), col("lam3"), col("denom3"), p2)
+    val p4 = tier(col("cont4"), col("lam4"), col("denom4"), p3)
+    // top tier also needs lam5 > 0 (context seen only at document
+    // ends distributes no mass — a c5=0 gram would score exactly 0)
+    val p5 = when(col("c4") > 0 && col("lam5") > 0,
+      (greatest(col("c5") - dL, lit(0.0)) + dL * col("lam5") * p4) / col("c4"))
+      .otherwise(p4)
+
+    joined
+      .withColumn("__nlp_micro", round(-log(p5) * 1e6).cast("long"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_fivegrams"),
+        round((sum(col("__nlp_micro")).cast("double") / count(lit(1))) / 1e6, 6)
+          .as("avg_neg_logp"))
+  }
 }

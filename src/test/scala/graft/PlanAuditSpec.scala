@@ -577,6 +577,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("LeftOuter".r.findAllIn(p).length >= 5, p)
   }
 
+  test("t66: the KN LM scores via equi-joins on gram keys — no cartesian, no UDF") {
+    // ten left equi-joins (5-gram, ctx4 twice via c4/λ5, the six
+    // continuation/λ tables, continuation unigrams) + the 1-row
+    // scalar broadcast; nothing may degenerate into a cartesian or a
+    // per-row closure
+    val p = plan("t66_kn5_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).length
+    assert(joins === 10, s"expected 10 LM equi-joins, saw $joins\n$p")
+    assert("LeftOuter".r.findAllIn(p).length >= 10, p)
+  }
+
   test("m12: the dHash pair join is a banded equi-join; decode stays out of the exchange") {
     val p = plan("m12_image_neardup_dhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

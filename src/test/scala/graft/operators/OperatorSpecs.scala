@@ -1010,6 +1010,49 @@ class OperatorSpecs extends AnyFunSuite {
       s"in-domain ${r(1L)} must beat reversed-order gibberish ${r(2L)}")
   }
 
+  test("knFivegramCrossPerplexity: every tier hand-computed through the interpolation") {
+    // ref "a b c d e" + "a b c d f": c5{abcde:1,abcdf:1}, c4(abcd)=2,
+    // λ5(abcd)=2; continuation tables from distinct types —
+    // cont4(bcde)=1, denom4(bcd)=2, λ4=2; cont3(cde)=1, denom3(cd)=2,
+    // λ3=2; cont2(de)=1, denom2(d)=2, λ2=2; cont1(e)=1, denom1=5
+    // bigram types, V=6. Interpolating with D=0.75, k=0.5:
+    // P1=1.5/8=0.1875, each tier (0.25+1.5·P)/2 → P5=0.401123046875.
+    val ref = Seq((100L, "a b c d e"), (101L, "a b c d f")).toDF("doc_id", "text")
+    val targets = Seq(
+      (1L, "a b c d e"), // all five tiers live
+      (2L, "x b c d e"), // unseen ctx4 → falls through to P4
+      (3L, "x y z w q")) // everything unseen → continuation-unigram floor
+      .toDF("doc_id", "text")
+    val r = TextModel.knFivegramCrossPerplexity(ref, "text",
+        targets, "doc_id", "text", discount = 0.75, k = 0.5)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 1L, 0.913487))) // -ln 0.401123046875
+    assert(r(2L) === ((2L, 1L, 0.999227))) // -ln P4 = -ln 0.3681640625
+    assert(r(3L) === ((3L, 1L, 2.772589))) // -ln((0+0.5)/(5+3)) = ln 16
+    // deeper context is strictly less surprising
+    assert(r(1L)._3 < r(2L)._3 && r(2L)._3 < r(3L)._3)
+  }
+
+  test("knFivegramCrossPerplexity: in-domain text scores below shuffled gibberish") {
+    val ref = Seq.tabulate(30)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog every single day"))
+      .toDF("doc_id", "text")
+    val targets = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "dog lazy the over jumps fox brown quick the"))
+      .toDF("doc_id", "text")
+    val r = TextModel.knFivegramCrossPerplexity(ref, "text",
+        targets, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x._3).toMap
+    assert(r(1L) < r(2L),
+      s"in-domain ${r(1L)} must beat reversed-order gibberish ${r(2L)}")
+    // the in-domain side should be confident in absolute terms too:
+    // every 5-gram is a seen type, so mean -ln P stays well under the
+    // gibberish side's backoff-dominated score
+    assert(r(1L) < 1.0 && r(2L) > 2.0,
+      s"expected confident in-domain (<1 nat) vs backoff-heavy gibberish (>2 nats), got $r")
+  }
+
   test("tfidfKeywords surfaces distinctive terms over ubiquitous ones") {
     val docs = Seq(
       (1L, "alpha alpha alpha shared shared"),

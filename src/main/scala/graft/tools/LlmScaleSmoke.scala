@@ -433,6 +433,87 @@ object LlmScaleSmoke {
     // allowance is counted.
     SmokeGates.gateShuffleLinear(runs.map(r => (r.scale, r.writeBytes)), check)
     runs.foreach(r => SmokeGates.gateSkew(r.scale, r.stages, check))
+
+    // ---- r13/r14 newcomers: LM scoring (t60/t66), tokenizer encodes
+    // (t61/t64), unigram-LM training (t63), composed cleaning (llm01
+    // family via CleanCorpus). t62's planted-span eval is a synthetic
+    // fixture query (its corpus IS the plant), already covered at
+    // scale by the t59 recall gate above — logged, not re-gated.
+    println("LLM_SMOKE note: t62 eval not separately scaled (synthetic plant; t59 gate covers the dedup-quality surface)")
+    val bpeVocab = spark.sparkContext.broadcast(graft.functions.Bpe.defaultVocab)
+    val wpVocab = spark.sparkContext.broadcast(graft.functions.WordPiece.defaultVocab)
+    val lmRuns = scales.map { c =>
+      val docs = scaledCorpus(base, c)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      // t60/t66: copy offsets are multiples of 10, so the %10 ref
+      // split replicates per copy; token COUNTS are copy-invariant
+      // (the prefix rides inside each token), so output rows and gram
+      // totals are EXACTLY linear
+      val ref = docs.filter(col("doc_id") % 10 === 0)
+      val tgt = docs.filter(col("doc_id") % 10 =!= 0)
+      val t60r = graft.operators.TextModel
+        .trigramBackoffCrossPerplexity(ref, "text", tgt, "doc_id", "text")
+        .agg(count(lit(1)).cast("long"), sum("n_trigrams").cast("long")).first()
+      val t66r = graft.operators.TextModel
+        .knFivegramCrossPerplexity(ref, "text", tgt, "doc_id", "text")
+        .agg(count(lit(1)).cast("long"), sum("n_fivegrams").cast("long")).first()
+      // t61/t64: map-only encodes over VERBATIM c× replication —
+      // token totals exactly c× the base's
+      val verbatim = (0 until c).map(_ => base.select(col("text")))
+        .reduce(_.unionByName(_))
+      val bpeToks = verbatim
+        .select(size(graft.functions.Bpe.bpeTokens(col("text"), bpeVocab)).cast("long").as("n"))
+        .agg(sum("n").cast("long")).first().getLong(0)
+      val wpToks = verbatim
+        .select(size(graft.functions.WordPiece.wordPieceTokens(col("text"), wpVocab))
+          .cast("long").as("n"))
+        .agg(sum("n").cast("long")).first().getLong(0)
+      // t63: unigram-LM training is count-ratio-driven — verbatim c×
+      // replication scales every seed count by c, probabilities
+      // normalize it away, so the learned table must be IDENTICAL
+      val uni = graft.operators.UnigramLm.train(verbatim.toDF("text"), "text",
+        maxPieceLen = 4, seedSize = 120, vocabSize = 60, emIters = 2, maxWordLen = 8)
+      // llm01 family: the composed cleaner over copy-local inputs
+      // (bench replicated with the same copy prefixes, so
+      // decontamination is copy-local too)
+      val bench = scaledCorpus(base.filter(col("doc_id") % 97 === 3), c)
+      val survivors = graft.operators.CleanCorpus.clean(
+        docs, "doc_id", "text", bench, "text", minQuality = 0.3).count()
+      docs.unpersist()
+      println(f"LLM_SMOKE_LM scale=$c%-3d t60=(${t60r.getLong(0)},${t60r.getLong(1)}) " +
+        f"t66=(${t66r.getLong(0)},${t66r.getLong(1)}) bpe_toks=$bpeToks wp_toks=$wpToks " +
+        f"uni_vocab=${uni.size} clean_survivors=$survivors")
+      (c, t60r.getLong(0), t60r.getLong(1), t66r.getLong(0), t66r.getLong(1),
+        bpeToks, wpToks, uni, survivors)
+    }
+    val l1 = lmRuns.head
+    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _) =>
+      check(r60 * l1._1 == l1._2 * c && g60 * l1._1 == l1._3 * c,
+        s"scale=$c t60 scored rows/grams EXACTLY linear ((${l1._2},${l1._3})->($r60,$g60))")
+      check(r66 * l1._1 == l1._4 * c && g66 * l1._1 == l1._5 * c,
+        s"scale=$c t66 scored rows/grams EXACTLY linear ((${l1._4},${l1._5})->($r66,$g66))")
+      check(bt * l1._1 == l1._6 * c,
+        s"scale=$c t61 byte-BPE token total EXACTLY linear (${l1._6}->$bt)")
+      check(wt * l1._1 == l1._7 * c,
+        s"scale=$c t64 WordPiece token total EXACTLY linear (${l1._7}->$wt)")
+      check(uni == l1._8,
+        s"scale=$c t63 unigram-LM table IDENTICAL under verbatim replication " +
+          s"(${l1._8.size} pieces)")
+    }
+    // llm01 survivors are AFFINE in the copy count (copy 0 keeps the
+    // base's quality/stopword profile; prefixed copies share a second
+    // profile), so three scales pin the exact line: s(c) = s1 + (c−1)·m
+    if (lmRuns.length >= 3) {
+      val s = lmRuns.map(r => (r._1, r._9))
+      val m2 = (s(1)._2 - s(0)._2) / (s(1)._1 - s(0)._1)
+      val predicted = s(0)._2 + (s(2)._1 - s(0)._1) * m2
+      check(s(2)._2 == predicted,
+        s"llm01-family survivors EXACTLY affine in copies " +
+          s"(${s.map(_._2).mkString(",")}; predicted ${predicted} at ${s(2)._1}x)")
+    }
+
     println(s"LLM_SMOKE_RESULT ${if (failed) "FAIL" else "PASS"}")
     spark.stop()
     if (failed) sys.exit(1)

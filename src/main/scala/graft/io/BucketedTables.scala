@@ -53,7 +53,14 @@ object BucketedTables {
 
   /** The bucketed table at `dir`, re-registering the catalog entry if
     * this session has never seen it (bucket metadata lives in the
-    * catalog, the files on disk). */
+    * catalog, the files on disk). ALWAYS refreshes the relation cache
+    * first: appends land through whatever session held the writing
+    * DataFrame — in Structured Streaming's foreachBatch that is a
+    * CLONED session whose write invalidates only its own cache, so a
+    * reader session would otherwise serve a stale file listing and
+    * silently miss appended rows (found by the DedupIndex streaming
+    * spec). Path-based parquet reads re-list on every analysis; table
+    * reads must be told to. */
   def read(
       spark: SparkSession, dir: String,
       bucketCol: String, sortCol: String, buckets: Int): DataFrame = {
@@ -65,6 +72,7 @@ object BucketedTables {
         s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$sortCol`) INTO $buckets BUCKETS " +
         s"LOCATION '$dir'")
     }
+    spark.catalog.refreshTable(name)
     spark.table(name)
   }
 

@@ -498,9 +498,15 @@ object LlmScaleSmoke {
         s"scale=$c t61 byte-BPE token total EXACTLY linear (${l1._6}->$bt)")
       check(wt * l1._1 == l1._7 * c,
         s"scale=$c t64 WordPiece token total EXACTLY linear (${l1._7}->$wt)")
-      check(uni == l1._8,
-        s"scale=$c t63 unigram-LM table IDENTICAL under verbatim replication " +
-          s"(${l1._8.size} pieces)")
+      // counts are raw corpus counts (scale ×c by construction); the
+      // LEARNED model — piece inventory + normalized scores — must be
+      // identical because every EM ratio and pruning rank is
+      // count-ratio-driven
+      check(uni.map(p => (p.piece, p.scoreMicro)) ==
+          l1._8.map(p => (p.piece, p.scoreMicro)) &&
+          uni.map(_.count * l1._1) == l1._8.map(_.count * c),
+        s"scale=$c t63 unigram-LM pieces+scores IDENTICAL, counts EXACTLY ${c}x " +
+          s"under verbatim replication (${l1._8.size} pieces)")
     }
     // llm01 survivors are AFFINE in the copy count (copy 0 keeps the
     // base's quality/stopword profile; prefixed copies share a second

@@ -105,6 +105,46 @@ class DedupIndexSpec extends AnyFunSuite {
     sizesMatchRecount()
   }
 
+  test("foreachBatch ingestion: streamed gate+upsert equals sequential batch applies") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the daily-pull cadence as a live feed: each micro-batch is gated
+    // against the store AS OF ITS ARRIVAL and its survivors appended —
+    // the t65 lifecycle driven by Structured Streaming
+    val path = Files.createTempDirectory("graft_dedupidx_stream").toString
+    DedupIndex.write(path, hist, "doc_id", "text", 3, 12, 4)
+    val batches = Seq(
+      bA.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1),
+      bB.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1))
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val surv = DedupIndex.gate(spark, path, batch.toDF(),
+          "doc_id", "text", 3, 12, 4, 0.5)
+        DedupIndex.upsert(path, surv, "doc_id", "text", 3, 12, 4)
+        accepted ++= surv.select("doc_id").as[Long].collect()
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b.toSeq); query.processAllAvailable() }
+    } finally query.stop()
+
+    // sequential twin on a fresh store: same batches, same order
+    val seqPath = Files.createTempDirectory("graft_dedupidx_seq").toString
+    DedupIndex.write(seqPath, hist, "doc_id", "text", 3, 12, 4)
+    val expected = batches.flatMap { b =>
+      val df = b.toSeq.toDF("doc_id", "text")
+      val surv = DedupIndex.gate(spark, seqPath, df, "doc_id", "text", 3, 12, 4, 0.5)
+      DedupIndex.upsert(seqPath, surv, "doc_id", "text", 3, 12, 4)
+      surv.select("doc_id").as[Long].collect()
+    }
+    assert(accepted.toSet === expected.toSet)
+    assert(accepted.size === expected.size, "no id accepted twice")
+  }
+
   test("a manifest-less path fails loudly") {
     val empty = Files.createTempDirectory("graft_dedupidx_none").toString
     val ex = intercept[IllegalStateException] {

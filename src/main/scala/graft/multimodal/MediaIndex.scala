@@ -12,9 +12,12 @@ import graft.io.StoreManifest
  * side is "an append-only dHash table"; this operator IS that table,
  * with the full write/gate/upsert/compact lifecycle instead of a
  * caller-managed frame. It stores 64-bit perceptual codes (dHash for
- * images, [[AudioHash]] energy-difference codes for audio — any
- * 64-bit code with the Hamming-ball semantics), so at 100 TB of
- * pixels the index is GB-scale.
+ * images; any code with Hamming-ball semantics that USES the full 64
+ * bits — a narrow code like [[AudioHash]]'s 24-bit form would make
+ * the two high 16-bit chunks constant-zero, turning those band joins
+ * into a per-chunk cross product; widen such codes or band them at
+ * their own width, as [[AudioHash.nearDupPairs]] does with 6-bit
+ * chunks), so at 100 TB of pixels the index is GB-scale.
  *
  * Layout under `path` (published by the shared [[StoreManifest]]
  * pointer-commit log):

@@ -94,11 +94,13 @@ object QGraph {
         .filter(col("src") =!= col("dst"))
         .distinct()
       // the production shape: the crawl graph persists ONCE as a
-      // src/dst-bucketed EdgeStore snapshot, and every ranking run
-      // after loads it with zero edge shuffle (even cold) — the write
-      // replaces the in-memory repartition the non-indexed path pays
-      val path = "/tmp/graft_edge_store_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      graft.io.EdgeStore.write(path, docs, "doc_id", edges, "src", "dst")
+      // src/dst-bucketed EdgeStore snapshot (keyed by corpus size so a
+      // regenerated sf dir re-writes), and every ranking run after
+      // loads it with zero edge shuffle — even from a cold start
+      val path = "/tmp/graft_edge_store_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + s"_n$n"
+      if (graft.io.StoreManifest.read(s, path).isEmpty)
+        graft.io.EdgeStore.write(path, docs, "doc_id", edges, "src", "dst")
       PageRank.run(docs, "doc_id", graft.io.EdgeStore.bySrc(s, path),
           "src", "dst",
           iterations = Iterations, damping = Damping.toDouble, preIndexed = true)
@@ -132,8 +134,10 @@ object QGraph {
         .distinct()
       // same persisted EdgeStore snapshot as g01 (same synthesized
       // graph): both bucketed copies load with zero edge shuffle
-      val path = "/tmp/graft_edge_store_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      graft.io.EdgeStore.write(path, docs, "doc_id", edges, "src", "dst")
+      val path = "/tmp/graft_edge_store_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + s"_n$n"
+      if (graft.io.StoreManifest.read(s, path).isEmpty)
+        graft.io.EdgeStore.write(path, docs, "doc_id", edges, "src", "dst")
       graft.operators.Hits.runIndexed(docs, "doc_id", path,
           iterations = HitsIterations)
         .select(col("doc_id"),

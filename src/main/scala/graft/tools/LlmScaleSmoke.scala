@@ -498,15 +498,26 @@ object LlmScaleSmoke {
         s"scale=$c t61 byte-BPE token total EXACTLY linear (${l1._6}->$bt)")
       check(wt * l1._1 == l1._7 * c,
         s"scale=$c t64 WordPiece token total EXACTLY linear (${l1._7}->$wt)")
-      // counts are raw corpus counts (scale ×c by construction); the
-      // LEARNED model — piece inventory + normalized scores — must be
-      // identical because every EM ratio and pruning rank is
-      // count-ratio-driven
-      check(uni.map(p => (p.piece, p.scoreMicro)) ==
-          l1._8.map(p => (p.piece, p.scoreMicro)) &&
-          uni.map(_.count * l1._1) == l1._8.map(_.count * c),
-        s"scale=$c t63 unigram-LM pieces+scores IDENTICAL, counts EXACTLY ${c}x " +
-          s"under verbatim replication (${l1._8.size} pieces)")
+      // the learned INVENTORY is exactly replication-invariant (every
+      // EM ratio and pruning rank is count-ratio-driven); counts are
+      // raw corpus counts (×c) EXCEPT unused singles, which the
+      // trainer floors to 1 unscaled — that floor also shifts the
+      // normalization total by O(#singles/N), so scores carry a
+      // principled micro-nat wobble (measured 3–4 micro at 3×/10×;
+      // gated at ≤20)
+      val base8 = l1._8.map(p => p.piece -> p).toMap
+      check(uni.map(_.piece) == l1._8.map(_.piece) &&
+          uni.forall { p =>
+            val b = base8(p.piece)
+            val floored = b.count == 1L && p.count == 1L
+            // a floored single's OWN score legitimately shifts by
+            // ~ln c (its count is pinned while the total grows)
+            floored ||
+              (p.count == b.count * c &&
+                math.abs(p.scoreMicro - b.scoreMicro) <= 20L)
+          },
+        s"scale=$c t63 unigram-LM inventory IDENTICAL, counts ${c}x and scores " +
+          s"within 20 micro-nats (floored singles exempt; ${l1._8.size} pieces)")
     }
     // llm01 survivors are AFFINE in the copy count (copy 0 keeps the
     // base's quality/stopword profile; prefixed copies share a second

@@ -78,6 +78,44 @@ class MediaIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$path/bands/v1").exists())
   }
 
+  test("foreachBatch ingestion: streamed gate+upsert equals sequential batch applies") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the daily-crawl cadence as a live feed over the PERSISTED store
+    // (ImageHashSpec pins the caller-managed-history variant; this is
+    // the store-backed one, incl. the cross-session-clone read path)
+    val path = Files.createTempDirectory("graft_mediaidx_stream").toString
+    MediaIndex.write(path, hist)
+    val batches = Seq(
+      bA.as[(Long, Long)].collect().sortBy(_._1),
+      bB.as[(Long, Long)].collect().sortBy(_._1))
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, Long)]
+    val query = input.toDF().toDF("media_id", "dhash").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val surv = MediaIndex.gate(spark, path, batch.toDF(), maxHamming = 3)
+        MediaIndex.upsert(path, surv)
+        accepted ++= surv.select("media_id").as[Long].collect()
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b.toSeq); query.processAllAvailable() }
+    } finally query.stop()
+
+    val seqPath = Files.createTempDirectory("graft_mediaidx_seq").toString
+    MediaIndex.write(seqPath, hist)
+    val expected = batches.flatMap { b =>
+      val df = b.toSeq.toDF("media_id", "dhash")
+      val surv = MediaIndex.gate(spark, seqPath, df, maxHamming = 3)
+      MediaIndex.upsert(seqPath, surv)
+      surv.select("media_id").as[Long].collect()
+    }
+    assert(accepted.toSet === expected.toSet)
+    assert(accepted.size === expected.size, "no id accepted twice")
+  }
+
   test("a manifest-less path fails loudly") {
     val empty = Files.createTempDirectory("graft_mediaidx_none").toString
     val ex = intercept[IllegalStateException] {

@@ -1817,6 +1817,65 @@ object QText {
     // three count tables and the tier CASE term-for-term (the same
     // micro-nat integer scheme; α spelled CAST(0.4 AS DOUBLE) so both
     // engines multiply identical IEEE doubles).
+    // T67: the GOPHER rule-based quality gate (QualityRules.gopher —
+    // Rae et al. 2021's MassiveWeb document rules; the map-only
+    // heuristic bundle a pipeline runs FIRST). The corpus is clean
+    // synthetic text, so four failure modes are INJECTED by doc_id
+    // class: symbol soup (%7=0), truncation below the word floor
+    // (%7=1), alphabetic characters digit-replaced (%7=2 — kills
+    // alpha-fraction AND stopwords), tripled words (%7=3 — blows the
+    // mean-length ceiling). The oracle replays the derived text, every
+    // metric, and every rounded rule boundary.
+    QueryDef.of("t67_gopher_rules",
+      """WITH d AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 7 = 0 THEN text || repeat(' #', 40) || repeat(' ...', 20)
+        |    WHEN doc_id % 7 = 1 THEN array_to_string((regexp_extract_all(trim(text), '\S+'))[1:5], ' ')
+        |    WHEN doc_id % 7 = 2 THEN regexp_replace(text, '[A-Za-z]', '9', 'g')
+        |    WHEN doc_id % 7 = 3 THEN array_to_string(list_transform(regexp_extract_all(trim(text), '\S+'), w -> w || w || w), ' ')
+        |    ELSE text END AS t0
+        |  FROM documents),
+        |w AS (SELECT doc_id, trim(t0) AS t, regexp_extract_all(trim(t0), '\S+') AS words FROM d),
+        |m AS (SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    round(CASE WHEN len(words) > 0
+        |      THEN CAST(length(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE) / len(words)
+        |      ELSE 0.0 END, 6) AS mean_word_len,
+        |    round(CASE WHEN len(words) > 0
+        |      THEN ((length(t) - length(replace(t, '#', ''))) / 1
+        |            + (length(t) - length(replace(t, '...', ''))) / 3) / len(words)
+        |      ELSE 0.0 END, 6) AS symbol_ratio,
+        |    round(CASE WHEN len(words) > 0
+        |      THEN CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words)
+        |      ELSE 0.0 END, 6) AS alpha_frac,
+        |    CAST(len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
+        |  n_words >= 50 AND n_words <= 100000 AS pass_words,
+        |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_mean_len,
+        |  symbol_ratio <= 0.1 AS pass_symbols,
+        |  alpha_frac >= 0.8 AS pass_alpha,
+        |  n_stopwords >= 2 AS pass_stopwords,
+        |  n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+        |    AND n_stopwords >= 2 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words0 = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val derived = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" #" * 40), lit(" ..." * 20)))
+          .when(col("doc_id") % 7 === 1,
+            array_join(slice(words0, 1, 5), " "))
+          .when(col("doc_id") % 7 === 2,
+            regexp_replace(col("text"), "[A-Za-z]", "9"))
+          .when(col("doc_id") % 7 === 3,
+            array_join(transform(words0, w => concat(w, w, w)), " "))
+          .otherwise(col("text")).as("t0"))
+      graft.operators.QualityRules.gopher(derived, "doc_id", "t0")
+        .orderBy("doc_id")
+    },
+
     QueryDef.of("t60_trigram_backoff_perplexity",
       s"""WITH tr AS (SELECT $CTOKS AS t FROM documents WHERE doc_id % 10 = 0),
          |trt AS (SELECT tg, count(*) AS c_tri FROM (SELECT

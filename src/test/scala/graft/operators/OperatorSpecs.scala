@@ -1010,6 +1010,35 @@ class OperatorSpecs extends AnyFunSuite {
       s"in-domain ${r(1L)} must beat reversed-order gibberish ${r(2L)}")
   }
 
+  test("QualityRules.gopher: every rule hand-verified at its boundary") {
+    val good = "the data of the run and that have with home" // 10 words, mean 3.4
+    val docs = Seq(
+      (1L, (good + " ") * 6),                          // 60 words, all rules pass
+      (2L, good),                                      // 10 words: fails word floor only
+      (3L, (good + " ") * 6 + "###### ... ... ..."),   // symbol soup: fails symbols
+      (4L, ("123 456 789 " * 20).trim),                // digits: fails alpha + stopwords
+      (5L, "the with " + ("abcdefghijklmnop " * 58).trim)) // mean 15.6: fails mean len
+      .toDF("doc_id", "text")
+    val r = QualityRules.gopher(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def flags(id: Long) = (r(id).getAs[Boolean]("pass_words"),
+      r(id).getAs[Boolean]("pass_mean_len"), r(id).getAs[Boolean]("pass_symbols"),
+      r(id).getAs[Boolean]("pass_alpha"), r(id).getAs[Boolean]("pass_stopwords"),
+      r(id).getAs[Boolean]("pass"))
+    assert(r(1L).getAs[Long]("n_words") === 60L)
+    assert(r(1L).getAs[Double]("mean_word_len") === 3.4)
+    assert(flags(1L) === ((true, true, true, true, true, true)))
+    assert(flags(2L) === ((false, true, true, true, true, false)))
+    assert(flags(3L) === ((true, true, false, true, true, false)))
+    // boundary: "123" mean length exactly 3.0 passes the mean rule
+    assert(r(4L).getAs[Double]("mean_word_len") === 3.0)
+    assert(flags(4L) === ((true, true, true, false, false, false)))
+    assert(flags(5L) === ((true, false, true, true, true, false)))
+    // symbol accounting on doc 3: 6 hashes + 3 ellipses over 64 words
+    assert(r(3L).getAs[Double]("symbol_ratio") ===
+      math.round(9.0 / 64 * 1e6) / 1e6)
+  }
+
   test("knFivegramCrossPerplexity: every tier hand-computed through the interpolation") {
     // ref "a b c d e" + "a b c d f": c5{abcde:1,abcdf:1}, c4(abcd)=2,
     // λ5(abcd)=2; continuation tables from distinct types —

@@ -481,15 +481,25 @@ object LlmScaleSmoke {
       val bench = scaledCorpus(base.filter(col("doc_id") % 97 === 3), c)
       val survivors = graft.operators.CleanCorpus.clean(
         docs, "doc_id", "text", bench, "text", minQuality = 0.3).count()
+      // t67: map-only rule gate — pass counts under the prefixed
+      // copies are affine like the cleaner's (copy 0 keeps the base
+      // stopword profile; prefixed copies share a second profile),
+      // so exact-linear is asserted on the VERBATIM side instead
+      val gopherPass = graft.operators.QualityRules
+        .gopher(verbatim.withColumn("doc_id", lit(0L)), "doc_id", "text")
+        .filter(col("pass")).count()
       docs.unpersist()
       println(f"LLM_SMOKE_LM scale=$c%-3d t60=(${t60r.getLong(0)},${t60r.getLong(1)}) " +
         f"t66=(${t66r.getLong(0)},${t66r.getLong(1)}) bpe_toks=$bpeToks wp_toks=$wpToks " +
-        f"uni_vocab=${uni.size} clean_survivors=$survivors")
+        f"uni_vocab=${uni.size} clean_survivors=$survivors gopher_pass=$gopherPass")
       (c, t60r.getLong(0), t60r.getLong(1), t66r.getLong(0), t66r.getLong(1),
-        bpeToks, wpToks, uni, survivors)
+        bpeToks, wpToks, uni, survivors, gopherPass)
     }
     val l1 = lmRuns.head
-    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _) =>
+    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp) =>
+      check(gp * l1._1 == l1._10 * c,
+        s"scale=$c t67 gopher pass count EXACTLY linear on verbatim copies " +
+          s"(${l1._10}->$gp)")
       check(r60 * l1._1 == l1._2 * c && g60 * l1._1 == l1._3 * c,
         s"scale=$c t60 scored rows/grams EXACTLY linear ((${l1._2},${l1._3})->($r60,$g60))")
       check(r66 * l1._1 == l1._4 * c && g66 * l1._1 == l1._5 * c,

@@ -364,4 +364,188 @@ object TextModel {
         round((sum(col("__nlp_micro")).cast("double") / count(lit(1))) / 1e6, 6)
           .as("avg_neg_logp"))
   }
+
+  /** The Chen & Goodman (1999) closed-form discount estimates from an
+    * order's count-of-counts (n_i = number of types with count exactly
+    * i): Y = n1/(n1+2n2); D1 = 1−2Y·n2/n1, D2 = 2−3Y·n3/n2,
+    * D3+ = 3−4Y·n4/n3, clamped at 0. When any bucket is EMPTY (a
+    * corpus too small for the estimator — KenLM hard-errors here) the
+    * order falls back to the fixed 0.75 of
+    * [[knFivegramCrossPerplexity]], which makes modified KN collapse
+    * to plain interpolated KN exactly (spec-pinned). */
+  private[operators] def mknDiscounts(
+      n1: Long, n2: Long, n3: Long, n4: Long): (Double, Double, Double) =
+    if (n1 > 0 && n2 > 0 && n3 > 0 && n4 > 0) {
+      val y = n1.toDouble / (n1 + 2.0 * n2)
+      (math.max(0.0, 1.0 - 2.0 * y * n2 / n1),
+        math.max(0.0, 2.0 - 3.0 * y * n3 / n2),
+        math.max(0.0, 3.0 - 4.0 * y * n4 / n3))
+    } else (0.75, 0.75, 0.75)
+
+  /**
+   * MODIFIED Kneser-Ney 5-gram cross-perplexity (Chen & Goodman 1999
+   * §3, the KenLM DEFAULT — what CCNet literally ships): the
+   * [[knFivegramCrossPerplexity]] recursion with THREE count-dependent
+   * discounts per order instead of one fixed value. Per order, the
+   * discounts D1/D2/D3+ come closed-form from that order's
+   * count-of-counts ([[mknDiscounts]] — estimated over raw 5-gram
+   * counts at the top, continuation counts below), the discount
+   * applied to a gram depends on its own count bucket, and the
+   * interpolation weight is the bucket-weighted
+   * (D1·N1(ctx•) + D2·N2(ctx•) + D3·N3+(ctx•)) / denom — so contexts
+   * whose continuations are mostly singletons (hapax-heavy, poorly
+   * estimated) hand MORE mass to the lower order, which is the entire
+   * point of the modification.
+   *
+   * Count-of-counts are the ONLY driver-side values (sixteen longs —
+   * a KB-scale synopsis in the house discipline); the discounts they
+   * induce enter the plan as literals, exactly like the ANN
+   * centroids. Everything else keeps the t66 shape: nine+ count
+   * tables, all linear hash aggregates; scoring via shuffle
+   * equi-joins on the nested gram keys; per-gram −ln P in integer
+   * micro-nats. The t68 oracle recomputes the same discounts from the
+   * same integer counts with the same arithmetic shape and replays
+   * every tier.
+   */
+  def modifiedKnFivegramCrossPerplexity(
+      reference: DataFrame, refTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0.0, "smoothing k must be positive")
+    import org.apache.spark.sql.Column
+
+    def prefix(g: Column, n: Int): Column = substring_index(g, " ", n)
+    def suffix(g: Column, n: Int): Column = substring_index(g, " ", -n)
+    def span(g: Column, i: Int, j: Int, n: Int): Column =
+      prefix(suffix(g, n - i + 1), j - i + 1)
+
+    val refToks = reference.select(
+      TextFunctions.tokens(TextFunctions.canonicalText(col(refTextCol))).as("__toks"))
+    def refGrams(n: Int): DataFrame = refToks
+      .select(explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("g"))
+
+    // ---- numerator tables (t66 shapes) -----------------------------
+    val t5 = refGrams(5).groupBy("g").agg(count(lit(1)).as("c5"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c4 = refGrams(4).groupBy("g").agg(count(lit(1)).as("c4"))
+      .withColumnRenamed("g", "ctx4")
+    val cont4 = t5.groupBy(suffix(col("g"), 4).as("g4s"))
+      .agg(count(lit(1)).as("cont4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t4types = refGrams(4).select(col("g")).distinct()
+    val cont3 = t4types.groupBy(suffix(col("g"), 3).as("g3s"))
+      .agg(count(lit(1)).as("cont3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t3types = refGrams(3).select(col("g")).distinct()
+    val cont2 = t3types.groupBy(suffix(col("g"), 2).as("g2s"))
+      .agg(count(lit(1)).as("cont2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t2types = refGrams(2).select(col("g")).distinct()
+    val cont1 = t2types.groupBy(suffix(col("g"), 1).as("w5k"))
+      .agg(count(lit(1)).as("cont1"))
+    val scalars = t2types.agg(count(lit(1)).cast("double").as("denom1"))
+      .crossJoin(refToks.select(explode(col("__toks")).as("w"))
+        .agg(countDistinct(col("w")).cast("double").as("v")))
+
+    // ---- per-order discounts from count-of-counts (driver scalars) -
+    def countOfCounts(df: DataFrame, cnt: String): (Long, Long, Long, Long) = {
+      val r = df.agg(
+        sum(when(col(cnt) === 1, 1L).otherwise(0L)),
+        sum(when(col(cnt) === 2, 1L).otherwise(0L)),
+        sum(when(col(cnt) === 3, 1L).otherwise(0L)),
+        sum(when(col(cnt) === 4, 1L).otherwise(0L))).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val (d51, d52, d53) = (mknDiscounts _).tupled(countOfCounts(t5, "c5"))
+    val (d41, d42, d43) = (mknDiscounts _).tupled(countOfCounts(cont4, "cont4"))
+    val (d31, d32, d33) = (mknDiscounts _).tupled(countOfCounts(cont3, "cont3"))
+    val (d21, d22, d23) = (mknDiscounts _).tupled(countOfCounts(cont2, "cont2"))
+
+    // ---- per-context bucket tables (N1/N2/N3+ of the continuations) -
+    def buckets(df: DataFrame, key: Column, cnt: String,
+        ctxName: String, tag: String): DataFrame =
+      df.groupBy(key.as(ctxName)).agg(
+        sum(col(cnt)).as(s"denom$tag"),
+        sum(when(col(cnt) === 1, 1L).otherwise(0L)).as(s"n1$tag"),
+        sum(when(col(cnt) === 2, 1L).otherwise(0L)).as(s"n2$tag"),
+        sum(when(col(cnt) >= 3, 1L).otherwise(0L)).as(s"n3p$tag"))
+    // top order: the denominator is the RAW context count c4, so the
+    // bucket table carries buckets only (joined alongside c4)
+    val top = t5.groupBy(prefix(col("g"), 4).as("ctx4")).agg(
+      sum(when(col("c5") === 1, 1L).otherwise(0L)).as("n1t"),
+      sum(when(col("c5") === 2, 1L).otherwise(0L)).as("n2t"),
+      sum(when(col("c5") >= 3, 1L).otherwise(0L)).as("n3pt"))
+    val mid4 = buckets(cont4, prefix(col("g4s"), 3), "cont4", "ctx3", "4")
+    val mid3 = buckets(cont3, prefix(col("g3s"), 2), "cont3", "ctx2", "3")
+    val mid2 = buckets(cont2, prefix(col("g2s"), 1), "cont2", "w4k", "2")
+
+    // ---- score the target documents --------------------------------
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
+    val grams = toks
+      .select(col("id"), explode(TextFunctions.shinglesFromTokens(col("__toks"), 5)).as("g"))
+      .select(col("id"), col("g"),
+        prefix(col("g"), 4).as("ctx4"),
+        suffix(col("g"), 4).as("g4s"),
+        span(col("g"), 2, 4, 5).as("ctx3"),
+        suffix(col("g"), 3).as("g3s"),
+        span(col("g"), 3, 4, 5).as("ctx2"),
+        suffix(col("g"), 2).as("g2s"),
+        span(col("g"), 4, 4, 5).as("w4k"),
+        suffix(col("g"), 1).as("w5k"))
+
+    val joined = grams
+      .join(t5, Seq("g"), "left")
+      .join(c4, Seq("ctx4"), "left")
+      .join(top, Seq("ctx4"), "left")
+      .join(cont4, Seq("g4s"), "left")
+      .join(mid4, Seq("ctx3"), "left")
+      .join(cont3, Seq("g3s"), "left")
+      .join(mid3, Seq("ctx2"), "left")
+      .join(cont2, Seq("g2s"), "left")
+      .join(mid2, Seq("w4k"), "left")
+      .join(cont1, Seq("w5k"), "left")
+      .na.fill(0L, Seq("c5", "c4", "n1t", "n2t", "n3pt",
+        "cont4", "denom4", "n14", "n24", "n3p4",
+        "cont3", "denom3", "n13", "n23", "n3p3",
+        "cont2", "denom2", "n12", "n22", "n3p2", "cont1"))
+      .crossJoin(broadcast(scalars))
+
+    // D(cnt): the discount the gram's own count bucket earns; the SAME
+    // textual shape the oracle uses
+    def dOf(cnt: Column, d1: Double, d2: Double, d3: Double): Column =
+      when(cnt >= 3, d3).when(cnt === 2, d2).when(cnt === 1, d1).otherwise(0.0)
+    def tier(cnt: Column, n1c: Column, n2c: Column, n3pc: Column,
+        denom: Column, d1: Double, d2: Double, d3: Double,
+        lower: Column): Column =
+      when(denom > 0,
+        (greatest(cnt - dOf(cnt, d1, d2, d3), lit(0.0)) +
+          (lit(d1) * n1c + lit(d2) * n2c + lit(d3) * n3pc) * lower) / denom)
+        .otherwise(lower)
+    val p1 = (col("cont1") + k) / (col("denom1") + lit(k) * col("v"))
+    val p2 = tier(col("cont2"), col("n12"), col("n22"), col("n3p2"),
+      col("denom2"), d21, d22, d23, p1)
+    val p3 = tier(col("cont3"), col("n13"), col("n23"), col("n3p3"),
+      col("denom3"), d31, d32, d33, p2)
+    val p4 = tier(col("cont4"), col("n14"), col("n24"), col("n3p4"),
+      col("denom4"), d41, d42, d43, p3)
+    val p5 = when(col("c4") > 0 && (col("n1t") + col("n2t") + col("n3pt")) > 0,
+      (greatest(col("c5") - dOf(col("c5"), d51, d52, d53), lit(0.0)) +
+        (lit(d51) * col("n1t") + lit(d52) * col("n2t") + lit(d53) * col("n3pt")) * p4) /
+        col("c4"))
+      .otherwise(p4)
+
+    val out = joined
+      .withColumn("__nlp_micro", round(-log(p5) * 1e6).cast("long"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_fivegrams"),
+        round((sum(col("__nlp_micro")).cast("double") / count(lit(1))) / 1e6, 6)
+          .as("avg_neg_logp"))
+      // eager: the doc-sized result materializes while the count
+      // tables are still cached; the caches then release
+      .localCheckpoint(true)
+    Seq(t5, cont4, cont3, cont2).foreach(_.unpersist(blocking = false))
+    out
+  }
 }

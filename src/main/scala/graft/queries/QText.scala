@@ -1824,7 +1824,10 @@ object QText {
     // class: symbol soup (%7=0), truncation below the word floor
     // (%7=1), alphabetic characters digit-replaced (%7=2 — kills
     // alpha-fraction AND stopwords), tripled words (%7=3 — blows the
-    // mean-length ceiling). The oracle replays the derived text, every
+    // mean-length ceiling) — and one PASSING mode: the synthetic corpus
+    // carries no English stopwords, so %7=4 docs get the Gopher stop
+    // list prepended and pass every rule (the gate is non-vacuous in
+    // both directions). The oracle replays the derived text, every
     // metric, and every rounded rule boundary.
     QueryDef.of("t67_gopher_rules",
       """WITH d AS (SELECT doc_id, CASE
@@ -1832,6 +1835,7 @@ object QText {
         |    WHEN doc_id % 7 = 1 THEN array_to_string((regexp_extract_all(trim(text), '\S+'))[1:5], ' ')
         |    WHEN doc_id % 7 = 2 THEN regexp_replace(text, '[A-Za-z]', '9', 'g')
         |    WHEN doc_id % 7 = 3 THEN array_to_string(list_transform(regexp_extract_all(trim(text), '\S+'), w -> w || w || w), ' ')
+        |    WHEN doc_id % 7 = 4 THEN 'the rows be to of and that have with it ' || text
         |    ELSE text END AS t0
         |  FROM documents),
         |w AS (SELECT doc_id, trim(t0) AS t, regexp_extract_all(trim(t0), '\S+') AS words FROM d),
@@ -1871,6 +1875,8 @@ object QText {
             regexp_replace(col("text"), "[A-Za-z]", "9"))
           .when(col("doc_id") % 7 === 3,
             array_join(transform(words0, w => concat(w, w, w)), " "))
+          .when(col("doc_id") % 7 === 4,
+            concat(lit("the rows be to of and that have with it "), col("text")))
           .otherwise(col("text")).as("t0"))
       graft.operators.QualityRules.gopher(derived, "doc_id", "t0")
         .orderBy("doc_id")
@@ -1997,6 +2003,123 @@ object QText {
           docs.filter(col("doc_id") % 10 === 0), "text",
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
           discount = 0.75, k = 0.5)
+        .orderBy("doc_id")
+    },
+
+    // T68: MODIFIED Kneser-Ney 5-gram cross-perplexity — the KenLM
+    // default (Chen & Goodman 1999 §3): three count-dependent
+    // discounts per order, closed-form from that order's
+    // count-of-counts, bucket-weighted interpolation. The oracle
+    // recomputes the discounts from the same integer counts with the
+    // same arithmetic shape, incl. the empty-bucket fallback to the
+    // fixed 0.75. Honesty note: at sf0.01 the 50-doc reference has
+    // every 5-gram count at 1, so THIS oracle exercises the fallback
+    // arithmetic end-to-end; the LIVE estimator path (D1=1/3, D2=1,
+    // D3+=5/3 from a 4/3/2/1 frequency corpus) is pinned by the
+    // hand-computed unit spec.
+    QueryDef.of("t68_modified_kn5",
+      s"""WITH tr AS (SELECT $CTOKS AS t FROM documents WHERE doc_id % 10 = 0),
+         |g5r AS (SELECT unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM tr),
+         |t5 AS MATERIALIZED (SELECT g, count(*) AS c5 FROM g5r GROUP BY g),
+         |g4r AS (SELECT unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g FROM tr),
+         |c4t AS MATERIALIZED (SELECT g AS ctx4, count(*) AS c4 FROM g4r GROUP BY g),
+         |cont4 AS MATERIALIZED (SELECT array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s, count(*) AS cont4 FROM t5 GROUP BY 1),
+         |t4y AS MATERIALIZED (SELECT DISTINCT g FROM g4r),
+         |cont3 AS MATERIALIZED (SELECT array_to_string(string_split(g, ' ')[2:4], ' ') AS g3s, count(*) AS cont3 FROM t4y GROUP BY 1),
+         |g3r AS (SELECT unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS g FROM tr),
+         |t3y AS MATERIALIZED (SELECT DISTINCT g FROM g3r),
+         |cont2 AS MATERIALIZED (SELECT array_to_string(string_split(g, ' ')[2:3], ' ') AS g2s, count(*) AS cont2 FROM t3y GROUP BY 1),
+         |g2r AS (SELECT unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS g FROM tr),
+         |t2y AS MATERIALIZED (SELECT DISTINCT g FROM g2r),
+         |cont1 AS (SELECT string_split(g, ' ')[2] AS w5k, count(*) AS cont1 FROM t2y GROUP BY 1),
+         |sc0 AS (SELECT CAST(count(*) AS DOUBLE) AS denom1 FROM t2y),
+         |vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (SELECT unnest(t) AS w FROM tr)),
+         |cc5 AS (SELECT count(*) FILTER (c5 = 1) AS n1, count(*) FILTER (c5 = 2) AS n2,
+         |    count(*) FILTER (c5 = 3) AS n3, count(*) FILTER (c5 = 4) AS n4 FROM t5),
+         |cc4 AS (SELECT count(*) FILTER (cont4 = 1) AS n1, count(*) FILTER (cont4 = 2) AS n2,
+         |    count(*) FILTER (cont4 = 3) AS n3, count(*) FILTER (cont4 = 4) AS n4 FROM cont4),
+         |cc3 AS (SELECT count(*) FILTER (cont3 = 1) AS n1, count(*) FILTER (cont3 = 2) AS n2,
+         |    count(*) FILTER (cont3 = 3) AS n3, count(*) FILTER (cont3 = 4) AS n4 FROM cont3),
+         |cc2 AS (SELECT count(*) FILTER (cont2 = 1) AS n1, count(*) FILTER (cont2 = 2) AS n2,
+         |    count(*) FILTER (cont2 = 3) AS n3, count(*) FILTER (cont2 = 4) AS n4 FROM cont2),
+         |d5 AS (SELECT CASE WHEN n1>0 AND n2>0 AND n3>0 AND n4>0 THEN GREATEST(0, 1 - 2*(n1/(n1+2*n2))*n2/n1) ELSE 0.75 END AS d51,
+         |    CASE WHEN n1>0 AND n2>0 AND n3>0 AND n4>0 THEN GREATEST(0, 2 - 3*(n1/(n1+2*n2))*n3/n2) ELSE 0.75 END AS d52,
+         |    CASE WHEN n1>0 AND n2>0 AND n3>0 AND n4>0 THEN GREATEST(0, 3 - 4*(n1/(n1+2*n2))*n4/n3) ELSE 0.75 END AS d53 FROM cc5),
+         |d4 AS (SELECT CASE WHEN n1>0 AND n2>0 AND n3>0 AND n4>0 THEN GREATEST(0, 1 - 2*(n1/(n1+2*n2))*n2/n1) ELSE 0.75 END AS d41,
+         |    CASE WHEN n1>0 AND n2>0 AND n3>0 AND n4>0 THEN GREATEST(0, 2 - 3*(n1/(n1+2*n2))*n3/n2) ELSE 0.75 END AS d42,
+         |    CASE WHEN n1>0 AND n2>0 AND n3>0 AND n4>0 THEN GREATEST(0, 3 - 4*(n1/(n1+2*n2))*n4/n3) ELSE 0.75 END AS d43 FROM cc4),
+         |d3 AS (SELECT CASE WHEN n1>0 AND n2>0 AND n3>0 AND n4>0 THEN GREATEST(0, 1 - 2*(n1/(n1+2*n2))*n2/n1) ELSE 0.75 END AS d31,
+         |    CASE WHEN n1>0 AND n2>0 AND n3>0 AND n4>0 THEN GREATEST(0, 2 - 3*(n1/(n1+2*n2))*n3/n2) ELSE 0.75 END AS d32,
+         |    CASE WHEN n1>0 AND n2>0 AND n3>0 AND n4>0 THEN GREATEST(0, 3 - 4*(n1/(n1+2*n2))*n4/n3) ELSE 0.75 END AS d33 FROM cc3),
+         |d2 AS (SELECT CASE WHEN n1>0 AND n2>0 AND n3>0 AND n4>0 THEN GREATEST(0, 1 - 2*(n1/(n1+2*n2))*n2/n1) ELSE 0.75 END AS d21,
+         |    CASE WHEN n1>0 AND n2>0 AND n3>0 AND n4>0 THEN GREATEST(0, 2 - 3*(n1/(n1+2*n2))*n3/n2) ELSE 0.75 END AS d22,
+         |    CASE WHEN n1>0 AND n2>0 AND n3>0 AND n4>0 THEN GREATEST(0, 3 - 4*(n1/(n1+2*n2))*n4/n3) ELSE 0.75 END AS d23 FROM cc2),
+         |topb AS (SELECT array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4,
+         |    count(*) FILTER (c5 = 1) AS n1t, count(*) FILTER (c5 = 2) AS n2t,
+         |    count(*) FILTER (c5 >= 3) AS n3pt FROM t5 GROUP BY 1),
+         |mid4 AS (SELECT array_to_string(string_split(g4s, ' ')[1:3], ' ') AS ctx3,
+         |    CAST(SUM(cont4) AS BIGINT) AS denom4, count(*) FILTER (cont4 = 1) AS n14,
+         |    count(*) FILTER (cont4 = 2) AS n24, count(*) FILTER (cont4 >= 3) AS n3p4
+         |  FROM cont4 GROUP BY 1),
+         |mid3 AS (SELECT array_to_string(string_split(g3s, ' ')[1:2], ' ') AS ctx2,
+         |    CAST(SUM(cont3) AS BIGINT) AS denom3, count(*) FILTER (cont3 = 1) AS n13,
+         |    count(*) FILTER (cont3 = 2) AS n23, count(*) FILTER (cont3 >= 3) AS n3p3
+         |  FROM cont3 GROUP BY 1),
+         |mid2 AS (SELECT string_split(g2s, ' ')[1] AS w4k,
+         |    CAST(SUM(cont2) AS BIGINT) AS denom2, count(*) FILTER (cont2 = 1) AS n12,
+         |    count(*) FILTER (cont2 = 2) AS n22, count(*) FILTER (cont2 >= 3) AS n3p2
+         |  FROM cont2 GROUP BY 1),
+         |d AS (SELECT doc_id, $CTOKS AS t FROM documents WHERE doc_id % 10 <> 0),
+         |f AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM d),
+         |keys AS (SELECT doc_id, g,
+         |    array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4,
+         |    array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s,
+         |    array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3,
+         |    array_to_string(string_split(g, ' ')[3:5], ' ') AS g3s,
+         |    array_to_string(string_split(g, ' ')[3:4], ' ') AS ctx2,
+         |    array_to_string(string_split(g, ' ')[4:5], ' ') AS g2s,
+         |    string_split(g, ' ')[4] AS w4k, string_split(g, ' ')[5] AS w5k
+         |  FROM f),
+         |j AS MATERIALIZED (SELECT doc_id, keys.g,
+         |    coalesce(t5.c5, 0) AS c5, coalesce(c4t.c4, 0) AS c4,
+         |    coalesce(topb.n1t, 0) AS n1t, coalesce(topb.n2t, 0) AS n2t, coalesce(topb.n3pt, 0) AS n3pt,
+         |    coalesce(cont4.cont4, 0) AS cont4, coalesce(mid4.denom4, 0) AS denom4,
+         |    coalesce(mid4.n14, 0) AS n14, coalesce(mid4.n24, 0) AS n24, coalesce(mid4.n3p4, 0) AS n3p4,
+         |    coalesce(cont3.cont3, 0) AS cont3, coalesce(mid3.denom3, 0) AS denom3,
+         |    coalesce(mid3.n13, 0) AS n13, coalesce(mid3.n23, 0) AS n23, coalesce(mid3.n3p3, 0) AS n3p3,
+         |    coalesce(cont2.cont2, 0) AS cont2, coalesce(mid2.denom2, 0) AS denom2,
+         |    coalesce(mid2.n12, 0) AS n12, coalesce(mid2.n22, 0) AS n22, coalesce(mid2.n3p2, 0) AS n3p2,
+         |    coalesce(cont1.cont1, 0) AS cont1, denom1, v,
+         |    d51, d52, d53, d41, d42, d43, d31, d32, d33, d21, d22, d23
+         |  FROM keys LEFT JOIN t5 ON keys.g = t5.g
+         |  LEFT JOIN c4t USING (ctx4) LEFT JOIN topb USING (ctx4)
+         |  LEFT JOIN cont4 USING (g4s) LEFT JOIN mid4 USING (ctx3)
+         |  LEFT JOIN cont3 USING (g3s) LEFT JOIN mid3 USING (ctx2)
+         |  LEFT JOIN cont2 USING (g2s) LEFT JOIN mid2 USING (w4k)
+         |  LEFT JOIN cont1 USING (w5k)
+         |  CROSS JOIN sc0 CROSS JOIN vv
+         |  CROSS JOIN d5 CROSS JOIN d4 CROSS JOIN d3 CROSS JOIN d2),
+         |p1c AS (SELECT *, (cont1 + 0.5) / (denom1 + 0.5 * v) AS p1 FROM j),
+         |p2c AS (SELECT *, CASE WHEN denom2 > 0
+         |    THEN (GREATEST(cont2 - (CASE WHEN cont2 >= 3 THEN d23 WHEN cont2 = 2 THEN d22 WHEN cont2 = 1 THEN d21 ELSE 0.0 END), 0)
+         |      + (d21 * n12 + d22 * n22 + d23 * n3p2) * p1) / denom2 ELSE p1 END AS p2 FROM p1c),
+         |p3c AS (SELECT *, CASE WHEN denom3 > 0
+         |    THEN (GREATEST(cont3 - (CASE WHEN cont3 >= 3 THEN d33 WHEN cont3 = 2 THEN d32 WHEN cont3 = 1 THEN d31 ELSE 0.0 END), 0)
+         |      + (d31 * n13 + d32 * n23 + d33 * n3p3) * p2) / denom3 ELSE p2 END AS p3 FROM p2c),
+         |p4c AS (SELECT *, CASE WHEN denom4 > 0
+         |    THEN (GREATEST(cont4 - (CASE WHEN cont4 >= 3 THEN d43 WHEN cont4 = 2 THEN d42 WHEN cont4 = 1 THEN d41 ELSE 0.0 END), 0)
+         |      + (d41 * n14 + d42 * n24 + d43 * n3p4) * p3) / denom4 ELSE p3 END AS p4 FROM p3c),
+         |p5c AS (SELECT doc_id, CASE WHEN c4 > 0 AND (n1t + n2t + n3pt) > 0
+         |    THEN (GREATEST(c5 - (CASE WHEN c5 >= 3 THEN d53 WHEN c5 = 2 THEN d52 WHEN c5 = 1 THEN d51 ELSE 0.0 END), 0)
+         |      + (d51 * n1t + d52 * n2t + d53 * n3pt) * p4) / c4 ELSE p4 END AS p5 FROM p4c),
+         |sc AS (SELECT doc_id, CAST(round(-ln(p5) * 1000000.0) AS BIGINT) AS m FROM p5c)
+         |SELECT doc_id, count(*) AS n_fivegrams,
+         |  round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.TextModel.modifiedKnFivegramCrossPerplexity(
+          docs.filter(col("doc_id") % 10 === 0), "text",
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", k = 0.5)
         .orderBy("doc_id")
     },
 

@@ -481,13 +481,14 @@ object LlmScaleSmoke {
       val bench = scaledCorpus(base.filter(col("doc_id") % 97 === 3), c)
       val survivors = graft.operators.CleanCorpus.clean(
         docs, "doc_id", "text", bench, "text", minQuality = 0.3).count()
-      // t67: map-only rule gate — pass counts under the prefixed
-      // copies are affine like the cleaner's (copy 0 keeps the base
-      // stopword profile; prefixed copies share a second profile),
-      // so exact-linear is asserted on the VERBATIM side instead
+      // t67: map-only rule gate on the verbatim side. The synthetic
+      // corpus has no English stopwords (pass_stopwords is vacuously
+      // false corpus-wide — the t67 oracle injects them), so the
+      // linear gate counts the docs passing the four CONTENT rules
       val gopherPass = graft.operators.QualityRules
         .gopher(verbatim.withColumn("doc_id", lit(0L)), "doc_id", "text")
-        .filter(col("pass")).count()
+        .filter(col("pass_words") && col("pass_mean_len") &&
+          col("pass_symbols") && col("pass_alpha")).count()
       docs.unpersist()
       println(f"LLM_SMOKE_LM scale=$c%-3d t60=(${t60r.getLong(0)},${t60r.getLong(1)}) " +
         f"t66=(${t66r.getLong(0)},${t66r.getLong(1)}) bpe_toks=$bpeToks wp_toks=$wpToks " +
@@ -498,7 +499,7 @@ object LlmScaleSmoke {
     val l1 = lmRuns.head
     lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp) =>
       check(gp * l1._1 == l1._10 * c,
-        s"scale=$c t67 gopher pass count EXACTLY linear on verbatim copies " +
+        s"scale=$c t67 gopher 4-rule pass count EXACTLY linear on verbatim copies " +
           s"(${l1._10}->$gp)")
       check(r60 * l1._1 == l1._2 * c && g60 * l1._1 == l1._3 * c,
         s"scale=$c t60 scored rows/grams EXACTLY linear ((${l1._2},${l1._3})->($r60,$g60))")

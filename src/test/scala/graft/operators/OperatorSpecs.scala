@@ -1062,6 +1062,49 @@ class OperatorSpecs extends AnyFunSuite {
     assert(r(1L)._3 < r(2L)._3 && r(2L)._3 < r(3L)._3)
   }
 
+  test("modifiedKnFivegramCrossPerplexity: live discounts hand-computed; " +
+      "empty-bucket orders fall back to plain KN") {
+    // count-of-counts corpus: sentence frequencies 4/3/2/1 over
+    // disjoint vocabularies put exactly one 5-gram type in each count
+    // bucket → order-5 discounts are LIVE: Y=1/3, D1=1/3, D2=1,
+    // D3+=5/3. Every lower order's continuation counts are all 1
+    // (n2=0) → those orders fall back to the fixed 0.75.
+    val ref = (Seq.fill(4)("p q r s t") ++ Seq.fill(3)("u v w x y") ++
+      Seq.fill(2)("f g h i j") ++ Seq("k l m n o"))
+      .zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+    assert(TextModel.mknDiscounts(1, 1, 1, 1) ===
+      ((1.0 - 2.0 * (1.0 / 3.0), 1.0, 3.0 - 4.0 * (1.0 / 3.0))))
+    assert(TextModel.mknDiscounts(4, 0, 0, 0) === ((0.75, 0.75, 0.75)))
+    val targets = Seq(
+      (1L, "p q r s t"), // c5=4 → D3+ bucket at the top tier
+      (2L, "z z z z z")) // all unseen → continuation-unigram floor
+      .toDF("doc_id", "text")
+    val r = TextModel.modifiedKnFivegramCrossPerplexity(ref, "text",
+        targets, "doc_id", "text", k = 0.5)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    // P1=1.5/26; three 0.75-fallback tiers (0.25+0.75·P);
+    // top: ((4−5/3)+（5/3)·P4)/4 = 0.83436 → −ln = 0.181090
+    assert(r(1L) === ((1L, 1L, 0.18109)))
+    assert(r(2L) === ((2L, 1L, 3.951244))) // −ln(0.5/26) = ln 52
+  }
+
+  test("modifiedKnFivegramCrossPerplexity equals plain interpolated KN when every " +
+      "count-of-count bucket is empty") {
+    // the tiny t66 fixture has no count-2/3/4 types at ANY order, so
+    // every order falls back to the fixed 0.75 — modified KN must
+    // collapse to knFivegramCrossPerplexity EXACTLY (same doubles)
+    val ref = Seq((100L, "a b c d e"), (101L, "a b c d f")).toDF("doc_id", "text")
+    val targets = Seq((1L, "a b c d e"), (2L, "x b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val plain = TextModel.knFivegramCrossPerplexity(ref, "text",
+        targets, "doc_id", "text", discount = 0.75, k = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val modified = TextModel.modifiedKnFivegramCrossPerplexity(ref, "text",
+        targets, "doc_id", "text", k = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(modified === plain)
+  }
+
   test("knFivegramCrossPerplexity: in-domain text scores below shuffled gibberish") {
     val ref = Seq.tabulate(30)(i =>
       (i.toLong, "the quick brown fox jumps over the lazy dog every single day"))

@@ -60,6 +60,11 @@ object Verify {
         s""""$n":{"ok":$ok,"rows":$rows}""" }
         .mkString(s"""{"_total":${results.size},"_ok":$nOk,""", ",", "}"))
     System.err.println(s"[verify] manifest: ${results.size} queries, $nOk ok")
+    // ALSO on stdout: the official correctness artifact came back {}
+    // in r11 and r13 with no engine-side trace — if the driver's JSON
+    // handling fails again, its captured stdout tail still carries the
+    // totals, keeping an empty artifact attributable at a glance
+    println(s"""VERIFY_MANIFEST {"_total":${results.size},"_ok":$nOk}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -113,7 +113,16 @@ object Bench {
     // running (the summary survived only inside the raw `tail`
     // string), so the round record must not depend on tail-parsing
     // sbt output. SPARK_GRAFT_BENCH_OUT overrides the path.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // default path is anchored at the repo root (nearest ancestor of
+    // cwd holding build.sbt), not raw cwd — the driver may launch sbt
+    // from elsewhere and a relative default would strand the artifact
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      var d = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+      while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+        d = d.getParent
+      (if (d == null) java.nio.file.Paths.get("BENCH_FULL.json")
+       else d.resolve("BENCH_FULL.json")).toString
+    })
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }

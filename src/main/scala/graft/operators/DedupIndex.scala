@@ -224,12 +224,19 @@ object DedupIndex {
     // so the bucketed history scan is consumed with NO exchange (V1
     // bucketed joins co-locate only when the join keys equal the
     // bucket keys exactly; a (hid, sh) join would re-shuffle the
-    // history side, plan-audited). The co-shingle pairs are then
-    // semi-filtered to candidate pairs before the count; restricting
-    // to candidates commutes with counting shared shingles, and any
-    // pair the LSH probe never proposed can't reach the threshold
-    // filter anyway — row-identical to the (hid, sh)-keyed form.
+    // history side, plan-audited). BOTH inputs are candidate-bounded
+    // first: the history side by pruneToCandidates above, the batch
+    // side by a semi-join to the bids the LSH probe actually proposed
+    // — otherwise a hot shingle shared by B batch docs and C candidate
+    // history docs materializes B×C rows before the pair semi-join (a
+    // skew blowup on stop-shingle-heavy corpora). The co-shingle pairs
+    // are then semi-filtered to candidate PAIRS before the count;
+    // restricting to candidates commutes with counting shared
+    // shingles, and any pair the LSH probe never proposed can't reach
+    // the threshold filter anyway — row-identical to the
+    // (hid, sh)-keyed form.
     val inter = shB.toDF("bid", "sh")
+      .join(cand.select("bid").distinct(), Seq("bid"), "left_semi")
       .join(histSh, Seq("sh"))
       .join(cand, Seq("bid", "hid"), "left_semi")
       .groupBy("bid", "hid")

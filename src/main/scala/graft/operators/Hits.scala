@@ -53,11 +53,21 @@ object Hits {
   /** HITS over a persisted [[graft.io.EdgeStore]]: both copies load
     * already bucketed on their half-step's join key — from a cold
     * start, no stage of the whole run shuffles the edge table
-    * (plan-audited). */
+    * (plan-audited). Verifies the caller's vertex count against the
+    * count the store recorded (the [[PageRank.runIndexed]] guard — a
+    * filtered/foreign `nodes` frame would silently skew scores via
+    * out-of-universe edges). */
   def runIndexed(
       nodes: DataFrame, idCol: String, path: String,
       iterations: Int): DataFrame = {
     val spark = nodes.sparkSession
+    graft.io.EdgeStore.vertexCount(spark, path).foreach { recorded =>
+      val n = nodes.select(col(idCol)).count()
+      require(n == recorded,
+        s"Hits.runIndexed: nodes has $n vertices but the EdgeStore at " +
+          s"$path was closed against $recorded — pass the store's " +
+          "write-time vertex set")
+    }
     runOn(nodes, idCol,
       graft.io.EdgeStore.bySrc(spark, path),
       graft.io.EdgeStore.byDst(spark, path), iterations)

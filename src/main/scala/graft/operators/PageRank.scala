@@ -48,7 +48,14 @@ object PageRank {
    *              `HashPartitioning(src)`, so the closure semi-joins
    *              AND the one-time repartition are both skipped — from
    *              a cold start, no stage of the whole run shuffles the
-   *              edge table (plan-audited).
+   *              edge table (plan-audited). CONTRACT: `nodes` must be
+   *              the store's write-time vertex set — a filtered or
+   *              foreign frame re-opens exactly the hole the closure
+   *              exists to plug (out-of-set edges inflate outdegrees
+   *              and Σ pr = 1 breaks silently). There is no runtime
+   *              check on this raw-DataFrame path; prefer
+   *              [[runIndexed]], which verifies the caller's vertex
+   *              count against the count the manifest recorded.
    * @return (idCol, pr) with Σ pr = 1.
    */
   def run(
@@ -108,5 +115,26 @@ object PageRank {
     }
     e.unpersist(); deg.unpersist()
     ranks.select(col("id").as(idCol), col("pr"))
+  }
+
+  /** PageRank over a persisted [[graft.io.EdgeStore]] — the guarded
+    * form of `run(preIndexed = true)`: loads the src-bucketed copy
+    * itself and VERIFIES the caller's vertex count against the count
+    * the store recorded at write/upsert time, so a filtered or foreign
+    * `nodes` frame (whose out-of-set edges would silently break
+    * Σ pr = 1) fails loudly instead. */
+  def runIndexed(
+      nodes: DataFrame, idCol: String, path: String,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    val spark = nodes.sparkSession
+    graft.io.EdgeStore.vertexCount(spark, path).foreach { recorded =>
+      val n = nodes.select(col(idCol)).count()
+      require(n == recorded,
+        s"PageRank.runIndexed: nodes has $n vertices but the EdgeStore at " +
+          s"$path was closed against $recorded — pass the store's write-time " +
+          "vertex set (out-of-set edges would break Σ pr = 1)")
+    }
+    run(nodes, idCol, graft.io.EdgeStore.bySrc(spark, path), "src", "dst",
+      iterations, damping, preIndexed = true)
   }
 }

@@ -59,6 +59,20 @@ object QGraph {
 
   private val HitsIterations = 4
 
+  /** Version tag of the SYNTHESIZED edge formula (the three
+    * modular-affine out-edges below). Baked into the persisted
+    * EdgeStore path so a formula change — or an sf dir regenerated at
+    * the same path and size with different content — can never be
+    * served a stale cached graph: a new tag (or new n) is a new path,
+    * and the old snapshot is simply never resolved again. */
+  private val EdgeFormulaTag = "ef1"
+
+  /** The persisted-EdgeStore path for one (sf dir, vertex count) —
+    * written once, reused by every later g01/g02 run. */
+  private def edgeStorePath(dir: String, n: Long): String =
+    "/tmp/graft_edge_store_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_n${n}_$EdgeFormulaTag"
+
   /** One unrolled HITS iteration: authority step from h{i-1}, hub step
     * from the fresh a{i}, each L1-normalized via a scalar subquery. */
   private def hitsIter(i: Int): String =
@@ -94,16 +108,15 @@ object QGraph {
         .filter(col("src") =!= col("dst"))
         .distinct()
       // the production shape: the crawl graph persists ONCE as a
-      // src/dst-bucketed EdgeStore snapshot (keyed by corpus size so a
-      // regenerated sf dir re-writes), and every ranking run after
-      // loads it with zero edge shuffle — even from a cold start
-      val path = "/tmp/graft_edge_store_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + s"_n$n"
+      // src/dst-bucketed EdgeStore snapshot (keyed by corpus size AND
+      // the edge-formula tag so a formula change or regenerated sf dir
+      // re-writes), and every ranking run after loads it with zero
+      // edge shuffle — even from a cold start
+      val path = edgeStorePath(dir, n)
       if (graft.io.StoreManifest.read(s, path).isEmpty)
         graft.io.EdgeStore.write(path, docs, "doc_id", edges, "src", "dst")
-      PageRank.run(docs, "doc_id", graft.io.EdgeStore.bySrc(s, path),
-          "src", "dst",
-          iterations = Iterations, damping = Damping.toDouble, preIndexed = true)
+      PageRank.runIndexed(docs, "doc_id", path,
+          iterations = Iterations, damping = Damping.toDouble)
         .select(col("doc_id"), round(col("pr") * n, 6).as("pr_scaled"))
         .orderBy("doc_id")
     },
@@ -134,8 +147,7 @@ object QGraph {
         .distinct()
       // same persisted EdgeStore snapshot as g01 (same synthesized
       // graph): both bucketed copies load with zero edge shuffle
-      val path = "/tmp/graft_edge_store_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + s"_n$n"
+      val path = edgeStorePath(dir, n)
       if (graft.io.StoreManifest.read(s, path).isEmpty)
         graft.io.EdgeStore.write(path, docs, "doc_id", edges, "src", "dst")
       graft.operators.Hits.runIndexed(docs, "doc_id", path,

@@ -4,8 +4,15 @@ output dir (parquet per query + oracle_sql.json), runs each oracle in
 DuckDB over the same testdata tables, and compares rows/schema/values.
 
 Usage: python3 tools/localverify.py [sfdir] [outdir] [query...]
+
+Full runs (no query filter) ALSO mirror the result in the driver's
+exact per-query artifact schema ({"rows_match","schema_match",
+"hash_match","err"}) to $CORRECTNESS_LOCAL_OUT (default
+CORRECTNESS_LOCAL.json in the cwd) — the official driver artifact has
+shipped empty three rounds out of four (VERDICT r14 #1), so the round
+record must carry the hard signal in the official shape regardless.
 """
-import json, sys
+import json, os, sys
 
 import duckdb
 
@@ -58,18 +65,24 @@ def norm(df):
     return df
 
 ok = fail = 0
+record = {}
 for name, sql in sorted(oracle.items()):
     if ONLY and name not in ONLY:
         continue
+    rec = {"rows_match": False, "schema_match": False,
+           "hash_match": False, "err": None}
+    record[name] = rec
     try:
         got = con.sql(f"FROM '{OUT}/{name}/*.parquet'").df()
     except Exception as e:
+        rec["err"] = f"spark output missing: {e}"[:300]
         print(f"FAIL {name}: spark output missing: {e}")
         fail += 1
         continue
     try:
         exp = con.sql(sql).df()
     except Exception as e:
+        rec["err"] = f"oracle SQL error: {str(e).splitlines()[0][:200]}"
         print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0][:200]}")
         fail += 1
         continue
@@ -77,25 +90,39 @@ for name, sql in sorted(oracle.items()):
     if sorted(got.columns) != sorted(exp.columns):
         problems.append(f"schema cols: spark={sorted(got.columns)} duck={sorted(exp.columns)}")
     elif len(got) != len(exp):
+        rec["schema_match"] = True
         problems.append(f"rows: spark={len(got)} duck={len(exp)}")
     else:
+        rec["rows_match"] = True
+        dtype_ok = values_ok = True
         g, e2 = norm(got), norm(exp)
         for c in g.columns:
             a, b = g[c], e2[c]
             if str(a.dtype) != str(b.dtype):
+                dtype_ok = False
                 problems.append(f"dtype[{c}]: spark={a.dtype} duck={b.dtype}")
             neq = ~((a == b) | (a.isna() & b.isna()))
             if neq.any():
+                values_ok = False
                 i = neq.idxmax()
                 problems.append(f"values[{c}]: {int(neq.sum())} diffs, first at row {i}: spark={a[i]!r} duck={b[i]!r}")
+        rec["schema_match"] = dtype_ok
+        rec["hash_match"] = dtype_ok and values_ok
     if problems:
         fail += 1
+        rec["err"] = "; ".join(p[:160] for p in problems[:4])
         print(f"FAIL {name}")
         for p in problems[:4]:
             print(f"  - {p}")
     else:
         ok += 1
         print(f"ok   {name} ({len(got)} rows)")
+
+if not ONLY:
+    mirror = os.environ.get("CORRECTNESS_LOCAL_OUT", "CORRECTNESS_LOCAL.json")
+    with open(mirror, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    print(f"wrote {mirror} ({len(record)} queries)")
 
 print(f"\n{ok} ok, {fail} fail")
 sys.exit(1 if fail else 0)

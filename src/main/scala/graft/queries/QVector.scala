@@ -49,20 +49,20 @@ object QVector {
     * argmax against the `cents` CTE, ties to the lower cluster index —
     * the exact [[SimilaritySearch]] assignExpr semantics. */
   private def ivfAssign(cents: String, out: String, src: String = "n"): String =
-    s""", s_$out AS (SELECT n.vec_id, n.v, c.cluster,
+    s""", s_$out AS MATERIALIZED (SELECT n.vec_id, n.v, c.cluster,
        |    round(CASE WHEN n.nrm * sqrt(list_dot_product(c.v, c.v)) = 0 THEN -1.0
        |          ELSE list_dot_product(n.v, c.v) / (n.nrm * sqrt(list_dot_product(c.v, c.v))) END, 4) AS qcos
        |  FROM $src n CROSS JOIN $cents c),
-       |$out AS (SELECT vec_id, v, cluster FROM s_$out
+       |$out AS MATERIALIZED (SELECT vec_id, v, cluster FROM s_$out
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY qcos DESC, cluster) = 1)""".stripMargin
 
   /** One Lloyd re-centering pass: per-dimension mean truncated to
     * REAL (the engine stores centroids as float), empty cells keep
     * the previous centroid. */
   private def ivfRecenter(assign: String, prev: String, out: String, dim: Int = 64): String =
-    s""", m_$out AS (SELECT cluster, j, CAST(avg(v[j+1]) AS REAL) AS m
+    s""", m_$out AS MATERIALIZED (SELECT cluster, j, CAST(avg(v[j+1]) AS REAL) AS m
        |  FROM $assign, range($dim) t(j) GROUP BY cluster, j),
-       |$out AS (SELECT p.cluster, COALESCE(mm.mv, p.v) AS v
+       |$out AS MATERIALIZED (SELECT p.cluster, COALESCE(mm.mv, p.v) AS v
        |  FROM $prev p LEFT JOIN (SELECT cluster, list(CAST(m AS DOUBLE) ORDER BY j) AS mv
        |                          FROM m_$out GROUP BY cluster) mm USING (cluster))""".stripMargin
 
@@ -80,27 +80,27 @@ object QVector {
     * Euclidean distance via the 4-decimal-quantized `2·dot − ‖c‖²`
     * surrogate (DESC), ties to the lower cluster. */
   private def ivfAssignEuclid(cents: String, out: String, src: String): String =
-    s""", s_$out AS (SELECT n.vec_id, n.v, c.cluster,
+    s""", s_$out AS MATERIALIZED (SELECT n.vec_id, n.v, c.cluster,
        |    round(2.0 * list_dot_product(n.v, c.v) - list_dot_product(c.v, c.v), 4) AS qd
        |  FROM $src n CROSS JOIN $cents c),
-       |$out AS (SELECT vec_id, v, cluster FROM s_$out
+       |$out AS MATERIALIZED (SELECT vec_id, v, cluster FROM s_$out
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY qd DESC, cluster) = 1)""".stripMargin
 
   private def pqResidSubCtes(s: Int, sub: Int, ksub: Int): String = {
     val off = s * sub
-    s""", res$s AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS v FROM er),
-       |rc0s$s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+    s""", res$s AS MATERIALIZED (SELECT vec_id, v[${off + 1}:${off + sub}] AS v FROM er),
+       |rc0s$s AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
        |  FROM (SELECT vec_id, v FROM res$s ORDER BY vec_id LIMIT $ksub))""".stripMargin +
       ivfAssignEuclid(s"rc0s$s", s"ra1s$s", src = s"res$s") +
       ivfRecenter(s"ra1s$s", s"rc0s$s", s"rc1s$s", sub) +
       ivfAssignEuclid(s"rc1s$s", s"ra2s$s", src = s"res$s") +
       ivfRecenter(s"ra2s$s", s"rc1s$s", s"rc2s$s", sub) +
       ivfAssignEuclid(s"rc2s$s", s"rafs$s", src = s"res$s") +
-      s""", qes$s AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS v FROM e WHERE vec_id < 10),
-         |rlut$s AS (SELECT q.vec_id AS query_id, c.cluster AS code,
+      s""", qes$s AS MATERIALIZED (SELECT vec_id, v[${off + 1}:${off + sub}] AS v FROM e WHERE vec_id < 10),
+         |rlut$s AS MATERIALIZED (SELECT q.vec_id AS query_id, c.cluster AS code,
          |    list_dot_product(q.v, c.v) AS d, list_dot_product(c.v, c.v) AS sq
          |  FROM qes$s q CROSS JOIN rc2s$s c),
-         |cd$s AS (SELECT cc.cluster, cb.cluster AS code,
+         |cd$s AS MATERIALIZED (SELECT cc.cluster, cb.cluster AS code,
          |    list_dot_product(cc.v[${off + 1}:${off + sub}], cb.v) AS cd
          |  FROM c2 cc CROSS JOIN rc2s$s cb)""".stripMargin
   }
@@ -110,30 +110,30 @@ object QVector {
     * LUTs + corrections, then the decomposed score
     * (q·μ + Σlut) / (‖q‖·√(‖μ‖² + 2Σcdot + Σ‖r̂‖²)). */
   private lazy val IvfPqResidualSql: String = N +
-    """, c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+    """, c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8))""".stripMargin +
     ivfAssign("c0", "a1") + ivfRecenter("a1", "c0", "c1") +
     ivfAssign("c1", "a2") + ivfRecenter("a2", "c1", "c2") +
     ivfAssign("c2", "af") +
-    """, er AS (SELECT a.vec_id, a.cluster,
+    """, er AS MATERIALIZED (SELECT a.vec_id, a.cluster,
       |    list_transform(range(1, 65),
       |      i -> CAST(CAST(a.v[i] - c.v[i] AS REAL) AS DOUBLE)) AS v
       |  FROM af a JOIN c2 c USING (cluster))""".stripMargin +
     (0 until 4).map(s => pqResidSubCtes(s, sub = 16, ksub = 8)).mkString +
-    """, rcodes AS (SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1,
+    """, rcodes AS MATERIALIZED (SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1,
       |    a2.cluster AS k2, a3.cluster AS k3
       |  FROM rafs0 a0 JOIN rafs1 a1 USING (vec_id)
       |    JOIN rafs2 a2 USING (vec_id) JOIN rafs3 a3 USING (vec_id)),
-      |mn AS (SELECT cluster, list_dot_product(v, v) AS m2 FROM c2),
-      |qmu AS (SELECT n.vec_id AS query_id, c.cluster, list_dot_product(n.v, c.v) AS d
+      |mn AS MATERIALIZED (SELECT cluster, list_dot_product(v, v) AS m2 FROM c2),
+      |qmu AS MATERIALIZED (SELECT n.vec_id AS query_id, c.cluster, list_dot_product(n.v, c.v) AS d
       |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 10),
-      |rqs AS (SELECT n.vec_id AS query_id, n.nrm AS qn, c.cluster,
+      |rqs AS MATERIALIZED (SELECT n.vec_id AS query_id, n.nrm AS qn, c.cluster,
       |    round(CASE WHEN n.nrm * sqrt(list_dot_product(c.v, c.v)) = 0 THEN -1.0
       |          ELSE list_dot_product(n.v, c.v) / (n.nrm * sqrt(list_dot_product(c.v, c.v))) END, 4) AS qcos
       |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 10),
-      |rqp AS (SELECT query_id, qn, cluster FROM rqs
+      |rqp AS MATERIALIZED (SELECT query_id, qn, cluster FROM rqs
       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cluster) <= 3),
-      |rsc AS (SELECT rqp.query_id, a.vec_id AS id,
+      |rsc AS MATERIALIZED (SELECT rqp.query_id, a.vec_id AS id,
       |    round(CASE WHEN rqp.qn * sqrt(mn.m2 + 2*(cd0.cd + cd1.cd + cd2.cd + cd3.cd)
       |                                  + l0.sq + l1.sq + l2.sq + l3.sq) = 0 THEN 0.0
       |          ELSE (qmu.d + l0.d + l1.d + l2.d + l3.d)
@@ -215,16 +215,16 @@ object QVector {
 
   private def pqSubCtes(s: Int, sub: Int, ksub: Int): String = {
     val off = s * sub
-    s""", es$s AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS v FROM e),
-       |ns$s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM es$s),
-       |c0s$s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+    s""", es$s AS MATERIALIZED (SELECT vec_id, v[${off + 1}:${off + sub}] AS v FROM e),
+       |ns$s AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM es$s),
+       |c0s$s AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
        |  FROM (SELECT vec_id, v FROM es$s ORDER BY vec_id LIMIT $ksub))""".stripMargin +
       ivfAssign(s"c0s$s", s"a1s$s", src = s"ns$s") +
       ivfRecenter(s"a1s$s", s"c0s$s", s"c1s$s", sub) +
       ivfAssign(s"c1s$s", s"a2s$s", src = s"ns$s") +
       ivfRecenter(s"a2s$s", s"c1s$s", s"c2s$s", sub) +
       ivfAssign(s"c2s$s", s"afs$s", src = s"ns$s") +
-      s""", lut$s AS (SELECT q.vec_id AS query_id, c.cluster,
+      s""", lut$s AS MATERIALIZED (SELECT q.vec_id AS query_id, c.cluster,
          |    list_dot_product(q.v, c.v) AS d, list_dot_product(c.v, c.v) AS sq
          |  FROM ns$s q CROSS JOIN c2s$s c WHERE q.vec_id < 10)""".stripMargin
   }

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -15,39 +15,48 @@ import org.apache.spark.sql.functions._
  * payloads, near-identical codes; the audio twin of
  * [[ImageHash.dHash64]].
  *
- * Code layout: 25 blocks of 4 samples → 24 comparison bits in one
- * long (audio shorter than 100 samples is skipped — callers chunk
- * long audio and fingerprint per segment at scale).
+ * SUB-FINGERPRINTS (the part of Haitsma–Kalker that buys time-offset
+ * robustness): one code per WINDOW POSITION over the whole clip at a
+ * dense stride, not one code per clip. A copy shifted by ANY number
+ * of samples s reproduces the original's window at position p
+ * exactly at its own position p−s, so the two clips share a long run
+ * of IDENTICAL codes at one consistent alignment delta.
  *
- * TIME-OFFSET ROBUSTNESS (the Haitsma–Kalker sub-fingerprint idea):
- * a block-aligned code misses a copy shifted by half a block — every
- * energy window straddles two of the original's. So [[fingerprints]]
- * emits one code per STRIDE OFFSET (0 and block/2) per clip: a copy
- * shifted by ±block/2 samples reproduces the original's offset-0
- * windows exactly at its own offset-block/2 grid (and vice versa), so
- * SOME offset pair matches at Hamming 0 and the pair join catches it.
- * Matching over the cross-product of offsets is what the original
- * paper does with its overlapping sub-fingerprint blocks; per-pair
- * similarity is the MINIMUM Hamming over the offset alignments.
+ * THE MATCH DECISION is two-stage, both keyed on that delta:
+ *  1. run-consistency (candidate pruning): segment candidates from a
+ *     banded equi-join, verified per segment (Hamming ≤ h), grouped
+ *     by (pair, delta = offset_a − offset_b); a (pair, delta) is a
+ *     candidate only when ≥ `minRun` segments match AT THE SAME
+ *     DELTA. This bounds stage 2 to near-miss alignments — but it is
+ *     NOT sufficient alone: stride-1 windows overlap 96%, so one
+ *     chance 24-bit near-match smears across neighboring offsets of
+ *     the SAME delta and can fake a run.
+ *  2. bit-error-rate verification (the paper's actual decision):
+ *     for each candidate delta, align the FULL overlap of the two
+ *     window grids and require mean Hamming ≤ `maxAvgHam` bits per
+ *     24-bit window (total_ham ≤ maxAvgHam·overlap, integer-exact).
+ *     A true copy sits near BER 0 (re-encodes a few bits per
+ *     window); a chance alignment sits at BER ≈ 0.5 — over ≥ minRun
+ *     windows the two are separated by astronomical odds.
  *
  * Scale shape: fingerprinting is map-only inside the same
- * `mapPartitions` pass that parses the container (8 bytes per clip
- * PER OFFSET leave the executor, never samples); pairing is the
- * banded equi-join below — never all-pairs.
+ * `mapPartitions` pass that parses the container (prefix-summed
+ * energies — O(1) per window, O(n) per clip; 8 bytes per window
+ * leave the executor, never samples). Dense stride-1 codes are ~4
+ * longs per PCM sample: the right probe-side density, while a stored
+ * history can keep every `stride` ≥ 1 it can afford (a sparse stored
+ * grid still aligns against a dense probe grid at every shift).
+ * Pairing is the banded equi-join below — never all-pairs.
  */
 object AudioHash {
 
   val BlockSamples = 4
   val Bits = 24 // 25 blocks → 24 adjacent comparisons
 
-  /** minimum sample count for a full code at offset 0. */
+  /** minimum sample count for one full window. */
   val MinSamples: Int = BlockSamples * (Bits + 1)
 
-  /** The analysis-grid offsets: block-aligned plus half-block — the
-    * stride = block/2 overlap that catches half-block-shifted copies. */
-  val Offsets: Seq[Int] = Seq(0, BlockSamples / 2)
-
-  /** 24-bit energy-difference code over samples [off, off+100). */
+  /** 24-bit energy-difference code over samples [off, off+MinSamples). */
   def energyDiffCode(sample: Int => Int, nSamples: Int, off: Int = 0): Long = {
     require(nSamples >= off + MinSamples, s"need >= ${off + MinSamples} samples")
     val e = new Array[Long](Bits + 1)
@@ -69,61 +78,191 @@ object AudioHash {
     code
   }
 
-  /** Per-clip codes `(media_id, ahash)` — one row per [[Offsets]]
-    * entry that fits the clip — for WAV/AIFF rows with enough samples;
-    * other formats and too-short clips are skipped. */
-  /** One code row per [[Offsets]] entry that fits the clip — an
-    * object-level method so the mapPartitions closure below captures
-    * nothing but the module reference. */
-  private def offsetCodes(id: Long, sample: Int => Int, n: Int): Iterator[(Long, Long)] =
-    Offsets.iterator.filter(off => n >= off + MinSamples)
-      .map(off => (id, energyDiffCode(sample, n, off)))
+  /** All window codes of one clip at `stride` — prefix-summed |s| so
+    * each window is O(Bits) regardless of overlap (an object-level
+    * method so the mapPartitions closure below captures nothing but
+    * the module reference). Equal to [[energyDiffCode]] at every
+    * emitted offset; too-short clips emit nothing. */
+  private[multimodal] def denseCodes(
+      sample: Int => Int, n: Int, stride: Int): Iterator[(Int, Long)] = {
+    if (n < MinSamples) return Iterator.empty
+    val pre = new Array[Long](n + 1)
+    var i = 0
+    while (i < n) { pre(i + 1) = pre(i) + math.abs(sample(i).toLong); i += 1 }
+    Iterator.range(0, n - MinSamples + 1, stride).map { off =>
+      var code = 0L
+      var prev = pre(off + BlockSamples) - pre(off)
+      var b = 1
+      while (b <= Bits) {
+        val e = pre(off + (b + 1) * BlockSamples) - pre(off + b * BlockSamples)
+        if (e > prev) code |= 1L << (b - 1)
+        prev = e
+        b += 1
+      }
+      (off, code)
+    }
+  }
 
-  def fingerprints(media: Dataset[MediaRow]): DataFrame = {
+  /** Per-clip sub-fingerprints `(media_id, off, ahash)` — one row per
+    * window position over the WHOLE clip every `stride` samples — for
+    * WAV/AIFF rows with enough samples; other formats and too-short
+    * clips are skipped. Stride 1 (the default) catches a copy shifted
+    * or head-trimmed by ANY sample count; a stored history may use a
+    * coarser stride as long as one side of every match stays dense. */
+  def fingerprints(media: Dataset[MediaRow], stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap {
         case m if m.format == "audio/wav" =>
           val w = VideoContainers.WavDemux.read(m.content)
-          offsetCodes(m.media_id, w.sample(_), w.nSamples)
+          denseCodes(w.sample(_), w.nSamples, stride).map {
+            case (off, c) => (m.media_id, off.toLong, c)
+          }
         case m if m.format == "audio/aiff" =>
           val a = VideoContainers.AiffDemux.read(m.content)
-          offsetCodes(m.media_id, a.sample(_), a.nSamples)
+          denseCodes(a.sample(_), a.nSamples, stride).map {
+            case (off, c) => (m.media_id, off.toLong, c)
+          }
         case _ => Iterator.empty
       }
-    }.toDF("media_id", "ahash")
+    }.toDF("media_id", "off", "ahash")
   }
 
-  /** Near-dup pairs with min-over-alignments Hamming ≤ `maxHamming`
-    * over the 24-bit codes, banded into four 6-bit chunks —
-    * pigeonhole: within Hamming 3 at least one chunk matches exactly,
-    * so the equi-join finds every such pair (engine ≡ the m14 oracle's
-    * exhaustive pairing) and candidate generation never cross-joins.
-    * With multi-offset codes ([[Offsets]]) a pair has up to 4
-    * alignments; `hamming` is the MINIMUM over the alignments the
-    * bands propose — identical to the global minimum whenever that
-    * minimum is ≤ 3 (the only rows returned), since the minimizing
-    * alignment itself shares a chunk. */
-  def nearDupPairs(codes: DataFrame, maxHamming: Int): DataFrame = {
+  /** The 4×6-bit banding of one sub-fingerprint frame — pigeonhole:
+    * two codes within Hamming 3 agree exactly on ≥ 1 chunk, so the
+    * chunk equi-join proposes every qualifying segment pair. `bkey`
+    * fuses (chunk index, chunk value) into one join key: chunk
+    * position is part of the key, and a single-column key is exactly
+    * what a bucketed history scan co-locates on. Extra columns pass
+    * through. */
+  private def banded(codes: DataFrame, codeCol: String): DataFrame =
+    codes.select(col("*"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col(codeCol), i * 6).bitwiseAND(lit(0x3fL))): _*))
+        .as(Seq("chunk", "chunk_val")))
+      .withColumn("bkey", col("chunk") * lit(64L) + col("chunk_val"))
+      .drop("chunk", "chunk_val")
+
+  /**
+   * Near-dup pairs by the two-stage sub-fingerprint decision:
+   * banded candidates → per-segment Hamming ≤ `maxHamming` → ≥
+   * `minRun` matching positions at one delta (stage 1) → full-
+   * overlap BER ≤ `maxAvgHam`/24 at that delta (stage 2). Output:
+   * (id_a, id_b, delta = off_a − off_b, matched, overlap, total_ham)
+   * — engine ≡ the m14 oracle's EXHAUSTIVE all-alignments replay
+   * (pigeonhole recall per segment; the stage-2 predicate is
+   * computed identically on both sides), while candidate generation
+   * never cross-joins and BER evaluation touches only the few
+   * candidate (pair, delta) alignments.
+   */
+  def nearDupPairs(
+      codes: DataFrame, maxHamming: Int,
+      minRun: Int = 5, maxAvgHam: Int = 6): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band chunking guarantees recall only to Hamming 3")
-    val chunked = codes.select(
-      col("media_id"), col("ahash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("ahash"), i * 6).bitwiseAND(lit(0x3fL))): _*)))
-      .toDF("media_id", "ahash", "chunk", "chunk_val")
+    require(minRun >= 1, "minRun must be >= 1")
+    val chunked = banded(codes, "ahash")
     val a = chunked.as("a")
     val b = chunked.as("b")
-    a.join(b,
-        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.media_id") < col("b.media_id"))
+    val cand = a.join(b,
+        col("a.bkey") === col("b.bkey") && col("a.media_id") < col("b.media_id"))
+      .filter(bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))) <= maxHamming)
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.ahash").as("code_a"), col("b.ahash").as("code_b"))
-      .distinct()
-      .withColumn("ham",
-        bit_count(col("code_a").bitwiseXOR(col("code_b"))).cast("long"))
-      .groupBy("id_a", "id_b").agg(min(col("ham")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+        col("a.off").as("off_a"), col("b.off").as("off_b"))
+      .distinct() // ≤ 4 chunks can propose the same segment pair
+      .groupBy(col("id_a"), col("id_b"), (col("off_a") - col("off_b")).as("delta"))
+      .agg(count(lit(1)).as("matched"))
+      .filter(col("matched") >= minRun)
+    berVerified(cand, codes.select(col("media_id"), col("off"), col("ahash")),
+      codes.select(col("media_id"), col("off"), col("ahash")), maxAvgHam)
+  }
+
+  /** Stage 2: align each candidate (id_a, id_b, delta) over the FULL
+    * overlap of the two window grids and keep it only when total
+    * Hamming ≤ `maxAvgHam` bits per window. Both code frames are
+    * (media_id, off, ahash); the alignment join is an equi-join on
+    * (id, off − delta) — candidate-bounded, never all-pairs. */
+  private def berVerified(
+      cand: DataFrame, codesA: DataFrame, codesB: DataFrame,
+      maxAvgHam: Int): DataFrame =
+    cand
+      .join(codesA.select(col("media_id").as("id_a"), col("off").as("off_a"),
+        col("ahash").as("__code_a")), Seq("id_a"))
+      .withColumn("off_b", col("off_a") - col("delta"))
+      .join(codesB.select(col("media_id").as("id_b"), col("off").as("off_b"),
+        col("ahash").as("__code_b")), Seq("id_b", "off_b"))
+      .groupBy("id_a", "id_b", "delta", "matched")
+      .agg(count(lit(1)).as("overlap"),
+        sum(bit_count(col("__code_a").bitwiseXOR(col("__code_b"))).cast("long"))
+          .as("total_ham"))
+      .filter(col("total_ham") <= lit(maxAvgHam) * col("overlap"))
+      .select("id_a", "id_b", "delta", "matched", "overlap", "total_ham")
+
+  /** Write/replace the PERSISTED audio sub-fingerprint index at
+    * `path`: the [[MediaIndex]] store parameterized to the 24-bit
+    * code's own 4×6-bit banding, with the window offset carried
+    * through as a passthrough column (the gate's run-consistency
+    * needs it). `stride` trades store size for probe density —
+    * stride 1 stores ~4 longs per PCM sample; any stride still
+    * catches every shift because [[gate]] probes dense. */
+  def writeIndex(path: String, codes: DataFrame, buckets: Int = 8): Unit =
+    MediaIndex.write(path, codes.select(
+        col("media_id"), col("ahash").as("dhash"), col("off")),
+      MediaIndex.Banding(6, 4), buckets)
+
+  /** Append an ACCEPTED batch's sub-fingerprints into the index. */
+  def upsertIndex(path: String, codes: DataFrame): Unit =
+    MediaIndex.upsert(path, codes.select(
+      col("media_id"), col("ahash").as("dhash"), col("off")))
+
+  /**
+   * Gate a batch of sub-fingerprints `(media_id, off, ahash)` against
+   * the PERSISTED index: returns the batch code rows whose clip does
+   * NOT match any indexed clip — match = the same two-stage decision
+   * as [[nearDupPairs]] (≥ `minRun` window positions within
+   * `maxHamming` at one delta, then full-overlap BER ≤ `maxAvgHam`
+   * bits/window at that delta) against the stored history. The
+   * caller [[upsertIndex]]s the survivors it accepts.
+   *
+   * Steady-state shape: the history side is the bucketed band table
+   * (hash-partitioned on `bkey` — the probe join consumes it with no
+   * exchange), stage-1 candidates are band-bounded, and the stage-2
+   * alignment join touches only candidate clips' code rows (keyed on
+   * (hid, off) — the chunk-0 slice of the same store, one pushed
+   * filter away). Verdicts are snapshot-stable (the
+   * [[graft.operators.DedupIndex]] discipline): the drop-id set is
+   * eagerly checkpointed so the frame keeps meaning "gated against
+   * the store AS OF THIS CALL" even after the caller upserts.
+   */
+  def gate(
+      spark: SparkSession, path: String, batch: DataFrame,
+      maxHamming: Int, minRun: Int = 5, maxAvgHam: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band chunking guarantees recall only to Hamming 3")
+    val (hist, banding) = MediaIndex.bands(spark, path)
+    require(banding == MediaIndex.Banding(6, 4),
+      s"not an audio sub-fingerprint index (banding $banding)")
+    val h = hist.select(col("media_id").as("hid"), col("dhash").as("__h_code"),
+      col("off").as("h_off"), col("bkey"))
+    val cand = banded(batch.select(
+        col("media_id").as("bid"), col("ahash").as("__b_code"),
+        col("off").as("b_off")), "__b_code")
+      .join(h, Seq("bkey"))
+      .filter(bit_count(col("__b_code").bitwiseXOR(col("__h_code"))) <= maxHamming)
+      .select("bid", "hid", "b_off", "h_off").distinct()
+      .groupBy(col("bid").as("id_a"), col("hid").as("id_b"),
+        (col("b_off") - col("h_off")).as("delta"))
+      .agg(count(lit(1)).as("matched"))
+      .filter(col("matched") >= minRun)
+    // one row per stored code for the alignment join: the chunk-0
+    // slice of the banded table (a pushed-down scan filter)
+    val histCodes = hist.filter(col("chunk") === 0)
+      .select(col("media_id"), col("off"), col("dhash").as("ahash"))
+    val drops = berVerified(cand,
+        batch.select(col("media_id"), col("off"), col("ahash")), histCodes, maxAvgHam)
+      .select(col("id_a").as("media_id")).distinct()
+      .localCheckpoint(true)
+    batch.join(drops, Seq("media_id"), "left_anti")
   }
 }

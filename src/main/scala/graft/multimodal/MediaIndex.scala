@@ -3,7 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.StoreManifest
+import graft.io.{BucketedTables, StoreManifest}
 
 /**
  * Persisted perceptual-code ingest index — the MEDIA twin of
@@ -11,61 +11,125 @@ import graft.io.StoreManifest
  * of the text LSH gate): [[ImageHash.incrementalNearDup]]'s history
  * side is "an append-only dHash table"; this operator IS that table,
  * with the full write/gate/upsert/compact lifecycle instead of a
- * caller-managed frame. It stores 64-bit perceptual codes (dHash for
- * images; any code with Hamming-ball semantics that USES the full 64
- * bits — a narrow code like [[AudioHash]]'s 24-bit form would make
- * the two high 16-bit chunks constant-zero, turning those band joins
- * into a per-chunk cross product; widen such codes or band them at
- * their own width, as [[AudioHash.nearDupPairs]] does with 6-bit
- * chunks), so at 100 TB of pixels the index is GB-scale.
+ * caller-managed frame. At 100 TB of pixels the index is GB-scale.
+ *
+ * BANDING IS PARAMETERIZED by [[Banding]] (chunk width × chunk
+ * count): [[Wide]] = 4×16-bit for full 64-bit codes (dHash), and
+ * narrower codes band at their own width — [[AudioHash]]'s 24-bit
+ * sub-fingerprints use 4×6-bit. Banding a code NARROWER than the
+ * configured width would leave constant-zero chunks whose band join
+ * degenerates into a per-chunk cross product (the reason the wide
+ * path must only ever see codes that use all 64 bits); matching the
+ * width to the code keeps every chunk informative. The write-time
+ * banding is recorded in the manifest, so gates/upserts can never
+ * probe with a different chunking than the store was built with.
  *
  * Layout under `path` (published by the shared [[StoreManifest]]
  * pointer-commit log):
- *  - `bands/v<N>/` — (media_id, dhash, chunk_val) PARTITIONED BY
- *    `chunk`: the pre-banded form of the code table (four 16-bit
- *    chunks per code — the pigeonhole guarantee: two codes within
- *    Hamming 3 agree exactly on ≥1 chunk). A batch probe is one
- *    equi-join on (chunk, chunk_val) per chunk directory; codes carry
- *    their own hash THROUGH the band join, so no size/verification
- *    table is needed (unlike the text twin) — verification is one
- *    inline `bit_count(xor)`.
+ *  - `bands/v<N>/` — (media_id, dhash, …passthrough…, chunk,
+ *    chunk_val, bkey) written as a BUCKETED table hash-partitioned on
+ *    `bkey` = chunk·2^chunkBits + chunk_val — the single fused probe
+ *    key (pigeonhole: two codes within Hamming nChunks−1 agree
+ *    exactly on ≥ 1 chunk, i.e. share a bkey). Bucketing BY THE PROBE
+ *    KEY means a batch probe consumes the history scan with ZERO
+ *    exchange (V1 bucketed joins co-locate only on the exact bucket
+ *    column — the [[graft.operators.DedupIndex]] lesson), and only
+ *    the batch side ever shuffles. Codes carry their own hash THROUGH
+ *    the band join, so no size/verification table is needed (unlike
+ *    the text twin) — verification is one inline `bit_count(xor)`.
+ *    Extra columns of the written code frame (e.g. [[AudioHash]]'s
+ *    window offset) pass through untouched for operators that layer
+ *    their own verification on [[bands]].
  *
  * Determinism: banding and verification reuse the exact chunking and
  * Hamming forms of [[ImageHash.incrementalNearDup]], so [[gate]] over
  * the persisted index is row-identical to the in-memory operator
- * against the same history codes — spec-pinned, and the m16 oracle
- * replays the full two-batch lifecycle in SQL.
+ * against the same history codes — spec-pinned, and the m16/m17
+ * oracles replay the full two-batch lifecycles in SQL.
  */
 object MediaIndex {
 
-  private def bandedOf(codes: DataFrame): DataFrame =
-    codes.select(col("media_id"), col("dhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("dhash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .toDF("media_id", "dhash", "chunk", "chunk_val")
+  /** One banding scheme: `nChunks` chunks of `chunkBits` bits each,
+    * lowest chunk first. Pigeonhole recall holds to Hamming
+    * `nChunks − 1`. */
+  final case class Banding(chunkBits: Int, nChunks: Int) {
+    require(chunkBits >= 1 && nChunks >= 2 && chunkBits * nChunks <= 64,
+      s"banding $chunkBits×$nChunks must fit a 64-bit code")
+    def mask: Long = (1L << chunkBits) - 1
+    def maxHammingRecall: Int = nChunks - 1
+  }
+
+  /** Full 64-bit codes (dHash): 4×16-bit chunks. */
+  val Wide: Banding = Banding(16, 4)
+
+  private[multimodal] def bandedOf(codes: DataFrame, b: Banding): DataFrame =
+    codes.select(col("*"),
+      posexplode(array((0 until b.nChunks).map(i =>
+        shiftright(col("dhash"), i * b.chunkBits).bitwiseAND(lit(b.mask))): _*))
+        .as(Seq("chunk", "chunk_val")))
+      .withColumn("bkey", col("chunk") * lit(1L << b.chunkBits) + col("chunk_val"))
+
+  /** Drop catalog entries whose version directory is gone (superseded
+    * versions reclaimed by the grace-window cleanup). */
+  private def dropStaleEntries(spark: SparkSession, path: String, below: Int): Unit =
+    (1 until below).foreach { k =>
+      val fs = StoreManifest.fsOf(spark, path)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands/v$k")))
+        BucketedTables.dropEntry(spark, s"$path/bands/v$k")
+    }
 
   /** Materialize the index for an initial corpus of `(media_id,
-    * dhash)` codes. A re-write on an existing path publishes a FRESH
-    * version (readers on the old snapshot are undisturbed until the
-    * commit; superseded dirs reclaimed with the grace window). */
-  def write(path: String, codes: DataFrame): Unit = {
+    * dhash, …)` codes under `banding`. A re-write on an existing path
+    * publishes a FRESH version (readers on the old snapshot are
+    * undisturbed until the commit; superseded dirs reclaimed with the
+    * grace window). */
+  def write(
+      path: String, codes: DataFrame,
+      banding: Banding = Wide, buckets: Int = 8): Unit = {
     val spark = codes.sparkSession
     val v = StoreManifest.read(spark, path).fold(1)(_.getOrElse("bands", 0) + 1)
-    bandedOf(codes)
-      .write.mode("overwrite").partitionBy("chunk").parquet(s"$path/bands/v$v")
-    StoreManifest.commit(spark, path, Map("bands" -> v))
+    BucketedTables.write(
+      bandedOf(codes, banding), s"$path/bands/v$v", "bkey", "media_id", buckets)
+    StoreManifest.commit(spark, path, Map(
+      "bands" -> v, "chunk_bits" -> banding.chunkBits,
+      "n_chunks" -> banding.nChunks, "buckets" -> buckets))
     StoreManifest.dropSuperseded(spark, path, "bands")
+    dropStaleEntries(spark, path, v)
   }
 
   /** Append an ACCEPTED batch's banded codes into the current
-    * snapshot — parquet appends are task-committed files, no manifest
+    * snapshot — bucketed appends are task-committed files, no manifest
     * commit needed (the [[graft.operators.AnnIndex.upsert]]
-    * discipline). */
+    * discipline). The batch is banded with the store's OWN write-time
+    * banding. */
   def upsert(path: String, codes: DataFrame): Unit = {
     val spark = codes.sparkSession
-    bandedOf(codes)
-      .write.mode("append").partitionBy("chunk")
-      .parquet(StoreManifest.currentDir(spark, path, "bands"))
+    val m = StoreManifest.current(spark, path)
+    val banding = bandingOf(m)
+    BucketedTables.append(
+      bandedOf(codes, banding), s"$path/bands/v${m("bands")}",
+      "bkey", "media_id", m("buckets"))
+  }
+
+  private def bandingOf(m: Map[String, Int]): Banding =
+    Banding(m.getOrElse("chunk_bits", 16), m.getOrElse("n_chunks", 4))
+
+  /** The banded code table of the CURRENT snapshot plus its
+    * write-time banding — the raw surface for operators that layer
+    * their own verification over the band probe ([[AudioHash.gate]]'s
+    * run-consistent matching). The scan is the bucketed table: a join
+    * keyed on `bkey` alone consumes it with no exchange. */
+  def bands(spark: SparkSession, path: String): (DataFrame, Banding) = {
+    val m = StoreManifest.current(spark, path)
+    val banding = bandingOf(m)
+    val dir = s"$path/bands/v${m("bands")}"
+    val df = m.get("buckets") match {
+      case Some(b) => BucketedTables.read(spark, dir, "bkey", "media_id", b)
+      case None => // pre-r15 store: chunk-partitioned parquet, no bkey column
+        spark.read.parquet(dir)
+          .withColumn("bkey", col("chunk") * lit(1L << banding.chunkBits) + col("chunk_val"))
+    }
+    (df, banding)
   }
 
   /**
@@ -80,23 +144,31 @@ object MediaIndex {
   def gate(
       spark: SparkSession, path: String, batch: DataFrame,
       maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "4-band chunking guarantees recall only to Hamming 3")
-    val hist = spark.read
-      .parquet(StoreManifest.currentDir(spark, path, "bands"))
-      .select(col("media_id").as("hid"), col("dhash").as("__h_hid"),
-        col("chunk"), col("chunk_val"))
     // verdicts are SNAPSHOT-STABLE (the DedupIndex discipline): the
     // drop-id set is eagerly localCheckpoint'ed so the returned frame
     // keeps meaning "gated against the store AS OF THIS CALL" even
     // after the caller upserts the survivors back into the index
-    val drops = bandedOf(batch)
-      .toDF("bid", "__h_bid", "chunk", "chunk_val")
-      .join(hist, Seq("chunk", "chunk_val"))
+    val drops = gateDrops(spark, path, batch, maxHamming).localCheckpoint(true)
+    batch.join(drops, Seq("media_id"), "left_anti")
+  }
+
+  /** The drop-id frame of one [[gate]] call BEFORE the checkpoint —
+    * split out so the plan audit can inspect the probe join's
+    * physical plan (bucketed history scan, no exchange). */
+  private[graft] def gateDrops(
+      spark: SparkSession, path: String, batch: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val (histAll, banding) = bands(spark, path)
+    require(maxHamming >= 0 && maxHamming <= banding.maxHammingRecall,
+      s"${banding.nChunks}-band chunking guarantees recall only to " +
+        s"Hamming ${banding.maxHammingRecall}")
+    val hist = histAll.select(
+      col("dhash").as("__h_hid"), col("bkey"))
+    bandedOf(batch, banding)
+      .select(col("media_id").as("bid"), col("dhash").as("__h_bid"), col("bkey"))
+      .join(hist, Seq("bkey"))
       .filter(bit_count(col("__h_bid").bitwiseXOR(col("__h_hid"))) <= maxHamming)
       .select(col("bid").as("media_id")).distinct()
-      .localCheckpoint(true)
-    batch.join(drops, Seq("media_id"), "left_anti")
   }
 
   /** One compaction summary from [[compact]]. */
@@ -104,8 +176,9 @@ object MediaIndex {
 
   /** Physical maintenance: rewrite the banded table compacted (a
     * thousand daily upserts otherwise leave a thousand small files per
-    * chunk directory) into a fresh `v<N+1>` dir and publish it in ONE
-    * manifest commit. */
+    * bucket) into a fresh `v<N+1>` dir and publish it in ONE manifest
+    * commit. The rewrite re-buckets, so a compacted table is back to
+    * exactly `buckets` files. */
   def compact(spark: SparkSession, path: String): CompactReport = {
     val fs = StoreManifest.fsOf(spark, path)
     def files(dir: String): Long = {
@@ -114,13 +187,17 @@ object MediaIndex {
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n
     }
-    val v = StoreManifest.current(spark, path)("bands")
+    val m = StoreManifest.current(spark, path)
+    val v = m("bands")
     val before = files(s"$path/bands/v$v")
-    spark.read.parquet(s"$path/bands/v$v")
-      .repartition(col("chunk")) // one task per chunk → one file per dir
-      .write.mode("overwrite").partitionBy("chunk").parquet(s"$path/bands/v${v + 1}")
-    StoreManifest.commit(spark, path, Map("bands" -> (v + 1)))
+    val (cur, banding) = bands(spark, path)
+    BucketedTables.write(
+      cur, s"$path/bands/v${v + 1}", "bkey", "media_id", m.getOrElse("buckets", 8))
+    StoreManifest.commit(spark, path, Map(
+      "bands" -> (v + 1), "chunk_bits" -> banding.chunkBits,
+      "n_chunks" -> banding.nChunks, "buckets" -> m.getOrElse("buckets", 8)))
     StoreManifest.dropSuperseded(spark, path, "bands")
+    dropStaleEntries(spark, path, v + 1)
     CompactReport(before, files(s"$path/bands/v${v + 1}"))
   }
 }

@@ -19,8 +19,15 @@ import graft.io.StoreManifest
  * Layout under `path` (versions published by the shared
  * [[graft.io.StoreManifest]] pointer-commit log, so [[compact]] can
  * rewrite all tables and publish them atomically):
- *  - `bands/v<N>/` — (id, band, bucket) PARTITIONED BY band: a batch
- *    probe touches each band directory with a bucket equi-join;
+ *  - `bands/v<N>/` — (id, band, bucket) written as a BUCKETED table
+ *    hash-partitioned on `bucket` (the md5 band-bucket string — the
+ *    probe key): the batch probe joins on `bucket` ALONE, so the
+ *    history band scan is consumed with ZERO exchange (V1 bucketed
+ *    joins co-locate only on the exact bucket column), with band
+ *    equality applied as a residual filter after the join — the
+ *    candidate set is identical to the (band, bucket) equi-join
+ *    because a candidate needs both equal, and md5 strings collide
+ *    across band positions only when the underlying slices collide;
  *  - `shingles/v<N>/` — (id, sh): the verification side, written as a
  *    BUCKETED table (hash-bucketed by `sh`, sorted by `id` inside each
  *    bucket file; bucket count in the manifest, catalog entry
@@ -84,12 +91,12 @@ object DedupIndex {
 
   /** Drop catalog entries whose version directory is gone (superseded
     * versions reclaimed by the grace-window cleanup). */
-  private def dropStaleShingleEntries(
-      spark: SparkSession, path: String, below: Int): Unit =
+  private def dropStaleEntries(
+      spark: SparkSession, path: String, table: String, below: Int): Unit =
     (1 until below).foreach { k =>
       val fs = StoreManifest.fsOf(spark, path)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles/v$k")))
-        graft.io.BucketedTables.dropEntry(spark, s"$path/shingles/v$k")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$table/v$k")))
+        graft.io.BucketedTables.dropEntry(spark, s"$path/$table/v$k")
     }
 
   /** Materialize the index for an initial corpus. A re-write on an
@@ -108,14 +115,16 @@ object DedupIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writeShingles(sh, path, sv, buckets)
     sizesOf(sh).coalesce(1).write.mode("overwrite").parquet(s"$path/sizes/v$zv")
-    bandedOf(sh, numHashes, bands)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands/v$bv")
+    graft.io.BucketedTables.write(
+      bandedOf(sh, numHashes, bands), s"$path/bands/v$bv", "bucket", "id", buckets)
     sh.unpersist()
     StoreManifest.commit(spark, path,
-      Map("bands" -> bv, "shingles" -> sv, "sizes" -> zv, "buckets" -> buckets))
+      Map("bands" -> bv, "shingles" -> sv, "sizes" -> zv,
+        "buckets" -> buckets, "band_buckets" -> buckets))
     Seq("bands", "shingles", "sizes")
       .foreach(StoreManifest.dropSuperseded(spark, path, _))
-    dropStaleShingleEntries(spark, path, sv)
+    dropStaleEntries(spark, path, "shingles", sv)
+    dropStaleEntries(spark, path, "bands", bv)
   }
 
   /** Append an ACCEPTED batch's bands + shingles + sizes into the
@@ -133,9 +142,14 @@ object DedupIndex {
     graft.io.BucketedTables.append(
       sh, s"$path/shingles/v${m("shingles")}", "sh", "id", m("buckets"))
     sizesOf(sh).coalesce(1).write.mode("append").parquet(s"$path/sizes/v${m("sizes")}")
-    bandedOf(sh, numHashes, bands)
-      .write.mode("append").partitionBy("band")
-      .parquet(s"$path/bands/v${m("bands")}")
+    val banded = bandedOf(sh, numHashes, bands)
+    m.get("band_buckets") match {
+      case Some(bb) => graft.io.BucketedTables.append(
+        banded, s"$path/bands/v${m("bands")}", "bucket", "id", bb)
+      case None => // pre-r15 store: band-partitioned plain parquet
+        banded.write.mode("append").partitionBy("band")
+          .parquet(s"$path/bands/v${m("bands")}")
+    }
     sh.unpersist()
   }
 
@@ -157,7 +171,9 @@ object DedupIndex {
    * distributed semi-join prune above it). The only per-batch
    * history-proportional work left is the band-bucket probe — rows =
    * `bands` per history doc, the size class an LSH index is DESIGNED
-   * to keep resident.
+   * to keep resident — and even that scan is consumed with ZERO
+   * exchange: the band table is bucketed by the probe key, so the
+   * probe join co-locates on the files as written.
    */
   def gate(
       spark: SparkSession, path: String, batch: DataFrame,
@@ -188,8 +204,12 @@ object DedupIndex {
       threshold: Double): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val m = StoreManifest.current(spark, path) // ONE snapshot per gate
-    val histBands = spark.read.parquet(s"$path/bands/v${m("bands")}")
-      .select(col("id").as("hid"), col("band"), col("bucket"))
+    val histBands = (m.get("band_buckets") match {
+      case Some(bb) => graft.io.BucketedTables.read(
+        spark, s"$path/bands/v${m("bands")}", "bucket", "id", bb)
+      case None => // pre-r15 store: band-partitioned plain parquet
+        spark.read.parquet(s"$path/bands/v${m("bands")}")
+    }).select(col("id").as("hid"), col("band").as("hband"), col("bucket"))
     val histShFull = m.get("buckets") match {
       case Some(b) => shinglesTable(spark, path, m("shingles"), b).toDF("hid", "sh")
       case None => // pre-r14 store: plain parquet, no bucket metadata
@@ -198,8 +218,14 @@ object DedupIndex {
     val shB = Dedup.shingled(batch, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     shB.count()
+    // probe keyed on `bucket` ALONE — the band table's bucket column —
+    // so the bucketed history scan co-locates with zero exchange; band
+    // equality is a residual filter (identical candidate set: a
+    // candidate needs band AND bucket equal, and the md5 strings make
+    // cross-band bucket collisions as rare as slice collisions)
     val cand = bandedOf(shB, numHashes, bands).toDF("bid", "band", "bucket")
-      .join(histBands, Seq("band", "bucket"))
+      .join(histBands, Seq("bucket"))
+      .filter(col("band") === col("hband"))
       .select("bid", "hid").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // limit-probed hybrid: candidate id sets are batch-neighborhood-
@@ -278,10 +304,14 @@ object DedupIndex {
     val buckets = cur.getOrElse("buckets", 8)
     val bBefore = files(s"$path/bands/v$bv")
     val sBefore = files(s"$path/shingles/v$sv")
-    spark.read.parquet(s"$path/bands/v$bv")
-      .repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"$path/bands/v${bv + 1}")
+    val bandsCur = cur.get("band_buckets") match {
+      case Some(bb) => graft.io.BucketedTables.read(
+        spark, s"$path/bands/v$bv", "bucket", "id", bb)
+      case None => // pre-r15 store gains its bucketed band table here
+        spark.read.parquet(s"$path/bands/v$bv")
+    }
+    graft.io.BucketedTables.write(
+      bandsCur, s"$path/bands/v${bv + 1}", "bucket", "id", buckets)
     val shCur = cur.get("buckets") match {
       case Some(b) => shinglesTable(spark, path, sv, b)
       case None => spark.read.parquet(s"$path/shingles/v$sv")
@@ -293,10 +323,11 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$path/sizes/v${zv + 1}")
     StoreManifest.commit(spark, path,
       Map("bands" -> (bv + 1), "shingles" -> (sv + 1),
-        "sizes" -> (zv + 1), "buckets" -> buckets))
+        "sizes" -> (zv + 1), "buckets" -> buckets, "band_buckets" -> buckets))
     Seq("bands", "shingles", "sizes")
       .foreach(StoreManifest.dropSuperseded(spark, path, _))
-    dropStaleShingleEntries(spark, path, sv + 1)
+    dropStaleEntries(spark, path, "shingles", sv + 1)
+    dropStaleEntries(spark, path, "bands", bv + 1)
     CompactReport(bBefore, files(s"$path/bands/v${bv + 1}"),
       sBefore, files(s"$path/shingles/v${sv + 1}"))
   }

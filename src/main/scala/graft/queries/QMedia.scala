@@ -261,26 +261,104 @@ object QMedia {
     }
   }
 
-  /** The [[wavMedia]] clips (ids 0–9) plus a byte-perturbed re-encode
-    * of each at id 100+i (every 5th PCM byte bumped +2, clamped) —
-    * the m14 fixture: the perturbation shifts block energies a
-    * little but rarely flips which adjacent block is louder, so the
-    * energy-difference codes stay within a few bits. */
+  /** The m14 fixture: original clips (ids 0–9, 120+10·src samples)
+    * plus three copy families per source — a byte-perturbed re-encode
+    * at id 100+src (every 5th PCM byte bumped +2, clamped: block
+    * energies shift a little but the adjacent-louder bits rarely
+    * flip), a 1-SAMPLE head-trim at 200+src, and a 3-sample head-trim
+    * at 300+src. The trims exercise the dense sub-fingerprint grid:
+    * no block-aligned (or half-block) code of a trimmed copy matches
+    * the original, but its window at position p IS the original's at
+    * p+1 (resp. p+3), so the run-consistent matcher finds a long
+    * exact run at delta 1 / 3. */
   def wavDupMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
     import s.implicits._
-    s.range(20).as[Long].map { k =>
+    s.range(40).as[Long].map { k =>
       val src = k % 10
-      val nSamples = (100 + src * 10).toInt
+      val nSamples = (120 + src * 10).toInt
       val pcm0 = Multimodal.FakeCodec.encode(s"wav:$src", nSamples * 2, 1, 1)
-      val pcm =
-        if (k < 10) pcm0
-        else pcm0.zipWithIndex.map { case (b, j) =>
+      val (id, pcm) = (k / 10) match {
+        case 0 => (src, pcm0)
+        case 1 => (100 + src, pcm0.zipWithIndex.map { case (b, j) =>
           math.min(255, (b & 0xff) + (if (j % 5 == 0) 2 else 0)).toByte
-        }
-      MediaRow(if (k < 10) src else 100 + src, "audio",
+        })
+        case 2 => (200 + src, pcm0.drop(2)) // head-trim 1 sample (16-bit)
+        case _ => (300 + src, pcm0.drop(6)) // head-trim 3 samples
+      }
+      MediaRow(id, "audio",
         graft.multimodal.VideoContainers.WavMux.write(
           pcm, sampleRate = 8000 + src.toInt * 100, channels = 1, bitsPerSample = 16),
         0, 0, 0, "audio/wav")
+    }
+  }
+
+  /** The m17 history corpus: the ten [[wavDupMedia]] ORIGINALS. */
+  def wavHistMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(10).as[Long].map { src =>
+      val nSamples = (120 + src * 10).toInt
+      MediaRow(src, "audio",
+        graft.multimodal.VideoContainers.WavMux.write(
+          Multimodal.FakeCodec.encode(s"wav:$src", nSamples * 2, 1, 1),
+          sampleRate = 8000 + src.toInt * 100, channels = 1, bitsPerSample = 16),
+        0, 0, 0, "audio/wav")
+    }
+  }
+
+  /** The m17 DAY-1 ingest batch: perturbed copies of the history clips
+    * (ids 100+src — near-dups at delta 0) plus six genuinely NOVEL
+    * clips at ids 200+i (fresh keystream seeds wav:50+i). */
+  def wavIngestMedia(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(16).as[Long].map { k =>
+      if (k < 10) {
+        val src = k
+        val nSamples = (120 + src * 10).toInt
+        val pcm = Multimodal.FakeCodec.encode(s"wav:$src", nSamples * 2, 1, 1)
+          .zipWithIndex.map { case (b, j) =>
+            math.min(255, (b & 0xff) + (if (j % 5 == 0) 2 else 0)).toByte
+          }
+        MediaRow(100 + src, "audio",
+          graft.multimodal.VideoContainers.WavMux.write(
+            pcm, sampleRate = 8000 + src.toInt * 100, channels = 1, bitsPerSample = 16),
+          0, 0, 0, "audio/wav")
+      } else {
+        val i = k - 10
+        val nSamples = (120 + i * 10).toInt
+        MediaRow(200 + i, "audio",
+          graft.multimodal.VideoContainers.WavMux.write(
+            Multimodal.FakeCodec.encode(s"wav:${50 + i}", nSamples * 2, 1, 1),
+            sampleRate = 8000, channels = 1, bitsPerSample = 16),
+          0, 0, 0, "audio/wav")
+      }
+    }
+  }
+
+  /** The m17 DAY-2 ingest batch: HEAD-TRIMMED (2 samples) copies of
+    * the day-1 NOVELS (ids 300+i — they only drop if the day-1 upsert
+    * really landed, and only via a delta-2 run, never a code-equal
+    * block grid) plus four genuinely novel clips at ids 400+j (fresh
+    * keystream seeds wav:80+j). */
+  def wavIngestMediaB(s: SparkSession): org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    s.range(10).as[Long].map { k =>
+      if (k < 6) {
+        val i = k
+        val nSamples = (120 + i * 10).toInt
+        MediaRow(300 + i, "audio",
+          graft.multimodal.VideoContainers.WavMux.write(
+            Multimodal.FakeCodec.encode(s"wav:${50 + i}", nSamples * 2, 1, 1).drop(4),
+            sampleRate = 8000, channels = 1, bitsPerSample = 16),
+          0, 0, 0, "audio/wav")
+      } else {
+        val j = k - 6
+        val nSamples = (120 + j * 10).toInt
+        MediaRow(400 + j, "audio",
+          graft.multimodal.VideoContainers.WavMux.write(
+            Multimodal.FakeCodec.encode(s"wav:${80 + j}", nSamples * 2, 1, 1),
+            sampleRate = 8000, channels = 1, bitsPerSample = 16),
+          0, 0, 0, "audio/wav")
+      }
     }
   }
 
@@ -803,22 +881,33 @@ object QMedia {
         .orderBy("id_a", "id_b")
     },
 
-    // M14: AUDIO near-dup (AudioHash) — the Haitsma-Kalker-shaped
-    // energy-difference fingerprint in pure integer arithmetic: 25
-    // blocks of 4 samples through the REAL RIFF/WAVE parse, Σ|s| per
-    // block, one bit per adjacent comparison, 4×6-bit banded Hamming
-    // pairs. The oracle replays keystream bytes, the +2 perturbation,
-    // signed 16-bit LE reassembly, block energies, the bit pack, and
-    // EXHAUSTIVE ≤3 pairs — again certifying the band join's recall.
+    // M14: AUDIO near-dup (AudioHash) — Haitsma-Kalker sub-fingerprints
+    // in pure integer arithmetic: one 24-bit energy-difference code per
+    // WINDOW POSITION over the whole clip (stride 1) through the REAL
+    // RIFF/WAVE parse, 4×6-bit banded candidates, per-segment Hamming
+    // verification, and the TWO-STAGE decision — ≥ minRun window
+    // positions matching at ONE alignment delta, then full-overlap
+    // bit-error-rate ≤ 6/24 at that delta (stage 1 alone is fooled by
+    // chance near-matches smearing across overlapping windows; BER at
+    // a consistent delta is the paper's decision). The fixture's 1-
+    // and 3-sample head-trims are invisible to any block-aligned grid
+    // but produce exact code runs at delta 1 / 3. The oracle replays
+    // keystream bytes (at each family's byte offset), the +2
+    // perturbation, signed 16-bit LE reassembly, the FULL dense window
+    // grid, and EXHAUSTIVE all-alignments pairing — certifying both
+    // the band join's per-segment recall and the delta grouping.
     QueryDef.of("m14_audio_neardup_energy",
-      """WITH m AS (SELECT i AS media_id, i AS src, 0 AS pert FROM range(10) t(i)
-        |  UNION ALL SELECT 100 + i, i, 1 FROM range(10) t(i)),
-        |d AS (SELECT media_id, src, pert, CAST(100 + src * 10 AS BIGINT) AS n FROM m),
+      """WITH m AS (SELECT i AS media_id, i AS src, 0 AS pert, 0 AS boff FROM range(10) t(i)
+        |  UNION ALL SELECT 100 + i, i, 1, 0 FROM range(10) t(i)
+        |  UNION ALL SELECT 200 + i, i, 0, 2 FROM range(10) t(i)
+        |  UNION ALL SELECT 300 + i, i, 0, 6 FROM range(10) t(i)),
+        |d AS (SELECT media_id, src, pert, boff,
+        |    CAST(120 + src * 10 - boff // 2 AS BIGINT) AS n FROM m),
         |by AS (SELECT media_id, n, j,
-        |    LEAST(255, ('0x' || substr(md5('wav:' || src || ':' || CAST(j // 16 AS BIGINT)),
-        |                    CAST(2*(j % 16)+1 AS INT), 2))::INT
-        |      + CASE WHEN pert = 1 AND j % 5 = 0 THEN 2 ELSE 0 END) AS b
-        |  FROM d, range(204) t(j) WHERE j < LEAST(204, 2 * n)),
+        |    LEAST(255, ('0x' || substr(md5('wav:' || src || ':' || CAST((j + boff) // 16 AS BIGINT)),
+        |                    CAST(2*((j + boff) % 16)+1 AS INT), 2))::INT
+        |      + CASE WHEN pert = 1 AND (j + boff) % 5 = 0 THEN 2 ELSE 0 END) AS b
+        |  FROM d, range(420) t(j) WHERE j < 2 * n),
         |s16 AS (SELECT media_id, n, j // 2 AS k,
         |    SUM(CASE WHEN j % 2 = 0 THEN b ELSE 256 * b END) AS u
         |  FROM by GROUP BY media_id, n, j // 2),
@@ -827,7 +916,7 @@ object QMedia {
         |  FROM s16),
         |e AS (SELECT media_id, o.off, (k - o.off) // 4 AS blk,
         |    CAST(SUM(a) AS BIGINT) AS energy
-        |  FROM v JOIN (VALUES (0), (2)) o(off) ON n >= o.off + 100
+        |  FROM v JOIN range(111) o(off) ON o.off + 100 <= n
         |  WHERE k >= o.off AND k < o.off + 100
         |  GROUP BY media_id, o.off, (k - o.off) // 4),
         |bits AS (SELECT l.media_id, l.off, l.blk AS pos,
@@ -837,17 +926,23 @@ object QMedia {
         |  WHERE l.blk < 24),
         |codes AS MATERIALIZED (SELECT media_id, off,
         |    CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(pos AS INT))) AS BIGINT) AS code
-        |  FROM bits GROUP BY media_id, off)
-        |SELECT a.media_id AS id_a, b.media_id AS id_b,
-        |  CAST(MIN(bit_count(xor(a.code, b.code))) AS BIGINT) AS hamming
-        |FROM codes a JOIN codes b ON a.media_id < b.media_id
-        |GROUP BY a.media_id, b.media_id
-        |HAVING MIN(bit_count(xor(a.code, b.code))) <= 3
-        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+        |  FROM bits GROUP BY media_id, off),
+        |ph AS MATERIALIZED (SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |    a.off - b.off AS delta,
+        |    bit_count(xor(a.code, b.code)) AS ham
+        |  FROM codes a JOIN codes b ON a.media_id < b.media_id)
+        |SELECT id_a, id_b, CAST(delta AS BIGINT) AS delta,
+        |  CAST(SUM(CASE WHEN ham <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+        |  CAST(COUNT(*) AS BIGINT) AS overlap,
+        |  CAST(SUM(ham) AS BIGINT) AS total_ham
+        |FROM ph GROUP BY 1, 2, 3
+        |HAVING SUM(CASE WHEN ham <= 3 THEN 1 ELSE 0 END) >= 5
+        |  AND SUM(ham) <= 6 * COUNT(*)
+        |ORDER BY id_a, id_b, delta""".stripMargin) { (s, dir) =>
       graft.multimodal.AudioHash
         .nearDupPairs(graft.multimodal.AudioHash.fingerprints(wavDupMedia(s)),
-          maxHamming = 3)
-        .orderBy("id_a", "id_b")
+          maxHamming = 3, minRun = 5, maxAvgHam = 6)
+        .orderBy("id_a", "id_b", "delta")
     },
 
     // M15: incremental image-ingest near-dup gate (ImageHash
@@ -967,6 +1062,93 @@ object QMedia {
         s, path, codesOf(imageIngestMediaB(s)), maxHamming = 3)
       survA.select(col("media_id"), lit("a").as("batch"))
         .unionByName(survB.select(col("media_id"), lit("b").as("batch")))
+        .orderBy("media_id")
+    },
+
+    // M17: the PERSISTED audio sub-fingerprint index lifecycle
+    // (AudioHash.writeIndex/gate/upsertIndex over MediaIndex with the
+    // 24-bit code's own 4×6-bit banding — the m16 idiom for narrow
+    // codes): index the history clips' dense window codes, gate day 1
+    // (perturbed copies + novels) with the TWO-STAGE matcher (≥ 5
+    // window positions within Hamming 3 at one delta, then
+    // full-overlap BER ≤ 6/24 at that delta), upsert
+    // the survivors, then gate day 2 — whose copies are HEAD-TRIMMED
+    // (2 samples) versions of exactly what day 1 accepted, so they
+    // only drop via a delta-2 run against the grown index; a wrong
+    // upsert, stale manifest, or banding mismatch lets them through
+    // and breaks the hash. The oracle replays all four fixture sets'
+    // dense code grids and both gates exhaustively.
+    QueryDef.of("m17_audio_index_gate",
+      """WITH m AS (
+        |  SELECT i AS media_id, CAST(i AS VARCHAR) AS sk, 0 AS pert, 0 AS boff,
+        |      CAST(120 + i * 10 AS BIGINT) AS n, 'h' AS s FROM range(10) t(i)
+        |  UNION ALL SELECT 100 + i, CAST(i AS VARCHAR), 1, 0,
+        |      CAST(120 + i * 10 AS BIGINT), 'a' FROM range(10) t(i)
+        |  UNION ALL SELECT 200 + i, CAST(50 + i AS VARCHAR), 0, 0,
+        |      CAST(120 + i * 10 AS BIGINT), 'a' FROM range(6) t(i)
+        |  UNION ALL SELECT 300 + i, CAST(50 + i AS VARCHAR), 0, 4,
+        |      CAST(118 + i * 10 AS BIGINT), 'b' FROM range(6) t(i)
+        |  UNION ALL SELECT 400 + j, CAST(80 + j AS VARCHAR), 0, 0,
+        |      CAST(120 + j * 10 AS BIGINT), 'b' FROM range(4) t(j)),
+        |by AS (SELECT media_id, s, n, j,
+        |    LEAST(255, ('0x' || substr(md5('wav:' || sk || ':' || CAST((j + boff) // 16 AS BIGINT)),
+        |                    CAST(2*((j + boff) % 16)+1 AS INT), 2))::INT
+        |      + CASE WHEN pert = 1 AND (j + boff) % 5 = 0 THEN 2 ELSE 0 END) AS b
+        |  FROM m, range(420) t(j) WHERE j < 2 * n),
+        |s16 AS (SELECT media_id, s, n, j // 2 AS k,
+        |    SUM(CASE WHEN j % 2 = 0 THEN b ELSE 256 * b END) AS u
+        |  FROM by GROUP BY media_id, s, n, j // 2),
+        |v AS (SELECT media_id, s, n, k,
+        |    ABS(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a
+        |  FROM s16),
+        |e AS (SELECT media_id, s, o.off, (k - o.off) // 4 AS blk,
+        |    CAST(SUM(a) AS BIGINT) AS energy
+        |  FROM v JOIN range(111) o(off) ON o.off + 100 <= n
+        |  WHERE k >= o.off AND k < o.off + 100
+        |  GROUP BY media_id, s, o.off, (k - o.off) // 4),
+        |bits AS (SELECT l.media_id, l.s, l.off, l.blk AS pos,
+        |    CASE WHEN r.energy > l.energy THEN 1 ELSE 0 END AS bit
+        |  FROM e l JOIN e r ON r.media_id = l.media_id AND r.off = l.off
+        |    AND r.blk = l.blk + 1
+        |  WHERE l.blk < 24),
+        |codes AS MATERIALIZED (SELECT media_id, s, off,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(pos AS INT))) AS BIGINT) AS code
+        |  FROM bits GROUP BY media_id, s, off),
+        |runA AS MATERIALIZED (SELECT b.media_id AS bid, h.media_id AS hid,
+        |    b.off - h.off AS delta,
+        |    SUM(CASE WHEN bit_count(xor(b.code, h.code)) <= 3 THEN 1 ELSE 0 END) AS c,
+        |    COUNT(*) AS o, SUM(bit_count(xor(b.code, h.code))) AS th
+        |  FROM codes b JOIN codes h ON b.s = 'a' AND h.s = 'h'
+        |  GROUP BY 1, 2, 3),
+        |survA AS MATERIALIZED (SELECT media_id FROM codes WHERE s = 'a'
+        |  AND media_id NOT IN (SELECT bid FROM runA WHERE c >= 5 AND th <= 6 * o)
+        |  GROUP BY media_id),
+        |histB AS MATERIALIZED (
+        |  SELECT media_id, off, code FROM codes WHERE s = 'h'
+        |  UNION ALL SELECT c.media_id, c.off, c.code
+        |  FROM codes c JOIN survA v ON c.media_id = v.media_id AND c.s = 'a'),
+        |runB AS MATERIALIZED (SELECT b.media_id AS bid, h.media_id AS hid,
+        |    b.off - h.off AS delta,
+        |    SUM(CASE WHEN bit_count(xor(b.code, h.code)) <= 3 THEN 1 ELSE 0 END) AS c,
+        |    COUNT(*) AS o, SUM(bit_count(xor(b.code, h.code))) AS th
+        |  FROM codes b JOIN histB h ON b.s = 'b'
+        |  GROUP BY 1, 2, 3),
+        |survB AS (SELECT media_id FROM codes WHERE s = 'b'
+        |  AND media_id NOT IN (SELECT bid FROM runB WHERE c >= 5 AND th <= 6 * o)
+        |  GROUP BY media_id)
+        |SELECT media_id, 'a' AS batch FROM survA
+        |UNION ALL SELECT media_id, 'b' FROM survB
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.AudioHash
+      val path = "/tmp/graft_audio_index_m17_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      AudioHash.writeIndex(path, AudioHash.fingerprints(wavHistMedia(s)))
+      val survA = AudioHash.gate(
+        s, path, AudioHash.fingerprints(wavIngestMedia(s)), maxHamming = 3, minRun = 5)
+      AudioHash.upsertIndex(path, survA)
+      val survB = AudioHash.gate(
+        s, path, AudioHash.fingerprints(wavIngestMediaB(s)), maxHamming = 3, minRun = 5)
+      survA.select(col("media_id"), lit("a").as("batch")).distinct()
+        .unionByName(survB.select(col("media_id"), lit("b").as("batch")).distinct())
         .orderBy("media_id")
     })
 }

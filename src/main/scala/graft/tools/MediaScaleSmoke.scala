@@ -141,20 +141,27 @@ object MediaScaleSmoke {
     baseCodes.unpersist()
 
     // m14 audio near-dup: the same copy-tag scheme over the 24-bit
-    // energy codes — tags ride bits 24..39 (outside the chunked
-    // region, so identical base codes still COLLIDE as candidates)
-    // with pairwise Hamming ≥ 4, making cross-copy PAIRS impossible
-    // at maxHamming=3: pair counts exactly linear, zero cross.
+    // sub-fingerprint codes — tags ride bits 24..39 (outside the
+    // chunked region, so identical base codes still COLLIDE as
+    // candidates) with pairwise Hamming ≥ 4, making cross-copy
+    // SEGMENT matches impossible at maxHamming=3: (pair, delta) row
+    // counts exactly linear, zero cross, and the candidate join must
+    // stay a banded equi-join.
     val audioBase = graft.multimodal.AudioHash
       .fingerprints(QMedia.wavDupMedia(spark))
       .persist()
     val m14Runs = scales.map { c =>
       val codes = (0 until c).map { k =>
         audioBase.select(
-          (col("media_id") + k * 1000L).as("media_id"),
+          (col("media_id") + k * 1000L).as("media_id"), col("off"),
           col("ahash").bitwiseOR(lit(k.toLong * 0x1111L << 24)).as("ahash"))
       }.reduce(_.unionByName(_))
-      val pairs = graft.multimodal.AudioHash.nearDupPairs(codes, maxHamming = 3)
+      val pairs = graft.multimodal.AudioHash
+        .nearDupPairs(codes, maxHamming = 3, minRun = 5)
+      val plan = pairs.queryExecution.executedPlan.toString
+      check(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+        s"scale=$c m14 segment pair join stays a banded equi-join")
       val cross = pairs
         .filter(floor(col("id_a") / 1000) =!= floor(col("id_b") / 1000)).count()
       check(cross == 0L, s"scale=$c m14 cross-copy audio pairs exactly zero (got $cross)")
@@ -163,7 +170,7 @@ object MediaScaleSmoke {
     val a14 = m14Runs.head
     m14Runs.tail.foreach { case (c, rows) =>
       check(rows * a14._1 == a14._2 * c,
-        s"scale=$c m14 audio pair count EXACTLY linear (${a14._2}->$rows)")
+        s"scale=$c m14 audio (pair, delta) count EXACTLY linear (${a14._2}->$rows)")
     }
     audioBase.unpersist()
 
@@ -248,12 +255,62 @@ object MediaScaleSmoke {
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(idxPath), true)
       graft.multimodal.MediaIndex.write(idxPath, hist)
-      val viaStore = graft.multimodal.MediaIndex
-        .gate(spark, idxPath, batch, maxHamming = 3).count()
+      val surv = graft.multimodal.MediaIndex.gate(spark, idxPath, batch, maxHamming = 3)
+      val viaStore = surv.count()
       check(viaStore == inMem,
         s"scale=$c m16 persisted-index gate ≡ in-memory ($viaStore vs $inMem)")
+      // day-2 idempotence THROUGH a compaction: upsert the accepted
+      // codes, compact (atomic re-publish), re-gate the same batch —
+      // every accepted code now self-matches at Hamming 0, so nothing
+      // is accepted twice, and compaction must not change verdicts
+      graft.multimodal.MediaIndex.upsert(idxPath, surv)
+      val report = graft.multimodal.MediaIndex.compact(spark, idxPath)
+      val regate = graft.multimodal.MediaIndex
+        .gate(spark, idxPath, batch, maxHamming = 3).count()
+      check(regate == 0L,
+        s"scale=$c m16 re-gate after upsert+compact accepts nothing (got $regate)")
+      check(report.filesAfter <= report.filesBefore,
+        s"scale=$c m16 compact shrinks files (${report.filesBefore}->${report.filesAfter})")
     }
     histBase16.unpersist(); batchBase16.unpersist()
+
+    // m17 audio sub-fingerprint store: the persisted RUN-CONSISTENT
+    // gate under the same tagged replication — tags ride bits 24..39
+    // (candidates still collide, verification separates copies), so
+    // accepted clips are exactly linear; after upserting the
+    // survivors, re-gating the SAME batch accepts nothing (every
+    // accepted clip self-matches at delta 0 with a full-length run).
+    val audioHist17 = graft.multimodal.AudioHash
+      .fingerprints(QMedia.wavHistMedia(spark)).persist()
+    val audioBatch17 = graft.multimodal.AudioHash
+      .fingerprints(QMedia.wavIngestMedia(spark)).persist()
+    def taggedAudio(df: org.apache.spark.sql.DataFrame, c: Int) =
+      (0 until c).map { k =>
+        df.select((col("media_id") + k * 1000L).as("media_id"), col("off"),
+          col("ahash").bitwiseOR(lit(k.toLong * 0x1111L << 24)).as("ahash"))
+      }.reduce(_.unionByName(_))
+    val m17Runs = scales.map { c =>
+      val p = s"/tmp/graft_media_smoke_audioidx_$c"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p), true)
+      graft.multimodal.AudioHash.writeIndex(p, taggedAudio(audioHist17, c))
+      val surv = graft.multimodal.AudioHash.gate(
+        spark, p, taggedAudio(audioBatch17, c), maxHamming = 3, minRun = 5)
+      val accepted = surv.select("media_id").distinct().count()
+      graft.multimodal.AudioHash.upsertIndex(p, surv)
+      val regate = graft.multimodal.AudioHash.gate(
+          spark, p, taggedAudio(audioBatch17, c), maxHamming = 3, minRun = 5)
+        .select("media_id").distinct().count()
+      check(regate == 0L,
+        s"scale=$c m17 re-gate after upsert accepts nothing (got $regate)")
+      (c, accepted)
+    }
+    val g17 = m17Runs.head
+    m17Runs.tail.foreach { case (c, rows) =>
+      check(rows * g17._1 == g17._2 * c,
+        s"scale=$c m17 audio-gate survivors EXACTLY linear (${g17._2}->$rows)")
+    }
+    audioHist17.unpersist(); audioBatch17.unpersist()
 
     // byte-balanced partitioning: skewed payloads (64 KiB .. 512 KiB)
     val skewed = spark.range(64).select(

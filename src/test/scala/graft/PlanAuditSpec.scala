@@ -675,6 +675,83 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("t65/m16 band tables: the persisted band probes consume their history scans " +
+      "bucketed with ZERO exchange") {
+    // the r15 contract: the LAST history-proportional read in each
+    // persisted gate — the band-bucket probe — is bucketed BY THE
+    // PROBE KEY (DedupIndex: `bucket`; MediaIndex: `bkey`), so the
+    // probe join co-locates on the files as written and only the
+    // batch side ever shuffles. Broadcast off so co-location is what
+    // the plan stands on.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def rootOf(df: org.apache.spark.sql.DataFrame): SparkPlan =
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+      def auditBandScan(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+        val root = rootOf(df)
+        def isBandScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains("/bands/v"))
+          case _ => false
+        }
+        def pathToScan(p: SparkPlan): Option[List[SparkPlan]] =
+          if (isBandScan(p)) Some(List(p))
+          else p.children.flatMap(pathToScan).headOption.map(p :: _)
+        val path0 = pathToScan(root)
+          .getOrElse(fail(s"$what: no band scan in the probe plan\n$root"))
+        path0.last match {
+          case f: FileSourceScanExec =>
+            assert(f.bucketedScan, s"$what: band scan is not bucketed\n$root")
+          case _ => ()
+        }
+        val belowJoin = path0.reverse.takeWhile(n => !n.nodeName.contains("Join"))
+        val shuffled = belowJoin.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffled.isEmpty,
+          s"$what: band side shuffles before its join:\n${belowJoin.mkString("\n")}")
+        assert(path0.exists(_.nodeName.contains("Join")),
+          s"$what: no join consumes the band scan\n$root")
+      }
+      // MediaIndex (m16): the wide dHash store's gate probe, keyed on bkey
+      val mPath = java.nio.file.Files.createTempDirectory("graft_planaudit_midx").toString
+      val mCodes = docs.select(col("doc_id").as("media_id"),
+        xxhash64(col("doc_id")).as("dhash"))
+      graft.multimodal.MediaIndex.write(mPath, mCodes.filter(col("media_id") % 10 < 6))
+      auditBandScan(graft.multimodal.MediaIndex.gateDrops(
+        spark, mPath, mCodes.filter(col("media_id") % 10 >= 6), maxHamming = 3),
+        "m16 media band probe")
+      // DedupIndex (t65): the band table is bucketed by `bucket` and the
+      // gate joins on Seq("bucket") alone (equality pinned by
+      // DedupIndexSpec); the probe SHAPE audited here is that exact join
+      val dPath = java.nio.file.Files.createTempDirectory("graft_planaudit_dbands").toString
+      graft.operators.DedupIndex.write(dPath, docs.filter(col("doc_id") % 10 < 6),
+        "doc_id", "text", 3, 12, 4)
+      val v = graft.io.StoreManifest.current(spark, dPath)("bands")
+      val bb = graft.io.StoreManifest.current(spark, dPath)("band_buckets")
+      val histBands = graft.io.BucketedTables.read(
+        spark, s"$dPath/bands/v$v", "bucket", "id", bb)
+      val batchBands = docs.filter(col("doc_id") % 10 >= 6)
+        .select(col("doc_id").as("bid"),
+          md5(concat_ws(",", col("doc_id"), lit("probe"))).as("bucket"))
+      auditBandScan(
+        batchBands.join(histBands, Seq("bucket")).select("bid", "id").distinct(),
+        "t65 dedup band probe")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("g01/g02: the persisted EdgeStore feeds the iteration join and the degree " +
       "aggregate with ZERO edge exchange from a cold start") {
     // the per-iteration shape of PageRank (edges⋈ranks on src +

@@ -139,7 +139,7 @@ class ImageHashSpec extends AnyFunSuite {
     assert(passed.sorted.toSeq === (200L until 212L).toSeq)
   }
 
-  test("AudioHash: gain-robust codes, perturbed copies pair, banding == exhaustive") {
+  test("AudioHash: gain-robust codes, dense grid == per-offset codes, banding == exhaustive") {
     import spark.implicits._
     // the derivative-sign code is invariant under positive gain: the
     // same samples doubled produce the SAME code
@@ -148,48 +148,112 @@ class ImageHashSpec extends AnyFunSuite {
     val c2 = AudioHash.energyDiffCode(k => base(k) * 2, 120)
     assert(c1 === c2, "positive gain must not change the code")
     assert(c1 !== 0L)
-    // the m14 fixture end-to-end: every original pairs with its copy,
-    // never across sources; banded join equals exhaustive ≤3 pairs
+    // the prefix-summed dense grid agrees with the direct per-offset
+    // code at EVERY window position
+    val dense = AudioHash.denseCodes(base(_), 120, 1).toSeq
+    assert(dense.size === 21)
+    dense.foreach { case (off, code) =>
+      assert(code === AudioHash.energyDiffCode(base(_), 120, off),
+        s"dense code at off=$off disagrees with energyDiffCode")
+    }
+    // the m14 fixture end-to-end: the banded two-stage matcher equals
+    // the EXHAUSTIVE all-alignments grouping (run filter + BER filter)
     val codes = AudioHash.fingerprints(QMedia.wavDupMedia(spark))
-    val pairs = AudioHash.nearDupPairs(codes, maxHamming = 3)
-      .as[(Long, Long, Long)].collect()
-    assert(pairs.length === 10)
-    assert(pairs.forall { case (a, b, h) => b - a === 100L && h <= 3L })
-    val raw = codes.as[(Long, Long)].collect()
-    // brute force over ALL offset code rows, min-Hamming per pair —
-    // exactly nearDupPairs' multi-alignment semantics
+    val pairs = AudioHash.nearDupPairs(codes, maxHamming = 3, minRun = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val raw = codes.as[(Long, Long, Long)].collect()
     val brute = (for {
-      (ia, ca) <- raw; (ib, cb) <- raw if ia < ib
-      d = java.lang.Long.bitCount(ca ^ cb)
-    } yield ((ia, ib), d.toLong))
-      .groupBy(_._1).view.mapValues(_.map(_._2).min)
-      .collect { case ((a, b), h) if h <= 3 => (a, b, h) }.toSet
-    assert(pairs.toSet === brute)
+      (ia, oa, ca) <- raw; (ib, ob, cb) <- raw if ia < ib
+    } yield ((ia, ib, oa - ob), java.lang.Long.bitCount(ca ^ cb).toLong))
+      .groupBy(_._1).view
+      .map { case ((a, b, delta), hs) =>
+        val matched = hs.count(_._2 <= 3).toLong
+        val totalHam = hs.map(_._2).sum
+        (a, b, delta, matched, hs.length.toLong, totalHam)
+      }
+      .filter { case (_, _, _, matched, overlap, totalHam) =>
+        matched >= 5 && totalHam <= 6 * overlap
+      }.toSet
+    assert(pairs === brute)
+    // every original matches its three copy families at the TRUE
+    // delta: perturbed at 0, 1-sample head-trim at +1, 3-sample at +3
+    for (src <- 0L until 10L) {
+      assert(pairs.exists { case (a, b, d, _, _, _) =>
+        a == src && b == 100 + src && d == 0L }, s"perturbed copy of $src")
+      assert(pairs.exists { case (a, b, d, _, _, th) =>
+        a == src && b == 200 + src && d == 1L && th == 0L }, s"trim-1 copy of $src")
+      assert(pairs.exists { case (a, b, d, _, _, th) =>
+        a == src && b == 300 + src && d == 3L && th == 0L }, s"trim-3 copy of $src")
+    }
+    // the BER stage is what kills chance runs: no pair may cross
+    // source families other than the three copy relations
+    pairs.foreach { case (a, b, _, _, _, _) =>
+      assert((b - a) % 100 == 0 && a % 100 == b % 100,
+        s"chance alignment survived the BER stage: ($a, $b)")
+    }
     // too-short audio is skipped, not mis-fingerprinted
     intercept[IllegalArgumentException] {
       AudioHash.energyDiffCode(base(_), AudioHash.MinSamples - 1)
     }
+    assert(AudioHash.denseCodes(base(_), AudioHash.MinSamples - 1, 1).isEmpty)
   }
 
-  test("AudioHash: a half-block-shifted copy is caught via the offset grid") {
+  test("AudioHash: 1-sample-shifted and head-trimmed copies match at the true delta") {
     import spark.implicits._
-    // a copy with block/2 = 2 samples prepended: every block-aligned
-    // window straddles two of the original's, so the old single-grid
-    // code missed it — the offset-2 grid reproduces the original's
-    // offset-0 windows EXACTLY (Hamming 0)
-    val pcm0 = Array.tabulate(200)(j => (((j * 73) % 251) - 120).toByte)
-    val shifted = Array[Byte](0, 0, 0, 0) ++ pcm0
-    val media = Seq(
-      VideoContainers.WavMux.write(pcm0, 8000, 1, 16),
-      VideoContainers.WavMux.write(shifted, 8000, 1, 16))
-      .zipWithIndex.map { case (bytes, i) =>
-        MediaRow(i + 1L, "audio", bytes, 0, 0, 0, "audio/wav")
-      }.toDS()
+    // ARBITRARY offsets, not just block multiples: one prepended
+    // sample (2 bytes) and a 5-sample head-trim — invisible to any
+    // block-aligned or half-block grid, exact on the dense grid
+    val pcm0 = Array.tabulate(300)(j => (((j * 73) % 251) - 120).toByte)
+    val shifted = Array[Byte](7, -3) ++ pcm0
+    val trimmed = pcm0.drop(10)
+    val media = Seq((1L, pcm0), (2L, shifted), (3L, trimmed)).map {
+      case (id, bytes) =>
+        MediaRow(id, "audio",
+          VideoContainers.WavMux.write(bytes, 8000, 1, 16), 0, 0, 0, "audio/wav")
+    }.toDS()
     val pairs = AudioHash
-      .nearDupPairs(AudioHash.fingerprints(media), maxHamming = 3)
-      .as[(Long, Long, Long)].collect()
-    assert(pairs.toSeq === Seq((1L, 2L, 0L)),
-      s"shifted copy must pair at Hamming 0, got ${pairs.toSeq}")
+      .nearDupPairs(AudioHash.fingerprints(media), maxHamming = 3, minRun = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // orig window p == shifted window p+1 → delta −1; == trimmed
+    // window p−5 → delta +5; shifted vs trimmed → delta +6 — all
+    // with total_ham 0 over the full overlap
+    assert(pairs.exists { case (a, b, d, _, _, th) =>
+      a == 1L && b == 2L && d == -1L && th == 0L }, s"1-sample shift missed: $pairs")
+    assert(pairs.exists { case (a, b, d, _, _, th) =>
+      a == 1L && b == 3L && d == 5L && th == 0L }, s"head-trim missed: $pairs")
+    assert(pairs.exists { case (a, b, d, _, _, th) =>
+      a == 2L && b == 3L && d == 6L && th == 0L }, s"shift-vs-trim missed: $pairs")
+  }
+
+  test("AudioHash: persisted index gate — lifecycle, snapshot stability, banding guard") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_audioidx").toString
+    AudioHash.writeIndex(path, AudioHash.fingerprints(QMedia.wavHistMedia(spark)))
+    val batch = AudioHash.fingerprints(QMedia.wavIngestMedia(spark))
+    val survA = AudioHash.gate(spark, path, batch, maxHamming = 3, minRun = 5)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("media_id").distinct().as[Long].collect().toSet
+    val before = ids(survA)
+    // perturbed copies of history drop; the novels survive
+    assert(before.forall(_ >= 200L), s"a history copy survived: $before")
+    assert((200L until 206L).toSet.subsetOf(before), s"a novel was dropped: $before")
+    AudioHash.upsertIndex(path, survA)
+    spark.catalog.clearCache()
+    assert(ids(survA) === before,
+      "a gate verdict must mean 'as of the call', even after the upsert")
+    // day-2: head-trimmed copies of day-1 survivors drop (delta-2
+    // runs against the grown index), fresh novels pass
+    val survB = ids(AudioHash.gate(spark, path,
+      AudioHash.fingerprints(QMedia.wavIngestMediaB(spark)), maxHamming = 3, minRun = 5))
+    assert(survB === (400L until 404L).toSet, s"day-2 verdicts wrong: $survB")
+    // a wide (image) store refuses an audio-banded probe
+    val widePath = java.nio.file.Files.createTempDirectory("graft_audioidx_wide").toString
+    MediaIndex.write(widePath,
+      Seq((1L, 0x0123456789abcdefL)).toDF("media_id", "dhash"))
+    val ex = intercept[IllegalArgumentException] {
+      AudioHash.gate(spark, widePath, batch, maxHamming = 3, minRun = 5)
+    }
+    assert(ex.getMessage.contains("not an audio sub-fingerprint index"))
   }
 
   test("disjoint copy tags (pairwise Hamming >= 4) never cross-pair") {

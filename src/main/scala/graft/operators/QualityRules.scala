@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
  * modes (machine-generated symbol soup, word-salad length outliers,
  * no-stopword keyword stuffing).
  *
- * Rules (document-level subset — the reference line-based rules need
- * newline structure this corpus lacks; [[LineDedup]] covers the
- * boilerplate-line surface):
+ * Two rule families:
+ *  - [[gopher]] — the document-level rules (word counts, mean word
+ *    length, symbol ratio, alpha fraction, stop-word floor);
+ *  - [[lineRules]] — the LINE-level MassiveWeb/C4 rules over
+ *    newline-structured text (bullet-start fraction, ellipsis-end
+ *    fraction, terminal-punctuation fraction, duplicate-line
+ *    fraction). The synthetic corpus carries no newlines, so the t69
+ *    oracle derives a newline-bearing corpus first (the t67 idiom).
+ *
+ * Document rules ([[gopher]]):
  *  - word count within [minWords, maxWords];
  *  - mean word length within [minMeanLen, maxMeanLen] (characters per
  *    whitespace-delimited word);
@@ -78,5 +85,57 @@ object QualityRules {
       .withColumn("pass",
         col("pass_words") && col("pass_mean_len") && col("pass_symbols") &&
           col("pass_alpha") && col("pass_stopwords"))
+  }
+
+  /**
+   * LINE-level quality rules — the MassiveWeb line heuristics (Rae et
+   * al. 2021 Appendix A) plus C4's terminal-punctuation rule
+   * (Raffel et al. 2020 §2.2) lifted to a document-level fraction,
+   * plus the duplicate-line fraction (the boilerplate signal behind
+   * nav bars / cookie banners):
+   *  - fraction of lines starting with a bullet ("- ", "* ", "• ") ≤
+   *    maxBulletFrac (Gopher drops docs >90% bulleted);
+   *  - fraction of lines ending in an ellipsis ("..." or "…") ≤
+   *    maxEllipsisFrac (Gopher: 30%);
+   *  - fraction of lines ending in terminal punctuation (./!/?/"/”)
+   *    ≥ minTerminalFrac (C4 keeps only such lines; as a document
+   *    gate, a mostly-unterminated doc is dropped);
+   *  - duplicate-line fraction (1 − distinct/total) ≤ maxDupFrac.
+   *
+   * Lines are the '\n' splits of the raw text, trimmed, empties
+   * dropped. Every fraction is rounded to 6 dp before its rule
+   * comparison (the house boundary discipline). Scale shape: ONE
+   * map-only projection — all built-in codegen collection
+   * expressions, no shuffle, no UDF; runs at scan speed next to
+   * [[gopher]] ahead of every join-bearing gate.
+   */
+  def lineRules(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minTerminalFrac: Double = 0.5, maxDupFrac: Double = 0.3): DataFrame = {
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)), l => length(l) > 0)
+    val n = size(lines).cast("long")
+    def frac(pred: Column => Column): Column =
+      round(when(n > 0, size(filter(lines, pred)).cast("double") / n)
+        .otherwise(0.0), 6)
+    val bulletFrac = frac(l => substring(l, 1, 2).isin("- ", "* ", "• "))
+    val ellipsisFrac = frac(l => l.endsWith("...") || l.endsWith("…"))
+    val terminalFrac = frac(l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"", "”"))
+    val dupFrac = round(
+      when(n > 0,
+        (n - size(array_distinct(lines))).cast("double") / n).otherwise(0.0), 6)
+    docs.select(
+        col(idCol), n.as("n_lines"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"), terminalFrac.as("terminal_frac"),
+        dupFrac.as("dup_line_frac"))
+      .withColumn("pass_bullets", col("bullet_frac") <= maxBulletFrac)
+      .withColumn("pass_ellipsis", col("ellipsis_frac") <= maxEllipsisFrac)
+      .withColumn("pass_terminal", col("terminal_frac") >= minTerminalFrac)
+      .withColumn("pass_dup_lines", col("dup_line_frac") <= maxDupFrac)
+      .withColumn("pass",
+        col("pass_bullets") && col("pass_ellipsis") &&
+          col("pass_terminal") && col("pass_dup_lines"))
   }
 }

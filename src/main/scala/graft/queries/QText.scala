@@ -388,21 +388,50 @@ object QText {
     },
 
     // LLM01: the COMPOSED corpus pipeline — the LLM-family analogue of
-    // the pbp full-DAG queries: quality gate → language gate → exact
-    // dedup keep-first among survivors → benchmark decontamination,
-    // emitting one auditable DISPOSITION row per document (the routing
-    // table a production curation run ships to its data card). Stage
-    // order is part of the contract: a document reports its FIRST
-    // failing gate, and dedup/decontamination run only over the docs
-    // that passed the cheap row-local gates — the cost discipline a
+    // the pbp full-DAG queries, now the FULL production stack: Gopher
+    // rule gate (map-only, runs first) → quality gate → language gate
+    // → exact dedup keep-first among survivors → benchmark
+    // decontamination → reference-LM perplexity gate (the CCNet
+    // discipline: an interpolated KN 5-gram trained on the held-out
+    // reference set scores each survivor; high-perplexity outliers
+    // drop), emitting one auditable DISPOSITION row per document (the
+    // routing table a production curation run ships to its data
+    // card). Stage order is part of the contract: a document reports
+    // its FIRST failing gate, and every join-bearing stage sees only
+    // the docs that passed the cheaper gates — the cost discipline a
     // 100 TB run needs (per-row filters prune before any shuffle; the
-    // dedup hash-agg and the decontamination gram join see only
-    // survivors). Oracle: the t01/t02/t04/t12 CTE chains recomposed.
+    // dedup hash-agg, the gram join, and the LM scoring join see only
+    // survivors). Gopher thresholds are corpus-calibrated (the
+    // synthetic vocabulary carries 'the' but no other Gopher
+    // stopword, and half the docs sit under 50 words: minWords 20,
+    // minStopwords 1 — both rules cut in BOTH directions). Oracle:
+    // the t67/t01/t02/t04/t12/t66 CTE chains recomposed.
     QueryDef.of("llm01_corpus_pipeline",
       s"""WITH base AS (SELECT doc_id, CASE WHEN doc_id % 50 = 27
-         |    THEN 'the data of the run is a good run for the train set and the rest of the same corpus again'
+         |    THEN 'the data of the run is a good run for the train set and the rest of the same corpus again and the data of the run is a good run for the train set again'
+         |    WHEN doc_id % 50 = 13
+         |    THEN 'run, scan, batch, merge, sort, hash, table, value, group, query, window, stream, filter, column, vector, part, line, data, key, fast, slow, big, small, with'
+         |    WHEN doc_id % 50 = 41
+         |    THEN 'run scan batch merge sort hash table value group query window stream filter column vector part line data key fast slow big small batch with'
          |    ELSE text END AS text
          |  FROM documents WHERE doc_id % 20 <> 0),
+         |gm AS (SELECT doc_id, trim(text) AS gt,
+         |    regexp_extract_all(trim(text), '\\S+') AS gw FROM base),
+         |gok AS (SELECT doc_id,
+         |    len(gw) >= 20 AND len(gw) <= 100000
+         |    AND round(CASE WHEN len(gw) > 0
+         |      THEN CAST(length(regexp_replace(gt, '\\s+', '', 'g')) AS DOUBLE) / len(gw)
+         |      ELSE 0.0 END, 6) BETWEEN 3.0 AND 10.0
+         |    AND round(CASE WHEN len(gw) > 0
+         |      THEN ((length(gt) - length(replace(gt, '#', ''))) / 1
+         |            + (length(gt) - length(replace(gt, '...', ''))) / 3) / len(gw)
+         |      ELSE 0.0 END, 6) <= 0.1
+         |    AND round(CASE WHEN len(gw) > 0
+         |      THEN CAST(len(list_filter(gw, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(gw)
+         |      ELSE 0.0 END, 6) >= 0.8
+         |    AND len(list_intersect(list_distinct(list_transform(gw, x -> lower(x))),
+         |      ['the','be','to','of','and','that','have','with'])) >= 1 AS g_ok
+         |  FROM gm),
          |qm AS (SELECT doc_id,
          |    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS ntok,
          |    CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
@@ -431,11 +460,12 @@ object QText {
          |    WHEN c_es = greatest(c_en, c_fr, c_de, c_es) AND c_es > 0 THEN 'es'
          |    ELSE 'und' END AS lang
          |  FROM lc),
-         |flags AS (SELECT b.doc_id, q.quality, lg.lang,
+         |flags AS (SELECT b.doc_id, q.quality, lg.lang, gok.g_ok,
          |    q.quality >= 0.5 AS q_ok, lg.lang = 'en' AS l_ok
-         |  FROM base b JOIN q USING (doc_id) JOIN lg USING (doc_id)),
+         |  FROM base b JOIN q USING (doc_id) JOIN lg USING (doc_id)
+         |  JOIN gok USING (doc_id)),
          |surv AS (SELECT f.doc_id, b.text FROM flags f JOIN base b USING (doc_id)
-         |  WHERE f.q_ok AND f.l_ok),
+         |  WHERE f.g_ok AND f.q_ok AND f.l_ok),
          |fp AS (SELECT doc_id, md5($CANON) AS fp FROM surv),
          |kp AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
          |dups AS (SELECT f.doc_id FROM fp f JOIN kp USING (fp) WHERE f.doc_id <> kp.keep_id),
@@ -449,33 +479,119 @@ object QText {
          |bench AS (SELECT DISTINCT
          |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
          |  FROM btoks),
-         |ov AS (SELECT s.id AS doc_id,
+         |ov AS MATERIALIZED (SELECT s.id AS doc_id,
          |    round(count(b.sh) / CAST(count(*) AS DOUBLE), 6) AS overlap_frac
-         |  FROM sh0 s LEFT JOIN bench b ON s.sh = b.sh GROUP BY s.id)
+         |  FROM sh0 s LEFT JOIN bench b ON s.sh = b.sh GROUP BY s.id),
+         |dec AS MATERIALIZED (SELECT d2.doc_id, d2.text FROM ded d2
+         |  LEFT JOIN ov ON d2.doc_id = ov.doc_id
+         |  WHERE coalesce(ov.overlap_frac, 0) < 0.5),
+         |tr AS (SELECT $CTOKS AS t FROM documents WHERE doc_id % 20 = 0),
+         |g5r AS (SELECT unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM tr),
+         |t5 AS MATERIALIZED (SELECT g, count(*) AS c5 FROM g5r GROUP BY g),
+         |g4r AS (SELECT unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g FROM tr),
+         |c4t AS MATERIALIZED (SELECT g AS ctx4, count(*) AS c4 FROM g4r GROUP BY g),
+         |lam5 AS (SELECT array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4, count(*) AS lam5 FROM t5 GROUP BY 1),
+         |cont4 AS (SELECT array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s, count(*) AS cont4 FROM t5 GROUP BY 1),
+         |mid4 AS (SELECT array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3, count(*) AS denom4,
+         |    count(DISTINCT string_split(g, ' ')[5]) AS lam4 FROM t5 GROUP BY 1),
+         |t4y AS MATERIALIZED (SELECT DISTINCT g FROM g4r),
+         |cont3 AS (SELECT array_to_string(string_split(g, ' ')[2:4], ' ') AS g3s, count(*) AS cont3 FROM t4y GROUP BY 1),
+         |mid3 AS (SELECT array_to_string(string_split(g, ' ')[2:3], ' ') AS ctx2, count(*) AS denom3,
+         |    count(DISTINCT string_split(g, ' ')[4]) AS lam3 FROM t4y GROUP BY 1),
+         |g3r AS (SELECT unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS g FROM tr),
+         |t3y AS MATERIALIZED (SELECT DISTINCT g FROM g3r),
+         |cont2 AS (SELECT array_to_string(string_split(g, ' ')[2:3], ' ') AS g2s, count(*) AS cont2 FROM t3y GROUP BY 1),
+         |mid2 AS (SELECT string_split(g, ' ')[2] AS w4k, count(*) AS denom2,
+         |    count(DISTINCT string_split(g, ' ')[3]) AS lam2 FROM t3y GROUP BY 1),
+         |g2r AS (SELECT unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS g FROM tr),
+         |t2y AS MATERIALIZED (SELECT DISTINCT g FROM g2r),
+         |cont1 AS (SELECT string_split(g, ' ')[2] AS w5k, count(*) AS cont1 FROM t2y GROUP BY 1),
+         |sc0 AS (SELECT CAST(count(*) AS DOUBLE) AS denom1 FROM t2y),
+         |vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (SELECT unnest(t) AS w FROM tr)),
+         |dtk AS (SELECT doc_id, $CTOKS AS t FROM dec),
+         |f5 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM dtk),
+         |keys AS (SELECT doc_id, g,
+         |    array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4,
+         |    array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s,
+         |    array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3,
+         |    array_to_string(string_split(g, ' ')[3:5], ' ') AS g3s,
+         |    array_to_string(string_split(g, ' ')[3:4], ' ') AS ctx2,
+         |    array_to_string(string_split(g, ' ')[4:5], ' ') AS g2s,
+         |    string_split(g, ' ')[4] AS w4k, string_split(g, ' ')[5] AS w5k
+         |  FROM f5),
+         |j AS MATERIALIZED (SELECT doc_id, keys.g,
+         |    coalesce(t5.c5, 0) AS c5, coalesce(c4t.c4, 0) AS c4, coalesce(lam5.lam5, 0) AS lam5,
+         |    coalesce(cont4.cont4, 0) AS cont4, coalesce(mid4.denom4, 0) AS denom4, coalesce(mid4.lam4, 0) AS lam4,
+         |    coalesce(cont3.cont3, 0) AS cont3, coalesce(mid3.denom3, 0) AS denom3, coalesce(mid3.lam3, 0) AS lam3,
+         |    coalesce(cont2.cont2, 0) AS cont2, coalesce(mid2.denom2, 0) AS denom2, coalesce(mid2.lam2, 0) AS lam2,
+         |    coalesce(cont1.cont1, 0) AS cont1, denom1, v
+         |  FROM keys LEFT JOIN t5 ON keys.g = t5.g
+         |  LEFT JOIN c4t USING (ctx4) LEFT JOIN lam5 USING (ctx4)
+         |  LEFT JOIN cont4 USING (g4s) LEFT JOIN mid4 USING (ctx3)
+         |  LEFT JOIN cont3 USING (g3s) LEFT JOIN mid3 USING (ctx2)
+         |  LEFT JOIN cont2 USING (g2s) LEFT JOIN mid2 USING (w4k)
+         |  LEFT JOIN cont1 USING (w5k)
+         |  CROSS JOIN sc0 CROSS JOIN vv),
+         |p1c AS (SELECT *, (cont1 + 0.5) / (denom1 + 0.5 * v) AS p1 FROM j),
+         |p2c AS (SELECT *, CASE WHEN denom2 > 0
+         |    THEN (GREATEST(cont2 - 0.75, 0) + 0.75 * lam2 * p1) / denom2 ELSE p1 END AS p2 FROM p1c),
+         |p3c AS (SELECT *, CASE WHEN denom3 > 0
+         |    THEN (GREATEST(cont3 - 0.75, 0) + 0.75 * lam3 * p2) / denom3 ELSE p2 END AS p3 FROM p2c),
+         |p4c AS (SELECT *, CASE WHEN denom4 > 0
+         |    THEN (GREATEST(cont4 - 0.75, 0) + 0.75 * lam4 * p3) / denom4 ELSE p3 END AS p4 FROM p3c),
+         |p5c AS (SELECT doc_id, CASE WHEN c4 > 0 AND lam5 > 0
+         |    THEN (GREATEST(c5 - 0.75, 0) + 0.75 * lam5 * p4) / c4 ELSE p4 END AS p5 FROM p4c),
+         |ppl AS MATERIALIZED (SELECT doc_id,
+         |    round((CAST(SUM(CAST(round(-ln(p5) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / count(*)) / 1000000.0, 6) AS anp
+         |  FROM p5c GROUP BY doc_id)
          |SELECT f.doc_id, f.quality, f.lang,
-         |  CASE WHEN NOT f.q_ok THEN 'drop_quality'
+         |  CASE WHEN NOT f.g_ok THEN 'drop_gopher'
+         |       WHEN NOT f.q_ok THEN 'drop_quality'
          |       WHEN NOT f.l_ok THEN 'drop_lang'
          |       WHEN f.doc_id IN (SELECT doc_id FROM dups) THEN 'drop_duplicate'
          |       WHEN coalesce(ov.overlap_frac, 0) >= 0.5 THEN 'drop_contaminated'
+         |       WHEN coalesce(p.anp, 0) > 3.9 THEN 'drop_perplexity'
          |       ELSE 'kept' END AS disposition
-         |FROM flags f LEFT JOIN ov USING (doc_id)
+         |FROM flags f LEFT JOIN ov USING (doc_id) LEFT JOIN ppl p USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      // sentinel duplicate class (%50==27): byte-identical docs that
-      // PASS the earlier gates, so the dedup stage has real work
+      // sentinel classes, each decoupling one gate so every stage has
+      // real work: %50==27 — byte-identical duplicates that PASS the
+      // row-local gates (36 words, mean length 3.2, carries 'the') →
+      // the dedup stage; %50==13 — comma-riddled text whose only
+      // Gopher stopword is 'with' (∉ the quality stop list), passing
+      // the rules but failing the punctuation-weighted quality score;
+      // %50==41 — the same trick without punctuation at 25 words:
+      // quality lands exactly on 0.5 (pass) while language-ID sees no
+      // marker word at all → 'und'.
       val corpus = docs.filter(col("doc_id") % 20 =!= 0)
         .select(col("doc_id"),
           when(col("doc_id") % 50 === 27,
             lit("the data of the run is a good run for the train set " +
-              "and the rest of the same corpus again"))
+              "and the rest of the same corpus again and the data of " +
+              "the run is a good run for the train set again"))
+          .when(col("doc_id") % 50 === 13,
+            lit("run, scan, batch, merge, sort, hash, table, value, " +
+              "group, query, window, stream, filter, column, vector, " +
+              "part, line, data, key, fast, slow, big, small, with"))
+          .when(col("doc_id") % 50 === 41,
+            lit("run scan batch merge sort hash table value group " +
+              "query window stream filter column vector part line " +
+              "data key fast slow big small batch with"))
             .otherwise(col("text")).as("text"))
       val bench = docs.filter(col("doc_id") % 20 === 0)
+      val gok = graft.operators.QualityRules
+        .gopher(corpus, "doc_id", "text", minWords = 20, minStopwords = 1)
+        .select(col("doc_id"), col("pass").as("g_ok"))
       val flags = corpus.select(col("doc_id"), col("text"),
           round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
           TextFunctions.langId(col("text")).as("lang"))
+        .join(gok, Seq("doc_id"))
         .withColumn("q_ok", col("quality") >= 0.5)
         .withColumn("l_ok", col("lang") === "en")
-      val surv = flags.filter(col("q_ok") && col("l_ok")).select("doc_id", "text")
+      val surv = flags.filter(col("g_ok") && col("q_ok") && col("l_ok"))
+        .select("doc_id", "text")
       // exact dedup keep-first among survivors (the t04 canonical md5)
       val keyed = surv.select(col("doc_id"),
         md5(TextFunctions.canonicalText(col("text"))).as("__fp"))
@@ -488,15 +604,27 @@ object QText {
       val ov = graft.operators.Decontaminate
         .ngramOverlap(ded, "doc_id", "text", bench, "text", n = 3)
         .select(col("doc_id"), col("overlap_frac"))
+      // reference-LM perplexity gate over the decontaminated
+      // survivors only (the most expensive stage sees the fewest docs)
+      val dec = ded.join(ov, Seq("doc_id"), "left")
+        .filter(coalesce(col("overlap_frac"), lit(0.0)) < 0.5)
+        .select("doc_id", "text")
+      val ppl = graft.operators.TextModel
+        .knFivegramCrossPerplexity(bench, "text", dec, "doc_id", "text")
+        .select(col("doc_id"), col("avg_neg_logp"))
       flags
         .join(dups, Seq("doc_id"), "left")
         .join(ov, Seq("doc_id"), "left")
+        .join(ppl, Seq("doc_id"), "left")
         .select(col("doc_id"), col("quality"), col("lang"),
-          when(!col("q_ok"), lit("drop_quality"))
+          when(!col("g_ok"), lit("drop_gopher"))
+            .when(!col("q_ok"), lit("drop_quality"))
             .when(!col("l_ok"), lit("drop_lang"))
             .when(col("__dup") === 1, lit("drop_duplicate"))
             .when(coalesce(col("overlap_frac"), lit(0.0)) >= 0.5,
               lit("drop_contaminated"))
+            .when(coalesce(col("avg_neg_logp"), lit(0.0)) > 3.9,
+              lit("drop_perplexity"))
             .otherwise(lit("kept")).as("disposition"))
         .orderBy("doc_id")
     },
@@ -1879,6 +2007,79 @@ object QText {
             concat(lit("the rows be to of and that have with it "), col("text")))
           .otherwise(col("text")).as("t0"))
       graft.operators.QualityRules.gopher(derived, "doc_id", "t0")
+        .orderBy("doc_id")
+    },
+
+    // T69: the LINE-level MassiveWeb/C4 rules (QualityRules.lineRules
+    // — the deferred half of t67): bullet-start fraction, ellipsis-end
+    // fraction, terminal-punctuation fraction, duplicate-line
+    // fraction. The corpus has no newline structure, so the fixture
+    // derives one (the t67 idiom): every doc becomes 8-word lines,
+    // then per doc_id class — all lines bulleted (%6=0, fails the 0.9
+    // ceiling), every other line ellipsis-ended (%6=1, ~½ > 0.3),
+    // every line a copy of line 1 (%6=2, dup fraction (n−1)/n), every
+    // line '.'-terminated (%6=3 — the PASSING class), and plain
+    // unterminated lines (else — fails the C4 terminal floor). The
+    // oracle replays the line derivation, every fraction, and every
+    // rounded rule boundary.
+    QueryDef.of("t69_line_rules",
+      """WITH w0 AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS ws FROM documents),
+        |base AS (SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+        |      i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS bl
+        |  FROM w0),
+        |d AS (SELECT doc_id, array_to_string(CASE
+        |    WHEN doc_id % 6 = 0 THEN list_transform(bl, l -> '- ' || l)
+        |    WHEN doc_id % 6 = 1 THEN list_transform(range(0, len(bl)), i ->
+        |      CASE WHEN i % 2 = 0 THEN bl[i+1] || ' ...' ELSE bl[i+1] END)
+        |    WHEN doc_id % 6 = 2 THEN list_transform(bl, l -> bl[1])
+        |    WHEN doc_id % 6 = 3 THEN list_transform(bl, l -> l || '.')
+        |    ELSE bl END, chr(10)) AS t0
+        |  FROM base),
+        |l AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split(t0, chr(10)), x -> trim(x)),
+        |      x -> length(x) > 0) AS ls
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    round(CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls,
+        |      x -> left(x, 2) IN ('- ', '* ', '• '))) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END, 6) AS bullet_frac,
+        |    round(CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls,
+        |      x -> right(x, 3) = '...' OR right(x, 1) = '…')) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END, 6) AS ellipsis_frac,
+        |    round(CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls,
+        |      x -> right(x, 1) IN ('.', '!', '?', '"', '”'))) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END, 6) AS terminal_frac,
+        |    round(CASE WHEN len(ls) > 0
+        |      THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END, 6) AS dup_line_frac
+        |  FROM l)
+        |SELECT doc_id, n_lines, bullet_frac, ellipsis_frac, terminal_frac, dup_line_frac,
+        |  bullet_frac <= 0.9 AS pass_bullets,
+        |  ellipsis_frac <= 0.3 AS pass_ellipsis,
+        |  terminal_frac >= 0.5 AS pass_terminal,
+        |  dup_line_frac <= 0.3 AS pass_dup_lines,
+        |  bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND terminal_frac >= 0.5
+        |    AND dup_line_frac <= 0.3 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val nl = ceil(size(words).cast("double") / 8).cast("int")
+      val baseLines = transform(sequence(lit(0), nl - 1),
+        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+      val derived = Tables.documents(s, dir).select(col("doc_id"),
+        array_join(
+          when(col("doc_id") % 6 === 0,
+            transform(baseLines, l => concat(lit("- "), l)))
+          .when(col("doc_id") % 6 === 1,
+            transform(baseLines, (l, i) =>
+              when(i % 2 === 0, concat(l, lit(" ..."))).otherwise(l)))
+          .when(col("doc_id") % 6 === 2,
+            transform(baseLines, _ => element_at(baseLines, 1)))
+          .when(col("doc_id") % 6 === 3,
+            transform(baseLines, l => concat(l, lit("."))))
+          .otherwise(baseLines), "\n").as("t0"))
+      graft.operators.QualityRules.lineRules(derived, "doc_id", "t0")
         .orderBy("doc_id")
     },
 

@@ -459,6 +459,12 @@ object LlmScaleSmoke {
       val t66r = graft.operators.TextModel
         .knFivegramCrossPerplexity(ref, "text", tgt, "doc_id", "text")
         .agg(count(lit(1)).cast("long"), sum("n_fivegrams").cast("long")).first()
+      // t68: same replication argument — modified-KN discounts are
+      // count-of-count-driven (c× counts shift the buckets but rows
+      // and gram totals stay exactly linear)
+      val t68r = graft.operators.TextModel
+        .modifiedKnFivegramCrossPerplexity(ref, "text", tgt, "doc_id", "text")
+        .agg(count(lit(1)).cast("long"), sum("n_fivegrams").cast("long")).first()
       // t61/t64: map-only encodes over VERBATIM c× replication —
       // token totals exactly c× the base's
       val verbatim = (0 until c).map(_ => base.select(col("text")))
@@ -489,22 +495,37 @@ object LlmScaleSmoke {
         .gopher(verbatim.withColumn("doc_id", lit(0L)), "doc_id", "text")
         .filter(col("pass_words") && col("pass_mean_len") &&
           col("pass_symbols") && col("pass_alpha")).count()
+      // t69: line rules are map-only too — derive newline structure
+      // per row (split at the corpus word 'value'), count full passes
+      val lined = verbatim.withColumn("doc_id", lit(0L))
+        .withColumn("t0", regexp_replace(col("text"), " value ", "\n"))
+      val linePass = graft.operators.QualityRules
+        .lineRules(lined, "doc_id", "t0", minTerminalFrac = 0.0)
+        .filter(col("pass")).count()
       docs.unpersist()
       println(f"LLM_SMOKE_LM scale=$c%-3d t60=(${t60r.getLong(0)},${t60r.getLong(1)}) " +
-        f"t66=(${t66r.getLong(0)},${t66r.getLong(1)}) bpe_toks=$bpeToks wp_toks=$wpToks " +
-        f"uni_vocab=${uni.size} clean_survivors=$survivors gopher_pass=$gopherPass")
+        f"t66=(${t66r.getLong(0)},${t66r.getLong(1)}) " +
+        f"t68=(${t68r.getLong(0)},${t68r.getLong(1)}) bpe_toks=$bpeToks wp_toks=$wpToks " +
+        f"uni_vocab=${uni.size} clean_survivors=$survivors gopher_pass=$gopherPass " +
+        f"line_pass=$linePass")
       (c, t60r.getLong(0), t60r.getLong(1), t66r.getLong(0), t66r.getLong(1),
-        bpeToks, wpToks, uni, survivors, gopherPass)
+        bpeToks, wpToks, uni, survivors, gopherPass,
+        t68r.getLong(0), t68r.getLong(1), linePass)
     }
     val l1 = lmRuns.head
-    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp) =>
+    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp) =>
       check(gp * l1._1 == l1._10 * c,
         s"scale=$c t67 gopher 4-rule pass count EXACTLY linear on verbatim copies " +
           s"(${l1._10}->$gp)")
+      check(lp * l1._1 == l1._13 * c,
+        s"scale=$c t69 line-rule pass count EXACTLY linear on verbatim copies " +
+          s"(${l1._13}->$lp)")
       check(r60 * l1._1 == l1._2 * c && g60 * l1._1 == l1._3 * c,
         s"scale=$c t60 scored rows/grams EXACTLY linear ((${l1._2},${l1._3})->($r60,$g60))")
       check(r66 * l1._1 == l1._4 * c && g66 * l1._1 == l1._5 * c,
         s"scale=$c t66 scored rows/grams EXACTLY linear ((${l1._4},${l1._5})->($r66,$g66))")
+      check(r68 * l1._1 == l1._11 * c && g68 * l1._1 == l1._12 * c,
+        s"scale=$c t68 scored rows/grams EXACTLY linear ((${l1._11},${l1._12})->($r68,$g68))")
       check(bt * l1._1 == l1._6 * c,
         s"scale=$c t61 byte-BPE token total EXACTLY linear (${l1._6}->$bt)")
       check(wt * l1._1 == l1._7 * c,

@@ -1039,6 +1039,45 @@ class OperatorSpecs extends AnyFunSuite {
       math.round(9.0 / 64 * 1e6) / 1e6)
   }
 
+  test("QualityRules.lineRules: every line rule hand-verified at its boundary") {
+    val nine = (1 to 9).map(i => s"- item $i.").mkString("\n")
+    val docs = Seq(
+      (1L, "alpha beta.\n\n  \ngamma delta!\nepsilon zeta?"), // empties dropped
+      (2L, nine + "\nplain line."), // 9/10 bulleted = 0.9 → boundary pass
+      (3L, nine + "\n- item 10."), // 10/10 bulleted → fail
+      (4L, (1 to 7).map(i => s"line $i.").mkString("\n") +
+        "\nend one ...\nend two ...\nend three …"), // ellipsis 3/10 = 0.3 boundary
+      (5L, (1 to 6).map(i => s"line $i.").mkString("\n") +
+        "\nend a ...\nend b ...\nend c ...\nend d ..."), // 4/10 = 0.4 → fail
+      (6L, "dup line.\ndup line.\nother line."), // dup 1/3 → fail
+      (7L, "dup line.\ndup line.\nother one.\nother two."), // dup 1/4 = 0.25 pass
+      (8L, "with period.\nwith quote”\nno end one\nno end two")) // terminal 2/4 = 0.5 boundary
+      .toDF("doc_id", "text")
+    val r = QualityRules.lineRules(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def flags(id: Long) = (r(id).getAs[Boolean]("pass_bullets"),
+      r(id).getAs[Boolean]("pass_ellipsis"), r(id).getAs[Boolean]("pass_terminal"),
+      r(id).getAs[Boolean]("pass_dup_lines"), r(id).getAs[Boolean]("pass"))
+    assert(r(1L).getAs[Long]("n_lines") === 3L, "blank lines must be dropped")
+    assert(flags(1L) === ((true, true, true, true, true)))
+    assert(r(2L).getAs[Double]("bullet_frac") === 0.9) // ≤ 0.9 passes
+    assert(flags(2L) === ((true, true, true, true, true)))
+    assert(r(3L).getAs[Double]("bullet_frac") === 1.0)
+    assert(flags(3L) === ((false, true, true, true, false)))
+    assert(r(4L).getAs[Double]("ellipsis_frac") === 0.3) // ≤ 0.3 passes
+    // the unicode ellipsis line does NOT count as terminal: 9/10
+    assert(r(4L).getAs[Double]("terminal_frac") === 0.9)
+    assert(flags(4L) === ((true, true, true, true, true)))
+    assert(r(5L).getAs[Double]("ellipsis_frac") === 0.4)
+    assert(flags(5L) === ((true, false, true, true, false)))
+    assert(r(6L).getAs[Double]("dup_line_frac") === 0.333333)
+    assert(flags(6L) === ((true, true, true, false, false)))
+    assert(r(7L).getAs[Double]("dup_line_frac") === 0.25)
+    assert(flags(7L) === ((true, true, true, true, true)))
+    assert(r(8L).getAs[Double]("terminal_frac") === 0.5) // ≥ 0.5 passes
+    assert(flags(8L) === ((true, true, true, true, true)))
+  }
+
   test("knFivegramCrossPerplexity: every tier hand-computed through the interpolation") {
     // ref "a b c d e" + "a b c d f": c5{abcde:1,abcdf:1}, c4(abcd)=2,
     // λ5(abcd)=2; continuation tables from distinct types —

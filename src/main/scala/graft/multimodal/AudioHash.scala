@@ -238,6 +238,18 @@ object AudioHash {
   def gate(
       spark: SparkSession, path: String, batch: DataFrame,
       maxHamming: Int, minRun: Int = 5, maxAvgHam: Int = 6): DataFrame = {
+    val drops = gateDrops(spark, path, batch, maxHamming, minRun, maxAvgHam)
+      .localCheckpoint(true)
+    batch.join(drops, Seq("media_id"), "left_anti")
+  }
+
+  /** The drop-id frame of one [[gate]] call BEFORE the checkpoint —
+    * split out so the plan audit can inspect the probe join's
+    * physical plan (bucketed history scan, no exchange below the
+    * stage-1 join). */
+  private[graft] def gateDrops(
+      spark: SparkSession, path: String, batch: DataFrame,
+      maxHamming: Int, minRun: Int, maxAvgHam: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band chunking guarantees recall only to Hamming 3")
     val (hist, banding) = MediaIndex.bands(spark, path)
@@ -259,10 +271,8 @@ object AudioHash {
     // slice of the banded table (a pushed-down scan filter)
     val histCodes = hist.filter(col("chunk") === 0)
       .select(col("media_id"), col("off"), col("dhash").as("ahash"))
-    val drops = berVerified(cand,
+    berVerified(cand,
         batch.select(col("media_id"), col("off"), col("ahash")), histCodes, maxAvgHam)
       .select(col("id_a").as("media_id")).distinct()
-      .localCheckpoint(true)
-    batch.join(drops, Seq("media_id"), "left_anti")
   }
 }

@@ -705,22 +705,27 @@ class PlanAuditSpec extends AnyFunSuite {
             f.relation.location.rootPaths.exists(_.toString.contains("/bands/v"))
           case _ => false
         }
-        def pathToScan(p: SparkPlan): Option[List[SparkPlan]] =
-          if (isBandScan(p)) Some(List(p))
-          else p.children.flatMap(pathToScan).headOption.map(p :: _)
-        val path0 = pathToScan(root)
-          .getOrElse(fail(s"$what: no band scan in the probe plan\n$root"))
-        path0.last match {
-          case f: FileSourceScanExec =>
-            assert(f.bucketedScan, s"$what: band scan is not bucketed\n$root")
-          case _ => ()
+        // ALL root→scan paths: a gate may scan the band table more
+        // than once (the audio gate's stage-2 chunk-0 slice re-keys
+        // on (id, off) and legitimately shuffles); the contract is
+        // that every band scan is bucketed and the PROBE path — at
+        // least one — reaches its join with zero exchange
+        def pathsToScans(p: SparkPlan): Seq[List[SparkPlan]] =
+          if (isBandScan(p)) Seq(List(p))
+          else p.children.flatMap(pathsToScans).map(p :: _)
+        val paths = pathsToScans(root)
+        assert(paths.nonEmpty, s"$what: no band scan in the probe plan\n$root")
+        def bucketedProbe(path0: List[SparkPlan]): Boolean = {
+          val bucketed = path0.last match {
+            case f: FileSourceScanExec => f.bucketedScan
+            case _ => false
+          }
+          val belowJoin = path0.reverse.takeWhile(n => !n.nodeName.contains("Join"))
+          bucketed && path0.exists(_.nodeName.contains("Join")) &&
+            belowJoin.collect { case e: ShuffleExchangeExec => e }.isEmpty
         }
-        val belowJoin = path0.reverse.takeWhile(n => !n.nodeName.contains("Join"))
-        val shuffled = belowJoin.collect { case e: ShuffleExchangeExec => e }
-        assert(shuffled.isEmpty,
-          s"$what: band side shuffles before its join:\n${belowJoin.mkString("\n")}")
-        assert(path0.exists(_.nodeName.contains("Join")),
-          s"$what: no join consumes the band scan\n$root")
+        assert(paths.exists(bucketedProbe),
+          s"$what: no band-scan path is bucketed and exchange-free to its join\n$root")
       }
       // MediaIndex (m16): the wide dHash store's gate probe, keyed on bkey
       val mPath = java.nio.file.Files.createTempDirectory("graft_planaudit_midx").toString
@@ -730,6 +735,19 @@ class PlanAuditSpec extends AnyFunSuite {
       auditBandScan(graft.multimodal.MediaIndex.gateDrops(
         spark, mPath, mCodes.filter(col("media_id") % 10 >= 6), maxHamming = 3),
         "m16 media band probe")
+      // AudioHash (m17): the narrow-code store's two-stage gate — the
+      // stage-1 bkey probe must co-locate; the stage-2 chunk-0 slice
+      // may re-key (candidate-bounded)
+      val aPath = java.nio.file.Files.createTempDirectory("graft_planaudit_aidx").toString
+      val aCodes = docs.select(col("doc_id").as("media_id"),
+        (col("doc_id") % 100).as("off"),
+        xxhash64(col("doc_id")).bitwiseAND(lit(0xffffffL)).as("ahash"))
+      graft.multimodal.AudioHash.writeIndex(
+        aPath, aCodes.filter(col("media_id") % 10 < 6))
+      auditBandScan(graft.multimodal.AudioHash.gateDrops(
+        spark, aPath, aCodes.filter(col("media_id") % 10 >= 6),
+        maxHamming = 3, minRun = 5, maxAvgHam = 6),
+        "m17 audio band probe")
       // DedupIndex (t65): the band table is bucketed by `bucket` and the
       // gate joins on Seq("bucket") alone (equality pinned by
       // DedupIndexSpec); the probe SHAPE audited here is that exact join

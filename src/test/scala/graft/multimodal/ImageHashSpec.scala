@@ -256,6 +256,33 @@ class ImageHashSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not an audio sub-fingerprint index"))
   }
 
+  test("AudioHash: sparse store + dense probe still catches arbitrary shifts") {
+    import spark.implicits._
+    // the 100 TB economics: the INDEX stores one code per BlockSamples
+    // (4x fewer rows), the probe stays dense — a copy shifted by any s
+    // still aligns every stored window h_off with the probe's window
+    // at h_off - s, so stage-1 counts ~overlap/stride matches at one
+    // delta and stage-2 BER verifies over exactly those positions
+    val pcm0 = Array.tabulate(300)(j => (((j * 73) % 251) - 120).toByte)
+    val hist = Seq(MediaRow(1L, "audio",
+      VideoContainers.WavMux.write(pcm0, 8000, 1, 16), 0, 0, 0, "audio/wav")).toDS()
+    val batch = Seq(
+      (2L, Array[Byte](7, -3) ++ pcm0),            // 1-sample-shifted copy
+      (3L, Array.tabulate(300)(j => (((j * 97 + 31) % 241) - 120).toByte))) // novel
+      .map { case (id, bytes) =>
+        MediaRow(id, "audio",
+          VideoContainers.WavMux.write(bytes, 8000, 1, 16), 0, 0, 0, "audio/wav")
+      }.toDS()
+    val path = java.nio.file.Files.createTempDirectory("graft_audioidx_sparse").toString
+    AudioHash.writeIndex(path,
+      AudioHash.fingerprints(hist, stride = AudioHash.BlockSamples))
+    val surv = AudioHash.gate(spark, path,
+        AudioHash.fingerprints(batch, stride = 1), maxHamming = 3, minRun = 5)
+      .select("media_id").distinct().as[Long].collect().toSet
+    assert(surv === Set(3L),
+      s"sparse store must still drop the shifted copy and keep the novel: $surv")
+  }
+
   test("disjoint copy tags (pairwise Hamming >= 4) never cross-pair") {
     import spark.implicits._
     // the MediaScaleSmoke replication scheme in miniature: top 16 bits

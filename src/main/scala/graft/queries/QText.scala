@@ -389,7 +389,10 @@ object QText {
 
     // LLM01: the COMPOSED corpus pipeline — the LLM-family analogue of
     // the pbp full-DAG queries, now the FULL production stack: Gopher
-    // rule gate (map-only, runs first) → quality gate → language gate
+    // rule gate (map-only, runs first) → line rules (bullet/ellipsis/
+    // duplicate-line structure; the C4 terminal floor is disabled for
+    // this mostly-single-line corpus — t69 owns its full exercise) →
+    // quality gate → language gate
     // → exact dedup keep-first among survivors → benchmark
     // decontamination → reference-LM perplexity gate (the CCNet
     // discipline: an interpolated KN 5-gram trained on the held-out
@@ -413,6 +416,10 @@ object QText {
          |    THEN 'run, scan, batch, merge, sort, hash, table, value, group, query, window, stream, filter, column, vector, part, line, data, key, fast, slow, big, small, with'
          |    WHEN doc_id % 50 = 41
          |    THEN 'run scan batch merge sort hash table value group query window stream filter column vector part line data key fast slow big small batch with'
+         |    WHEN doc_id % 50 = 7
+         |    THEN array_to_string(['the quick data run goes on.', 'the quick data run goes on.',
+         |      'the quick data run goes on.', 'the quick data run goes on.',
+         |      'the quick data run goes on.', 'the quick data run goes on.'], chr(10))
          |    ELSE text END AS text
          |  FROM documents WHERE doc_id % 20 <> 0),
          |gm AS (SELECT doc_id, trim(text) AS gt,
@@ -432,6 +439,21 @@ object QText {
          |    AND len(list_intersect(list_distinct(list_transform(gw, x -> lower(x))),
          |      ['the','be','to','of','and','that','have','with'])) >= 1 AS g_ok
          |  FROM gm),
+         |lw AS (SELECT doc_id,
+         |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+         |      x -> length(x) > 0) AS ls
+         |  FROM base),
+         |lns AS (SELECT doc_id,
+         |    round(CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls,
+         |      x -> left(x, 2) IN ('- ', '* ', '• '))) AS DOUBLE) / len(ls)
+         |      ELSE 0.0 END, 6) <= 0.9
+         |    AND round(CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls,
+         |      x -> right(x, 3) = '...' OR right(x, 1) = '…')) AS DOUBLE) / len(ls)
+         |      ELSE 0.0 END, 6) <= 0.3
+         |    AND round(CASE WHEN len(ls) > 0
+         |      THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+         |      ELSE 0.0 END, 6) <= 0.3 AS ln_ok
+         |  FROM lw),
          |qm AS (SELECT doc_id,
          |    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS ntok,
          |    CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
@@ -460,12 +482,12 @@ object QText {
          |    WHEN c_es = greatest(c_en, c_fr, c_de, c_es) AND c_es > 0 THEN 'es'
          |    ELSE 'und' END AS lang
          |  FROM lc),
-         |flags AS (SELECT b.doc_id, q.quality, lg.lang, gok.g_ok,
+         |flags AS (SELECT b.doc_id, q.quality, lg.lang, gok.g_ok, lns.ln_ok,
          |    q.quality >= 0.5 AS q_ok, lg.lang = 'en' AS l_ok
          |  FROM base b JOIN q USING (doc_id) JOIN lg USING (doc_id)
-         |  JOIN gok USING (doc_id)),
+         |  JOIN gok USING (doc_id) JOIN lns USING (doc_id)),
          |surv AS (SELECT f.doc_id, b.text FROM flags f JOIN base b USING (doc_id)
-         |  WHERE f.g_ok AND f.q_ok AND f.l_ok),
+         |  WHERE f.g_ok AND f.ln_ok AND f.q_ok AND f.l_ok),
          |fp AS (SELECT doc_id, md5($CANON) AS fp FROM surv),
          |kp AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
          |dups AS (SELECT f.doc_id FROM fp f JOIN kp USING (fp) WHERE f.doc_id <> kp.keep_id),
@@ -547,6 +569,7 @@ object QText {
          |  FROM p5c GROUP BY doc_id)
          |SELECT f.doc_id, f.quality, f.lang,
          |  CASE WHEN NOT f.g_ok THEN 'drop_gopher'
+         |       WHEN NOT f.ln_ok THEN 'drop_lines'
          |       WHEN NOT f.q_ok THEN 'drop_quality'
          |       WHEN NOT f.l_ok THEN 'drop_lang'
          |       WHEN f.doc_id IN (SELECT doc_id FROM dups) THEN 'drop_duplicate'
@@ -579,18 +602,28 @@ object QText {
             lit("run scan batch merge sort hash table value group " +
               "query window stream filter column vector part line " +
               "data key fast slow big small batch with"))
+          .when(col("doc_id") % 50 === 7,
+            lit(Seq.fill(6)("the quick data run goes on.").mkString("\n")))
             .otherwise(col("text")).as("text"))
       val bench = docs.filter(col("doc_id") % 20 === 0)
       val gok = graft.operators.QualityRules
         .gopher(corpus, "doc_id", "text", minWords = 20, minStopwords = 1)
         .select(col("doc_id"), col("pass").as("g_ok"))
+      // line rules ride with the other row-local gates (the corpus is
+      // mostly single-line, so only the structure rules can cut here;
+      // the C4 terminal floor is disabled for this corpus — t69 owns
+      // its full exercise)
+      val lns = graft.operators.QualityRules
+        .lineRules(corpus, "doc_id", "text", minTerminalFrac = 0.0)
+        .select(col("doc_id"), col("pass").as("ln_ok"))
       val flags = corpus.select(col("doc_id"), col("text"),
           round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
           TextFunctions.langId(col("text")).as("lang"))
         .join(gok, Seq("doc_id"))
+        .join(lns, Seq("doc_id"))
         .withColumn("q_ok", col("quality") >= 0.5)
         .withColumn("l_ok", col("lang") === "en")
-      val surv = flags.filter(col("g_ok") && col("q_ok") && col("l_ok"))
+      val surv = flags.filter(col("g_ok") && col("ln_ok") && col("q_ok") && col("l_ok"))
         .select("doc_id", "text")
       // exact dedup keep-first among survivors (the t04 canonical md5)
       val keyed = surv.select(col("doc_id"),
@@ -618,6 +651,7 @@ object QText {
         .join(ppl, Seq("doc_id"), "left")
         .select(col("doc_id"), col("quality"), col("lang"),
           when(!col("g_ok"), lit("drop_gopher"))
+            .when(!col("ln_ok"), lit("drop_lines"))
             .when(!col("q_ok"), lit("drop_quality"))
             .when(!col("l_ok"), lit("drop_lang"))
             .when(col("__dup") === 1, lit("drop_duplicate"))

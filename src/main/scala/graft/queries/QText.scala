@@ -2358,6 +2358,98 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // T70: CCNet perplexity BUCKETING (Wenzek et al. 2020 §4.3 — the
+    // step after the KN LM: split the corpus into head/middle/tail
+    // TERCILES of reference-LM perplexity, so downstream sampling can
+    // privilege reference-like text). Terciles here are the exact
+    // rank-based ntile(3) over (score, doc_id) — integer-deterministic
+    // in both engines, no float boundary to disagree on. SCALE NOTE:
+    // the exact global ntile is a single-partition window; at 100 TB
+    // production computes the two tercile BOUNDARIES with
+    // approx_percentile (the a20 synopsis pattern — a 2-double
+    // driver-side synopsis) and labels map-side; the fixture pins the
+    // exact tercile semantics those boundaries approximate.
+    QueryDef.of("t70_ccnet_buckets",
+      s"""WITH tr AS (SELECT $CTOKS AS t FROM documents WHERE doc_id % 10 = 0),
+         |g5r AS (SELECT unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM tr),
+         |t5 AS MATERIALIZED (SELECT g, count(*) AS c5 FROM g5r GROUP BY g),
+         |g4r AS (SELECT unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g FROM tr),
+         |c4t AS MATERIALIZED (SELECT g AS ctx4, count(*) AS c4 FROM g4r GROUP BY g),
+         |lam5 AS (SELECT array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4, count(*) AS lam5 FROM t5 GROUP BY 1),
+         |cont4 AS (SELECT array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s, count(*) AS cont4 FROM t5 GROUP BY 1),
+         |mid4 AS (SELECT array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3, count(*) AS denom4,
+         |    count(DISTINCT string_split(g, ' ')[5]) AS lam4 FROM t5 GROUP BY 1),
+         |t4y AS MATERIALIZED (SELECT DISTINCT g FROM g4r),
+         |cont3 AS (SELECT array_to_string(string_split(g, ' ')[2:4], ' ') AS g3s, count(*) AS cont3 FROM t4y GROUP BY 1),
+         |mid3 AS (SELECT array_to_string(string_split(g, ' ')[2:3], ' ') AS ctx2, count(*) AS denom3,
+         |    count(DISTINCT string_split(g, ' ')[4]) AS lam3 FROM t4y GROUP BY 1),
+         |g3r AS (SELECT unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS g FROM tr),
+         |t3y AS MATERIALIZED (SELECT DISTINCT g FROM g3r),
+         |cont2 AS (SELECT array_to_string(string_split(g, ' ')[2:3], ' ') AS g2s, count(*) AS cont2 FROM t3y GROUP BY 1),
+         |mid2 AS (SELECT string_split(g, ' ')[2] AS w4k, count(*) AS denom2,
+         |    count(DISTINCT string_split(g, ' ')[3]) AS lam2 FROM t3y GROUP BY 1),
+         |g2r AS (SELECT unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS g FROM tr),
+         |t2y AS MATERIALIZED (SELECT DISTINCT g FROM g2r),
+         |cont1 AS (SELECT string_split(g, ' ')[2] AS w5k, count(*) AS cont1 FROM t2y GROUP BY 1),
+         |sc0 AS (SELECT CAST(count(*) AS DOUBLE) AS denom1 FROM t2y),
+         |vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (SELECT unnest(t) AS w FROM tr)),
+         |d AS (SELECT doc_id, $CTOKS AS t FROM documents WHERE doc_id % 10 <> 0),
+         |f AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM d),
+         |keys AS (SELECT doc_id, g,
+         |    array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4,
+         |    array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s,
+         |    array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3,
+         |    array_to_string(string_split(g, ' ')[3:5], ' ') AS g3s,
+         |    array_to_string(string_split(g, ' ')[3:4], ' ') AS ctx2,
+         |    array_to_string(string_split(g, ' ')[4:5], ' ') AS g2s,
+         |    string_split(g, ' ')[4] AS w4k, string_split(g, ' ')[5] AS w5k
+         |  FROM f),
+         |j AS MATERIALIZED (SELECT doc_id, keys.g,
+         |    coalesce(t5.c5, 0) AS c5, coalesce(c4t.c4, 0) AS c4, coalesce(lam5.lam5, 0) AS lam5,
+         |    coalesce(cont4.cont4, 0) AS cont4, coalesce(mid4.denom4, 0) AS denom4, coalesce(mid4.lam4, 0) AS lam4,
+         |    coalesce(cont3.cont3, 0) AS cont3, coalesce(mid3.denom3, 0) AS denom3, coalesce(mid3.lam3, 0) AS lam3,
+         |    coalesce(cont2.cont2, 0) AS cont2, coalesce(mid2.denom2, 0) AS denom2, coalesce(mid2.lam2, 0) AS lam2,
+         |    coalesce(cont1.cont1, 0) AS cont1, denom1, v
+         |  FROM keys LEFT JOIN t5 ON keys.g = t5.g
+         |  LEFT JOIN c4t USING (ctx4) LEFT JOIN lam5 USING (ctx4)
+         |  LEFT JOIN cont4 USING (g4s) LEFT JOIN mid4 USING (ctx3)
+         |  LEFT JOIN cont3 USING (g3s) LEFT JOIN mid3 USING (ctx2)
+         |  LEFT JOIN cont2 USING (g2s) LEFT JOIN mid2 USING (w4k)
+         |  LEFT JOIN cont1 USING (w5k)
+         |  CROSS JOIN sc0 CROSS JOIN vv),
+         |p1c AS (SELECT *, (cont1 + 0.5) / (denom1 + 0.5 * v) AS p1 FROM j),
+         |p2c AS (SELECT *, CASE WHEN denom2 > 0
+         |    THEN (GREATEST(cont2 - 0.75, 0) + 0.75 * lam2 * p1) / denom2 ELSE p1 END AS p2 FROM p1c),
+         |p3c AS (SELECT *, CASE WHEN denom3 > 0
+         |    THEN (GREATEST(cont3 - 0.75, 0) + 0.75 * lam3 * p2) / denom3 ELSE p2 END AS p3 FROM p2c),
+         |p4c AS (SELECT *, CASE WHEN denom4 > 0
+         |    THEN (GREATEST(cont4 - 0.75, 0) + 0.75 * lam4 * p3) / denom4 ELSE p3 END AS p4 FROM p3c),
+         |p5c AS (SELECT doc_id, CASE WHEN c4 > 0 AND lam5 > 0
+         |    THEN (GREATEST(c5 - 0.75, 0) + 0.75 * lam5 * p4) / c4 ELSE p4 END AS p5 FROM p4c),
+         |sc AS (SELECT doc_id, CAST(round(-ln(p5) * 1000000.0) AS BIGINT) AS m FROM p5c),
+         |ppl AS (SELECT doc_id,
+         |    round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
+         |  FROM sc GROUP BY doc_id),
+         |nt AS (SELECT doc_id, avg_neg_logp,
+         |    ntile(3) OVER (ORDER BY avg_neg_logp, doc_id) AS b
+         |  FROM ppl)
+         |SELECT doc_id, avg_neg_logp,
+         |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM nt ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ppl = graft.operators.TextModel.knFivegramCrossPerplexity(
+        docs.filter(col("doc_id") % 10 === 0), "text",
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_neg_logp"), col("doc_id"))
+      ppl.withColumn("b", ntile(3).over(w))
+        .select(col("doc_id"), col("avg_neg_logp"),
+          when(col("b") === 1, lit("head"))
+            .when(col("b") === 2, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy("doc_id")
+    },
+
     // T61: byte-level BPE encode (ByteBpe, GPT-2 bytes_to_unicode) —
     // every 5th doc gets a multilingual suffix whose é/ü/€ codepoint
     // BPE could only treat as opaque unbounded-alphabet symbols; here

@@ -116,6 +116,50 @@ class MediaIndexSpec extends AnyFunSuite {
     assert(accepted.size === expected.size, "no id accepted twice")
   }
 
+  test("foreachBatch AUDIO ingestion: streamed two-stage gate+upsert equals sequential") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the m17 lifecycle as a live feed: sub-fingerprint rows stream in
+    // per daily batch, each batch gated (run + BER stages) against the
+    // persisted store and its survivors upserted
+    val path = Files.createTempDirectory("graft_audioidx_stream").toString
+    AudioHash.writeIndex(path,
+      AudioHash.fingerprints(QMedia.wavHistMedia(spark)))
+    val batches = Seq(
+      AudioHash.fingerprints(QMedia.wavIngestMedia(spark))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)),
+      AudioHash.fingerprints(QMedia.wavIngestMediaB(spark))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)))
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, Long, Long)]
+    val query = input.toDF().toDF("media_id", "off", "ahash").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val surv = AudioHash.gate(spark, path, batch.toDF(), maxHamming = 3, minRun = 5)
+        AudioHash.upsertIndex(path, surv)
+        accepted ++= surv.select("media_id").distinct().as[Long].collect()
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b.toSeq); query.processAllAvailable() }
+    } finally query.stop()
+
+    val seqPath = Files.createTempDirectory("graft_audioidx_seq").toString
+    AudioHash.writeIndex(seqPath,
+      AudioHash.fingerprints(QMedia.wavHistMedia(spark)))
+    val expected = batches.flatMap { b =>
+      val df = b.toSeq.toDF("media_id", "off", "ahash")
+      val surv = AudioHash.gate(spark, seqPath, df, maxHamming = 3, minRun = 5)
+      AudioHash.upsertIndex(seqPath, surv)
+      surv.select("media_id").distinct().as[Long].collect()
+    }
+    assert(accepted.toSet === expected.toSet)
+    assert(accepted.size === expected.size, "no clip accepted twice")
+    // the m17 ground truth: exactly the novels survive
+    assert(accepted.toSet === ((200L until 206L) ++ (400L until 404L)).toSet)
+  }
+
   test("a manifest-less path fails loudly") {
     val empty = Files.createTempDirectory("graft_mediaidx_none").toString
     val ex = intercept[IllegalStateException] {

@@ -20,14 +20,15 @@ import graft.io.StoreManifest
  * [[graft.io.StoreManifest]] pointer-commit log, so [[compact]] can
  * rewrite all tables and publish them atomically):
  *  - `bands/v<N>/` — (id, band, bucket) written as a BUCKETED table
- *    hash-partitioned on `bucket` (the md5 band-bucket string — the
- *    probe key): the batch probe joins on `bucket` ALONE, so the
- *    history band scan is consumed with ZERO exchange (V1 bucketed
- *    joins co-locate only on the exact bucket column), with band
- *    equality applied as a residual filter after the join — the
- *    candidate set is identical to the (band, bucket) equi-join
- *    because a candidate needs both equal, and md5 strings collide
- *    across band positions only when the underlying slices collide;
+ *    hash-partitioned on `bucket`, where the bucket string is
+ *    `md5(band, slice…)` — the band INDEX is part of the hash
+ *    (manifest `band_enc=2`), so the batch probe is a SINGLE-KEY join
+ *    on `bucket` and the history band scan is consumed with ZERO
+ *    exchange (V1 bucketed joins co-locate only on the exact bucket
+ *    column; a band-equality residual does not survive Catalyst — it
+ *    folds back into the join keys and disables the bucketed scan).
+ *    Candidate set identical to the (band, bucket) equi-join: same
+ *    bucket string ⟺ same band and same slice content;
  *  - `shingles/v<N>/` — (id, sh): the verification side, written as a
  *    BUCKETED table (hash-bucketed by `sh`, sorted by `id` inside each
  *    bucket file; bucket count in the manifest, catalog entry
@@ -59,14 +60,28 @@ object DedupIndex {
     * idiom of [[Dedup.connectedComponents]]. */
   private val MaxDriverHids = 50000
 
-  /** The banded-bucket table of a (already shingled) corpus — the
-    * identical form [[Dedup.incrementalNearDupLsh]] builds inline. */
-  private def bandedOf(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** The banded-bucket table of a (already shingled) corpus. With
+    * `encodeBand` (the r15 store layout, manifest `band_enc=2`) the
+    * BAND INDEX is baked into the md5 — `md5(band, slice…)` — so a
+    * candidate needs the same band AND content to share a bucket
+    * string and the probe can join on `bucket` ALONE: the single-key
+    * join is what lets the bucketed history scan co-locate (a
+    * residual band-equality filter does NOT survive Catalyst — the
+    * optimizer folds it back into the join keys, the two-key join no
+    * longer matches the bucket spec, and the planner disables the
+    * bucketed scan; caught by the plan audit on the real probe).
+    * Without it, the plain content-md5 of
+    * [[Dedup.incrementalNearDupLsh]]'s inline form (pre-r15 stores). */
+  private def bandedOf(
+      sh: DataFrame, numHashes: Int, bands: Int,
+      encodeBand: Boolean = true): DataFrame = {
     val r = numHashes / bands
     Dedup.minhashSignaturesFromShingles(sh, numHashes).select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
+        b =>
+          if (encodeBand) md5(concat_ws(",", b, slice(col("sig"), b * r + 1, lit(r))))
+          else md5(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
       .toDF("id", "band", "bucket")
   }
 
@@ -120,7 +135,7 @@ object DedupIndex {
     sh.unpersist()
     StoreManifest.commit(spark, path,
       Map("bands" -> bv, "shingles" -> sv, "sizes" -> zv,
-        "buckets" -> buckets, "band_buckets" -> buckets))
+        "buckets" -> buckets, "band_buckets" -> buckets, "band_enc" -> 2))
     Seq("bands", "shingles", "sizes")
       .foreach(StoreManifest.dropSuperseded(spark, path, _))
     dropStaleEntries(spark, path, "shingles", sv)
@@ -142,7 +157,8 @@ object DedupIndex {
     graft.io.BucketedTables.append(
       sh, s"$path/shingles/v${m("shingles")}", "sh", "id", m("buckets"))
     sizesOf(sh).coalesce(1).write.mode("append").parquet(s"$path/sizes/v${m("sizes")}")
-    val banded = bandedOf(sh, numHashes, bands)
+    val banded = bandedOf(sh, numHashes, bands,
+      encodeBand = m.get("band_enc").contains(2))
     m.get("band_buckets") match {
       case Some(bb) => graft.io.BucketedTables.append(
         banded, s"$path/bands/v${m("bands")}", "bucket", "id", bb)
@@ -192,6 +208,42 @@ object DedupIndex {
     batch.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** The candidate probe join of one gate. r15 stores (`band_enc=2`)
+    * carry the band index INSIDE the bucket md5, so the probe is a
+    * single-key join on `bucket` — exactly the bucket column, which is
+    * what lets the bucketed history scan co-locate with ZERO exchange
+    * (identical candidate set: same bucket string ⟺ same band and
+    * same slice content, up to md5 collision). Pre-r15 stores keep
+    * the original (band, bucket) two-key join — correct, just
+    * shuffling. Split out pre-persist so the plan audit inspects the
+    * REAL probe plan. */
+  private[graft] def candProbe(
+      histBands: DataFrame, batchBands: DataFrame, bandInBucket: Boolean): DataFrame = {
+    val b = batchBands.toDF("bid", "band", "bucket")
+    (if (bandInBucket) b.join(histBands.drop("hband"), Seq("bucket"))
+     else b.join(histBands, Seq("bucket")).filter(col("band") === col("hband")))
+      .select("bid", "hid").distinct()
+  }
+
+  /** The band table of one committed snapshot `m`, renamed for
+    * [[candProbe]] — bucketed read when the store has the r15 layout. */
+  private[graft] def histBandsFrame(
+      spark: SparkSession, path: String, m: Map[String, Int]): DataFrame =
+    (m.get("band_buckets") match {
+      case Some(bb) => graft.io.BucketedTables.read(
+        spark, s"$path/bands/v${m("bands")}", "bucket", "id", bb)
+      case None => // pre-r15 store: band-partitioned plain parquet
+        spark.read.parquet(s"$path/bands/v${m("bands")}")
+    }).select(col("id").as("hid"), col("band").as("hband"), col("bucket"))
+
+  /** The batch's banded buckets, shaped for [[candProbe]]. */
+  private[graft] def batchBandsFrame(
+      batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      encodeBand: Boolean = true): DataFrame =
+    bandedOf(Dedup.shingled(batch, idCol, textCol, shingleN), numHashes, bands,
+      encodeBand)
+
   /** The drop-id frame of one [[gate]] call BEFORE the checkpoint,
     * plus a release() for its cached intermediates — split out so the
     * plan audit can inspect the physical plan of the verification join
@@ -204,12 +256,7 @@ object DedupIndex {
       threshold: Double): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val m = StoreManifest.current(spark, path) // ONE snapshot per gate
-    val histBands = (m.get("band_buckets") match {
-      case Some(bb) => graft.io.BucketedTables.read(
-        spark, s"$path/bands/v${m("bands")}", "bucket", "id", bb)
-      case None => // pre-r15 store: band-partitioned plain parquet
-        spark.read.parquet(s"$path/bands/v${m("bands")}")
-    }).select(col("id").as("hid"), col("band").as("hband"), col("bucket"))
+    val histBands = histBandsFrame(spark, path, m)
     val histShFull = m.get("buckets") match {
       case Some(b) => shinglesTable(spark, path, m("shingles"), b).toDF("hid", "sh")
       case None => // pre-r14 store: plain parquet, no bucket metadata
@@ -218,15 +265,8 @@ object DedupIndex {
     val shB = Dedup.shingled(batch, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     shB.count()
-    // probe keyed on `bucket` ALONE — the band table's bucket column —
-    // so the bucketed history scan co-locates with zero exchange; band
-    // equality is a residual filter (identical candidate set: a
-    // candidate needs band AND bucket equal, and the md5 strings make
-    // cross-band bucket collisions as rare as slice collisions)
-    val cand = bandedOf(shB, numHashes, bands).toDF("bid", "band", "bucket")
-      .join(histBands, Seq("bucket"))
-      .filter(col("band") === col("hband"))
-      .select("bid", "hid").distinct()
+    val enc2 = m.get("band_enc").contains(2)
+    val cand = candProbe(histBands, bandedOf(shB, numHashes, bands, enc2), enc2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // limit-probed hybrid: candidate id sets are batch-neighborhood-
     // sized in steady state — collect them and let the parquet reader
@@ -323,7 +363,8 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$path/sizes/v${zv + 1}")
     StoreManifest.commit(spark, path,
       Map("bands" -> (bv + 1), "shingles" -> (sv + 1),
-        "sizes" -> (zv + 1), "buckets" -> buckets, "band_buckets" -> buckets))
+        "sizes" -> (zv + 1), "buckets" -> buckets, "band_buckets" -> buckets,
+        "band_enc" -> cur.getOrElse("band_enc", 1)))
     Seq("bands", "shingles", "sizes")
       .foreach(StoreManifest.dropSuperseded(spark, path, _))
     dropStaleEntries(spark, path, "shingles", sv + 1)

@@ -465,6 +465,15 @@ object LlmScaleSmoke {
       val t68r = graft.operators.TextModel
         .modifiedKnFivegramCrossPerplexity(ref, "text", tgt, "doc_id", "text")
         .agg(count(lit(1)).cast("long"), sum("n_fivegrams").cast("long")).first()
+      // t70: tercile bucket COUNTS are exactly n·c/3-partitioned by
+      // ntile regardless of where tied scores land across copies
+      val t70ppl = graft.operators.TextModel
+        .knFivegramCrossPerplexity(ref, "text", tgt, "doc_id", "text")
+      val t70w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_neg_logp"), col("doc_id"))
+      val t70counts = t70ppl.withColumn("b", ntile(3).over(t70w))
+        .groupBy("b").count().orderBy("b")
+        .collect().map(r => r.getLong(1)).toSeq
       // t61/t64: map-only encodes over VERBATIM c× replication —
       // token totals exactly c× the base's
       val verbatim = (0 until c).map(_ => base.select(col("text")))
@@ -510,10 +519,12 @@ object LlmScaleSmoke {
         f"line_pass=$linePass")
       (c, t60r.getLong(0), t60r.getLong(1), t66r.getLong(0), t66r.getLong(1),
         bpeToks, wpToks, uni, survivors, gopherPass,
-        t68r.getLong(0), t68r.getLong(1), linePass)
+        t68r.getLong(0), t68r.getLong(1), linePass, t70counts)
     }
     val l1 = lmRuns.head
-    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp) =>
+    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp, t70c) =>
+      check(t70c == l1._14.map(_ * c),
+        s"scale=$c t70 tercile bucket counts EXACTLY linear (${l1._14}->$t70c)")
       check(gp * l1._1 == l1._10 * c,
         s"scale=$c t67 gopher 4-rule pass count EXACTLY linear on verbatim copies " +
           s"(${l1._10}->$gp)")

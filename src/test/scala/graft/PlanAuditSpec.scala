@@ -748,21 +748,20 @@ class PlanAuditSpec extends AnyFunSuite {
         spark, aPath, aCodes.filter(col("media_id") % 10 >= 6),
         maxHamming = 3, minRun = 5, maxAvgHam = 6),
         "m17 audio band probe")
-      // DedupIndex (t65): the band table is bucketed by `bucket` and the
-      // gate joins on Seq("bucket") alone (equality pinned by
-      // DedupIndexSpec); the probe SHAPE audited here is that exact join
+      // DedupIndex (t65): the REAL candidate probe of the gate (the
+      // exact candProbe/histBandsFrame path gateParts uses, taken
+      // before its persist so the plan is inspectable): bucket-keyed
+      // join, band equality residual, zero exchange on the history side
       val dPath = java.nio.file.Files.createTempDirectory("graft_planaudit_dbands").toString
       graft.operators.DedupIndex.write(dPath, docs.filter(col("doc_id") % 10 < 6),
         "doc_id", "text", 3, 12, 4)
-      val v = graft.io.StoreManifest.current(spark, dPath)("bands")
-      val bb = graft.io.StoreManifest.current(spark, dPath)("band_buckets")
-      val histBands = graft.io.BucketedTables.read(
-        spark, s"$dPath/bands/v$v", "bucket", "id", bb)
-      val batchBands = docs.filter(col("doc_id") % 10 >= 6)
-        .select(col("doc_id").as("bid"),
-          md5(concat_ws(",", col("doc_id"), lit("probe"))).as("bucket"))
       auditBandScan(
-        batchBands.join(histBands, Seq("bucket")).select("bid", "id").distinct(),
+        graft.operators.DedupIndex.candProbe(
+          graft.operators.DedupIndex.histBandsFrame(spark, dPath,
+            graft.io.StoreManifest.current(spark, dPath)),
+          graft.operators.DedupIndex.batchBandsFrame(
+            docs.filter(col("doc_id") % 10 >= 6), "doc_id", "text", 3, 12, 4),
+          bandInBucket = true),
         "t65 dedup band probe")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)

@@ -146,35 +146,62 @@ object AudioHash {
 
   /**
    * Near-dup pairs by the two-stage sub-fingerprint decision:
-   * banded candidates → per-segment Hamming ≤ `maxHamming` → ≥
-   * `minRun` matching positions at one delta (stage 1) → full-
-   * overlap BER ≤ `maxAvgHam`/24 at that delta (stage 2). Output:
-   * (id_a, id_b, delta = off_a − off_b, matched, overlap, total_ham)
-   * — engine ≡ the m14 oracle's EXHAUSTIVE all-alignments replay
-   * (pigeonhole recall per segment; the stage-2 predicate is
+   * candidates → ≥ `minRun` matching positions at one delta (stage 1)
+   * → full-overlap BER ≤ `maxAvgHam`/24 at that delta (stage 2).
+   * Output: (id_a, id_b, delta = off_a − off_b, matched, overlap,
+   * total_ham) — engine ≡ the m14 oracle's EXHAUSTIVE all-alignments
+   * replay (pigeonhole recall per segment; the stage-2 predicate is
    * computed identically on both sides), while candidate generation
    * never cross-joins and BER evaluation touches only the few
    * candidate (pair, delta) alignments.
+   *
+   * TWO CANDIDATE MODES — the recall/scale dial:
+   *  - banded (default): 4×6-bit chunk equi-join, per-segment Hamming
+   *    ≤ `maxHamming`. Complete to Hamming 3 PER SEGMENT, but a 6-bit
+   *    chunk collides for ~6% of random window pairs — at billions of
+   *    windows the candidate volume is quadratic-ish. Right for
+   *    corpus scales where the chunk join fits.
+   *  - exact (`exactCandidates = true`): candidates are IDENTICAL
+   *    24-bit codes — the actual Haitsma–Kalker search (exact
+   *    sub-fingerprint lookup, then block/BER verify). A true copy at
+   *    any shift shares a run of bit-identical windows, so ≥ minRun
+   *    exact hits at one delta still recalls it; only heavily
+   *    perturbed copies with no exact window anywhere can slip. The
+   *    join keyspace is the full code — hot-key volume bounded by
+   *    genuine repetition, the 100 TB path. `matched` then counts
+   *    exact windows; stage 2 is unchanged.
    */
   def nearDupPairs(
       codes: DataFrame, maxHamming: Int,
-      minRun: Int = 5, maxAvgHam: Int = 6): DataFrame = {
+      minRun: Int = 5, maxAvgHam: Int = 6,
+      exactCandidates: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band chunking guarantees recall only to Hamming 3")
     require(minRun >= 1, "minRun must be >= 1")
-    val chunked = banded(codes, "ahash")
-    val a = chunked.as("a")
-    val b = chunked.as("b")
-    val cand = a.join(b,
-        col("a.bkey") === col("b.bkey") && col("a.media_id") < col("b.media_id"))
-      .filter(bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))) <= maxHamming)
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.off").as("off_a"), col("b.off").as("off_b"))
-      .distinct() // ≤ 4 chunks can propose the same segment pair
+    val cand =
+      if (exactCandidates) {
+        val a = codes.as("a")
+        val b = codes.as("b")
+        a.join(b,
+            col("a.ahash") === col("b.ahash") && col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+            col("a.off").as("off_a"), col("b.off").as("off_b"))
+      } else {
+        val chunked = banded(codes, "ahash")
+        val a = chunked.as("a")
+        val b = chunked.as("b")
+        a.join(b,
+            col("a.bkey") === col("b.bkey") && col("a.media_id") < col("b.media_id"))
+          .filter(bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))) <= maxHamming)
+          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+            col("a.off").as("off_a"), col("b.off").as("off_b"))
+          .distinct() // ≤ 4 chunks can propose the same segment pair
+      }
+    val grouped = cand
       .groupBy(col("id_a"), col("id_b"), (col("off_a") - col("off_b")).as("delta"))
       .agg(count(lit(1)).as("matched"))
       .filter(col("matched") >= minRun)
-    berVerified(cand, codes.select(col("media_id"), col("off"), col("ahash")),
+    berVerified(grouped, codes.select(col("media_id"), col("off"), col("ahash")),
       codes.select(col("media_id"), col("off"), col("ahash")), maxAvgHam)
   }
 
@@ -237,8 +264,10 @@ object AudioHash {
    */
   def gate(
       spark: SparkSession, path: String, batch: DataFrame,
-      maxHamming: Int, minRun: Int = 5, maxAvgHam: Int = 6): DataFrame = {
-    val drops = gateDrops(spark, path, batch, maxHamming, minRun, maxAvgHam)
+      maxHamming: Int, minRun: Int = 5, maxAvgHam: Int = 6,
+      exactCandidates: Boolean = false): DataFrame = {
+    val drops = gateDrops(spark, path, batch, maxHamming, minRun, maxAvgHam,
+        exactCandidates)
       .localCheckpoint(true)
     batch.join(drops, Seq("media_id"), "left_anti")
   }
@@ -246,23 +275,41 @@ object AudioHash {
   /** The drop-id frame of one [[gate]] call BEFORE the checkpoint —
     * split out so the plan audit can inspect the probe join's
     * physical plan (bucketed history scan, no exchange below the
-    * stage-1 join). */
+    * stage-1 join). With `exactCandidates` the probe is the
+    * Haitsma–Kalker exact lookup instead: the (small) batch joins the
+    * chunk-0 code slice on full-code equality — the batch side
+    * broadcasts, so the history slice still never shuffles, and the
+    * candidate keyspace is the full 24-bit code (the 100 TB mode; see
+    * [[nearDupPairs]]). */
   private[graft] def gateDrops(
       spark: SparkSession, path: String, batch: DataFrame,
-      maxHamming: Int, minRun: Int, maxAvgHam: Int): DataFrame = {
+      maxHamming: Int, minRun: Int, maxAvgHam: Int,
+      exactCandidates: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band chunking guarantees recall only to Hamming 3")
     val (hist, banding) = MediaIndex.bands(spark, path)
     require(banding == MediaIndex.Banding(6, 4),
       s"not an audio sub-fingerprint index (banding $banding)")
-    val h = hist.select(col("media_id").as("hid"), col("dhash").as("__h_code"),
-      col("off").as("h_off"), col("bkey"))
-    val cand = banded(batch.select(
-        col("media_id").as("bid"), col("ahash").as("__b_code"),
-        col("off").as("b_off")), "__b_code")
-      .join(h, Seq("bkey"))
-      .filter(bit_count(col("__b_code").bitwiseXOR(col("__h_code"))) <= maxHamming)
-      .select("bid", "hid", "b_off", "h_off").distinct()
+    val segs =
+      if (exactCandidates)
+        batch.select(col("media_id").as("bid"), col("off").as("b_off"),
+            col("ahash").as("__b_code"))
+          .join(hist.filter(col("chunk") === 0).select(
+              col("media_id").as("hid"), col("off").as("h_off"),
+              col("dhash").as("__h_code")),
+            col("__b_code") === col("__h_code"))
+          .select("bid", "hid", "b_off", "h_off")
+      else {
+        val h = hist.select(col("media_id").as("hid"), col("dhash").as("__h_code"),
+          col("off").as("h_off"), col("bkey"))
+        banded(batch.select(
+            col("media_id").as("bid"), col("ahash").as("__b_code"),
+            col("off").as("b_off")), "__b_code")
+          .join(h, Seq("bkey"))
+          .filter(bit_count(col("__b_code").bitwiseXOR(col("__h_code"))) <= maxHamming)
+          .select("bid", "hid", "b_off", "h_off").distinct()
+      }
+    val cand = segs
       .groupBy(col("bid").as("id_a"), col("hid").as("id_b"),
         (col("b_off") - col("h_off")).as("delta"))
       .agg(count(lit(1)).as("matched"))

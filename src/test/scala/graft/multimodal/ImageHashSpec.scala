@@ -256,6 +256,59 @@ class ImageHashSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not an audio sub-fingerprint index"))
   }
 
+  test("AudioHash: exact-candidate mode (the 100 TB path) == its brute force; trims caught") {
+    import spark.implicits._
+    // the Haitsma-Kalker exact sub-fingerprint lookup: candidates are
+    // bit-identical windows only — the full-code join keyspace that
+    // survives billions of windows where 6-bit chunks collide at 6%
+    val codes = AudioHash.fingerprints(QMedia.wavDupMedia(spark))
+    val pairs = AudioHash
+      .nearDupPairs(codes, maxHamming = 3, minRun = 5, exactCandidates = true)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val raw = codes.as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (ia, oa, ca) <- raw; (ib, ob, cb) <- raw if ia < ib
+    } yield ((ia, ib, oa - ob), java.lang.Long.bitCount(ca ^ cb).toLong))
+      .groupBy(_._1).view
+      .map { case ((a, b, delta), hs) =>
+        (a, b, delta, hs.count(_._2 == 0).toLong, hs.length.toLong, hs.map(_._2).sum)
+      }
+      .filter { case (_, _, _, exact, overlap, totalHam) =>
+        exact >= 5 && totalHam <= 6 * overlap
+      }.toSet
+    assert(pairs === brute)
+    // the trim families are bit-identical runs — exact lookup keeps them
+    for (src <- 0L until 10L) {
+      assert(pairs.exists { case (a, b, d, _, _, th) =>
+        a == src && b == 200 + src && d == 1L && th == 0L }, s"trim-1 copy of $src")
+      assert(pairs.exists { case (a, b, d, _, _, th) =>
+        a == src && b == 300 + src && d == 3L && th == 0L }, s"trim-3 copy of $src")
+    }
+    // gate parity: the persisted index probed in exact mode drops the
+    // same clips as its own brute-force decision against the history
+    val path = java.nio.file.Files.createTempDirectory("graft_audioidx_exact").toString
+    AudioHash.writeIndex(path, AudioHash.fingerprints(QMedia.wavHistMedia(spark)))
+    val batch = AudioHash.fingerprints(QMedia.wavIngestMedia(spark))
+    val surv = AudioHash.gate(spark, path, batch,
+        maxHamming = 3, minRun = 5, exactCandidates = true)
+      .select("media_id").distinct().as[Long].collect().toSet
+    val histRaw = AudioHash.fingerprints(QMedia.wavHistMedia(spark))
+      .as[(Long, Long, Long)].collect()
+    val batchRaw = batch.as[(Long, Long, Long)].collect()
+    val dropIds = (for {
+      (bi, bo, bc) <- batchRaw; (hi, ho, hc) <- histRaw
+    } yield ((bi, hi, bo - ho), java.lang.Long.bitCount(bc ^ hc).toLong))
+      .groupBy(_._1).view
+      .collect { case ((bi, _, _), hs)
+        if hs.count(_._2 == 0) >= 5 && hs.map(_._2).sum <= 6 * hs.length => bi }
+      .toSet
+    val expected = batchRaw.map(_._1).toSet -- dropIds
+    assert(surv === expected,
+      s"exact-mode gate != brute force: ${surv.diff(expected)} / ${expected.diff(surv)}")
+    // novels always survive the exact gate
+    assert((200L until 206L).toSet.subsetOf(surv))
+  }
+
   test("AudioHash: sparse store + dense probe still catches arbitrary shifts") {
     import spark.implicits._
     // the 100 TB economics: the INDEX stores one code per BlockSamples

@@ -101,14 +101,25 @@ object MediaIndex {
     * snapshot — bucketed appends are task-committed files, no manifest
     * commit needed (the [[graft.operators.AnnIndex.upsert]]
     * discipline). The batch is banded with the store's OWN write-time
-    * banding. */
+    * banding. A pre-r15 store (manifest without `buckets`) keeps its
+    * legacy chunk-partitioned layout — banding without the `bkey`
+    * column, a plain parquet append — so the gate→upsert lifecycle
+    * keeps working on existing indexes until a [[compact]] migrates
+    * them to the bucketed layout (the [[graft.operators.DedupIndex]]
+    * fallback discipline). */
   def upsert(path: String, codes: DataFrame): Unit = {
     val spark = codes.sparkSession
     val m = StoreManifest.current(spark, path)
     val banding = bandingOf(m)
-    BucketedTables.append(
-      bandedOf(codes, banding), s"$path/bands/v${m("bands")}",
-      "bkey", "media_id", m("buckets"))
+    m.get("buckets") match {
+      case Some(b) => BucketedTables.append(
+        bandedOf(codes, banding), s"$path/bands/v${m("bands")}",
+        "bkey", "media_id", b)
+      case None => // pre-r15 store: chunk-partitioned parquet, no bkey
+        bandedOf(codes, banding).drop("bkey")
+          .write.mode("append").partitionBy("chunk")
+          .parquet(s"$path/bands/v${m("bands")}")
+    }
   }
 
   private def bandingOf(m: Map[String, Int]): Banding =

@@ -160,6 +160,31 @@ class MediaIndexSpec extends AnyFunSuite {
     assert(accepted.toSet === ((200L until 206L) ++ (400L until 404L)).toSet)
   }
 
+  test("pre-r15 store: gate→upsert lifecycle works on the legacy layout; compact migrates") {
+    // simulate a store written BEFORE the bucketed-bkey layout: banded
+    // codes without the bkey column, chunk-partitioned parquet, a
+    // manifest carrying only {bands} (no buckets/chunk_bits keys)
+    val path = Files.createTempDirectory("graft_mediaidx_legacy").toString
+    MediaIndex.bandedOf(hist, MediaIndex.Wide).drop("bkey")
+      .write.mode("overwrite").partitionBy("chunk").parquet(s"$path/bands/v1")
+    graft.io.StoreManifest.commit(spark, path, Map("bands" -> 1))
+
+    val survA = MediaIndex.gate(spark, path, bA, maxHamming = 3)
+    assert(ids(survA) === (200L until 212L).toSet)
+    MediaIndex.upsert(path, survA) // the r15 regression: threw on m("buckets")
+    // day-2 against the legacy store: copies of day-1 survivors drop
+    val survB = ids(MediaIndex.gate(spark, path, bB, maxHamming = 3))
+    val inMemB = ids(ImageHash.incrementalNearDup(
+      bB, hist.unionByName(bA.filter(col("media_id") >= 200)), maxHamming = 3))
+    assert(survB === inMemB)
+    assert(survB.forall(_ >= 400L))
+    // compact migrates the legacy layout to the bucketed one without
+    // changing verdicts, and the migrated store upserts bucketed
+    MediaIndex.compact(spark, path)
+    assert(graft.io.StoreManifest.current(spark, path).contains("buckets"))
+    assert(ids(MediaIndex.gate(spark, path, bB, maxHamming = 3)) === survB)
+  }
+
   test("a manifest-less path fails loudly") {
     val empty = Files.createTempDirectory("graft_mediaidx_none").toString
     val ex = intercept[IllegalStateException] {

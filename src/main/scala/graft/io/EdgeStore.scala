@@ -32,6 +32,27 @@ object EdgeStore {
   private def nvKeys(n: Long): Map[String, Int] =
     Map("nv_lo" -> (n & 0x7fffffffL).toInt, "nv_hi" -> (n >>> 31).toInt)
 
+  /** The vertex-set IDENTITY checksum rides the same two-halves idiom:
+    * `bit_xor(xxhash64(id))` is order- and partition-independent (XOR
+    * is commutative/associative), folded from 64 to 62 bits so it fits
+    * two 31-bit manifest ints. A COUNT alone cannot tell two
+    * different same-cardinality universes apart — the r15 guard hole:
+    * a swapped node set passed silently and broke the Σ pr = 1
+    * closure the guard exists to protect. */
+  private def vxKeys(sig: Long): Map[String, Int] =
+    Map("vx_lo" -> (sig & 0x7fffffffL).toInt,
+      "vx_hi" -> ((sig >>> 31) & 0x7fffffffL).toInt)
+
+  private def fold62(x: Long): Long = (x & 0x3fffffffffffffffL) ^ (x >>> 62)
+
+  /** (count, set checksum) of one vertex-id frame — ONE aggregate
+    * pass, the only whole-universe cost a write/upsert/guard pays. */
+  private def universeOf(ids: DataFrame): (Long, Long) = {
+    val r = ids.agg(count(lit(1)),
+      expr("coalesce(bit_xor(xxhash64(id)), CAST(0 AS BIGINT))")).first()
+    (r.getLong(0), fold62(r.getLong(1)))
+  }
+
   /** The vertex count recorded at write/upsert time — the universe
     * every stored edge is closed against. None for pre-r15 stores. */
   def vertexCount(spark: SparkSession, path: String): Option[Long] = {
@@ -39,6 +60,34 @@ object EdgeStore {
     for (lo <- m.get("nv_lo"); hi <- m.get("nv_hi"))
       yield (hi.toLong << 31) | lo.toLong
   }
+
+  /** The vertex-set checksum recorded at write/upsert time. None for
+    * stores written before the checksum existed. */
+  def vertexSig(spark: SparkSession, path: String): Option[Long] = {
+    val m = StoreManifest.current(spark, path)
+    for (lo <- m.get("vx_lo"); hi <- m.get("vx_hi"))
+      yield (hi.toLong << 31) | lo.toLong
+  }
+
+  /** Fail loudly unless `nodes` IS the store's recorded vertex
+    * universe — count AND set checksum (a same-count different-node
+    * set must not pass: its out-of-set edges would silently skew any
+    * preIndexed ranking run). Shared by [[graft.operators.PageRank
+    * .runIndexed]] / [[graft.operators.Hits.runIndexed]]. */
+  def requireSameUniverse(
+      spark: SparkSession, path: String, nodes: DataFrame, idCol: String,
+      who: String): Unit =
+    vertexCount(spark, path).foreach { recorded =>
+      val (n, sig) = universeOf(nodes.select(col(idCol).as("id")))
+      require(n == recorded,
+        s"$who: nodes has $n vertices but the EdgeStore at $path was " +
+          s"closed against $recorded — pass the store's write-time " +
+          "vertex set (out-of-set edges would break the score closure)")
+      vertexSig(spark, path).foreach(rec => require(sig == rec,
+        s"$who: nodes has the recorded cardinality ($n) but a DIFFERENT " +
+          s"id set (checksum $sig vs recorded $rec) — pass the store's " +
+          "write-time vertex set, not a same-sized substitute"))
+    }
 
   /** Write one vertex-closed snapshot of `(src, dst)` edges. */
   def write(
@@ -55,13 +104,19 @@ object EdgeStore {
     BucketedTables.write(closed, s"$path/by_src/v$v", "src", "src", buckets)
     BucketedTables.write(closed, s"$path/by_dst/v$v", "dst", "dst", buckets)
     closed.unpersist()
+    val (n, sig) = universeOf(ids)
     StoreManifest.commit(spark, path,
-      Map("edges" -> v, "buckets" -> buckets) ++ nvKeys(ids.count()))
-    // grace-window cleanup (both copies share the one `edges` version):
-    // keep the immediately-previous snapshot for in-flight readers,
-    // reclaim everything older
+      Map("edges" -> v, "buckets" -> buckets) ++ nvKeys(n) ++ vxKeys(sig))
+    dropBelow(spark, path, v - 1)
+  }
+
+  /** Grace-window cleanup shared by [[write]] and [[compact]] (both
+    * copies share the one `edges` version): keep the immediately-
+    * previous snapshot for in-flight readers, reclaim everything
+    * older — delete `v<k>` for k < `keepMin` in both copies. */
+  private def dropBelow(spark: SparkSession, path: String, keepMin: Int): Unit = {
     val fs = StoreManifest.fsOf(spark, path)
-    for (t <- Seq("by_src", "by_dst"); k <- 1 until v - 1) {
+    for (t <- Seq("by_src", "by_dst"); k <- 1 until keepMin) {
       val dir = s"$path/$t/v$k"
       if (fs.exists(new org.apache.hadoop.fs.Path(dir))) {
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
@@ -85,10 +140,22 @@ object EdgeStore {
     val spark = edges.sparkSession
     val m = StoreManifest.current(spark, path)
     val ids = nodes.select(col(idCol).as("id"))
-    val n = ids.count()
-    vertexCount(spark, path).foreach(prev => require(n >= prev,
-      s"EdgeStore.upsert: vertex set shrank ($prev -> $n) — stored edges " +
-        "would fall outside the universe; vertices may only be added"))
+    val (n, sig) = universeOf(ids)
+    vertexCount(spark, path).foreach { prev =>
+      require(n >= prev,
+        s"EdgeStore.upsert: vertex set shrank ($prev -> $n) — stored edges " +
+          "would fall outside the universe; vertices may only be added")
+      // superset with unchanged cardinality ⟺ the SAME set — so at
+      // equal count the checksum must match exactly; a swapped
+      // universe (the count-only guard's blind spot) fails loudly. A
+      // strictly grown set is accepted on count + the closure of its
+      // own edges (a shrunk-and-padded substitute is not provable
+      // from aggregates alone; documented limitation).
+      if (n == prev) vertexSig(spark, path).foreach(rec => require(sig == rec,
+        s"EdgeStore.upsert: vertex count unchanged ($n) but the id set " +
+          s"differs (checksum $sig vs recorded $rec) — vertices may only " +
+          "be added, never swapped"))
+    }
     val closed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
@@ -98,7 +165,7 @@ object EdgeStore {
     BucketedTables.append(closed, s"$path/by_dst/v$v", "dst", "dst", buckets)
     closed.unpersist()
     StoreManifest.commit(spark, path,
-      Map("edges" -> v, "buckets" -> buckets) ++ nvKeys(n))
+      Map("edges" -> v, "buckets" -> buckets) ++ nvKeys(n) ++ vxKeys(sig))
   }
 
   /** The current snapshot's src-bucketed copy — zero-exchange side of
@@ -114,5 +181,52 @@ object EdgeStore {
     val m = StoreManifest.current(spark, path)
     BucketedTables.read(spark, s"$path/by_dst/v${m("edges")}",
       "dst", "dst", m("buckets"))
+  }
+
+  /** One compaction summary from [[compact]] — parquet file counts of
+    * BOTH bucketed copies combined. */
+  final case class CompactReport(filesBefore: Long, filesAfter: Long)
+
+  /** Physical maintenance: rewrite BOTH bucketed copies compacted
+    * into fresh `v<N+1>` dirs and publish them in ONE manifest commit
+    * (a year of daily [[upsert]]s otherwise leaves ~a file per day per
+    * bucket in each copy — the [[graft.multimodal.MediaIndex.compact]]
+    * pattern). The rewrites re-bucket, so each compacted copy is back
+    * to exactly `buckets` files; the recorded vertex universe
+    * (count + checksum) carries through unchanged, concurrent readers
+    * resolve either the old or the new snapshot (never a mix), and the
+    * superseded snapshot is reclaimed with the usual one-version grace
+    * window. */
+  def compact(spark: SparkSession, path: String): CompactReport = {
+    val fs = StoreManifest.fsOf(spark, path)
+    def files(dir: String): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val m = StoreManifest.current(spark, path)
+    val (v, buckets) = (m("edges"), m("buckets"))
+    val before = files(s"$path/by_src/v$v") + files(s"$path/by_dst/v$v")
+    // read the version dirs as PLAIN parquet, not as the bucketed
+    // tables: fed the bucketed scan, Catalyst drops the writer's
+    // repartition as redundant, the planner then auto-disables the
+    // bucketed read (no exchange left to avoid), and the write
+    // degenerates to one output file PER INPUT FILE — the exact
+    // small-file state compact exists to undo. The plain read carries
+    // no partitioning claim, so the re-bucketing shuffle really runs
+    // and each copy lands back at exactly `buckets` files.
+    BucketedTables.write(
+      spark.read.parquet(s"$path/by_src/v$v"), s"$path/by_src/v${v + 1}",
+      "src", "src", buckets)
+    BucketedTables.write(
+      spark.read.parquet(s"$path/by_dst/v$v"), s"$path/by_dst/v${v + 1}",
+      "dst", "dst", buckets)
+    StoreManifest.commit(spark, path,
+      Map("edges" -> (v + 1), "buckets" -> buckets) ++
+        m.filter { case (k, _) => k.startsWith("nv_") || k.startsWith("vx_") })
+    dropBelow(spark, path, v)
+    CompactReport(before,
+      files(s"$path/by_src/v${v + 1}") + files(s"$path/by_dst/v${v + 1}"))
   }
 }

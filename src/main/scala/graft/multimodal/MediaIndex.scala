@@ -201,7 +201,18 @@ object MediaIndex {
     val m = StoreManifest.current(spark, path)
     val v = m("bands")
     val before = files(s"$path/bands/v$v")
-    val (cur, banding) = bands(spark, path)
+    val banding = bandingOf(m)
+    // read the version dir as PLAIN parquet, not as the bucketed
+    // table: fed the bucketed scan, Catalyst drops the writer's
+    // repartition as redundant and the rewrite degenerates to one
+    // output file per input file — the exact state compact exists to
+    // undo (the EdgeStore.compact lesson). A pre-r15 dir has no bkey
+    // column; it gains one here (the migration path).
+    val raw = spark.read.parquet(s"$path/bands/v$v")
+    val cur =
+      if (raw.columns.contains("bkey")) raw
+      else raw.withColumn("bkey",
+        col("chunk") * lit(1L << banding.chunkBits) + col("chunk_val"))
     BucketedTables.write(
       cur, s"$path/bands/v${v + 1}", "bkey", "media_id", m.getOrElse("buckets", 8))
     StoreManifest.commit(spark, path, Map(

@@ -344,18 +344,16 @@ object DedupIndex {
     val buckets = cur.getOrElse("buckets", 8)
     val bBefore = files(s"$path/bands/v$bv")
     val sBefore = files(s"$path/shingles/v$sv")
-    val bandsCur = cur.get("band_buckets") match {
-      case Some(bb) => graft.io.BucketedTables.read(
-        spark, s"$path/bands/v$bv", "bucket", "id", bb)
-      case None => // pre-r15 store gains its bucketed band table here
-        spark.read.parquet(s"$path/bands/v$bv")
-    }
+    // PLAIN parquet reads, never the bucketed tables: fed a bucketed
+    // scan, Catalyst drops the writer's repartition as redundant and
+    // the rewrite keeps one output file per input file — the exact
+    // small-file state compact exists to undo (the EdgeStore.compact
+    // lesson). Plain reads of the same files carry no partitioning
+    // claim, so the re-bucketing shuffle really runs.
+    val bandsCur = spark.read.parquet(s"$path/bands/v$bv")
     graft.io.BucketedTables.write(
       bandsCur, s"$path/bands/v${bv + 1}", "bucket", "id", buckets)
-    val shCur = cur.get("buckets") match {
-      case Some(b) => shinglesTable(spark, path, sv, b)
-      case None => spark.read.parquet(s"$path/shingles/v$sv")
-    }
+    val shCur = spark.read.parquet(s"$path/shingles/v$sv")
     writeShingles(shCur, path, sv + 1, buckets)
     // sizes: recompute from the compacted shingles (a pre-r14 store
     // gains its sizes table here; appends collapse to one file)

@@ -61,13 +61,9 @@ object Hits {
       nodes: DataFrame, idCol: String, path: String,
       iterations: Int): DataFrame = {
     val spark = nodes.sparkSession
-    graft.io.EdgeStore.vertexCount(spark, path).foreach { recorded =>
-      val n = nodes.select(col(idCol)).count()
-      require(n == recorded,
-        s"Hits.runIndexed: nodes has $n vertices but the EdgeStore at " +
-          s"$path was closed against $recorded — pass the store's " +
-          "write-time vertex set")
-    }
+    // count AND set-checksum guard (see EdgeStore.requireSameUniverse)
+    graft.io.EdgeStore.requireSameUniverse(
+      spark, path, nodes, idCol, "Hits.runIndexed")
     runOn(nodes, idCol,
       graft.io.EdgeStore.bySrc(spark, path),
       graft.io.EdgeStore.byDst(spark, path), iterations)

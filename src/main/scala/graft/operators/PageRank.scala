@@ -127,13 +127,10 @@ object PageRank {
       nodes: DataFrame, idCol: String, path: String,
       iterations: Int, damping: Double = 0.85): DataFrame = {
     val spark = nodes.sparkSession
-    graft.io.EdgeStore.vertexCount(spark, path).foreach { recorded =>
-      val n = nodes.select(col(idCol)).count()
-      require(n == recorded,
-        s"PageRank.runIndexed: nodes has $n vertices but the EdgeStore at " +
-          s"$path was closed against $recorded — pass the store's write-time " +
-          "vertex set (out-of-set edges would break Σ pr = 1)")
-    }
+    // count AND set-checksum guard: a same-count different-node set
+    // must fail too (its out-of-set edges would break Σ pr = 1)
+    graft.io.EdgeStore.requireSameUniverse(
+      spark, path, nodes, idCol, "PageRank.runIndexed")
     run(nodes, idCol, graft.io.EdgeStore.bySrc(spark, path), "src", "dst",
       iterations, damping, preIndexed = true)
   }

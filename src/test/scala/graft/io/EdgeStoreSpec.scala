@@ -91,4 +91,79 @@ class EdgeStoreSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("write-time"))
   }
+
+  test("a SAME-COUNT different node set is rejected (checksum, not just count)") {
+    val path = tmpPath("sig")
+    EdgeStore.write(path, nodes, "id", allEdges.toDF("src", "dst"), "src", "dst")
+    assert(EdgeStore.vertexSig(spark, path).isDefined)
+    // 30 vertices either way — the r15 count-only guard's blind spot
+    val swapped = ((0L until 29L) :+ 999L).toDF("id")
+    val e1 = intercept[IllegalArgumentException] {
+      EdgeStore.upsert(path, swapped, "id",
+        Seq((1L, 2L)).toDF("src", "dst"), "src", "dst")
+    }
+    assert(e1.getMessage.contains("swapped"))
+    val e2 = intercept[IllegalArgumentException] {
+      PageRank.runIndexed(swapped, "id", path, iterations = 2)
+    }
+    assert(e2.getMessage.contains("same-sized substitute"))
+    val e3 = intercept[IllegalArgumentException] {
+      Hits.runIndexed(swapped, "id", path, iterations = 2)
+    }
+    assert(e3.getMessage.contains("same-sized substitute"))
+    // the genuine universe still passes both guards
+    assert(PageRank.runIndexed(nodes, "id", path, iterations = 2).count() === 30L)
+    // and a genuinely GROWN universe still upserts (checksum advances)
+    val grown = (0L until 31L).toDF("id")
+    EdgeStore.upsert(path, grown, "id",
+      Seq((5L, 30L)).toDF("src", "dst"), "src", "dst")
+    assert(EdgeStore.vertexCount(spark, path) === Some(31L))
+    assert(PageRank.runIndexed(grown, "id", path, iterations = 2).count() === 31L)
+  }
+
+  test("compact: fewer files, identical ranks, one atomic publish, grace window") {
+    val path = tmpPath("cmp")
+    val (day1, rest) = allEdges.partition { case (a, b) => (a + b) % 3 == 0 }
+    val (day2, day3) = rest.partition { case (a, b) => (a * b) % 2 == 0 }
+    EdgeStore.write(path, nodes, "id", day1.toDF("src", "dst"), "src", "dst")
+    EdgeStore.upsert(path, nodes, "id", day2.toDF("src", "dst"), "src", "dst")
+    EdgeStore.upsert(path, nodes, "id", day3.toDF("src", "dst"), "src", "dst")
+    val prBefore = PageRank.runIndexed(nodes, "id", path, iterations = 4)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    val hBefore = Hits.runIndexed(nodes, "id", path, iterations = 3)
+      .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+
+    val report = EdgeStore.compact(spark, path)
+    assert(report.filesAfter < report.filesBefore, s"$report")
+    // each copy is back to exactly `buckets` (8) files
+    assert(report.filesAfter === 16L, s"$report")
+
+    val prAfter = PageRank.runIndexed(nodes, "id", path, iterations = 4)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    prBefore.zip(prAfter).foreach { case ((i1, x), (i2, y)) =>
+      assert(i1 === i2); assert(math.abs(x - y) < 1e-12)
+    }
+    val hAfter = Hits.runIndexed(nodes, "id", path, iterations = 3)
+      .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    hBefore.zip(hAfter).foreach { case ((i1, a1, u1), (i2, a2, u2)) =>
+      assert(i1 === i2)
+      assert(math.abs(a1 - a2) < 1e-12 && math.abs(u1 - u2) < 1e-12)
+    }
+    // the recorded universe carried through the compaction commit
+    assert(EdgeStore.vertexCount(spark, path) === Some(30L))
+    assert(EdgeStore.vertexSig(spark, path).isDefined)
+    // grace window: the superseded snapshot survives one cycle, the
+    // next maintenance run reclaims it; upserts keep landing on the
+    // compacted snapshot
+    assert(new java.io.File(s"$path/by_src/v1").exists())
+    assert(new java.io.File(s"$path/by_dst/v1").exists())
+    EdgeStore.compact(spark, path)
+    assert(!new java.io.File(s"$path/by_src/v1").exists())
+    assert(!new java.io.File(s"$path/by_dst/v1").exists())
+    EdgeStore.upsert(path, nodes, "id",
+      Seq((0L, 29L)).toDF("src", "dst"), "src", "dst")
+    assert(EdgeStore.bySrc(spark, path)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+      .contains((0L, 29L)))
+  }
 }

@@ -53,6 +53,32 @@ object AudioHash {
   val BlockSamples = 4
   val Bits = 24 // 25 blocks → 24 adjacent comparisons
 
+  /** Default stop-code threshold for EXACT candidate generation: a
+    * 24-bit code occurring more often than this in one corpus/batch is
+    * near-certainly degenerate (silence, constant tone — one code per
+    * window), and a full-code equi-join on it is quadratic in that
+    * volume. 4096² bounds any one key's pair volume at ~16M rows. */
+  val DefaultMaxCodeFreq = 4096
+
+  /** Exact-mode gate batches above this many code rows fall back to
+    * the banded bucketed probe: the exact probe relies on
+    * BROADCASTING the batch against the history's chunk-0 slice (the
+    * no-history-shuffle property), and a broadcast this large belongs
+    * on the banded path — whose candidates are a SUPERSET of the
+    * exact ones at the same maxHamming, so the fallback only ever
+    * drops MORE, never lets a would-be-caught copy through. */
+  val DefaultExactBroadcastMaxCodes = 1L << 21
+
+  /** Rows of `codes` whose `codeCol` occurs ≤ `maxFreq` times. */
+  private def dropStopCodes(
+      codes: DataFrame, codeCol: String, maxFreq: Int): DataFrame = {
+    require(maxFreq >= 1, "maxCodeFreq must be >= 1")
+    val hot = codes.groupBy(col(codeCol))
+      .agg(count(lit(1)).as("__f")).filter(col("__f") > maxFreq)
+      .select(col(codeCol))
+    codes.join(hot, Seq(codeCol), "left_anti")
+  }
+
   /** minimum sample count for one full window. */
   val MinSamples: Int = BlockSamples * (Bits + 1)
 
@@ -174,14 +200,24 @@ object AudioHash {
   def nearDupPairs(
       codes: DataFrame, maxHamming: Int,
       minRun: Int = 5, maxAvgHam: Int = 6,
-      exactCandidates: Boolean = false): DataFrame = {
+      exactCandidates: Boolean = false,
+      maxCodeFreq: Int = DefaultMaxCodeFreq): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band chunking guarantees recall only to Hamming 3")
     require(minRun >= 1, "minRun must be >= 1")
     val cand =
       if (exactCandidates) {
-        val a = codes.as("a")
-        val b = codes.as("b")
+        // stop-code list (the Haitsma–Kalker low-energy guard): silent
+        // or constant audio emits ONE code at every window — joined on
+        // full-code equality that key is quadratic in the corpus's
+        // silence, not bounded by genuine repetition. Codes above
+        // `maxCodeFreq` occurrences are excluded from candidate
+        // generation (one corpus-sized aggregate — the same size class
+        // as the join input); legitimate copies still match on their
+        // non-degenerate windows.
+        val pruned = dropStopCodes(codes, "ahash", maxCodeFreq)
+        val a = pruned.as("a")
+        val b = pruned.as("b")
         a.join(b,
             col("a.ahash") === col("b.ahash") && col("a.media_id") < col("b.media_id"))
           .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
@@ -230,18 +266,39 @@ object AudioHash {
     * `path`: the [[MediaIndex]] store parameterized to the 24-bit
     * code's own 4×6-bit banding, with the window offset carried
     * through as a passthrough column (the gate's run-consistency
-    * needs it). `stride` trades store size for probe density —
-    * stride 1 stores ~4 longs per PCM sample; any stride still
-    * catches every shift because [[gate]] probes dense. */
-  def writeIndex(path: String, codes: DataFrame, buckets: Int = 8): Unit =
-    MediaIndex.write(path, codes.select(
+    * needs it).
+    *
+    * THE STORED GRID IS SPARSE BY DEFAULT: only offsets divisible by
+    * `storeStride` (= [[BlockSamples]]) are kept — 1/4 the store with
+    * FULL shift recall, because the PROBE stays dense: a copy shifted
+    * by ANY s still aligns every stored window h_off with the probe's
+    * window at h_off + s, so stage 1 counts ~overlap/stride matches
+    * at one delta and stage 2's BER verifies over exactly the stored
+    * positions (the measured store-size × recall economics of
+    * PROFILE_AUDIO_r15.md). `storeStride = 1` restores the dense
+    * store; [[gate]]'s `minRun` then counts stride-1 positions, so
+    * thresholds tuned for one stride should be re-read for another. */
+  def writeIndex(
+      path: String, codes: DataFrame, buckets: Int = 8,
+      storeStride: Int = BlockSamples): Unit =
+    MediaIndex.write(path, thinned(codes, storeStride).select(
         col("media_id"), col("ahash").as("dhash"), col("off")),
       MediaIndex.Banding(6, 4), buckets)
 
-  /** Append an ACCEPTED batch's sub-fingerprints into the index. */
-  def upsertIndex(path: String, codes: DataFrame): Unit =
-    MediaIndex.upsert(path, codes.select(
+  /** Append an ACCEPTED batch's sub-fingerprints into the index —
+    * thinned to the same sparse stored grid as [[writeIndex]] (the
+    * batch probed dense; the store keeps every `storeStride`-th
+    * offset). */
+  def upsertIndex(
+      path: String, codes: DataFrame,
+      storeStride: Int = BlockSamples): Unit =
+    MediaIndex.upsert(path, thinned(codes, storeStride).select(
       col("media_id"), col("ahash").as("dhash"), col("off")))
+
+  private def thinned(codes: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, "storeStride must be >= 1")
+    if (stride == 1) codes else codes.filter(col("off") % stride === 0)
+  }
 
   /**
    * Gate a batch of sub-fingerprints `(media_id, off, ahash)` against
@@ -265,9 +322,18 @@ object AudioHash {
   def gate(
       spark: SparkSession, path: String, batch: DataFrame,
       maxHamming: Int, minRun: Int = 5, maxAvgHam: Int = 6,
-      exactCandidates: Boolean = false): DataFrame = {
+      exactCandidates: Boolean = false,
+      exactBroadcastMaxCodes: Long = DefaultExactBroadcastMaxCodes,
+      maxCodeFreq: Int = DefaultMaxCodeFreq): DataFrame = {
+    // SIZE DISPATCH for the exact mode: the exact probe broadcasts the
+    // batch (that is what keeps the history slice shuffle-free — the
+    // plan audit pins it); a batch too big to broadcast must not
+    // silently degrade to shuffling the history, so it takes the
+    // banded bucketed probe instead (a candidate SUPERSET at the same
+    // maxHamming — conservative: the fallback can only drop more).
+    val useExact = exactCandidates && batch.count() <= exactBroadcastMaxCodes
     val drops = gateDrops(spark, path, batch, maxHamming, minRun, maxAvgHam,
-        exactCandidates)
+        useExact, maxCodeFreq)
       .localCheckpoint(true)
     batch.join(drops, Seq("media_id"), "left_anti")
   }
@@ -284,7 +350,8 @@ object AudioHash {
   private[graft] def gateDrops(
       spark: SparkSession, path: String, batch: DataFrame,
       maxHamming: Int, minRun: Int, maxAvgHam: Int,
-      exactCandidates: Boolean = false): DataFrame = {
+      exactCandidates: Boolean = false,
+      maxCodeFreq: Int = DefaultMaxCodeFreq): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band chunking guarantees recall only to Hamming 3")
     val (hist, banding) = MediaIndex.bands(spark, path)
@@ -292,8 +359,19 @@ object AudioHash {
       s"not an audio sub-fingerprint index (banding $banding)")
     val segs =
       if (exactCandidates)
-        batch.select(col("media_id").as("bid"), col("off").as("b_off"),
-            col("ahash").as("__b_code"))
+        // the batch side is stop-code-pruned (a degenerate silent
+        // batch clip emits ONE code at every window — its key's join
+        // volume is freq × histFreq, not bounded by genuine
+        // repetition; batch-side frequency is batch-proportional to
+        // compute, and history-side silence only explodes against a
+        // batch probing the same degenerate code, which the prune
+        // removes) and EXPLICITLY broadcast: the broadcast is the
+        // no-history-shuffle contract, enforced by the hint rather
+        // than left to the size estimator (gate() dispatches
+        // oversized batches to the banded path before this).
+        broadcast(dropStopCodes(
+            batch.select(col("media_id").as("bid"), col("off").as("b_off"),
+              col("ahash").as("__b_code")), "__b_code", maxCodeFreq))
           .join(hist.filter(col("chunk") === 0).select(
               col("media_id").as("hid"), col("off").as("h_off"),
               col("dhash").as("__h_code")),

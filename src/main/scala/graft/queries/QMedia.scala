@@ -1068,16 +1068,20 @@ object QMedia {
     // M17: the PERSISTED audio sub-fingerprint index lifecycle
     // (AudioHash.writeIndex/gate/upsertIndex over MediaIndex with the
     // 24-bit code's own 4×6-bit banding — the m16 idiom for narrow
-    // codes): index the history clips' dense window codes, gate day 1
-    // (perturbed copies + novels) with the TWO-STAGE matcher (≥ 5
-    // window positions within Hamming 3 at one delta, then
-    // full-overlap BER ≤ 6/24 at that delta), upsert
-    // the survivors, then gate day 2 — whose copies are HEAD-TRIMMED
+    // codes): index the history clips on the SPARSE stored grid (one
+    // window per BlockSamples — 1/4 the store, full shift recall
+    // because the probe stays dense), gate day 1 (perturbed copies +
+    // novels) with the TWO-STAGE matcher (≥ 5 STORED window positions
+    // within Hamming 3 at one delta, then stored-overlap BER ≤ 6/24
+    // at that delta), upsert the survivors (thinned to the same
+    // grid), then gate day 2 — whose copies are HEAD-TRIMMED
     // (2 samples) versions of exactly what day 1 accepted, so they
-    // only drop via a delta-2 run against the grown index; a wrong
-    // upsert, stale manifest, or banding mismatch lets them through
-    // and breaks the hash. The oracle replays all four fixture sets'
-    // dense code grids and both gates exhaustively.
+    // only drop via a delta −2 run against the grown index; a wrong
+    // upsert, stale manifest, banding mismatch, or wrong stored
+    // stride lets them through (or drops a novel) and breaks the
+    // hash. The oracle replays all four fixture sets' code grids —
+    // dense on the probe side, `off % 4 = 0` on the stored side —
+    // and both gates exhaustively.
     QueryDef.of("m17_audio_index_gate",
       """WITH m AS (
         |  SELECT i AS media_id, CAST(i AS VARCHAR) AS sk, 0 AS pert, 0 AS boff,
@@ -1118,15 +1122,16 @@ object QMedia {
         |    b.off - h.off AS delta,
         |    SUM(CASE WHEN bit_count(xor(b.code, h.code)) <= 3 THEN 1 ELSE 0 END) AS c,
         |    COUNT(*) AS o, SUM(bit_count(xor(b.code, h.code))) AS th
-        |  FROM codes b JOIN codes h ON b.s = 'a' AND h.s = 'h'
+        |  FROM codes b JOIN codes h ON b.s = 'a' AND h.s = 'h' AND h.off % 4 = 0
         |  GROUP BY 1, 2, 3),
         |survA AS MATERIALIZED (SELECT media_id FROM codes WHERE s = 'a'
         |  AND media_id NOT IN (SELECT bid FROM runA WHERE c >= 5 AND th <= 6 * o)
         |  GROUP BY media_id),
         |histB AS MATERIALIZED (
-        |  SELECT media_id, off, code FROM codes WHERE s = 'h'
+        |  SELECT media_id, off, code FROM codes WHERE s = 'h' AND off % 4 = 0
         |  UNION ALL SELECT c.media_id, c.off, c.code
-        |  FROM codes c JOIN survA v ON c.media_id = v.media_id AND c.s = 'a'),
+        |  FROM codes c JOIN survA v ON c.media_id = v.media_id AND c.s = 'a'
+        |    AND c.off % 4 = 0),
         |runB AS MATERIALIZED (SELECT b.media_id AS bid, h.media_id AS hid,
         |    b.off - h.off AS delta,
         |    SUM(CASE WHEN bit_count(xor(b.code, h.code)) <= 3 THEN 1 ELSE 0 END) AS c,

@@ -748,6 +748,36 @@ class PlanAuditSpec extends AnyFunSuite {
         spark, aPath, aCodes.filter(col("media_id") % 10 >= 6),
         maxHamming = 3, minRun = 5, maxAvgHam = 6),
         "m17 audio band probe")
+      // the EXACT-candidate probe (the 100 TB mode): its contract is
+      // that the HISTORY slice never shuffles — the batch side is
+      // broadcast BY HINT, so the property must hold even with the
+      // size-estimator threshold forced to -1 (as it is here): the
+      // stage-1 join consuming the band scan must be a broadcast
+      // join with zero exchange below the scan path
+      locally {
+        val root = rootOf(graft.multimodal.AudioHash.gateDrops(
+          spark, aPath, aCodes.filter(col("media_id") % 10 >= 6),
+          maxHamming = 3, minRun = 5, maxAvgHam = 6, exactCandidates = true))
+        def isBandScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains("/bands/v"))
+          case _ => false
+        }
+        def pathsToScans(p: SparkPlan): Seq[List[SparkPlan]] =
+          if (isBandScan(p)) Seq(List(p))
+          else p.children.flatMap(pathsToScans).map(p :: _)
+        val paths = pathsToScans(root)
+        assert(paths.nonEmpty, s"m17 exact probe: no band scan in plan\n$root")
+        def exchangeFreeBroadcastProbe(path0: List[SparkPlan]): Boolean = {
+          val toJoin = path0.reverse.takeWhile(n => !n.nodeName.contains("Join"))
+          val join = path0.reverse.drop(toJoin.length).headOption
+          join.exists(_.nodeName.contains("BroadcastHashJoin")) &&
+            toJoin.collect { case e: ShuffleExchangeExec => e }.isEmpty
+        }
+        assert(paths.exists(exchangeFreeBroadcastProbe),
+          s"m17 exact probe: no band-scan path reaches a broadcast join " +
+            s"exchange-free (history side must never shuffle)\n$root")
+      }
       // DedupIndex (t65): the REAL candidate probe of the gate (the
       // exact candProbe/histBandsFrame path gateParts uses, taken
       // before its persist so the plan is inspectable): bucket-keyed

@@ -285,7 +285,9 @@ class ImageHashSpec extends AnyFunSuite {
         a == src && b == 300 + src && d == 3L && th == 0L }, s"trim-3 copy of $src")
     }
     // gate parity: the persisted index probed in exact mode drops the
-    // same clips as its own brute-force decision against the history
+    // same clips as its own brute-force decision against the history —
+    // the brute force models the SPARSE stored grid (writeIndex keeps
+    // offsets divisible by BlockSamples; the probe stays dense)
     val path = java.nio.file.Files.createTempDirectory("graft_audioidx_exact").toString
     AudioHash.writeIndex(path, AudioHash.fingerprints(QMedia.wavHistMedia(spark)))
     val batch = AudioHash.fingerprints(QMedia.wavIngestMedia(spark))
@@ -294,6 +296,7 @@ class ImageHashSpec extends AnyFunSuite {
       .select("media_id").distinct().as[Long].collect().toSet
     val histRaw = AudioHash.fingerprints(QMedia.wavHistMedia(spark))
       .as[(Long, Long, Long)].collect()
+      .filter(_._2 % AudioHash.BlockSamples == 0)
     val batchRaw = batch.as[(Long, Long, Long)].collect()
     val dropIds = (for {
       (bi, bo, bc) <- batchRaw; (hi, ho, hc) <- histRaw
@@ -307,6 +310,61 @@ class ImageHashSpec extends AnyFunSuite {
       s"exact-mode gate != brute force: ${surv.diff(expected)} / ${expected.diff(surv)}")
     // novels always survive the exact gate
     assert((200L until 206L).toSet.subsetOf(surv))
+  }
+
+  test("AudioHash: exact-mode stop codes — degenerate constant audio is pruned, real pairs kept") {
+    import spark.implicits._
+    // silence/constant audio emits ONE 24-bit code at every window —
+    // the full-code equi-join's quadratic hot key. Above maxCodeFreq
+    // the code leaves candidate generation (the Haitsma–Kalker
+    // low-energy stop list); genuine copies still pair on their
+    // non-degenerate windows.
+    val real = Array.tabulate(300)(j => (((j * 73) % 251) - 120).toByte)
+    val rows = Seq(
+      (1L, real), (2L, real.drop(2)),                 // genuine trim pair
+      (10L, Array.fill[Byte](300)(0)),                // silence
+      (11L, Array.fill[Byte](300)(0)))                // silence copy
+      .map { case (id, b) => MediaRow(id, "audio",
+        VideoContainers.WavMux.write(b, 8000, 1, 16), 0, 0, 0, "audio/wav") }
+      .toDS()
+    val codes = AudioHash.fingerprints(rows)
+    // every silent window emits the same code ~100 times per clip —
+    // a cap of 50 prunes exactly those, keeping the real pair intact
+    val pairs = AudioHash.nearDupPairs(codes, maxHamming = 3, minRun = 5,
+        exactCandidates = true, maxCodeFreq = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"genuine trim pair lost: $pairs")
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L),
+      s"degenerate silent clips must be stop-pruned from exact candidates: $pairs")
+    // the same guard on the persisted gate's batch side: a silent
+    // batch clip proposes no exact candidates → it SURVIVES (honest:
+    // silence is unmatchable under the stop list) instead of
+    // exploding the probe join
+    val path = java.nio.file.Files.createTempDirectory("graft_audioidx_stop").toString
+    AudioHash.writeIndex(path, codes.filter(col("media_id") === 1L))
+    val surv = AudioHash.gate(spark, path,
+        codes.filter(col("media_id").isin(2L, 10L)),
+        maxHamming = 3, minRun = 5, exactCandidates = true, maxCodeFreq = 50)
+      .select("media_id").distinct().as[Long].collect().toSet
+    assert(surv === Set(10L), s"trim copy must drop, silent clip must pass: $surv")
+  }
+
+  test("AudioHash: exact-mode gate dispatches oversized batches to the banded probe") {
+    import spark.implicits._
+    // the no-history-shuffle contract: exact mode BROADCASTS the
+    // batch; above exactBroadcastMaxCodes the gate falls back to the
+    // banded bucketed probe (candidate superset — conservative) and
+    // must equal the banded gate exactly
+    val path = java.nio.file.Files.createTempDirectory("graft_audioidx_disp").toString
+    AudioHash.writeIndex(path, AudioHash.fingerprints(QMedia.wavHistMedia(spark)))
+    val batch = AudioHash.fingerprints(QMedia.wavIngestMedia(spark))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("media_id").distinct().as[Long].collect().toSet
+    val banded = ids(AudioHash.gate(spark, path, batch, maxHamming = 3, minRun = 5))
+    val dispatched = ids(AudioHash.gate(spark, path, batch, maxHamming = 3,
+      minRun = 5, exactCandidates = true, exactBroadcastMaxCodes = 10L))
+    assert(dispatched === banded,
+      "an oversized exact-mode batch must take the banded path verbatim")
   }
 
   test("AudioHash: sparse store + dense probe still catches arbitrary shifts") {

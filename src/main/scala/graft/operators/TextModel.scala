@@ -252,11 +252,53 @@ object TextModel {
   def knFivegramCrossPerplexity(
       reference: DataFrame, refTextCol: String,
       docs: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75, k: Double = 0.5): DataFrame = {
+      discount: Double = 0.75, k: Double = 0.5): DataFrame =
+    knCore(reference, None, refTextCol, docs, idCol, None, textCol,
+      discount, k)
+
+  /**
+   * The PER-LANGUAGE form of [[knFivegramCrossPerplexity]] — the CCNet
+   * production shape (Wenzek et al. 2020 train ONE KenLM per language
+   * and route documents by language ID before scoring): every
+   * reference count table is keyed by `(lang, gram)` so ALL language
+   * models train in ONE pass over the reference (no per-language
+   * re-scan — at 100 langs a fan-out of per-language jobs would read
+   * the reference 100 times), and each document's grams join the
+   * tables of ITS OWN `docLangCol` value. Documents routed to a
+   * language absent from the reference have no model to score against
+   * and are absent from the output (as are <5-token documents, like
+   * the single-model form). Returns (idCol, docLangCol, n_fivegrams,
+   * avg_neg_logp).
+   */
+  def knFivegramCrossPerplexityByLang(
+      reference: DataFrame, refLangCol: String, refTextCol: String,
+      docs: DataFrame, idCol: String, docLangCol: String, textCol: String,
+      discount: Double = 0.75, k: Double = 0.5): DataFrame =
+    knCore(reference, Some(refLangCol), refTextCol,
+      docs, idCol, Some(docLangCol), textCol, discount, k)
+
+  /** Shared interpolated-KN scorer: single-model when the lang
+    * columns are None (count tables keyed by gram alone, the 1-row
+    * scalars broadcast by crossJoin — byte-identical to the pre-r16
+    * single-model plan), per-language otherwise (every key gains the
+    * lang column; the per-language scalars ride a |langs|-row
+    * broadcast equi-join). */
+  private def knCore(
+      reference: DataFrame, refLangCol: Option[String], refTextCol: String,
+      docs: DataFrame, idCol: String, docLangCol: Option[String], textCol: String,
+      discount: Double, k: Double): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
     require(k > 0.0, "smoothing k must be positive")
+    require(refLangCol.isDefined == docLangCol.isDefined,
+      "lang routing needs a lang column on BOTH sides")
     import org.apache.spark.sql.Column
+    val routed = refLangCol.isDefined
+    // the extra grouping/join key when routing; empty when not
+    val langKey: Seq[String] = if (routed) Seq("__lang") else Seq.empty
+    def keyed(first: String): Seq[String] = first +: langKey
+    def grp(df: DataFrame, cs: Column*): org.apache.spark.sql.RelationalGroupedDataset =
+      df.groupBy(cs ++ langKey.map(col): _*)
 
     // ---- gram-position helpers over space-joined n-grams ----------
     def prefix(g: Column, n: Int): Column = substring_index(g, " ", n)
@@ -267,53 +309,65 @@ object TextModel {
       prefix(suffix(g, n - i + 1), j - i + 1)
 
     val refToks = reference.select(
-      TextFunctions.tokens(TextFunctions.canonicalText(col(refTextCol))).as("__toks"))
+      (refLangCol.map(c => Seq(col(c).as("__lang"))).getOrElse(Seq.empty) :+
+        TextFunctions.tokens(TextFunctions.canonicalText(col(refTextCol))).as("__toks")): _*)
     def refGrams(n: Int): DataFrame = refToks
-      .select(explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("g"))
+      .select((langKey.map(col) :+
+        explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("g")): _*)
 
     // ---- the nine reference tables --------------------------------
     // top order: raw counts
-    val t5 = refGrams(5).groupBy("g").agg(count(lit(1)).as("c5"))
-    val c4 = refGrams(4).groupBy("g").agg(count(lit(1)).as("c4"))
+    val t5 = grp(refGrams(5), col("g")).agg(count(lit(1)).as("c5"))
+    val c4 = grp(refGrams(4), col("g")).agg(count(lit(1)).as("c4"))
       .withColumnRenamed("g", "ctx4")
     // λ₅: distinct continuations of each 4-gram context (rows of t5
     // are distinct types, so count(*) per prefix IS the distinct count)
-    val lam5 = t5.groupBy(prefix(col("g"), 4).as("ctx4"))
+    val lam5 = grp(t5, prefix(col("g"), 4).as("ctx4"))
       .agg(count(lit(1)).as("lam5"))
     // order 4: continuation counts from distinct 5-gram types
-    val cont4 = t5.groupBy(suffix(col("g"), 4).as("g4s"))
+    val cont4 = grp(t5, suffix(col("g"), 4).as("g4s"))
       .agg(count(lit(1)).as("cont4"))
-    val mid4 = t5.groupBy(span(col("g"), 2, 4, 5).as("ctx3"))
+    val mid4 = grp(t5, span(col("g"), 2, 4, 5).as("ctx3"))
       .agg(count(lit(1)).as("denom4"),
         countDistinct(suffix(col("g"), 1)).as("lam4"))
     // order 3: from distinct 4-gram types
-    val t4types = refGrams(4).select(col("g")).distinct()
-    val cont3 = t4types.groupBy(suffix(col("g"), 3).as("g3s"))
+    val t4types = refGrams(4).select(keyed("g").map(col): _*).distinct()
+    val cont3 = grp(t4types, suffix(col("g"), 3).as("g3s"))
       .agg(count(lit(1)).as("cont3"))
-    val mid3 = t4types.groupBy(span(col("g"), 2, 3, 4).as("ctx2"))
+    val mid3 = grp(t4types, span(col("g"), 2, 3, 4).as("ctx2"))
       .agg(count(lit(1)).as("denom3"),
         countDistinct(suffix(col("g"), 1)).as("lam3"))
     // order 2: from distinct 3-gram types
-    val t3types = refGrams(3).select(col("g")).distinct()
-    val cont2 = t3types.groupBy(suffix(col("g"), 2).as("g2s"))
+    val t3types = refGrams(3).select(keyed("g").map(col): _*).distinct()
+    val cont2 = grp(t3types, suffix(col("g"), 2).as("g2s"))
       .agg(count(lit(1)).as("cont2"))
-    val mid2 = t3types.groupBy(span(col("g"), 2, 2, 3).as("w4k"))
+    val mid2 = grp(t3types, span(col("g"), 2, 2, 3).as("w4k"))
       .agg(count(lit(1)).as("denom2"),
         countDistinct(suffix(col("g"), 1)).as("lam2"))
     // base: continuation unigrams from distinct bigram types
-    val t2types = refGrams(2).select(col("g")).distinct()
-    val cont1 = t2types.groupBy(suffix(col("g"), 1).as("w5k"))
+    val t2types = refGrams(2).select(keyed("g").map(col): _*).distinct()
+    val cont1 = grp(t2types, suffix(col("g"), 1).as("w5k"))
       .agg(count(lit(1)).as("cont1"))
-    val scalars = t2types.agg(count(lit(1)).cast("double").as("denom1"))
-      .crossJoin(refToks.select(explode(col("__toks")).as("w"))
-        .agg(countDistinct(col("w")).cast("double").as("v")))
+    val refWords = refToks.select((langKey.map(col) :+
+      explode(col("__toks")).as("w")): _*)
+    val scalars =
+      if (routed)
+        t2types.groupBy("__lang").agg(count(lit(1)).cast("double").as("denom1"))
+          .join(refWords.groupBy("__lang")
+            .agg(countDistinct(col("w")).cast("double").as("v")), Seq("__lang"))
+      else
+        t2types.agg(count(lit(1)).cast("double").as("denom1"))
+          .crossJoin(refWords.agg(countDistinct(col("w")).cast("double").as("v")))
 
     // ---- score the target documents -------------------------------
-    val toks = docs.select(col(idCol).as("id"),
-      TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
+    val toks = docs.select(
+      (Seq(col(idCol).as("id")) ++
+        docLangCol.map(c => Seq(col(c).as("__lang"))).getOrElse(Seq.empty) :+
+        TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks")): _*)
     val grams = toks
-      .select(col("id"), explode(TextFunctions.shinglesFromTokens(col("__toks"), 5)).as("g"))
-      .select(col("id"), col("g"),
+      .select((keyed("id").map(col) :+
+        explode(TextFunctions.shinglesFromTokens(col("__toks"), 5)).as("g")): _*)
+      .select((keyed("id").map(col) ++ Seq(col("g"),
         prefix(col("g"), 4).as("ctx4"),
         suffix(col("g"), 4).as("g4s"),
         span(col("g"), 2, 4, 5).as("ctx3"),
@@ -321,22 +375,24 @@ object TextModel {
         span(col("g"), 3, 4, 5).as("ctx2"),
         suffix(col("g"), 2).as("g2s"),
         span(col("g"), 4, 4, 5).as("w4k"),
-        suffix(col("g"), 1).as("w5k"))
+        suffix(col("g"), 1).as("w5k"))): _*)
 
-    val joined = grams
-      .join(t5, Seq("g"), "left")
-      .join(c4, Seq("ctx4"), "left")
-      .join(lam5, Seq("ctx4"), "left")
-      .join(cont4, Seq("g4s"), "left")
-      .join(mid4, Seq("ctx3"), "left")
-      .join(cont3, Seq("g3s"), "left")
-      .join(mid3, Seq("ctx2"), "left")
-      .join(cont2, Seq("g2s"), "left")
-      .join(mid2, Seq("w4k"), "left")
-      .join(cont1, Seq("w5k"), "left")
+    val joined0 = grams
+      .join(t5, keyed("g"), "left")
+      .join(c4, keyed("ctx4"), "left")
+      .join(lam5, keyed("ctx4"), "left")
+      .join(cont4, keyed("g4s"), "left")
+      .join(mid4, keyed("ctx3"), "left")
+      .join(cont3, keyed("g3s"), "left")
+      .join(mid3, keyed("ctx2"), "left")
+      .join(cont2, keyed("g2s"), "left")
+      .join(mid2, keyed("w4k"), "left")
+      .join(cont1, keyed("w5k"), "left")
       .na.fill(0L, Seq("c5", "c4", "lam5", "cont4", "denom4", "lam4",
         "cont3", "denom3", "lam3", "cont2", "denom2", "lam2", "cont1"))
-      .crossJoin(broadcast(scalars))
+    val joined =
+      if (routed) joined0.join(broadcast(scalars), Seq("__lang"))
+      else joined0.crossJoin(broadcast(scalars))
 
     // one tier: (max(num − D, 0) + D·lam·lower) / denom when the
     // context was seen, else fall through — the SAME textual shape the
@@ -356,13 +412,64 @@ object TextModel {
       (greatest(col("c5") - dL, lit(0.0)) + dL * col("lam5") * p4) / col("c4"))
       .otherwise(p4)
 
-    joined
+    val scored = joined
       .withColumn("__nlp_micro", round(-log(p5) * 1e6).cast("long"))
-      .groupBy(col("id").as(idCol))
+    (if (routed)
+        scored.groupBy(col("id").as(idCol), col("__lang").as(docLangCol.get))
+      else scored.groupBy(col("id").as(idCol)))
       .agg(
         count(lit(1)).as("n_fivegrams"),
         round((sum(col("__nlp_micro")).cast("double") / count(lit(1))) / 1e6, 6)
           .as("avg_neg_logp"))
+  }
+
+  /**
+   * CCNet PER-LANGUAGE bucketing — the full §4 composition of Wenzek
+   * et al. 2020 (the t42→t66→t70 stack as ONE operator): character-
+   * n-gram language ID routes each document (profiles trained on the
+   * LABELED reference — [[LangId]]), an interpolated-KN 5-gram model
+   * PER REFERENCE LANGUAGE scores it against its own language's model
+   * (all models trained in one lang-keyed pass —
+   * [[knFivegramCrossPerplexityByLang]]), and head/middle/tail
+   * perplexity terciles are cut WITHIN each language (CCNet's buckets
+   * are per-language by construction: a global cut would mislabel
+   * every doc of a language whose model is generally more or less
+   * surprised). Routing matters — against one mixed-language model a
+   * document's tercile mostly reflects how much of the reference
+   * happens to share its language; spec-pinned to differ from the
+   * single-model baseline.
+   *
+   * Returns (idCol, pred_lang, avg_neg_logp, bucket); documents with
+   * <langN canonical chars (no langid grams), <5 tokens (no 5-grams),
+   * or routed to a language absent from the reference are absent —
+   * callers decide their fate, as in t66/t70.
+   *
+   * SCALE NOTE (the t70 discipline): the exact per-language tercile
+   * is a per-language single-partition window — fine while any one
+   * language fits a partition (CCNet's own regime: per-language
+   * shards); at 100 TB-of-one-language compute the two boundaries
+   * with approx_percentile per language and label map-side.
+   */
+  def ccnetPerLanguageBuckets(
+      reference: DataFrame, refLangCol: String, refTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, k: Double = 0.5,
+      langN: Int = 3, langTopK: Int = 40): DataFrame = {
+    val profiles = LangId.trainProfiles(
+      reference, refLangCol, refTextCol, langN, langTopK)
+    val routed = LangId.classify(docs, idCol, textCol, profiles, langN, langTopK)
+      .select(col(idCol), col("pred_lang"))
+    val ppl = knFivegramCrossPerplexityByLang(
+      reference, refLangCol, refTextCol,
+      docs.join(routed, Seq(idCol)), idCol, "pred_lang", textCol,
+      discount, k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pred_lang")).orderBy(col("avg_neg_logp"), col(idCol))
+    ppl.withColumn("__b", ntile(3).over(w))
+      .select(col(idCol), col("pred_lang"), col("avg_neg_logp"),
+        when(col("__b") === 1, lit("head"))
+          .when(col("__b") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 
   /** The Chen & Goodman (1999) closed-form discount estimates from an

@@ -2450,6 +2450,121 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // T71: CCNet PER-LANGUAGE routing (Wenzek et al. 2020 §4 composed
+    // end-to-end — the t42→t66→t70 stack as ONE operator): char-3-gram
+    // langid profiles train on the LABELED reference tenth, route
+    // every scored doc map-only; ONE lang-keyed pass trains an
+    // interpolated-KN 5-gram per reference language (count tables
+    // keyed (lang, gram) — no per-language re-scan); each doc scores
+    // against ITS OWN language's model and head/middle/tail terciles
+    // cut WITHIN language. The oracle replays the whole stack: the
+    // t42 rank-profile classifier (trained on the tenth), the t66 KN
+    // chain with `lang` added to every count table and join key, and
+    // the t70 ntile partitioned by routed language. Docs with no
+    // langid grams or <5 tokens are absent (t66/t70 contract).
+    QueryDef.of("t71_ccnet_perlang",
+      s"""WITH cref AS (SELECT doc_id, lang,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |gref AS (SELECT lang, unnest(CASE WHEN len(s) >= 3
+         |    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+         |    ELSE [] END) AS gr
+         |  FROM cref),
+         |pf AS (SELECT lang, gr, count(*) AS cnt FROM gref GROUP BY 1, 2),
+         |pr AS MATERIALIZED (SELECT lang, gr,
+         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) AS rank
+         |  FROM pf
+         |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) <= 40),
+         |rlangs AS (SELECT DISTINCT lang AS cand FROM documents WHERE doc_id % 10 = 0),
+         |cdoc AS (SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |gdoc AS (SELECT doc_id, unnest(CASE WHEN len(s) >= 3
+         |    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+         |    ELSE [] END) AS gr
+         |  FROM cdoc),
+         |dist AS (SELECT dg.doc_id, l.cand,
+         |    CAST(SUM(coalesce(pr.rank, 41)) AS BIGINT) AS dist
+         |  FROM gdoc dg CROSS JOIN rlangs l
+         |  LEFT JOIN pr ON pr.lang = l.cand AND pr.gr = dg.gr
+         |  GROUP BY 1, 2),
+         |best AS MATERIALIZED (SELECT doc_id, cand AS lang FROM dist
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1),
+         |tr AS (SELECT lang, $CTOKS AS t FROM documents WHERE doc_id % 10 = 0),
+         |g5r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM tr),
+         |t5 AS MATERIALIZED (SELECT lang, g, count(*) AS c5 FROM g5r GROUP BY 1, 2),
+         |g4r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g FROM tr),
+         |c4t AS MATERIALIZED (SELECT lang, g AS ctx4, count(*) AS c4 FROM g4r GROUP BY 1, 2),
+         |lam5 AS (SELECT lang, array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4, count(*) AS lam5 FROM t5 GROUP BY 1, 2),
+         |cont4 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s, count(*) AS cont4 FROM t5 GROUP BY 1, 2),
+         |mid4 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3, count(*) AS denom4,
+         |    count(DISTINCT string_split(g, ' ')[5]) AS lam4 FROM t5 GROUP BY 1, 2),
+         |t4y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g4r),
+         |cont3 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:4], ' ') AS g3s, count(*) AS cont3 FROM t4y GROUP BY 1, 2),
+         |mid3 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:3], ' ') AS ctx2, count(*) AS denom3,
+         |    count(DISTINCT string_split(g, ' ')[4]) AS lam3 FROM t4y GROUP BY 1, 2),
+         |g3r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS g FROM tr),
+         |t3y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g3r),
+         |cont2 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:3], ' ') AS g2s, count(*) AS cont2 FROM t3y GROUP BY 1, 2),
+         |mid2 AS (SELECT lang, string_split(g, ' ')[2] AS w4k, count(*) AS denom2,
+         |    count(DISTINCT string_split(g, ' ')[3]) AS lam2 FROM t3y GROUP BY 1, 2),
+         |g2r AS (SELECT lang, unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS g FROM tr),
+         |t2y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g2r),
+         |cont1 AS (SELECT lang, string_split(g, ' ')[2] AS w5k, count(*) AS cont1 FROM t2y GROUP BY 1, 2),
+         |sc0 AS (SELECT lang, CAST(count(*) AS DOUBLE) AS denom1 FROM t2y GROUP BY 1),
+         |vv AS (SELECT lang, CAST(count(DISTINCT w) AS DOUBLE) AS v
+         |  FROM (SELECT lang, unnest(t) AS w FROM tr) GROUP BY 1),
+         |d AS (SELECT dd.doc_id, b.lang, $CTOKS AS t
+         |  FROM documents dd JOIN best b USING (doc_id) WHERE dd.doc_id % 10 <> 0),
+         |f AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM d),
+         |keys AS (SELECT doc_id, lang, g,
+         |    array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4,
+         |    array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s,
+         |    array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3,
+         |    array_to_string(string_split(g, ' ')[3:5], ' ') AS g3s,
+         |    array_to_string(string_split(g, ' ')[3:4], ' ') AS ctx2,
+         |    array_to_string(string_split(g, ' ')[4:5], ' ') AS g2s,
+         |    string_split(g, ' ')[4] AS w4k, string_split(g, ' ')[5] AS w5k
+         |  FROM f),
+         |j AS MATERIALIZED (SELECT doc_id, lang, keys.g,
+         |    coalesce(t5.c5, 0) AS c5, coalesce(c4t.c4, 0) AS c4, coalesce(lam5.lam5, 0) AS lam5,
+         |    coalesce(cont4.cont4, 0) AS cont4, coalesce(mid4.denom4, 0) AS denom4, coalesce(mid4.lam4, 0) AS lam4,
+         |    coalesce(cont3.cont3, 0) AS cont3, coalesce(mid3.denom3, 0) AS denom3, coalesce(mid3.lam3, 0) AS lam3,
+         |    coalesce(cont2.cont2, 0) AS cont2, coalesce(mid2.denom2, 0) AS denom2, coalesce(mid2.lam2, 0) AS lam2,
+         |    coalesce(cont1.cont1, 0) AS cont1, denom1, v
+         |  FROM keys LEFT JOIN t5 USING (lang, g)
+         |  LEFT JOIN c4t USING (lang, ctx4) LEFT JOIN lam5 USING (lang, ctx4)
+         |  LEFT JOIN cont4 USING (lang, g4s) LEFT JOIN mid4 USING (lang, ctx3)
+         |  LEFT JOIN cont3 USING (lang, g3s) LEFT JOIN mid3 USING (lang, ctx2)
+         |  LEFT JOIN cont2 USING (lang, g2s) LEFT JOIN mid2 USING (lang, w4k)
+         |  LEFT JOIN cont1 USING (lang, w5k)
+         |  JOIN sc0 USING (lang) JOIN vv USING (lang)),
+         |p1c AS (SELECT *, (cont1 + 0.5) / (denom1 + 0.5 * v) AS p1 FROM j),
+         |p2c AS (SELECT *, CASE WHEN denom2 > 0
+         |    THEN (GREATEST(cont2 - 0.75, 0) + 0.75 * lam2 * p1) / denom2 ELSE p1 END AS p2 FROM p1c),
+         |p3c AS (SELECT *, CASE WHEN denom3 > 0
+         |    THEN (GREATEST(cont3 - 0.75, 0) + 0.75 * lam3 * p2) / denom3 ELSE p2 END AS p3 FROM p2c),
+         |p4c AS (SELECT *, CASE WHEN denom4 > 0
+         |    THEN (GREATEST(cont4 - 0.75, 0) + 0.75 * lam4 * p3) / denom4 ELSE p3 END AS p4 FROM p3c),
+         |p5c AS (SELECT doc_id, lang, CASE WHEN c4 > 0 AND lam5 > 0
+         |    THEN (GREATEST(c5 - 0.75, 0) + 0.75 * lam5 * p4) / c4 ELSE p4 END AS p5 FROM p4c),
+         |sc AS (SELECT doc_id, lang, CAST(round(-ln(p5) * 1000000.0) AS BIGINT) AS m FROM p5c),
+         |ppl AS (SELECT doc_id, lang,
+         |    round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
+         |  FROM sc GROUP BY 1, 2),
+         |nt AS (SELECT doc_id, lang, avg_neg_logp,
+         |    ntile(3) OVER (PARTITION BY lang ORDER BY avg_neg_logp, doc_id) AS b
+         |  FROM ppl)
+         |SELECT doc_id, lang AS pred_lang, avg_neg_logp,
+         |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM nt ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.TextModel.ccnetPerLanguageBuckets(
+          docs.filter(col("doc_id") % 10 === 0), "lang", "text",
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // T61: byte-level BPE encode (ByteBpe, GPT-2 bytes_to_unicode) —
     // every 5th doc gets a multilingual suffix whose é/ü/€ codepoint
     // BPE could only treat as opaque unbounded-alphabet symbols; here

@@ -1164,6 +1164,76 @@ class OperatorSpecs extends AnyFunSuite {
       s"expected confident in-domain (<1 nat) vs backoff-heavy gibberish (>2 nats), got $r")
   }
 
+  // shared bilingual fixture for the CCNet routing specs: six
+  // in-domain reference docs per language, scored docs where the en
+  // side stays in-domain (one novel tail word) and the de side is
+  // mostly novel — so en anp < de anp uniformly, which makes the
+  // global-vs-per-language tercile divergence deterministic
+  private lazy val ccnetRef = (
+    Seq.tabulate(6)(i => (100L + i, "en",
+      "the cat sat on the mat and the dog ran fast today")) ++
+    Seq.tabulate(6)(i => (200L + i, "de",
+      "der hund und die katze mit dem ball im garten heute")))
+    .toDF("doc_id", "lang", "text")
+  private lazy val ccnetDocs = (
+    Seq.tabulate(6)(i => (1L + i,
+      s"the cat sat on the mat and the dog ran w$i")) ++
+    Seq.tabulate(6)(i => (11L + i,
+      s"der hund und die katze q$i z$i j$i k$i x$i")))
+    .toDF("doc_id", "text")
+
+  test("knFivegramCrossPerplexityByLang equals the per-language single-model fan-out") {
+    // the ONE lang-keyed pass must be row-identical to training each
+    // language's model separately and unioning the scored halves
+    val docsL = ccnetDocs.withColumn("plang",
+      when(col("doc_id") <= 6L, lit("en")).otherwise(lit("de")))
+    val onePass = TextModel.knFivegramCrossPerplexityByLang(
+        ccnetRef, "lang", "text", docsL, "doc_id", "plang", "text")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
+    val fanOut = Seq("en", "de").map { l =>
+      TextModel.knFivegramCrossPerplexity(
+          ccnetRef.filter(col("lang") === l), "text",
+          docsL.filter(col("plang") === l), "doc_id", "text")
+        .select(col("doc_id"), lit(l).as("plang"),
+          col("n_fivegrams"), col("avg_neg_logp"))
+    }.reduce(_.unionByName(_))
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(onePass === fanOut)
+  }
+
+  test("ccnetPerLanguageBuckets: langid routes correctly and per-language terciles " +
+      "differ from the single-model baseline") {
+    val routed = TextModel.ccnetPerLanguageBuckets(
+        ccnetRef, "lang", "text", ccnetDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(3)))).toMap
+    assert(routed.size === 12)
+    assert((1L to 6L).forall(routed(_)._1 == "en"), s"en routing wrong: $routed")
+    assert((11L to 16L).forall(routed(_)._1 == "de"), s"de routing wrong: $routed")
+    // within each language the 6 docs cut 2/2/2
+    Seq(1L to 6L, 11L to 16L).foreach { idsOfLang =>
+      val counts = idsOfLang.map(routed(_)._2)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(counts === Map("head" -> 2, "middle" -> 2, "tail" -> 2),
+        s"per-language terciles must be 2/2/2, got $counts")
+    }
+    // the single-model baseline (t70's shape: one mixed-language model,
+    // GLOBAL terciles): all six in-domain en docs rank below the six
+    // novel-heavy de docs, so the global 4/4/4 cut disagrees with the
+    // per-language 2/2/2 cut — routing must change at least one bucket
+    val single = TextModel.knFivegramCrossPerplexity(
+      ccnetRef, "text", ccnetDocs, "doc_id", "text")
+    val w = Window.orderBy(col("avg_neg_logp"), col("doc_id"))
+    val singleB = single.withColumn("b", ntile(3).over(w))
+      .select(col("doc_id"),
+        when(col("b") === 1, lit("head")).when(col("b") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .as[(Long, String)].collect().toMap
+    val changed = routed.count { case (id, (_, b)) => singleB(id) != b }
+    assert(changed >= 1,
+      s"per-language routing must change at least one doc's bucket " +
+        s"(routed=$routed, single=$singleB)")
+  }
+
   test("tfidfKeywords surfaces distinctive terms over ubiquitous ones") {
     val docs = Seq(
       (1L, "alpha alpha alpha shared shared"),

@@ -388,27 +388,32 @@ object QText {
     },
 
     // LLM01: the COMPOSED corpus pipeline — the LLM-family analogue of
-    // the pbp full-DAG queries, now the FULL production stack: Gopher
-    // rule gate (map-only, runs first) → line rules (bullet/ellipsis/
-    // duplicate-line structure; the C4 terminal floor is disabled for
-    // this mostly-single-line corpus — t69 owns its full exercise) →
-    // quality gate → language gate
+    // the pbp full-DAG queries, the FULL production stack front to
+    // back: registrable-domain QUOTA on the canonicalized URL host
+    // (t47/t52 — the cheapest signal a crawl carries, so it runs
+    // before any content rule; the shared example.com hot domain is
+    // the one the 25k-char budget cuts) → Gopher rule gate (map-only)
+    // → line rules (bullet/ellipsis/duplicate-line structure; the C4
+    // terminal floor is disabled for this mostly-single-line corpus —
+    // t69 owns its full exercise) → quality gate → language gate
     // → exact dedup keep-first among survivors → benchmark
     // decontamination → reference-LM perplexity gate (the CCNet
     // discipline: an interpolated KN 5-gram trained on the held-out
     // reference set scores each survivor; high-perplexity outliers
-    // drop), emitting one auditable DISPOSITION row per document (the
-    // routing table a production curation run ships to its data
-    // card). Stage order is part of the contract: a document reports
+    // drop), emitting one auditable DISPOSITION row per document plus
+    // a map-only PII flag (t13; %50==19 docs carry injected PII so the
+    // flag has live positives — production redacts rather than drops)
+    // — the routing table a production curation run ships to its data
+    // card. Stage order is part of the contract: a document reports
     // its FIRST failing gate, and every join-bearing stage sees only
     // the docs that passed the cheaper gates — the cost discipline a
     // 100 TB run needs (per-row filters prune before any shuffle; the
     // dedup hash-agg, the gram join, and the LM scoring join see only
-    // survivors). Gopher thresholds are corpus-calibrated (the
-    // synthetic vocabulary carries 'the' but no other Gopher
-    // stopword, and half the docs sit under 50 words: minWords 20,
-    // minStopwords 1 — both rules cut in BOTH directions). Oracle:
-    // the t67/t01/t02/t04/t12/t66 CTE chains recomposed.
+    // quota-passing survivors). Gopher thresholds are corpus-
+    // calibrated (the synthetic vocabulary carries 'the' but no other
+    // Gopher stopword, and half the docs sit under 50 words: minWords
+    // 20, minStopwords 1 — both rules cut in BOTH directions). Oracle:
+    // the t52/t67/t69/t01/t02/t04/t13/t12/t66 CTE chains recomposed.
     QueryDef.of("llm01_corpus_pipeline",
       s"""WITH base AS (SELECT doc_id, CASE WHEN doc_id % 50 = 27
          |    THEN 'the data of the run is a good run for the train set and the rest of the same corpus again and the data of the run is a good run for the train set again'
@@ -420,8 +425,49 @@ object QText {
          |    THEN array_to_string(['the quick data run goes on.', 'the quick data run goes on.',
          |      'the quick data run goes on.', 'the quick data run goes on.',
          |      'the quick data run goes on.', 'the quick data run goes on.'], chr(10))
+         |    WHEN doc_id % 50 = 19
+         |    THEN text || ' contact user19@mail.example.com call 555-867-5309'
          |    ELSE text END AS text
          |  FROM documents WHERE doc_id % 20 <> 0),
+         |uraw AS (SELECT doc_id, n_chars, CASE CAST(doc_id % 4 AS INT)
+         |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/p/' ||
+         |      CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+         |    WHEN 1 THEN 'https://Node-' || source || '.ORG:8443/a/b?z=9&y=8'
+         |    WHEN 2 THEN 'https://' || source || '.net:443'
+         |    ELSE 'ftp://Files.' || source || '.io/data#sec' END AS url
+         |  FROM documents WHERE doc_id % 20 <> 0),
+         |uh AS (SELECT doc_id, n_chars,
+         |    lower(regexp_replace(regexp_extract(
+         |      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+         |      '^([^/?#]*)', 1), ':[0-9]+$$', '')) AS host
+         |  FROM uraw),
+         |usp AS (SELECT doc_id, n_chars, host,
+         |    string_split(host, '.') AS parts, len(string_split(host, '.')) AS n
+         |  FROM uh),
+         |ukb AS (SELECT *, coalesce(list_max(list_transform(range(1, n), k -> CASE
+         |      WHEN list_contains(['com','org','net','io','co.uk'],
+         |        array_to_string(list_slice(parts, -CAST(k AS INT), -1), '.'))
+         |      THEN k ELSE 0 END)), 0) AS kbest
+         |  FROM usp),
+         |urd AS (SELECT doc_id, n_chars,
+         |    CASE WHEN kbest > 0 THEN
+         |      array_to_string(list_slice(parts, -CAST(kbest + 1 AS INT), -1), '.')
+         |    ELSE host END AS rdomain
+         |  FROM ukb),
+         |uq AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id,
+         |    SUM(n_chars) OVER (PARTITION BY rdomain
+         |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM urd) WHERE cum <= 25000),
+         |pr1 AS (SELECT doc_id, text AS t,
+         |    regexp_replace(text, '$PiiEmail', '[EMAIL]', 'g') AS t_e FROM base),
+         |pr2 AS (SELECT *, regexp_replace(t_e, '$PiiSsn', '[SSN]', 'g') AS t_s FROM pr1),
+         |pr3 AS (SELECT *, regexp_replace(t_s, '$PiiPhone', '[PHONE]', 'g') AS t_p FROM pr2),
+         |pii AS (SELECT doc_id,
+         |    (len(string_split_regex(t, '$PiiEmail')) + len(string_split_regex(t_p, '$PiiIp'))
+         |     + len(string_split_regex(t_s, '$PiiPhone')) + len(string_split_regex(t_e, '$PiiSsn'))
+         |     - 4) > 0 AS has_pii
+         |  FROM pr3),
          |gm AS (SELECT doc_id, trim(text) AS gt,
          |    regexp_extract_all(trim(text), '\\S+') AS gw FROM base),
          |gok AS (SELECT doc_id,
@@ -487,7 +533,8 @@ object QText {
          |  FROM base b JOIN q USING (doc_id) JOIN lg USING (doc_id)
          |  JOIN gok USING (doc_id) JOIN lns USING (doc_id)),
          |surv AS (SELECT f.doc_id, b.text FROM flags f JOIN base b USING (doc_id)
-         |  WHERE f.g_ok AND f.ln_ok AND f.q_ok AND f.l_ok),
+         |  WHERE f.doc_id IN (SELECT doc_id FROM uq)
+         |    AND f.g_ok AND f.ln_ok AND f.q_ok AND f.l_ok),
          |fp AS (SELECT doc_id, md5($CANON) AS fp FROM surv),
          |kp AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
          |dups AS (SELECT f.doc_id FROM fp f JOIN kp USING (fp) WHERE f.doc_id <> kp.keep_id),
@@ -567,8 +614,9 @@ object QText {
          |    round((CAST(SUM(CAST(round(-ln(p5) * 1000000.0) AS BIGINT)) AS DOUBLE)
          |      / count(*)) / 1000000.0, 6) AS anp
          |  FROM p5c GROUP BY doc_id)
-         |SELECT f.doc_id, f.quality, f.lang,
-         |  CASE WHEN NOT f.g_ok THEN 'drop_gopher'
+         |SELECT f.doc_id, f.quality, f.lang, pii.has_pii,
+         |  CASE WHEN f.doc_id NOT IN (SELECT doc_id FROM uq) THEN 'drop_domain_quota'
+         |       WHEN NOT f.g_ok THEN 'drop_gopher'
          |       WHEN NOT f.ln_ok THEN 'drop_lines'
          |       WHEN NOT f.q_ok THEN 'drop_quality'
          |       WHEN NOT f.l_ok THEN 'drop_lang'
@@ -576,7 +624,8 @@ object QText {
          |       WHEN coalesce(ov.overlap_frac, 0) >= 0.5 THEN 'drop_contaminated'
          |       WHEN coalesce(p.anp, 0) > 3.9 THEN 'drop_perplexity'
          |       ELSE 'kept' END AS disposition
-         |FROM flags f LEFT JOIN ov USING (doc_id) LEFT JOIN ppl p USING (doc_id)
+         |FROM flags f JOIN pii USING (doc_id)
+         |LEFT JOIN ov USING (doc_id) LEFT JOIN ppl p USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       // sentinel classes, each decoupling one gate so every stage has
@@ -589,7 +638,7 @@ object QText {
       // quality lands exactly on 0.5 (pass) while language-ID sees no
       // marker word at all → 'und'.
       val corpus = docs.filter(col("doc_id") % 20 =!= 0)
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("source"), col("n_chars"),
           when(col("doc_id") % 50 === 27,
             lit("the data of the run is a good run for the train set " +
               "and the rest of the same corpus again and the data of " +
@@ -604,8 +653,43 @@ object QText {
               "data key fast slow big small batch with"))
           .when(col("doc_id") % 50 === 7,
             lit(Seq.fill(6)("the quick data run goes on.").mkString("\n")))
+          // %50==19 carries injected PII (the t13 shapes) so the data
+          // card's has_pii column has live positives
+          .when(col("doc_id") % 50 === 19,
+            concat(col("text"),
+              lit(" contact user19@mail.example.com call 555-867-5309")))
             .otherwise(col("text")).as("text"))
       val bench = docs.filter(col("doc_id") % 20 === 0)
+      // FRONT GATE (runs before any content rule — the RefinedWeb/
+      // CCNet discipline: the URL is the cheapest signal a crawl
+      // carries): canonicalize each doc's URL host (case-fold, strip
+      // port — the t47 host rules), cut it to its registrable domain
+      // (t52), and cap every domain at a per-domain char budget so no
+      // hot domain floods the corpus. The synthetic URLs reuse the
+      // t52 construction: all %4==0 docs share example.com — the one
+      // hot domain the 25k budget actually cuts.
+      val url = (when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/p/"),
+            col("doc_id").cast("string"), lit("?utm_source=x&b=2&a=1#frag")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("https://Node-"), col("source"), lit(".ORG:8443/a/b?z=9&y=8")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://"), col("source"), lit(".net:443")))
+        .otherwise(
+          concat(lit("ftp://Files."), col("source"), lit(".io/data#sec"))))
+      val quotaKept = graft.operators.Sampling.selectToBudgetPerGroupUniform(
+          corpus.select(col("doc_id"),
+            graft.functions.UrlFunctions.registrableDomain(
+              graft.functions.UrlFunctions.urlHost(url),
+              Seq("com", "org", "net", "io", "co.uk")).as("rdomain"),
+            col("n_chars"), col("n_chars").cast("double").as("score")),
+          "rdomain", "score", "doc_id", "n_chars", budgetPerGroup = 25000L)
+        .select(col("doc_id")).withColumn("__q_in", lit(1))
+      // PII disposition column (t13): map-only detect over every doc —
+      // the data card records it; production redacts rather than drops
+      val pii = graft.functions.Pii
+        .detect(corpus.select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("has_pii"))
       val gok = graft.operators.QualityRules
         .gopher(corpus, "doc_id", "text", minWords = 20, minStopwords = 1)
         .select(col("doc_id"), col("pass").as("g_ok"))
@@ -621,9 +705,11 @@ object QText {
           TextFunctions.langId(col("text")).as("lang"))
         .join(gok, Seq("doc_id"))
         .join(lns, Seq("doc_id"))
+        .join(quotaKept, Seq("doc_id"), "left")
         .withColumn("q_ok", col("quality") >= 0.5)
         .withColumn("l_ok", col("lang") === "en")
-      val surv = flags.filter(col("g_ok") && col("ln_ok") && col("q_ok") && col("l_ok"))
+      val surv = flags.filter(col("__q_in") === 1 &&
+          col("g_ok") && col("ln_ok") && col("q_ok") && col("l_ok"))
         .select("doc_id", "text")
       // exact dedup keep-first among survivors (the t04 canonical md5)
       val keyed = surv.select(col("doc_id"),
@@ -646,11 +732,13 @@ object QText {
         .knFivegramCrossPerplexity(bench, "text", dec, "doc_id", "text")
         .select(col("doc_id"), col("avg_neg_logp"))
       flags
+        .join(pii, Seq("doc_id"))
         .join(dups, Seq("doc_id"), "left")
         .join(ov, Seq("doc_id"), "left")
         .join(ppl, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("quality"), col("lang"),
-          when(!col("g_ok"), lit("drop_gopher"))
+        .select(col("doc_id"), col("quality"), col("lang"), col("has_pii"),
+          when(col("__q_in").isNull, lit("drop_domain_quota"))
+            .when(!col("g_ok"), lit("drop_gopher"))
             .when(!col("ln_ok"), lit("drop_lines"))
             .when(!col("q_ok"), lit("drop_quality"))
             .when(!col("l_ok"), lit("drop_lang"))

@@ -523,8 +523,15 @@ object LlmScaleSmoke {
     }
     val l1 = lmRuns.head
     lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp, t70c) =>
-      check(t70c == l1._14.map(_ * c),
-        s"scale=$c t70 tercile bucket counts EXACTLY linear (${l1._14}->$t70c)")
+      // scored-row total must be exactly linear; the per-bucket split
+      // is ntile's ±1 balance around n/3 (exact c× bucket counts only
+      // hold when the doc count divides by 3 — a fixture-size change
+      // must not fail this gate)
+      val t70tot = t70c.sum
+      check(t70tot == l1._14.sum * c &&
+          t70c.forall(b => math.abs(b - t70tot / 3.0) <= 1.0),
+        s"scale=$c t70 scored total EXACTLY linear, buckets within ±1 of n/3 " +
+          s"(${l1._14}->$t70c)")
       check(gp * l1._1 == l1._10 * c,
         s"scale=$c t67 gopher 4-rule pass count EXACTLY linear on verbatim copies " +
           s"(${l1._10}->$gp)")

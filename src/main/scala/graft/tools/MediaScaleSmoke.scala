@@ -298,11 +298,17 @@ object MediaScaleSmoke {
         spark, p, taggedAudio(audioBatch17, c), maxHamming = 3, minRun = 5)
       val accepted = surv.select("media_id").distinct().count()
       graft.multimodal.AudioHash.upsertIndex(p, surv)
+      // day-2 idempotence THROUGH a compaction (the m16 discipline):
+      // the atomic re-publish must not change verdicts, and the
+      // rewrite must undo the upsert's small files
+      val report = graft.multimodal.MediaIndex.compact(spark, p)
+      check(report.filesAfter < report.filesBefore,
+        s"scale=$c m17 compact shrinks files (${report.filesBefore}->${report.filesAfter})")
       val regate = graft.multimodal.AudioHash.gate(
           spark, p, taggedAudio(audioBatch17, c), maxHamming = 3, minRun = 5)
         .select("media_id").distinct().count()
       check(regate == 0L,
-        s"scale=$c m17 re-gate after upsert accepts nothing (got $regate)")
+        s"scale=$c m17 re-gate after upsert+compact accepts nothing (got $regate)")
       (c, accepted)
     }
     val g17 = m17Runs.head

@@ -198,29 +198,18 @@ object EdgeStore {
     * superseded snapshot is reclaimed with the usual one-version grace
     * window. */
   def compact(spark: SparkSession, path: String): CompactReport = {
-    val fs = StoreManifest.fsOf(spark, path)
-    def files(dir: String): Long = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
-      var n = 0L
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
-    }
+    import StoreKit.{compactInput, parquetFileCount}
+    def files(dir: String): Long = parquetFileCount(spark, dir)
     val m = StoreManifest.current(spark, path)
     val (v, buckets) = (m("edges"), m("buckets"))
     val before = files(s"$path/by_src/v$v") + files(s"$path/by_dst/v$v")
-    // read the version dirs as PLAIN parquet, not as the bucketed
-    // tables: fed the bucketed scan, Catalyst drops the writer's
-    // repartition as redundant, the planner then auto-disables the
-    // bucketed read (no exchange left to avoid), and the write
-    // degenerates to one output file PER INPUT FILE — the exact
-    // small-file state compact exists to undo. The plain read carries
-    // no partitioning claim, so the re-bucketing shuffle really runs
-    // and each copy lands back at exactly `buckets` files.
+    // plain-parquet rewrite inputs (see StoreKit.compactInput): each
+    // copy lands back at exactly `buckets` files
     BucketedTables.write(
-      spark.read.parquet(s"$path/by_src/v$v"), s"$path/by_src/v${v + 1}",
+      compactInput(spark, s"$path/by_src/v$v"), s"$path/by_src/v${v + 1}",
       "src", "src", buckets)
     BucketedTables.write(
-      spark.read.parquet(s"$path/by_dst/v$v"), s"$path/by_dst/v${v + 1}",
+      compactInput(spark, s"$path/by_dst/v$v"), s"$path/by_dst/v${v + 1}",
       "dst", "dst", buckets)
     StoreManifest.commit(spark, path,
       Map("edges" -> (v + 1), "buckets" -> buckets) ++

@@ -332,10 +332,10 @@ object AudioHash {
     // banded bucketed probe instead (a candidate SUPERSET at the same
     // maxHamming — conservative: the fallback can only drop more).
     val useExact = exactCandidates && batch.count() <= exactBroadcastMaxCodes
-    val drops = gateDrops(spark, path, batch, maxHamming, minRun, maxAvgHam,
-        useExact, maxCodeFreq)
-      .localCheckpoint(true)
-    batch.join(drops, Seq("media_id"), "left_anti")
+    // verdicts are SNAPSHOT-STABLE (StoreKit.snapshotStableSurvivors)
+    graft.io.StoreKit.snapshotStableSurvivors(batch, "media_id",
+      gateDrops(spark, path, batch, maxHamming, minRun, maxAvgHam,
+        useExact, maxCodeFreq))
   }
 
   /** The drop-id frame of one [[gate]] call BEFORE the checkpoint —

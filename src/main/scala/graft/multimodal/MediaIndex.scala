@@ -72,11 +72,7 @@ object MediaIndex {
   /** Drop catalog entries whose version directory is gone (superseded
     * versions reclaimed by the grace-window cleanup). */
   private def dropStaleEntries(spark: SparkSession, path: String, below: Int): Unit =
-    (1 until below).foreach { k =>
-      val fs = StoreManifest.fsOf(spark, path)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands/v$k")))
-        BucketedTables.dropEntry(spark, s"$path/bands/v$k")
-    }
+    graft.io.StoreKit.dropStaleEntries(spark, path, "bands", below)
 
   /** Materialize the index for an initial corpus of `(media_id,
     * dhash, …)` codes under `banding`. A re-write on an existing path
@@ -155,12 +151,9 @@ object MediaIndex {
   def gate(
       spark: SparkSession, path: String, batch: DataFrame,
       maxHamming: Int): DataFrame = {
-    // verdicts are SNAPSHOT-STABLE (the DedupIndex discipline): the
-    // drop-id set is eagerly localCheckpoint'ed so the returned frame
-    // keeps meaning "gated against the store AS OF THIS CALL" even
-    // after the caller upserts the survivors back into the index
-    val drops = gateDrops(spark, path, batch, maxHamming).localCheckpoint(true)
-    batch.join(drops, Seq("media_id"), "left_anti")
+    // verdicts are SNAPSHOT-STABLE (StoreKit.snapshotStableSurvivors)
+    graft.io.StoreKit.snapshotStableSurvivors(
+      batch, "media_id", gateDrops(spark, path, batch, maxHamming))
   }
 
   /** The drop-id frame of one [[gate]] call BEFORE the checkpoint —
@@ -191,24 +184,15 @@ object MediaIndex {
     * commit. The rewrite re-buckets, so a compacted table is back to
     * exactly `buckets` files. */
   def compact(spark: SparkSession, path: String): CompactReport = {
-    val fs = StoreManifest.fsOf(spark, path)
-    def files(dir: String): Long = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
-      var n = 0L
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
-    }
+    import graft.io.StoreKit.{compactInput, parquetFileCount}
     val m = StoreManifest.current(spark, path)
     val v = m("bands")
-    val before = files(s"$path/bands/v$v")
+    val before = parquetFileCount(spark, s"$path/bands/v$v")
     val banding = bandingOf(m)
-    // read the version dir as PLAIN parquet, not as the bucketed
-    // table: fed the bucketed scan, Catalyst drops the writer's
-    // repartition as redundant and the rewrite degenerates to one
-    // output file per input file — the exact state compact exists to
-    // undo (the EdgeStore.compact lesson). A pre-r15 dir has no bkey
-    // column; it gains one here (the migration path).
-    val raw = spark.read.parquet(s"$path/bands/v$v")
+    // plain-parquet rewrite input (see StoreKit.compactInput); a
+    // pre-r15 dir has no bkey column — it gains one here (the
+    // migration path)
+    val raw = compactInput(spark, s"$path/bands/v$v")
     val cur =
       if (raw.columns.contains("bkey")) raw
       else raw.withColumn("bkey",
@@ -220,6 +204,6 @@ object MediaIndex {
       "n_chunks" -> banding.nChunks, "buckets" -> m.getOrElse("buckets", 8)))
     StoreManifest.dropSuperseded(spark, path, "bands")
     dropStaleEntries(spark, path, v + 1)
-    CompactReport(before, files(s"$path/bands/v${v + 1}"))
+    CompactReport(before, parquetFileCount(spark, s"$path/bands/v${v + 1}"))
   }
 }

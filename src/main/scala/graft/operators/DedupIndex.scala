@@ -108,11 +108,7 @@ object DedupIndex {
     * versions reclaimed by the grace-window cleanup). */
   private def dropStaleEntries(
       spark: SparkSession, path: String, table: String, below: Int): Unit =
-    (1 until below).foreach { k =>
-      val fs = StoreManifest.fsOf(spark, path)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$table/v$k")))
-        graft.io.BucketedTables.dropEntry(spark, s"$path/$table/v$k")
-    }
+    graft.io.StoreKit.dropStaleEntries(spark, path, table, below)
 
   /** Materialize the index for an initial corpus. A re-write on an
     * existing path publishes FRESH versions (readers on the old
@@ -197,15 +193,12 @@ object DedupIndex {
       shingleN: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val (dropsF, release) = gateParts(
       spark, path, batch, idCol, textCol, shingleN, numHashes, bands, threshold)
-    // the verdict is SNAPSHOT-STABLE by construction: the drop-id set
-    // (small — drop ids only) is eagerly localCheckpoint'ed, so the
-    // returned frame keeps meaning "gated against the store AS OF THIS
-    // CALL" even after the caller upserts the survivors back into the
-    // index (a lazy plan would re-probe the grown store and self-match
-    // every batch row) or the harness clears the cache catalog
-    val drops = dropsF.localCheckpoint(true)
+    // verdicts are SNAPSHOT-STABLE (StoreKit.snapshotStableSurvivors —
+    // the checkpoint happens inside, BEFORE release() frees the gate's
+    // cached intermediates)
+    val surv = graft.io.StoreKit.snapshotStableSurvivors(batch, idCol, dropsF)
     release()
-    batch.join(drops, Seq(idCol), "left_anti")
+    surv
   }
 
   /** The candidate probe join of one gate. r15 stores (`band_enc=2`)
@@ -327,33 +320,19 @@ object DedupIndex {
     * them in ONE manifest commit — concurrent gates resolve either the
     * old or the new snapshot, never a mix. */
   def compact(spark: SparkSession, path: String): CompactReport = {
-    val fs = StoreManifest.fsOf(spark, path)
-    def files(dir: String): Long = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      if (!fs.exists(p)) 0L
-      else fs.listFiles(p, true) match {
-        case it =>
-          var n = 0L
-          while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-          n
-      }
-    }
+    import graft.io.StoreKit.{compactInput, parquetFileCount}
+    def files(dir: String): Long = parquetFileCount(spark, dir)
     val cur = StoreManifest.current(spark, path)
     val (bv, sv) = (cur("bands"), cur("shingles"))
     val zv = cur.getOrElse("sizes", 0)
     val buckets = cur.getOrElse("buckets", 8)
     val bBefore = files(s"$path/bands/v$bv")
     val sBefore = files(s"$path/shingles/v$sv")
-    // PLAIN parquet reads, never the bucketed tables: fed a bucketed
-    // scan, Catalyst drops the writer's repartition as redundant and
-    // the rewrite keeps one output file per input file — the exact
-    // small-file state compact exists to undo (the EdgeStore.compact
-    // lesson). Plain reads of the same files carry no partitioning
-    // claim, so the re-bucketing shuffle really runs.
-    val bandsCur = spark.read.parquet(s"$path/bands/v$bv")
+    // plain-parquet rewrite inputs (see StoreKit.compactInput)
+    val bandsCur = compactInput(spark, s"$path/bands/v$bv")
     graft.io.BucketedTables.write(
       bandsCur, s"$path/bands/v${bv + 1}", "bucket", "id", buckets)
-    val shCur = spark.read.parquet(s"$path/shingles/v$sv")
+    val shCur = compactInput(spark, s"$path/shingles/v$sv")
     writeShingles(shCur, path, sv + 1, buckets)
     // sizes: recompute from the compacted shingles (a pre-r14 store
     // gains its sizes table here; appends collapse to one file)

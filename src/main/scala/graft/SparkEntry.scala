@@ -97,7 +97,7 @@ object SparkEntry {
     "llm01_corpus_pipeline", "t65_dedup_index",
     "t66_kn5_perplexity", "m16_media_index_gate", "t67_gopher_rules",
     "t68_modified_kn5", "m17_audio_index_gate", "t69_line_rules",
-    "t70_ccnet_buckets", "t71_ccnet_perlang",
+    "t70_ccnet_buckets", "t71_ccnet_perlang", "llm02_corpus_multilang",
     "sql01_extension_surface", "sql02_url_surface", "sql03_binary_surface",
     "g01_pagerank", "g02_hits",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",

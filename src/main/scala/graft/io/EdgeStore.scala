@@ -104,19 +104,25 @@ object EdgeStore {
     BucketedTables.write(closed, s"$path/by_src/v$v", "src", "src", buckets)
     BucketedTables.write(closed, s"$path/by_dst/v$v", "dst", "dst", buckets)
     closed.unpersist()
+    // the vertex SET persists next to the edges (node-sized — tiny
+    // relative to the edge copies): it is what lets upsert PROVE the
+    // superset invariant instead of trusting count+checksum (which
+    // cannot tell a grown set from a grown-but-swapped one)
+    ids.write.mode("overwrite").parquet(s"$path/vertices/v$v")
     val (n, sig) = universeOf(ids)
     StoreManifest.commit(spark, path,
-      Map("edges" -> v, "buckets" -> buckets) ++ nvKeys(n) ++ vxKeys(sig))
+      Map("edges" -> v, "buckets" -> buckets, "vertices" -> v) ++
+        nvKeys(n) ++ vxKeys(sig))
     dropBelow(spark, path, v - 1)
   }
 
-  /** Grace-window cleanup shared by [[write]] and [[compact]] (both
-    * copies share the one `edges` version): keep the immediately-
-    * previous snapshot for in-flight readers, reclaim everything
-    * older — delete `v<k>` for k < `keepMin` in both copies. */
+  /** Grace-window cleanup shared by [[write]] and [[compact]] (all
+    * three tables share the one `edges` version): keep the
+    * immediately-previous snapshot for in-flight readers, reclaim
+    * everything older — delete `v<k>` for k < `keepMin`. */
   private def dropBelow(spark: SparkSession, path: String, keepMin: Int): Unit = {
     val fs = StoreManifest.fsOf(spark, path)
-    for (t <- Seq("by_src", "by_dst"); k <- 1 until keepMin) {
+    for (t <- Seq("by_src", "by_dst", "vertices"); k <- 1 until keepMin) {
       val dir = s"$path/$t/v$k"
       if (fs.exists(new org.apache.hadoop.fs.Path(dir))) {
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
@@ -147,25 +153,43 @@ object EdgeStore {
           "would fall outside the universe; vertices may only be added")
       // superset with unchanged cardinality ⟺ the SAME set — so at
       // equal count the checksum must match exactly; a swapped
-      // universe (the count-only guard's blind spot) fails loudly. A
-      // strictly grown set is accepted on count + the closure of its
-      // own edges (a shrunk-and-padded substitute is not provable
-      // from aggregates alone; documented limitation).
+      // universe (the count-only guard's blind spot) fails loudly
       if (n == prev) vertexSig(spark, path).foreach(rec => require(sig == rec,
         s"EdgeStore.upsert: vertex count unchanged ($n) but the id set " +
           s"differs (checksum $sig vs recorded $rec) — vertices may only " +
           "be added, never swapped"))
     }
+    // the COMPLETE superset proof (what count+checksum cannot give for
+    // a strictly-grown set): every STORED vertex must still be in the
+    // caller's universe — a node-sized anti-join against the persisted
+    // vertex set, limit-probed (any single stray id fails). Pre-r16
+    // stores have no vertices table; this upsert starts one, so the
+    // proof holds from the next upsert on.
+    val (v, buckets) = (m("edges"), m("buckets"))
+    m.get("vertices") match {
+      case Some(vv) =>
+        val stored = spark.read.parquet(s"$path/vertices/v$vv")
+        val stray = stored.join(ids, Seq("id"), "left_anti").limit(1).count()
+        require(stray == 0L,
+          s"EdgeStore.upsert: the caller's universe is missing stored " +
+            "vertices — vertices may only be added, never dropped or swapped")
+        // append only the DELTA (new \ stored): the persisted set grows
+        // to equal the new universe without rewriting it
+        ids.join(stored, Seq("id"), "left_anti")
+          .write.mode("append").parquet(s"$path/vertices/v$vv")
+      case None => // legacy store: materialize the set going forward
+        ids.write.mode("overwrite").parquet(s"$path/vertices/v$v")
+    }
     val closed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (v, buckets) = (m("edges"), m("buckets"))
     BucketedTables.append(closed, s"$path/by_src/v$v", "src", "src", buckets)
     BucketedTables.append(closed, s"$path/by_dst/v$v", "dst", "dst", buckets)
     closed.unpersist()
     StoreManifest.commit(spark, path,
-      Map("edges" -> v, "buckets" -> buckets) ++ nvKeys(n) ++ vxKeys(sig))
+      Map("edges" -> v, "buckets" -> buckets,
+        "vertices" -> m.getOrElse("vertices", v)) ++ nvKeys(n) ++ vxKeys(sig))
   }
 
   /** The current snapshot's src-bucketed copy — zero-exchange side of
@@ -211,8 +235,17 @@ object EdgeStore {
     BucketedTables.write(
       compactInput(spark, s"$path/by_dst/v$v"), s"$path/by_dst/v${v + 1}",
       "dst", "dst", buckets)
+    // the vertices table rides along (upsert appends node deltas —
+    // compaction collapses them); a pre-r16 store simply has none yet
+    val vertKeys = m.get("vertices") match {
+      case Some(vv) =>
+        compactInput(spark, s"$path/vertices/v$vv").coalesce(buckets)
+          .write.mode("overwrite").parquet(s"$path/vertices/v${v + 1}")
+        Map("vertices" -> (v + 1))
+      case None => Map.empty[String, Int]
+    }
     StoreManifest.commit(spark, path,
-      Map("edges" -> (v + 1), "buckets" -> buckets) ++
+      Map("edges" -> (v + 1), "buckets" -> buckets) ++ vertKeys ++
         m.filter { case (k, _) => k.startsWith("nv_") || k.startsWith("vx_") })
     dropBelow(spark, path, v)
     CompactReport(before,

@@ -751,6 +751,259 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // LLM02: llm01's MULTILINGUAL option — the same disposition-table
+    // pipeline with CCNet per-language routing (t71) in place of the
+    // drop-non-en gate: registrable-domain quota → char-3-gram langid
+    // routing (profiles trained on the labeled reference tenth;
+    // gramless docs drop) → exact dedup keep-first → benchmark
+    // decontamination → PER-LANGUAGE interpolated-KN perplexity with
+    // CCNet terciles cut within language — the tail tercile drops
+    // (the CCNet sampling discipline), head/middle keep with their
+    // bucket on the card. English-specific content rules (Gopher,
+    // quality) are deliberately absent: they are per-language rules a
+    // multilingual pipeline applies AFTER routing, out of scope for
+    // this composition. %50==27 docs carry llm01's injected duplicate
+    // so the dedup stage has live work. First-failing-gate dispositions,
+    // join-bearing stages see only earlier-gate survivors.
+    QueryDef.of("llm02_corpus_multilang",
+      s"""WITH base AS (SELECT doc_id, CASE WHEN doc_id % 50 = 27
+         |    THEN 'the data of the run is a good run for the train set and the rest of the same corpus again and the data of the run is a good run for the train set again'
+         |    ELSE text END AS text
+         |  FROM documents WHERE doc_id % 20 <> 0),
+         |uraw AS (SELECT doc_id, n_chars, CASE CAST(doc_id % 4 AS INT)
+         |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/p/' ||
+         |      CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+         |    WHEN 1 THEN 'https://Node-' || source || '.ORG:8443/a/b?z=9&y=8'
+         |    WHEN 2 THEN 'https://' || source || '.net:443'
+         |    ELSE 'ftp://Files.' || source || '.io/data#sec' END AS url
+         |  FROM documents WHERE doc_id % 20 <> 0),
+         |uh AS (SELECT doc_id, n_chars,
+         |    lower(regexp_replace(regexp_extract(
+         |      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+         |      '^([^/?#]*)', 1), ':[0-9]+$$', '')) AS host
+         |  FROM uraw),
+         |usp AS (SELECT doc_id, n_chars, host,
+         |    string_split(host, '.') AS parts, len(string_split(host, '.')) AS n
+         |  FROM uh),
+         |ukb AS (SELECT *, coalesce(list_max(list_transform(range(1, n), k -> CASE
+         |      WHEN list_contains(['com','org','net','io','co.uk'],
+         |        array_to_string(list_slice(parts, -CAST(k AS INT), -1), '.'))
+         |      THEN k ELSE 0 END)), 0) AS kbest
+         |  FROM usp),
+         |urd AS (SELECT doc_id, n_chars,
+         |    CASE WHEN kbest > 0 THEN
+         |      array_to_string(list_slice(parts, -CAST(kbest + 1 AS INT), -1), '.')
+         |    ELSE host END AS rdomain
+         |  FROM ukb),
+         |uq AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id,
+         |    SUM(n_chars) OVER (PARTITION BY rdomain
+         |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM urd) WHERE cum <= 25000),
+         |cref AS (SELECT doc_id, lang,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |gref AS (SELECT lang, unnest(CASE WHEN len(s) >= 3
+         |    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+         |    ELSE [] END) AS gr
+         |  FROM cref),
+         |pf AS (SELECT lang, gr, count(*) AS cnt FROM gref GROUP BY 1, 2),
+         |pr AS MATERIALIZED (SELECT lang, gr,
+         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) AS rank
+         |  FROM pf
+         |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) <= 40),
+         |rlangs AS (SELECT DISTINCT lang AS cand FROM documents WHERE doc_id % 20 = 0),
+         |cdoc AS (SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+         |  FROM base),
+         |gdoc AS (SELECT doc_id, unnest(CASE WHEN len(s) >= 3
+         |    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+         |    ELSE [] END) AS gr
+         |  FROM cdoc),
+         |dist AS (SELECT dg.doc_id, l.cand,
+         |    CAST(SUM(coalesce(pr.rank, 41)) AS BIGINT) AS dist
+         |  FROM gdoc dg CROSS JOIN rlangs l
+         |  LEFT JOIN pr ON pr.lang = l.cand AND pr.gr = dg.gr
+         |  GROUP BY 1, 2),
+         |best AS MATERIALIZED (SELECT doc_id, cand AS lang FROM dist
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1),
+         |surv1 AS (SELECT b.doc_id, b.text FROM base b JOIN best USING (doc_id)
+         |  WHERE b.doc_id IN (SELECT doc_id FROM uq)),
+         |fp AS (SELECT doc_id, md5($CANON) AS fp FROM surv1),
+         |kp AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
+         |dups AS (SELECT f.doc_id FROM fp f JOIN kp USING (fp) WHERE f.doc_id <> kp.keep_id),
+         |ded AS (SELECT doc_id, text FROM surv1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+         |dtoks AS (SELECT doc_id, $CTOKS AS t FROM ded),
+         |sh0 AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM dtoks),
+         |btoks AS (SELECT doc_id, $CTOKS AS t FROM documents WHERE doc_id % 20 = 0),
+         |bench AS (SELECT DISTINCT
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM btoks),
+         |ov AS MATERIALIZED (SELECT s.id AS doc_id,
+         |    round(count(b.sh) / CAST(count(*) AS DOUBLE), 6) AS overlap_frac
+         |  FROM sh0 s LEFT JOIN bench b ON s.sh = b.sh GROUP BY s.id),
+         |dec AS MATERIALIZED (SELECT d2.doc_id, d2.text FROM ded d2
+         |  LEFT JOIN ov ON d2.doc_id = ov.doc_id
+         |  WHERE coalesce(ov.overlap_frac, 0) < 0.5),
+         |tr AS (SELECT lang, $CTOKS AS t FROM documents WHERE doc_id % 20 = 0),
+         |g5r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM tr),
+         |t5 AS MATERIALIZED (SELECT lang, g, count(*) AS c5 FROM g5r GROUP BY 1, 2),
+         |g4r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g FROM tr),
+         |c4t AS MATERIALIZED (SELECT lang, g AS ctx4, count(*) AS c4 FROM g4r GROUP BY 1, 2),
+         |lam5 AS (SELECT lang, array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4, count(*) AS lam5 FROM t5 GROUP BY 1, 2),
+         |cont4 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s, count(*) AS cont4 FROM t5 GROUP BY 1, 2),
+         |mid4 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3, count(*) AS denom4,
+         |    count(DISTINCT string_split(g, ' ')[5]) AS lam4 FROM t5 GROUP BY 1, 2),
+         |t4y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g4r),
+         |cont3 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:4], ' ') AS g3s, count(*) AS cont3 FROM t4y GROUP BY 1, 2),
+         |mid3 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:3], ' ') AS ctx2, count(*) AS denom3,
+         |    count(DISTINCT string_split(g, ' ')[4]) AS lam3 FROM t4y GROUP BY 1, 2),
+         |g3r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS g FROM tr),
+         |t3y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g3r),
+         |cont2 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:3], ' ') AS g2s, count(*) AS cont2 FROM t3y GROUP BY 1, 2),
+         |mid2 AS (SELECT lang, string_split(g, ' ')[2] AS w4k, count(*) AS denom2,
+         |    count(DISTINCT string_split(g, ' ')[3]) AS lam2 FROM t3y GROUP BY 1, 2),
+         |g2r AS (SELECT lang, unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS g FROM tr),
+         |t2y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g2r),
+         |cont1 AS (SELECT lang, string_split(g, ' ')[2] AS w5k, count(*) AS cont1 FROM t2y GROUP BY 1, 2),
+         |sc0 AS (SELECT lang, CAST(count(*) AS DOUBLE) AS denom1 FROM t2y GROUP BY 1),
+         |vv AS (SELECT lang, CAST(count(DISTINCT w) AS DOUBLE) AS v
+         |  FROM (SELECT lang, unnest(t) AS w FROM tr) GROUP BY 1),
+         |d AS (SELECT dd.doc_id, b.lang, $CTOKS AS t
+         |  FROM dec dd JOIN best b USING (doc_id)),
+         |f AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM d),
+         |keys AS (SELECT doc_id, lang, g,
+         |    array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4,
+         |    array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s,
+         |    array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3,
+         |    array_to_string(string_split(g, ' ')[3:5], ' ') AS g3s,
+         |    array_to_string(string_split(g, ' ')[3:4], ' ') AS ctx2,
+         |    array_to_string(string_split(g, ' ')[4:5], ' ') AS g2s,
+         |    string_split(g, ' ')[4] AS w4k, string_split(g, ' ')[5] AS w5k
+         |  FROM f),
+         |j AS MATERIALIZED (SELECT doc_id, lang, keys.g,
+         |    coalesce(t5.c5, 0) AS c5, coalesce(c4t.c4, 0) AS c4, coalesce(lam5.lam5, 0) AS lam5,
+         |    coalesce(cont4.cont4, 0) AS cont4, coalesce(mid4.denom4, 0) AS denom4, coalesce(mid4.lam4, 0) AS lam4,
+         |    coalesce(cont3.cont3, 0) AS cont3, coalesce(mid3.denom3, 0) AS denom3, coalesce(mid3.lam3, 0) AS lam3,
+         |    coalesce(cont2.cont2, 0) AS cont2, coalesce(mid2.denom2, 0) AS denom2, coalesce(mid2.lam2, 0) AS lam2,
+         |    coalesce(cont1.cont1, 0) AS cont1, denom1, v
+         |  FROM keys LEFT JOIN t5 USING (lang, g)
+         |  LEFT JOIN c4t USING (lang, ctx4) LEFT JOIN lam5 USING (lang, ctx4)
+         |  LEFT JOIN cont4 USING (lang, g4s) LEFT JOIN mid4 USING (lang, ctx3)
+         |  LEFT JOIN cont3 USING (lang, g3s) LEFT JOIN mid3 USING (lang, ctx2)
+         |  LEFT JOIN cont2 USING (lang, g2s) LEFT JOIN mid2 USING (lang, w4k)
+         |  LEFT JOIN cont1 USING (lang, w5k)
+         |  JOIN sc0 USING (lang) JOIN vv USING (lang)),
+         |p1c AS (SELECT *, (cont1 + 0.5) / (denom1 + 0.5 * v) AS p1 FROM j),
+         |p2c AS (SELECT *, CASE WHEN denom2 > 0
+         |    THEN (GREATEST(cont2 - 0.75, 0) + 0.75 * lam2 * p1) / denom2 ELSE p1 END AS p2 FROM p1c),
+         |p3c AS (SELECT *, CASE WHEN denom3 > 0
+         |    THEN (GREATEST(cont3 - 0.75, 0) + 0.75 * lam3 * p2) / denom3 ELSE p2 END AS p3 FROM p2c),
+         |p4c AS (SELECT *, CASE WHEN denom4 > 0
+         |    THEN (GREATEST(cont4 - 0.75, 0) + 0.75 * lam4 * p3) / denom4 ELSE p3 END AS p4 FROM p3c),
+         |p5c AS (SELECT doc_id, lang, CASE WHEN c4 > 0 AND lam5 > 0
+         |    THEN (GREATEST(c5 - 0.75, 0) + 0.75 * lam5 * p4) / c4 ELSE p4 END AS p5 FROM p4c),
+         |scs AS (SELECT doc_id, lang, CAST(round(-ln(p5) * 1000000.0) AS BIGINT) AS m FROM p5c),
+         |ppl AS (SELECT doc_id, lang,
+         |    round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
+         |  FROM scs GROUP BY 1, 2),
+         |nt AS MATERIALIZED (SELECT doc_id, lang,
+         |    ntile(3) OVER (PARTITION BY lang ORDER BY avg_neg_logp, doc_id) AS b
+         |  FROM ppl)
+         |SELECT base.doc_id,
+         |  coalesce(best.lang, '') AS pred_lang,
+         |  CASE WHEN nt.b = 1 THEN 'head' WHEN nt.b = 2 THEN 'middle'
+         |       WHEN nt.b = 3 THEN 'tail' END AS bucket,
+         |  CASE WHEN base.doc_id NOT IN (SELECT doc_id FROM uq) THEN 'drop_domain_quota'
+         |       WHEN best.doc_id IS NULL THEN 'drop_lang'
+         |       WHEN base.doc_id IN (SELECT doc_id FROM dups) THEN 'drop_duplicate'
+         |       WHEN coalesce(ov.overlap_frac, 0) >= 0.5 THEN 'drop_contaminated'
+         |       WHEN nt.b IS NULL THEN 'drop_short'
+         |       WHEN nt.b = 3 THEN 'drop_perplexity_tail'
+         |       ELSE 'kept' END AS disposition
+         |FROM base LEFT JOIN best USING (doc_id) LEFT JOIN ov USING (doc_id)
+         |LEFT JOIN nt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ref = docs.filter(col("doc_id") % 20 === 0)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          when(col("doc_id") % 50 === 27,
+            lit("the data of the run is a good run for the train set " +
+              "and the rest of the same corpus again and the data of " +
+              "the run is a good run for the train set again"))
+            .otherwise(col("text")).as("text"))
+      val url = (when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/p/"),
+            col("doc_id").cast("string"), lit("?utm_source=x&b=2&a=1#frag")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("https://Node-"), col("source"), lit(".ORG:8443/a/b?z=9&y=8")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://"), col("source"), lit(".net:443")))
+        .otherwise(
+          concat(lit("ftp://Files."), col("source"), lit(".io/data#sec"))))
+      val quotaKept = graft.operators.Sampling.selectToBudgetPerGroupUniform(
+          corpus.select(col("doc_id"),
+            graft.functions.UrlFunctions.registrableDomain(
+              graft.functions.UrlFunctions.urlHost(url),
+              Seq("com", "org", "net", "io", "co.uk")).as("rdomain"),
+            col("n_chars"), col("n_chars").cast("double").as("score")),
+          "rdomain", "score", "doc_id", "n_chars", budgetPerGroup = 25000L)
+        .select(col("doc_id")).withColumn("__q_in", lit(1))
+      // routing: char-3-gram profiles trained on the LABELED reference
+      val profiles = graft.operators.LangId.trainProfiles(ref, "lang", "text")
+      val routed = graft.operators.LangId
+        .classify(corpus, "doc_id", "text", profiles)
+        .select(col("doc_id"), col("pred_lang"))
+      val flags = corpus.select(col("doc_id"), col("text"))
+        .join(quotaKept, Seq("doc_id"), "left")
+        .join(routed, Seq("doc_id"))
+        .withColumn("l_ok", col("pred_lang") =!= "")
+      val surv1 = flags.filter(col("__q_in") === 1 && col("l_ok"))
+        .select("doc_id", "text", "pred_lang")
+      val keyed = surv1.select(col("doc_id"),
+        md5(TextFunctions.canonicalText(col("text"))).as("__fp"))
+      val dups = keyed
+        .withColumn("__keep", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+        .filter(col("doc_id") =!= col("__keep"))
+        .select(col("doc_id")).withColumn("__dup", lit(1))
+      val ded = surv1.join(dups, Seq("doc_id"), "left_anti")
+      val ov = graft.operators.Decontaminate
+        .ngramOverlap(ded, "doc_id", "text", ref, "text", n = 3)
+        .select(col("doc_id"), col("overlap_frac"))
+      val dec = ded.join(ov, Seq("doc_id"), "left")
+        .filter(coalesce(col("overlap_frac"), lit(0.0)) < 0.5)
+        .select("doc_id", "text", "pred_lang")
+      // per-language KN scoring + CCNet terciles WITHIN language: the
+      // tail tercile drops, head/middle keep with their bucket
+      val ppl = graft.operators.TextModel.knFivegramCrossPerplexityByLang(
+        ref, "lang", "text", dec, "doc_id", "pred_lang", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pred_lang")).orderBy(col("avg_neg_logp"), col("doc_id"))
+      val buck = ppl.withColumn("__b", ntile(3).over(w))
+        .select(col("doc_id"), col("__b"))
+      flags
+        .join(dups, Seq("doc_id"), "left")
+        .join(ov, Seq("doc_id"), "left")
+        .join(buck, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("pred_lang"),
+          when(col("__b") === 1, lit("head")).when(col("__b") === 2, lit("middle"))
+            .when(col("__b") === 3, lit("tail")).as("bucket"),
+          when(col("__q_in").isNull, lit("drop_domain_quota"))
+            .when(!col("l_ok"), lit("drop_lang"))
+            .when(col("__dup") === 1, lit("drop_duplicate"))
+            .when(coalesce(col("overlap_frac"), lit(0.0)) >= 0.5,
+              lit("drop_contaminated"))
+            .when(col("__b").isNull, lit("drop_short"))
+            .when(col("__b") === 3, lit("drop_perplexity_tail"))
+            .otherwise(lit("kept")).as("disposition"))
+        .orderBy("doc_id")
+    },
+
     // Heuristic language ID — marker-word argmax, declaration-order
     // ties, 'und' when nothing matches.
     QueryDef.of("t02_lang_id",

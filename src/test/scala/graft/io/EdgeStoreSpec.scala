@@ -119,6 +119,20 @@ class EdgeStoreSpec extends AnyFunSuite {
       Seq((5L, 30L)).toDF("src", "dst"), "src", "dst")
     assert(EdgeStore.vertexCount(spark, path) === Some(31L))
     assert(PageRank.runIndexed(grown, "id", path, iterations = 2).count() === 31L)
+    // the GROWN-BUT-SWAPPED case (count+checksum cannot catch it —
+    // the persisted vertex set can): 33 > 31 vertices, but id 29 was
+    // dropped along the way — a stored vertex outside the new
+    // universe must fail loudly
+    val grownSwapped = ((0L until 29L) ++ Seq(30L, 100L, 101L, 102L)).toDF("id")
+    val e4 = intercept[IllegalArgumentException] {
+      EdgeStore.upsert(path, grownSwapped, "id",
+        Seq((1L, 2L)).toDF("src", "dst"), "src", "dst")
+    }
+    assert(e4.getMessage.contains("missing stored"))
+    // the honest grown universe still passes after the rejected try
+    EdgeStore.upsert(path, (0L until 33L).toDF("id"), "id",
+      Seq((31L, 32L)).toDF("src", "dst"), "src", "dst")
+    assert(EdgeStore.vertexCount(spark, path) === Some(33L))
   }
 
   test("compact: fewer files, identical ranks, one atomic publish, grace window") {

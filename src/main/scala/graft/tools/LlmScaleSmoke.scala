@@ -465,6 +465,27 @@ object LlmScaleSmoke {
       val t68r = graft.operators.TextModel
         .modifiedKnFivegramCrossPerplexity(ref, "text", tgt, "doc_id", "text")
         .agg(count(lit(1)).cast("long"), sum("n_fivegrams").cast("long")).first()
+      // t71 (r16): per-language CCNet routing under VERBATIM id-offset
+      // replication — langid profiles train on c× counts (same ranks,
+      // ties by gram unchanged), so every copy routes like copy 0 and
+      // per-language scored ROWS are exactly linear; the lang-keyed
+      // one-pass KN must not leak grams across languages (a cross-lang
+      // join key would show up as nonlinear per-language rows), and
+      // terciles stay ntile-balanced within ±1 of n/3 per language
+      val langDocs = graft.sources.Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "lang")
+      def verbatim71(df: org.apache.spark.sql.DataFrame) =
+        (0 until c).map { k =>
+          if (k == 0) df
+          else df.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        }.reduce(_.unionByName(_))
+      val t71m = graft.operators.TextModel.ccnetPerLanguageBuckets(
+          verbatim71(langDocs.filter(col("doc_id") % 10 === 0)), "lang", "text",
+          verbatim71(langDocs.filter(col("doc_id") % 10 =!= 0)), "doc_id", "text")
+        .groupBy("pred_lang", "bucket").count()
+        .collect()
+        .groupBy(_.getString(0)).view.mapValues(rows =>
+          rows.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
       // t70: tercile bucket COUNTS are exactly n·c/3-partitioned by
       // ntile regardless of where tied scores land across copies
       val t70ppl = graft.operators.TextModel
@@ -519,10 +540,23 @@ object LlmScaleSmoke {
         f"line_pass=$linePass")
       (c, t60r.getLong(0), t60r.getLong(1), t66r.getLong(0), t66r.getLong(1),
         bpeToks, wpToks, uni, survivors, gopherPass,
-        t68r.getLong(0), t68r.getLong(1), linePass, t70counts)
+        t68r.getLong(0), t68r.getLong(1), linePass, t70counts, t71m)
     }
     val l1 = lmRuns.head
-    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp, t70c) =>
+    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp, t70c, t71c) =>
+      // t71: same language set at every scale; per-language scored
+      // rows exactly linear; tercile split ntile-balanced (±1 of n/3)
+      val base71 = l1._15
+      check(t71c.keySet == base71.keySet,
+        s"scale=$c t71 routed language set stable (${base71.keySet}->${t71c.keySet})")
+      t71c.foreach { case (lang, buckets) =>
+        val rows = buckets.values.sum
+        val baseRows = base71.get(lang).map(_.values.sum).getOrElse(0L)
+        check(rows * l1._1 == baseRows * c,
+          s"scale=$c t71 lang=$lang scored rows EXACTLY linear ($baseRows->$rows)")
+        check(buckets.values.forall(b => math.abs(b - rows / 3.0) <= 1.0),
+          s"scale=$c t71 lang=$lang terciles within ±1 of n/3 ($buckets)")
+      }
       // scored-row total must be exactly linear; the per-bucket split
       // is ntile's ±1 balance around n/3 (exact c× bucket counts only
       // hold when the doc count divides by 3 — a fixture-size change

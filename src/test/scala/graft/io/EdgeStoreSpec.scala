@@ -135,6 +135,38 @@ class EdgeStoreSpec extends AnyFunSuite {
     assert(EdgeStore.vertexCount(spark, path) === Some(33L))
   }
 
+  test("foreachBatch ingestion: streamed daily edge upserts equal one fresh write") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the daily-crawl cadence as a live feed over the persisted store
+    // (the MediaIndex/DedupIndex streaming discipline): each batch of
+    // crawled edges upserts against the standing universe; ranks over
+    // the streamed store must equal one fresh write of the union
+    val path = tmpPath("stream")
+    val (day1, rest) = allEdges.partition { case (a, b) => (a + b) % 3 == 0 }
+    val (day2, day3) = rest.partition { case (a, b) => (a * b) % 2 == 0 }
+    EdgeStore.write(path, nodes, "id", day1.toDF("src", "dst"), "src", "dst")
+    val input = MemoryStream[(Long, Long)]
+    val query = input.toDF().toDF("src", "dst").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        EdgeStore.upsert(path, nodes, "id", batch.toDF(), "src", "dst")
+        ()
+      }
+      .start()
+    try {
+      Seq(day2, day3).foreach { d => input.addData(d); query.processAllAvailable() }
+    } finally query.stop()
+
+    val fresh = tmpPath("stream_fresh")
+    EdgeStore.write(fresh, nodes, "id", allEdges.toDF("src", "dst"), "src", "dst")
+    val prA = PageRank.runIndexed(nodes, "id", path, iterations = 4)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    val prB = PageRank.runIndexed(nodes, "id", fresh, iterations = 4)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(prA.map(_._1) === prB.map(_._1))
+    prA.zip(prB).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) < 1e-12) }
+  }
+
   test("compact: fewer files, identical ranks, one atomic publish, grace window") {
     val path = tmpPath("cmp")
     val (day1, rest) = allEdges.partition { case (a, b) => (a + b) % 3 == 0 }

@@ -46,6 +46,19 @@ object Pii {
     regexp_replace(p, Ipv4Re, "[IP]")
   }
 
+  /** The `has_pii` flag alone as ONE column expression — for pipelines
+    * that only need the boolean on their data card, computed inline in
+    * an existing projection instead of joining [[detect]]'s frame back
+    * (a needless self-join shuffle). Same progressive-redaction counts
+    * as [[detect]], so the two always agree. */
+  def hasPii(c: Column): Column = {
+    val afterEmail = regexp_replace(c, EmailRe, "[EMAIL]")
+    val afterSsn = regexp_replace(afterEmail, SsnRe, "[SSN]")
+    (countMatches(c, EmailRe) + countMatches(afterEmail, SsnRe) +
+      countMatches(afterSsn, PhoneRe) +
+      countMatches(regexp_replace(afterSsn, PhoneRe, "[PHONE]"), Ipv4Re)) > 0
+  }
+
   /** Adds per-family counts, a `has_pii` flag, and the redacted text.
     * One projection — no shuffle, no action.
     *

@@ -685,11 +685,9 @@ object QText {
             col("n_chars"), col("n_chars").cast("double").as("score")),
           "rdomain", "score", "doc_id", "n_chars", budgetPerGroup = 25000L)
         .select(col("doc_id")).withColumn("__q_in", lit(1))
-      // PII disposition column (t13): map-only detect over every doc —
-      // the data card records it; production redacts rather than drops
-      val pii = graft.functions.Pii
-        .detect(corpus.select(col("doc_id"), col("text")), "text")
-        .select(col("doc_id"), col("has_pii"))
+      // PII disposition column (t13): one map-only column expression
+      // riding the flags projection — the data card records it;
+      // production redacts rather than drops
       val gok = graft.operators.QualityRules
         .gopher(corpus, "doc_id", "text", minWords = 20, minStopwords = 1)
         .select(col("doc_id"), col("pass").as("g_ok"))
@@ -702,7 +700,8 @@ object QText {
         .select(col("doc_id"), col("pass").as("ln_ok"))
       val flags = corpus.select(col("doc_id"), col("text"),
           round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
-          TextFunctions.langId(col("text")).as("lang"))
+          TextFunctions.langId(col("text")).as("lang"),
+          graft.functions.Pii.hasPii(col("text")).as("has_pii"))
         .join(gok, Seq("doc_id"))
         .join(lns, Seq("doc_id"))
         .join(quotaKept, Seq("doc_id"), "left")
@@ -732,7 +731,6 @@ object QText {
         .knFivegramCrossPerplexity(bench, "text", dec, "doc_id", "text")
         .select(col("doc_id"), col("avg_neg_logp"))
       flags
-        .join(pii, Seq("doc_id"))
         .join(dups, Seq("doc_id"), "left")
         .join(ov, Seq("doc_id"), "left")
         .join(ppl, Seq("doc_id"), "left")

@@ -455,14 +455,8 @@ object TextModel {
       docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75, k: Double = 0.5,
       langN: Int = 3, langTopK: Int = 40): DataFrame = {
-    val profiles = LangId.trainProfiles(
-      reference, refLangCol, refTextCol, langN, langTopK)
-    val routed = LangId.classify(docs, idCol, textCol, profiles, langN, langTopK)
-      .select(col(idCol), col("pred_lang"))
-    val ppl = knFivegramCrossPerplexityByLang(
-      reference, refLangCol, refTextCol,
-      docs.join(routed, Seq(idCol)), idCol, "pred_lang", textCol,
-      discount, k)
+    val ppl = routedPerplexity(reference, refLangCol, refTextCol,
+      docs, idCol, textCol, discount, k, langN, langTopK)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pred_lang")).orderBy(col("avg_neg_logp"), col(idCol))
     ppl.withColumn("__b", ntile(3).over(w))
@@ -470,6 +464,57 @@ object TextModel {
         when(col("__b") === 1, lit("head"))
           .when(col("__b") === 2, lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /**
+   * The 100 TB form of [[ccnetPerLanguageBuckets]] — BOUNDARY
+   * bucketing instead of the exact per-language rank window (whose
+   * single partition per language is fine in CCNet's per-language-
+   * shard regime but not at 100 TB of ONE language): the two tercile
+   * boundaries per language come from `approx_percentile` (one
+   * aggregate pass, a 2-double-per-language synopsis) and the labels
+   * are applied MAP-SIDE under a broadcast of the |langs|-row boundary
+   * table — no window, no per-language partition, no sort.
+   *
+   * Semantics difference, by design: boundary labeling is VALUE-based
+   * — every doc at one score lands in one bucket (ties never straddle
+   * a boundary), and bucket sizes are approximate rather than exactly
+   * n/3 (spec-pinned within the sketch's rank-error of the exact
+   * tercile cut; at `accuracy` ≥ the per-language doc count the
+   * boundaries are exact order statistics).
+   */
+  def ccnetPerLanguageBucketsApprox(
+      reference: DataFrame, refLangCol: String, refTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, k: Double = 0.5,
+      langN: Int = 3, langTopK: Int = 40,
+      accuracy: Int = 10000): DataFrame = {
+    val ppl = routedPerplexity(reference, refLangCol, refTextCol,
+      docs, idCol, textCol, discount, k, langN, langTopK)
+    val bounds = ppl.groupBy("pred_lang").agg(
+      percentile_approx(col("avg_neg_logp"), lit(1.0 / 3), lit(accuracy)).as("__b1"),
+      percentile_approx(col("avg_neg_logp"), lit(2.0 / 3), lit(accuracy)).as("__b2"))
+    ppl.join(broadcast(bounds), Seq("pred_lang"))
+      .select(col(idCol), col("pred_lang"), col("avg_neg_logp"),
+        when(col("avg_neg_logp") <= col("__b1"), lit("head"))
+          .when(col("avg_neg_logp") <= col("__b2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Shared front half of the CCNet bucketers: langid routing +
+    * per-language KN scoring. */
+  private def routedPerplexity(
+      reference: DataFrame, refLangCol: String, refTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double, k: Double, langN: Int, langTopK: Int): DataFrame = {
+    val profiles = LangId.trainProfiles(
+      reference, refLangCol, refTextCol, langN, langTopK)
+    val routed = LangId.classify(docs, idCol, textCol, profiles, langN, langTopK)
+      .select(col(idCol), col("pred_lang"))
+    knFivegramCrossPerplexityByLang(
+      reference, refLangCol, refTextCol,
+      docs.join(routed, Seq(idCol)), idCol, "pred_lang", textCol,
+      discount, k)
   }
 
   /** The Chen & Goodman (1999) closed-form discount estimates from an

@@ -1234,6 +1234,54 @@ class OperatorSpecs extends AnyFunSuite {
         s"(routed=$routed, single=$singleB)")
   }
 
+  test("ccnetPerLanguageBucketsApprox: boundary labels track the exact terciles map-side") {
+    // the 100 TB form: approx_percentile boundaries + broadcast
+    // map-side labeling — same routing and scores as the exact cut;
+    // at accuracy >= per-language doc count the boundaries are exact
+    // order statistics, so bucket counts sit within ±1 of the exact
+    // tercile's (value-based labeling may move one boundary doc).
+    // Scores must be DISTINCT per language for the comparison — doc i
+    // carries i+1 novel tail tokens, so its unseen-gram fraction (and
+    // anp) strictly increases (ccnetDocs' one-novel-token docs all TIE,
+    // and tied docs land in one bucket under value labeling by design)
+    val docsVaried = (
+      Seq.tabulate(6)(i => (1L + i,
+        "the cat sat on the mat and the dog ran " +
+          (0 to i).map(j => s"n$j").mkString(" "))) ++
+      Seq.tabulate(6)(i => (11L + i,
+        "der hund und die katze mit dem ball " +
+          (0 to i).map(j => s"q$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val exact = TextModel.ccnetPerLanguageBuckets(
+        ccnetRef, "lang", "text", docsVaried, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(3)))).toMap
+    val approx = TextModel.ccnetPerLanguageBucketsApprox(
+        ccnetRef, "lang", "text", docsVaried, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(3)))).toMap
+    assert(approx.keySet === exact.keySet)
+    assert(approx.forall { case (id, (l, _)) => exact(id)._1 == l },
+      "routing must be identical — only the bucket cut differs")
+    Seq("en", "de").foreach { l =>
+      Seq("head", "middle", "tail").foreach { b =>
+        val e = exact.count { case (_, (l2, b2)) => l2 == l && b2 == b }
+        val a = approx.count { case (_, (l2, b2)) => l2 == l && b2 == b }
+        assert(math.abs(a - e) <= 1, s"lang=$l bucket=$b: approx $a vs exact $e")
+      }
+    }
+    // buckets respect the score order: no head doc scores above any
+    // tail doc of the same language
+    val scores = TextModel.knFivegramCrossPerplexity(
+        ccnetRef.filter(col("lang") === "en"), "text",
+        docsVaried.filter(col("doc_id") <= 6), "doc_id", "text")
+      .select("doc_id", "avg_neg_logp")
+      .as[(Long, Double)].collect().toMap
+    val enHeadMax = approx.collect {
+      case (id, ("en", "head")) => scores(id) }.maxOption
+    val enTailMin = approx.collect {
+      case (id, ("en", "tail")) => scores(id) }.minOption
+    for (h <- enHeadMax; t <- enTailMin) assert(h <= t)
+  }
+
   test("tfidfKeywords surfaces distinctive terms over ubiquitous ones") {
     val docs = Seq(
       (1L, "alpha alpha alpha shared shared"),

@@ -321,6 +321,60 @@ object IngestScaleSmoke {
         .gate(spark, idxPath, fixedBatch, "doc_id", "text", 3, 12, 4, 0.5).count()
       Thread.sleep(1000) // bound listener-bus delivery lag
       val gateBytes = inputTally.snapshotAndReset()
+
+      // ---- g01/EdgeStore lifecycle (r16): write + daily upsert +
+      // compact at every scale over c DISJOINT graph copies. Gates:
+      // the compacted store lands at exactly 2×buckets files no
+      // matter how many upserts preceded it (the PROFILE_COMPACT_r16
+      // defect would fail this), ranks are identical across the
+      // compaction, total rank mass stays 1, and per-copy mass is
+      // exactly 1/c (disjoint copies cannot leak rank). Outside the
+      // shuffle envelope like the t65 store I/O.
+      locally {
+        val gN = 3000L
+        def copyNodes(k: Int) = spark.range(gN)
+          .select((col("id") + k * 10000000L).as("id"))
+        def copyEdges(k: Int) = {
+          val off = k * 10000000L
+          Seq((7L, 1L), (3L, 2L), (11L, 5L)).map { case (m, b) =>
+            spark.range(gN).select(
+              (col("id") + off).as("src"),
+              (pmod(col("id") * m + b, lit(gN)) + off).as("dst"))
+          }.reduce(_.unionByName(_)).filter(col("src") =!= col("dst"))
+        }
+        val gNodes = (0 until c).map(copyNodes).reduce(_.unionByName(_))
+        val gEdges = (0 until c).map(copyEdges).reduce(_.unionByName(_))
+        val day1 = gEdges.filter(pmod(col("src") + col("dst"), lit(2)) === 0)
+        val day2 = gEdges.filter(pmod(col("src") + col("dst"), lit(2)) === 1)
+        val gp = s"/tmp/graft_ingest_smoke_edges_$c"
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(gp), true)
+        graft.io.EdgeStore.write(gp, gNodes, "id", day1, "src", "dst")
+        graft.io.EdgeStore.upsert(gp, gNodes, "id", day2, "src", "dst")
+        val pre = graft.operators.PageRank
+          .runIndexed(gNodes, "id", gp, iterations = 3)
+          .select(col("id"), col("pr")).orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        val rep = graft.io.EdgeStore.compact(spark, gp)
+        check(rep.filesAfter == 16L,
+          s"scale=$c edge-store compact lands at exactly 2x8 bucket files " +
+            s"(${rep.filesBefore}->${rep.filesAfter})")
+        val post = graft.operators.PageRank
+          .runIndexed(gNodes, "id", gp, iterations = 3)
+          .select(col("id"), col("pr")).orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        check(pre.length == c * gN &&
+            pre.zip(post).forall { case ((i1, p1), (i2, p2)) =>
+              i1 == i2 && math.abs(p1 - p2) < 1e-12 },
+          s"scale=$c ranks identical across the compaction (${pre.length} rows)")
+        val perCopy = pre.groupBy(_._1 / 10000000L).view.mapValues(_.map(_._2).sum)
+        check(math.abs(pre.map(_._2).sum - 1.0) < 1e-9 &&
+            perCopy.values.forall(s => math.abs(s - 1.0 / c) < 1e-9),
+          s"scale=$c rank mass 1 total, exactly 1/c per disjoint copy")
+      }
+      Thread.sleep(500)
+      tally.snapshotAndReset() // keep the graph-store I/O out of the envelope
+      inputTally.snapshotAndReset(): Unit
       docs.unpersist()
       scored.unpersist()
       println(f"INGEST_SMOKE scale=$c%-3d new=$newRows near_kept=$nearKept " +

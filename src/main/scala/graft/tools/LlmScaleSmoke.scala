@@ -486,6 +486,19 @@ object LlmScaleSmoke {
         .collect()
         .groupBy(_.getString(0)).view.mapValues(rows =>
           rows.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
+      // the approx-boundary (no-window) form must agree with the exact
+      // cut per (lang, bucket) within the value-labeling tie allowance
+      // at EVERY scale — sketch rank error growing with corpus size
+      // would show up here (accuracy stays fixed while n grows 10×)
+      val t71a = graft.operators.TextModel.ccnetPerLanguageBucketsApprox(
+          verbatim71(langDocs.filter(col("doc_id") % 10 === 0)), "lang", "text",
+          verbatim71(langDocs.filter(col("doc_id") % 10 =!= 0)), "doc_id", "text")
+        .groupBy("pred_lang", "bucket").count()
+        .collect()
+        .groupBy(_.getString(0)).view.mapValues(rows =>
+          rows.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
+      println("LLM_SMOKE note: llm02 not separately scaled (its stages are the " +
+        "t48/t52 quota, t71 routing+KN, CleanCorpus and t65-family gates above)")
       // t70: tercile bucket COUNTS are exactly n·c/3-partitioned by
       // ntile regardless of where tied scores land across copies
       val t70ppl = graft.operators.TextModel
@@ -540,10 +553,10 @@ object LlmScaleSmoke {
         f"line_pass=$linePass")
       (c, t60r.getLong(0), t60r.getLong(1), t66r.getLong(0), t66r.getLong(1),
         bpeToks, wpToks, uni, survivors, gopherPass,
-        t68r.getLong(0), t68r.getLong(1), linePass, t70counts, t71m)
+        t68r.getLong(0), t68r.getLong(1), linePass, t70counts, t71m, t71a)
     }
     val l1 = lmRuns.head
-    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp, t70c, t71c) =>
+    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp, t70c, t71c, t71ac) =>
       // t71: same language set at every scale; per-language scored
       // rows exactly linear; tercile split ntile-balanced (±1 of n/3)
       val base71 = l1._15
@@ -556,6 +569,17 @@ object LlmScaleSmoke {
           s"scale=$c t71 lang=$lang scored rows EXACTLY linear ($baseRows->$rows)")
         check(buckets.values.forall(b => math.abs(b - rows / 3.0) <= 1.0),
           s"scale=$c t71 lang=$lang terciles within ±1 of n/3 ($buckets)")
+        // approx boundaries: same rows per language; per-bucket counts
+        // within the tie allowance of the exact cut (every base doc
+        // has c verbatim-copy ties — value labeling keeps a tied run
+        // in ONE bucket, ntile splits it, so each of the two
+        // boundaries may move up to c docs)
+        val ab = t71ac.getOrElse(lang, Map.empty[String, Long])
+        check(ab.values.sum == rows &&
+            Seq("head", "middle", "tail").forall(bk =>
+              math.abs(ab.getOrElse(bk, 0L) - buckets.getOrElse(bk, 0L)) <= 2L * c),
+          s"scale=$c t71 lang=$lang approx-boundary buckets within the tie " +
+            s"allowance of exact (exact=$buckets approx=$ab)")
       }
       // scored-row total must be exactly linear; the per-bucket split
       // is ntile's ±1 balance around n/3 (exact c× bucket counts only

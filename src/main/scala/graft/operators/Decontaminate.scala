@@ -65,6 +65,60 @@ object Decontaminate {
   }
 
   /**
+   * The FIXED-BROADCAST form of [[ngramOverlap]] for benchmark suites
+   * too large to broadcast as rows (hundreds of eval sets pile up to
+   * hundreds of millions of distinct grams): the benchmark's gram set
+   * folds into ONE Bloom filter via Spark's built-in
+   * `bloom_filter_agg` (bitwise-OR mergeable partials, deterministic
+   * hashing, codegen'd `might_contain` probes — the machinery Spark
+   * itself uses for runtime row-group filtering), so the broadcast is
+   * `numBits/8` bytes NO MATTER how many benchmarks accumulate, and
+   * the corpus side stays one map-side probe plus the same
+   * two-longs-per-doc groupBy.
+   *
+   * One-sided error, the fallback discipline: a Bloom has NO false
+   * negatives, so every truly contaminated gram still counts —
+   * per-doc `n_hit` is ≥ the exact join's and thresholding can only
+   * drop MORE (conservative; spec-pinned). Size `numBits` for the
+   * accumulated benchmark gram count (~10 bits/gram ≈ 1% FP at the
+   * default 7 hashes Spark derives).
+   */
+  def ngramOverlapBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int,
+      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    // BloomFilterAggregate/BloomFilterMightContain are Spark built-ins
+    // (the runtime row-group-filtering machinery) but not registered
+    // in the SQL function registry — constructed directly via the
+    // expression bridge, like the repo's other native expressions.
+    // might_contain requires a CONSTANT filter, so the aggregate
+    // materializes to a driver-held synopsis (numBits/8 bytes, the
+    // IVF-centroid-table idiom — the fixed size IS the point) and
+    // probes as a literal inside whole-stage codegen.
+    import org.apache.spark.sql.graft.ColumnBridge.{column, catalystExpression}
+    val bloomAgg = column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        catalystExpression(xxhash64(col("sh"))),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedGrams),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+    val bfBytes = benchGrams(bench, benchTextCol, n).agg(bloomAgg.as("__bf"))
+      .head().getAs[Array[Byte]](0)
+    val hit = column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bfBytes, org.apache.spark.sql.types.BinaryType),
+        catalystExpression(xxhash64(col("sh")))))
+    Dedup.shingled(docs, idCol, textCol, n)
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("overlap_frac",
+        round(col("n_hit").cast("double") / col("n_grams"), 6))
+  }
+
+  /**
    * N-gram NOVELTY scoring — the measuring half of decontamination:
    * for each document, the fraction of its distinct word n-grams that
    * appear nowhere in a reference snapshot

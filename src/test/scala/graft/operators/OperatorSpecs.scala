@@ -321,6 +321,36 @@ class OperatorSpecs extends AnyFunSuite {
     assert(kept === Set(2L, 3L)) // doc3 survives the anti-join despite having no grams
   }
 
+  test("ngramOverlapBloom: no false negatives; equals exact at generous bits; " +
+      "conservative under a tiny filter") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training sentence here today"),
+      (3L, "hi"))
+      .toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val exact = asMap(Decontaminate.ngramOverlap(
+      train, "doc_id", "text", bench, "text", n = 3))
+    // generous bits (10/gram on a 3-gram benchmark): FP ~ 0 on this
+    // fixture, so the profile is IDENTICAL to the exact join's
+    val bloom = asMap(Decontaminate.ngramOverlapBloom(
+      train, "doc_id", "text", bench, "text", n = 3))
+    assert(bloom === exact)
+    // a deliberately starved filter (64 bits for 3 grams) may false-
+    // positive but can NEVER miss a real hit — per-doc n_hit ≥ exact,
+    // n_grams identical (the conservative one-sided error)
+    val tiny = asMap(Decontaminate.ngramOverlapBloom(
+      train, "doc_id", "text", bench, "text", n = 3,
+      estimatedGrams = 4L, numBits = 64L))
+    exact.foreach { case (id, (_, nGrams, nHit, _)) =>
+      assert(tiny(id)._2 === nGrams)
+      assert(tiny(id)._3 >= nHit,
+        s"doc $id: bloom n_hit ${tiny(id)._3} must be >= exact $nHit")
+    }
+  }
+
   test("Pii.detect counts and redacts emails, IPs, phones, SSNs") {
     val docs = Seq(
       (1L, "mail bob.smith+x@sub.example.co.uk and carol@d.org now"),

@@ -46,18 +46,27 @@ object Pii {
     regexp_replace(p, Ipv4Re, "[IP]")
   }
 
+  /** All four families as ONE alternation — the single-pass flag
+    * pattern. */
+  val AnyRe = s"(?:$EmailRe)|(?:$SsnRe)|(?:$PhoneRe)|(?:$Ipv4Re)"
+
   /** The `has_pii` flag alone as ONE column expression — for pipelines
     * that only need the boolean on their data card, computed inline in
     * an existing projection instead of joining [[detect]]'s frame back
-    * (a needless self-join shuffle). Same progressive-redaction counts
-    * as [[detect]], so the two always agree. */
-  def hasPii(c: Column): Column = {
-    val afterEmail = regexp_replace(c, EmailRe, "[EMAIL]")
-    val afterSsn = regexp_replace(afterEmail, SsnRe, "[SSN]")
-    (countMatches(c, EmailRe) + countMatches(afterEmail, SsnRe) +
-      countMatches(afterSsn, PhoneRe) +
-      countMatches(regexp_replace(afterSsn, PhoneRe, "[PHONE]"), Ipv4Re)) > 0
-  }
+    * (a needless self-join shuffle).
+    *
+    * ONE regex pass (`rlike` on the family alternation), not
+    * [[detect]]'s seven-pass progressive chain: on a 100 TB corpus
+    * where only the flag is needed the progressive counts are pure
+    * waste. Equivalent to `detect().has_pii` by construction — the
+    * progressive counts are positive iff SOME family matches the raw
+    * text (redaction only runs when a family already matched, each
+    * count's input differs from the raw text only where an
+    * earlier-precedence family consumed a match, and the inserted
+    * `[EMAIL]`/`[SSN]`/`[PHONE]` tokens contain no digits or `@`, so
+    * they can never complete a new match) — spec-pinned against
+    * [[detect]] on the adversarial overlap shapes. */
+  def hasPii(c: Column): Column = c.rlike(AnyRe)
 
   /** Adds per-family counts, a `has_pii` flag, and the redacted text.
     * One projection — no shuffle, no action.

@@ -129,6 +129,12 @@ object EdgeStore {
         BucketedTables.dropEntry(spark, dir)
       }
     }
+    // also sweep entries whose dir is ALREADY gone (deleted by another
+    // session's cleanup — this session's catalog would otherwise keep a
+    // dangling table pointing at the reclaimed dir), matching the
+    // MediaIndex/DedupIndex discipline
+    Seq("by_src", "by_dst").foreach(t =>
+      StoreKit.dropStaleEntries(spark, path, t, keepMin))
   }
 
   /** Append a day's new edges into the current snapshot — the crawl
@@ -174,8 +180,13 @@ object EdgeStore {
           s"EdgeStore.upsert: the caller's universe is missing stored " +
             "vertices — vertices may only be added, never dropped or swapped")
         // append only the DELTA (new \ stored): the persisted set grows
-        // to equal the new universe without rewriting it
-        ids.join(stored, Seq("id"), "left_anti")
+        // to equal the new universe without rewriting it. The delta is
+        // eagerly localCheckpoint'ed FIRST — reading and appending the
+        // same parquet dir in one job is formally undefined in Spark
+        // (task retries or object-store listing could double-count or
+        // duplicate rows); the checkpoint severs the plan from the dir
+        // before the append touches it (node-sized: the day's new ids)
+        ids.join(stored, Seq("id"), "left_anti").localCheckpoint(true)
           .write.mode("append").parquet(s"$path/vertices/v$vv")
       case None => // legacy store: materialize the set going forward
         ids.write.mode("overwrite").parquet(s"$path/vertices/v$v")

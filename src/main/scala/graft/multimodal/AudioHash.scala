@@ -76,7 +76,10 @@ object AudioHash {
     val hot = codes.groupBy(col(codeCol))
       .agg(count(lit(1)).as("__f")).filter(col("__f") > maxFreq)
       .select(col(codeCol))
-    codes.join(hot, Seq(codeCol), "left_anti")
+    // the hot list has ≤ |codes|/maxFreq rows by construction — always
+    // broadcastable, and the hint keeps the anti-join from ever
+    // shuffling the code frame (the history side's no-shuffle contract)
+    codes.join(broadcast(hot), Seq(codeCol), "left_anti")
   }
 
   /** minimum sample count for one full window. */
@@ -283,17 +286,41 @@ object AudioHash {
       storeStride: Int = BlockSamples): Unit =
     MediaIndex.write(path, thinned(codes, storeStride).select(
         col("media_id"), col("ahash").as("dhash"), col("off")),
-      MediaIndex.Banding(6, 4), buckets)
+      MediaIndex.Banding(6, 4), buckets,
+      // the stride is part of the store's IDENTITY (minRun counts
+      // stored positions — a mixed-grid store would need ~stride× the
+      // overlap for sparse-era clips and verdicts would silently skew),
+      // so it rides the manifest like the banding and upserts must use
+      // the SAME grid
+      extra = Map("store_stride" -> storeStride))
+
+  /** The stride the store at `path` was written with — None for
+    * stores written before the stride was recorded in the manifest
+    * (those were thinned with the era's default; pass it explicitly
+    * to [[upsertIndex]] if it differed). */
+  def recordedStoreStride(spark: SparkSession, path: String): Option[Int] =
+    graft.io.StoreManifest.current(spark, path).get("store_stride")
 
   /** Append an ACCEPTED batch's sub-fingerprints into the index —
-    * thinned to the same sparse stored grid as [[writeIndex]] (the
-    * batch probed dense; the store keeps every `storeStride`-th
-    * offset). */
+    * thinned to the SAME sparse stored grid as [[writeIndex]]: the
+    * stride comes from the store's own manifest (recorded at write
+    * time), so an upsert can never silently mix grids. Passing
+    * `storeStride` explicitly asserts the expected value — it must
+    * match the recorded one (required for pre-record stores, which
+    * have nothing recorded; defaulted from [[BlockSamples]] otherwise,
+    * the only default those stores were ever written with). */
   def upsertIndex(
       path: String, codes: DataFrame,
-      storeStride: Int = BlockSamples): Unit =
-    MediaIndex.upsert(path, thinned(codes, storeStride).select(
+      storeStride: Option[Int] = None): Unit = {
+    val recorded = recordedStoreStride(codes.sparkSession, path)
+    for (s <- storeStride; r <- recorded) require(s == r,
+      s"AudioHash.upsertIndex: store at $path was written with " +
+        s"store_stride=$r but the caller expects $s — a mixed-grid store " +
+        "skews minRun verdicts; re-write or compact at the new stride first")
+    val stride = storeStride.orElse(recorded).getOrElse(BlockSamples)
+    MediaIndex.upsert(path, thinned(codes, stride).select(
       col("media_id"), col("ahash").as("dhash"), col("off")))
+  }
 
   private def thinned(codes: DataFrame, stride: Int): DataFrame = {
     require(stride >= 1, "storeStride must be >= 1")
@@ -324,7 +351,16 @@ object AudioHash {
       maxHamming: Int, minRun: Int = 5, maxAvgHam: Int = 6,
       exactCandidates: Boolean = false,
       exactBroadcastMaxCodes: Long = DefaultExactBroadcastMaxCodes,
-      maxCodeFreq: Int = DefaultMaxCodeFreq): DataFrame = {
+      maxCodeFreq: Int = DefaultMaxCodeFreq,
+      expectStoreStride: Option[Int] = None): DataFrame = {
+    // minRun counts STORED positions, so its meaning scales with the
+    // store's write-time grid: a caller whose threshold was tuned for
+    // one stride can assert it here and fail loudly on a store built
+    // with another (the manifest records it as of r17)
+    for (s <- expectStoreStride; r <- recordedStoreStride(spark, path))
+      require(s == r,
+        s"AudioHash.gate: store at $path has store_stride=$r but minRun " +
+          s"was tuned for stride $s — re-read the threshold for this grid")
     // SIZE DISPATCH for the exact mode: the exact probe broadcasts the
     // batch (that is what keeps the history slice shuffle-free — the
     // plan audit pins it); a batch too big to broadcast must not
@@ -369,12 +405,21 @@ object AudioHash {
         // no-history-shuffle contract, enforced by the hint rather
         // than left to the size estimator (gate() dispatches
         // oversized batches to the banded path before this).
+        // the HISTORY chunk-0 slice is stop-code-pruned TOO: batch-side
+        // pruning alone caps batch-key frequency, but a single silent
+        // batch clip sits far below maxCodeFreq (~75 windows of one
+        // code) and would still equi-join against every silent stored
+        // window — join volume unbounded in HISTORY-side frequency.
+        // Pruning both sides (the nearDupPairs discipline) bounds any
+        // key's pair volume at maxCodeFreq² regardless of which side
+        // carries the silence; one hash aggregate over the slice.
         broadcast(dropStopCodes(
             batch.select(col("media_id").as("bid"), col("off").as("b_off"),
               col("ahash").as("__b_code")), "__b_code", maxCodeFreq))
-          .join(hist.filter(col("chunk") === 0).select(
-              col("media_id").as("hid"), col("off").as("h_off"),
-              col("dhash").as("__h_code")),
+          .join(dropStopCodes(
+              hist.filter(col("chunk") === 0).select(
+                col("media_id").as("hid"), col("off").as("h_off"),
+                col("dhash").as("__h_code")), "__h_code", maxCodeFreq),
             col("__b_code") === col("__h_code"))
           .select("bid", "hid", "b_off", "h_off")
       else {

@@ -81,12 +81,17 @@ object MediaIndex {
     * grace window). */
   def write(
       path: String, codes: DataFrame,
-      banding: Banding = Wide, buckets: Int = 8): Unit = {
+      banding: Banding = Wide, buckets: Int = 8,
+      extra: Map[String, Int] = Map.empty): Unit = {
     val spark = codes.sparkSession
     val v = StoreManifest.read(spark, path).fold(1)(_.getOrElse("bands", 0) + 1)
     BucketedTables.write(
       bandedOf(codes, banding), s"$path/bands/v$v", "bkey", "media_id", buckets)
-    StoreManifest.commit(spark, path, Map(
+    // `extra` lets a parameterizing operator record ITS write-time
+    // configuration next to the banding (AudioHash's store_stride) so
+    // later upserts/gates can never silently mix grids built with
+    // different parameters; carried through compact like the banding
+    StoreManifest.commit(spark, path, extra ++ Map(
       "bands" -> v, "chunk_bits" -> banding.chunkBits,
       "n_chunks" -> banding.nChunks, "buckets" -> buckets))
     StoreManifest.dropSuperseded(spark, path, "bands")
@@ -199,7 +204,10 @@ object MediaIndex {
         col("chunk") * lit(1L << banding.chunkBits) + col("chunk_val"))
     BucketedTables.write(
       cur, s"$path/bands/v${v + 1}", "bkey", "media_id", m.getOrElse("buckets", 8))
-    StoreManifest.commit(spark, path, Map(
+    // the full manifest carries through (any parameterizer's extra
+    // keys, e.g. AudioHash's store_stride, survive compaction) with
+    // only the version/layout keys rewritten
+    StoreManifest.commit(spark, path, m ++ Map(
       "bands" -> (v + 1), "chunk_bits" -> banding.chunkBits,
       "n_chunks" -> banding.nChunks, "buckets" -> m.getOrElse("buckets", 8)))
     StoreManifest.dropSuperseded(spark, path, "bands")

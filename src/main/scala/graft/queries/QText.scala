@@ -69,6 +69,7 @@ object QText {
   private val PiiIp = graft.functions.Pii.Ipv4Re
   private val PiiPhone = graft.functions.Pii.PhoneRe
   private val PiiSsn = graft.functions.Pii.SsnRe
+  private val PiiAny = graft.functions.Pii.AnyRe
 
   /** DuckDB replay of [[graft.functions.Bpe]]'s priority merge walk,
     * generated FROM the Scala merges table so the two vocabs can never
@@ -459,15 +460,7 @@ object QText {
          |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM urd) WHERE cum <= 25000),
-         |pr1 AS (SELECT doc_id, text AS t,
-         |    regexp_replace(text, '$PiiEmail', '[EMAIL]', 'g') AS t_e FROM base),
-         |pr2 AS (SELECT *, regexp_replace(t_e, '$PiiSsn', '[SSN]', 'g') AS t_s FROM pr1),
-         |pr3 AS (SELECT *, regexp_replace(t_s, '$PiiPhone', '[PHONE]', 'g') AS t_p FROM pr2),
-         |pii AS (SELECT doc_id,
-         |    (len(string_split_regex(t, '$PiiEmail')) + len(string_split_regex(t_p, '$PiiIp'))
-         |     + len(string_split_regex(t_s, '$PiiPhone')) + len(string_split_regex(t_e, '$PiiSsn'))
-         |     - 4) > 0 AS has_pii
-         |  FROM pr3),
+         |pii AS (SELECT doc_id, regexp_matches(text, '$PiiAny') AS has_pii FROM base),
          |gm AS (SELECT doc_id, trim(text) AS gt,
          |    regexp_extract_all(trim(text), '\\S+') AS gw FROM base),
          |gok AS (SELECT doc_id,

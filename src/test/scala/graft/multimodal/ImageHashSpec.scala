@@ -349,6 +349,37 @@ class ImageHashSpec extends AnyFunSuite {
     assert(surv === Set(10L), s"trim copy must drop, silent clip must pass: $surv")
   }
 
+  test("AudioHash: exact-mode gate prunes HISTORY-side stop codes too") {
+    import spark.implicits._
+    // the r16 ADVICE hole: a SHORT silent batch clip (few windows of
+    // one code — far below maxCodeFreq) is not batch-pruned, and
+    // pre-fix it equi-joined against EVERY silent stored window: join
+    // volume unbounded in history-side frequency, and the silent-vs-
+    // silent alignment BER is 0, so the clip was silently dropped as a
+    // "copy" of the history's silence. With both sides pruned the
+    // degenerate key never joins — the short silent clip survives
+    // (honest: silence is unmatchable under the stop list) while a
+    // genuine copy still drops on its non-degenerate windows.
+    val real = Array.tabulate(300)(j => (((j * 73) % 251) - 120).toByte)
+    def wav(id: Long, pcm: Array[Byte]) = MediaRow(id, "audio",
+      VideoContainers.WavMux.write(pcm, 8000, 1, 16), 0, 0, 0, "audio/wav")
+    val hist = Seq(wav(1L, real), wav(9L, new Array[Byte](2000))).toDS()
+    val batch = Seq(
+      wav(2L, Array[Byte](5, -9) ++ real), // shifted genuine copy of 1
+      wav(11L, new Array[Byte](300))).toDS() // short silent clip: 51 windows
+    val path = java.nio.file.Files.createTempDirectory("graft_audioidx_hsil").toString
+    // stored grid stride 4: history silence (1000 samples) = ~226
+    // windows of code 0 (> maxCodeFreq=100, pruned); batch silence
+    // (150 samples, dense) = 51 (< 100, kept)
+    AudioHash.writeIndex(path, AudioHash.fingerprints(hist))
+    val surv = AudioHash.gate(spark, path, AudioHash.fingerprints(batch),
+        maxHamming = 3, minRun = 5, exactCandidates = true, maxCodeFreq = 100)
+      .select("media_id").distinct().as[Long].collect().toSet
+    assert(surv === Set(11L),
+      s"genuine copy must drop; short silent clip must survive the " +
+        s"history-silence prune: $surv")
+  }
+
   test("AudioHash: exact-mode gate dispatches oversized batches to the banded probe") {
     import spark.implicits._
     // the no-history-shuffle contract: exact mode BROADCASTS the

@@ -192,4 +192,37 @@ class MediaIndexSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("no committed manifest"))
   }
+
+  test("audio store_stride rides the manifest: upserts follow it, mismatches fail, compact keeps it") {
+    import spark.implicits._
+    val codes = AudioHash.fingerprints(QMedia.wavHistMedia(spark))
+    // a DENSE store (stride 1): the manifest records it, and a later
+    // upsert with no explicit stride must NOT thin to the r16 default
+    // (that was the mixed-grid hole — sparse-appended clips would need
+    // ~4x the overlap to be caught)
+    val path = Files.createTempDirectory("graft_audioidx_stride").toString
+    AudioHash.writeIndex(path, codes.filter(col("media_id") === 1L), storeStride = 1)
+    assert(AudioHash.recordedStoreStride(spark, path) === Some(1))
+    val day2 = codes.filter(col("media_id") === 2L)
+    AudioHash.upsertIndex(path, day2)
+    val (bands, _) = MediaIndex.bands(spark, path)
+    val storedOffsets = bands.filter(col("media_id") === 2L && col("chunk") === 0)
+      .select("off").as[Long].collect().toSet
+    val denseOffsets = day2.select("off").as[Long].collect().toSet
+    assert(storedOffsets === denseOffsets,
+      "upsert must keep the store's own dense grid, not thin to the default")
+    // an explicit stride asserting a DIFFERENT grid fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      AudioHash.upsertIndex(path, day2, storeStride = Some(AudioHash.BlockSamples))
+    }
+    assert(ex.getMessage.contains("store_stride"))
+    intercept[IllegalArgumentException] {
+      AudioHash.gate(spark, path, day2, maxHamming = 3,
+        expectStoreStride = Some(AudioHash.BlockSamples))
+    }
+    // compact carries the stride through (it is part of the store's
+    // identity, like the banding)
+    MediaIndex.compact(spark, path)
+    assert(AudioHash.recordedStoreStride(spark, path) === Some(1))
+  }
 }

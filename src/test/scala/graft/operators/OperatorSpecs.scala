@@ -373,6 +373,15 @@ class OperatorSpecs extends AnyFunSuite {
     assert(r(5L)._2 === 2 && r(5L)._3 === 0 && r(5L)._5 === 0 &&
       r(5L)._7 === "write [EMAIL] or [EMAIL] today")
     assert(r(6L)._4 === 0 && r(6L)._6 === false)
+    // the single-pass flag (one rlike on the family alternation) must
+    // agree with detect's progressive-counts flag everywhere — pinned
+    // on the adversarial overlap shapes above (dotted-numeric email
+    // domains, mixed separators, multi-family docs)
+    val fast = docs.select(col("doc_id"),
+        graft.functions.Pii.hasPii(col("text")).as("f"))
+      .as[(Long, Boolean)].collect().toMap
+    r.foreach { case (id, row) => assert(fast(id) === row._6,
+      s"doc $id: hasPii ${fast(id)} != detect.has_pii ${row._6}") }
   }
 
   test("repetition signals: maxMultiplicity / maxRunCharCoverage / typeTokenRatio") {

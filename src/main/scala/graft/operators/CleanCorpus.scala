@@ -26,11 +26,25 @@ import org.apache.spark.sql.functions._
  */
 object CleanCorpus {
 
+  /** How stage 3 carries the benchmark gram set. [[Exact]] broadcasts
+    * the distinct grams as rows — right while the accumulated eval
+    * suite stays broadcast-sized. [[Bloom]] folds them into ONE
+    * fixed-size synopsis ([[Decontaminate.benchGramsBloom]]) — the
+    * form that survives hundreds of accumulated eval sets: the
+    * broadcast is `numBits/8` bytes no matter how many benchmarks
+    * pile up, and the one-sided error can only drop MORE (no false
+    * negatives — conservative, spec-pinned). */
+  sealed trait Decontam
+  case object Exact extends Decontam
+  final case class Bloom(
+      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23) extends Decontam
+
   /** Returns (idCol, quality, clean_text) for surviving documents. */
   def clean(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String,
-      minQuality: Double, shingleN: Int = 3): DataFrame = {
+      minQuality: Double, shingleN: Int = 3,
+      decontam: Decontam = Exact): DataFrame = {
     val t = col(textCol)
     val deduped = Dedup.exactKeepFirst(
         docs.withColumn("__fp", md5(TextFunctions.canonicalText(t))),
@@ -39,7 +53,17 @@ object CleanCorpus {
     val scored = deduped
       .withColumn("quality", round(TextFunctions.qualityScore(t), 6))
       .filter(col("quality") >= minQuality)
-    Decontaminate.removeContaminated(scored, idCol, textCol, bench, benchTextCol, shingleN)
-      .select(col(idCol), col("quality"), Pii.redact(t).as("clean_text"))
+    val decontaminated = decontam match {
+      case Exact =>
+        Decontaminate.removeContaminated(
+          scored, idCol, textCol, bench, benchTextCol, shingleN)
+      case Bloom(estimatedGrams, numBits) =>
+        Decontaminate.removeContaminatedBloomAgainst(
+          scored, idCol, textCol,
+          Decontaminate.benchGramsBloom(
+            bench, benchTextCol, shingleN, estimatedGrams, numBits),
+          shingleN)
+    }
+    decontaminated.select(col(idCol), col("quality"), Pii.redact(t).as("clean_text"))
   }
 }

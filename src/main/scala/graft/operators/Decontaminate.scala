@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -83,32 +83,45 @@ object Decontaminate {
    * accumulated benchmark gram count (~10 bits/gram ≈ 1% FP at the
    * default 7 hashes Spark derives).
    */
-  def ngramOverlapBloom(
-      docs: DataFrame, idCol: String, textCol: String,
+  /** The benchmark's gram set folded into ONE Bloom synopsis —
+    * `numBits/8` bytes no matter how many benchmarks accumulate.
+    * BloomFilterAggregate is a Spark built-in (the runtime
+    * row-group-filtering machinery) but not registered in the SQL
+    * function registry — constructed directly via the expression
+    * bridge, like the repo's other native expressions. The returned
+    * bytes are what callers broadcast as a literal (might_contain
+    * requires a CONSTANT filter — the IVF-centroid-table idiom: a
+    * driver-held fixed-size model, never a data-sized collect). */
+  def benchGramsBloom(
       bench: DataFrame, benchTextCol: String, n: Int,
-      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
-    // BloomFilterAggregate/BloomFilterMightContain are Spark built-ins
-    // (the runtime row-group-filtering machinery) but not registered
-    // in the SQL function registry — constructed directly via the
-    // expression bridge, like the repo's other native expressions.
-    // might_contain requires a CONSTANT filter, so the aggregate
-    // materializes to a driver-held synopsis (numBits/8 bytes, the
-    // IVF-centroid-table idiom — the fixed size IS the point) and
-    // probes as a literal inside whole-stage codegen.
-    import org.apache.spark.sql.graft.ColumnBridge.{column, catalystExpression}
+      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): Array[Byte] = {
+    import org.apache.spark.sql.graft.ColumnBridge.{catalystExpression, column}
     val bloomAgg = column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         catalystExpression(xxhash64(col("sh"))),
         org.apache.spark.sql.catalyst.expressions.Literal(estimatedGrams),
         org.apache.spark.sql.catalyst.expressions.Literal(numBits))
         .toAggregateExpression())
-    val bfBytes = benchGrams(bench, benchTextCol, n).agg(bloomAgg.as("__bf"))
+    benchGrams(bench, benchTextCol, n).agg(bloomAgg.as("__bf"))
       .head().getAs[Array[Byte]](0)
-    val hit = column(
+  }
+
+  /** Codegen'd `might_contain(bfBytes, xxhash64(c))` probe. */
+  private def bloomHit(bfBytes: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{catalystExpression, column}
+    column(
       new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal(
           bfBytes, org.apache.spark.sql.types.BinaryType),
-        catalystExpression(xxhash64(col("sh")))))
+        catalystExpression(xxhash64(c))))
+  }
+
+  def ngramOverlapBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int,
+      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    val hit = bloomHit(
+      benchGramsBloom(bench, benchTextCol, n, estimatedGrams, numBits), col("sh"))
     Dedup.shingled(docs, idCol, textCol, n)
       .groupBy(col("id").as(idCol))
       .agg(
@@ -116,6 +129,23 @@ object Decontaminate {
         sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
       .withColumn("overlap_frac",
         round(col("n_hit").cast("double") / col("n_grams"), 6))
+  }
+
+  /** The STRICT rule ([[removeContaminated]]) in the fixed-broadcast
+    * Bloom form: a doc drops when ANY of its grams might be in the
+    * benchmark synopsis. One-sided error — no false negatives, so
+    * every truly contaminated doc still drops and the Bloom can only
+    * drop MORE (conservative; at the default ~8 bits/gram sizing the
+    * extra-drop probability is ~1e-13 per corpus, unobservable). Use
+    * [[benchGramsBloom]] once per accumulated benchmark suite and pass
+    * the bytes here when gating many corpora against it. */
+  def removeContaminatedBloomAgainst(
+      docs: DataFrame, idCol: String, textCol: String,
+      bfBytes: Array[Byte], n: Int): DataFrame = {
+    val contaminatedIds = Dedup.shingled(docs, idCol, textCol, n)
+      .filter(bloomHit(bfBytes, col("sh")))
+      .select(col("id").as(idCol)).distinct()
+    docs.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
   /**

@@ -45,12 +45,73 @@ object QualityRules {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** One language's Gopher rule table — what a multilingual curation
+    * run configures PER LANGUAGE after routing (CCNet/Dolma apply
+    * language-specific stopword lists and thresholds; word-shape rules
+    * are disabled for unsegmented scripts): `stopwords` is the
+    * language's own list, `minStopwords = 0` disables the floor (the
+    * right configuration for a language with no curated list — the
+    * rule must not silently demand ENGLISH stopwords of it), and the
+    * mean-word-length / alpha bounds can be opened up for scripts
+    * where whitespace "words" are not linguistic words (CJK). */
+  final case class LangRules(
+      stopwords: Seq[String], minStopwords: Int,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8)
+
   def gopher(
       docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
-      minStopwords: Int = 2): DataFrame = {
+      minStopwords: Int = 2): DataFrame =
+    gopherFrame(docs, idCol, textCol, Nil,
+      array(GopherStopwords.map(lit): _*),
+      lit(minWords), lit(maxWords), lit(minMeanLen), lit(maxMeanLen),
+      lit(maxSymbolRatio), lit(minAlphaFrac), lit(minStopwords))
+
+  /**
+   * [[gopher]] with PER-LANGUAGE rule tables — the post-routing half
+   * of a multilingual pipeline: each document is judged by ITS routed
+   * language's configuration from `rules` (falling back to `default`
+   * for unconfigured languages), so an English stopword floor never
+   * drops a French document for lacking 'the', and a language with no
+   * curated table gets the structural rules only.
+   *
+   * Scale shape unchanged from [[gopher]]: the |rules|-entry tables
+   * enter the plan as a literal CASE chain over `langCol`, so this is
+   * still ONE map-only projection — no join, no broadcast, no shuffle.
+   */
+  def gopherByLang(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      rules: Map[String, LangRules], default: LangRules): DataFrame = {
+    def pick(f: LangRules => Column): Column =
+      rules.toSeq.sortBy(_._1).foldLeft(f(default)) {
+        case (acc, (lang, r)) => when(col(langCol) === lang, f(r)).otherwise(acc)
+      }
+    // an empty list must still be a STRING array (bare array() types
+    // as array<null> and fails array_intersect's type check)
+    def arrOf(ws: Seq[String]): Column =
+      if (ws.isEmpty) typedlit(Seq.empty[String]) else array(ws.map(lit): _*)
+    gopherFrame(docs, idCol, textCol, Seq(col(langCol)),
+      pick(r => arrOf(r.stopwords)),
+      pick(r => lit(r.minWords)), pick(r => lit(r.maxWords)),
+      pick(r => lit(r.minMeanLen)), pick(r => lit(r.maxMeanLen)),
+      pick(r => lit(r.maxSymbolRatio)), pick(r => lit(r.minAlphaFrac)),
+      pick(r => lit(r.minStopwords)))
+  }
+
+  /** The shared measure+rule projection: thresholds arrive as COLUMNS
+    * so the per-language form can key them on the routed language
+    * while the scalar form passes literals. */
+  private def gopherFrame(
+      docs: DataFrame, idCol: String, textCol: String,
+      passthrough: Seq[Column], stopwordsArr: Column,
+      minWords: Column, maxWords: Column,
+      minMeanLen: Column, maxMeanLen: Column,
+      maxSymbolRatio: Column, minAlphaFrac: Column,
+      minStopwords: Column): DataFrame = {
     val t = trim(col(textCol))
     def occurrences(needle: String, width: Int): Column =
       (length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(needle), ""))) / width
@@ -70,18 +131,17 @@ object QualityRules {
         .otherwise(0.0), 6)
     val nStop = size(array_intersect(
       array_distinct(transform(words, w => lower(w))),
-      array(GopherStopwords.map(lit): _*))).cast("long")
+      stopwordsArr)).cast("long")
     docs.select(
-        col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
-        symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
-        nStop.as("n_stopwords"))
-      .withColumn("pass_words",
-        col("n_words") >= minWords && col("n_words") <= maxWords)
-      .withColumn("pass_mean_len",
-        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
-      .withColumn("pass_symbols", col("symbol_ratio") <= maxSymbolRatio)
-      .withColumn("pass_alpha", col("alpha_frac") >= minAlphaFrac)
-      .withColumn("pass_stopwords", col("n_stopwords") >= minStopwords)
+        (col(idCol) +: passthrough) ++ Seq(
+          nWords.as("n_words"), meanLen.as("mean_word_len"),
+          symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+          nStop.as("n_stopwords"),
+          (nWords >= minWords && nWords <= maxWords).as("pass_words"),
+          (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("pass_mean_len"),
+          (symbolRatio <= maxSymbolRatio).as("pass_symbols"),
+          (alphaFrac >= minAlphaFrac).as("pass_alpha"),
+          (nStop >= minStopwords).as("pass_stopwords")): _*)
       .withColumn("pass",
         col("pass_words") && col("pass_mean_len") && col("pass_symbols") &&
           col("pass_alpha") && col("pass_stopwords"))

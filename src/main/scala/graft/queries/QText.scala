@@ -71,6 +71,166 @@ object QText {
   private val PiiSsn = graft.functions.Pii.SsnRe
   private val PiiAny = graft.functions.Pii.AnyRe
 
+  /** llm02's post-routing per-language Gopher tables (shared with
+    * LlmScaleSmoke's linearity gate so the two can never drift): en
+    * keeps the Gopher 8, de has its own curated list, zh opens the
+    * word-shape bounds (unsegmented-script discipline), unconfigured
+    * languages (fr/es) get [[Llm02DefaultRules]] — structural rules
+    * with the stopword floor off. minWords 20 is llm01's corpus
+    * calibration. The oracle SQL replays the same tables as a CASE
+    * chain over the routed language. */
+  val Llm02LangRules: Map[String, graft.operators.QualityRules.LangRules] = {
+    import graft.operators.QualityRules.LangRules
+    Map(
+      "en" -> LangRules(graft.operators.QualityRules.GopherStopwords,
+        minStopwords = 1, minWords = 20),
+      "de" -> LangRules(Seq("der", "die", "und", "das", "ist", "mit", "von"),
+        minStopwords = 1, minWords = 20),
+      "zh" -> LangRules(Seq.empty, minStopwords = 0, minWords = 20,
+        minMeanLen = 0.0, maxMeanLen = 1e18, minAlphaFrac = 0.0))
+  }
+
+  val Llm02DefaultRules: graft.operators.QualityRules.LangRules =
+    graft.operators.QualityRules.LangRules(Seq.empty, minStopwords = 0, minWords = 20)
+
+  /** t17's oracle chain (dedup -> quality -> strict trigram
+    * decontamination -> PII redaction), shared VERBATIM with llm03:
+    * the Bloom path's one-sided error is unobservable at the default
+    * sizing (~1e-13 extra-drop probability per corpus), so the exact
+    * chain IS its oracle -- row-identical output is the assertion. */
+  private lazy val CleanCorpusOracleSql: String =
+    s"""WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+         |keep AS (SELECT doc_id, text FROM raw
+         |  QUALIFY row_number() OVER (PARTITION BY md5($CANON) ORDER BY doc_id) = 1),
+         |m AS (SELECT doc_id, text,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS ntok,
+         |    CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
+         |      x -> list_contains(['the','a','an','of','to','in','and','is','on','for'], x))) AS DOUBLE) AS nstop,
+         |    CAST(len(regexp_extract_all(lower(trim(text)), '\\S+')) AS DOUBLE) AS ntok_lc,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM keep),
+         |q AS (SELECT doc_id, text,
+         |    round(0.4 * least(ntok / 50.0, 1.0)
+         |      + 0.3 * (1.0 - CASE WHEN nchar <> 0 THEN npunct / nchar ELSE 0.0 END)
+         |      + 0.3 * least(CASE WHEN ntok_lc <> 0 THEN nstop / ntok_lc ELSE 0.0 END * 4.0, 1.0), 6)
+         |      AS quality
+         |  FROM m),
+         |qf AS (SELECT * FROM q WHERE quality >= 0.7),
+         |toksq AS (SELECT doc_id, $CTOKS AS tk FROM qf),
+         |shq AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS sh
+         |  FROM toksq),
+         |btoks AS (SELECT doc_id, $CTOKS AS tk FROM documents WHERE doc_id % 20 = 0),
+         |bsh AS (SELECT DISTINCT
+         |    unnest(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS sh
+         |  FROM btoks),
+         |bad AS (SELECT DISTINCT id FROM shq JOIN bsh USING (sh))
+         |SELECT doc_id, quality,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$PiiEmail', '[EMAIL]', 'g'), '$PiiSsn', '[SSN]', 'g'),
+         |    '$PiiPhone', '[PHONE]', 'g'), '$PiiIp', '[IP]', 'g') AS clean_text
+         |FROM qf WHERE doc_id NOT IN (SELECT id FROM bad)
+         |ORDER BY doc_id""".stripMargin
+
+  /** The shared CTE chain of t71/t72 (routing + per-language KN →
+    * `ppl(doc_id, lang, avg_neg_logp)`): char-3-gram rank-profile
+    * routing trained on the labeled reference tenth, then the t66 KN
+    * recursion with `lang` on every count table and join key. t71
+    * finishes it with the exact ntile tercile, t72 with the
+    * approx-boundary labeling — sharing the prefix keeps the two
+    * oracles provably scoring identically. */
+  private lazy val CcnetPerLangPpl: String =
+    s"""WITH cref AS (SELECT doc_id, lang,
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |gref AS (SELECT lang, unnest(CASE WHEN len(s) >= 3
+       |    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+       |    ELSE [] END) AS gr
+       |  FROM cref),
+       |pf AS (SELECT lang, gr, count(*) AS cnt FROM gref GROUP BY 1, 2),
+       |pr AS MATERIALIZED (SELECT lang, gr,
+       |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) AS rank
+       |  FROM pf
+       |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) <= 40),
+       |rlangs AS (SELECT DISTINCT lang AS cand FROM documents WHERE doc_id % 10 = 0),
+       |cdoc AS (SELECT doc_id,
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+       |  FROM documents WHERE doc_id % 10 <> 0),
+       |gdoc AS (SELECT doc_id, unnest(CASE WHEN len(s) >= 3
+       |    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+       |    ELSE [] END) AS gr
+       |  FROM cdoc),
+       |dist AS (SELECT dg.doc_id, l.cand,
+       |    CAST(SUM(coalesce(pr.rank, 41)) AS BIGINT) AS dist
+       |  FROM gdoc dg CROSS JOIN rlangs l
+       |  LEFT JOIN pr ON pr.lang = l.cand AND pr.gr = dg.gr
+       |  GROUP BY 1, 2),
+       |best AS MATERIALIZED (SELECT doc_id, cand AS lang FROM dist
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1),
+       |tr AS (SELECT lang, $CTOKS AS t FROM documents WHERE doc_id % 10 = 0),
+       |g5r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM tr),
+       |t5 AS MATERIALIZED (SELECT lang, g, count(*) AS c5 FROM g5r GROUP BY 1, 2),
+       |g4r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g FROM tr),
+       |c4t AS MATERIALIZED (SELECT lang, g AS ctx4, count(*) AS c4 FROM g4r GROUP BY 1, 2),
+       |lam5 AS (SELECT lang, array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4, count(*) AS lam5 FROM t5 GROUP BY 1, 2),
+       |cont4 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s, count(*) AS cont4 FROM t5 GROUP BY 1, 2),
+       |mid4 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3, count(*) AS denom4,
+       |    count(DISTINCT string_split(g, ' ')[5]) AS lam4 FROM t5 GROUP BY 1, 2),
+       |t4y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g4r),
+       |cont3 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:4], ' ') AS g3s, count(*) AS cont3 FROM t4y GROUP BY 1, 2),
+       |mid3 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:3], ' ') AS ctx2, count(*) AS denom3,
+       |    count(DISTINCT string_split(g, ' ')[4]) AS lam3 FROM t4y GROUP BY 1, 2),
+       |g3r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS g FROM tr),
+       |t3y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g3r),
+       |cont2 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:3], ' ') AS g2s, count(*) AS cont2 FROM t3y GROUP BY 1, 2),
+       |mid2 AS (SELECT lang, string_split(g, ' ')[2] AS w4k, count(*) AS denom2,
+       |    count(DISTINCT string_split(g, ' ')[3]) AS lam2 FROM t3y GROUP BY 1, 2),
+       |g2r AS (SELECT lang, unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS g FROM tr),
+       |t2y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g2r),
+       |cont1 AS (SELECT lang, string_split(g, ' ')[2] AS w5k, count(*) AS cont1 FROM t2y GROUP BY 1, 2),
+       |sc0 AS (SELECT lang, CAST(count(*) AS DOUBLE) AS denom1 FROM t2y GROUP BY 1),
+       |vv AS (SELECT lang, CAST(count(DISTINCT w) AS DOUBLE) AS v
+       |  FROM (SELECT lang, unnest(t) AS w FROM tr) GROUP BY 1),
+       |d AS (SELECT dd.doc_id, b.lang, $CTOKS AS t
+       |  FROM documents dd JOIN best b USING (doc_id) WHERE dd.doc_id % 10 <> 0),
+       |f AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM d),
+       |keys AS (SELECT doc_id, lang, g,
+       |    array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4,
+       |    array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s,
+       |    array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3,
+       |    array_to_string(string_split(g, ' ')[3:5], ' ') AS g3s,
+       |    array_to_string(string_split(g, ' ')[3:4], ' ') AS ctx2,
+       |    array_to_string(string_split(g, ' ')[4:5], ' ') AS g2s,
+       |    string_split(g, ' ')[4] AS w4k, string_split(g, ' ')[5] AS w5k
+       |  FROM f),
+       |j AS MATERIALIZED (SELECT doc_id, lang, keys.g,
+       |    coalesce(t5.c5, 0) AS c5, coalesce(c4t.c4, 0) AS c4, coalesce(lam5.lam5, 0) AS lam5,
+       |    coalesce(cont4.cont4, 0) AS cont4, coalesce(mid4.denom4, 0) AS denom4, coalesce(mid4.lam4, 0) AS lam4,
+       |    coalesce(cont3.cont3, 0) AS cont3, coalesce(mid3.denom3, 0) AS denom3, coalesce(mid3.lam3, 0) AS lam3,
+       |    coalesce(cont2.cont2, 0) AS cont2, coalesce(mid2.denom2, 0) AS denom2, coalesce(mid2.lam2, 0) AS lam2,
+       |    coalesce(cont1.cont1, 0) AS cont1, denom1, v
+       |  FROM keys LEFT JOIN t5 USING (lang, g)
+       |  LEFT JOIN c4t USING (lang, ctx4) LEFT JOIN lam5 USING (lang, ctx4)
+       |  LEFT JOIN cont4 USING (lang, g4s) LEFT JOIN mid4 USING (lang, ctx3)
+       |  LEFT JOIN cont3 USING (lang, g3s) LEFT JOIN mid3 USING (lang, ctx2)
+       |  LEFT JOIN cont2 USING (lang, g2s) LEFT JOIN mid2 USING (lang, w4k)
+       |  LEFT JOIN cont1 USING (lang, w5k)
+       |  JOIN sc0 USING (lang) JOIN vv USING (lang)),
+       |p1c AS (SELECT *, (cont1 + 0.5) / (denom1 + 0.5 * v) AS p1 FROM j),
+       |p2c AS (SELECT *, CASE WHEN denom2 > 0
+       |    THEN (GREATEST(cont2 - 0.75, 0) + 0.75 * lam2 * p1) / denom2 ELSE p1 END AS p2 FROM p1c),
+       |p3c AS (SELECT *, CASE WHEN denom3 > 0
+       |    THEN (GREATEST(cont3 - 0.75, 0) + 0.75 * lam3 * p2) / denom3 ELSE p2 END AS p3 FROM p2c),
+       |p4c AS (SELECT *, CASE WHEN denom4 > 0
+       |    THEN (GREATEST(cont4 - 0.75, 0) + 0.75 * lam4 * p3) / denom4 ELSE p3 END AS p4 FROM p3c),
+       |p5c AS (SELECT doc_id, lang, CASE WHEN c4 > 0 AND lam5 > 0
+       |    THEN (GREATEST(c5 - 0.75, 0) + 0.75 * lam5 * p4) / c4 ELSE p4 END AS p5 FROM p4c),
+       |sc AS (SELECT doc_id, lang, CAST(round(-ln(p5) * 1000000.0) AS BIGINT) AS m FROM p5c),
+       |ppl AS MATERIALIZED (SELECT doc_id, lang,
+       |    round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
+       |  FROM sc GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB replay of [[graft.functions.Bpe]]'s priority merge walk,
     * generated FROM the Scala merges table so the two vocabs can never
     * drift. A recursive CTE carries each DISTINCT word's token state
@@ -746,16 +906,32 @@ object QText {
     // pipeline with CCNet per-language routing (t71) in place of the
     // drop-non-en gate: registrable-domain quota → char-3-gram langid
     // routing (profiles trained on the labeled reference tenth;
-    // gramless docs drop) → exact dedup keep-first → benchmark
-    // decontamination → PER-LANGUAGE interpolated-KN perplexity with
-    // CCNet terciles cut within language — the tail tercile drops
-    // (the CCNet sampling discipline), head/middle keep with their
-    // bucket on the card. English-specific content rules (Gopher,
-    // quality) are deliberately absent: they are per-language rules a
-    // multilingual pipeline applies AFTER routing, out of scope for
-    // this composition. %50==27 docs carry llm01's injected duplicate
-    // so the dedup stage has live work. First-failing-gate dispositions,
-    // join-bearing stages see only earlier-gate survivors.
+    // gramless docs drop) → PER-LANGUAGE Gopher rules (the
+    // post-routing half of a production multilingual run —
+    // QualityRules.gopherByLang: each doc is judged by ITS routed
+    // language's configured stopword list and thresholds, so the
+    // English floor never drops a doc of a language with its own
+    // list, a configured non-English list (de here) drops docs that
+    // carry no stopword OF THAT LANGUAGE even when English rules
+    // would keep them, unconfigured languages (fr/es) get the
+    // structural rules with the stopword floor off, and zh opens the
+    // word-shape bounds too — the CJK discipline) → exact dedup
+    // keep-first → benchmark decontamination → PER-LANGUAGE
+    // interpolated-KN perplexity with CCNet terciles cut within
+    // language — the tail tercile drops (the CCNet sampling
+    // discipline), head/middle keep with their bucket on the card.
+    // Both differentials are LIVE on the real corpus at sf0.01
+    // (measured): 86 de-routed docs carry 'the' (the English table
+    // would keep them) but no de-list word → drop_gopher, while 35
+    // kept docs routed fr/es/zh carry NO Gopher-8 stopword at all —
+    // the English floor would have dropped every one. The controlled
+    // single-doc differentials are pinned in QualityRulesSpec's
+    // gopherByLang cases (routing on these near-identical synthetic
+    // profiles is noise-driven, so the query relies on measured
+    // corpus-level differentials, not a routed sentinel). %50==27
+    // docs carry llm01's injected duplicate so the dedup stage has
+    // live work. First-failing-gate dispositions, join-bearing
+    // stages see only earlier-gate survivors.
     QueryDef.of("llm02_corpus_multilang",
       s"""WITH base AS (SELECT doc_id, CASE WHEN doc_id % 50 = 27
          |    THEN 'the data of the run is a good run for the train set and the rest of the same corpus again and the data of the run is a good run for the train set again'
@@ -818,8 +994,32 @@ object QText {
          |  GROUP BY 1, 2),
          |best AS MATERIALIZED (SELECT doc_id, cand AS lang FROM dist
          |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1),
+         |gm AS (SELECT b.doc_id, best.lang AS rl, trim(b.text) AS gt,
+         |    regexp_extract_all(trim(b.text), '\\S+') AS gw
+         |  FROM base b JOIN best USING (doc_id)),
+         |gok AS MATERIALIZED (SELECT doc_id,
+         |    len(gw) >= 20 AND len(gw) <= 100000
+         |    AND round(CASE WHEN len(gw) > 0
+         |      THEN CAST(length(regexp_replace(gt, '\\s+', '', 'g')) AS DOUBLE) / len(gw)
+         |      ELSE 0.0 END, 6)
+         |      BETWEEN (CASE WHEN rl = 'zh' THEN 0.0 ELSE 3.0 END)
+         |          AND (CASE WHEN rl = 'zh' THEN 1e18 ELSE 10.0 END)
+         |    AND round(CASE WHEN len(gw) > 0
+         |      THEN ((length(gt) - length(replace(gt, '#', ''))) / 1
+         |            + (length(gt) - length(replace(gt, '...', ''))) / 3) / len(gw)
+         |      ELSE 0.0 END, 6) <= 0.1
+         |    AND round(CASE WHEN len(gw) > 0
+         |      THEN CAST(len(list_filter(gw, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(gw)
+         |      ELSE 0.0 END, 6) >= (CASE WHEN rl = 'zh' THEN 0.0 ELSE 0.8 END)
+         |    AND len(list_intersect(list_distinct(list_transform(gw, x -> lower(x))),
+         |      CASE WHEN rl = 'en' THEN ['the','be','to','of','and','that','have','with']
+         |           WHEN rl = 'de' THEN ['der','die','und','das','ist','mit','von']
+         |           ELSE []::VARCHAR[] END)) >=
+         |      (CASE WHEN rl IN ('en','de') THEN 1 ELSE 0 END) AS g_ok
+         |  FROM gm),
          |surv1 AS (SELECT b.doc_id, b.text FROM base b JOIN best USING (doc_id)
-         |  WHERE b.doc_id IN (SELECT doc_id FROM uq)),
+         |  JOIN gok USING (doc_id)
+         |  WHERE b.doc_id IN (SELECT doc_id FROM uq) AND gok.g_ok),
          |fp AS (SELECT doc_id, md5($CANON) AS fp FROM surv1),
          |kp AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
          |dups AS (SELECT f.doc_id FROM fp f JOIN kp USING (fp) WHERE f.doc_id <> kp.keep_id),
@@ -910,12 +1110,14 @@ object QText {
          |       WHEN nt.b = 3 THEN 'tail' END AS bucket,
          |  CASE WHEN base.doc_id NOT IN (SELECT doc_id FROM uq) THEN 'drop_domain_quota'
          |       WHEN best.doc_id IS NULL THEN 'drop_lang'
+         |       WHEN NOT gok.g_ok THEN 'drop_gopher'
          |       WHEN base.doc_id IN (SELECT doc_id FROM dups) THEN 'drop_duplicate'
          |       WHEN coalesce(ov.overlap_frac, 0) >= 0.5 THEN 'drop_contaminated'
          |       WHEN nt.b IS NULL THEN 'drop_short'
          |       WHEN nt.b = 3 THEN 'drop_perplexity_tail'
          |       ELSE 'kept' END AS disposition
-         |FROM base LEFT JOIN best USING (doc_id) LEFT JOIN ov USING (doc_id)
+         |FROM base LEFT JOIN best USING (doc_id) LEFT JOIN gok USING (doc_id)
+         |LEFT JOIN ov USING (doc_id)
          |LEFT JOIN nt USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -949,11 +1151,18 @@ object QText {
       val routed = graft.operators.LangId
         .classify(corpus, "doc_id", "text", profiles)
         .select(col("doc_id"), col("pred_lang"))
+      // per-language Gopher tables, applied POST-ROUTING (the
+      // production multilingual discipline) — see [[Llm02LangRules]]
+      val gok = graft.operators.QualityRules.gopherByLang(
+          corpus.join(routed, Seq("doc_id")), "doc_id", "text", "pred_lang",
+          Llm02LangRules, Llm02DefaultRules)
+        .select(col("doc_id"), col("pass").as("g_ok"))
       val flags = corpus.select(col("doc_id"), col("text"))
         .join(quotaKept, Seq("doc_id"), "left")
         .join(routed, Seq("doc_id"))
+        .join(gok, Seq("doc_id"))
         .withColumn("l_ok", col("pred_lang") =!= "")
-      val surv1 = flags.filter(col("__q_in") === 1 && col("l_ok"))
+      val surv1 = flags.filter(col("__q_in") === 1 && col("l_ok") && col("g_ok"))
         .select("doc_id", "text", "pred_lang")
       val keyed = surv1.select(col("doc_id"),
         md5(TextFunctions.canonicalText(col("text"))).as("__fp"))
@@ -986,6 +1195,7 @@ object QText {
             .when(col("__b") === 3, lit("tail")).as("bucket"),
           when(col("__q_in").isNull, lit("drop_domain_quota"))
             .when(!col("l_ok"), lit("drop_lang"))
+            .when(!col("g_ok"), lit("drop_gopher"))
             .when(col("__dup") === 1, lit("drop_duplicate"))
             .when(coalesce(col("overlap_frac"), lit(0.0)) >= 0.5,
               lit("drop_contaminated"))
@@ -1928,44 +2138,36 @@ object QText {
     // dedup, t01 quality, t12 gram overlap, t13 redaction) in the
     // same order.
     QueryDef.of("t17_clean_corpus",
-      s"""WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
-         |keep AS (SELECT doc_id, text FROM raw
-         |  QUALIFY row_number() OVER (PARTITION BY md5($CANON) ORDER BY doc_id) = 1),
-         |m AS (SELECT doc_id, text,
-         |    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS ntok,
-         |    CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
-         |      x -> list_contains(['the','a','an','of','to','in','and','is','on','for'], x))) AS DOUBLE) AS nstop,
-         |    CAST(len(regexp_extract_all(lower(trim(text)), '\\S+')) AS DOUBLE) AS ntok_lc,
-         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct,
-         |    CAST(length(text) AS DOUBLE) AS nchar
-         |  FROM keep),
-         |q AS (SELECT doc_id, text,
-         |    round(0.4 * least(ntok / 50.0, 1.0)
-         |      + 0.3 * (1.0 - CASE WHEN nchar <> 0 THEN npunct / nchar ELSE 0.0 END)
-         |      + 0.3 * least(CASE WHEN ntok_lc <> 0 THEN nstop / ntok_lc ELSE 0.0 END * 4.0, 1.0), 6)
-         |      AS quality
-         |  FROM m),
-         |qf AS (SELECT * FROM q WHERE quality >= 0.7),
-         |toksq AS (SELECT doc_id, $CTOKS AS tk FROM qf),
-         |shq AS (SELECT DISTINCT doc_id AS id,
-         |    unnest(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS sh
-         |  FROM toksq),
-         |btoks AS (SELECT doc_id, $CTOKS AS tk FROM documents WHERE doc_id % 20 = 0),
-         |bsh AS (SELECT DISTINCT
-         |    unnest(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS sh
-         |  FROM btoks),
-         |bad AS (SELECT DISTINCT id FROM shq JOIN bsh USING (sh))
-         |SELECT doc_id, quality,
-         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-         |    '$PiiEmail', '[EMAIL]', 'g'), '$PiiSsn', '[SSN]', 'g'),
-         |    '$PiiPhone', '[PHONE]', 'g'), '$PiiIp', '[IP]', 'g') AS clean_text
-         |FROM qf WHERE doc_id NOT IN (SELECT id FROM bad)
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CleanCorpusOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       graft.operators.CleanCorpus.clean(
           docs.filter(col("doc_id") % 20 =!= 0).select("doc_id", "text"), "doc_id", "text",
           docs.filter(col("doc_id") % 20 === 0), "text",
           minQuality = 0.7, shingleN = 3)
+        .orderBy("doc_id")
+    },
+
+    // LLM03: t17's composed cleaner with the FIXED-BROADCAST Bloom
+    // decontamination option (CleanCorpus.Bloom → Decontaminate
+    // .removeContaminatedBloomAgainst) — the 100 TB form of stage 3:
+    // hundreds of accumulated eval sets fold into ONE numBits/8-byte
+    // synopsis instead of an ever-growing row broadcast, the corpus
+    // side stays one map-only codegen'd might_contain probe, and the
+    // one-sided error can only drop MORE (no false negatives). The
+    // oracle is t17's exact chain VERBATIM: at the default ~8
+    // bits/gram sizing the extra-drop probability is ~1e-13 per
+    // corpus, so row-identical output against the exact oracle IS the
+    // assertion (the conservative law itself is spec-pinned on a
+    // deliberately starved 64-bit filter in OperatorSpecs).
+    // LlmScaleSmoke pins the synopsis size FIXED at 1x/3x/10x.
+    QueryDef.of("llm03_clean_bloom",
+      CleanCorpusOracleSql) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.CleanCorpus.clean(
+          docs.filter(col("doc_id") % 20 =!= 0).select("doc_id", "text"), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "text",
+          minQuality = 0.7, shingleN = 3,
+          decontam = graft.operators.CleanCorpus.Bloom())
         .orderBy("doc_id")
     },
 
@@ -2795,95 +2997,7 @@ object QText {
     // the t70 ntile partitioned by routed language. Docs with no
     // langid grams or <5 tokens are absent (t66/t70 contract).
     QueryDef.of("t71_ccnet_perlang",
-      s"""WITH cref AS (SELECT doc_id, lang,
-         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
-         |  FROM documents WHERE doc_id % 10 = 0),
-         |gref AS (SELECT lang, unnest(CASE WHEN len(s) >= 3
-         |    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
-         |    ELSE [] END) AS gr
-         |  FROM cref),
-         |pf AS (SELECT lang, gr, count(*) AS cnt FROM gref GROUP BY 1, 2),
-         |pr AS MATERIALIZED (SELECT lang, gr,
-         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) AS rank
-         |  FROM pf
-         |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) <= 40),
-         |rlangs AS (SELECT DISTINCT lang AS cand FROM documents WHERE doc_id % 10 = 0),
-         |cdoc AS (SELECT doc_id,
-         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
-         |  FROM documents WHERE doc_id % 10 <> 0),
-         |gdoc AS (SELECT doc_id, unnest(CASE WHEN len(s) >= 3
-         |    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
-         |    ELSE [] END) AS gr
-         |  FROM cdoc),
-         |dist AS (SELECT dg.doc_id, l.cand,
-         |    CAST(SUM(coalesce(pr.rank, 41)) AS BIGINT) AS dist
-         |  FROM gdoc dg CROSS JOIN rlangs l
-         |  LEFT JOIN pr ON pr.lang = l.cand AND pr.gr = dg.gr
-         |  GROUP BY 1, 2),
-         |best AS MATERIALIZED (SELECT doc_id, cand AS lang FROM dist
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1),
-         |tr AS (SELECT lang, $CTOKS AS t FROM documents WHERE doc_id % 10 = 0),
-         |g5r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM tr),
-         |t5 AS MATERIALIZED (SELECT lang, g, count(*) AS c5 FROM g5r GROUP BY 1, 2),
-         |g4r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g FROM tr),
-         |c4t AS MATERIALIZED (SELECT lang, g AS ctx4, count(*) AS c4 FROM g4r GROUP BY 1, 2),
-         |lam5 AS (SELECT lang, array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4, count(*) AS lam5 FROM t5 GROUP BY 1, 2),
-         |cont4 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s, count(*) AS cont4 FROM t5 GROUP BY 1, 2),
-         |mid4 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3, count(*) AS denom4,
-         |    count(DISTINCT string_split(g, ' ')[5]) AS lam4 FROM t5 GROUP BY 1, 2),
-         |t4y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g4r),
-         |cont3 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:4], ' ') AS g3s, count(*) AS cont3 FROM t4y GROUP BY 1, 2),
-         |mid3 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:3], ' ') AS ctx2, count(*) AS denom3,
-         |    count(DISTINCT string_split(g, ' ')[4]) AS lam3 FROM t4y GROUP BY 1, 2),
-         |g3r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS g FROM tr),
-         |t3y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g3r),
-         |cont2 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:3], ' ') AS g2s, count(*) AS cont2 FROM t3y GROUP BY 1, 2),
-         |mid2 AS (SELECT lang, string_split(g, ' ')[2] AS w4k, count(*) AS denom2,
-         |    count(DISTINCT string_split(g, ' ')[3]) AS lam2 FROM t3y GROUP BY 1, 2),
-         |g2r AS (SELECT lang, unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS g FROM tr),
-         |t2y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g2r),
-         |cont1 AS (SELECT lang, string_split(g, ' ')[2] AS w5k, count(*) AS cont1 FROM t2y GROUP BY 1, 2),
-         |sc0 AS (SELECT lang, CAST(count(*) AS DOUBLE) AS denom1 FROM t2y GROUP BY 1),
-         |vv AS (SELECT lang, CAST(count(DISTINCT w) AS DOUBLE) AS v
-         |  FROM (SELECT lang, unnest(t) AS w FROM tr) GROUP BY 1),
-         |d AS (SELECT dd.doc_id, b.lang, $CTOKS AS t
-         |  FROM documents dd JOIN best b USING (doc_id) WHERE dd.doc_id % 10 <> 0),
-         |f AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM d),
-         |keys AS (SELECT doc_id, lang, g,
-         |    array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4,
-         |    array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s,
-         |    array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3,
-         |    array_to_string(string_split(g, ' ')[3:5], ' ') AS g3s,
-         |    array_to_string(string_split(g, ' ')[3:4], ' ') AS ctx2,
-         |    array_to_string(string_split(g, ' ')[4:5], ' ') AS g2s,
-         |    string_split(g, ' ')[4] AS w4k, string_split(g, ' ')[5] AS w5k
-         |  FROM f),
-         |j AS MATERIALIZED (SELECT doc_id, lang, keys.g,
-         |    coalesce(t5.c5, 0) AS c5, coalesce(c4t.c4, 0) AS c4, coalesce(lam5.lam5, 0) AS lam5,
-         |    coalesce(cont4.cont4, 0) AS cont4, coalesce(mid4.denom4, 0) AS denom4, coalesce(mid4.lam4, 0) AS lam4,
-         |    coalesce(cont3.cont3, 0) AS cont3, coalesce(mid3.denom3, 0) AS denom3, coalesce(mid3.lam3, 0) AS lam3,
-         |    coalesce(cont2.cont2, 0) AS cont2, coalesce(mid2.denom2, 0) AS denom2, coalesce(mid2.lam2, 0) AS lam2,
-         |    coalesce(cont1.cont1, 0) AS cont1, denom1, v
-         |  FROM keys LEFT JOIN t5 USING (lang, g)
-         |  LEFT JOIN c4t USING (lang, ctx4) LEFT JOIN lam5 USING (lang, ctx4)
-         |  LEFT JOIN cont4 USING (lang, g4s) LEFT JOIN mid4 USING (lang, ctx3)
-         |  LEFT JOIN cont3 USING (lang, g3s) LEFT JOIN mid3 USING (lang, ctx2)
-         |  LEFT JOIN cont2 USING (lang, g2s) LEFT JOIN mid2 USING (lang, w4k)
-         |  LEFT JOIN cont1 USING (lang, w5k)
-         |  JOIN sc0 USING (lang) JOIN vv USING (lang)),
-         |p1c AS (SELECT *, (cont1 + 0.5) / (denom1 + 0.5 * v) AS p1 FROM j),
-         |p2c AS (SELECT *, CASE WHEN denom2 > 0
-         |    THEN (GREATEST(cont2 - 0.75, 0) + 0.75 * lam2 * p1) / denom2 ELSE p1 END AS p2 FROM p1c),
-         |p3c AS (SELECT *, CASE WHEN denom3 > 0
-         |    THEN (GREATEST(cont3 - 0.75, 0) + 0.75 * lam3 * p2) / denom3 ELSE p2 END AS p3 FROM p2c),
-         |p4c AS (SELECT *, CASE WHEN denom4 > 0
-         |    THEN (GREATEST(cont4 - 0.75, 0) + 0.75 * lam4 * p3) / denom4 ELSE p3 END AS p4 FROM p3c),
-         |p5c AS (SELECT doc_id, lang, CASE WHEN c4 > 0 AND lam5 > 0
-         |    THEN (GREATEST(c5 - 0.75, 0) + 0.75 * lam5 * p4) / c4 ELSE p4 END AS p5 FROM p4c),
-         |sc AS (SELECT doc_id, lang, CAST(round(-ln(p5) * 1000000.0) AS BIGINT) AS m FROM p5c),
-         |ppl AS (SELECT doc_id, lang,
-         |    round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
-         |  FROM sc GROUP BY 1, 2),
+      CcnetPerLangPpl + s""",
          |nt AS (SELECT doc_id, lang, avg_neg_logp,
          |    ntile(3) OVER (PARTITION BY lang ORDER BY avg_neg_logp, doc_id) AS b
          |  FROM ppl)
@@ -2892,6 +3006,45 @@ object QText {
          |FROM nt ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       graft.operators.TextModel.ccnetPerLanguageBuckets(
+          docs.filter(col("doc_id") % 10 === 0), "lang", "text",
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // T72: the APPROX-BOUNDARY CCNet cut (ccnetPerLanguageBucketsApprox
+    // — the actual 100 TB path: no per-language rank window, the two
+    // tercile boundaries come from ONE approx_percentile pass and the
+    // labels are applied map-side under a |langs|-row broadcast). At
+    // `accuracy` ≥ the per-language doc count (10000 vs ≤450 here) the
+    // sketch keeps every sample with unit weight and zero delta, so
+    // percentile_approx(q) returns EXACTLY the element at 1-based rank
+    // ceil(q·n) of the ascending values — deterministic order
+    // statistics the oracle recomputes with a row_number window
+    // (integer rank forms (n+2)//3 and (2n+2)//3 equal ceil(q·n) for
+    // q = 1.0/3, 2.0/3 at any n below ~5e16 because the IEEE literals
+    // sit strictly below the rationals). Labeling is VALUE-based
+    // (ties never straddle a boundary), unlike t71's ntile — the two
+    // queries share every scoring CTE, so any mismatch isolates to
+    // the cut itself. LlmScaleSmoke keeps the exact-vs-approx
+    // agreement gate at 1x/3x/10x on top of this oracle.
+    QueryDef.of("t72_ccnet_approx_cut",
+      CcnetPerLangPpl + s""",
+         |n3 AS (SELECT lang, count(*) AS n FROM ppl GROUP BY 1),
+         |rk AS (SELECT lang, avg_neg_logp,
+         |    row_number() OVER (PARTITION BY lang ORDER BY avg_neg_logp) AS rn
+         |  FROM ppl),
+         |bnd AS MATERIALIZED (SELECT rk.lang,
+         |    max(CASE WHEN rn <= (n + 2) // 3 THEN avg_neg_logp END) AS b1,
+         |    max(CASE WHEN rn <= (2 * n + 2) // 3 THEN avg_neg_logp END) AS b2
+         |  FROM rk JOIN n3 USING (lang) GROUP BY 1)
+         |SELECT doc_id, lang AS pred_lang, avg_neg_logp,
+         |  CASE WHEN avg_neg_logp <= b1 THEN 'head'
+         |       WHEN avg_neg_logp <= b2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM ppl JOIN bnd USING (lang)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.TextModel.ccnetPerLanguageBucketsApprox(
           docs.filter(col("doc_id") % 10 === 0), "lang", "text",
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
         .orderBy("doc_id")

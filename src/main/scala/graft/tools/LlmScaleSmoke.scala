@@ -498,7 +498,19 @@ object LlmScaleSmoke {
         .groupBy(_.getString(0)).view.mapValues(rows =>
           rows.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
       println("LLM_SMOKE note: llm02 not separately scaled (its stages are the " +
-        "t48/t52 quota, t71 routing+KN, CleanCorpus and t65-family gates above)")
+        "t48/t52 quota, t71 routing+KN, the per-language rule gate below, " +
+        "CleanCorpus and t65-family gates above)")
+      // llm02's post-routing per-language Gopher stage in isolation
+      // (QualityRules.gopherByLang with the query's own shared
+      // tables): ONE map-only CASE dispatch keyed on the language
+      // column — per-language pass counts must be EXACTLY linear on
+      // verbatim copies, and the language set stable
+      val gblPass = graft.operators.QualityRules.gopherByLang(
+          verbatim71(langDocs), "doc_id", "text", "lang",
+          graft.queries.QText.Llm02LangRules,
+          graft.queries.QText.Llm02DefaultRules)
+        .filter(col("pass")).groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // t70: tercile bucket COUNTS are exactly n·c/3-partitioned by
       // ntile regardless of where tied scores land across copies
       val t70ppl = graft.operators.TextModel
@@ -530,6 +542,20 @@ object LlmScaleSmoke {
       val bench = scaledCorpus(base.filter(col("doc_id") % 97 === 3), c)
       val survivors = graft.operators.CleanCorpus.clean(
         docs, "doc_id", "text", bench, "text", minQuality = 0.3).count()
+      // llm03 (fixed-broadcast Bloom decontamination): the synopsis
+      // must stay numBits/8 bytes as the accumulated benchmark grows
+      // c× (the fixed size IS the point — gated across scales below),
+      // and the Bloom pipeline's survivor count must equal the exact
+      // path's at every scale (one-sided error unobservable at the
+      // default ~8 bits/gram sizing; a trip here means a real FP)
+      val bloomBytes = graft.operators.Decontaminate
+        .benchGramsBloom(bench, "text", 3).length
+      val bloomSurvivors = graft.operators.CleanCorpus.clean(
+        docs, "doc_id", "text", bench, "text", minQuality = 0.3,
+        decontam = graft.operators.CleanCorpus.Bloom()).count()
+      check(bloomSurvivors == survivors,
+        s"scale=$c llm03 Bloom-decontam survivors equal the exact path's " +
+          s"($survivors vs $bloomSurvivors)")
       // t67: map-only rule gate on the verbatim side. The synthetic
       // corpus has no English stopwords (pass_stopwords is vacuously
       // false corpus-wide — the t67 oracle injects them), so the
@@ -553,10 +579,11 @@ object LlmScaleSmoke {
         f"line_pass=$linePass")
       (c, t60r.getLong(0), t60r.getLong(1), t66r.getLong(0), t66r.getLong(1),
         bpeToks, wpToks, uni, survivors, gopherPass,
-        t68r.getLong(0), t68r.getLong(1), linePass, t70counts, t71m, t71a)
+        t68r.getLong(0), t68r.getLong(1), linePass, t70counts, t71m, t71a,
+        gblPass, bloomBytes)
     }
     val l1 = lmRuns.head
-    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp, t70c, t71c, t71ac) =>
+    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp, t70c, t71c, t71ac, gbl, bfLen) =>
       // t71: same language set at every scale; per-language scored
       // rows exactly linear; tercile split ntile-balanced (±1 of n/3)
       val base71 = l1._15
@@ -593,6 +620,13 @@ object LlmScaleSmoke {
       check(gp * l1._1 == l1._10 * c,
         s"scale=$c t67 gopher 4-rule pass count EXACTLY linear on verbatim copies " +
           s"(${l1._10}->$gp)")
+      check(gbl.keySet == l1._17.keySet &&
+          gbl.forall { case (lang, n) => n * l1._1 == l1._17(lang) * c },
+        s"scale=$c llm02 per-language rule gate pass counts EXACTLY linear " +
+          s"per language on verbatim copies (${l1._17}->$gbl)")
+      check(bfLen == l1._18,
+        s"scale=$c llm03 Bloom synopsis size FIXED as the benchmark grows " +
+          s"${c}x (${l1._18} -> $bfLen bytes)")
       check(lp * l1._1 == l1._13 * c,
         s"scale=$c t69 line-rule pass count EXACTLY linear on verbatim copies " +
           s"(${l1._13}->$lp)")

@@ -349,6 +349,24 @@ class OperatorSpecs extends AnyFunSuite {
       assert(tiny(id)._3 >= nHit,
         s"doc $id: bloom n_hit ${tiny(id)._3} must be >= exact $nHit")
     }
+    // the STRICT removal form (llm03's pipeline stage): identical to
+    // the exact anti-join at generous bits; under the starved filter
+    // the one-sided error may only drop MORE, never resurrect a
+    // contaminated doc
+    def keptOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val exactKept = keptOf(Decontaminate.removeContaminated(
+      train, "doc_id", "text", bench, "text", n = 3))
+    val bloomKept = keptOf(Decontaminate.removeContaminatedBloomAgainst(
+      train, "doc_id", "text",
+      Decontaminate.benchGramsBloom(bench, "text", n = 3), n = 3))
+    assert(bloomKept === exactKept)
+    val starvedKept = keptOf(Decontaminate.removeContaminatedBloomAgainst(
+      train, "doc_id", "text",
+      Decontaminate.benchGramsBloom(bench, "text", n = 3,
+        estimatedGrams = 4L, numBits = 64L), n = 3))
+    assert(starvedKept.subsetOf(exactKept),
+      s"starved bloom must only drop MORE: $starvedKept vs $exactKept")
   }
 
   test("Pii.detect counts and redacts emails, IPs, phones, SSNs") {
@@ -1076,6 +1094,41 @@ class OperatorSpecs extends AnyFunSuite {
     // symbol accounting on doc 3: 6 hashes + 3 ellipses over 64 words
     assert(r(3L).getAs[Double]("symbol_ratio") ===
       math.round(9.0 / 64 * 1e6) / 1e6)
+  }
+
+  test("QualityRules.gopherByLang: each doc judged by ITS language's table") {
+    import graft.operators.QualityRules.LangRules
+    val en = ("the data of the run and that have with home " * 6).trim // passes en
+    val deKeep = ("der die und das ist mit von der die und das ist " * 2).trim // 24 words, mean 3.0
+    val deDrop = ("the data table rows only here for this corpus now " * 3).trim // 'the' but no de word
+    val zhShort = ("ab cd " * 15).trim // mean 2.0: fails default mean-len, zh opens it
+    val rules = Map(
+      "en" -> LangRules(QualityRules.GopherStopwords, minStopwords = 1, minWords = 20),
+      "de" -> LangRules(Seq("der", "die", "und", "das", "ist", "mit", "von"),
+        minStopwords = 1, minWords = 20),
+      "zh" -> LangRules(Seq.empty, minStopwords = 0, minWords = 20,
+        minMeanLen = 0.0, maxMeanLen = 1e18, minAlphaFrac = 0.0))
+    val default = LangRules(Seq.empty, minStopwords = 0, minWords = 20)
+    val docs = Seq(
+      (1L, "en", en),      // English doc under the English table: pass
+      (2L, "de", deKeep),  // de table KEEPS it; en table would drop (0 Gopher-8 words)
+      (3L, "de", deDrop),  // de table DROPS it; en table would keep ('the')
+      (4L, "en", deKeep),  // the same text routed en: dropped (the differential)
+      (5L, "fr", deDrop),  // unconfigured lang: stopword floor off → pass
+      (6L, "zh", zhShort), // zh opens word-shape bounds → pass
+      (7L, "fr", zhShort)) // default keeps the mean-len rule → fail
+      .toDF("doc_id", "lang", "text")
+    val r = QualityRules.gopherByLang(docs, "doc_id", "text", "lang", rules, default)
+      .collect().map(x => x.getLong(0) -> x.getAs[Boolean]("pass")).toMap
+    assert(r === Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true, 6L -> true, 7L -> false))
+    // the per-language frame must agree with single-language gopher
+    // run separately per language (the parameterization is pure CASE
+    // dispatch, no semantic drift)
+    val enOnly = QualityRules.gopher(docs.filter(col("lang") === "en"),
+        "doc_id", "text", minWords = 20, minStopwords = 1)
+      .collect().map(x => x.getLong(0) -> x.getAs[Boolean]("pass")).toMap
+    assert(enOnly === Map(1L -> true, 4L -> false))
   }
 
   test("QualityRules.lineRules: every line rule hand-verified at its boundary") {

@@ -100,7 +100,7 @@ object EdgeStore {
       .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val v = StoreManifest.read(spark, path).fold(1)(_.getOrElse("edges", 0) + 1)
+    val v = StoreKit.nextVersion(spark, path, "edges")
     BucketedTables.write(closed, s"$path/by_src/v$v", "src", "src", buckets)
     BucketedTables.write(closed, s"$path/by_dst/v$v", "dst", "dst", buckets)
     closed.unpersist()
@@ -117,25 +117,13 @@ object EdgeStore {
   }
 
   /** Grace-window cleanup shared by [[write]] and [[compact]] (all
-    * three tables share the one `edges` version): keep the
-    * immediately-previous snapshot for in-flight readers, reclaim
-    * everything older — delete `v<k>` for k < `keepMin`. */
-  private def dropBelow(spark: SparkSession, path: String, keepMin: Int): Unit = {
-    val fs = StoreManifest.fsOf(spark, path)
-    for (t <- Seq("by_src", "by_dst", "vertices"); k <- 1 until keepMin) {
-      val dir = s"$path/$t/v$k"
-      if (fs.exists(new org.apache.hadoop.fs.Path(dir))) {
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-        BucketedTables.dropEntry(spark, dir)
-      }
-    }
-    // also sweep entries whose dir is ALREADY gone (deleted by another
-    // session's cleanup — this session's catalog would otherwise keep a
-    // dangling table pointing at the reclaimed dir), matching the
-    // MediaIndex/DedupIndex discipline
-    Seq("by_src", "by_dst").foreach(t =>
-      StoreKit.dropStaleEntries(spark, path, t, keepMin))
-  }
+    * three tables share the one `edges` version, so the cleanup is
+    * [[StoreKit.reclaimBelow]], not the per-table-key dropSuperseded):
+    * keep the immediately-previous snapshot for in-flight readers,
+    * reclaim everything older. */
+  private def dropBelow(spark: SparkSession, path: String, keepMin: Int): Unit =
+    StoreKit.reclaimBelow(
+      spark, path, Seq("by_src", "by_dst", "vertices"), keepMin)
 
   /** Append a day's new edges into the current snapshot — the crawl
     * pipeline's daily shape (edge list grows, vertices only ever

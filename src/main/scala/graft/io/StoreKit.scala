@@ -29,6 +29,13 @@ object StoreKit {
     n
   }
 
+  /** The next version number of one versioned table — 1 on a path
+    * that has never committed a manifest. Every store's write starts
+    * here; the new `v<N>` dir stays invisible until the
+    * [[StoreManifest.commit]] pointer-swap publishes it. */
+  def nextVersion(spark: SparkSession, path: String, key: String): Int =
+    StoreManifest.read(spark, path).fold(1)(_.getOrElse(key, 0) + 1)
+
   /** Drop catalog entries whose version directory is gone (superseded
     * versions reclaimed by the grace-window cleanup): `$path/$table/
     * v<k>` for k < `below`. Bucket metadata lives in the session
@@ -41,6 +48,36 @@ object StoreKit {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$table/v$k")))
         BucketedTables.dropEntry(spark, s"$path/$table/v$k")
     }
+  }
+
+  /** The standard POST-COMMIT cleanup of one published table whose
+    * versions are named by their own manifest key: the one-snapshot
+    * grace-window delete ([[StoreManifest.dropSuperseded]]) plus the
+    * stale session-catalog sweep. `below` is the just-published
+    * version. */
+  def reclaim(spark: SparkSession, path: String, table: String, below: Int): Unit = {
+    StoreManifest.dropSuperseded(spark, path, table)
+    dropStaleEntries(spark, path, table, below)
+  }
+
+  /** Grace-window cleanup for stores whose SEVERAL table dirs share
+    * ONE manifest version key ([[EdgeStore]]'s by_src/by_dst/vertices
+    * all ride `edges`, so the per-table-key [[StoreManifest
+    * .dropSuperseded]] cannot see them): delete `$path/$table/v<k>`
+    * for k < `keepMin` with their catalog entries, then sweep entries
+    * whose dir another session already reclaimed. */
+  def reclaimBelow(
+      spark: SparkSession, path: String, tables: Seq[String], keepMin: Int): Unit = {
+    val fs = StoreManifest.fsOf(spark, path)
+    for (t <- tables; k <- 1 until keepMin) {
+      val dir = s"$path/$t/v$k"
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(hp)) {
+        fs.delete(hp, true)
+        BucketedTables.dropEntry(spark, dir)
+      }
+    }
+    tables.foreach(t => dropStaleEntries(spark, path, t, keepMin))
   }
 
   /** SNAPSHOT-STABLE gate verdicts (the discipline every ingest gate

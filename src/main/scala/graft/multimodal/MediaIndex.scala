@@ -69,11 +69,6 @@ object MediaIndex {
         .as(Seq("chunk", "chunk_val")))
       .withColumn("bkey", col("chunk") * lit(1L << b.chunkBits) + col("chunk_val"))
 
-  /** Drop catalog entries whose version directory is gone (superseded
-    * versions reclaimed by the grace-window cleanup). */
-  private def dropStaleEntries(spark: SparkSession, path: String, below: Int): Unit =
-    graft.io.StoreKit.dropStaleEntries(spark, path, "bands", below)
-
   /** Materialize the index for an initial corpus of `(media_id,
     * dhash, …)` codes under `banding`. A re-write on an existing path
     * publishes a FRESH version (readers on the old snapshot are
@@ -84,7 +79,7 @@ object MediaIndex {
       banding: Banding = Wide, buckets: Int = 8,
       extra: Map[String, Int] = Map.empty): Unit = {
     val spark = codes.sparkSession
-    val v = StoreManifest.read(spark, path).fold(1)(_.getOrElse("bands", 0) + 1)
+    val v = graft.io.StoreKit.nextVersion(spark, path, "bands")
     BucketedTables.write(
       bandedOf(codes, banding), s"$path/bands/v$v", "bkey", "media_id", buckets)
     // `extra` lets a parameterizing operator record ITS write-time
@@ -94,8 +89,7 @@ object MediaIndex {
     StoreManifest.commit(spark, path, extra ++ Map(
       "bands" -> v, "chunk_bits" -> banding.chunkBits,
       "n_chunks" -> banding.nChunks, "buckets" -> buckets))
-    StoreManifest.dropSuperseded(spark, path, "bands")
-    dropStaleEntries(spark, path, v)
+    graft.io.StoreKit.reclaim(spark, path, "bands", v)
   }
 
   /** Append an ACCEPTED batch's banded codes into the current
@@ -210,8 +204,7 @@ object MediaIndex {
     StoreManifest.commit(spark, path, m ++ Map(
       "bands" -> (v + 1), "chunk_bits" -> banding.chunkBits,
       "n_chunks" -> banding.nChunks, "buckets" -> m.getOrElse("buckets", 8)))
-    StoreManifest.dropSuperseded(spark, path, "bands")
-    dropStaleEntries(spark, path, v + 1)
+    graft.io.StoreKit.reclaim(spark, path, "bands", v + 1)
     CompactReport(before, parquetFileCount(spark, s"$path/bands/v${v + 1}"))
   }
 }

@@ -104,12 +104,6 @@ object DedupIndex {
       spark: SparkSession, path: String, v: Int, buckets: Int): DataFrame =
     graft.io.BucketedTables.read(spark, s"$path/shingles/v$v", "sh", "id", buckets)
 
-  /** Drop catalog entries whose version directory is gone (superseded
-    * versions reclaimed by the grace-window cleanup). */
-  private def dropStaleEntries(
-      spark: SparkSession, path: String, table: String, below: Int): Unit =
-    graft.io.StoreKit.dropStaleEntries(spark, path, table, below)
-
   /** Materialize the index for an initial corpus. A re-write on an
     * existing path publishes FRESH versions (readers on the old
     * snapshot are undisturbed until the commit; superseded dirs are
@@ -119,8 +113,7 @@ object DedupIndex {
       shingleN: Int, numHashes: Int, bands: Int, buckets: Int = 8): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
-    val prev = StoreManifest.read(spark, path)
-    def next(k: String) = prev.fold(1)(_.getOrElse(k, 0) + 1)
+    def next(k: String) = graft.io.StoreKit.nextVersion(spark, path, k)
     val (bv, sv, zv) = (next("bands"), next("shingles"), next("sizes"))
     val sh = Dedup.shingled(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -132,10 +125,8 @@ object DedupIndex {
     StoreManifest.commit(spark, path,
       Map("bands" -> bv, "shingles" -> sv, "sizes" -> zv,
         "buckets" -> buckets, "band_buckets" -> buckets, "band_enc" -> 2))
-    Seq("bands", "shingles", "sizes")
-      .foreach(StoreManifest.dropSuperseded(spark, path, _))
-    dropStaleEntries(spark, path, "shingles", sv)
-    dropStaleEntries(spark, path, "bands", bv)
+    Seq("bands" -> bv, "shingles" -> sv, "sizes" -> zv)
+      .foreach { case (t, v) => graft.io.StoreKit.reclaim(spark, path, t, v) }
   }
 
   /** Append an ACCEPTED batch's bands + shingles + sizes into the
@@ -342,10 +333,8 @@ object DedupIndex {
       Map("bands" -> (bv + 1), "shingles" -> (sv + 1),
         "sizes" -> (zv + 1), "buckets" -> buckets, "band_buckets" -> buckets,
         "band_enc" -> cur.getOrElse("band_enc", 1)))
-    Seq("bands", "shingles", "sizes")
-      .foreach(StoreManifest.dropSuperseded(spark, path, _))
-    dropStaleEntries(spark, path, "shingles", sv + 1)
-    dropStaleEntries(spark, path, "bands", bv + 1)
+    Seq("bands" -> (bv + 1), "shingles" -> (sv + 1), "sizes" -> (zv + 1))
+      .foreach { case (t, v) => graft.io.StoreKit.reclaim(spark, path, t, v) }
     CompactReport(bBefore, files(s"$path/bands/v${bv + 1}"),
       sBefore, files(s"$path/shingles/v${sv + 1}"))
   }

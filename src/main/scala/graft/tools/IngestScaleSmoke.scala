@@ -371,6 +371,46 @@ object IngestScaleSmoke {
         check(math.abs(pre.map(_._2).sum - 1.0) < 1e-9 &&
             perCopy.values.forall(s => math.abs(s - 1.0 / c) < 1e-9),
           s"scale=$c rank mass 1 total, exactly 1/c per disjoint copy")
+        // streamed daily ingest ≡ fresh batch build AT SCALE (the
+        // EdgeStoreSpec foreachBatch case promoted to the smoke):
+        // day-2 edges arrive as two streaming micro-batches whose
+        // upserts run through foreachBatch's CLONED session — the
+        // cloned-session relation-cache hazard (a reader serving a
+        // stale file listing after another session's append) must not
+        // surface at any scale. The streamed store's ranks must equal
+        // the batch-built store's exactly.
+        locally {
+          import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+          import spark.implicits._
+          implicit val sqlCtx = spark.sqlContext
+          val sp = s"/tmp/graft_ingest_smoke_edges_stream_$c"
+          org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(sp), true)
+          graft.io.EdgeStore.write(sp, gNodes, "id", day1, "src", "dst")
+          val input = MemoryStream[(Long, Long)]
+          val q = input.toDF().toDF("src", "dst").writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                graft.io.EdgeStore.upsert(sp, gNodes, "id", b.toDF(), "src", "dst")
+                ()
+            }
+            .start()
+          val d2 = day2.as[(Long, Long)].collect()
+          try {
+            val (h1, h2) = d2.splitAt(d2.length / 2)
+            input.addData(h1.toSeq); q.processAllAvailable()
+            input.addData(h2.toSeq); q.processAllAvailable()
+          } finally q.stop()
+          val streamed = graft.operators.PageRank
+            .runIndexed(gNodes, "id", sp, iterations = 3)
+            .select(col("id"), col("pr")).orderBy("id").collect()
+            .map(r => (r.getLong(0), r.getDouble(1)))
+          check(streamed.length == pre.length &&
+              streamed.zip(pre).forall { case ((i1, p1), (i2, p2)) =>
+                i1 == i2 && math.abs(p1 - p2) < 1e-12 },
+            s"scale=$c streamed daily upserts rank identically to the " +
+              s"batch-built store (${streamed.length} rows)")
+        }
       }
       Thread.sleep(500)
       tally.snapshotAndReset() // keep the graph-store I/O out of the envelope

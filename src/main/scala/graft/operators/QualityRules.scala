@@ -169,10 +169,56 @@ object QualityRules {
    * expressions, no shuffle, no UDF; runs at scan speed next to
    * [[gopher]] ahead of every join-bearing gate.
    */
+  /** The default (Latin-script) line-terminal character set — C4's
+    * rule (Raffel et al. 2020 §2.2). */
+  val LatinTerminals: Seq[String] = Seq(".", "!", "?", "\"", "”")
+
+  /** One language's line-rule configuration — the line-level twin of
+    * [[LangRules]]: the TERMINAL-PUNCTUATION set is script-specific
+    * (CJK full-width 。！？ vs the Latin set), and each threshold can
+    * be opened per language. */
+  final case class LineLangRules(
+      terminalChars: Seq[String] = LatinTerminals,
+      minTerminalFrac: Double = 0.5,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      maxDupFrac: Double = 0.3)
+
   def lineRules(
       docs: DataFrame, idCol: String, textCol: String,
       maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
-      minTerminalFrac: Double = 0.5, maxDupFrac: Double = 0.3): DataFrame = {
+      minTerminalFrac: Double = 0.5, maxDupFrac: Double = 0.3): DataFrame =
+    lineRulesFrame(docs, idCol, textCol, Nil,
+      array(LatinTerminals.map(lit): _*),
+      lit(maxBulletFrac), lit(maxEllipsisFrac), lit(minTerminalFrac),
+      lit(maxDupFrac))
+
+  /** [[lineRules]] with PER-LANGUAGE tables — each document judged by
+    * ITS language's terminal set and thresholds (a CJK document's
+    * lines end in 。！？, which the Latin set would score as
+    * unterminated boilerplate). Same map-only literal-CASE dispatch
+    * as [[gopherByLang]]: no join, no shuffle. */
+  def lineRulesByLang(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      rules: Map[String, LineLangRules], default: LineLangRules): DataFrame = {
+    def pick(f: LineLangRules => Column): Column =
+      rules.toSeq.sortBy(_._1).foldLeft(f(default)) {
+        case (acc, (lang, r)) => when(col(langCol) === lang, f(r)).otherwise(acc)
+      }
+    def arrOf(cs: Seq[String]): Column =
+      if (cs.isEmpty) typedlit(Seq.empty[String]) else array(cs.map(lit): _*)
+    lineRulesFrame(docs, idCol, textCol, Seq(col(langCol)),
+      pick(r => arrOf(r.terminalChars)),
+      pick(r => lit(r.maxBulletFrac)), pick(r => lit(r.maxEllipsisFrac)),
+      pick(r => lit(r.minTerminalFrac)), pick(r => lit(r.maxDupFrac)))
+  }
+
+  /** Shared measure+rule projection of the line rules — thresholds
+    * and the terminal set arrive as COLUMNS (see [[gopherFrame]]). */
+  private def lineRulesFrame(
+      docs: DataFrame, idCol: String, textCol: String,
+      passthrough: Seq[Column], terminalArr: Column,
+      maxBulletFrac: Column, maxEllipsisFrac: Column,
+      minTerminalFrac: Column, maxDupFrac: Column): DataFrame = {
     val lines = filter(
       transform(split(col(textCol), "\n"), l => trim(l)), l => length(l) > 0)
     val n = size(lines).cast("long")
@@ -181,19 +227,19 @@ object QualityRules {
         .otherwise(0.0), 6)
     val bulletFrac = frac(l => substring(l, 1, 2).isin("- ", "* ", "• "))
     val ellipsisFrac = frac(l => l.endsWith("...") || l.endsWith("…"))
-    val terminalFrac = frac(l =>
-      substring(l, -1, 1).isin(".", "!", "?", "\"", "”"))
+    val terminalFrac = frac(l => array_contains(terminalArr, substring(l, -1, 1)))
     val dupFrac = round(
       when(n > 0,
         (n - size(array_distinct(lines))).cast("double") / n).otherwise(0.0), 6)
     docs.select(
-        col(idCol), n.as("n_lines"), bulletFrac.as("bullet_frac"),
-        ellipsisFrac.as("ellipsis_frac"), terminalFrac.as("terminal_frac"),
-        dupFrac.as("dup_line_frac"))
-      .withColumn("pass_bullets", col("bullet_frac") <= maxBulletFrac)
-      .withColumn("pass_ellipsis", col("ellipsis_frac") <= maxEllipsisFrac)
-      .withColumn("pass_terminal", col("terminal_frac") >= minTerminalFrac)
-      .withColumn("pass_dup_lines", col("dup_line_frac") <= maxDupFrac)
+        (col(idCol) +: passthrough) ++ Seq(
+          n.as("n_lines"), bulletFrac.as("bullet_frac"),
+          ellipsisFrac.as("ellipsis_frac"), terminalFrac.as("terminal_frac"),
+          dupFrac.as("dup_line_frac"),
+          (bulletFrac <= maxBulletFrac).as("pass_bullets"),
+          (ellipsisFrac <= maxEllipsisFrac).as("pass_ellipsis"),
+          (terminalFrac >= minTerminalFrac).as("pass_terminal"),
+          (dupFrac <= maxDupFrac).as("pass_dup_lines")): _*)
       .withColumn("pass",
         col("pass_bullets") && col("pass_ellipsis") &&
           col("pass_terminal") && col("pass_dup_lines"))

@@ -2651,6 +2651,73 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // T73: PER-LANGUAGE line rules (QualityRules.lineRulesByLang —
+    // the line-level half of the r17 per-language parameterization):
+    // the TERMINAL-PUNCTUATION set is script-specific, so a zh
+    // document whose lines end in the full-width 。 must pass its own
+    // language's C4 terminal floor while the Latin set would score it
+    // as unterminated boilerplate (and vice versa for '.'-terminated
+    // Latin docs under the CJK set) — the same literal-CASE map-only
+    // dispatch as gopherByLang, no join, no shuffle. The corpus
+    // derives t69's 8-word lines; %2==0 docs get their language's
+    // terminal mark appended to every line (zh → 。, others → .), so
+    // the floor has live passes AND failures per language and the
+    // zh/Latin set difference decides real dispositions.
+    QueryDef.of("t73_line_rules_perlang",
+      """WITH w0 AS (SELECT doc_id, lang, regexp_extract_all(trim(text), '\S+') AS ws FROM documents),
+        |base AS (SELECT doc_id, lang,
+        |    list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+        |      i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS bl
+        |  FROM w0),
+        |d AS (SELECT doc_id, lang, array_to_string(CASE
+        |    WHEN doc_id % 2 = 0 THEN list_transform(bl, l -> l ||
+        |      CASE WHEN lang = 'zh' THEN '。' ELSE '.' END)
+        |    ELSE bl END, chr(10)) AS t0
+        |  FROM base),
+        |l AS (SELECT doc_id, lang,
+        |    list_filter(list_transform(string_split(t0, chr(10)), x -> trim(x)),
+        |      x -> length(x) > 0) AS ls
+        |  FROM d),
+        |m AS (SELECT doc_id, lang,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    round(CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls,
+        |      x -> left(x, 2) IN ('- ', '* ', '• '))) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END, 6) AS bullet_frac,
+        |    round(CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls,
+        |      x -> right(x, 3) = '...' OR right(x, 1) = '…')) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END, 6) AS ellipsis_frac,
+        |    round(CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls,
+        |      x -> list_contains(CASE WHEN lang = 'zh' THEN ['。','！','？']
+        |        ELSE ['.','!','?','"','”'] END, right(x, 1)))) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END, 6) AS terminal_frac,
+        |    round(CASE WHEN len(ls) > 0
+        |      THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END, 6) AS dup_line_frac
+        |  FROM l)
+        |SELECT doc_id, lang, n_lines, bullet_frac, ellipsis_frac, terminal_frac, dup_line_frac,
+        |  bullet_frac <= 0.9 AS pass_bullets,
+        |  ellipsis_frac <= 0.3 AS pass_ellipsis,
+        |  terminal_frac >= 0.5 AS pass_terminal,
+        |  dup_line_frac <= 0.3 AS pass_dup_lines,
+        |  bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND terminal_frac >= 0.5
+        |    AND dup_line_frac <= 0.3 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.QualityRules.LineLangRules
+      val words = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val nl = ceil(size(words).cast("double") / 8).cast("int")
+      val baseLines = transform(sequence(lit(0), nl - 1),
+        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+      val mark = when(col("lang") === "zh", lit("。")).otherwise(lit("."))
+      val derived = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        array_join(
+          when(col("doc_id") % 2 === 0, transform(baseLines, l => concat(l, mark)))
+            .otherwise(baseLines), "\n").as("t0"))
+      graft.operators.QualityRules.lineRulesByLang(derived, "doc_id", "t0", "lang",
+          Map("zh" -> LineLangRules(terminalChars = Seq("。", "！", "？"))),
+          LineLangRules())
+        .orderBy("doc_id")
+    },
+
     QueryDef.of("t60_trigram_backoff_perplexity",
       s"""WITH tr AS (SELECT $CTOKS AS t FROM documents WHERE doc_id % 10 = 0),
          |trt AS (SELECT tg, count(*) AS c_tri FROM (SELECT

@@ -1131,6 +1131,31 @@ class OperatorSpecs extends AnyFunSuite {
     assert(enOnly === Map(1L -> true, 4L -> false))
   }
 
+  test("QualityRules.lineRulesByLang: terminal set and thresholds keyed on the language") {
+    import graft.operators.QualityRules.LineLangRules
+    val zhText = "第一行的结尾。\n第二行的结尾！\n第三行的结尾？"
+    val enText = "first line ends.\nsecond line ends!\nthird line ends?"
+    val docs = Seq(
+      (1L, "zh", zhText),  // CJK terminals: pass under zh set
+      (2L, "en", zhText),  // same text judged by the Latin set: fail
+      (3L, "en", enText),  // Latin terminals under the Latin set: pass
+      (4L, "zh", enText))  // Latin terminals under the zh set: fail
+      .toDF("doc_id", "lang", "text")
+    val rules = Map("zh" -> LineLangRules(terminalChars = Seq("。", "！", "？")))
+    val r = QualityRules.lineRulesByLang(docs, "doc_id", "text", "lang",
+        rules, LineLangRules())
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Double]("terminal_frac"), x.getAs[Boolean]("pass_terminal"))).toMap
+    assert(r(1L) === ((1.0, true)) && r(2L) === ((0.0, false)))
+    assert(r(3L) === ((1.0, true)) && r(4L) === ((0.0, false)))
+    // per-language threshold override: opening zh's floor flips doc 4
+    val open = QualityRules.lineRulesByLang(docs, "doc_id", "text", "lang",
+        Map("zh" -> LineLangRules(terminalChars = Seq("。", "！", "？"),
+          minTerminalFrac = 0.0)), LineLangRules())
+      .collect().map(x => x.getLong(0) -> x.getAs[Boolean]("pass_terminal")).toMap
+    assert(open(4L) === true && open(2L) === false)
+  }
+
   test("QualityRules.lineRules: every line rule hand-verified at its boundary") {
     val nine = (1 to 9).map(i => s"- item $i.").mkString("\n")
     val docs = Seq(

@@ -149,6 +149,50 @@ object Decontaminate {
   }
 
   /**
+   * Per-(document, eval-suite) contamination ATTRIBUTION — the
+   * data-card form of [[ngramOverlap]] once many eval suites
+   * accumulate: a production curation run records not just THAT a
+   * document overlaps the benchmark pool but WHICH suite(s) hit it
+   * (so a suite can be re-run cleanly after the fact, and a
+   * high-value doc contaminated by one niche suite can be re-admitted
+   * for every other evaluation). Returns one row per (doc, suite)
+   * pair sharing ≥ 1 distinct word n-gram: `(idCol, suite, n_grams,
+   * n_hit, overlap_frac)` — a doc hit by k suites carries k rows,
+   * unhit docs are absent (the [[ngramOverlap]] absence contract),
+   * and `n_grams` is the doc's own distinct-gram count so each row's
+   * fraction is self-contained.
+   *
+   * Scale shape: the (suite, gram) set is eval-suite-sized and
+   * BROADCAST (its size is why [[ngramOverlapBloom]] exists for the
+   * yes/no question — attribution inherently needs the labeled
+   * grams); the corpus pays two map-only shingle passes (per-doc
+   * totals, then the hit join) plus a groupBy(id, suite) that
+   * carries only hit rows. Nothing corpus-sized shuffles by gram.
+   */
+  def ngramOverlapBySuite(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, suiteCol: String, benchTextCol: String,
+      n: Int): DataFrame = {
+    // shingle per BENCH DOC first (shingled's per-row distinct is
+    // per-document), then label with the suite and distinct to the
+    // (suite, gram) set — two docs of one suite sharing a gram must
+    // collapse to one row before the corpus join
+    val bench2 = bench.select(monotonically_increasing_id().as("__bid"),
+      col(suiteCol).as("suite"), col(benchTextCol).as("__bt"))
+    val suiteGrams = Dedup.shingled(bench2, "__bid", "__bt", n)
+      .join(broadcast(bench2.select(col("__bid").as("id"), col("suite"))), Seq("id"))
+      .select("suite", "sh").distinct()
+    val docGrams = Dedup.shingled(docs, idCol, textCol, n)
+    val totals = docGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    docGrams.join(broadcast(suiteGrams), Seq("sh"))
+      .groupBy(col("id"), col("suite"))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(totals, Seq("id"))
+      .select(col("id").as(idCol), col("suite"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6).as("overlap_frac"))
+  }
+
+  /**
    * N-gram NOVELTY scoring — the measuring half of decontamination:
    * for each document, the fraction of its distinct word n-grams that
    * appear nowhere in a reference snapshot

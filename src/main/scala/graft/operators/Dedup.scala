@@ -122,14 +122,35 @@ object Dedup {
         TextFunctions.tokens(TextFunctions.canonicalText(col(textCol))).as("__toks"))
       .select(col("id"),
         explode(array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), n))).as("sh"))
+    dfCapped(base, maxShingleDf)
+  }
+
+  /** (id, shingle) pairs over CHARACTER n-grams of the canonical text
+    * (lowercase, whitespace collapsed — [[LangId.canonical]], the
+    * native O(len) [[graft.plans.CharNgramsExpr]] walk): the shingle
+    * unit for UNSEGMENTED scripts. A CJK document is ONE whitespace
+    * token, so the word-shingle form sees no shingles at all and
+    * every word-level dedup operator is structurally blind to it;
+    * char n-grams are what production CJK dedup shingles on. Same
+    * distinct-per-doc and DF-cap semantics as [[shingled]]. */
+  def charShingled(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxShingleDf: Option[Int] = None): DataFrame =
+    dfCapped(
+      df.select(col(idCol).as("id"),
+        explode(array_distinct(LangId.charNgrams(col(textCol), n))).as("sh")),
+      maxShingleDf)
+
+  /** The document-frequency skew cap shared by the shingle sources:
+    * drops shingles appearing in more than `maxShingleDf` docs
+    * (stop-shingles are pure noise for similarity and the skew bomb
+    * in the self-join), with the drops OBSERVED (no-silent-caps):
+    * stop_shingles_dropped / doc_shingle_rows_dropped ride the count
+    * aggregate and print via util.Metrics.enableLogging. */
+  private def dfCapped(base: DataFrame, maxShingleDf: Option[Int]): DataFrame =
     maxShingleDf match {
       case None => base
       case Some(cap) =>
-        // the cap changes which near-dups exist, so its drops are
-        // OBSERVED (no-silent-caps): stop_shingles_dropped distinct
-        // shingles over the cap, doc_shingle_rows_dropped (id, sh)
-        // rows they carried. Printed by util.Metrics.enableLogging;
-        // zero extra jobs (computed inline with the count aggregate).
         val dfCounts = base.groupBy("sh").agg(count(lit(1)).as("__df"))
           .observe(graft.util.Metrics.observationName("shingle_df_cap"),
             sum(when(col("__df") > cap, 1L).otherwise(0L)).as("stop_shingles_dropped"),
@@ -137,7 +158,6 @@ object Dedup {
           .filter(col("__df") <= cap)
         base.join(dfCounts.select("sh"), Seq("sh"), "left_semi")
     }
-  }
 
   /**
    * Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
@@ -148,13 +168,28 @@ object Dedup {
    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double,
-      maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
+      maxShingleDf: Option[Int] = Some(1000)): DataFrame =
+    jaccardPairsFromShingles(shingled(df, idCol, textCol, n, maxShingleDf), threshold)
+
+  /** CHARACTER-n-gram Jaccard near-dup pairs — [[ngramJaccardPairs]]
+    * over [[charShingled]]: the CJK/unsegmented-script dedup form (an
+    * unsegmented document is ONE whitespace token, so the word form
+    * has no shingles for it and misses even byte-identical copies
+    * short of exact-hash dedup; char n-grams restore the near-dup
+    * signal). Same DF skew cap, same denominator semantics. */
+  def charNgramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double,
+      maxShingleDf: Option[Int] = Some(1000)): DataFrame =
+    jaccardPairsFromShingles(charShingled(df, idCol, textCol, n, maxShingleDf), threshold)
+
+  /** The shared exact-Jaccard pair machinery over one (id, sh) frame. */
+  private def jaccardPairsFromShingles(
+      sh0: DataFrame, threshold: Double): DataFrame = {
     // persisted: referenced by the size aggregate AND both sides of
     // the pair join — without it the tokenize+explode+distinct
     // pipeline re-runs up to 3× (exchange reuse is not guaranteed
     // under AQE). ~16 bytes/shingle; spills to disk if large.
-    val sh = shingled(df, idCol, textCol, n, maxShingleDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize once before fan-out: the consumers are independent
     // stages the scheduler runs concurrently, and on first touch each
     // would race to compute the same uncached partitions (duplicate

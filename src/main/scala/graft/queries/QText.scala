@@ -2171,6 +2171,91 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // T75: CHARACTER-n-gram Jaccard near-dup pairs
+    // (Dedup.charNgramJaccardPairs) — the UNSEGMENTED-SCRIPT dedup
+    // form: a CJK document is ONE whitespace token, so the word-
+    // shingle t06 form has no shingles for it at all (short of an
+    // exact hash, word-level dedup is structurally blind to CJK
+    // near-dups); char trigrams restore the signal. Injected
+    // sentinels make it live: %20==3 docs (odd slice) become one
+    // fixed 28-char Chinese sentence (pairs at jaccard 1.0), %20==13
+    // the same sentence plus one trailing char (26/27 = 0.962963
+    // against the copies). The natural corpus shares one small Latin
+    // vocabulary, so its char-gram profiles cap out under the DF=50
+    // skew guard (an all-docs gram is a quadratic join bomb — same
+    // capped-denominator semantics as t06, drops observed) and no
+    // natural pair reaches the 0.9 floor (measured max 0.44).
+    QueryDef.of("t75_char_jaccard_pairs",
+      """WITH raw AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 20 = 3 THEN '深度学习模型在大规模语料库上训练需要高质量的数据清洗流程'
+        |    WHEN doc_id % 20 = 13 THEN '深度学习模型在大规模语料库上训练需要高质量的数据清洗流程了'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |c AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s FROM raw),
+        |g0 AS (SELECT DISTINCT doc_id AS id,
+        |    unnest(CASE WHEN len(s) >= 3
+        |      THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+        |      ELSE [] END) AS sh
+        |  FROM c),
+        |dfc AS (SELECT sh FROM (SELECT sh, count(*) AS d FROM g0 GROUP BY 1) WHERE d <= 50),
+        |g AS (SELECT g0.id, g0.sh FROM g0 JOIN dfc USING (sh)),
+        |sizes AS (SELECT id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
+        |  FROM g a JOIN g b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b, round(ni / CAST(sa.n + sb.n - ni AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val sent = "深度学习模型在大规模语料库上训练需要高质量的数据清洗流程"
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 20 === 3, lit(sent))
+            .when(col("doc_id") % 20 === 13, lit(sent + "了"))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.charNgramJaccardPairs(corpus, "doc_id", "text",
+          n = 3, threshold = 0.9, maxShingleDf = Some(50))
+        .orderBy("id_a", "id_b")
+    },
+
+    // T74: per-eval-suite contamination ATTRIBUTION
+    // (Decontaminate.ngramOverlapBySuite — the data-card form of t12
+    // once many eval suites accumulate): which suite(s) hit each
+    // training doc, with per-suite hit counts and fractions, one row
+    // per contaminated (doc, suite) pair. Four synthetic suites carve
+    // the benchmark tenth by doc_id%4 (the corpus source column is
+    // constant on that slice), so suites share vocabulary but differ
+    // in gram sets — a doc typically matches several suites with
+    // different n_hit, which is exactly the attribution the yes/no
+    // t12 form cannot give. The (suite, gram) set is broadcast; the
+    // corpus side is two map-only shingle passes + a hits-only
+    // groupBy(id, suite).
+    QueryDef.of("t74_decontam_by_suite",
+      s"""WITH btoks AS (SELECT 'suite' || CAST(doc_id % 4 AS VARCHAR) AS suite,
+         |    $CTOKS AS t FROM documents WHERE doc_id % 20 = 0),
+         |bsh AS (SELECT DISTINCT suite,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM btoks),
+         |dtoks AS (SELECT doc_id, $CTOKS AS t FROM documents WHERE doc_id % 20 <> 0),
+         |dsh AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM dtoks),
+         |tot AS (SELECT id, count(*) AS n_grams FROM dsh GROUP BY 1),
+         |hit AS (SELECT id, suite, count(*) AS n_hit
+         |  FROM dsh JOIN bsh USING (sh) GROUP BY 1, 2)
+         |SELECT h.id AS doc_id, suite, n_grams, n_hit,
+         |  round(n_hit / CAST(n_grams AS DOUBLE), 6) AS overlap_frac
+         |FROM hit h JOIN tot USING (id)
+         |ORDER BY doc_id, suite""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select(concat(lit("suite"), (col("doc_id") % 4).cast("string")).as("suite"),
+          col("text"))
+      graft.operators.Decontaminate.ngramOverlapBySuite(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          bench, "suite", "text", n = 3)
+        .orderBy("doc_id", "suite")
+    },
+
     // Context-window chunking (TextFunctions.chunkTokens): 64-token
     // chunks at stride 48 (16-token overlap), exploded with index —
     // map-only (one projection + posexplode, no shuffle). The oracle

@@ -321,6 +321,51 @@ class OperatorSpecs extends AnyFunSuite {
     assert(kept === Set(2L, 3L)) // doc3 survives the anti-join despite having no grams
   }
 
+  test("charNgramJaccardPairs catches CJK near-dups the word form is blind to") {
+    val s = "深度学习模型需要高质量数据"
+    val docs = Seq(
+      (1L, s), (2L, s),          // byte-identical CJK docs
+      (3L, s + "了"),            // one-char-appended near-dup
+      (4L, "完全不同的另一段中文文本内容")) // unrelated CJK
+      .toDF("doc_id", "text")
+    // the word form: each doc is ONE token → zero word trigrams →
+    // zero pairs (the structural blindness the char form fixes)
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1).count() === 0L)
+    val pairs = Dedup.charNgramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    // s has 11 distinct trigrams, s+'了' those plus one → 11/12
+    assert(pairs((1L, 3L)) === 0.916667 && pairs((2L, 3L)) === 0.916667)
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngramOverlapBySuite attributes hits to the right eval suite") {
+    val bench = Seq(
+      ("suiteA", "the quick brown fox jumps"),
+      ("suiteA", "a different line entirely here"),
+      ("suiteB", "the quick brown fox jumps"), // shares A's grams
+      ("suiteB", "lazy dog sleeps all day"))
+      .toDF("suite", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over things"), // hits A and B
+      (2L, "lazy dog sleeps all day long"),          // hits B only
+      (3L, "completely unrelated training sentence today"))
+      .toDF("doc_id", "text")
+    val r = Decontaminate.ngramOverlapBySuite(
+        train, "doc_id", "text", bench, "suite", "text", n = 3)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    // doc1: 5 trigrams, 3 shared with BOTH suites (the fox sentence
+    // lives in each) — one attribution row per suite, same counts
+    assert(r((1L, "suiteA")) === ((1L, "suiteA", 5L, 3L, 0.6)))
+    assert(r((1L, "suiteB")) === ((1L, "suiteB", 5L, 3L, 0.6)))
+    // doc2 hits only suiteB's dog sentence: 4 trigrams, 3 shared
+    assert(r((2L, "suiteB")) === ((2L, "suiteB", 4L, 3L, 0.75)))
+    assert(!r.contains((2L, "suiteA")))
+    // unhit docs are absent entirely (the ngramOverlap contract)
+    assert(!r.keys.exists(_._1 == 3L))
+  }
+
   test("ngramOverlapBloom: no false negatives; equals exact at generous bits; " +
       "conservative under a tiny filter") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")

@@ -556,6 +556,40 @@ object LlmScaleSmoke {
       check(bloomSurvivors == survivors,
         s"scale=$c llm03 Bloom-decontam survivors equal the exact path's " +
           s"($survivors vs $bloomSurvivors)")
+      // t74 (per-suite attribution): suite = doc_id % 4 survives the
+      // copy offset (10^7 ≡ 0 mod 4) and grams are copy-local (texts
+      // copy-prefixed), so per-suite attribution rows and hit totals
+      // are EXACTLY linear — a cross-copy gram leak or a suite-label
+      // shuffle would break it
+      val t74agg = graft.operators.Decontaminate.ngramOverlapBySuite(
+          docs, "doc_id", "text",
+          bench.withColumn("suite",
+            concat(lit("s"), pmod(col("doc_id"), lit(4)).cast("string"))),
+          "suite", "text", n = 3)
+        .groupBy("suite").agg(count(lit(1)).as("rows"), sum("n_hit").as("hits"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // t75 (char-gram CJK dedup): three docs per copy (two identical
+      // + one one-char-appended) behind a copy-distinct 10-char
+      // prefix — within-copy jaccards are 1.0 and 36/37 ≈ 0.973,
+      // cross-copy at most ~0.57, so the 0.95 floor must yield
+      // EXACTLY 3 pairs per copy and never a cross-copy pair
+      locally {
+        import spark.implicits._
+        val cjk = "深度学习模型在大规模语料库上训练需要高质量的数据清洗流程"
+        val t75docs = (0 until c).flatMap { k =>
+          val pre = ("" + (0x4e00 + k).toChar) * 10
+          Seq((k * 100L + 1, pre + cjk), (k * 100L + 2, pre + cjk),
+            (k * 100L + 3, pre + cjk + "了"))
+        }.toDF("doc_id", "text")
+        val t75pairs = graft.operators.Dedup.charNgramJaccardPairs(
+            t75docs, "doc_id", "text", n = 3, threshold = 0.95,
+            maxShingleDf = None)
+          .collect()
+        check(t75pairs.length == 3 * c &&
+            t75pairs.forall(r => r.getLong(0) / 100 == r.getLong(1) / 100),
+          s"scale=$c t75 char-gram pairs exactly 3 per copy, none " +
+            s"cross-copy (${t75pairs.length})")
+      }
       // t67: map-only rule gate on the verbatim side. The synthetic
       // corpus has no English stopwords (pass_stopwords is vacuously
       // false corpus-wide — the t67 oracle injects them), so the
@@ -580,10 +614,10 @@ object LlmScaleSmoke {
       (c, t60r.getLong(0), t60r.getLong(1), t66r.getLong(0), t66r.getLong(1),
         bpeToks, wpToks, uni, survivors, gopherPass,
         t68r.getLong(0), t68r.getLong(1), linePass, t70counts, t71m, t71a,
-        gblPass, bloomBytes)
+        gblPass, bloomBytes, t74agg)
     }
     val l1 = lmRuns.head
-    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp, t70c, t71c, t71ac, gbl, bfLen) =>
+    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp, t70c, t71c, t71ac, gbl, bfLen, t74c) =>
       // t71: same language set at every scale; per-language scored
       // rows exactly linear; tercile split ntile-balanced (±1 of n/3)
       val base71 = l1._15
@@ -627,6 +661,12 @@ object LlmScaleSmoke {
       check(bfLen == l1._18,
         s"scale=$c llm03 Bloom synopsis size FIXED as the benchmark grows " +
           s"${c}x (${l1._18} -> $bfLen bytes)")
+      check(t74c.keySet == l1._19.keySet &&
+          t74c.forall { case (suite, (rows, hits)) =>
+            rows * l1._1 == l1._19(suite)._1 * c &&
+              hits * l1._1 == l1._19(suite)._2 * c },
+        s"scale=$c t74 per-suite attribution rows and hit totals EXACTLY " +
+          s"linear per suite (${l1._19}->$t74c)")
       check(lp * l1._1 == l1._13 * c,
         s"scale=$c t69 line-rule pass count EXACTLY linear on verbatim copies " +
           s"(${l1._13}->$lp)")

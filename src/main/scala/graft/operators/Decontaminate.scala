@@ -193,6 +193,58 @@ object Decontaminate {
   }
 
   /**
+   * [[ngramOverlapBySuite]] in the FIXED-BROADCAST form — one Bloom
+   * synopsis PER SUITE instead of the labeled-gram row broadcast: the
+   * attribution table's driver/broadcast footprint becomes
+   * |suites| · numBits/8 bytes, bounded by the suite COUNT rather
+   * than the accumulated gram volume (the [[ngramOverlapBloom]]
+   * argument, kept per label so attribution survives). Per suite the
+   * error is one-sided: `n_hit` ≥ the exact form's and a (doc, suite)
+   * row can only be ADDED, never lost — conservative, spec-pinned on
+   * a starved filter. The corpus side probes all |suites| synopses in
+   * ONE map-only pass (an array of codegen'd might_contain structs,
+   * exploded to hit rows) and only hit rows reach the groupBy.
+   */
+  def ngramOverlapBySuiteBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, suiteCol: String, benchTextCol: String, n: Int,
+      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{catalystExpression, column}
+    val bench2 = bench.select(monotonically_increasing_id().as("__bid"),
+      col(suiteCol).as("suite"), col(benchTextCol).as("__bt"))
+    val suiteGrams = Dedup.shingled(bench2, "__bid", "__bt", n)
+      .join(broadcast(bench2.select(col("__bid").as("id"), col("suite"))), Seq("id"))
+      .select("suite", "sh").distinct()
+    // ONE grouped aggregate builds every suite's synopsis; the collect
+    // is |suites| rows of numBits/8 bytes each — suite-count-bounded
+    val bloomAgg = column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        catalystExpression(xxhash64(col("sh"))),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedGrams),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+    val blooms: Seq[(String, Array[Byte])] = suiteGrams
+      .groupBy("suite").agg(bloomAgg.as("__bf"))
+      .collect().toSeq
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .sortBy(_._1)
+    require(blooms.nonEmpty, "ngramOverlapBySuiteBloom: benchmark has no suites")
+    val hitStructs = array(blooms.map { case (s, bytes) =>
+      struct(lit(s).as("suite"), bloomHit(bytes, col("sh")).as("hit"))
+    }: _*)
+    val docGrams = Dedup.shingled(docs, idCol, textCol, n)
+    val totals = docGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    docGrams
+      .select(col("id"),
+        explode(filter(hitStructs, s => s.getField("hit"))).as("__h"))
+      .groupBy(col("id"), col("__h.suite").as("suite"))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(totals, Seq("id"))
+      .select(col("id").as(idCol), col("suite"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6).as("overlap_frac"))
+  }
+
+  /**
    * N-gram NOVELTY scoring — the measuring half of decontamination:
    * for each document, the fraction of its distinct word n-grams that
    * appear nowhere in a reference snapshot

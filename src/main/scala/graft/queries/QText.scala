@@ -133,6 +133,29 @@ object QText {
          |FROM qf WHERE doc_id NOT IN (SELECT id FROM bad)
          |ORDER BY doc_id""".stripMargin
 
+  /** t74's oracle (per-suite contamination attribution over the four
+    * synthetic doc_id%4 suites), shared VERBATIM with t76: the
+    * per-suite Bloom form's one-sided error is unobservable at the
+    * chosen sizing, so the exact attribution IS its oracle —
+    * row-identical output is the assertion (the llm03 discipline). */
+  private lazy val DecontamBySuiteOracleSql: String =
+    s"""WITH btoks AS (SELECT 'suite' || CAST(doc_id % 4 AS VARCHAR) AS suite,
+       |    $CTOKS AS t FROM documents WHERE doc_id % 20 = 0),
+       |bsh AS (SELECT DISTINCT suite,
+       |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |  FROM btoks),
+       |dtoks AS (SELECT doc_id, $CTOKS AS t FROM documents WHERE doc_id % 20 <> 0),
+       |dsh AS (SELECT DISTINCT doc_id AS id,
+       |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |  FROM dtoks),
+       |tot AS (SELECT id, count(*) AS n_grams FROM dsh GROUP BY 1),
+       |hit AS (SELECT id, suite, count(*) AS n_hit
+       |  FROM dsh JOIN bsh USING (sh) GROUP BY 1, 2)
+       |SELECT h.id AS doc_id, suite, n_grams, n_hit,
+       |  round(n_hit / CAST(n_grams AS DOUBLE), 6) AS overlap_frac
+       |FROM hit h JOIN tot USING (id)
+       |ORDER BY doc_id, suite""".stripMargin
+
   /** The shared CTE chain of t71/t72 (routing + per-language KN →
     * `ppl(doc_id, lang, avg_neg_logp)`): char-3-gram rank-profile
     * routing trained on the labeled reference tenth, then the t66 KN
@@ -2230,22 +2253,7 @@ object QText {
     // corpus side is two map-only shingle passes + a hits-only
     // groupBy(id, suite).
     QueryDef.of("t74_decontam_by_suite",
-      s"""WITH btoks AS (SELECT 'suite' || CAST(doc_id % 4 AS VARCHAR) AS suite,
-         |    $CTOKS AS t FROM documents WHERE doc_id % 20 = 0),
-         |bsh AS (SELECT DISTINCT suite,
-         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
-         |  FROM btoks),
-         |dtoks AS (SELECT doc_id, $CTOKS AS t FROM documents WHERE doc_id % 20 <> 0),
-         |dsh AS (SELECT DISTINCT doc_id AS id,
-         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
-         |  FROM dtoks),
-         |tot AS (SELECT id, count(*) AS n_grams FROM dsh GROUP BY 1),
-         |hit AS (SELECT id, suite, count(*) AS n_hit
-         |  FROM dsh JOIN bsh USING (sh) GROUP BY 1, 2)
-         |SELECT h.id AS doc_id, suite, n_grams, n_hit,
-         |  round(n_hit / CAST(n_grams AS DOUBLE), 6) AS overlap_frac
-         |FROM hit h JOIN tot USING (id)
-         |ORDER BY doc_id, suite""".stripMargin) { (s, dir) =>
+      DecontamBySuiteOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val bench = docs.filter(col("doc_id") % 20 === 0)
         .select(concat(lit("suite"), (col("doc_id") % 4).cast("string")).as("suite"),
@@ -2253,6 +2261,30 @@ object QText {
       graft.operators.Decontaminate.ngramOverlapBySuite(
           docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
           bench, "suite", "text", n = 3)
+        .orderBy("doc_id", "suite")
+    },
+
+    // T76: t74's attribution in the FIXED-BROADCAST form
+    // (Decontaminate.ngramOverlapBySuiteBloom) — one Bloom synopsis
+    // PER SUITE, so the attribution footprint is |suites|·numBits/8
+    // bytes no matter how many grams each suite accumulates; the
+    // corpus probes all suites in ONE map-only pass (an array of
+    // codegen'd might_contain structs, exploded to hit rows) and only
+    // hit rows reach the groupBy. Per suite the error is one-sided
+    // (n_hit ≥ exact, rows only ever added — spec-pinned conservative
+    // on a starved filter), and at 2^20 bits per ~2k-gram suite the
+    // extra-hit probability is ~1e-13 per corpus: the exact t74
+    // oracle IS the assertion, row-identical (the llm03 discipline).
+    QueryDef.of("t76_decontam_by_suite_bloom",
+      DecontamBySuiteOracleSql) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select(concat(lit("suite"), (col("doc_id") % 4).cast("string")).as("suite"),
+          col("text"))
+      graft.operators.Decontaminate.ngramOverlapBySuiteBloom(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          bench, "suite", "text", n = 3,
+          estimatedGrams = 1L << 16, numBits = 1L << 20)
         .orderBy("doc_id", "suite")
     },
 

@@ -561,13 +561,23 @@ object LlmScaleSmoke {
       // copy-prefixed), so per-suite attribution rows and hit totals
       // are EXACTLY linear — a cross-copy gram leak or a suite-label
       // shuffle would break it
-      val t74agg = graft.operators.Decontaminate.ngramOverlapBySuite(
-          docs, "doc_id", "text",
-          bench.withColumn("suite",
-            concat(lit("s"), pmod(col("doc_id"), lit(4)).cast("string"))),
-          "suite", "text", n = 3)
+      val suiteBench = bench.withColumn("suite",
+        concat(lit("s"), pmod(col("doc_id"), lit(4)).cast("string")))
+      def suiteAgg(df: org.apache.spark.sql.DataFrame) = df
         .groupBy("suite").agg(count(lit(1)).as("rows"), sum("n_hit").as("hits"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val t74agg = suiteAgg(graft.operators.Decontaminate.ngramOverlapBySuite(
+        docs, "doc_id", "text", suiteBench, "suite", "text", n = 3))
+      // t76: the same attribution through the per-suite Bloom
+      // synopses must be ROW-IDENTICAL to the exact form at every
+      // scale (each suite's gram volume grows c× while the synopsis
+      // stays numBits/8 bytes; a real false positive would surface
+      // here as an extra row or inflated hit total)
+      val t76agg = suiteAgg(graft.operators.Decontaminate.ngramOverlapBySuiteBloom(
+        docs, "doc_id", "text", suiteBench, "suite", "text", n = 3))
+      check(t76agg == t74agg,
+        s"scale=$c t76 per-suite Bloom attribution equals the exact form " +
+          s"($t74agg vs $t76agg)")
       // t75 (char-gram CJK dedup): three docs per copy (two identical
       // + one one-char-appended) behind a copy-distinct 10-char
       // prefix — within-copy jaccards are 1.0 and 36/37 ≈ 0.973,

@@ -364,6 +364,23 @@ class OperatorSpecs extends AnyFunSuite {
     assert(!r.contains((2L, "suiteA")))
     // unhit docs are absent entirely (the ngramOverlap contract)
     assert(!r.keys.exists(_._1 == 3L))
+    // the per-suite Bloom form: identical at generous bits; under a
+    // starved filter each suite's one-sided error may only ADD rows
+    // and INFLATE n_hit, never lose a contaminated pair
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Long, Double)].collect()
+        .map(x => (x._1, x._2) -> x).toMap
+    val bloom = asMap(Decontaminate.ngramOverlapBySuiteBloom(
+      train, "doc_id", "text", bench, "suite", "text", n = 3))
+    assert(bloom === r)
+    val starved = asMap(Decontaminate.ngramOverlapBySuiteBloom(
+      train, "doc_id", "text", bench, "suite", "text", n = 3,
+      estimatedGrams = 4L, numBits = 64L))
+    r.foreach { case (key, exact) =>
+      assert(starved.contains(key) && starved(key)._3 === exact._3 &&
+        starved(key)._4 >= exact._4,
+        s"$key: starved bloom must keep the row with n_hit >= exact")
+    }
   }
 
   test("ngramOverlapBloom: no false negatives; equals exact at generous bits; " +

@@ -108,14 +108,31 @@ object DedupIndex {
     * existing path publishes FRESH versions (readers on the old
     * snapshot are undisturbed until the commit; superseded dirs are
     * dropped post-commit with the grace window). */
+  /** The store's shingle unit, chosen at [[write]] time and recorded
+    * in the manifest (`char_shingles`) so upserts and gates can never
+    * probe a store with the OTHER unit's shingles (the AudioHash
+    * store_stride discipline): word n-grams for segmented text,
+    * character n-grams ([[Dedup.charShingled]]) for CJK/unsegmented
+    * corpora — a CJK document is ONE whitespace token, so a
+    * word-shingled index is structurally blind to its near-dups. */
+  private def shinglesOf(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      char: Boolean): DataFrame =
+    if (char) Dedup.charShingled(df, idCol, textCol, n)
+    else Dedup.shingled(df, idCol, textCol, n)
+
+  private def charOf(m: Map[String, Int]): Boolean =
+    m.get("char_shingles").contains(1)
+
   def write(
       path: String, docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int, buckets: Int = 8): Unit = {
+      shingleN: Int, numHashes: Int, bands: Int, buckets: Int = 8,
+      charShingles: Boolean = false): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     def next(k: String) = graft.io.StoreKit.nextVersion(spark, path, k)
     val (bv, sv, zv) = (next("bands"), next("shingles"), next("sizes"))
-    val sh = Dedup.shingled(docs, idCol, textCol, shingleN)
+    val sh = shinglesOf(docs, idCol, textCol, shingleN, charShingles)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writeShingles(sh, path, sv, buckets)
     sizesOf(sh).coalesce(1).write.mode("overwrite").parquet(s"$path/sizes/v$zv")
@@ -124,7 +141,8 @@ object DedupIndex {
     sh.unpersist()
     StoreManifest.commit(spark, path,
       Map("bands" -> bv, "shingles" -> sv, "sizes" -> zv,
-        "buckets" -> buckets, "band_buckets" -> buckets, "band_enc" -> 2))
+        "buckets" -> buckets, "band_buckets" -> buckets, "band_enc" -> 2,
+        "char_shingles" -> (if (charShingles) 1 else 0)))
     Seq("bands" -> bv, "shingles" -> sv, "sizes" -> zv)
       .foreach { case (t, v) => graft.io.StoreKit.reclaim(spark, path, t, v) }
   }
@@ -139,7 +157,9 @@ object DedupIndex {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     val m = StoreManifest.current(spark, path)
-    val sh = Dedup.shingled(docs, idCol, textCol, shingleN)
+    // the shingle UNIT comes from the store's own manifest — an
+    // upsert can never silently mix word- and char-shingled grids
+    val sh = shinglesOf(docs, idCol, textCol, shingleN, charOf(m))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.io.BucketedTables.append(
       sh, s"$path/shingles/v${m("shingles")}", "sh", "id", m("buckets"))
@@ -246,7 +266,8 @@ object DedupIndex {
       case None => // pre-r14 store: plain parquet, no bucket metadata
         spark.read.parquet(s"$path/shingles/v${m("shingles")}").toDF("hid", "sh")
     }
-    val shB = Dedup.shingled(batch, idCol, textCol, shingleN)
+    // batch shingles take the STORE's recorded unit (word vs char)
+    val shB = shinglesOf(batch, idCol, textCol, shingleN, charOf(m))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     shB.count()
     val enc2 = m.get("band_enc").contains(2)
@@ -332,7 +353,10 @@ object DedupIndex {
     StoreManifest.commit(spark, path,
       Map("bands" -> (bv + 1), "shingles" -> (sv + 1),
         "sizes" -> (zv + 1), "buckets" -> buckets, "band_buckets" -> buckets,
-        "band_enc" -> cur.getOrElse("band_enc", 1)))
+        "band_enc" -> cur.getOrElse("band_enc", 1),
+        // the shingle unit is part of the store's identity — carried
+        // through compaction like the banding encoding
+        "char_shingles" -> cur.getOrElse("char_shingles", 0)))
     Seq("bands" -> (bv + 1), "shingles" -> (sv + 1), "sizes" -> (zv + 1))
       .foreach { case (t, v) => graft.io.StoreKit.reclaim(spark, path, t, v) }
     CompactReport(bBefore, files(s"$path/bands/v${bv + 1}"),

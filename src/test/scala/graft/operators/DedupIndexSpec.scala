@@ -145,6 +145,47 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(accepted.size === expected.size, "no id accepted twice")
   }
 
+  test("char-shingled store: CJK lifecycle the word unit is blind to; unit rides the manifest") {
+    import spark.implicits._
+    val s1 = "深度学习模型在大规模语料库上训练需要高质量的数据清洗流程"
+    val s2 = "分布式查询引擎的物理计划优化依赖统计信息和代价模型支持"
+    val cjkHist = Seq((1L, s1), (2L, s2)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s1),        // byte-identical copy of a stored doc
+      (11L, s1 + "了"), // one-char-appended near-dup (char-jaccard ~0.963)
+      (12L, "完全不同的另一段较长中文文本内容与前面毫无相似之处可言"))
+      .toDF("doc_id", "text")
+    // a WORD-shingled store is structurally blind: every CJK doc is
+    // one token → no shingles → no candidates → everything "survives"
+    val wordPath = Files.createTempDirectory("graft_dedupidx_word_cjk").toString
+    DedupIndex.write(wordPath, cjkHist, "doc_id", "text", 3, 12, 4)
+    assert(ids(DedupIndex.gate(spark, wordPath, batch, "doc_id", "text", 3, 12, 4, 0.9))
+      === Set(10L, 11L, 12L))
+    // the CHAR-shingled store catches both the copy and the near-dup
+    val charPath = Files.createTempDirectory("graft_dedupidx_char_cjk").toString
+    DedupIndex.write(charPath, cjkHist, "doc_id", "text", 3, 12, 4,
+      charShingles = true)
+    val surv = DedupIndex.gate(spark, charPath, batch, "doc_id", "text", 3, 12, 4, 0.9)
+    assert(ids(surv) === Set(12L))
+    // upsert takes the unit from the MANIFEST (no parameter to get
+    // wrong): a day-2 copy of the accepted novel doc drops
+    DedupIndex.upsert(charPath, surv, "doc_id", "text", 3, 12, 4)
+    val day2 = Seq((20L, "完全不同的另一段较长中文文本内容与前面毫无相似之处可言"),
+      (21L, s2)).toDF("doc_id", "text")
+    assert(ids(DedupIndex.gate(spark, charPath, day2, "doc_id", "text", 3, 12, 4, 0.9))
+      === Set.empty[Long])
+    // compaction carries the unit through; the grown store (doc 12
+    // was accepted and upserted above) still self-matches the whole
+    // original batch and keeps catching through the rewrite
+    DedupIndex.compact(spark, charPath)
+    assert(graft.io.StoreManifest.current(spark, charPath)("char_shingles") === 1)
+    assert(ids(DedupIndex.gate(spark, charPath, batch, "doc_id", "text", 3, 12, 4, 0.9))
+      === Set.empty[Long])
+    val day3 = Seq((30L, "这是一段此前从未出现过的全新中文语料内容样本")).toDF("doc_id", "text")
+    assert(ids(DedupIndex.gate(spark, charPath, day3, "doc_id", "text", 3, 12, 4, 0.9))
+      === Set(30L))
+  }
+
   test("a manifest-less path fails loudly") {
     val empty = Files.createTempDirectory("graft_dedupidx_none").toString
     val ex = intercept[IllegalStateException] {

@@ -2462,6 +2462,107 @@ object QText {
         .orderBy("doc_id")
     },
 
+    // T77: the PERSISTED dedup gate with CHAR shingles
+    // (DedupIndex.write(charShingles = true) — the CJK form of t65;
+    // the shingle unit is recorded in the store manifest, so the
+    // day-2 upsert and both gates derive it with no parameter to get
+    // wrong). Sentinels make the lifecycle live: %20==3 docs store
+    // one fixed Chinese sentence; batch A carries byte-identical
+    // copies (%20==6, drop at jaccard 1.0) and one-char-appended
+    // near-dups (%20==7, drop at 26/27 ≈ 0.963 ≥ the 0.9 floor) that
+    // a WORD-shingled store is structurally blind to (one token → no
+    // shingles — DedupIndexSpec pins that contrast); batch B repeats
+    // the near-dup class (%20==9, drops against the stored history)
+    // and adds a novel Chinese doc (%20==8, survives). The oracle
+    // replays the full two-batch lifecycle — char-trigram shingles,
+    // the md5-based minhash bands, candidate join, exact-jaccard
+    // verification — in SQL (the t65 idiom with the gram CTE swapped).
+    QueryDef.of("t77_char_dedup_index",
+      s"""WITH base AS (SELECT doc_id, CASE
+         |    WHEN doc_id % 20 = 3 THEN '深度学习模型在大规模语料库上训练需要高质量的数据清洗流程'
+         |    WHEN doc_id % 20 = 6 THEN '深度学习模型在大规模语料库上训练需要高质量的数据清洗流程'
+         |    WHEN doc_id % 20 = 7 THEN '深度学习模型在大规模语料库上训练需要高质量的数据清洗流程了'
+         |    WHEN doc_id % 20 = 9 THEN '深度学习模型在大规模语料库上训练需要高质量的数据清洗流程了'
+         |    WHEN doc_id % 20 = 8 THEN '这是完全新的另一主题中文语料在次日批次首次出现的样本'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |cdoc AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+         |  FROM base),
+         |sh AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(CASE WHEN len(s) >= 3
+         |      THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+         |      ELSE [] END) AS sh
+         |  FROM cdoc),
+         |seeds AS (SELECT seed,
+         |    ('0x' || substr(md5('a:' || seed), 1, 15))::BIGINT % 2147483646 + 1 AS a,
+         |    ('0x' || substr(md5('b:' || seed), 1, 15))::BIGINT % 2147483647 AS b
+         |  FROM (SELECT unnest(range(0, 12)) AS seed)),
+         |mh AS (SELECT id, s.seed,
+         |    min((s.a * (('0x' || substr(md5(sh.sh), 1, 15))::BIGINT & 2147483647) + s.b)
+         |        % 2147483647) AS mh
+         |  FROM sh, seeds s GROUP BY id, s.seed),
+         |sig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
+         |band AS MATERIALIZED (SELECT id, b.b,
+         |    md5(array_to_string(sig[b.b*3+1 : b.b*3+3], ',')) AS bucket
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+         |sz AS MATERIALIZED (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |candA AS (SELECT DISTINCT x.id AS bid, y.id AS hid
+         |  FROM band x JOIN band y ON x.b = y.b AND x.bucket = y.bucket
+         |  WHERE x.id % 10 IN (6, 7) AND y.id % 10 < 6),
+         |interA AS (SELECT c.bid, c.hid, count(*) AS n_inter
+         |  FROM candA c JOIN sh a ON a.id = c.bid
+         |  JOIN sh b2 ON b2.id = c.hid AND b2.sh = a.sh
+         |  GROUP BY c.bid, c.hid),
+         |dropsA AS (SELECT DISTINCT bid FROM interA
+         |  JOIN sz sa ON sa.id = bid JOIN sz sb ON sb.id = hid
+         |  WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.9),
+         |survA AS MATERIALIZED (SELECT doc_id FROM base
+         |  WHERE doc_id % 10 IN (6, 7) AND doc_id NOT IN (SELECT bid FROM dropsA)),
+         |histB AS (SELECT doc_id AS id FROM base WHERE doc_id % 10 < 6
+         |  UNION ALL SELECT doc_id FROM survA),
+         |candB AS (SELECT DISTINCT x.id AS bid, y.id AS hid
+         |  FROM band x JOIN band y ON x.b = y.b AND x.bucket = y.bucket
+         |  WHERE x.id % 10 >= 8 AND y.id IN (SELECT id FROM histB)),
+         |interB AS (SELECT c.bid, c.hid, count(*) AS n_inter
+         |  FROM candB c JOIN sh a ON a.id = c.bid
+         |  JOIN sh b2 ON b2.id = c.hid AND b2.sh = a.sh
+         |  GROUP BY c.bid, c.hid),
+         |dropsB AS (SELECT DISTINCT bid FROM interB
+         |  JOIN sz sa ON sa.id = bid JOIN sz sb ON sb.id = hid
+         |  WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.9)
+         |SELECT doc_id, 'a' AS batch FROM survA
+         |UNION ALL
+         |SELECT doc_id, 'b' FROM base
+         |WHERE doc_id % 10 >= 8 AND doc_id NOT IN (SELECT bid FROM dropsB)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sent = "深度学习模型在大规模语料库上训练需要高质量的数据清洗流程"
+      val sent2 = "这是完全新的另一主题中文语料在次日批次首次出现的样本"
+      val base = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          when(col("doc_id") % 20 === 3, lit(sent))
+            .when(col("doc_id") % 20 === 6, lit(sent))
+            .when(col("doc_id") % 20 === 7, lit(sent + "了"))
+            .when(col("doc_id") % 20 === 9, lit(sent + "了"))
+            .when(col("doc_id") % 20 === 8, lit(sent2))
+            .otherwise(col("text")).as("text"))
+      val hist = base.filter(col("doc_id") % 10 < 6)
+      val bA = base.filter(col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7)
+      val bB = base.filter(col("doc_id") % 10 >= 8)
+      val path = "/tmp/graft_char_dedup_index_t77_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.DedupIndex.write(path, hist, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, charShingles = true)
+      val survA = graft.operators.DedupIndex.gate(s, path, bA, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.9)
+      graft.operators.DedupIndex.upsert(path, survA, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4)
+      val survB = graft.operators.DedupIndex.gate(s, path, bB, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.9)
+      survA.select(col("doc_id"), lit("a").as("batch"))
+        .unionByName(survB.select(col("doc_id"), lit("b").as("batch")))
+        .orderBy("doc_id")
+    },
+
     // Line-level exact dedup (LineDedup.dropCommonLines, CCNet-style
     // boilerplate scrub). The corpus has no newlines, so the query
     // derives a multi-line text identically in both engines: content

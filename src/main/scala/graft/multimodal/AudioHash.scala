@@ -345,6 +345,23 @@ object AudioHash {
    * [[graft.operators.DedupIndex]] discipline): the drop-id set is
    * eagerly checkpointed so the frame keeps meaning "gated against
    * the store AS OF THIS CALL" even after the caller upserts.
+   *
+   * RECALL CONTRACT of the exact mode's stop-code prune
+   * (`maxCodeFreq`): both join sides drop codes appearing in more
+   * than `maxCodeFreq` windows of their OWN side — that bound is what
+   * keeps any key's stage-1 pair volume ≤ maxCodeFreq² when either
+   * side carries degenerate content (a silent clip is ONE code at
+   * every window). The prune keys on FREQUENCY, not degeneracy, so it
+   * is a deliberate recall tradeoff: a genuine copy whose only
+   * matching windows ride codes that are legitimately popular on the
+   * history side (one code present in > maxCodeFreq stored chunk-0
+   * windows — a station ident, a shared intro bed) loses those
+   * windows from BOTH sides and can fall under `minRun`. That copy
+   * was already un-attributable by those windows alone (they match
+   * hundreds of stored clips equally well); copies with ≥ minRun
+   * aligned windows on sub-threshold codes are unaffected. Raise
+   * `maxCodeFreq` (cost: quadratic in it, per hot key) or pre-strip
+   * known shared beds upstream if that tail matters for a corpus.
    */
   def gate(
       spark: SparkSession, path: String, batch: DataFrame,

@@ -26,8 +26,13 @@ object Decontaminate {
    * twice.
    */
   def benchGrams(bench: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    // the id column is irrelevant here (shingled's per-row
+    // array_distinct is per input row regardless of id, and only the
+    // globally-distinct grams survive) — a constant keeps the plan
+    // fully deterministic, where monotonically_increasing_id would
+    // depend on partition layout
     Dedup.shingled(
-        bench.select(monotonically_increasing_id().as("__bid"), col(benchTextCol).as("__bt")),
+        bench.select(lit(0L).as("__bid"), col(benchTextCol).as("__bt")),
         "__bid", "__bt", n)
       .select("sh").distinct()
 
@@ -106,21 +111,31 @@ object Decontaminate {
       .head().getAs[Array[Byte]](0)
   }
 
-  /** Codegen'd `might_contain(bfBytes, xxhash64(c))` probe. */
-  private def bloomHit(bfBytes: Array[Byte], c: Column): Column = {
-    import org.apache.spark.sql.graft.ColumnBridge.{catalystExpression, column}
-    column(
-      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.catalyst.expressions.Literal(
-          bfBytes, org.apache.spark.sql.types.BinaryType),
-        catalystExpression(xxhash64(c))))
-  }
+  /** Codegen'd Bloom membership probe of `xxhash64(c)`, with the
+    * filter riding a BROADCAST — not a plan `Literal(BinaryType)`:
+    * embedding the synopsis bytes in the plan grows the serialized
+    * task binary by numBits/8 per filter (1 MiB at the default
+    * sizing — the r17 `weak`), where a broadcast is resolved once per
+    * task by the existing [[graft.plans.BloomMightContainExpr]]
+    * codegen and keeps plan size independent of the synopsis. The
+    * hashing is identical on both paths: `BloomFilterAggregate`
+    * inserts the xxhash64 longs via `putLong` and the sketch's
+    * `mightContainLong` is what both Spark's own
+    * `BloomFilterMightContain` and our expression call. */
+  private def bloomHit(
+      spark: org.apache.spark.sql.SparkSession,
+      bfBytes: Array[Byte], c: Column): Column =
+    graft.plans.BloomMightContainExpr.mightContain(
+      xxhash64(c),
+      spark.sparkContext.broadcast(
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bfBytes))))
 
   def ngramOverlapBloom(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int,
       estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
-    val hit = bloomHit(
+    val hit = bloomHit(docs.sparkSession,
       benchGramsBloom(bench, benchTextCol, n, estimatedGrams, numBits), col("sh"))
     Dedup.shingled(docs, idCol, textCol, n)
       .groupBy(col("id").as(idCol))
@@ -143,7 +158,7 @@ object Decontaminate {
       docs: DataFrame, idCol: String, textCol: String,
       bfBytes: Array[Byte], n: Int): DataFrame = {
     val contaminatedIds = Dedup.shingled(docs, idCol, textCol, n)
-      .filter(bloomHit(bfBytes, col("sh")))
+      .filter(bloomHit(docs.sparkSession, bfBytes, col("sh")))
       .select(col("id").as(idCol)).distinct()
     docs.join(contaminatedIds, Seq(idCol), "left_anti")
   }
@@ -173,15 +188,7 @@ object Decontaminate {
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, suiteCol: String, benchTextCol: String,
       n: Int): DataFrame = {
-    // shingle per BENCH DOC first (shingled's per-row distinct is
-    // per-document), then label with the suite and distinct to the
-    // (suite, gram) set — two docs of one suite sharing a gram must
-    // collapse to one row before the corpus join
-    val bench2 = bench.select(monotonically_increasing_id().as("__bid"),
-      col(suiteCol).as("suite"), col(benchTextCol).as("__bt"))
-    val suiteGrams = Dedup.shingled(bench2, "__bid", "__bt", n)
-      .join(broadcast(bench2.select(col("__bid").as("id"), col("suite"))), Seq("id"))
-      .select("suite", "sh").distinct()
+    val suiteGrams = benchSuiteGrams(bench, suiteCol, benchTextCol, n)
     val docGrams = Dedup.shingled(docs, idCol, textCol, n)
     val totals = docGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     docGrams.join(broadcast(suiteGrams), Seq("sh"))
@@ -202,46 +209,81 @@ object Decontaminate {
    * error is one-sided: `n_hit` ≥ the exact form's and a (doc, suite)
    * row can only be ADDED, never lost — conservative, spec-pinned on
    * a starved filter. The corpus side probes all |suites| synopses in
-   * ONE map-only pass (an array of codegen'd might_contain structs,
-   * exploded to hit rows) and only hit rows reach the groupBy.
+   * ONE map-only pass ([[graft.plans.BloomsHitIndicesExpr]] over ONE
+   * broadcast array of filters — plan/task-binary size independent of
+   * suite count, spec-pinned) and only hit rows reach the groupBy.
    */
   def ngramOverlapBySuiteBloom(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, suiteCol: String, benchTextCol: String, n: Int,
       estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    val blooms = suiteBlooms(
+      benchSuiteGrams(bench, suiteCol, benchTextCol, n), estimatedGrams, numBits)
+    require(blooms.nonEmpty, "ngramOverlapBySuiteBloom: benchmark has no suites")
+    // ONE broadcast holds every suite's deserialized filter — the plan
+    // carries a single broadcast reference no matter how many suites
+    // accumulate (vs ~numBits/8 plan-Literal bytes PER SUITE, the r17
+    // task-binary hazard; size independence spec-pinned at 4 vs 64
+    // suites). The probe returns the hit INDICES in one codegen'd
+    // pass; only hit rows survive the explode, and the index→name map
+    // is a |suites|-string literal lookup (bytes, not synopses).
+    val spark = docs.sparkSession
+    val suiteNames = blooms.map(_._1)
+    val bcast = spark.sparkContext.broadcast(
+      blooms.map { case (_, bytes) =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+      }.toArray)
+    val docGrams = Dedup.shingled(docs, idCol, textCol, n)
+    val totals = docGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    docGrams
+      .select(col("id"),
+        explode(graft.plans.BloomsHitIndicesExpr.hitIndices(
+          xxhash64(col("sh")), bcast)).as("__si"))
+      .groupBy(col("id"), col("__si"))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(totals, Seq("id"))
+      .select(col("id").as(idCol),
+        element_at(typedLit(suiteNames), col("__si") + 1).as("suite"),
+        col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6).as("overlap_frac"))
+  }
+
+  /** The benchmark pool's distinct (suite, gram) set. Shingling keys
+    * directly on the SUITE column — [[Dedup.shingled]]'s per-row
+    * `array_distinct` is per input row (= per bench doc) regardless of
+    * the id it carries, and the trailing distinct collapses docs of
+    * one suite sharing a gram — so no synthetic row id exists at all.
+    * (The previous form keyed rows with monotonically_increasing_id
+    * and re-evaluated the bench frame in two plan branches; mIID is
+    * nondeterministic across evaluations, so a task retry or sampled
+    * input could silently attribute grams to the wrong suite.) */
+  private def benchSuiteGrams(
+      bench: DataFrame, suiteCol: String, benchTextCol: String, n: Int): DataFrame =
+    Dedup.shingled(
+        bench.select(col(suiteCol).as("__suite"), col(benchTextCol).as("__bt")),
+        "__suite", "__bt", n)
+      .select(col("id").as("suite"), col("sh")).distinct()
+
+  /** One Bloom synopsis per suite from a (suite, sh) frame: ONE
+    * grouped aggregate builds every filter; the collect is |suites|
+    * rows of numBits/8 bytes each — suite-count-bounded, the
+    * IVF-centroid-table idiom (a driver-held fixed-size model). */
+  private def suiteBlooms(
+      suiteGrams: DataFrame,
+      estimatedGrams: Long, numBits: Long): Seq[(String, Array[Byte])] = {
     import org.apache.spark.sql.graft.ColumnBridge.{catalystExpression, column}
-    val bench2 = bench.select(monotonically_increasing_id().as("__bid"),
-      col(suiteCol).as("suite"), col(benchTextCol).as("__bt"))
-    val suiteGrams = Dedup.shingled(bench2, "__bid", "__bt", n)
-      .join(broadcast(bench2.select(col("__bid").as("id"), col("suite"))), Seq("id"))
-      .select("suite", "sh").distinct()
-    // ONE grouped aggregate builds every suite's synopsis; the collect
-    // is |suites| rows of numBits/8 bytes each — suite-count-bounded
     val bloomAgg = column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         catalystExpression(xxhash64(col("sh"))),
         org.apache.spark.sql.catalyst.expressions.Literal(estimatedGrams),
         org.apache.spark.sql.catalyst.expressions.Literal(numBits))
         .toAggregateExpression())
-    val blooms: Seq[(String, Array[Byte])] = suiteGrams
+    suiteGrams
       .groupBy("suite").agg(bloomAgg.as("__bf"))
       .collect().toSeq
       .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
       .sortBy(_._1)
-    require(blooms.nonEmpty, "ngramOverlapBySuiteBloom: benchmark has no suites")
-    val hitStructs = array(blooms.map { case (s, bytes) =>
-      struct(lit(s).as("suite"), bloomHit(bytes, col("sh")).as("hit"))
-    }: _*)
-    val docGrams = Dedup.shingled(docs, idCol, textCol, n)
-    val totals = docGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    docGrams
-      .select(col("id"),
-        explode(filter(hitStructs, s => s.getField("hit"))).as("__h"))
-      .groupBy(col("id"), col("__h.suite").as("suite"))
-      .agg(count(lit(1)).as("n_hit"))
-      .join(totals, Seq("id"))
-      .select(col("id").as(idCol), col("suite"), col("n_grams"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_grams"), 6).as("overlap_frac"))
   }
 
   /**

@@ -322,10 +322,36 @@ object Dedup {
     * Jaccard ≥ threshold. */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    lshPairsFromShingles(shingled(df, idCol, textCol, shingleN),
+      numHashes, bands, threshold)
+
+  /** CHARACTER-n-gram MinHash-LSH near-dup pairs — [[minhashLshPairs]]
+    * over [[charShingled]]: the banded pair GENERATOR for
+    * CJK/unsegmented corpora (t75's exact char-Jaccard form is
+    * quadratic within a shared shingle; at 100 TB the LSH banding is
+    * what proposes pairs). Signatures, sizes and the verification
+    * intersection all run over the SAME df-capped char-gram frame
+    * (char trigrams of natural text are far hotter than word
+    * shingles — an uncapped corpus-wide gram is the usual skew bomb,
+    * and a stop-gram adds no similarity signal), so the exact-Jaccard
+    * verdict uses t75's capped-denominator semantics. */
+  def charMinhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      numHashes: Int, bands: Int, threshold: Double,
+      maxShingleDf: Option[Int] = Some(1000)): DataFrame =
+    lshPairsFromShingles(charShingled(df, idCol, textCol, shingleN, maxShingleDf),
+      numHashes, bands, threshold)
+
+  /** The shared LSH-candidates + exact-verification machinery over one
+    * (id, sh) frame. */
+  private def lshPairsFromShingles(
+      sh0: DataFrame, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     // one shingle scan feeds signatures, sizes and the intersection
-    // join — persist it (see ngramJaccardPairs note)
-    val sh = shingled(df, idCol, textCol, shingleN)
+    // join — persist it (see ngramJaccardPairs note). Column order is
+    // normalized first: the DF-cap's semi-join puts the key column
+    // first, and the intersection join below renames POSITIONALLY.
+    val sh = sh0.select("id", "sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count() // see ngramJaccardPairs: defuse the concurrent-first-touch race
     val cands = minhashLshCandidatesFromShingles(sh, numHashes, bands)

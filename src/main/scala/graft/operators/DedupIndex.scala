@@ -124,6 +124,27 @@ object DedupIndex {
   private def charOf(m: Map[String, Int]): Boolean =
     m.get("char_shingles").contains(1)
 
+  /** Grid-parameter guard: the r17 manifest discipline records the
+    * shingle UNIT so a store can't silently mix word- and char-gram
+    * grids; `shingle_n`/`num_hashes`/`bands` are the same hazard class
+    * (a differing upsert-time gram size appends shingles on an
+    * incompatible grid, a differing band count derives signatures that
+    * never collide with the stored buckets — nothing fails loudly, the
+    * gate just stops catching duplicates). Recorded at [[write]],
+    * REQUIRED to match on every [[upsert]]/[[gate]]; legacy stores
+    * written before the keys existed accept any caller value (the
+    * `char_shingles` getOrElse discipline). */
+  private def requireGrid(
+      m: Map[String, Int], shingleN: Int, numHashes: Int, bands: Int): Unit =
+    // (`bands_n`: the `bands` manifest key already names the banded
+    // TABLE's version — table-version keys are positional in the
+    // StoreKit layout)
+    Seq("shingle_n" -> shingleN, "num_hashes" -> numHashes, "bands_n" -> bands)
+      .foreach { case (k, v) =>
+        m.get(k).foreach(stored => require(stored == v,
+          s"DedupIndex grid mismatch: store was written with $k=$stored, caller passed $v"))
+      }
+
   def write(
       path: String, docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, buckets: Int = 8,
@@ -142,7 +163,11 @@ object DedupIndex {
     StoreManifest.commit(spark, path,
       Map("bands" -> bv, "shingles" -> sv, "sizes" -> zv,
         "buckets" -> buckets, "band_buckets" -> buckets, "band_enc" -> 2,
-        "char_shingles" -> (if (charShingles) 1 else 0)))
+        "char_shingles" -> (if (charShingles) 1 else 0),
+        // the full shingle/banding grid is part of the store's
+        // identity: upserts/gates with a different gram size or band
+        // count would silently write/probe an incompatible grid
+        "shingle_n" -> shingleN, "num_hashes" -> numHashes, "bands_n" -> bands))
     Seq("bands" -> bv, "shingles" -> sv, "sizes" -> zv)
       .foreach { case (t, v) => graft.io.StoreKit.reclaim(spark, path, t, v) }
   }
@@ -157,6 +182,7 @@ object DedupIndex {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     val m = StoreManifest.current(spark, path)
+    requireGrid(m, shingleN, numHashes, bands)
     // the shingle UNIT comes from the store's own manifest — an
     // upsert can never silently mix word- and char-shingled grids
     val sh = shinglesOf(docs, idCol, textCol, shingleN, charOf(m))
@@ -260,6 +286,7 @@ object DedupIndex {
       threshold: Double): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val m = StoreManifest.current(spark, path) // ONE snapshot per gate
+    requireGrid(m, shingleN, numHashes, bands)
     val histBands = histBandsFrame(spark, path, m)
     val histShFull = m.get("buckets") match {
       case Some(b) => shinglesTable(spark, path, m("shingles"), b).toDF("hid", "sh")
@@ -354,9 +381,13 @@ object DedupIndex {
       Map("bands" -> (bv + 1), "shingles" -> (sv + 1),
         "sizes" -> (zv + 1), "buckets" -> buckets, "band_buckets" -> buckets,
         "band_enc" -> cur.getOrElse("band_enc", 1),
-        // the shingle unit is part of the store's identity — carried
-        // through compaction like the banding encoding
-        "char_shingles" -> cur.getOrElse("char_shingles", 0)))
+        // the shingle unit and grid parameters are part of the store's
+        // identity — carried through compaction like the banding
+        // encoding (absent on legacy stores: carry the absence, don't
+        // invent values)
+        "char_shingles" -> cur.getOrElse("char_shingles", 0))
+        ++ Seq("shingle_n", "num_hashes", "bands_n")
+          .flatMap(k => cur.get(k).map(k -> _)).toMap)
     Seq("bands" -> (bv + 1), "shingles" -> (sv + 1), "sizes" -> (zv + 1))
       .foreach { case (t, v) => graft.io.StoreKit.reclaim(spark, path, t, v) }
     CompactReport(bBefore, files(s"$path/bands/v${bv + 1}"),

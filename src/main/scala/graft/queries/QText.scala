@@ -2240,6 +2240,70 @@ object QText {
         .orderBy("id_a", "id_b")
     },
 
+    // T78: the CHAR-unit MinHash-LSH path end-to-end
+    // (Dedup.charMinhashLshPairs = charShingled → minhash signatures →
+    // banded candidates → exact-Jaccard verification) — t75 pins the
+    // exact char-pair form (quadratic within a shared gram) and t77
+    // the persisted index; THIS is the pair GENERATOR a 100 TB CJK
+    // corpus actually runs, and nothing pinned the char grams feeding
+    // the banding arithmetic until now. Same t75 fixture (sentinel
+    // CJK copies on the odd slice where the word unit sees zero
+    // shingles), same DF=50 cap and capped-denominator semantics; the
+    // oracle is the t07 minhash/banding replay VERBATIM with the gram
+    // CTE swapped to t75's char trigrams — one moving part per
+    // oracle. Identical copies collide in every band (signature
+    // equality); the +1-char sentinel rides the 1-(1-s^r)^b S-curve,
+    // replayed exactly.
+    QueryDef.of("t78_char_minhash_lsh_pairs",
+      """WITH raw AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 20 = 3 THEN '深度学习模型在大规模语料库上训练需要高质量的数据清洗流程'
+        |    WHEN doc_id % 20 = 13 THEN '深度学习模型在大规模语料库上训练需要高质量的数据清洗流程了'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |c AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s FROM raw),
+        |g0 AS MATERIALIZED (SELECT DISTINCT doc_id AS id,
+        |    unnest(CASE WHEN len(s) >= 3
+        |      THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+        |      ELSE [] END) AS sh
+        |  FROM c),
+        |dfc AS (SELECT sh FROM (SELECT sh, count(*) AS d FROM g0 GROUP BY 1) WHERE d <= 50),
+        |g AS MATERIALIZED (SELECT g0.id, g0.sh FROM g0 JOIN dfc USING (sh)),
+        |seeds AS (SELECT seed,
+        |    ('0x' || substr(md5('a:' || seed), 1, 15))::BIGINT % 2147483646 + 1 AS a,
+        |    ('0x' || substr(md5('b:' || seed), 1, 15))::BIGINT % 2147483647 AS b
+        |  FROM (SELECT unnest(range(0, 12)) AS seed)),
+        |mh AS (SELECT id, s.seed,
+        |    min((s.a * (('0x' || substr(md5(g.sh), 1, 15))::BIGINT & 2147483647) + s.b)
+        |        % 2147483647) AS mh
+        |  FROM g, seeds s GROUP BY id, s.seed),
+        |sig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
+        |band AS (SELECT id, b.b,
+        |    md5(array_to_string(sig[b.b*3+1 : b.b*3+3], ',')) AS bucket
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM band x JOIN band y ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id),
+        |sz AS (SELECT id, count(*) AS n_sh FROM g GROUP BY id),
+        |inter AS (SELECT c2.id_a, c2.id_b, count(*) AS n_inter
+        |  FROM cand c2 JOIN g a ON a.id = c2.id_a
+        |  JOIN g b2 ON b2.id = c2.id_b AND b2.sh = a.sh
+        |  GROUP BY c2.id_a, c2.id_b)
+        |SELECT id_a, id_b,
+        |  round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+        |WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val sent = "深度学习模型在大规模语料库上训练需要高质量的数据清洗流程"
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 20 === 3, lit(sent))
+            .when(col("doc_id") % 20 === 13, lit(sent + "了"))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.charMinhashLshPairs(corpus, "doc_id", "text",
+          shingleN = 3, numHashes = 12, bands = 4, threshold = 0.9,
+          maxShingleDf = Some(50))
+        .orderBy("id_a", "id_b")
+    },
+
     // T74: per-eval-suite contamination ATTRIBUTION
     // (Decontaminate.ngramOverlapBySuite — the data-card form of t12
     // once many eval suites accumulate): which suite(s) hit each

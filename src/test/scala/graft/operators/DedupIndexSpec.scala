@@ -31,6 +31,24 @@ class DedupIndexSpec extends AnyFunSuite {
     val inMem = ids(Dedup.incrementalNearDupLsh(bA, hist, "doc_id", "text", 3, 12, 4, 0.5))
     assert(viaStore === inMem)
     assert(viaStore.nonEmpty && viaStore.size < bA.count())
+    // the manifest records the FULL shingle/banding grid, and a
+    // gate/upsert on a different grid fails LOUDLY instead of silently
+    // probing incompatible signatures (the char_shingles/store_stride
+    // mixed-grid discipline extended to shingle_n/num_hashes/bands)
+    for ((sn, nh, b) <- Seq((4, 12, 4), (3, 24, 4), (3, 12, 6))) {
+      val eGate = intercept[IllegalArgumentException](
+        DedupIndex.gate(spark, path, bA, "doc_id", "text", sn, nh, b, 0.5))
+      assert(eGate.getMessage.contains("grid mismatch"), eGate.getMessage)
+      val eUp = intercept[IllegalArgumentException](
+        DedupIndex.upsert(path, bA, "doc_id", "text", sn, nh, b))
+      assert(eUp.getMessage.contains("grid mismatch"), eUp.getMessage)
+    }
+    // ...and the grid survives compaction (part of the store identity)
+    DedupIndex.compact(spark, path)
+    intercept[IllegalArgumentException](
+      DedupIndex.gate(spark, path, bA, "doc_id", "text", 4, 12, 4, 0.5))
+    assert(ids(DedupIndex.gate(spark, path, bA, "doc_id", "text", 3, 12, 4, 0.5))
+      === viaStore)
   }
 
   test("verdicts are snapshot-stable: upserting survivors does not mutate the gate result") {

@@ -339,6 +339,37 @@ class OperatorSpecs extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("charMinhashLshPairs: the banded char-unit path recovers the planted " +
+      "CJK near-dups the word LSH is blind to") {
+    val s = "深度学习模型需要高质量数据"
+    val docs = Seq(
+      (1L, s), (2L, s),          // byte-identical CJK docs
+      (3L, s + "了"),            // one-char-appended near-dup (11/12)
+      (4L, "完全不同的另一段中文文本内容")) // unrelated CJK
+      .toDF("doc_id", "text")
+    // word-unit LSH: one whitespace token per doc → zero shingles →
+    // zero candidates, even for byte-identical copies
+    assert(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 4, 0.1)
+      .count() === 0L)
+    // band recall on the planted near-dups: identical docs have
+    // identical signatures (every band collides — recall 1 by
+    // construction); the +1-char pair must ALSO surface, i.e. at
+    // least one of its 4 bands collides at jaccard 11/12 (the
+    // S-curve leaves ~1.3e-4 miss probability per such pair, and the
+    // fixture is deterministic — this pins the arithmetic, not luck)
+    val lsh = Dedup.charMinhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(lsh((1L, 2L)) === 1.0)
+    assert(lsh((1L, 3L)) === 0.916667 && lsh((2L, 3L)) === 0.916667)
+    assert(!lsh.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // and the banded path's verified pairs equal the exact char-pair
+    // operator's on this fixture (full band recall)
+    val exact = Dedup.charNgramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(lsh === exact)
+  }
+
   test("ngramOverlapBySuite attributes hits to the right eval suite") {
     val bench = Seq(
       ("suiteA", "the quick brown fox jumps"),
@@ -381,6 +412,52 @@ class OperatorSpecs extends AnyFunSuite {
         starved(key)._4 >= exact._4,
         s"$key: starved bloom must keep the row with n_hit >= exact")
     }
+  }
+
+  test("Bloom probes ride broadcasts: plan carries ZERO synopsis bytes " +
+      "at any suite count") {
+    // the r17 hazard: embedding each suite's synopsis as a plan
+    // Literal(BinaryType) grows the serialized task binary by
+    // numBits/8 PER SUITE (hundreds of MB at the operator's design
+    // target). The fix broadcasts the deserialized filters and probes
+    // via BloomsHitIndicesExpr / BloomMightContainExpr — so the probe
+    // plan must contain NO BinaryType literal at all, no matter how
+    // many suites accumulate (the suite names themselves are a
+    // bytes-sized string-array literal).
+    def binaryLiteralBytes(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.map(_.collect {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              v: Array[Byte], org.apache.spark.sql.types.BinaryType) => v.length.toLong
+        }.sum).sum
+      }.sum
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "unrelated words entirely here now")).toDF("doc_id", "text")
+    def run(nSuites: Int) = {
+      val bench = (0 until nSuites)
+        .map(i => (f"s$i%03d", s"alpha beta gamma tok$i suf$i tail$i"))
+        .toDF("suite", "text")
+      Decontaminate.ngramOverlapBySuiteBloom(
+        train, "doc_id", "text", bench, "suite", "text", n = 3,
+        estimatedGrams = 1L << 10, numBits = 1L << 20) // 128 KiB/suite
+    }
+    val at4 = run(4)
+    val at64 = run(64)
+    assert(binaryLiteralBytes(at4) === 0L,
+      "per-suite probe must not embed synopsis bytes in the plan")
+    assert(binaryLiteralBytes(at64) === 0L,
+      "synopsis bytes in the plan grow linearly in suite count — must be broadcast")
+    // and the probe actually works at both counts: every suite shares
+    // the 'alpha beta gamma' trigram with doc 1, so doc 1 carries one
+    // row per suite and doc 2 none
+    assert(at4.count() === 4L && at64.count() === 64L)
+    assert(at64.select("doc_id").distinct().as[Long].collect().toSeq === Seq(1L))
+    // the single-synopsis forms ride the same broadcast pattern
+    val one = Decontaminate.ngramOverlapBloom(
+      train, "doc_id", "text",
+      Seq((0L, "alpha beta gamma")).toDF("id", "text"), "text", n = 3)
+    assert(binaryLiteralBytes(one) === 0L)
   }
 
   test("ngramOverlapBloom: no false negatives; equals exact at generous bits; " +

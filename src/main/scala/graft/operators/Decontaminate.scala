@@ -216,9 +216,17 @@ object Decontaminate {
   def ngramOverlapBySuiteBloom(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, suiteCol: String, benchTextCol: String, n: Int,
-      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
-    val blooms = suiteBlooms(
-      benchSuiteGrams(bench, suiteCol, benchTextCol, n), estimatedGrams, numBits)
+      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame =
+    ngramOverlapBySuiteBloomAgainst(docs, idCol, textCol,
+      benchSuiteBlooms(bench, suiteCol, benchTextCol, n, estimatedGrams, numBits), n)
+
+  /** [[ngramOverlapBySuiteBloom]] against PRECOMPUTED per-suite
+    * synopses — the probe half, split out so callers that persist the
+    * synopses (a production run accumulates suites incrementally;
+    * [[SuiteSynopsisStore]]) never rebuild filters already on disk. */
+  def ngramOverlapBySuiteBloomAgainst(
+      docs: DataFrame, idCol: String, textCol: String,
+      blooms: Seq[(String, Array[Byte])], n: Int): DataFrame = {
     require(blooms.nonEmpty, "ngramOverlapBySuiteBloom: benchmark has no suites")
     // ONE broadcast holds every suite's deserialized filter — the plan
     // carries a single broadcast reference no matter how many suites
@@ -228,9 +236,11 @@ object Decontaminate {
     // pass; only hit rows survive the explode, and the index→name map
     // is a |suites|-string literal lookup (bytes, not synopses).
     val spark = docs.sparkSession
-    val suiteNames = blooms.map(_._1)
+    // deterministic index→name mapping regardless of caller order
+    val sorted = blooms.sortBy(_._1)
+    val suiteNames = sorted.map(_._1)
     val bcast = spark.sparkContext.broadcast(
-      blooms.map { case (_, bytes) =>
+      sorted.map { case (_, bytes) =>
         org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(bytes))
       }.toArray)
@@ -264,6 +274,17 @@ object Decontaminate {
         bench.select(col(suiteCol).as("__suite"), col(benchTextCol).as("__bt")),
         "__suite", "__bt", n)
       .select(col("id").as("suite"), col("sh")).distinct()
+
+  /** One Bloom synopsis per suite of a benchmark pool — the
+    * build half of [[ngramOverlapBySuiteBloom]], public so callers
+    * can persist the synopses and probe them later
+    * ([[ngramOverlapBySuiteBloomAgainst]]). */
+  def benchSuiteBlooms(
+      bench: DataFrame, suiteCol: String, benchTextCol: String, n: Int,
+      estimatedGrams: Long = 1L << 20,
+      numBits: Long = 1L << 23): Seq[(String, Array[Byte])] =
+    suiteBlooms(benchSuiteGrams(bench, suiteCol, benchTextCol, n),
+      estimatedGrams, numBits)
 
   /** One Bloom synopsis per suite from a (suite, sh) frame: ONE
     * grouped aggregate builds every filter; the collect is |suites|

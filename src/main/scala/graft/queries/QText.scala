@@ -72,13 +72,18 @@ object QText {
   private val PiiAny = graft.functions.Pii.AnyRe
 
   /** llm02's post-routing per-language Gopher tables (shared with
-    * LlmScaleSmoke's linearity gate so the two can never drift): en
-    * keeps the Gopher 8, de has its own curated list, zh opens the
-    * word-shape bounds (unsegmented-script discipline), unconfigured
-    * languages (fr/es) get [[Llm02DefaultRules]] — structural rules
-    * with the stopword floor off. minWords 20 is llm01's corpus
-    * calibration. The oracle SQL replays the same tables as a CASE
-    * chain over the routed language. */
+    * LlmScaleSmoke's linearity gate so the two can never drift):
+    * EVERY routed language now carries a curated entry — the
+    * production CCNet/Dolma discipline, where no routed language runs
+    * without its own stopword list. en keeps the Gopher 8; de/fr/es
+    * have curated function-word lists (each with the floor ON); zh
+    * opens the word-shape bounds and runs floor-off (stopword lists
+    * are a segmented-script tool — zh quality gating is the
+    * per-language LINE rules' job, t73). minWords 20 is llm01's
+    * corpus calibration. The oracle SQL replays the same tables as a
+    * CASE chain over the routed language. Unlisted languages would
+    * fall to [[Llm02DefaultRules]]; on this corpus the router's
+    * candidate set is exactly these five. */
   val Llm02LangRules: Map[String, graft.operators.QualityRules.LangRules] = {
     import graft.operators.QualityRules.LangRules
     Map(
@@ -86,12 +91,354 @@ object QText {
         minStopwords = 1, minWords = 20),
       "de" -> LangRules(Seq("der", "die", "und", "das", "ist", "mit", "von"),
         minStopwords = 1, minWords = 20),
+      "fr" -> LangRules(
+        Seq("le", "la", "les", "de", "et", "des", "un", "une", "est", "dans"),
+        minStopwords = 1, minWords = 20),
+      "es" -> LangRules(
+        Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "es"),
+        minStopwords = 1, minWords = 20),
       "zh" -> LangRules(Seq.empty, minStopwords = 0, minWords = 20,
         minMeanLen = 0.0, maxMeanLen = 1e18, minAlphaFrac = 0.0))
   }
 
   val Llm02DefaultRules: graft.operators.QualityRules.LangRules =
     graft.operators.QualityRules.LangRules(Seq.empty, minStopwords = 0, minWords = 20)
+
+  private def llm02Family(qname: String, suiteCard: Boolean): QueryDef = {
+    // llm04's additions over llm02, oracle side: the per-suite
+    // attribution card — t74's exact labeled-gram join (suites carve
+    // the reference tenth by (doc_id%80)//20 — four REAL suites on the
+    // %20==0 slice (a plain doc_id%4 is constant 0 there), the t74/t76
+    // fixture), scoped to
+    // the docs that reach the decontamination stage (`ded`). The drop
+    // rule itself stays the SAME pooled-overlap CTE (`ov`): llm04's
+    // pooled Bloom and per-suite Blooms have one-sided error that is
+    // unobservable at the chosen sizing, so the exact chain is the
+    // oracle verbatim (the llm03 discipline). Margins are carried
+    // because interpolation happens BEFORE the outer stripMargin.
+    val suiteCtes = if (!suiteCard) "" else """,
+         |sgr AS MATERIALIZED (SELECT DISTINCT 'suite' || CAST((doc_id % 80) // 20 AS VARCHAR) AS suite,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM btoks),
+         |shits AS MATERIALIZED (SELECT s.id AS doc_id,
+         |    array_to_string(list_sort(list(DISTINCT g.suite)), ',') AS hit_suites
+         |  FROM sh0 s JOIN sgr g USING (sh) GROUP BY s.id),
+         |dedids AS MATERIALIZED (SELECT doc_id FROM ded)"""
+    val suiteSelectCol = if (!suiteCard) "" else """
+         |  CASE WHEN base.doc_id IN (SELECT doc_id FROM dedids)
+         |       THEN coalesce(shits.hit_suites, '') END AS hit_suites,"""
+    val suiteJoin = if (!suiteCard) "" else """
+         |LEFT JOIN shits USING (doc_id)"""
+    QueryDef.of(qname,
+      s"""WITH base AS (SELECT doc_id, CASE WHEN doc_id % 50 = 27
+         |    THEN 'the data of the run is a good run for the train set and the rest of the same corpus again and the data of the run is a good run for the train set again'
+         |    ELSE text END AS text
+         |  FROM documents WHERE doc_id % 20 <> 0),
+         |uraw AS (SELECT doc_id, n_chars, CASE CAST(doc_id % 4 AS INT)
+         |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/p/' ||
+         |      CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+         |    WHEN 1 THEN 'https://Node-' || source || '.ORG:8443/a/b?z=9&y=8'
+         |    WHEN 2 THEN 'https://' || source || '.net:443'
+         |    ELSE 'ftp://Files.' || source || '.io/data#sec' END AS url
+         |  FROM documents WHERE doc_id % 20 <> 0),
+         |uh AS (SELECT doc_id, n_chars,
+         |    lower(regexp_replace(regexp_extract(
+         |      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+         |      '^([^/?#]*)', 1), ':[0-9]+$$', '')) AS host
+         |  FROM uraw),
+         |usp AS (SELECT doc_id, n_chars, host,
+         |    string_split(host, '.') AS parts, len(string_split(host, '.')) AS n
+         |  FROM uh),
+         |ukb AS (SELECT *, coalesce(list_max(list_transform(range(1, n), k -> CASE
+         |      WHEN list_contains(['com','org','net','io','co.uk'],
+         |        array_to_string(list_slice(parts, -CAST(k AS INT), -1), '.'))
+         |      THEN k ELSE 0 END)), 0) AS kbest
+         |  FROM usp),
+         |urd AS (SELECT doc_id, n_chars,
+         |    CASE WHEN kbest > 0 THEN
+         |      array_to_string(list_slice(parts, -CAST(kbest + 1 AS INT), -1), '.')
+         |    ELSE host END AS rdomain
+         |  FROM ukb),
+         |uq AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id,
+         |    SUM(n_chars) OVER (PARTITION BY rdomain
+         |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM urd) WHERE cum <= 25000),
+         |cref AS (SELECT doc_id, lang,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |gref AS (SELECT lang, unnest(CASE WHEN len(s) >= 3
+         |    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+         |    ELSE [] END) AS gr
+         |  FROM cref),
+         |pf AS (SELECT lang, gr, count(*) AS cnt FROM gref GROUP BY 1, 2),
+         |pr AS MATERIALIZED (SELECT lang, gr,
+         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) AS rank
+         |  FROM pf
+         |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) <= 40),
+         |rlangs AS (SELECT DISTINCT lang AS cand FROM documents WHERE doc_id % 20 = 0),
+         |cdoc AS (SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+         |  FROM base),
+         |gdoc AS (SELECT doc_id, unnest(CASE WHEN len(s) >= 3
+         |    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+         |    ELSE [] END) AS gr
+         |  FROM cdoc),
+         |dist AS (SELECT dg.doc_id, l.cand,
+         |    CAST(SUM(coalesce(pr.rank, 41)) AS BIGINT) AS dist
+         |  FROM gdoc dg CROSS JOIN rlangs l
+         |  LEFT JOIN pr ON pr.lang = l.cand AND pr.gr = dg.gr
+         |  GROUP BY 1, 2),
+         |best AS MATERIALIZED (SELECT doc_id, cand AS lang FROM dist
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1),
+         |gm AS (SELECT b.doc_id, best.lang AS rl, trim(b.text) AS gt,
+         |    regexp_extract_all(trim(b.text), '\\S+') AS gw
+         |  FROM base b JOIN best USING (doc_id)),
+         |gok AS MATERIALIZED (SELECT doc_id,
+         |    len(gw) >= 20 AND len(gw) <= 100000
+         |    AND round(CASE WHEN len(gw) > 0
+         |      THEN CAST(length(regexp_replace(gt, '\\s+', '', 'g')) AS DOUBLE) / len(gw)
+         |      ELSE 0.0 END, 6)
+         |      BETWEEN (CASE WHEN rl = 'zh' THEN 0.0 ELSE 3.0 END)
+         |          AND (CASE WHEN rl = 'zh' THEN 1e18 ELSE 10.0 END)
+         |    AND round(CASE WHEN len(gw) > 0
+         |      THEN ((length(gt) - length(replace(gt, '#', ''))) / 1
+         |            + (length(gt) - length(replace(gt, '...', ''))) / 3) / len(gw)
+         |      ELSE 0.0 END, 6) <= 0.1
+         |    AND round(CASE WHEN len(gw) > 0
+         |      THEN CAST(len(list_filter(gw, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(gw)
+         |      ELSE 0.0 END, 6) >= (CASE WHEN rl = 'zh' THEN 0.0 ELSE 0.8 END)
+         |    AND len(list_intersect(list_distinct(list_transform(gw, x -> lower(x))),
+         |      CASE WHEN rl = 'en' THEN ['the','be','to','of','and','that','have','with']
+         |           WHEN rl = 'de' THEN ['der','die','und','das','ist','mit','von']
+         |           WHEN rl = 'fr' THEN ['le','la','les','de','et','des','un','une','est','dans']
+         |           WHEN rl = 'es' THEN ['el','la','los','las','de','que','y','en','un','es']
+         |           ELSE []::VARCHAR[] END)) >=
+         |      (CASE WHEN rl IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS g_ok
+         |  FROM gm),
+         |surv1 AS (SELECT b.doc_id, b.text FROM base b JOIN best USING (doc_id)
+         |  JOIN gok USING (doc_id)
+         |  WHERE b.doc_id IN (SELECT doc_id FROM uq) AND gok.g_ok),
+         |fp AS (SELECT doc_id, md5($CANON) AS fp FROM surv1),
+         |kp AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
+         |dups AS (SELECT f.doc_id FROM fp f JOIN kp USING (fp) WHERE f.doc_id <> kp.keep_id),
+         |ded AS (SELECT doc_id, text FROM surv1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+         |dtoks AS (SELECT doc_id, $CTOKS AS t FROM ded),
+         |sh0 AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM dtoks),
+         |btoks AS (SELECT doc_id, $CTOKS AS t FROM documents WHERE doc_id % 20 = 0),
+         |bench AS (SELECT DISTINCT
+         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM btoks),
+         |ov AS MATERIALIZED (SELECT s.id AS doc_id,
+         |    round(count(b.sh) / CAST(count(*) AS DOUBLE), 6) AS overlap_frac
+         |  FROM sh0 s LEFT JOIN bench b ON s.sh = b.sh GROUP BY s.id),
+         |dec AS MATERIALIZED (SELECT d2.doc_id, d2.text FROM ded d2
+         |  LEFT JOIN ov ON d2.doc_id = ov.doc_id
+         |  WHERE coalesce(ov.overlap_frac, 0) < 0.5),
+         |tr AS (SELECT lang, $CTOKS AS t FROM documents WHERE doc_id % 20 = 0),
+         |g5r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM tr),
+         |t5 AS MATERIALIZED (SELECT lang, g, count(*) AS c5 FROM g5r GROUP BY 1, 2),
+         |g4r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g FROM tr),
+         |c4t AS MATERIALIZED (SELECT lang, g AS ctx4, count(*) AS c4 FROM g4r GROUP BY 1, 2),
+         |lam5 AS (SELECT lang, array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4, count(*) AS lam5 FROM t5 GROUP BY 1, 2),
+         |cont4 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s, count(*) AS cont4 FROM t5 GROUP BY 1, 2),
+         |mid4 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3, count(*) AS denom4,
+         |    count(DISTINCT string_split(g, ' ')[5]) AS lam4 FROM t5 GROUP BY 1, 2),
+         |t4y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g4r),
+         |cont3 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:4], ' ') AS g3s, count(*) AS cont3 FROM t4y GROUP BY 1, 2),
+         |mid3 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:3], ' ') AS ctx2, count(*) AS denom3,
+         |    count(DISTINCT string_split(g, ' ')[4]) AS lam3 FROM t4y GROUP BY 1, 2),
+         |g3r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS g FROM tr),
+         |t3y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g3r),
+         |cont2 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:3], ' ') AS g2s, count(*) AS cont2 FROM t3y GROUP BY 1, 2),
+         |mid2 AS (SELECT lang, string_split(g, ' ')[2] AS w4k, count(*) AS denom2,
+         |    count(DISTINCT string_split(g, ' ')[3]) AS lam2 FROM t3y GROUP BY 1, 2),
+         |g2r AS (SELECT lang, unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS g FROM tr),
+         |t2y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g2r),
+         |cont1 AS (SELECT lang, string_split(g, ' ')[2] AS w5k, count(*) AS cont1 FROM t2y GROUP BY 1, 2),
+         |sc0 AS (SELECT lang, CAST(count(*) AS DOUBLE) AS denom1 FROM t2y GROUP BY 1),
+         |vv AS (SELECT lang, CAST(count(DISTINCT w) AS DOUBLE) AS v
+         |  FROM (SELECT lang, unnest(t) AS w FROM tr) GROUP BY 1),
+         |d AS (SELECT dd.doc_id, b.lang, $CTOKS AS t
+         |  FROM dec dd JOIN best b USING (doc_id)),
+         |f AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM d),
+         |keys AS (SELECT doc_id, lang, g,
+         |    array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4,
+         |    array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s,
+         |    array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3,
+         |    array_to_string(string_split(g, ' ')[3:5], ' ') AS g3s,
+         |    array_to_string(string_split(g, ' ')[3:4], ' ') AS ctx2,
+         |    array_to_string(string_split(g, ' ')[4:5], ' ') AS g2s,
+         |    string_split(g, ' ')[4] AS w4k, string_split(g, ' ')[5] AS w5k
+         |  FROM f),
+         |j AS MATERIALIZED (SELECT doc_id, lang, keys.g,
+         |    coalesce(t5.c5, 0) AS c5, coalesce(c4t.c4, 0) AS c4, coalesce(lam5.lam5, 0) AS lam5,
+         |    coalesce(cont4.cont4, 0) AS cont4, coalesce(mid4.denom4, 0) AS denom4, coalesce(mid4.lam4, 0) AS lam4,
+         |    coalesce(cont3.cont3, 0) AS cont3, coalesce(mid3.denom3, 0) AS denom3, coalesce(mid3.lam3, 0) AS lam3,
+         |    coalesce(cont2.cont2, 0) AS cont2, coalesce(mid2.denom2, 0) AS denom2, coalesce(mid2.lam2, 0) AS lam2,
+         |    coalesce(cont1.cont1, 0) AS cont1, denom1, v
+         |  FROM keys LEFT JOIN t5 USING (lang, g)
+         |  LEFT JOIN c4t USING (lang, ctx4) LEFT JOIN lam5 USING (lang, ctx4)
+         |  LEFT JOIN cont4 USING (lang, g4s) LEFT JOIN mid4 USING (lang, ctx3)
+         |  LEFT JOIN cont3 USING (lang, g3s) LEFT JOIN mid3 USING (lang, ctx2)
+         |  LEFT JOIN cont2 USING (lang, g2s) LEFT JOIN mid2 USING (lang, w4k)
+         |  LEFT JOIN cont1 USING (lang, w5k)
+         |  JOIN sc0 USING (lang) JOIN vv USING (lang)),
+         |p1c AS (SELECT *, (cont1 + 0.5) / (denom1 + 0.5 * v) AS p1 FROM j),
+         |p2c AS (SELECT *, CASE WHEN denom2 > 0
+         |    THEN (GREATEST(cont2 - 0.75, 0) + 0.75 * lam2 * p1) / denom2 ELSE p1 END AS p2 FROM p1c),
+         |p3c AS (SELECT *, CASE WHEN denom3 > 0
+         |    THEN (GREATEST(cont3 - 0.75, 0) + 0.75 * lam3 * p2) / denom3 ELSE p2 END AS p3 FROM p2c),
+         |p4c AS (SELECT *, CASE WHEN denom4 > 0
+         |    THEN (GREATEST(cont4 - 0.75, 0) + 0.75 * lam4 * p3) / denom4 ELSE p3 END AS p4 FROM p3c),
+         |p5c AS (SELECT doc_id, lang, CASE WHEN c4 > 0 AND lam5 > 0
+         |    THEN (GREATEST(c5 - 0.75, 0) + 0.75 * lam5 * p4) / c4 ELSE p4 END AS p5 FROM p4c),
+         |scs AS (SELECT doc_id, lang, CAST(round(-ln(p5) * 1000000.0) AS BIGINT) AS m FROM p5c),
+         |ppl AS (SELECT doc_id, lang,
+         |    round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
+         |  FROM scs GROUP BY 1, 2),
+         |nt AS MATERIALIZED (SELECT doc_id, lang,
+         |    ntile(3) OVER (PARTITION BY lang ORDER BY avg_neg_logp, doc_id) AS b
+         |  FROM ppl)$suiteCtes
+         |SELECT base.doc_id,
+         |  coalesce(best.lang, '') AS pred_lang,
+         |  CASE WHEN nt.b = 1 THEN 'head' WHEN nt.b = 2 THEN 'middle'
+         |       WHEN nt.b = 3 THEN 'tail' END AS bucket,$suiteSelectCol
+         |  CASE WHEN base.doc_id NOT IN (SELECT doc_id FROM uq) THEN 'drop_domain_quota'
+         |       WHEN best.doc_id IS NULL THEN 'drop_lang'
+         |       WHEN NOT gok.g_ok THEN 'drop_gopher'
+         |       WHEN base.doc_id IN (SELECT doc_id FROM dups) THEN 'drop_duplicate'
+         |       WHEN coalesce(ov.overlap_frac, 0) >= 0.5 THEN 'drop_contaminated'
+         |       WHEN nt.b IS NULL THEN 'drop_short'
+         |       WHEN nt.b = 3 THEN 'drop_perplexity_tail'
+         |       ELSE 'kept' END AS disposition
+         |FROM base LEFT JOIN best USING (doc_id) LEFT JOIN gok USING (doc_id)
+         |LEFT JOIN ov USING (doc_id)
+         |LEFT JOIN nt USING (doc_id)$suiteJoin
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ref = docs.filter(col("doc_id") % 20 === 0)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          when(col("doc_id") % 50 === 27,
+            lit("the data of the run is a good run for the train set " +
+              "and the rest of the same corpus again and the data of " +
+              "the run is a good run for the train set again"))
+            .otherwise(col("text")).as("text"))
+      val url = (when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/p/"),
+            col("doc_id").cast("string"), lit("?utm_source=x&b=2&a=1#frag")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("https://Node-"), col("source"), lit(".ORG:8443/a/b?z=9&y=8")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://"), col("source"), lit(".net:443")))
+        .otherwise(
+          concat(lit("ftp://Files."), col("source"), lit(".io/data#sec"))))
+      val quotaKept = graft.operators.Sampling.selectToBudgetPerGroupUniform(
+          corpus.select(col("doc_id"),
+            graft.functions.UrlFunctions.registrableDomain(
+              graft.functions.UrlFunctions.urlHost(url),
+              Seq("com", "org", "net", "io", "co.uk")).as("rdomain"),
+            col("n_chars"), col("n_chars").cast("double").as("score")),
+          "rdomain", "score", "doc_id", "n_chars", budgetPerGroup = 25000L)
+        .select(col("doc_id")).withColumn("__q_in", lit(1))
+      // routing: char-3-gram profiles trained on the LABELED reference
+      val profiles = graft.operators.LangId.trainProfiles(ref, "lang", "text")
+      val routed = graft.operators.LangId
+        .classify(corpus, "doc_id", "text", profiles)
+        .select(col("doc_id"), col("pred_lang"))
+      // per-language Gopher tables, applied POST-ROUTING (the
+      // production multilingual discipline) — see [[Llm02LangRules]]
+      val gok = graft.operators.QualityRules.gopherByLang(
+          corpus.join(routed, Seq("doc_id")), "doc_id", "text", "pred_lang",
+          Llm02LangRules, Llm02DefaultRules)
+        .select(col("doc_id"), col("pass").as("g_ok"))
+      val flags = corpus.select(col("doc_id"), col("text"))
+        .join(quotaKept, Seq("doc_id"), "left")
+        .join(routed, Seq("doc_id"))
+        .join(gok, Seq("doc_id"))
+        .withColumn("l_ok", col("pred_lang") =!= "")
+      val surv1 = flags.filter(col("__q_in") === 1 && col("l_ok") && col("g_ok"))
+        .select("doc_id", "text", "pred_lang")
+      val keyed = surv1.select(col("doc_id"),
+        md5(TextFunctions.canonicalText(col("text"))).as("__fp"))
+      val dups = keyed
+        .withColumn("__keep", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+        .filter(col("doc_id") =!= col("__keep"))
+        .select(col("doc_id")).withColumn("__dup", lit(1))
+      val ded = surv1.join(dups, Seq("doc_id"), "left_anti")
+      // llm04 (suiteCard): the 100 TB decontamination profile — the
+      // pooled drop rule probes ONE fixed-size Bloom synopsis instead
+      // of the broadcast gram-row join, so the stage's footprint is
+      // numBits/8 bytes no matter how many eval sets accumulate
+      // (CleanCorpus.Bloom's argument, here on the multilingual
+      // flagship). llm02 keeps the exact join: at this scale it IS
+      // the oracle, and the pair pins the Bloom path row-identical.
+      val ov = (if (suiteCard)
+          graft.operators.Decontaminate.ngramOverlapBloom(
+            ded, "doc_id", "text", ref, "text", n = 3,
+            estimatedGrams = 1L << 16, numBits = 1L << 20)
+        else graft.operators.Decontaminate
+          .ngramOverlap(ded, "doc_id", "text", ref, "text", n = 3))
+        .select(col("doc_id"), col("overlap_frac"))
+      val dec = ded.join(ov, Seq("doc_id"), "left")
+        .filter(coalesce(col("overlap_frac"), lit(0.0)) < 0.5)
+        .select("doc_id", "text", "pred_lang")
+      // per-language KN scoring + CCNet terciles WITHIN language: the
+      // tail tercile drops, head/middle keep with their bucket
+      val ppl = graft.operators.TextModel.knFivegramCrossPerplexityByLang(
+        ref, "lang", "text", dec, "doc_id", "pred_lang", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pred_lang")).orderBy(col("avg_neg_logp"), col("doc_id"))
+      val buck = ppl.withColumn("__b", ntile(3).over(w))
+        .select(col("doc_id"), col("__b"))
+      val joined0 = flags
+        .join(dups, Seq("doc_id"), "left")
+        .join(ov, Seq("doc_id"), "left")
+        .join(buck, Seq("doc_id"), "left")
+      // llm04's per-suite attribution CARD: WHICH suite(s) share ≥1
+      // gram with each doc that reached the decontamination stage —
+      // the data-card column that lets a suite be re-run cleanly
+      // after the fact (t74's rationale). One Bloom synopsis per
+      // suite probed through ONE broadcast array (fixed task-binary
+      // footprint); docs dropped before the stage carry NULL, docs
+      // probed but hitting nothing carry ''.
+      val joined = if (!suiteCard) joined0 else {
+        val suites4 = ref.select(
+          concat(lit("suite"),
+            (pmod(col("doc_id"), lit(80)) / 20).cast("int").cast("string")).as("suite"),
+          col("text"))
+        val hs = graft.operators.Decontaminate.ngramOverlapBySuiteBloom(
+            ded, "doc_id", "text", suites4, "suite", "text", n = 3,
+            estimatedGrams = 1L << 16, numBits = 1L << 20)
+          .groupBy("doc_id")
+          .agg(array_join(array_sort(collect_set(col("suite"))), ",").as("__hs"))
+        joined0.join(hs, Seq("doc_id"), "left")
+      }
+      val baseCols = Seq(col("doc_id"), col("pred_lang"),
+        when(col("__b") === 1, lit("head")).when(col("__b") === 2, lit("middle"))
+          .when(col("__b") === 3, lit("tail")).as("bucket"),
+        when(col("__q_in").isNull, lit("drop_domain_quota"))
+          .when(!col("l_ok"), lit("drop_lang"))
+          .when(!col("g_ok"), lit("drop_gopher"))
+          .when(col("__dup") === 1, lit("drop_duplicate"))
+          .when(coalesce(col("overlap_frac"), lit(0.0)) >= 0.5,
+            lit("drop_contaminated"))
+          .when(col("__b").isNull, lit("drop_short"))
+          .when(col("__b") === 3, lit("drop_perplexity_tail"))
+          .otherwise(lit("kept")).as("disposition"))
+      val cols = if (!suiteCard) baseCols else baseCols :+
+        when(col("__q_in") === 1 && col("l_ok") && col("g_ok")
+            && col("__dup").isNull,
+          coalesce(col("__hs"), lit(""))).as("hit_suites")
+      joined.select(cols: _*).orderBy("doc_id")
+    }
+  }
+
 
   /** t17's oracle chain (dedup -> quality -> strict trigram
     * decontamination -> PII redaction), shared VERBATIM with llm03:
@@ -134,12 +481,14 @@ object QText {
          |ORDER BY doc_id""".stripMargin
 
   /** t74's oracle (per-suite contamination attribution over the four
-    * synthetic doc_id%4 suites), shared VERBATIM with t76: the
+    * synthetic (doc_id%80)//20 suites — doc_id%4 is constant 0 on the
+    * %20==0 bench slice, so the quotient digit is what actually
+    * yields four suites), shared VERBATIM with t76: the
     * per-suite Bloom form's one-sided error is unobservable at the
     * chosen sizing, so the exact attribution IS its oracle —
     * row-identical output is the assertion (the llm03 discipline). */
   private lazy val DecontamBySuiteOracleSql: String =
-    s"""WITH btoks AS (SELECT 'suite' || CAST(doc_id % 4 AS VARCHAR) AS suite,
+    s"""WITH btoks AS (SELECT 'suite' || CAST((doc_id % 80) // 20 AS VARCHAR) AS suite,
        |    $CTOKS AS t FROM documents WHERE doc_id % 20 = 0),
        |bsh AS (SELECT DISTINCT suite,
        |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
@@ -932,301 +1281,47 @@ object QText {
     // gramless docs drop) → PER-LANGUAGE Gopher rules (the
     // post-routing half of a production multilingual run —
     // QualityRules.gopherByLang: each doc is judged by ITS routed
-    // language's configured stopword list and thresholds, so the
-    // English floor never drops a doc of a language with its own
-    // list, a configured non-English list (de here) drops docs that
-    // carry no stopword OF THAT LANGUAGE even when English rules
-    // would keep them, unconfigured languages (fr/es) get the
-    // structural rules with the stopword floor off, and zh opens the
-    // word-shape bounds too — the CJK discipline) → exact dedup
-    // keep-first → benchmark decontamination → PER-LANGUAGE
-    // interpolated-KN perplexity with CCNet terciles cut within
-    // language — the tail tercile drops (the CCNet sampling
-    // discipline), head/middle keep with their bucket on the card.
-    // Both differentials are LIVE on the real corpus at sf0.01
-    // (measured): 86 de-routed docs carry 'the' (the English table
-    // would keep them) but no de-list word → drop_gopher, while 35
-    // kept docs routed fr/es/zh carry NO Gopher-8 stopword at all —
-    // the English floor would have dropped every one. The controlled
-    // single-doc differentials are pinned in QualityRulesSpec's
-    // gopherByLang cases (routing on these near-identical synthetic
-    // profiles is noise-driven, so the query relies on measured
-    // corpus-level differentials, not a routed sentinel). %50==27
-    // docs carry llm01's injected duplicate so the dedup stage has
-    // live work. First-failing-gate dispositions, join-bearing
-    // stages see only earlier-gate survivors.
-    QueryDef.of("llm02_corpus_multilang",
-      s"""WITH base AS (SELECT doc_id, CASE WHEN doc_id % 50 = 27
-         |    THEN 'the data of the run is a good run for the train set and the rest of the same corpus again and the data of the run is a good run for the train set again'
-         |    ELSE text END AS text
-         |  FROM documents WHERE doc_id % 20 <> 0),
-         |uraw AS (SELECT doc_id, n_chars, CASE CAST(doc_id % 4 AS INT)
-         |    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/p/' ||
-         |      CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
-         |    WHEN 1 THEN 'https://Node-' || source || '.ORG:8443/a/b?z=9&y=8'
-         |    WHEN 2 THEN 'https://' || source || '.net:443'
-         |    ELSE 'ftp://Files.' || source || '.io/data#sec' END AS url
-         |  FROM documents WHERE doc_id % 20 <> 0),
-         |uh AS (SELECT doc_id, n_chars,
-         |    lower(regexp_replace(regexp_extract(
-         |      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-         |      '^([^/?#]*)', 1), ':[0-9]+$$', '')) AS host
-         |  FROM uraw),
-         |usp AS (SELECT doc_id, n_chars, host,
-         |    string_split(host, '.') AS parts, len(string_split(host, '.')) AS n
-         |  FROM uh),
-         |ukb AS (SELECT *, coalesce(list_max(list_transform(range(1, n), k -> CASE
-         |      WHEN list_contains(['com','org','net','io','co.uk'],
-         |        array_to_string(list_slice(parts, -CAST(k AS INT), -1), '.'))
-         |      THEN k ELSE 0 END)), 0) AS kbest
-         |  FROM usp),
-         |urd AS (SELECT doc_id, n_chars,
-         |    CASE WHEN kbest > 0 THEN
-         |      array_to_string(list_slice(parts, -CAST(kbest + 1 AS INT), -1), '.')
-         |    ELSE host END AS rdomain
-         |  FROM ukb),
-         |uq AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id,
-         |    SUM(n_chars) OVER (PARTITION BY rdomain
-         |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM urd) WHERE cum <= 25000),
-         |cref AS (SELECT doc_id, lang,
-         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
-         |  FROM documents WHERE doc_id % 20 = 0),
-         |gref AS (SELECT lang, unnest(CASE WHEN len(s) >= 3
-         |    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
-         |    ELSE [] END) AS gr
-         |  FROM cref),
-         |pf AS (SELECT lang, gr, count(*) AS cnt FROM gref GROUP BY 1, 2),
-         |pr AS MATERIALIZED (SELECT lang, gr,
-         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) AS rank
-         |  FROM pf
-         |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gr) <= 40),
-         |rlangs AS (SELECT DISTINCT lang AS cand FROM documents WHERE doc_id % 20 = 0),
-         |cdoc AS (SELECT doc_id,
-         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
-         |  FROM base),
-         |gdoc AS (SELECT doc_id, unnest(CASE WHEN len(s) >= 3
-         |    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
-         |    ELSE [] END) AS gr
-         |  FROM cdoc),
-         |dist AS (SELECT dg.doc_id, l.cand,
-         |    CAST(SUM(coalesce(pr.rank, 41)) AS BIGINT) AS dist
-         |  FROM gdoc dg CROSS JOIN rlangs l
-         |  LEFT JOIN pr ON pr.lang = l.cand AND pr.gr = dg.gr
-         |  GROUP BY 1, 2),
-         |best AS MATERIALIZED (SELECT doc_id, cand AS lang FROM dist
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1),
-         |gm AS (SELECT b.doc_id, best.lang AS rl, trim(b.text) AS gt,
-         |    regexp_extract_all(trim(b.text), '\\S+') AS gw
-         |  FROM base b JOIN best USING (doc_id)),
-         |gok AS MATERIALIZED (SELECT doc_id,
-         |    len(gw) >= 20 AND len(gw) <= 100000
-         |    AND round(CASE WHEN len(gw) > 0
-         |      THEN CAST(length(regexp_replace(gt, '\\s+', '', 'g')) AS DOUBLE) / len(gw)
-         |      ELSE 0.0 END, 6)
-         |      BETWEEN (CASE WHEN rl = 'zh' THEN 0.0 ELSE 3.0 END)
-         |          AND (CASE WHEN rl = 'zh' THEN 1e18 ELSE 10.0 END)
-         |    AND round(CASE WHEN len(gw) > 0
-         |      THEN ((length(gt) - length(replace(gt, '#', ''))) / 1
-         |            + (length(gt) - length(replace(gt, '...', ''))) / 3) / len(gw)
-         |      ELSE 0.0 END, 6) <= 0.1
-         |    AND round(CASE WHEN len(gw) > 0
-         |      THEN CAST(len(list_filter(gw, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(gw)
-         |      ELSE 0.0 END, 6) >= (CASE WHEN rl = 'zh' THEN 0.0 ELSE 0.8 END)
-         |    AND len(list_intersect(list_distinct(list_transform(gw, x -> lower(x))),
-         |      CASE WHEN rl = 'en' THEN ['the','be','to','of','and','that','have','with']
-         |           WHEN rl = 'de' THEN ['der','die','und','das','ist','mit','von']
-         |           ELSE []::VARCHAR[] END)) >=
-         |      (CASE WHEN rl IN ('en','de') THEN 1 ELSE 0 END) AS g_ok
-         |  FROM gm),
-         |surv1 AS (SELECT b.doc_id, b.text FROM base b JOIN best USING (doc_id)
-         |  JOIN gok USING (doc_id)
-         |  WHERE b.doc_id IN (SELECT doc_id FROM uq) AND gok.g_ok),
-         |fp AS (SELECT doc_id, md5($CANON) AS fp FROM surv1),
-         |kp AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
-         |dups AS (SELECT f.doc_id FROM fp f JOIN kp USING (fp) WHERE f.doc_id <> kp.keep_id),
-         |ded AS (SELECT doc_id, text FROM surv1
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
-         |dtoks AS (SELECT doc_id, $CTOKS AS t FROM ded),
-         |sh0 AS (SELECT DISTINCT doc_id AS id,
-         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
-         |  FROM dtoks),
-         |btoks AS (SELECT doc_id, $CTOKS AS t FROM documents WHERE doc_id % 20 = 0),
-         |bench AS (SELECT DISTINCT
-         |    unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS sh
-         |  FROM btoks),
-         |ov AS MATERIALIZED (SELECT s.id AS doc_id,
-         |    round(count(b.sh) / CAST(count(*) AS DOUBLE), 6) AS overlap_frac
-         |  FROM sh0 s LEFT JOIN bench b ON s.sh = b.sh GROUP BY s.id),
-         |dec AS MATERIALIZED (SELECT d2.doc_id, d2.text FROM ded d2
-         |  LEFT JOIN ov ON d2.doc_id = ov.doc_id
-         |  WHERE coalesce(ov.overlap_frac, 0) < 0.5),
-         |tr AS (SELECT lang, $CTOKS AS t FROM documents WHERE doc_id % 20 = 0),
-         |g5r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM tr),
-         |t5 AS MATERIALIZED (SELECT lang, g, count(*) AS c5 FROM g5r GROUP BY 1, 2),
-         |g4r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g FROM tr),
-         |c4t AS MATERIALIZED (SELECT lang, g AS ctx4, count(*) AS c4 FROM g4r GROUP BY 1, 2),
-         |lam5 AS (SELECT lang, array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4, count(*) AS lam5 FROM t5 GROUP BY 1, 2),
-         |cont4 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s, count(*) AS cont4 FROM t5 GROUP BY 1, 2),
-         |mid4 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3, count(*) AS denom4,
-         |    count(DISTINCT string_split(g, ' ')[5]) AS lam4 FROM t5 GROUP BY 1, 2),
-         |t4y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g4r),
-         |cont3 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:4], ' ') AS g3s, count(*) AS cont3 FROM t4y GROUP BY 1, 2),
-         |mid3 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:3], ' ') AS ctx2, count(*) AS denom3,
-         |    count(DISTINCT string_split(g, ' ')[4]) AS lam3 FROM t4y GROUP BY 1, 2),
-         |g3r AS (SELECT lang, unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS g FROM tr),
-         |t3y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g3r),
-         |cont2 AS (SELECT lang, array_to_string(string_split(g, ' ')[2:3], ' ') AS g2s, count(*) AS cont2 FROM t3y GROUP BY 1, 2),
-         |mid2 AS (SELECT lang, string_split(g, ' ')[2] AS w4k, count(*) AS denom2,
-         |    count(DISTINCT string_split(g, ' ')[3]) AS lam2 FROM t3y GROUP BY 1, 2),
-         |g2r AS (SELECT lang, unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS g FROM tr),
-         |t2y AS MATERIALIZED (SELECT DISTINCT lang, g FROM g2r),
-         |cont1 AS (SELECT lang, string_split(g, ' ')[2] AS w5k, count(*) AS cont1 FROM t2y GROUP BY 1, 2),
-         |sc0 AS (SELECT lang, CAST(count(*) AS DOUBLE) AS denom1 FROM t2y GROUP BY 1),
-         |vv AS (SELECT lang, CAST(count(DISTINCT w) AS DOUBLE) AS v
-         |  FROM (SELECT lang, unnest(t) AS w FROM tr) GROUP BY 1),
-         |d AS (SELECT dd.doc_id, b.lang, $CTOKS AS t
-         |  FROM dec dd JOIN best b USING (doc_id)),
-         |f AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g FROM d),
-         |keys AS (SELECT doc_id, lang, g,
-         |    array_to_string(string_split(g, ' ')[1:4], ' ') AS ctx4,
-         |    array_to_string(string_split(g, ' ')[2:5], ' ') AS g4s,
-         |    array_to_string(string_split(g, ' ')[2:4], ' ') AS ctx3,
-         |    array_to_string(string_split(g, ' ')[3:5], ' ') AS g3s,
-         |    array_to_string(string_split(g, ' ')[3:4], ' ') AS ctx2,
-         |    array_to_string(string_split(g, ' ')[4:5], ' ') AS g2s,
-         |    string_split(g, ' ')[4] AS w4k, string_split(g, ' ')[5] AS w5k
-         |  FROM f),
-         |j AS MATERIALIZED (SELECT doc_id, lang, keys.g,
-         |    coalesce(t5.c5, 0) AS c5, coalesce(c4t.c4, 0) AS c4, coalesce(lam5.lam5, 0) AS lam5,
-         |    coalesce(cont4.cont4, 0) AS cont4, coalesce(mid4.denom4, 0) AS denom4, coalesce(mid4.lam4, 0) AS lam4,
-         |    coalesce(cont3.cont3, 0) AS cont3, coalesce(mid3.denom3, 0) AS denom3, coalesce(mid3.lam3, 0) AS lam3,
-         |    coalesce(cont2.cont2, 0) AS cont2, coalesce(mid2.denom2, 0) AS denom2, coalesce(mid2.lam2, 0) AS lam2,
-         |    coalesce(cont1.cont1, 0) AS cont1, denom1, v
-         |  FROM keys LEFT JOIN t5 USING (lang, g)
-         |  LEFT JOIN c4t USING (lang, ctx4) LEFT JOIN lam5 USING (lang, ctx4)
-         |  LEFT JOIN cont4 USING (lang, g4s) LEFT JOIN mid4 USING (lang, ctx3)
-         |  LEFT JOIN cont3 USING (lang, g3s) LEFT JOIN mid3 USING (lang, ctx2)
-         |  LEFT JOIN cont2 USING (lang, g2s) LEFT JOIN mid2 USING (lang, w4k)
-         |  LEFT JOIN cont1 USING (lang, w5k)
-         |  JOIN sc0 USING (lang) JOIN vv USING (lang)),
-         |p1c AS (SELECT *, (cont1 + 0.5) / (denom1 + 0.5 * v) AS p1 FROM j),
-         |p2c AS (SELECT *, CASE WHEN denom2 > 0
-         |    THEN (GREATEST(cont2 - 0.75, 0) + 0.75 * lam2 * p1) / denom2 ELSE p1 END AS p2 FROM p1c),
-         |p3c AS (SELECT *, CASE WHEN denom3 > 0
-         |    THEN (GREATEST(cont3 - 0.75, 0) + 0.75 * lam3 * p2) / denom3 ELSE p2 END AS p3 FROM p2c),
-         |p4c AS (SELECT *, CASE WHEN denom4 > 0
-         |    THEN (GREATEST(cont4 - 0.75, 0) + 0.75 * lam4 * p3) / denom4 ELSE p3 END AS p4 FROM p3c),
-         |p5c AS (SELECT doc_id, lang, CASE WHEN c4 > 0 AND lam5 > 0
-         |    THEN (GREATEST(c5 - 0.75, 0) + 0.75 * lam5 * p4) / c4 ELSE p4 END AS p5 FROM p4c),
-         |scs AS (SELECT doc_id, lang, CAST(round(-ln(p5) * 1000000.0) AS BIGINT) AS m FROM p5c),
-         |ppl AS (SELECT doc_id, lang,
-         |    round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
-         |  FROM scs GROUP BY 1, 2),
-         |nt AS MATERIALIZED (SELECT doc_id, lang,
-         |    ntile(3) OVER (PARTITION BY lang ORDER BY avg_neg_logp, doc_id) AS b
-         |  FROM ppl)
-         |SELECT base.doc_id,
-         |  coalesce(best.lang, '') AS pred_lang,
-         |  CASE WHEN nt.b = 1 THEN 'head' WHEN nt.b = 2 THEN 'middle'
-         |       WHEN nt.b = 3 THEN 'tail' END AS bucket,
-         |  CASE WHEN base.doc_id NOT IN (SELECT doc_id FROM uq) THEN 'drop_domain_quota'
-         |       WHEN best.doc_id IS NULL THEN 'drop_lang'
-         |       WHEN NOT gok.g_ok THEN 'drop_gopher'
-         |       WHEN base.doc_id IN (SELECT doc_id FROM dups) THEN 'drop_duplicate'
-         |       WHEN coalesce(ov.overlap_frac, 0) >= 0.5 THEN 'drop_contaminated'
-         |       WHEN nt.b IS NULL THEN 'drop_short'
-         |       WHEN nt.b = 3 THEN 'drop_perplexity_tail'
-         |       ELSE 'kept' END AS disposition
-         |FROM base LEFT JOIN best USING (doc_id) LEFT JOIN gok USING (doc_id)
-         |LEFT JOIN ov USING (doc_id)
-         |LEFT JOIN nt USING (doc_id)
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val ref = docs.filter(col("doc_id") % 20 === 0)
-      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          when(col("doc_id") % 50 === 27,
-            lit("the data of the run is a good run for the train set " +
-              "and the rest of the same corpus again and the data of " +
-              "the run is a good run for the train set again"))
-            .otherwise(col("text")).as("text"))
-      val url = (when(pmod(col("doc_id"), lit(4)) === 0,
-          concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/p/"),
-            col("doc_id").cast("string"), lit("?utm_source=x&b=2&a=1#frag")))
-        .when(pmod(col("doc_id"), lit(4)) === 1,
-          concat(lit("https://Node-"), col("source"), lit(".ORG:8443/a/b?z=9&y=8")))
-        .when(pmod(col("doc_id"), lit(4)) === 2,
-          concat(lit("https://"), col("source"), lit(".net:443")))
-        .otherwise(
-          concat(lit("ftp://Files."), col("source"), lit(".io/data#sec"))))
-      val quotaKept = graft.operators.Sampling.selectToBudgetPerGroupUniform(
-          corpus.select(col("doc_id"),
-            graft.functions.UrlFunctions.registrableDomain(
-              graft.functions.UrlFunctions.urlHost(url),
-              Seq("com", "org", "net", "io", "co.uk")).as("rdomain"),
-            col("n_chars"), col("n_chars").cast("double").as("score")),
-          "rdomain", "score", "doc_id", "n_chars", budgetPerGroup = 25000L)
-        .select(col("doc_id")).withColumn("__q_in", lit(1))
-      // routing: char-3-gram profiles trained on the LABELED reference
-      val profiles = graft.operators.LangId.trainProfiles(ref, "lang", "text")
-      val routed = graft.operators.LangId
-        .classify(corpus, "doc_id", "text", profiles)
-        .select(col("doc_id"), col("pred_lang"))
-      // per-language Gopher tables, applied POST-ROUTING (the
-      // production multilingual discipline) — see [[Llm02LangRules]]
-      val gok = graft.operators.QualityRules.gopherByLang(
-          corpus.join(routed, Seq("doc_id")), "doc_id", "text", "pred_lang",
-          Llm02LangRules, Llm02DefaultRules)
-        .select(col("doc_id"), col("pass").as("g_ok"))
-      val flags = corpus.select(col("doc_id"), col("text"))
-        .join(quotaKept, Seq("doc_id"), "left")
-        .join(routed, Seq("doc_id"))
-        .join(gok, Seq("doc_id"))
-        .withColumn("l_ok", col("pred_lang") =!= "")
-      val surv1 = flags.filter(col("__q_in") === 1 && col("l_ok") && col("g_ok"))
-        .select("doc_id", "text", "pred_lang")
-      val keyed = surv1.select(col("doc_id"),
-        md5(TextFunctions.canonicalText(col("text"))).as("__fp"))
-      val dups = keyed
-        .withColumn("__keep", min(col("doc_id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
-        .filter(col("doc_id") =!= col("__keep"))
-        .select(col("doc_id")).withColumn("__dup", lit(1))
-      val ded = surv1.join(dups, Seq("doc_id"), "left_anti")
-      val ov = graft.operators.Decontaminate
-        .ngramOverlap(ded, "doc_id", "text", ref, "text", n = 3)
-        .select(col("doc_id"), col("overlap_frac"))
-      val dec = ded.join(ov, Seq("doc_id"), "left")
-        .filter(coalesce(col("overlap_frac"), lit(0.0)) < 0.5)
-        .select("doc_id", "text", "pred_lang")
-      // per-language KN scoring + CCNet terciles WITHIN language: the
-      // tail tercile drops, head/middle keep with their bucket
-      val ppl = graft.operators.TextModel.knFivegramCrossPerplexityByLang(
-        ref, "lang", "text", dec, "doc_id", "pred_lang", "text")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("pred_lang")).orderBy(col("avg_neg_logp"), col("doc_id"))
-      val buck = ppl.withColumn("__b", ntile(3).over(w))
-        .select(col("doc_id"), col("__b"))
-      flags
-        .join(dups, Seq("doc_id"), "left")
-        .join(ov, Seq("doc_id"), "left")
-        .join(buck, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("pred_lang"),
-          when(col("__b") === 1, lit("head")).when(col("__b") === 2, lit("middle"))
-            .when(col("__b") === 3, lit("tail")).as("bucket"),
-          when(col("__q_in").isNull, lit("drop_domain_quota"))
-            .when(!col("l_ok"), lit("drop_lang"))
-            .when(!col("g_ok"), lit("drop_gopher"))
-            .when(col("__dup") === 1, lit("drop_duplicate"))
-            .when(coalesce(col("overlap_frac"), lit(0.0)) >= 0.5,
-              lit("drop_contaminated"))
-            .when(col("__b").isNull, lit("drop_short"))
-            .when(col("__b") === 3, lit("drop_perplexity_tail"))
-            .otherwise(lit("kept")).as("disposition"))
-        .orderBy("doc_id")
-    },
+    // language's configured stopword list and thresholds; EVERY
+    // routed language carries a curated entry as of r18 — en the
+    // Gopher 8, de/fr/es their own function-word lists with the
+    // floor ON, zh floor-off with the word-shape bounds opened, the
+    // CJK discipline) → exact dedup keep-first → benchmark
+    // decontamination → PER-LANGUAGE interpolated-KN perplexity with
+    // CCNet terciles cut within language — the tail tercile drops
+    // (the CCNet sampling discipline), head/middle keep with their
+    // bucket on the card. The differentials are LIVE on the real
+    // corpus at sf0.01 (measured r18): 111 routed-fr/es docs (56 fr,
+    // 55 es) are structurally sound and carry an English Gopher-8
+    // word — the English table would KEEP every one — but no word of
+    // their own curated list → drop_gopher (the corpus's 'fr'/'es'
+    // docs draw from a shared English-ish vocabulary, so the curated
+    // floor correctly recognizes them as not-French/not-Spanish),
+    // while 17 kept zh-routed docs carry NO Gopher-8 stopword at all
+    // — the English floor would have dropped each. The keep-under-
+    // own-table direction for fr/es (real French/Spanish function-
+    // word sentences that the English table drops) is pinned in
+    // QualityRulesSpec's gopherByLang cases — no genuinely French
+    // text exists in this corpus to measure it live (routing on the
+    // near-identical synthetic profiles is noise-driven, so the query
+    // relies on measured corpus-level differentials, not a routed
+    // sentinel). %50==27 docs carry llm01's injected duplicate so the
+    // dedup stage has live work. First-failing-gate dispositions,
+    // join-bearing stages see only earlier-gate survivors.
+    llm02Family("llm02_corpus_multilang", suiteCard = false),
+
+    // LLM04: llm02's pipeline under the 100 TB decontamination
+    // profile — the drop rule probes ONE fixed-size pooled Bloom
+    // synopsis (CleanCorpus.Bloom's argument on the multilingual
+    // flagship: the stage's broadcast stays numBits/8 bytes as eval
+    // sets accumulate) and the data card gains per-suite attribution
+    // (`hit_suites`: WHICH of the four (doc_id%80)//20 suites share
+    // ≥1 gram with each doc that reached the stage — t74's rationale,
+    // through the single broadcast filter array). Oracle = llm02's
+    // exact chain + the exact labeled-gram attribution, verbatim (the
+    // llm03 discipline: one-sided error unobservable at the sizing);
+    // LlmScaleSmoke pins the TOTAL synopsis footprint fixed at
+    // 1x/3x/10x corpus growth.
+    llm02Family("llm04_corpus_multilang_bloom", suiteCard = true),
 
     // Heuristic language ID — marker-word argmax, declaration-order
     // ties, 'und' when nothing matches.
@@ -2309,7 +2404,8 @@ object QText {
     // once many eval suites accumulate): which suite(s) hit each
     // training doc, with per-suite hit counts and fractions, one row
     // per contaminated (doc, suite) pair. Four synthetic suites carve
-    // the benchmark tenth by doc_id%4 (the corpus source column is
+    // the benchmark tenth by (doc_id%80)//20 (doc_id%4 is constant 0
+    // on the %20==0 slice; the corpus source column is
     // constant on that slice), so suites share vocabulary but differ
     // in gram sets — a doc typically matches several suites with
     // different n_hit, which is exactly the attribution the yes/no
@@ -2320,7 +2416,8 @@ object QText {
       DecontamBySuiteOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val bench = docs.filter(col("doc_id") % 20 === 0)
-        .select(concat(lit("suite"), (col("doc_id") % 4).cast("string")).as("suite"),
+        .select(concat(lit("suite"),
+            (pmod(col("doc_id"), lit(80)) / 20).cast("int").cast("string")).as("suite"),
           col("text"))
       graft.operators.Decontaminate.ngramOverlapBySuite(
           docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
@@ -2343,12 +2440,43 @@ object QText {
       DecontamBySuiteOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val bench = docs.filter(col("doc_id") % 20 === 0)
-        .select(concat(lit("suite"), (col("doc_id") % 4).cast("string")).as("suite"),
+        .select(concat(lit("suite"),
+            (pmod(col("doc_id"), lit(80)) / 20).cast("int").cast("string")).as("suite"),
           col("text"))
       graft.operators.Decontaminate.ngramOverlapBySuiteBloom(
           docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
           bench, "suite", "text", n = 3,
           estimatedGrams = 1L << 16, numBits = 1L << 20)
+        .orderBy("doc_id", "suite")
+    },
+
+    // T79: t76's per-suite attribution from a PERSISTED, INCREMENTALLY
+    // GROWN synopsis store (SuiteSynopsisStore) — the production shape
+    // where eval suites arrive over months and a new suite's arrival
+    // builds ONE filter instead of rebuilding the pool. The lifecycle
+    // is exercised mid-query: suites 0-1 added, suite1 RE-ADDED (the
+    // superseding row, identical slice so the replay stays exact),
+    // a compact (rewrites to latest-per-suite, fresh version, one
+    // pointer commit), then suites 2-3 — and the attribution over the
+    // grown pool must be row-identical to the one-shot exact t74
+    // oracle (each filter's one-sided error unobservable at 2^20
+    // bits, the llm03/t76 discipline).
+    QueryDef.of("t79_decontam_suite_store",
+      DecontamBySuiteOracleSql) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_suitestore").toString
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select((pmod(col("doc_id"), lit(80)) / 20).cast("int").as("sidx"),
+          col("text"))
+      def add(k: Int): Unit = graft.operators.SuiteSynopsisStore.addSuite(
+        path, s"suite$k", bench.filter(col("sidx") === k), "text",
+        n = 3, estimatedGrams = 1L << 16, numBits = 1L << 20)
+      add(0); add(1)
+      add(1) // re-add: the latest seq supersedes
+      graft.operators.SuiteSynopsisStore.compact(s, path)
+      add(2); add(3)
+      graft.operators.SuiteSynopsisStore.attribution(s, path,
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text")
         .orderBy("doc_id", "suite")
     },
 

@@ -322,6 +322,51 @@ object IngestScaleSmoke {
       Thread.sleep(1000) // bound listener-bus delivery lag
       val gateBytes = inputTally.snapshotAndReset()
 
+      // ---- t77: the CHAR-SHINGLED store lifecycle (write → gate →
+      // upsert → compact → re-gate) at every scale — the CJK ingest
+      // path the word unit is structurally blind to. c text-disjoint
+      // copies (copy-distinct CJK prefix chars); per copy the batch
+      // carries one exact dup (drops), one +1-char near-dup (drops at
+      // 0.9) and one unrelated doc (kept) → gate verdicts EXACTLY
+      // linear; after upserting survivors and compacting, the manifest
+      // must still say char_shingles=1 (the unit rides compaction) and
+      // a re-gate of the same batch drops the survivor via its
+      // self-match. Outside the shuffle envelope like the t65 store.
+      locally {
+        import spark.implicits._
+        val cjk = "深度学习模型在大规模语料库上训练需要高质量的数据清洗流程"
+        val other = "完全不同的另一段中文文本内容在这里继续出现"
+        def pre(k: Int) = ("" + (0x4e00 + k).toChar) * 10
+        val cHist = (0 until c).map(k => (k * 100L + 1, pre(k) + cjk))
+          .toDF("doc_id", "text")
+        val cBatch = (0 until c).flatMap { k =>
+          Seq((k * 100L + 2, pre(k) + cjk), (k * 100L + 3, pre(k) + cjk + "了"),
+            (k * 100L + 4, pre(k) + other))
+        }.toDF("doc_id", "text")
+        val cp = s"/tmp/graft_ingest_smoke_chardedupidx_$c"
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(cp), true)
+        graft.operators.DedupIndex.write(cp, cHist, "doc_id", "text", 3, 12, 4,
+          charShingles = true)
+        val surv = graft.operators.DedupIndex
+          .gate(spark, cp, cBatch, "doc_id", "text", 3, 12, 4, 0.9)
+        val survIds = surv.select("doc_id").as[Long].collect().toSet
+        check(survIds.size == c && survIds.forall(_ % 100 == 4),
+          s"scale=$c t77 char-store gate verdicts EXACTLY linear: the dup and " +
+            s"near-dup drop, the unrelated doc survives, per copy ($survIds)")
+        graft.operators.DedupIndex.upsert(cp, surv, "doc_id", "text", 3, 12, 4)
+        graft.operators.DedupIndex.compact(spark, cp)
+        check(graft.io.StoreManifest.current(spark, cp)
+            .get("char_shingles").contains(1),
+          s"scale=$c t77 char unit survives compaction in the manifest")
+        val regate = graft.operators.DedupIndex
+          .gate(spark, cp, cBatch, "doc_id", "text", 3, 12, 4, 0.9).count()
+        check(regate == 0L,
+          s"scale=$c t77 re-gate after upsert+compact drops every batch row " +
+            s"(survivors self-match; got $regate)")
+      }
+      tally.snapshotAndReset() // keep the char-store I/O out of the envelope
+
       // ---- g01/EdgeStore lifecycle (r16): write + daily upsert +
       // compact at every scale over c DISJOINT graph copies. Gates:
       // the compacted store lands at exactly 2×buckets files no

@@ -578,6 +578,14 @@ object LlmScaleSmoke {
       check(t76agg == t74agg,
         s"scale=$c t76 per-suite Bloom attribution equals the exact form " +
           s"($t74agg vs $t76agg)")
+      // llm04 (per-suite card on the multilingual flagship): the
+      // TOTAL per-suite synopsis footprint — |suites| × numBits/8 —
+      // must stay FIXED as each suite's accumulated gram volume grows
+      // c× (the fixed-footprint contract the pipeline's data card
+      // rides on; gated across scales below like the llm03 synopsis)
+      val suiteBloomBytes = graft.operators.Decontaminate
+        .benchSuiteBlooms(suiteBench, "suite", "text", n = 3)
+        .map(_._2.length.toLong).sum
       // t75 (char-gram CJK dedup): three docs per copy (two identical
       // + one one-char-appended) behind a copy-distinct 10-char
       // prefix — within-copy jaccards are 1.0 and 36/37 ≈ 0.973,
@@ -624,10 +632,10 @@ object LlmScaleSmoke {
       (c, t60r.getLong(0), t60r.getLong(1), t66r.getLong(0), t66r.getLong(1),
         bpeToks, wpToks, uni, survivors, gopherPass,
         t68r.getLong(0), t68r.getLong(1), linePass, t70counts, t71m, t71a,
-        gblPass, bloomBytes, t74agg)
+        gblPass, bloomBytes, t74agg, suiteBloomBytes)
     }
     val l1 = lmRuns.head
-    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp, t70c, t71c, t71ac, gbl, bfLen, t74c) =>
+    lmRuns.tail.foreach { case (c, r60, g60, r66, g66, bt, wt, uni, _, gp, r68, g68, lp, t70c, t71c, t71ac, gbl, bfLen, t74c, sbb) =>
       // t71: same language set at every scale; per-language scored
       // rows exactly linear; tercile split ntile-balanced (±1 of n/3)
       val base71 = l1._15
@@ -671,6 +679,9 @@ object LlmScaleSmoke {
       check(bfLen == l1._18,
         s"scale=$c llm03 Bloom synopsis size FIXED as the benchmark grows " +
           s"${c}x (${l1._18} -> $bfLen bytes)")
+      check(sbb == l1._20,
+        s"scale=$c llm04 TOTAL per-suite synopsis footprint FIXED as each " +
+          s"suite's gram volume grows ${c}x (${l1._20} -> $sbb bytes)")
       check(t74c.keySet == l1._19.keySet &&
           t74c.forall { case (suite, (rows, hits)) =>
             rows * l1._1 == l1._19(suite)._1 * c &&

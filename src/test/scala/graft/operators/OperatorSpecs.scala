@@ -460,6 +460,53 @@ class OperatorSpecs extends AnyFunSuite {
     assert(binaryLiteralBytes(one) === 0L)
   }
 
+  test("SuiteSynopsisStore lifecycle: incremental adds, supersede-by-seq, " +
+      "compact — attribution equals the one-shot exact form") {
+    val path = java.nio.file.Files.createTempDirectory("graft_suitestore").toString
+    val benchA = Seq("the quick brown fox jumps").toDF("text")
+    val benchB = Seq("lazy dog sleeps all day").toDF("text")
+    val benchB2 = Seq("entirely new suite content line").toDF("text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over things"),
+      (2L, "lazy dog sleeps all day long"),
+      (3L, "entirely new suite content line here"),
+      (4L, "nothing shared with any suite at all"))
+      .toDF("doc_id", "text")
+    def exact(suites: Seq[(String, org.apache.spark.sql.DataFrame)]) =
+      Decontaminate.ngramOverlapBySuite(train, "doc_id", "text",
+          suites.map { case (n2, df) => df.withColumn("suite", lit(n2)) }
+            .reduce(_.unionByName(_)),
+          "suite", "text", n = 3)
+        .as[(Long, String, Long, Long, Double)].collect().sorted.toSeq
+    def stored() = SuiteSynopsisStore.attribution(spark, path, train, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect().sorted.toSeq
+    SuiteSynopsisStore.addSuite(path, "sA", benchA, "text", n = 3)
+    assert(stored() === exact(Seq("sA" -> benchA)))
+    // a new suite's arrival: ONE new filter, existing rows untouched
+    SuiteSynopsisStore.addSuite(path, "sB", benchB, "text", n = 3)
+    assert(stored() === exact(Seq("sA" -> benchA, "sB" -> benchB)))
+    // RE-ADD sB with different content: the latest seq supersedes —
+    // doc 2 (old sB) must lose its row, doc 3 (new sB) must gain one
+    SuiteSynopsisStore.addSuite(path, "sB", benchB2, "text", n = 3)
+    assert(stored() === exact(Seq("sA" -> benchA, "sB" -> benchB2)))
+    // compact: superseded row + small files collapse; rows = |suites|;
+    // attribution identical through the pointer swap
+    val rep = SuiteSynopsisStore.compact(spark, path)
+    assert(rep.rows === 2L && rep.filesAfter <= rep.filesBefore)
+    assert(stored() === exact(Seq("sA" -> benchA, "sB" -> benchB2)))
+    // the strict gate equals the exact union anti-join
+    val kept = SuiteSynopsisStore.removeContaminated(spark, path, train, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L)) // doc2's suite was replaced; doc4 never hit
+    // grid guard: a different gram size or a non-power-of-two sizing
+    // fails LOUDLY (the DedupIndex mixed-grid discipline)
+    val e = intercept[IllegalArgumentException](
+      SuiteSynopsisStore.addSuite(path, "sC", benchA, "text", n = 4))
+    assert(e.getMessage.contains("grid mismatch"), e.getMessage)
+    intercept[IllegalArgumentException](
+      SuiteSynopsisStore.addSuite(path, "sC", benchA, "text", n = 3, numBits = 3000))
+  }
+
   test("ngramOverlapBloom: no false negatives; equals exact at generous bits; " +
       "conservative under a tiny filter") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
@@ -1241,9 +1288,20 @@ class OperatorSpecs extends AnyFunSuite {
     val deKeep = ("der die und das ist mit von der die und das ist " * 2).trim // 24 words, mean 3.0
     val deDrop = ("the data table rows only here for this corpus now " * 3).trim // 'the' but no de word
     val zhShort = ("ab cd " * 15).trim // mean 2.0: fails default mean-len, zh opens it
+    // curated fr/es (the llm02 production tables): real function-word
+    // sentences that pass their OWN table but carry zero Gopher-8
+    // words — the direction the English floor is blind to
+    val frKeep = ("le vent dans la plaine et la mer des iles est une chose " * 2).trim
+    val esKeep = ("los datos que hay en la tabla son un valor es por filas " * 2).trim
     val rules = Map(
       "en" -> LangRules(QualityRules.GopherStopwords, minStopwords = 1, minWords = 20),
       "de" -> LangRules(Seq("der", "die", "und", "das", "ist", "mit", "von"),
+        minStopwords = 1, minWords = 20),
+      "fr" -> LangRules(
+        Seq("le", "la", "les", "de", "et", "des", "un", "une", "est", "dans"),
+        minStopwords = 1, minWords = 20),
+      "es" -> LangRules(
+        Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "es"),
         minStopwords = 1, minWords = 20),
       "zh" -> LangRules(Seq.empty, minStopwords = 0, minWords = 20,
         minMeanLen = 0.0, maxMeanLen = 1e18, minAlphaFrac = 0.0))
@@ -1253,21 +1311,27 @@ class OperatorSpecs extends AnyFunSuite {
       (2L, "de", deKeep),  // de table KEEPS it; en table would drop (0 Gopher-8 words)
       (3L, "de", deDrop),  // de table DROPS it; en table would keep ('the')
       (4L, "en", deKeep),  // the same text routed en: dropped (the differential)
-      (5L, "fr", deDrop),  // unconfigured lang: stopword floor off → pass
+      (5L, "fr", deDrop),  // curated fr table: 'the' but no fr word → drop
       (6L, "zh", zhShort), // zh opens word-shape bounds → pass
-      (7L, "fr", zhShort)) // default keeps the mean-len rule → fail
+      (7L, "fr", zhShort), // fr keeps the mean-len rule (and the floor) → fail
+      (8L, "fr", frKeep),  // fr table KEEPS it; en table would drop (no Gopher-8)
+      (9L, "en", frKeep),  // the same text routed en: dropped (the differential)
+      (10L, "es", esKeep), // es table KEEPS it; en table would drop
+      (11L, "en", esKeep), // the same text routed en: dropped
+      (12L, "es", deDrop)) // es table DROPS it; en table would keep ('the')
       .toDF("doc_id", "lang", "text")
     val r = QualityRules.gopherByLang(docs, "doc_id", "text", "lang", rules, default)
       .collect().map(x => x.getLong(0) -> x.getAs[Boolean]("pass")).toMap
     assert(r === Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
-      5L -> true, 6L -> true, 7L -> false))
+      5L -> false, 6L -> true, 7L -> false, 8L -> true, 9L -> false,
+      10L -> true, 11L -> false, 12L -> false))
     // the per-language frame must agree with single-language gopher
     // run separately per language (the parameterization is pure CASE
     // dispatch, no semantic drift)
     val enOnly = QualityRules.gopher(docs.filter(col("lang") === "en"),
         "doc_id", "text", minWords = 20, minStopwords = 1)
       .collect().map(x => x.getLong(0) -> x.getAs[Boolean]("pass")).toMap
-    assert(enOnly === Map(1L -> true, 4L -> false))
+    assert(enOnly === Map(1L -> true, 4L -> false, 9L -> false, 11L -> false))
   }
 
   test("QualityRules.lineRulesByLang: terminal set and thresholds keyed on the language") {

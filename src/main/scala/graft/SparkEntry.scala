@@ -101,7 +101,7 @@ object SparkEntry {
     "t72_ccnet_approx_cut", "llm03_clean_bloom", "t73_line_rules_perlang",
     "t74_decontam_by_suite", "t76_decontam_by_suite_bloom",
     "t78_char_minhash_lsh_pairs", "llm04_corpus_multilang_bloom",
-    "t79_decontam_suite_store",
+    "t79_decontam_suite_store", "t80_semantic_decontam",
     "sql01_extension_surface", "sql02_url_surface", "sql03_binary_surface",
     "g01_pagerank", "g02_hits",
     "bsr03_baserunning", "val01_value_batter", "pbp01_parse_enrich",

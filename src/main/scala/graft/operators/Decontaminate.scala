@@ -356,4 +356,65 @@ object Decontaminate {
       .select(col("id").as(idCol)).distinct()
     docs.join(contaminatedIds, Seq(idCol), "left_anti")
   }
+
+  /**
+   * SEMANTIC (embedding-space) contamination vs an eval-suite table —
+   * the modality the n-gram check is structurally blind to: a
+   * paraphrased or translated eval item shares no 13-gram with its
+   * source but sits next to it in embedding space (the SemDeDup-era
+   * argument, Abbas et al. 2023, applied to decontamination). Per
+   * training doc: the MAX cosine over ALL suite vectors and the
+   * arg-max suite row (`nearest_id`, ties to the smallest suite id —
+   * deterministic). Only docs at `cos ≥ threshold` are emitted — the
+   * attribution rows a data card records, [[ngramOverlapBySuite]]'s
+   * shape in the embedding modality.
+   *
+   * Scale shape: an eval suite is thousands-to-millions of vectors —
+   * broadcast-sized BY DEFINITION (the same bound [[benchGrams]]
+   * rides) — so the suite side is broadcast and the corpus side is
+   * touched by ONE map-side nested-loop scan; the per-doc max is a
+   * map-side partial aggregate, so the only shuffle carries ONE row
+   * per doc (the groupBy(id) combine). Nothing corpus-sized is
+   * collected, re-shuffled by vector, or materialized pairwise: the
+   * |docs|×|suite| product exists only inside the per-task loop.
+   * Cosines are rounded to 6 decimals ([[SimilaritySearch.pairCos]])
+   * so engine and oracle rank and threshold identically. The arg-max
+   * rides [[graft.plans.TopKAgg]] at k=1 (score DESC, id ASC — the
+   * tie goes to the SMALLEST suite id): a bounded hash aggregate,
+   * where `max(struct(cos, -id))` would fall back to a per-task SORT
+   * of the whole doc×suite product (struct max is sort-based).
+   */
+  def semanticOverlap(
+      docs: DataFrame, idCol: String, embCol: String,
+      suite: DataFrame, suiteIdCol: String, suiteEmbCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val dn = docs.select(col(idCol), col(embCol).as("__dv"))
+      .withColumn("__dn", VectorFunctions.l2Norm(col("__dv")))
+    val sn = suite.select(col(suiteIdCol).as("__sid"), col(suiteEmbCol).as("__sv"))
+      .withColumn("__sn", VectorFunctions.l2Norm(col("__sv")))
+    val top1 = graft.plans.TopKAgg.topK(1)
+    dn.join(broadcast(sn))
+      .withColumn("__cos",
+        SimilaritySearch.pairCos(col("__dv"), col("__dn"), col("__sv"), col("__sn")))
+      .groupBy(col(idCol))
+      .agg(top1(col("__cos"), col("__sid")).as("__tops"))
+      .select(col(idCol),
+        col("__tops").getItem(0).getField("id").as("nearest_id"),
+        col("__tops").getItem(0).getField("score").as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The strict semantic gate: drop every doc with ANY suite vector at
+    * cosine ≥ threshold; all doc columns survive. Docs without an
+    * embedding row simply never match ([[semanticOverlap]] sees only
+    * rows present in `docs`). */
+  def removeSemanticContaminated(
+      docs: DataFrame, idCol: String, embCol: String,
+      suite: DataFrame, suiteIdCol: String, suiteEmbCol: String,
+      threshold: Double): DataFrame =
+    docs.join(
+      semanticOverlap(docs, idCol, embCol, suite, suiteIdCol, suiteEmbCol, threshold)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

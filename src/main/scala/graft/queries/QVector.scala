@@ -375,6 +375,33 @@ object QVector {
         .orderBy("vec_id")
     },
 
+    // SEMANTIC decontamination (Decontaminate.semanticOverlap): the
+    // embedding-space modality of the t74 data card — docs whose max
+    // cosine vs ANY eval-suite vector clears the floor, attributed to
+    // the nearest suite item (ties to the smallest suite id). Suite =
+    // vec_id < 20 (eval-scale, broadcast), corpus = the rest. The
+    // oracle is the literal cross join + arg-max replay; both engines
+    // round cosine to 6 decimals before ranking and thresholding, so
+    // the compare is hash-exact (the v01 discipline).
+    QueryDef.of("t80_semantic_decontam", N +
+      """, s AS (SELECT vec_id AS sid, v, nrm FROM n WHERE vec_id < 20),
+        |d AS (SELECT vec_id, v, nrm FROM n WHERE vec_id >= 20),
+        |p AS (SELECT d.vec_id, s.sid,
+        |    round(CASE WHEN d.nrm * s.nrm = 0 THEN 0.0
+        |          ELSE list_dot_product(d.v, s.v) / (d.nrm * s.nrm) END, 6) AS cos
+        |  FROM d CROSS JOIN s),
+        |m AS (SELECT vec_id, sid AS nearest_id, cos FROM p
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) = 1)
+        |SELECT vec_id, nearest_id, cos FROM m
+        |WHERE cos >= 0.32 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      graft.operators.Decontaminate.semanticOverlap(
+          e.filter(col("vec_id") >= 20), "vec_id", "embedding",
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          threshold = 0.32)
+        .orderBy("vec_id")
+    },
+
     // Symmetric int8 quantization — the 4× storage cut a 100 TB
     // vector store takes before indexing: per vector, scale =
     // max|x| (so values land in [-127, 127], never -128), q_i =

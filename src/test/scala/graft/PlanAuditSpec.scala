@@ -77,6 +77,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t80: semantic decontamination broadcasts the suite side; the " +
+      "per-doc arg-max combines map-side") {
+    val p = plan("t80_semantic_decontam")
+    // the |docs|×|suite| product lives only inside the per-task
+    // broadcast loop — never in an exchange
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the arg-max is the bounded TopKAgg (partial + final object hash
+    // aggregate): one row per doc reaches the shuffle, and the task
+    // never SORTS the doc×suite product (the max(struct) fallback)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("asof01: one sort-shuffle on the key, no pair-explosion join") {
     val p = plan("asof01_backward_tolerance")
     assert(!p.contains("CartesianProduct"), p)

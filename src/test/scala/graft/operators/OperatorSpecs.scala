@@ -414,6 +414,35 @@ class OperatorSpecs extends AnyFunSuite {
     }
   }
 
+  test("semanticOverlap attributes docs to the nearest eval vector; the " +
+      "gate drops exactly the hits") {
+    val suite = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f))) // s1's direction again — tie fodder
+      .toDF("sid", "emb")
+    val docs = Seq(
+      (10L, Array(2.0f, 0.0f)),  // cos 1.0 with s1 AND s3 → tie → s1
+      (11L, Array(1.0f, 1.0f)),  // cos .707107 with all three → s1
+      (12L, Array(-1.0f, 0.5f)), // max cos .447214 (s2) → below floor
+      (13L, Array(0.0f, 0.0f)))  // zero norm → cos 0.0 → below floor
+      .toDF("doc_id", "emb")
+    val r = Decontaminate.semanticOverlap(
+        docs, "doc_id", "emb", suite, "sid", "emb", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r === Map(10L -> ((1L, 1.0)), 11L -> ((1L, 0.707107))))
+    // below the floor the doc is attributed to s2 at the rounded cosine
+    val low = Decontaminate.semanticOverlap(
+        docs, "doc_id", "emb", suite, "sid", "emb", threshold = 0.4)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(low(12L) === ((2L, 0.447214)) && !low.contains(13L))
+    // the strict gate keeps exactly the non-hits, all columns intact
+    val kept = Decontaminate.removeSemanticContaminated(
+        docs, "doc_id", "emb", suite, "sid", "emb", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(12L, 13L))
+  }
+
   test("Bloom probes ride broadcasts: plan carries ZERO synopsis bytes " +
       "at any suite count") {
     // the r17 hazard: embedding each suite's synopsis as a plan

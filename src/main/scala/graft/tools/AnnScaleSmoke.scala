@@ -218,6 +218,38 @@ object AnnScaleSmoke {
               f"≤ 8× mean ${(total / nTasks) / 1048576.0}%.1f MiB over $nTasks tasks")
       }
     }
+    // ---- t80 semantic decontamination at scale (planted one-hot
+    // fixture per scale, suite FIXED like the query set): suite = 4
+    // axis vectors; per copy one doc ON a suite axis (cos exactly 1.0
+    // → a hit, attributed to exactly that suite id) and one doc on a
+    // far axis (cos exactly 0.0 → clean). Gates: hits exactly linear
+    // in c, never a cross-suite attribution, the strict gate keeps
+    // exactly the clean doc per copy — a broadcast-side mixup, an
+    // arg-max tie bug, or a lost partial-aggregate would break one.
+    scales.foreach { c =>
+      import spark.implicits._
+      def oneHot(j: Int, v: Float) =
+        Array.tabulate(64)(i => if (i == j) v else 0.0f)
+      val suite = (0 until 4).map(j => (j.toLong, oneHot(j, 1.0f)))
+        .toDF("sid", "emb")
+      val t80docs = (0 until c).flatMap { k =>
+        Seq((k * 10L + 1, oneHot(k % 4, 2.0f)),
+          (k * 10L + 2, oneHot(30 + (k % 20), 1.5f)))
+      }.toDF("doc_id", "emb")
+      val hits = graft.operators.Decontaminate.semanticOverlap(
+          t80docs, "doc_id", "emb", suite, "sid", "emb", threshold = 0.5)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      check(hits.length == c && hits.forall { case (d, s, cos) =>
+          d % 10 == 1 && s == (d / 10) % 4 && cos == 1.0 },
+        s"scale=$c t80 semantic hits exactly linear, each attributed to its " +
+          s"own suite at cos 1.0 (${hits.length} hits)")
+      val kept = graft.operators.Decontaminate.removeSemanticContaminated(
+          t80docs, "doc_id", "emb", suite, "sid", "emb", threshold = 0.5)
+        .select("doc_id").as[Long].collect()
+      check(kept.length == c && kept.forall(_ % 10 == 2),
+        s"scale=$c t80 semantic gate keeps exactly the clean doc per copy")
+    }
+
     // ---- v18 maintenance gate (one-off lifecycle, not per-scale):
     // skewed upserts fragment hot cells into many small files; after
     // delete + rebalance the physically-compacted search must equal

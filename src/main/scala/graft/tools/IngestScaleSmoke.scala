@@ -367,6 +367,85 @@ object IngestScaleSmoke {
       }
       tally.snapshotAndReset() // keep the char-store I/O out of the envelope
 
+      // ---- t79: the PERSISTED per-suite synopsis store lifecycle
+      // (addSuite × c → re-add → compact → attribute) PLUS the
+      // STREAMED arrival path. Eval suites accumulate over months, so
+      // the production shape is suites landing one micro-batch at a
+      // time with one addSuite per arrival — the EdgeStore streamed
+      // discipline on the decontamination store. Gates: attribution
+      // over the grown pool maps each planted doc to EXACTLY its own
+      // suite at every scale (a Bloom false positive or an index→name
+      // misalignment would surface as a cross-suite row), the
+      // compacted synopsis table is ONE file carrying exactly c live
+      // rows, per-suite synopsis bytes are scale-invariant, and the
+      // streamed store attributes row-identically to the batch-built
+      // one. Outside the shuffle envelope like the other stores.
+      locally {
+        import spark.implicits._
+        def suiteText(k: Int) = s"alpha$k beta$k gamma$k delta$k epsilon$k"
+        val sDocs = (0 until c).flatMap { k =>
+          Seq((k * 10L + 1, s"alpha$k beta$k gamma$k with extra trailing words"),
+            (k * 10L + 2, s"clean$k totally unrelated words right here now"))
+        }.toDF("doc_id", "text")
+        val sp = s"/tmp/graft_ingest_smoke_suitestore_$c"
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(sp), true)
+        def add(path: String, k: Int, df: DataFrame): Unit =
+          graft.operators.SuiteSynopsisStore.addSuite(path, f"s$k%03d",
+            df, "text", n = 3, estimatedGrams = 1L << 10, numBits = 1L << 17)
+        (0 until c).foreach(k => add(sp, k, Seq(suiteText(k)).toDF("text")))
+        add(sp, 0, Seq(suiteText(0)).toDF("text")) // re-add: superseded row
+        val rep = graft.operators.SuiteSynopsisStore.compact(spark, sp)
+        check(rep.filesAfter == 1L && rep.rows == c.toLong,
+          s"scale=$c t79 compact lands ONE synopsis file with exactly c live " +
+            s"rows (files ${rep.filesBefore}->${rep.filesAfter}, rows ${rep.rows})")
+        val blooms = graft.operators.SuiteSynopsisStore.blooms(spark, sp)
+        check(blooms.size == c && blooms.forall(_._2.length == blooms.head._2.length),
+          s"scale=$c t79 one live synopsis per suite, per-suite bytes " +
+            s"scale-invariant (${blooms.headOption.map(_._2.length)})")
+        val att = graft.operators.SuiteSynopsisStore.attribution(
+            spark, sp, sDocs, "doc_id", "text")
+          .select("doc_id", "suite").as[(Long, String)].collect().sorted.toSeq
+        check(att.length == c && att.forall { case (d, s) =>
+            d % 10 == 1 && s == f"s${d / 10}%03d" },
+          s"scale=$c t79 attribution maps each planted doc to EXACTLY its own " +
+            s"suite, never a cross-suite row (${att.take(3)}...)")
+        val kept = graft.operators.SuiteSynopsisStore.removeContaminated(
+            spark, sp, sDocs, "doc_id", "text")
+          .select("doc_id").as[Long].collect()
+        check(kept.length == c && kept.forall(_ % 10 == 2),
+          s"scale=$c t79 gate keeps exactly the clean doc per suite")
+        locally {
+          import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+          implicit val sqlCtx = spark.sqlContext
+          val sp2 = s"/tmp/graft_ingest_smoke_suitestore_stream_$c"
+          org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(sp2), true)
+          val input = MemoryStream[(Int, String)]
+          val q = input.toDF().toDF("k", "text").writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                b.select("k").distinct().collect().map(_.getInt(0)).sorted.foreach {
+                  k => add(sp2, k, b.filter(col("k") === k).select("text"))
+                }
+                ()
+            }
+            .start()
+          try {
+            val (h1, h2) = (0 until c).map(k => (k, suiteText(k))).splitAt(c / 2)
+            input.addData(h1); q.processAllAvailable()
+            input.addData(h2); q.processAllAvailable()
+          } finally q.stop()
+          val att2 = graft.operators.SuiteSynopsisStore.attribution(
+              spark, sp2, sDocs, "doc_id", "text")
+            .select("doc_id", "suite").as[(Long, String)].collect().sorted.toSeq
+          check(att2 == att,
+            s"scale=$c t79 streamed suite arrivals attribute row-identically " +
+              s"to the batch-built store (${att2.length} rows)")
+        }
+      }
+      tally.snapshotAndReset() // keep the suite-store I/O out of the envelope
+
       // ---- g01/EdgeStore lifecycle (r16): write + daily upsert +
       // compact at every scale over c DISJOINT graph copies. Gates:
       // the compacted store lands at exactly 2×buckets files no

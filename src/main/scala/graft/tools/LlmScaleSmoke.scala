@@ -607,6 +607,24 @@ object LlmScaleSmoke {
             t75pairs.forall(r => r.getLong(0) / 100 == r.getLong(1) / 100),
           s"scale=$c t75 char-gram pairs exactly 3 per copy, none " +
             s"cross-copy (${t75pairs.length})")
+        // t78: the banded char-LSH pair GENERATOR (the form that runs
+        // at 100 TB, where the quadratic-within-bucket exact join
+        // can't) must verify to the SAME pair set as the exact form at
+        // every scale. Copies are prefix-disjoint, so each copy's
+        // signatures are scale-invariant and banding is deterministic
+        // (fixed md5-derived seeds); a cross-copy bucket collision is
+        // killed by the exact verification, so any drift here is a
+        // recall loss or a band-grid bug, not noise.
+        val t78pairs = graft.operators.Dedup.charMinhashLshPairs(
+            t75docs, "doc_id", "text", shingleN = 3, numHashes = 12,
+            bands = 4, threshold = 0.95, maxShingleDf = None)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val t75sorted = t75pairs
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        check(t78pairs == t75sorted,
+          s"scale=$c t78 banded char-LSH verified pairs equal the exact " +
+            s"char-pair set (${t78pairs.length} vs ${t75sorted.length})")
       }
       // t67: map-only rule gate on the verbatim side. The synthetic
       // corpus has no English stopwords (pass_stopwords is vacuously

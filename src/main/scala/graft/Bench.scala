@@ -75,6 +75,31 @@ object Bench {
     // self-identifying. Load average ≫ cpus or extra JVMs mid-run mean
     // the numbers measure the machine, not the engine (r7/r8: t22
     // 13.5 s in the contended driver window vs 1.4-1.7 s quiet).
+    // Fixed-work CPU calibration: 10^8 murmur-style 64-bit mixes on
+    // one thread, timed at bench start and end and reported in
+    // telemetry. PROFILE_BENCH_r18 measured the box's wall-clock band
+    // at ±10-15% across one evening — indistinguishable from a real
+    // regression in a min-of-pair A/B without a fixed-work anchor.
+    // Identical work every run ⇒ the ratio of calib times IS the
+    // host-speed ratio, letting a round comparison normalize first.
+    def calibMs(): Double = {
+      var h = 0x9e3779b97f4a7c15L
+      def mix(iters: Int): Unit = {
+        var i = 0
+        while (i < iters) {
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+          h ^= h >>> 29; h *= 0xc4ceb9fe1a85ec53L
+          i += 1
+        }
+      }
+      mix(10000000) // untimed: JIT the loop so the first reading is hot
+      val t0 = System.nanoTime()
+      mix(100000000)
+      val dt = (System.nanoTime() - t0) / 1e6
+      if (h == 42L) System.err.println("calib sentinel") // keep the loop live
+      dt
+    }
+    val calibStart = calibMs()
     val loadStart = loadAvg
     val jvmsStart = jvmCount
     var loadMax = loadStart
@@ -105,7 +130,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val telemetry = f"""{"cpus":$cpus,"load_start":$loadStart%.2f,"load_max":$loadMax%.2f,"load_end":${loadAvg}%.2f,"jvms_start":$jvmsStart,"jvms_max":$jvmsMax,"passes":$passes}"""
+    val telemetry = f"""{"cpus":$cpus,"load_start":$loadStart%.2f,"load_max":$loadMax%.2f,"load_end":${loadAvg}%.2f,"jvms_start":$jvmsStart,"jvms_max":$jvmsMax,"passes":$passes,"calib_start_ms":$calibStart%.1f,"calib_end_ms":${calibMs()}%.1f}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","telemetry":$telemetry}"""
     println(line)
     // the same JSON also lands in a standalone file: the driver's

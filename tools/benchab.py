@@ -58,6 +58,18 @@ def main():
     print("## computed trailer (tools/benchab.py — do not hand-edit numbers)")
     print(f"# queries={len(cur)} totalA={a['value']:.1f}s totalB={b['value']:.1f}s "
           f"best_of_pair_total={sum(cur.values()):.1f}s")
+
+    def calib(run):
+        t = run.get("telemetry", {})
+        vals = [t[k] for k in ("calib_start_ms", "calib_end_ms") if k in t]
+        return min(vals) if vals else None
+
+    # fixed-work host-speed anchor (r18+): identical CPU work each run,
+    # so the ratio of calib times between rounds IS the host-speed
+    # drift — divide it out before reading the query median as engine
+    cal = [c for c in (calib(a), calib(b)) if c is not None]
+    if cal:
+        print(f"# host calib (fixed work, min of runs): {min(cal):.0f} ms")
     if len(sys.argv) > 3:
         pa, pb = bench_pair(sys.argv[3])
         prior = min_of_pair(pa, pb)
@@ -76,6 +88,10 @@ def main():
         print(f"# shared-query best-of-pair totals: "
               f"prior={sum(prior[q] for q in shared):.1f}s "
               f"current={sum(cur[q] for q in shared):.1f}s")
+        pcal = [c for c in (calib(pa), calib(pb)) if c is not None]
+        if cal and pcal:
+            print(f"# host-speed ratio via calib: {min(cal) / min(pcal):.3f} "
+                  "(normalize the query median by this before reading it as engine)")
         if new:
             print("# new queries: " + " ".join(
                 f"{q}={cur[q]:.2f}s" for q in new))

@@ -123,7 +123,15 @@ object AnnIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids/v$cv")
     val v = prev.fold(1)(_.store + 1)
+    // hash-repartition by cell before the write (the rebalance
+    // layout): the bulk build writes one file per cell from one task
+    // per cell, instead of the whole assign+quantize projection
+    // running inside the (locally single-split) scan task — and at
+    // any scale it IS the write.distribution-mode=hash discipline
+    // (guide §6): cluster the store by its partition key so a cell is
+    // one file, not one file per upstream task
     assigned(centroids, candidates)
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/store/v$v")
     commitManifest(spark, path, Manifest(v, codes = 0, cents = cv, books = 0))
     // post-commit hygiene: a re-train on a long-lived path must not
@@ -328,7 +336,9 @@ object AnnIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/pq_codebooks/v$bv")
     val v = cur.codes + 1
+    // per-cell parallel bulk write — see [[write]]'s layout note
     encodeBatch(readCentroidsAt(spark, path, cur), codebooks, dim, candidates)
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes/v$v")
     // codebooks + codes become visible in ONE commit — never a window
     // where a reader pairs new codes with old sub-quantizers

@@ -171,16 +171,34 @@ object SimilaritySearch {
     transform(slice(array_sort(array(entries: _*)), 1, nprobe), e => e.getField("idx"))
   }
 
+  /** The m per-subspace PQ trainers (or a coarse + PQ training pair)
+    * were only sequential because the driver called their collect()s
+    * sequentially — each one a short, mostly-idle job whose tail left
+    * the other cores empty. Overlap them ([[graft.util.Jobs]]). */
+  private def inParallel[T](thunks: Seq[() => T]): Seq[T] =
+    graft.util.Jobs.inParallel(thunks)
+
+  /** Collected (cluster, pos, mean) rows → per-cluster float arrays.
+    * The rows are cluster×dim-sized (KB-scale); assembling the arrays
+    * driver-side replaces the former second shuffle
+    * (`groupBy(cluster).agg(array_sort(collect_list(...)))`) — one
+    * exchange+stage less per Lloyd pass, identical means (same
+    * avg("x") aggregate; only the reshape moved). */
+  private def assembleMeans(rows: Array[Row]): Map[Int, Array[Float]] =
+    rows.groupBy(_.getInt(0)).map { case (c, rs) =>
+      c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+    }
+
   /**
    * IVF coarse quantizer training — deterministic KMeans: centroids
    * seed from the `numClusters` smallest candidate ids (reproducible
    * across runs, unlike random init), refined by `iters` Lloyd
-   * passes. Each pass is two hash aggregations (assign via the
+   * passes. Each pass is ONE hash aggregation (assign via the
    * quantized argmax column, re-center via per-dimension mean over
    * the exploded vectors) — no driver-side loops over rows; only the
-   * KB-sized centroid table ever reaches the driver. Means truncate
-   * to float per pass (the centroid storage type), which the oracle
-   * replicates with a REAL cast.
+   * KB-sized (cluster, pos, mean) table ever reaches the driver.
+   * Means truncate to float per pass (the centroid storage type),
+   * which the oracle replicates with a REAL cast.
    */
   def trainIvfCentroids(
       candidates: DataFrame, // (id, vec)
@@ -191,17 +209,12 @@ object SimilaritySearch {
       .map(_.getSeq[Float](0).toArray)
 
     for (_ <- 0 until iters) {
-      val means = candidates
+      val means = assembleMeans(candidates
         .withColumn("__vn", VectorFunctions.l2Norm(col("vec")))
         .withColumn("cluster", assignExpr(centroids, col("vec"), col("__vn")))
         .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos").agg(avg("x").as("m"))
-        .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .collect()
-        .map(r => r.getInt(0) ->
-          r.getSeq[Row](1).map(_.getDouble(1).toFloat).toArray)
-        .toMap
+        .collect())
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
     }
     centroids
@@ -280,11 +293,13 @@ object SimilaritySearch {
       dim: Int, m: Int, ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    (0 until m).map { s =>
+    // the m subspace trainers are fully independent (subspace s's
+    // iteration i+1 depends only on ITS OWN iteration i) — overlap
+    // their jobs instead of paying m sequential seed+Lloyd chains
+    inParallel((0 until m).map(s => () =>
       trainIvfCentroids(
         candidates.select(col("id"), slice(col("vec"), s * sub + 1, sub).as("vec")),
-        ksub, iters)
-    }.toArray
+        ksub, iters))).toArray
   }
 
   /** EUCLIDEAN Lloyd over (id, vec) — same deterministic seeding and
@@ -296,32 +311,27 @@ object SimilaritySearch {
       .select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until iters) {
-      val means = candidates
+      val means = assembleMeans(candidates
         .withColumn("cluster", assignEuclidExpr(centroids, col("vec")))
         .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos").agg(avg("x").as("m"))
-        .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .collect()
-        .map(r => r.getInt(0) ->
-          r.getSeq[Row](1).map(_.getDouble(1).toFloat).toArray)
-        .toMap
+        .collect())
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
     }
     centroids
   }
 
-  /** Per-subspace Euclidean sub-quantizers (the residual-PQ trainer). */
+  /** Per-subspace Euclidean sub-quantizers (the residual-PQ trainer).
+    * Subspaces overlap ([[inParallel]]), like [[trainPqCodebooks]]. */
   def trainPqCodebooksEuclid(
       candidates: DataFrame, // (id, vec)
       dim: Int, m: Int, ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    (0 until m).map { s =>
+    inParallel((0 until m).map(s => () =>
       trainCentroidsEuclid(
         candidates.select(col("id"), slice(col("vec"), s * sub + 1, sub).as("vec")),
-        ksub, iters)
-    }.toArray
+        ksub, iters))).toArray
   }
 
   /** Euclidean PQ encoding — [[pqEncode]] with the argmin-distance
@@ -452,8 +462,15 @@ object SimilaritySearch {
       numClusters: Int, coarseIters: Int,
       dim: Int, m: Int, ksub: Int, pqIters: Int,
       k: Int, nprobe: Int): DataFrame = {
-    val centroids = trainIvfCentroids(candidates, numClusters, coarseIters)
-    val codebooks = trainPqCodebooks(candidates, dim, m, ksub, pqIters)
+    // coarse quantizer and PQ codebooks both train on the RAW
+    // candidate vectors — independent, so their job chains overlap
+    // ([[inParallel]]; the residual form below cannot do this: its PQ
+    // trains on residuals AGAINST the coarse centroids)
+    val trained = inParallel(Seq(
+      () => Left(trainIvfCentroids(candidates, numClusters, coarseIters)),
+      () => Right(trainPqCodebooks(candidates, dim, m, ksub, pqIters))))
+    val centroids = trained.head.left.toOption.get
+    val codebooks = trained(1).toOption.get
     // codes table in the persisted-store shape: (id, cluster, code*) —
     // ONE narrow projection assigns the cell and all m codes.
     val codes = pqEncode(

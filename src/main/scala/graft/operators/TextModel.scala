@@ -330,7 +330,11 @@ object TextModel {
     val mid4 = grp(t5, span(col("g"), 2, 4, 5).as("ctx3"))
       .agg(count(lit(1)).as("denom4"),
         countDistinct(suffix(col("g"), 1)).as("lam4"))
-    // order 3: from distinct 4-gram types
+    // order 3: from distinct 4-gram types. (Deriving this from the c4
+    // count table's keys was TRIED this round and measured SLOWER on
+    // llm02 — the aggregation subtree is not exchange-reused across
+    // its three consumers, so each paid the count-agg AND its own
+    // re-aggregation shuffle where the direct distinct pays one.)
     val t4types = refGrams(4).select(keyed("g").map(col): _*).distinct()
     val cont3 = grp(t4types, suffix(col("g"), 3).as("g3s"))
       .agg(count(lit(1)).as("cont3"))
@@ -608,10 +612,20 @@ object TextModel {
         sum(when(col(cnt) === 4, 1L).otherwise(0L))).first()
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
+    // t5 first ON ITS OWN (its job materializes the t5 cache that
+    // cont4's scan reads), then the three independent lower-order
+    // count-of-counts jobs OVERLAPPED (guide §2.6; cont4/cont3/cont2
+    // are each their own persisted table with no shared uncached
+    // parent, so no first-touch race) — 4 sequential driver-blocking
+    // collects become 1 + one overlapped round
     val (d51, d52, d53) = (mknDiscounts _).tupled(countOfCounts(t5, "c5"))
-    val (d41, d42, d43) = (mknDiscounts _).tupled(countOfCounts(cont4, "cont4"))
-    val (d31, d32, d33) = (mknDiscounts _).tupled(countOfCounts(cont3, "cont3"))
-    val (d21, d22, d23) = (mknDiscounts _).tupled(countOfCounts(cont2, "cont2"))
+    val lower = graft.util.Jobs.inParallel(Seq(
+      () => countOfCounts(cont4, "cont4"),
+      () => countOfCounts(cont3, "cont3"),
+      () => countOfCounts(cont2, "cont2")))
+    val (d41, d42, d43) = (mknDiscounts _).tupled(lower(0))
+    val (d31, d32, d33) = (mknDiscounts _).tupled(lower(1))
+    val (d21, d22, d23) = (mknDiscounts _).tupled(lower(2))
 
     // ---- per-context bucket tables (N1/N2/N3+ of the continuations) -
     def buckets(df: DataFrame, key: Column, cnt: String,

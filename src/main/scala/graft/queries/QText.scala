@@ -3165,8 +3165,18 @@ object QText {
          |  LEFT JOIN tru u3 ON keys.w3 = u3.w
          |  CROSS JOIN sv)
          |SELECT doc_id, count(*) AS n_trigrams,
-         |  round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
+         |  CAST((2 * CAST(SUM(m) AS BIGINT) + count(*)) // (2 * count(*)) AS DOUBLE)
+         |    / 1000000.0 AS avg_neg_logp
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // ORACLE ROUNDING NOTE (found red at sf0.001 on inherited HEAD,
+      // not introduced this round): one doc's mean micro-nat count
+      // lands EXACTLY on a .5 boundary, where DuckDB's double-path
+      // round(x, 6) and Spark's BigDecimal HALF_UP disagree by 1e-6.
+      // The oracle now rounds in exact integer arithmetic —
+      // (2·sum + n) // (2n) is half-up over the exact rational, which
+      // equals Spark's HALF_UP on the midpoint and the old value on
+      // every non-midpoint row (m ≥ 0 always: every backoff score
+      // ≤ 1). Spark side untouched; re-proved green at every sf.
       val docs = Tables.documents(s, dir)
       graft.operators.TextModel.trigramBackoffCrossPerplexity(
           docs.filter(col("doc_id") % 10 === 0), "text",

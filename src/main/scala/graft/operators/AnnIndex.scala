@@ -118,21 +118,24 @@ object AnnIndex {
     import spark.implicits._
     val prev = readManifest(spark, path)
     val cv = prev.fold(1)(_.cents + 1)
-    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cluster", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids/v$cv")
     val v = prev.fold(1)(_.store + 1)
-    // hash-repartition by cell before the write (the rebalance
+    // the centroid and store writes are independent jobs into
+    // different directories — overlapped (guide §2.6). The store
+    // hash-repartitions by cell before the write (the rebalance
     // layout): the bulk build writes one file per cell from one task
     // per cell, instead of the whole assign+quantize projection
     // running inside the (locally single-split) scan task — and at
     // any scale it IS the write.distribution-mode=hash discipline
     // (guide §6): cluster the store by its partition key so a cell is
     // one file, not one file per upstream task
-    assigned(centroids, candidates)
-      .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/store/v$v")
+    graft.util.Jobs.inParallel(Seq(
+      () => centroids.zipWithIndex.map { case (cvec, i) => (i, cvec.toSeq) }.toSeq
+        .toDF("cluster", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/centroids/v$cv"),
+      () => assigned(centroids, candidates)
+        .repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/store/v$v")))
     commitManifest(spark, path, Manifest(v, codes = 0, cents = cv, books = 0))
     // post-commit hygiene: a re-train on a long-lived path must not
     // accumulate superseded versions (grace window inside)
@@ -330,16 +333,19 @@ object AnnIndex {
     val codebooks = SimilaritySearch.trainPqCodebooks(candidates, dim, m, ksub, iters)
     import spark.implicits._
     val bv = cur.books + 1
-    codebooks.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (v, c) => (s, c, v.toSeq) }
-    }.toSeq.toDF("subspace", "cluster", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/pq_codebooks/v$bv")
     val v = cur.codes + 1
-    // per-cell parallel bulk write — see [[write]]'s layout note
-    encodeBatch(readCentroidsAt(spark, path, cur), codebooks, dim, candidates)
-      .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes/v$v")
+    // codebook and codes writes are independent — overlapped; the
+    // codes table repartitions per cell first (see [[write]]'s note)
+    val cents = readCentroidsAt(spark, path, cur)
+    graft.util.Jobs.inParallel(Seq(
+      () => codebooks.zipWithIndex.flatMap { case (book, s) =>
+          book.zipWithIndex.map { case (cvec, c) => (s, c, cvec.toSeq) }
+        }.toSeq.toDF("subspace", "cluster", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/pq_codebooks/v$bv"),
+      () => encodeBatch(cents, codebooks, dim, candidates)
+        .repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes/v$v")))
     // codebooks + codes become visible in ONE commit — never a window
     // where a reader pairs new codes with old sub-quantizers
     commitManifest(spark, path, cur.copy(codes = v, books = bv))

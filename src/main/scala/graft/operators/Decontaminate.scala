@@ -134,9 +134,19 @@ object Decontaminate {
   def ngramOverlapBloom(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int,
-      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
-    val hit = bloomHit(docs.sparkSession,
-      benchGramsBloom(bench, benchTextCol, n, estimatedGrams, numBits), col("sh"))
+      estimatedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame =
+    ngramOverlapBloomAgainst(docs, idCol, textCol,
+      benchGramsBloom(bench, benchTextCol, n, estimatedGrams, numBits), n)
+
+  /** [[ngramOverlapBloom]] against a PRECOMPUTED synopsis — the probe
+    * half, split out (the [[ngramOverlapBySuiteBloomAgainst]] pattern)
+    * so callers that already hold the filter bytes (a persisted store,
+    * or a pipeline that builds several synopses concurrently) never
+    * rebuild the aggregate. */
+  def ngramOverlapBloomAgainst(
+      docs: DataFrame, idCol: String, textCol: String,
+      bfBytes: Array[Byte], n: Int): DataFrame = {
+    val hit = bloomHit(docs.sparkSession, bfBytes, col("sh"))
     Dedup.shingled(docs, idCol, textCol, n)
       .groupBy(col("id").as(idCol))
       .agg(

@@ -155,10 +155,16 @@ object DedupIndex {
     val (bv, sv, zv) = (next("bands"), next("shingles"), next("sizes"))
     val sh = shinglesOf(docs, idCol, textCol, shingleN, charShingles)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the shingle write materializes the sh cache; the sizes and bands
+    // writes both derive from the NOW-CACHED sh and target different
+    // directories — independent jobs, overlapped (guide §2.6) instead
+    // of three sequential write latencies per store build
     writeShingles(sh, path, sv, buckets)
-    sizesOf(sh).coalesce(1).write.mode("overwrite").parquet(s"$path/sizes/v$zv")
-    graft.io.BucketedTables.write(
-      bandedOf(sh, numHashes, bands), s"$path/bands/v$bv", "bucket", "id", buckets)
+    graft.util.Jobs.inParallel(Seq(
+      () => sizesOf(sh).coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/sizes/v$zv"),
+      () => graft.io.BucketedTables.write(
+        bandedOf(sh, numHashes, bands), s"$path/bands/v$bv", "bucket", "id", buckets)))
     sh.unpersist()
     StoreManifest.commit(spark, path,
       Map("bands" -> bv, "shingles" -> sv, "sizes" -> zv,
@@ -187,18 +193,22 @@ object DedupIndex {
     // upsert can never silently mix word- and char-shingled grids
     val sh = shinglesOf(docs, idCol, textCol, shingleN, charOf(m))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // first append materializes the sh cache; sizes + bands appends
+    // then overlap (different directories — see [[write]]'s note)
     graft.io.BucketedTables.append(
       sh, s"$path/shingles/v${m("shingles")}", "sh", "id", m("buckets"))
-    sizesOf(sh).coalesce(1).write.mode("append").parquet(s"$path/sizes/v${m("sizes")}")
     val banded = bandedOf(sh, numHashes, bands,
       encodeBand = m.get("band_enc").contains(2))
-    m.get("band_buckets") match {
-      case Some(bb) => graft.io.BucketedTables.append(
-        banded, s"$path/bands/v${m("bands")}", "bucket", "id", bb)
-      case None => // pre-r15 store: band-partitioned plain parquet
-        banded.write.mode("append").partitionBy("band")
-          .parquet(s"$path/bands/v${m("bands")}")
-    }
+    graft.util.Jobs.inParallel(Seq(
+      () => sizesOf(sh).coalesce(1).write.mode("append")
+        .parquet(s"$path/sizes/v${m("sizes")}"),
+      () => m.get("band_buckets") match {
+        case Some(bb) => graft.io.BucketedTables.append(
+          banded, s"$path/bands/v${m("bands")}", "bucket", "id", bb)
+        case None => // pre-r15 store: band-partitioned plain parquet
+          banded.write.mode("append").partitionBy("band")
+            .parquet(s"$path/bands/v${m("bands")}")
+      }))
     sh.unpersist()
   }
 

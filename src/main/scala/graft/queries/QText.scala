@@ -345,8 +345,26 @@ object QText {
             col("n_chars"), col("n_chars").cast("double").as("score")),
           "rdomain", "score", "doc_id", "n_chars", budgetPerGroup = 25000L)
         .select(col("doc_id")).withColumn("__q_in", lit(1))
-      // routing: char-3-gram profiles trained on the LABELED reference
-      val profiles = graft.operators.LangId.trainProfiles(ref, "lang", "text")
+      // the driver-blocking model builds — the langid profiles and
+      // (llm04 only) the pooled + per-suite decontamination synopses —
+      // are independent aggregates over the reference slice; their
+      // jobs OVERLAP (guide §2.6, util.Jobs) instead of serializing
+      // three collect latencies at pipeline-construction time. The
+      // probes then ride the precomputed bytes via the *Against forms.
+      val suites4 = ref.select(
+        concat(lit("suite"),
+          (pmod(col("doc_id"), lit(80)) / 20).cast("int").cast("string")).as("suite"),
+        col("text"))
+      val built = graft.util.Jobs.inParallel[Any](
+        Seq(() => graft.operators.LangId.trainProfiles(ref, "lang", "text")) ++
+          (if (suiteCard) Seq[() => Any](
+            () => graft.operators.Decontaminate.benchGramsBloom(
+              ref, "text", n = 3, estimatedGrams = 1L << 16, numBits = 1L << 20),
+            () => graft.operators.Decontaminate.benchSuiteBlooms(
+              suites4, "suite", "text", n = 3,
+              estimatedGrams = 1L << 16, numBits = 1L << 20))
+          else Nil))
+      val profiles = built(0).asInstanceOf[Map[String, Map[String, Int]]]
       val routed = graft.operators.LangId
         .classify(corpus, "doc_id", "text", profiles)
         .select(col("doc_id"), col("pred_lang"))
@@ -379,9 +397,8 @@ object QText {
       // flagship). llm02 keeps the exact join: at this scale it IS
       // the oracle, and the pair pins the Bloom path row-identical.
       val ov = (if (suiteCard)
-          graft.operators.Decontaminate.ngramOverlapBloom(
-            ded, "doc_id", "text", ref, "text", n = 3,
-            estimatedGrams = 1L << 16, numBits = 1L << 20)
+          graft.operators.Decontaminate.ngramOverlapBloomAgainst(
+            ded, "doc_id", "text", built(1).asInstanceOf[Array[Byte]], n = 3)
         else graft.operators.Decontaminate
           .ngramOverlap(ded, "doc_id", "text", ref, "text", n = 3))
         .select(col("doc_id"), col("overlap_frac"))
@@ -408,13 +425,9 @@ object QText {
       // footprint); docs dropped before the stage carry NULL, docs
       // probed but hitting nothing carry ''.
       val joined = if (!suiteCard) joined0 else {
-        val suites4 = ref.select(
-          concat(lit("suite"),
-            (pmod(col("doc_id"), lit(80)) / 20).cast("int").cast("string")).as("suite"),
-          col("text"))
-        val hs = graft.operators.Decontaminate.ngramOverlapBySuiteBloom(
-            ded, "doc_id", "text", suites4, "suite", "text", n = 3,
-            estimatedGrams = 1L << 16, numBits = 1L << 20)
+        val hs = graft.operators.Decontaminate.ngramOverlapBySuiteBloomAgainst(
+            ded, "doc_id", "text",
+            built(2).asInstanceOf[Seq[(String, Array[Byte])]], n = 3)
           .groupBy("doc_id")
           .agg(array_join(array_sort(collect_set(col("suite"))), ",").as("__hs"))
         joined0.join(hs, Seq("doc_id"), "left")

@@ -391,4 +391,25 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(AnnIndex.currentStoreDir(spark, path)).count() === cands.count())
     assert(spark.read.parquet(AnnIndex.currentCodesDir(spark, path)).count() === cands.count())
   }
+
+  test("overlapped PQ training equals the sequential per-subspace schedule bit-for-bit") {
+    // r18 optimization invariant: trainPqCodebooks overlaps the m
+    // independent subspace trainers (util.Jobs) and each Lloyd pass
+    // collects (cluster, pos, mean) rows directly instead of a second
+    // reshape aggregation — neither may change a single trained float.
+    // The sequential reference below is the pre-r18 schedule verbatim.
+    val (dim, m, ksub, iters) = (64, 4, 8, 2)
+    val sub = dim / m
+    val par = SimilaritySearch.trainPqCodebooks(cands, dim, m, ksub, iters)
+    val seq = (0 until m).map { s =>
+      SimilaritySearch.trainIvfCentroids(
+        cands.select(col("id"),
+          org.apache.spark.sql.functions.slice(col("vec"), s * sub + 1, sub).as("vec")),
+        ksub, iters)
+    }.toArray
+    assert(par.length === seq.length)
+    for (s <- 0 until m; c <- 0 until ksub)
+      assert(par(s)(c).toSeq === seq(s)(c).toSeq,
+        s"codebook mismatch at subspace=$s cluster=$c")
+  }
 }

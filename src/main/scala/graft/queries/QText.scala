@@ -374,11 +374,24 @@ object QText {
           corpus.join(routed, Seq("doc_id")), "doc_id", "text", "pred_lang",
           Llm02LangRules, Llm02DefaultRules)
         .select(col("doc_id"), col("pass").as("g_ok"))
+      // eager localCheckpoint: `flags` roots BOTH the survivor chain
+      // (dedup → decontaminate → KN scoring) and the final disposition
+      // join, and its own subtree (quota semi-joins + langid classify
+      // + per-language gopher) is the widest part of the plan — left
+      // lazy, the initial physical plan carried 157 copies of the
+      // documents scan and the optimizer re-planned the whole tree
+      // under every consumer (guide §3.3: materialize an intermediate
+      // to truncate a very wide plan). Checkpointing computes it ONCE
+      // and truncates lineage; corpus-sized but column-pruned (4
+      // narrow cols + text). r18's negative result persisted the
+      // LAZY intermediates (cache + full re-plan per consumer, 22-63 s
+      // on llm04); the eager checkpoint is the opposite trade.
       val flags = corpus.select(col("doc_id"), col("text"))
         .join(quotaKept, Seq("doc_id"), "left")
         .join(routed, Seq("doc_id"))
         .join(gok, Seq("doc_id"))
         .withColumn("l_ok", col("pred_lang") =!= "")
+        .localCheckpoint(true)
       val surv1 = flags.filter(col("__q_in") === 1 && col("l_ok") && col("g_ok"))
         .select("doc_id", "text", "pred_lang")
       val keyed = surv1.select(col("doc_id"),
@@ -388,7 +401,14 @@ object QText {
           org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
         .filter(col("doc_id") =!= col("__keep"))
         .select(col("doc_id")).withColumn("__dup", lit(1))
+        // two consumers (ded anti-join + disposition join); ids only
+        .localCheckpoint(true)
+      // same trade for `ded`: consumed by the overlap probe, the
+      // decontaminated survivor set, and (llm04) the per-suite card —
+      // each consumer otherwise re-runs the fingerprint window + anti-
+      // join above the checkpointed flags
       val ded = surv1.join(dups, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       // llm04 (suiteCard): the 100 TB decontamination profile — the
       // pooled drop rule probes ONE fixed-size Bloom synopsis instead
       // of the broadcast gram-row join, so the stage's footprint is
@@ -402,6 +422,8 @@ object QText {
         else graft.operators.Decontaminate
           .ngramOverlap(ded, "doc_id", "text", ref, "text", n = 3))
         .select(col("doc_id"), col("overlap_frac"))
+        // two consumers (dec filter + disposition join); ids+fracs only
+        .localCheckpoint(true)
       val dec = ded.join(ov, Seq("doc_id"), "left")
         .filter(coalesce(col("overlap_frac"), lit(0.0)) < 0.5)
         .select("doc_id", "text", "pred_lang")
@@ -1245,6 +1267,14 @@ object QText {
         .join(quotaKept, Seq("doc_id"), "left")
         .withColumn("q_ok", col("quality") >= 0.5)
         .withColumn("l_ok", col("lang") === "en")
+        // eager localCheckpoint (the llm02 finding, same structure):
+        // flags roots both the survivor chain and the final
+        // disposition join, and its subtree (quota semi-joins + three
+        // rule operators + the regex projections) made the initial
+        // plan carry 141 documents-scan copies — the query was
+        // driver-planning-bound (guide §3.3: materialize an
+        // intermediate to truncate a very wide plan)
+        .localCheckpoint(true)
       val surv = flags.filter(col("__q_in") === 1 &&
           col("g_ok") && col("ln_ok") && col("q_ok") && col("l_ok"))
         .select("doc_id", "text")
@@ -1256,6 +1286,11 @@ object QText {
           org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
         .filter(col("doc_id") =!= col("__keep"))
         .select(col("doc_id")).withColumn("__dup", lit(1))
+      // (ded/ov checkpoints were ALSO tried here — llm01's audit went
+      // 3.75 → 4.37 s: above the flags checkpoint these subtrees are
+      // small and the extra eager barriers cost more than they save;
+      // llm02/llm04 keep theirs because their routed/multilingual
+      // chains are heavier)
       val ded = surv.join(dups, Seq("doc_id"), "left_anti")
       val ov = graft.operators.Decontaminate
         .ngramOverlap(ded, "doc_id", "text", bench, "text", n = 3)
@@ -3385,10 +3420,20 @@ object QText {
          |SELECT doc_id, count(*) AS n_fivegrams,
          |  round((CAST(SUM(m) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_neg_logp
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // post-scan rebalance of the SCORING side only (the t32/t65
+      // idiom): at bench SFs the table is ONE parquet row group, so
+      // the scan cannot split and the 5-gram explode + 8-key
+      // projection feeding the ten scoring joins ran on ONE task
+      // (StageAudit r18: 1.9 s wall / 1.9 s cpu single-task stage).
+      // The reference side is left alone: modifiedKn's count-of-counts
+      // collects are separate jobs, and a rebalance there re-runs its
+      // exchange once per job for sub-second explode passes.
       val docs = Tables.documents(s, dir)
       graft.operators.TextModel.modifiedKnFivegramCrossPerplexity(
           docs.filter(col("doc_id") % 10 === 0), "text",
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", k = 0.5)
+          docs.filter(col("doc_id") % 10 =!= 0)
+            .repartition(s.sparkContext.defaultParallelism), "doc_id", "text",
+          k = 0.5)
         .orderBy("doc_id")
     },
 

@@ -248,6 +248,51 @@ object DedupIndex {
     surv
   }
 
+  /**
+   * [[gate]] + [[upsert]]-of-the-survivors as ONE lifecycle step — the
+   * steady-state ingest (t65's gateA→upsert pair). Row-identical to
+   * calling the two separately: shingles and bands are PER-DOC pure
+   * functions of the batch rows, so the appended survivor shingles are
+   * exactly the gate's already-persisted shingle frame filtered to the
+   * surviving ids (guide §5 caching with provable reuse — the upsert
+   * no longer re-tokenizes and re-minhashes rows the gate just
+   * processed), and sizes/bands derive from that filtered frame the
+   * same way upsert derives them from a fresh shingling.
+   */
+  def ingest(
+      spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val m = StoreManifest.current(spark, path)
+    val (dropsF, shB, release) = gatePartsWithShingles(
+      spark, path, m, batch, idCol, textCol, shingleN, numHashes, bands, threshold)
+    val surv = graft.io.StoreKit.snapshotStableSurvivors(batch, idCol, dropsF)
+    // survivor shingles = the gate's cached frame, id-filtered (the
+    // checkpoint above froze the survivor set, so the semi-join is
+    // snapshot-stable too)
+    val shSurv = shB.join(
+        surv.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // first append materializes the shSurv cache; sizes + bands
+    // appends then overlap (different directories — [[write]]'s note)
+    graft.io.BucketedTables.append(
+      shSurv, s"$path/shingles/v${m("shingles")}", "sh", "id", m("buckets"))
+    val banded = bandedOf(shSurv, numHashes, bands,
+      encodeBand = m.get("band_enc").contains(2))
+    graft.util.Jobs.inParallel(Seq(
+      () => sizesOf(shSurv).coalesce(1).write.mode("append")
+        .parquet(s"$path/sizes/v${m("sizes")}"),
+      () => m.get("band_buckets") match {
+        case Some(bb) => graft.io.BucketedTables.append(
+          banded, s"$path/bands/v${m("bands")}", "bucket", "id", bb)
+        case None => banded.write.mode("append").partitionBy("band")
+          .parquet(s"$path/bands/v${m("bands")}")
+      }))
+    shSurv.unpersist()
+    release()
+    surv
+  }
+
   /** The candidate probe join of one gate. r15 stores (`band_enc=2`)
     * carry the band index INSIDE the bucket md5, so the probe is a
     * single-key join on `bucket` — exactly the bucket column, which is
@@ -294,8 +339,22 @@ object DedupIndex {
       idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int,
       threshold: Double): (DataFrame, () => Unit) = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     val m = StoreManifest.current(spark, path) // ONE snapshot per gate
+    val (drops, _, release) = gatePartsWithShingles(
+      spark, path, m, batch, idCol, textCol, shingleN, numHashes, bands, threshold)
+    (drops, release)
+  }
+
+  /** [[gateParts]] against an already-resolved manifest snapshot,
+    * additionally exposing the batch's persisted shingle frame so
+    * [[ingest]] can append the survivors' shingles without
+    * re-shingling (release() unpersists it). */
+  private def gatePartsWithShingles(
+      spark: SparkSession, path: String, m: Map[String, Int], batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double): (DataFrame, DataFrame, () => Unit) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     requireGrid(m, shingleN, numHashes, bands)
     val histBands = histBandsFrame(spark, path, m)
     val histShFull = m.get("buckets") match {
@@ -355,7 +414,7 @@ object DedupIndex {
           (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("bid").as(idCol)).distinct()
-    (drops, () => { cand.unpersist(); shB.unpersist(); () })
+    (drops, shB, () => { cand.unpersist(); shB.unpersist(); () })
   }
 
   /** One compaction summary from [[compact]]. */

@@ -2329,6 +2329,9 @@ object QText {
     QueryDef.of("llm03_clean_bloom",
       CleanCorpusOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      // (corpus-side rebalance tried r19: 2.93 → 2.85 s, noise-flat —
+      // the 1.0 s single-task stage splits but the exchange gives the
+      // saving back at this SF; left alone)
       graft.operators.CleanCorpus.clean(
           docs.filter(col("doc_id") % 20 =!= 0).select("doc_id", "text"), "doc_id", "text",
           docs.filter(col("doc_id") % 20 === 0), "text",
@@ -2683,6 +2686,12 @@ object QText {
          |SELECT doc_id, 'b' FROM documents
          |WHERE doc_id % 10 >= 8 AND doc_id NOT IN (SELECT bid FROM dropsB)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // (an eager localCheckpoint of the repartitioned corpus was
+      // tried here for the eight-action lifecycle and measured SLOWER,
+      // 7.4 → 8.3 s audit: the checkpoint blocks carry every column,
+      // so each action loses the parquet column pruning its own scan
+      // had — the llm02 plan-truncation trade only pays on NARROW
+      // multi-consumer frames)
       val docs = Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
       val hist = docs.filter(col("doc_id") % 10 < 6)
@@ -2691,10 +2700,13 @@ object QText {
       val path = "/tmp/graft_dedup_index_t65_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       graft.operators.DedupIndex.write(path, hist, "doc_id", "text",
         shingleN = 3, numHashes = 12, bands = 4)
-      val survA = graft.operators.DedupIndex.gate(s, path, bA, "doc_id", "text",
+      // gateA + upsert fused (DedupIndex.ingest): the survivor appends
+      // reuse the gate's persisted shingle frame id-filtered instead
+      // of re-tokenizing + re-minhashing batch A — row-identical, the
+      // oracle's two-stage replay is unchanged (t77 keeps the separate
+      // gate→upsert calls, so both API paths stay exercised)
+      val survA = graft.operators.DedupIndex.ingest(s, path, bA, "doc_id", "text",
         shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
-      graft.operators.DedupIndex.upsert(path, survA, "doc_id", "text",
-        shingleN = 3, numHashes = 12, bands = 4)
       val survB = graft.operators.DedupIndex.gate(s, path, bB, "doc_id", "text",
         shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
       survA.select(col("doc_id"), lit("a").as("batch"))
@@ -3431,9 +3443,8 @@ object QText {
       val docs = Tables.documents(s, dir)
       graft.operators.TextModel.modifiedKnFivegramCrossPerplexity(
           docs.filter(col("doc_id") % 10 === 0), "text",
-          docs.filter(col("doc_id") % 10 =!= 0)
-            .repartition(s.sparkContext.defaultParallelism), "doc_id", "text",
-          k = 0.5)
+          Tables.rebalanced(docs.filter(col("doc_id") % 10 =!= 0)),
+          "doc_id", "text", k = 0.5)
         .orderBy("doc_id")
     },
 
@@ -3704,7 +3715,8 @@ object QText {
         when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" the quick brown fox jumps over the lazy dog again")))
           .otherwise(col("text")).as("text"))
-      graft.operators.SubstringDedup.duplicatedSpans(injected, "doc_id", "text", n = 5)
+      graft.operators.SubstringDedup.duplicatedSpans(
+          Tables.rebalanced(injected), "doc_id", "text", n = 5)
         .orderBy("doc_id", "span_start")
     },
 
@@ -3812,6 +3824,13 @@ object QText {
          |FROM f
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id) <= 10
          |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      // (post-scan rebalance of the two retrieval corpora was tried
+      // here — r19 audits: wholesale repartition 3.6 → 4.6 s (it sat
+      // below the doc_id/vec_id < 3 query-side filters and discarded
+      // their parquet pushdown), corpus-side-only 3.6 → 3.8-4.4 s
+      // (the ~1.2 s single-task stages DID split 32-way, but the two
+      // extra exchanges cost more than the parallelism returns at
+      // this SF). Left alone: overhead-bound, not compute-bound.)
       val docs = Tables.documents(s, dir)
       val qd = docs.filter(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"), col("text").as("qtext"))
@@ -4058,8 +4077,13 @@ object QText {
         |FROM g
         |ORDER BY key_micro DESC, doc_id
         |LIMIT 100""".stripMargin) { (s, dir) =>
+      // post-scan rebalance (the t68 idiom): the persisted bucketize
+      // projection (one md5 per bigram) otherwise materializes inside
+      // the unsplittable one-row-group scan — StageAudit r19 measured
+      // a 3.2 s single-task stage carrying 84% of the query
       graft.operators.Dsir.resampleTopKWithin(
-        Tables.documents(s, dir), col("lang") === "en",
+        Tables.rebalanced(Tables.documents(s, dir)),
+        col("lang") === "en",
         "doc_id", "text", b = 256, k = 100)
     },
 

@@ -289,7 +289,13 @@ object QVector {
         |WHERE round(CASE WHEN a.nrm * b.nrm <> 0
         |      THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm) ELSE 0.0 END, 6) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      Dedup.embeddingNearDupBrute(emb(s, dir), "vec_id", "embedding", threshold = 0.35)
+      // post-scan rebalance (the t68/t39 idiom): the brute pair join
+      // streams one side through the scan partitioning, and at bench
+      // SFs the embeddings table is ONE row group — StageAudit r19
+      // measured 2.8 s of the query's 3.3 s in that single task
+      Dedup.embeddingNearDupBrute(
+          Tables.rebalanced(emb(s, dir)),
+          "vec_id", "embedding", threshold = 0.35)
         .orderBy("id_a", "id_b")
     },
 

@@ -20,6 +20,23 @@ import org.apache.spark.sql.types._
  */
 object Tables {
 
+  /** Round-robin rebalance ONLY when the frame's scan parallelism sits
+    * below the session default — the input-layout artifact where a
+    * whole table is one parquet row group, so the scan cannot split
+    * and every downstream explode/projection/pair-join runs on ONE
+    * task (StageAudit r19: t39 3.2 s, v03 2.8 s, t68 1.9 s single-task
+    * stages). The probe is static and must only be used on
+    * SCAN-ROOTED frames (scan + filter/project, no exchange): such a
+    * plan is not AQE-wrapped, so `.rdd` builds lineage without running
+    * a job. At real scale the scan already splits past the default
+    * parallelism and this is the identity — no shuffle is added
+    * (guide §2.5 input skew, §6 input splits; the scale-adaptive form
+    * of the glue-level `repartition(defaultParallelism)` idiom). */
+  def rebalanced(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   val lineitemSchema: StructType = StructType(Seq(
     StructField("l_orderkey", LongType),
     StructField("l_partkey", LongType),

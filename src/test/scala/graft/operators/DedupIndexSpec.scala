@@ -51,6 +51,32 @@ class DedupIndexSpec extends AnyFunSuite {
       === viaStore)
   }
 
+  test("ingest (fused gate+upsert) equals gate-then-upsert: survivors, store tables, next gate") {
+    import graft.io.StoreManifest
+    val pathSeq = Files.createTempDirectory("graft_dedupidx_seq").toString
+    val pathFus = Files.createTempDirectory("graft_dedupidx_fus").toString
+    for (p <- Seq(pathSeq, pathFus))
+      DedupIndex.write(p, hist, "doc_id", "text", 3, 12, 4)
+    val survSeq = DedupIndex.gate(spark, pathSeq, bA, "doc_id", "text", 3, 12, 4, 0.5)
+    DedupIndex.upsert(pathSeq, survSeq, "doc_id", "text", 3, 12, 4)
+    val survFus = DedupIndex.ingest(spark, pathFus, bA, "doc_id", "text", 3, 12, 4, 0.5)
+    assert(ids(survFus) === ids(survSeq))
+    // the grown stores are table-identical (the fused path appends the
+    // gate's id-filtered shingle frame — a pure per-doc function, so
+    // every row must match the re-shingled sequential path)
+    def rows(p: String, table: String): Set[String] = {
+      val m = StoreManifest.current(spark, p)
+      spark.read.parquet(s"$p/$table/v${m(table)}")
+        .collect().map(_.mkString("|")).toSet
+    }
+    for (t <- Seq("shingles", "sizes", "bands"))
+      assert(rows(pathFus, t) === rows(pathSeq, t), s"table $t diverged")
+    // and a day-2 gate over either store returns the same verdicts
+    val gBSeq = ids(DedupIndex.gate(spark, pathSeq, bB, "doc_id", "text", 3, 12, 4, 0.5))
+    val gBFus = ids(DedupIndex.gate(spark, pathFus, bB, "doc_id", "text", 3, 12, 4, 0.5))
+    assert(gBFus === gBSeq)
+  }
+
   test("verdicts are snapshot-stable: upserting survivors does not mutate the gate result") {
     val path = Files.createTempDirectory("graft_dedupidx_snap").toString
     DedupIndex.write(path, hist, "doc_id", "text", 3, 12, 4)
